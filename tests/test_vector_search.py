@@ -1,0 +1,194 @@
+import numpy as np
+import pytest
+
+from nucliadb_tpu.index.vector import (
+    Elem,
+    VectorConfig,
+    VectorIndexer,
+    VectorSearcher,
+    VectorSearchRequest,
+)
+from nucliadb_tpu.index.vector.segment import create_segment
+from nucliadb_tpu.query_language import LabelAtom, KeyPrefixAtom, and_, not_
+from nucliadb_tpu.types import FieldId, PrefilterResult, Seq, SimpleOpenIndex
+
+
+def build_index(tmp_path, rng, n=200, d=64, similarity="dot", n_segments=2, labels=True):
+    cfg = VectorConfig(dimension=d, similarity=similarity)
+    per = n // n_segments
+    segs = []
+    all_vecs = []
+    all_keys = []
+    for s in range(n_segments):
+        elems = []
+        for i in range(per):
+            gid = s * per + i
+            v = rng.standard_normal((1, d)).astype(np.float32)
+            key = f"r{gid % 5}/f1/{gid}/0-10"
+            lab = ["/l/ls/even"] if (labels and gid % 2 == 0) else ["/l/ls/odd"]
+            elems.append(Elem(key=key, vectors=v, labels=lab))
+            all_vecs.append(v[0])
+            all_keys.append(key)
+        meta = create_segment(str(tmp_path / f"s{s}"), elems, cfg)
+        segs.append((meta, Seq(s + 1)))
+    open_index = SimpleOpenIndex(segment_list=segs)
+    searcher = VectorSearcher(cfg, open_index)
+    return searcher, np.stack(all_vecs), all_keys, cfg
+
+
+def test_exact_search_matches_bruteforce(rng, tmp_path):
+    """The primary correctness oracle, as in the reference
+    (nidx_vector/src/segment.rs:841-912): results == brute force."""
+    searcher, vecs, keys, _ = build_index(tmp_path, rng)
+    q = rng.standard_normal(64).astype(np.float32)
+    hits = searcher.search(VectorSearchRequest(vectors=q, top_k=5))[0]
+    scores = vecs @ q
+    order = np.argsort(-scores)[:5]
+    # keys are stored sorted per segment; map expected keys by score
+    expected = sorted(
+        [(float(scores[i]), sorted(keys)[0]) for i in order], reverse=True
+    )
+    got_scores = [h.score for h in hits]
+    np.testing.assert_allclose(got_scores, sorted(scores, reverse=True)[:5], rtol=1e-4)
+    assert len(hits) == 5
+
+
+def test_search_respects_label_filter(rng, tmp_path):
+    searcher, vecs, keys, _ = build_index(tmp_path, rng)
+    q = rng.standard_normal(64).astype(np.float32)
+    hits = searcher.search(
+        VectorSearchRequest(vectors=q, top_k=10, filter=LabelAtom("/l/ls/even"))
+    )[0]
+    assert len(hits) == 10
+    assert all("/l/ls/even" in h.labels for h in hits)
+
+
+def test_search_not_filter(rng, tmp_path):
+    searcher, _, _, _ = build_index(tmp_path, rng)
+    q = rng.standard_normal(64).astype(np.float32)
+    hits = searcher.search(
+        VectorSearchRequest(vectors=q, top_k=10, filter=not_(LabelAtom("/l/ls/even")))
+    )[0]
+    assert all("/l/ls/odd" in h.labels for h in hits)
+
+
+def test_search_key_prefix_and_prefilter(rng, tmp_path):
+    searcher, vecs, keys, _ = build_index(tmp_path, rng)
+    q = rng.standard_normal(64).astype(np.float32)
+    # via filter expression
+    hits = searcher.search(
+        VectorSearchRequest(vectors=q, top_k=50, filter=KeyPrefixAtom(("r1/",)))
+    )[0]
+    assert 0 < len(hits)
+    assert all(h.key.startswith("r1/") for h in hits)
+    # via prefilter handoff
+    pf = PrefilterResult.some([FieldId("r1", "f1")])
+    hits2 = searcher.search(
+        VectorSearchRequest(vectors=q, top_k=50, field_filter=pf)
+    )[0]
+    assert {h.key for h in hits2} == {h.key for h in hits}
+    # prefilter NONE -> no results
+    hits3 = searcher.search(
+        VectorSearchRequest(
+            vectors=q, top_k=5, field_filter=PrefilterResult.none()
+        )
+    )[0]
+    assert hits3 == []
+
+
+def test_min_score(rng, tmp_path):
+    searcher, vecs, _, _ = build_index(tmp_path, rng)
+    q = rng.standard_normal(64).astype(np.float32)
+    max_score = float(np.max(vecs @ q))
+    hits = searcher.search(
+        VectorSearchRequest(vectors=q, top_k=10, min_score=max_score + 1.0)
+    )[0]
+    assert hits == []
+
+
+def test_deletions_applied_at_open(rng, tmp_path):
+    cfg = VectorConfig(dimension=16)
+    elems = [
+        Elem(key=f"r1/f1/{i}/0-1", vectors=rng.standard_normal((1, 16)).astype(np.float32))
+        for i in range(10)
+    ]
+    meta = create_segment(str(tmp_path / "s"), elems, cfg)
+    open_index = SimpleOpenIndex(
+        segment_list=[(meta, Seq(1))], deletion_list=[("r1/", Seq(2))]
+    )
+    searcher = VectorSearcher(cfg, open_index)
+    hits = searcher.search(
+        VectorSearchRequest(vectors=rng.standard_normal(16).astype(np.float32), top_k=5)
+    )[0]
+    assert hits == []
+
+
+def test_hidden_segments_excluded(rng, tmp_path):
+    cfg = VectorConfig(dimension=16)
+    e1 = [Elem(key="r1/f1/0/0-1", vectors=np.ones((1, 16), np.float32))]
+    e2 = [Elem(key="r2/f1/0/0-1", vectors=np.ones((1, 16), np.float32))]
+    m1 = create_segment(str(tmp_path / "s1"), e1, cfg, tags=["hidden"])
+    m2 = create_segment(str(tmp_path / "s2"), e2, cfg)
+    open_index = SimpleOpenIndex(segment_list=[(m1, Seq(1)), (m2, Seq(2))])
+    searcher = VectorSearcher(cfg, open_index)
+    q = np.ones(16, np.float32)
+    hits = searcher.search(VectorSearchRequest(vectors=q, top_k=10))[0]
+    assert [h.key for h in hits] == ["r2/f1/0/0-1"]
+    hits_all = searcher.search(
+        VectorSearchRequest(vectors=q, top_k=10, include_hidden=True)
+    )[0]
+    assert {h.key for h in hits_all} == {"r1/f1/0/0-1", "r2/f1/0/0-1"}
+
+
+def test_multivector_maxsim(rng, tmp_path):
+    """MaxSim semantics parity with nidx_vector/src/multivector.rs:33-46."""
+    cfg = VectorConfig(dimension=8, cardinality="multi")
+    d = 8
+    docs = {
+        "r1/f1/0-10": rng.standard_normal((3, d)).astype(np.float32),
+        "r1/f1/10-20": rng.standard_normal((4, d)).astype(np.float32),
+        "r2/f1/0-10": rng.standard_normal((2, d)).astype(np.float32),
+    }
+    elems = [Elem(key=k, vectors=v) for k, v in docs.items()]
+    meta = create_segment(str(tmp_path / "s"), elems, cfg)
+    searcher = VectorSearcher(cfg, SimpleOpenIndex(segment_list=[(meta, Seq(1))]))
+    q = rng.standard_normal((2, d)).astype(np.float32)  # 2 sub-vectors
+    hits = searcher.search(VectorSearchRequest(vectors=q[None], top_k=3))[0]
+    # reference semantics: sum over query tokens of max over doc tokens
+    expected = {
+        k: sum(float(np.max(v @ q[m])) for m in range(2)) for k, v in docs.items()
+    }
+    got = {h.key: h.score for h in hits}
+    for k, s in got.items():
+        np.testing.assert_allclose(s, expected[k], rtol=1e-4)
+    assert list(got) == sorted(expected, key=lambda k: -expected[k])
+
+
+def test_indexer_from_resource(rng, tmp_path):
+    from nucliadb_tpu.models.internal import (
+        IndexParagraph,
+        ResourceDoc,
+        TextInformation,
+        VectorSentence,
+    )
+
+    rd = ResourceDoc(resource_id="r1", labels=["/n/s/PROCESSED"])
+    rd.texts["t/text1"] = TextInformation(text="hello world", labels=["/t/t"])
+    para = IndexParagraph(start=0, end=11, labels=["/p/x"])
+    para.vectorsets_sentences["vs1"] = {
+        "r1/t/text1/0/0-11": VectorSentence(vector=rng.standard_normal(16).astype(np.float32))
+    }
+    rd.paragraphs["t/text1"] = {"r1/t/text1/0-11": para}
+
+    cfg = VectorConfig(dimension=16)
+    indexer = VectorIndexer(cfg)
+    meta = indexer.index_resource(rd, "vs1", str(tmp_path / "seg"))
+    assert meta is not None and meta.records == 1
+    searcher = VectorSearcher(cfg, SimpleOpenIndex(segment_list=[(meta, Seq(1))]))
+    hits = searcher.search(
+        VectorSearchRequest(vectors=rng.standard_normal(16).astype(np.float32), top_k=1)
+    )[0]
+    assert hits[0].key == "r1/t/text1/0/0-11"
+    assert "/n/s/PROCESSED" in hits[0].labels and "/p/x" in hits[0].labels
+    # no sentences for unknown vectorset
+    assert indexer.index_resource(rd, "nope", str(tmp_path / "seg2")) is None
