@@ -5,16 +5,29 @@ The reference searches each segment separately and merges on the host
 dispatch round-trip per segment; instead the searcher consolidates all open
 segments of an index into ONE set of padded device buffers at sync time —
 segments stay an immutable *storage* concept, device state is a single
-scan-friendly arena:
+scan-friendly arena.
 
-    vectors   [Nv_pad, D]  f32    all alive+dead vectors, zero-padded
-    vec_para  [Nv_pad]     int32  owner paragraph (padding rows -> pad slot)
-    codes     int8 / binary codes over the same arena (per config)
+Layout (chosen so paragraph dedup never needs a scatter — XLA TPU scatters
+are both slow at runtime and expensive to compile):
 
-One fused jitted program then does: (quantized scan -> candidates ->) exact
-scores -> per-paragraph max (multivector dedup, replaces per-result dedup in
-Fssc, searcher.rs:150-199) -> filter mask -> top-k. Query batches and arena
-sizes are bucketed to powers of two so the jit cache stays small.
+- SINGLE cardinality: one vector per record, so the vector arena IS the
+  paragraph arena: ``vectors [P_pad, D]``; ids returned by top-k are
+  paragraph ids directly.
+- MULTI cardinality (multivector / MaxSim): uniform slots
+  ``vectors [P_pad * m_max, D]`` where slot ``p * m_max + j`` is the j-th
+  vector of paragraph p (zero-padded); per-paragraph reduction is a
+  reshape + masked max, the slot count per paragraph lives in
+  ``m_count [P_pad]``.
+
+One fused jitted program per query batch does: (quantized scan ->
+candidates -> exact rerank ->) masked top-k. Query batches and arena sizes
+are bucketed to powers of two so the jit cache stays small.
+
+Platform rules baked into this module (measured on the axon-tunneled v5e):
+- NEVER close over device arrays in a jitted function — they are inlined as
+  constants and shipped to the compile service (a 512 MB HLO).
+- No scatters in the search path; gathers are fine.
+- Everything per query is ONE jit call; eager dispatches cost ~1-3ms each.
 
 Filters arrive as a single boolean paragraph mask built on the host from
 label postings / key-prefix ranges / segment tags / deletions — the kernel
@@ -36,7 +49,13 @@ from ...ops import quant
 from ...ops.distance import prepare_query, scores_matmul
 from ...ops.topk import NEG_INF, masked_topk
 from ...types import Seq
-from .config import EXACT_SCAN_THRESHOLD, Quantization, VectorConfig
+from ...utils.platform import configure_jax, device_scalar_f32
+from .config import (
+    EXACT_SCAN_THRESHOLD,
+    Quantization,
+    VectorCardinality,
+    VectorConfig,
+)
 from .segment import LoadedSegment, alive_mask, key_prefix_ranges
 
 
@@ -65,7 +84,9 @@ class DeviceVectorIndex:
         segments: Sequence[tuple[LoadedSegment, Seq]],
         deletions: Sequence[tuple[str, Seq]] = (),
     ):
+        configure_jax()
         self.config = config
+        self.multi = config.cardinality == VectorCardinality.MULTI
         dim = config.dimension
 
         keys: list[str] = []
@@ -74,8 +95,8 @@ class DeviceVectorIndex:
         seg_tags: list[frozenset[str]] = []
         para_seg_chunks: list[np.ndarray] = []
         alive_chunks: list[np.ndarray] = []
-        vec_chunks: list[np.ndarray] = []
-        vec_para_chunks: list[np.ndarray] = []
+        per_para_vecs: list[np.ndarray] = []  # multi: one [m_i, D] array per paragraph
+        vec_chunks: list[np.ndarray] = []  # single: [n_i, D] per segment
 
         para_offset = 0
         for seg_idx, (seg, seq) in enumerate(segments):
@@ -86,8 +107,19 @@ class DeviceVectorIndex:
                 para_labels_postings.setdefault(label, []).append(pids + para_offset)
             para_seg_chunks.append(np.full(seg.n_paragraphs, seg_idx, dtype=np.int32))
             alive_chunks.append(alive_mask(seg, seq, deletions))
-            vec_chunks.append(np.asarray(seg.vectors, dtype=np.float32))
-            vec_para_chunks.append(np.asarray(seg.vec_para, dtype=np.int32) + para_offset)
+            sv = np.asarray(seg.vectors, dtype=np.float32)
+            if self.multi:
+                vp = np.asarray(seg.vec_para)
+                first = np.searchsorted(vp, np.arange(seg.n_paragraphs), side="left")
+                last = np.searchsorted(vp, np.arange(seg.n_paragraphs), side="right")
+                for p in range(seg.n_paragraphs):
+                    per_para_vecs.append(sv[first[p] : last[p]])
+            else:
+                if sv.shape[0] != seg.n_paragraphs:
+                    raise ValueError(
+                        "single-cardinality index with multi-vector segment"
+                    )
+                vec_chunks.append(sv)
             para_offset += seg.n_paragraphs
 
         self.keys = keys
@@ -101,33 +133,34 @@ class DeviceVectorIndex:
         self.para_seg = (
             np.concatenate(para_seg_chunks) if para_seg_chunks else np.zeros(0, np.int32)
         )
-        self.alive = (
-            np.concatenate(alive_chunks) if alive_chunks else np.zeros(0, bool)
-        )
+        self.alive = np.concatenate(alive_chunks) if alive_chunks else np.zeros(0, bool)
 
-        vectors = (
-            np.concatenate(vec_chunks) if vec_chunks else np.zeros((0, dim), np.float32)
-        )
-        vec_para = (
-            np.concatenate(vec_para_chunks) if vec_para_chunks else np.zeros(0, np.int32)
-        )
-        self.n_vec = vectors.shape[0]
-
-        # pad paragraph space, reserving the last slot as the always-masked
-        # "padding paragraph" every padding vector points at
+        # reserve >=1 padding slot so the pad paragraph is always maskable
         self.p_pad = bucket(self.n_para + 1)
-        self.nv_pad = bucket(max(self.n_vec, 1))
-        pad_rows = self.nv_pad - self.n_vec
-        vectors_p = np.concatenate([vectors, np.zeros((pad_rows, dim), np.float32)])
-        vec_para_p = np.concatenate(
-            [vec_para, np.full(pad_rows, self.p_pad - 1, np.int32)]
-        )
 
-        self.vectors = jax.device_put(jnp.asarray(vectors_p))
-        self.vec_para = jax.device_put(jnp.asarray(vec_para_p))
+        if self.multi:
+            counts = np.array([v.shape[0] for v in per_para_vecs], dtype=np.int32)
+            self.m_max = bucket(int(counts.max()) if counts.size else 1, minimum=1)
+            arena = np.zeros((self.p_pad * self.m_max, dim), np.float32)
+            for p, v in enumerate(per_para_vecs):
+                arena[p * self.m_max : p * self.m_max + v.shape[0]] = v
+            m_count = np.zeros(self.p_pad, np.int32)
+            m_count[: self.n_para] = counts
+            self.m_count = jax.device_put(jnp.asarray(m_count))
+        else:
+            self.m_max = 1
+            flat = (
+                np.concatenate(vec_chunks) if vec_chunks else np.zeros((0, dim), np.float32)
+            )
+            arena = np.zeros((self.p_pad, dim), np.float32)
+            arena[: self.n_para] = flat
+            self.m_count = None
+
+        self.vectors = jax.device_put(jnp.asarray(arena))
+        self._base_mask_dev: jax.Array | None = None
 
         self.codes: quant.Int8Codes | quant.BinaryCodes | None = None
-        if self.n_vec > EXACT_SCAN_THRESHOLD:
+        if not self.multi and self.n_para > EXACT_SCAN_THRESHOLD:
             if config.quantization == Quantization.INT8:
                 self.codes = quant.Int8Codes.encode(self.vectors)
             elif config.quantization == Quantization.BINARY:
@@ -142,6 +175,11 @@ class DeviceVectorIndex:
         mask = np.zeros(self.p_pad, dtype=bool)
         mask[: self.n_para] = self.alive
         return mask
+
+    def base_mask_device(self) -> jax.Array:
+        if self._base_mask_dev is None:
+            self._base_mask_dev = jax.device_put(jnp.asarray(self.base_mask()))
+        return self._base_mask_dev
 
     def label_postings(self, label: str) -> np.ndarray:
         return self.labels.get(label, np.zeros(0, np.int32))
@@ -178,18 +216,20 @@ class DeviceVectorIndex:
         para_mask: [p_pad] or [n_para] bool (combined with base mask).
         Returns ([B, k] scores, [B, k] paragraph ids, -1 = empty).
         """
-        mask = self.base_mask()
-        if para_mask is not None:
+        if para_mask is None:
+            mask_j = self.base_mask_device()
+        else:
             if para_mask.shape[0] == self.n_para:
                 full = np.zeros(self.p_pad, dtype=bool)
                 full[: self.n_para] = para_mask
                 para_mask = full
-            mask &= para_mask
-        mask_j = jnp.asarray(mask)
-        ms = jnp.float32(NEG_INF if min_score is None else min_score)
+            mask_j = jnp.asarray(self.base_mask() & para_mask)
+        ms = device_scalar_f32(float(NEG_INF) if min_score is None else float(min_score))
 
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 3:
+            if not self.multi:
+                raise ValueError("multivector query against a single-vector index")
             b_pad = bucket(q.shape[0], minimum=1)
             m = q.shape[1]
             qp = np.zeros((b_pad, m, q.shape[2]), np.float32)
@@ -197,8 +237,13 @@ class DeviceVectorIndex:
             qmask = np.zeros((b_pad, m), dtype=bool)
             qmask[: q.shape[0]] = np.abs(q).sum(-1) > 0
             s, i = _search_maxsim(
-                self.vectors, self.vec_para, jnp.asarray(qp), jnp.asarray(qmask),
-                mask_j, ms, top_k, self.p_pad, self.config.similarity.value,
+                self.vectors, self.m_count, jnp.asarray(qp), jnp.asarray(qmask),
+                mask_j, ms, top_k, self.m_max, self.config.similarity.value,
+            )
+        elif self.multi:
+            # single query vector against a multivector index: MaxSim with M=1
+            return self.search(
+                q[:, None, :], top_k, para_mask=para_mask, min_score=min_score
             )
         else:
             b_pad = bucket(q.shape[0], minimum=8)
@@ -207,20 +252,20 @@ class DeviceVectorIndex:
             qj = jnp.asarray(qp)
             if isinstance(self.codes, quant.Int8Codes):
                 s, i = _search_int8(
-                    self.codes, self.vectors, self.vec_para, qj, mask_j, ms,
-                    top_k, self.p_pad, self.config.similarity.value,
+                    self.codes, self.vectors, qj, mask_j, ms, top_k,
+                    self.config.similarity.value,
                 )
             elif isinstance(self.codes, quant.BinaryCodes):
                 s, i = _search_binary(
-                    self.codes, self.vectors, self.vec_para, qj, mask_j, ms,
-                    top_k, self.p_pad, self.config.similarity.value,
+                    self.codes, self.vectors, qj, mask_j, ms, top_k,
+                    self.config.similarity.value,
                 )
             else:
                 s, i = _search_exact(
-                    self.vectors, self.vec_para, qj, mask_j, ms,
-                    top_k, self.p_pad, self.config.similarity.value,
+                    self.vectors, qj, mask_j, ms, top_k,
+                    self.config.similarity.value,
                 )
-        b = q.shape[0]
+        b = q.shape[0] if q.ndim == 2 else queries.shape[0]
         return np.asarray(s)[:b], np.asarray(i)[:b]
 
     def hits(self, scores_row: np.ndarray, ids_row: np.ndarray) -> list[VectorHit]:
@@ -249,94 +294,72 @@ class DeviceVectorIndex:
 
 
 # --------------------------------------------------------------------------
-# Fused kernels
+# Fused kernels — paragraph ids == arena slots (single) or slots // m_max
 # --------------------------------------------------------------------------
 
 
-def _para_scatter_max(
-    scores: jax.Array, para_ids: jax.Array, p_pad: int
-) -> jax.Array:
-    """[..., C] scores + [..., C] or [C] paragraph ids -> [..., p_pad] max."""
-    init = jnp.full((*scores.shape[:-1], p_pad), NEG_INF, dtype=jnp.float32)
-    if para_ids.ndim == 1:
-        idx = (Ellipsis, para_ids)
-        return init.at[idx].max(scores, mode="drop")
-
-    def one(row_scores, row_ids):
-        return jnp.full((p_pad,), NEG_INF, jnp.float32).at[row_ids].max(
-            row_scores, mode="drop"
-        )
-
-    for _ in range(scores.ndim - 1):
-        one = jax.vmap(one)
-    return one(scores, para_ids)
-
-
-def _final_topk(para_scores, para_mask, min_score, k):
-    return masked_topk(para_scores, k, mask=para_mask, min_score=min_score)
-
-
-@partial(jax.jit, static_argnames=("k", "p_pad", "similarity"))
-def _search_exact(vectors, vec_para, queries, para_mask, min_score, k, p_pad, similarity):
+@partial(jax.jit, static_argnames=("k", "similarity"))
+def _search_exact(vectors, queries, para_mask, min_score, k, similarity):
     q = prepare_query(queries, similarity)
-    scores = scores_matmul(q, vectors)  # [B, Nv]
-    para_scores = _para_scatter_max(scores, vec_para, p_pad)
-    return _final_topk(para_scores, para_mask, min_score, k)
+    scores = scores_matmul(q, vectors)  # [B, P]
+    return masked_topk(scores, k, mask=para_mask, min_score=min_score)
 
 
-def _rerank_and_cut(vectors, vec_para, q, cand_ids, para_mask, min_score, k, p_pad):
+def _rerank_and_cut(vectors, q, cand_ids, min_score, k):
+    """Exact rescoring of candidates; candidate ids are paragraph ids."""
     safe = jnp.maximum(cand_ids, 0)
     cand_vecs = vectors[safe]  # [B, C, D]
     exact = jnp.einsum(
         "bd,bcd->bc", q, cand_vecs, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    cand_para = vec_para[safe]
-    cand_para = jnp.where(cand_ids >= 0, cand_para, p_pad - 1)
-    para_scores = _para_scatter_max(exact, cand_para, p_pad)
-    return _final_topk(para_scores, para_mask, min_score, k)
+    valid = cand_ids >= 0
+    top_s, pos = masked_topk(exact, k, mask=valid, min_score=min_score)
+    safe_pos = jnp.maximum(pos, 0)
+    top_ids = jnp.where(pos >= 0, jnp.take_along_axis(cand_ids, safe_pos, axis=-1), -1)
+    return top_s, top_ids
 
 
-@partial(jax.jit, static_argnames=("k", "p_pad", "similarity"))
-def _search_int8(codes, vectors, vec_para, queries, para_mask, min_score, k, p_pad, similarity):
+@partial(jax.jit, static_argnames=("k", "similarity"))
+def _search_int8(codes, vectors, queries, para_mask, min_score, k, similarity):
     q = prepare_query(queries, similarity)
-    vec_mask = para_mask[vec_para]  # padding vectors point at the masked pad slot
     est = quant.int8_estimate_scores(codes, q)
-    # oversample candidates: the paragraph dedup can collapse several vectors
-    c = min(quant.int8_rerank_budget(k) + k, est.shape[-1])
-    _, cand = quant.approx_candidates(est, c, mask=vec_mask)
-    return _rerank_and_cut(vectors, vec_para, q, cand, para_mask, min_score, k, p_pad)
+    c = min(quant.int8_rerank_budget(k), est.shape[-1])
+    _, cand = quant.approx_candidates(est, c, mask=para_mask)
+    return _rerank_and_cut(vectors, q, cand, min_score, k)
 
 
-@partial(jax.jit, static_argnames=("k", "p_pad", "similarity"))
-def _search_binary(codes, vectors, vec_para, queries, para_mask, min_score, k, p_pad, similarity):
+@partial(jax.jit, static_argnames=("k", "similarity"))
+def _search_binary(codes, vectors, queries, para_mask, min_score, k, similarity):
     q = prepare_query(queries, similarity)
-    vec_mask = para_mask[vec_para]
     est, bound = quant.binary_estimate_scores(codes, q)
-    c = min(quant.binary_rerank_budget(k) + k, est.shape[-1])
-    _, cand = quant.approx_candidates(est + bound, c, mask=vec_mask)
-    return _rerank_and_cut(vectors, vec_para, q, cand, para_mask, min_score, k, p_pad)
+    c = min(quant.binary_rerank_budget(k), est.shape[-1])
+    _, cand = quant.approx_candidates(est + bound, c, mask=para_mask)
+    return _rerank_and_cut(vectors, q, cand, min_score, k)
 
 
-@partial(jax.jit, static_argnames=("k", "p_pad", "similarity"))
-def _search_maxsim(vectors, vec_para, queries, qmask, para_mask, min_score, k, p_pad, similarity):
+@partial(jax.jit, static_argnames=("k", "m_max", "similarity"))
+def _search_maxsim(vectors, m_count, queries, qmask, para_mask, min_score, k, m_max, similarity):
     """Multivector MaxSim: sum over query sub-vectors of the per-paragraph max.
 
     Parity with nidx_vector/src/multivector.rs:33-46 (maxsim_similarity),
-    computed as one batched contraction + scatter-max instead of per-sub-
-    vector searches.
+    computed as one batched contraction + reshape/max over the uniform
+    per-paragraph slots (no scatter).
     """
     b, m, d = queries.shape
+    p_pad = vectors.shape[0] // m_max
     q = prepare_query(queries.reshape(b * m, d), similarity).reshape(b, m, d)
     scores = jnp.einsum(
         "bmd,nd->bmn", q, vectors, preferred_element_type=jnp.float32
-    )  # [B, M, Nv]
-    para_scores = _para_scatter_max(scores, vec_para, p_pad)  # [B, M, P]
-    # zero out padded sub-vectors AND the NEG_INF slots of vector-less
-    # (padding) paragraphs so the sum over M stays finite; padding paragraphs
-    # are excluded by para_mask at the final cut anyway
+    )  # [B, M, P*m_max]
+    slots = scores.reshape(b, m, p_pad, m_max)
+    slot_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (p_pad, m_max), 1) < m_count[:, None]
+    )
+    slots = jnp.where(slot_valid[None, None], slots, NEG_INF)
+    para_scores = slots.max(axis=-1)  # [B, M, P]
     contrib = jnp.where(
         qmask[:, :, None] & (para_scores > NEG_INF / 2), para_scores, 0.0
     )
     maxsim = contrib.sum(axis=1)  # [B, P]
-    return _final_topk(maxsim, para_mask, min_score, k)
+    return masked_topk(maxsim, k, mask=para_mask, min_score=min_score)

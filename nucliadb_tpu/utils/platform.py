@@ -1,0 +1,51 @@
+"""JAX platform configuration for the index compute path.
+
+Centralizes runtime knobs that matter on the deployment platform:
+
+- persistent compilation cache: fused search kernels can take tens of
+  seconds to compile (measured up to ~60s through the remote-compile
+  service); the on-disk cache makes every process after the first start
+  warm. Off by default only if the user sets NUCLIADB_TPU_NO_COMPILE_CACHE.
+- cached device scalars (NEG_INF floor) so the hot search path does not
+  create a fresh device scalar per request (each eager transfer costs a
+  tunnel round trip).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+_configured = False
+
+
+def configure_jax() -> None:
+    global _configured
+    if _configured:
+        return
+    _configured = True
+    if os.environ.get("NUCLIADB_TPU_NO_COMPILE_CACHE"):
+        return
+    cache_dir = os.environ.get(
+        "NUCLIADB_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/nucliadb_tpu_jax")
+    )
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never fail startup over it
+
+
+_scalar_cache: dict[float, jax.Array] = {}
+
+
+def device_scalar_f32(value: float) -> jax.Array:
+    """A cached device f32 scalar (avoids per-request transfers)."""
+    out = _scalar_cache.get(value)
+    if out is None:
+        out = jnp.float32(value)
+        _scalar_cache[value] = out
+    return out
