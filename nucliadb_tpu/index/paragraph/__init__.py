@@ -1,0 +1,215 @@
+"""Fuzzy paragraph index: BM25 + fuzzy matching + phrases + ematches.
+
+Parity surface with the reference's nidx_paragraph crate
+(nidx_paragraph/src/lib.rs, schema.rs:89-111, fuzzy_query.rs): one document
+per paragraph carrying id, text, field, split, position metadata and facets;
+searched with fuzzy BM25 (distance 1), quoted-phrase constraints, exact-match
+reporting (ematches) and facet filtering.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+from ...models.internal import ResourceDoc
+from ...query_language import BooleanExpression
+from ...types import (
+    FieldId,
+    OpenIndexMetadata,
+    PrefilterResult,
+    SegmentMetadata,
+)
+from ..text_engine import DeviceTextEngine, TextQuery
+from ..text_engine.builder import DocEntry, build_segment, merge_text_segments, open_text_segment
+from ..text_engine.tokenizer import tokenize
+
+_PHRASE_RE = re.compile(r'"([^"]*)"')
+
+
+def split_phrases(query: str) -> tuple[str, list[str]]:
+    """Extract quoted phrases; returns (remaining query text, phrases)."""
+    phrases = [p for p in _PHRASE_RE.findall(query) if p.strip()]
+    rest = _PHRASE_RE.sub(" ", query)
+    return rest, phrases
+
+
+class ParagraphIndexer:
+    """Builds paragraph segments from resources (one doc per paragraph)."""
+
+    def index_resource(
+        self, resource: ResourceDoc, output_dir: str
+    ) -> Optional[SegmentMetadata]:
+        if resource.skip_paragraphs:
+            return None
+        docs: list[DocEntry] = []
+        for fid, paragraphs in resource.paragraphs.items():
+            field_text = resource.texts.get(fid)
+            field_labels = field_text.labels if field_text else []
+            for pid, para in paragraphs.items():
+                text = ""
+                if field_text is not None:
+                    text = field_text.text[para.start : para.end]
+                facets = sorted(set(resource.labels) | set(field_labels) | set(para.labels))
+                docs.append(
+                    DocEntry(
+                        key=pid,
+                        text=text,
+                        facets=facets,
+                        attrs={
+                            "field": fid,
+                            "rid": resource.resource_id,
+                            "split": para.split,
+                            "index": para.index,
+                            "repeated_in_field": para.repeated_in_field,
+                            "start": para.start,
+                            "end": para.end,
+                            "page": para.position.page_number if para.position else 0,
+                        },
+                        columns={"created": int(resource.created)},
+                    )
+                )
+        if not docs:
+            return None
+        return build_segment(output_dir, docs, kind="paragraph")
+
+    def deletions_for_resource(self, resource: ResourceDoc) -> list[str]:
+        if resource.paragraphs_to_delete:
+            return list(resource.paragraphs_to_delete)
+        return [resource.resource_id + "/"]
+
+    def merge(self, open_index: OpenIndexMetadata, output_dir: str) -> SegmentMetadata:
+        return merge_text_segments(output_dir, open_index, kind="paragraph")
+
+
+@dataclass
+class ParagraphSearchRequest:
+    """Parity: nodereader ParagraphSearchRequest."""
+
+    query: str = ""
+    top_k: int = 20
+    fuzzy: bool = True
+    filter: Optional[BooleanExpression] = None
+    field_filter: PrefilterResult = dc_field(default_factory=PrefilterResult.all)
+    min_score: Optional[float] = None
+    all_terms: bool = False
+    offset: int = 0
+
+
+@dataclass
+class ParagraphHit:
+    paragraph_id: str
+    rid: str
+    field: str
+    score: float
+    start: int
+    end: int
+    split: str
+    index: int
+    ematch: bool
+    labels: list[str] = dc_field(default_factory=list)
+
+
+@dataclass
+class ParagraphSearchResponse:
+    hits: list[ParagraphHit]
+    total: int
+    ematches: list[str]
+    query_terms: list[str]
+
+
+class ParagraphSearcher:
+    def __init__(self, open_index: OpenIndexMetadata):
+        segments = [
+            (open_text_segment(m.path), seq) for m, seq in open_index.segments()
+        ]
+        self.engine = DeviceTextEngine(segments, open_index.deletions())
+
+    def search(self, request: ParagraphSearchRequest) -> ParagraphSearchResponse:
+        rest, phrases = split_phrases(request.query)
+        key_prefixes: Optional[list[str]] = None
+        if request.field_filter.is_none:
+            return ParagraphSearchResponse(hits=[], total=0, ematches=[], query_terms=[])
+        if not request.field_filter.is_all:
+            key_prefixes = [f.as_key_prefix() for f in request.field_filter.fields]
+
+        # over-fetch when phrases must be verified host-side
+        fetch_k = request.top_k + request.offset
+        if phrases:
+            fetch_k = max(fetch_k * 4, 50)
+        q = TextQuery(
+            text=rest,
+            phrases=phrases,
+            top_k=fetch_k,
+            fuzzy=request.fuzzy,
+            filter=request.filter,
+            key_prefixes=key_prefixes,
+            min_score=request.min_score,
+            all_terms=request.all_terms,
+        )
+        hits, matched = self.engine.search(q)
+
+        phrase_terms = [tokenize(p) for p in phrases]
+        query_tokens = tokenize(request.query)
+
+        out: list[ParagraphHit] = []
+        ematches: list[str] = []
+        for h in hits:
+            if phrase_terms and not all(
+                self.engine.phrase_match(h.doc_id, pt) for pt in phrase_terms
+            ):
+                continue
+            # ematch: the full query appears as a consecutive phrase
+            # (parity intent: nidx_paragraph exact-match detection)
+            ematch = bool(query_tokens) and self.engine.phrase_match(
+                h.doc_id, query_tokens
+            )
+            attrs = h.attrs
+            out.append(
+                ParagraphHit(
+                    paragraph_id=h.key,
+                    rid=attrs.get("rid", ""),
+                    field=attrs.get("field", ""),
+                    score=h.score,
+                    start=int(attrs.get("start", 0)),
+                    end=int(attrs.get("end", 0)),
+                    split=attrs.get("split", ""),
+                    index=int(attrs.get("index", 0)),
+                    ematch=ematch,
+                )
+            )
+            if ematch:
+                ematches.append(h.key)
+        total = len(out) if phrases else int(matched.sum())
+        out = out[request.offset : request.offset + request.top_k]
+        return ParagraphSearchResponse(
+            hits=out, total=total, ematches=ematches, query_terms=query_tokens
+        )
+
+    def suggest(self, prefix: str, top_k: int = 10) -> list[ParagraphHit]:
+        """Prefix suggestion: last token treated as a prefix via fuzzy+prefix
+        expansion over the vocabulary (parity intent: suggest endpoint)."""
+        toks = tokenize(prefix)
+        if not toks:
+            return []
+        last = toks[-1]
+        import bisect
+
+        terms = self.engine.terms_sorted
+        lo = bisect.bisect_left(terms, last)
+        hi = bisect.bisect_left(terms, last + "￿")
+        expansions = terms[lo : min(hi, lo + 10)]
+        if not expansions:
+            expansions = self.engine.fuzzy_index.expand(last, 1)
+        best: dict[str, ParagraphHit] = {}
+        for exp in expansions[:5]:
+            text = " ".join(toks[:-1] + [exp])
+            resp = self.search(
+                ParagraphSearchRequest(query=text, top_k=top_k, fuzzy=False)
+            )
+            for hit in resp.hits:
+                cur = best.get(hit.paragraph_id)
+                if cur is None or hit.score > cur.score:
+                    best[hit.paragraph_id] = hit
+        return sorted(best.values(), key=lambda h: -h.score)[:top_k]

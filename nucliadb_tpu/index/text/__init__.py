@@ -1,0 +1,221 @@
+"""Field-level full-text (document) index: BM25 + facets + prefilter.
+
+Parity surface with the reference's nidx_text crate
+(nidx_text/src/lib.rs:130-240, schema.rs:68-96): one document per field with
+uuid, field id, text, created/modified, status, facets and security groups;
+BM25 search, faceted/filtered listing, and the **prefilter** stage that
+turns a security + label filter into a PrefilterResult consumed by the
+other indexes (prefilter.rs:37-42).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ...models.internal import ResourceDoc, ResourceStatus
+from ...query_language import BooleanExpression, evaluate_bitset
+from ...types import (
+    FieldId,
+    OpenIndexMetadata,
+    PrefilterResult,
+    SegmentMetadata,
+)
+from ..text_engine import DeviceTextEngine, TextQuery
+from ..text_engine.builder import DocEntry, build_segment, merge_text_segments, open_text_segment
+
+STATUS_CODE = {s.value: i for i, s in enumerate(ResourceStatus)}
+FACET_PUBLIC = "/g/public"
+GROUP_PREFIX = "/g/s/"
+
+
+def field_key(rid: str, field_id: str) -> str:
+    return f"{rid}/{field_id}"
+
+
+class TextIndexer:
+    """Builds text segments from resources (one doc per field)."""
+
+    def index_resource(
+        self, resource: ResourceDoc, output_dir: str
+    ) -> Optional[SegmentMetadata]:
+        if resource.skip_texts:
+            return None
+        docs: list[DocEntry] = []
+        security_facets: list[str]
+        if resource.security is None or not resource.security.access_groups:
+            security_facets = [FACET_PUBLIC]
+        else:
+            security_facets = [
+                GROUP_PREFIX + g for g in resource.security.access_groups
+            ]
+        status_label = f"/n/s/{resource.status.value}"
+        for fid, info in resource.texts.items():
+            facets = sorted(
+                set(resource.labels) | set(info.labels) | set(security_facets) | {status_label}
+            )
+            docs.append(
+                DocEntry(
+                    key=field_key(resource.resource_id, fid),
+                    text=info.text,
+                    facets=facets,
+                    attrs={"field": fid, "rid": resource.resource_id},
+                    columns={
+                        "created": int(resource.created),
+                        "modified": int(resource.modified),
+                        "status": STATUS_CODE.get(resource.status.value, 0),
+                    },
+                )
+            )
+        if not docs:
+            return None
+        return build_segment(output_dir, docs, kind="text")
+
+    def deletions_for_resource(self, resource: ResourceDoc) -> list[str]:
+        if resource.texts_to_delete:
+            return [
+                field_key(resource.resource_id, fid) for fid in resource.texts_to_delete
+            ]
+        return [resource.resource_id + "/"]
+
+    def merge(self, open_index: OpenIndexMetadata, output_dir: str) -> SegmentMetadata:
+        return merge_text_segments(output_dir, open_index, kind="text")
+
+
+@dataclass
+class DocumentSearchRequest:
+    """Parity: nodereader DocumentSearchRequest (nidx_text search surface)."""
+
+    query: str = ""
+    top_k: int = 20
+    filter: Optional[BooleanExpression] = None
+    security_groups: Optional[list[str]] = None  # None = no security check
+    only_faceted: bool = False
+    faceted: list[str] = dc_field(default_factory=list)  # facet prefixes to count
+    order_by: Optional[str] = None  # "created" | "modified"
+    order_desc: bool = True
+    min_score: Optional[float] = None
+    all_terms: bool = False
+
+
+@dataclass
+class DocumentHit:
+    key: str
+    rid: str
+    field: str
+    score: float
+
+
+@dataclass
+class DocumentSearchResponse:
+    hits: list[DocumentHit]
+    total: int
+    facet_counts: dict[str, dict[str, int]]
+
+
+class TextSearcher:
+    def __init__(self, open_index: OpenIndexMetadata):
+        segments = [
+            (open_text_segment(m.path), seq) for m, seq in open_index.segments()
+        ]
+        self.engine = DeviceTextEngine(segments, open_index.deletions())
+
+    def _security_mask(self, groups: Optional[list[str]]) -> Optional[np.ndarray]:
+        """Docs visible to the given access groups (public always visible).
+
+        Parity: nidx_text schema groups_public / groups_with_access
+        (schema.rs:68-96) and the security part of prefiltering.
+        """
+        if groups is None:
+            return None
+        mask = np.zeros(self.engine.n_docs, dtype=bool)
+        mask[self.engine.facet_postings(FACET_PUBLIC)] = True
+        for group in groups:
+            mask[self.engine.facet_postings(GROUP_PREFIX + group)] = True
+        return mask
+
+    def search(self, request: DocumentSearchRequest) -> DocumentSearchResponse:
+        q = TextQuery(
+            text=request.query,
+            top_k=max(request.top_k, 1),
+            only_faceted=request.only_faceted or not request.query.strip(),
+            filter=request.filter,
+            extra_mask=self._security_mask(request.security_groups),
+            min_score=request.min_score,
+            all_terms=request.all_terms,
+        )
+        hits, matched = self.engine.search(q)
+        if request.order_by in ("created", "modified"):
+            col = self.engine.columns.get(request.order_by)
+            if col is not None:
+                from ..text_engine.engine import TextHit
+
+                dids = np.nonzero(matched)[0]
+                order = np.argsort(col[dids], kind="stable")
+                if request.order_desc:
+                    order = order[::-1]
+                dids = dids[order][: request.top_k]
+                hits = [
+                    TextHit(
+                        key=self.engine.keys[d],
+                        score=0.0,
+                        doc_id=int(d),
+                        attrs=self.engine.attrs[d],
+                    )
+                    for d in dids
+                ]
+        facet_counts: dict[str, dict[str, int]] = {}
+        for facet_prefix in request.faceted:
+            prefix = facet_prefix.rstrip("/")
+            counts: dict[str, int] = {}
+            for facet, postings in self.engine.facets.items():
+                if facet == prefix or facet.startswith(prefix + "/"):
+                    c = int(matched[postings].sum())
+                    if c:
+                        counts[facet] = c
+            facet_counts[facet_prefix] = counts
+        out = [
+            DocumentHit(
+                key=h.key,
+                rid=h.attrs.get("rid", h.key.split("/", 1)[0]),
+                field=h.attrs.get("field", ""),
+                score=h.score,
+            )
+            for h in hits
+        ]
+        return DocumentSearchResponse(
+            hits=out, total=int(matched.sum()), facet_counts=facet_counts
+        )
+
+    def prefilter(
+        self,
+        filter: Optional[BooleanExpression] = None,
+        security_groups: Optional[list[str]] = None,
+    ) -> PrefilterResult:
+        """Turn security + label filters into a FieldId set for other indexes.
+
+        Parity: nidx_text prefilter (prefilter.rs:37-42, reader.rs): returns
+        All when nothing filters, None when nothing matches, Some(fields)
+        otherwise.
+        """
+        if filter is None and security_groups is None:
+            return PrefilterResult.all()
+        mask = self.engine.alive.copy()
+        if filter is not None:
+            mask &= evaluate_bitset(filter, self.engine.n_docs, self.engine._resolve_atom)
+        sec = self._security_mask(security_groups)
+        if sec is not None:
+            mask &= sec
+        if mask.all():
+            return PrefilterResult.all()
+        if not mask.any():
+            return PrefilterResult.none()
+        fields = []
+        for did in np.nonzero(mask)[0]:
+            attrs = self.engine.attrs[did]
+            rid = attrs.get("rid") or self.engine.keys[did].split("/", 1)[0]
+            fid = attrs.get("field") or self.engine.keys[did].split("/", 1)[1]
+            fields.append(FieldId(resource_id=rid, field_id=fid))
+        return PrefilterResult.some(fields)

@@ -1,0 +1,467 @@
+"""Consolidated device BM25 engine.
+
+All open segments of one text index consolidate into device arenas (like the
+vector index, device.py): a global term dictionary plus **tiered postings**:
+
+- terms are partitioned by document frequency into tiers of padded
+  ``[T_tier, L_tier]`` matrices (docs + tfs). Query terms fetch their
+  postings with row gathers (fast) and contribute via ONE small scatter-add
+  of ~sum-of-postings elements — never a full-corpus scatter.
+- terms with df above the top tier get a **dense** uint8 tf column [N_pad]:
+  the most frequent (stopword-grade) terms become pure elementwise adds.
+  This is the TPU counterpart of WAND skipping: the expensive terms are
+  restructured, not skipped.
+
+Per-tier query capacity is fixed (static shapes, one compiled kernel per
+top_k); when a query exceeds a tier's capacity the lowest-idf terms of that
+tier are dropped — exactly the terms WAND would skip first.
+
+Scoring is Lucene/tantivy-compatible BM25 (k1=1.2, b=0.75,
+idf = ln(1 + (N - df + 0.5)/(df + 0.5))) so scores are comparable with the
+reference's (nidx_text BM25 via tantivy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.topk import NEG_INF, masked_topk
+from ...query_language import BooleanExpression, FacetPrefixAtom, KeyPrefixAtom, LabelAtom, evaluate_bitset
+from ...types import Seq
+from ...utils.platform import configure_jax
+from .builder import TextSegmentData, alive_mask_text
+from .fuzzy import FuzzyIndex
+from .tokenizer import tokenize
+
+K1 = 1.2
+B = 0.75
+FUZZY_WEIGHT = 0.7  # score discount for fuzzy-expanded terms
+
+TIER_WIDTHS = (32, 256, 2048, 16384)  # postings padded length per tier
+TIER_QUERY_CAP = (32, 32, 8, 8)  # query terms per tier per query
+DENSE_QUERY_CAP = 4
+
+
+def _bucket(n: int, minimum: int = 128) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+@dataclass
+class TextQuery:
+    """A parsed keyword query against the engine."""
+
+    text: str = ""
+    top_k: int = 20
+    only_faceted: bool = False  # no text -> pure filter/facet query
+    fuzzy: bool = False
+    fuzzy_distance: int = 1
+    phrases: list[str] = dc_field(default_factory=list)  # quoted phrases (must appear)
+    all_terms: bool = False  # AND semantics (default OR)
+    filter: Optional[BooleanExpression] = None
+    key_prefixes: Optional[list[str]] = None  # extra doc-key prefix filter
+    min_score: Optional[float] = None
+    extra_mask: Optional[np.ndarray] = None  # [n_docs] bool, e.g. security
+
+
+@dataclass
+class TextHit:
+    key: str
+    score: float
+    doc_id: int
+    attrs: dict
+
+
+class DeviceTextEngine:
+    """Consolidated segments of one text index + BM25 device kernels."""
+
+    def __init__(
+        self,
+        segments: Sequence[tuple[TextSegmentData, Seq]],
+        deletions: Sequence[tuple[str, Seq]] = (),
+    ):
+        configure_jax()
+        self.segments = [s for s, _ in segments]
+
+        keys: list[str] = []
+        attrs: list[dict] = []
+        facet_chunks: dict[str, list[np.ndarray]] = {}
+        column_chunks: dict[str, list[np.ndarray]] = {}
+        alive_chunks: list[np.ndarray] = []
+        dlen_chunks: list[np.ndarray] = []
+        self.doc_seg: list[tuple[int, int]] = []  # global doc -> (segment idx, offset)
+        total_len = 0
+
+        # global term -> {global doc -> tf}; positions stay per-segment
+        term_postings: dict[str, dict[int, int]] = {}
+
+        offset = 0
+        for seg_idx, (seg, seq) in enumerate(segments):
+            keys.extend(seg.keys)
+            attrs.extend(seg.attrs)
+            alive_chunks.append(alive_mask_text(seg, seq, deletions))
+            dlen_chunks.append(np.asarray(seg.dlen, dtype=np.int32))
+            total_len += int(seg.meta.get("total_len", int(np.sum(seg.dlen))))
+            for facet, dids in seg.facets.items():
+                facet_chunks.setdefault(facet, []).append(dids + offset)
+            for name, col in seg.columns.items():
+                column_chunks.setdefault(name, []).append(np.asarray(col))
+            self.doc_seg.extend((seg_idx, offset) for _ in range(seg.n_docs))
+            po = np.asarray(seg.postings_offsets)
+            pd = np.asarray(seg.postings_docs)
+            pt = np.asarray(seg.postings_tfs)
+            for ti, term in enumerate(seg.terms):
+                lo, hi = int(po[ti]), int(po[ti + 1])
+                dst = term_postings.setdefault(term, {})
+                for j in range(lo, hi):
+                    dst[int(pd[j]) + offset] = int(pt[j])
+            offset += seg.n_docs
+
+        self.keys = keys
+        self.attrs = attrs
+        self.n_docs = offset
+        self.alive = np.concatenate(alive_chunks) if alive_chunks else np.zeros(0, bool)
+        self.facets = {
+            f: np.sort(np.concatenate(c)) for f, c in facet_chunks.items()
+        }
+        self.columns = {
+            n: np.concatenate(c) for n, c in column_chunks.items()
+        }
+        dlen = np.concatenate(dlen_chunks) if dlen_chunks else np.zeros(0, np.int32)
+        self.avgdl = float(total_len) / max(self.n_docs, 1) if self.n_docs else 1.0
+
+        self.n_pad = _bucket(max(self.n_docs, 1))
+        dlen_p = np.ones(self.n_pad, np.float32)
+        dlen_p[: self.n_docs] = np.maximum(dlen, 1)
+        self.dlen = jax.device_put(jnp.asarray(dlen_p))
+
+        # ---- tier the terms ---------------------------------------------
+        self.terms_sorted = sorted(term_postings)
+        self.term_info: dict[str, tuple[int, int, int]] = {}  # term -> (tier, row, df)
+        tier_rows: list[list[tuple[np.ndarray, np.ndarray]]] = [[] for _ in TIER_WIDTHS]
+        dense_rows: list[np.ndarray] = []  # each [n_pad] uint8
+
+        for term in self.terms_sorted:
+            postings = term_postings[term]
+            dids = np.fromiter(postings.keys(), dtype=np.int32, count=len(postings))
+            tfs = np.fromiter(postings.values(), dtype=np.float32, count=len(postings))
+            order = np.argsort(dids)
+            dids, tfs = dids[order], tfs[order]
+            df = len(dids)
+            placed = False
+            for tier, width in enumerate(TIER_WIDTHS):
+                if df <= width:
+                    self.term_info[term] = (tier, len(tier_rows[tier]), df)
+                    tier_rows[tier].append((dids, tfs))
+                    placed = True
+                    break
+            if not placed:
+                dense = np.zeros(self.n_pad, np.uint8)
+                dense[dids] = np.minimum(tfs, 255).astype(np.uint8)
+                self.term_info[term] = (-1, len(dense_rows), df)
+                dense_rows.append(dense)
+
+        self.tier_docs: list[jax.Array] = []
+        self.tier_tfs: list[jax.Array] = []
+        for tier, width in enumerate(TIER_WIDTHS):
+            rows = tier_rows[tier]
+            t = max(len(rows), 1)  # always >=1 row so gathers are well-formed
+            docs_m = np.full((t, width), -1, np.int32)
+            tfs_m = np.zeros((t, width), np.float32)
+            for r, (dids, tfs) in enumerate(rows):
+                docs_m[r, : len(dids)] = dids
+                tfs_m[r, : len(tfs)] = tfs
+            self.tier_docs.append(jax.device_put(jnp.asarray(docs_m)))
+            self.tier_tfs.append(jax.device_put(jnp.asarray(tfs_m)))
+        dense_m = (
+            np.stack(dense_rows) if dense_rows else np.zeros((1, self.n_pad), np.uint8)
+        )
+        self.dense_tf = jax.device_put(jnp.asarray(dense_m))
+
+        self._base_mask_dev: jax.Array | None = None
+        self._fuzzy: FuzzyIndex | None = None
+
+    @property
+    def fuzzy_index(self) -> FuzzyIndex:
+        if self._fuzzy is None:
+            self._fuzzy = FuzzyIndex(self.terms_sorted)
+        return self._fuzzy
+
+    # ------------------------------------------------------------------
+
+    def base_mask(self) -> np.ndarray:
+        mask = np.zeros(self.n_pad, dtype=bool)
+        mask[: self.n_docs] = self.alive
+        return mask
+
+    def base_mask_device(self) -> jax.Array:
+        if self._base_mask_dev is None:
+            self._base_mask_dev = jax.device_put(jnp.asarray(self.base_mask()))
+        return self._base_mask_dev
+
+    def idf(self, df: int) -> float:
+        return float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
+
+    def facet_postings(self, facet: str) -> np.ndarray:
+        return self.facets.get(facet, np.zeros(0, np.int32))
+
+    def key_prefix_postings(self, prefixes: Sequence[str]) -> np.ndarray:
+        import bisect
+
+        out = []
+        for prefix in prefixes:
+            lo = bisect.bisect_left(self.keys, prefix)
+            hi = bisect.bisect_left(self.keys, prefix + "￿")
+            if hi > lo:
+                out.append(np.arange(lo, hi, dtype=np.int32))
+        return np.concatenate(out) if out else np.zeros(0, np.int32)
+
+    def _resolve_atom(self, atom) -> np.ndarray:
+        if isinstance(atom, LabelAtom):
+            return self.facet_postings(atom.label)
+        if isinstance(atom, FacetPrefixAtom):
+            prefix = atom.facet.rstrip("/")
+            chunks = [
+                p
+                for f, p in self.facets.items()
+                if f == atom.facet or f.startswith(prefix + "/")
+            ]
+            return np.unique(np.concatenate(chunks)) if chunks else np.zeros(0, np.int32)
+        if isinstance(atom, KeyPrefixAtom):
+            return self.key_prefix_postings(atom.prefixes)
+        raise TypeError(f"unsupported filter atom for text index: {atom!r}")
+
+    def build_mask(self, query: TextQuery) -> np.ndarray:
+        mask = self.base_mask()
+        if query.filter is not None:
+            m = evaluate_bitset(query.filter, self.n_docs, self._resolve_atom)
+            mask[: self.n_docs] &= m
+        if query.key_prefixes is not None:
+            m = np.zeros(self.n_docs, dtype=bool)
+            pids = self.key_prefix_postings(query.key_prefixes)
+            m[pids] = True
+            mask[: self.n_docs] &= m
+        if query.extra_mask is not None:
+            mask[: self.n_docs] &= query.extra_mask
+        return mask
+
+    # ------------------------------------------------------------------
+
+    def _plan_terms(self, query: TextQuery) -> tuple[list[tuple[str, float]], int]:
+        """Resolve query text to weighted terms; returns (terms, n_required)."""
+        tokens = tokenize(query.text)
+        for phrase in query.phrases:
+            tokens.extend(tokenize(phrase))
+        seen: dict[str, float] = {}
+        n_exact = 0
+        for tok in tokens:
+            if tok in self.term_info:
+                if tok not in seen:
+                    n_exact += 1
+                seen[tok] = max(seen.get(tok, 0.0), 1.0)
+            if query.fuzzy:
+                for cand in self.fuzzy_index.expand(tok, query.fuzzy_distance):
+                    if cand != tok:
+                        seen.setdefault(cand, FUZZY_WEIGHT)
+        required = len(set(tokens)) if query.all_terms else min(1, len(seen))
+        return sorted(seen.items()), required
+
+    def search(self, query: TextQuery) -> tuple[list[TextHit], np.ndarray]:
+        """Run a query; returns (hits, matched bitmap over global docs).
+
+        The bitmap feeds host-side facet counting and date ordering.
+        """
+        mask = self.build_mask(query)
+        terms, required = self._plan_terms(query)
+
+        if query.only_faceted or not query.text.strip():
+            # pure filter query: matched = mask; order by key
+            matched = mask[: self.n_docs].copy()
+            dids = np.nonzero(matched)[0][: query.top_k]
+            hits = [
+                TextHit(key=self.keys[d], score=0.0, doc_id=int(d), attrs=self.attrs[d])
+                for d in dids
+            ]
+            return hits, matched
+
+        if not terms:
+            return [], np.zeros(self.n_docs, dtype=bool)
+
+        # assign terms to tier slots, keeping the highest-idf ones per tier
+        tier_q: list[list[tuple[int, float]]] = [[] for _ in TIER_WIDTHS]
+        dense_q: list[tuple[int, float]] = []
+        for term, weight in terms:
+            tier, row, df = self.term_info[term]
+            w_idf = weight * self.idf(df)
+            if tier < 0:
+                dense_q.append((row, w_idf))
+            else:
+                tier_q[tier].append((row, w_idf))
+
+        rows_np = []
+        idfs_np = []
+        for tier, cap in enumerate(TIER_QUERY_CAP):
+            entries = sorted(tier_q[tier], key=lambda e: -e[1])[:cap]
+            rows = np.full(cap, -1, np.int32)
+            idfs = np.zeros(cap, np.float32)
+            for j, (row, w) in enumerate(entries):
+                rows[j] = row
+                idfs[j] = w
+            rows_np.append(rows)
+            idfs_np.append(idfs)
+        dense_entries = sorted(dense_q, key=lambda e: -e[1])[:DENSE_QUERY_CAP]
+        drows = np.full(DENSE_QUERY_CAP, -1, np.int32)
+        didfs = np.zeros(DENSE_QUERY_CAP, np.float32)
+        for j, (row, w) in enumerate(dense_entries):
+            drows[j] = row
+            didfs[j] = w
+
+        all_rows = jnp.asarray(np.concatenate(rows_np + [drows]))
+        all_idfs = jnp.asarray(np.concatenate(idfs_np + [didfs]))
+        params = jnp.asarray(
+            np.array(
+                [
+                    self.avgdl,
+                    float(required),
+                    NEG_INF if query.min_score is None else query.min_score,
+                ],
+                dtype=np.float32,
+            )
+        )
+        mask_j = (
+            self.base_mask_device()
+            if (query.filter is None and query.key_prefixes is None and query.extra_mask is None)
+            else jnp.asarray(mask)
+        )
+
+        k = min(query.top_k, self.n_pad)
+        top_s, top_i, matched = _bm25_search(
+            self.tier_docs[0], self.tier_tfs[0],
+            self.tier_docs[1], self.tier_tfs[1],
+            self.tier_docs[2], self.tier_tfs[2],
+            self.tier_docs[3], self.tier_tfs[3],
+            self.dense_tf, self.dlen, mask_j, all_rows, all_idfs, params, k,
+        )
+        top_s = np.asarray(top_s)
+        top_i = np.asarray(top_i)
+        matched_np = np.asarray(matched)[: self.n_docs]
+
+        hits = [
+            TextHit(key=self.keys[d], score=float(s), doc_id=int(d), attrs=self.attrs[d])
+            for s, d in zip(top_s, top_i)
+            if d >= 0
+        ]
+        return hits, matched_np
+
+    # ------------------------------------------------------------------
+    # positions (host) for phrase verification
+    # ------------------------------------------------------------------
+
+    def doc_positions(self, global_doc: int, term: str) -> np.ndarray:
+        """Token positions of ``term`` in one document (host, mmap reads)."""
+        seg_idx, offset = self.doc_seg[global_doc]
+        seg = self.segments[seg_idx]
+        local = global_doc - offset
+        import bisect
+
+        ti = bisect.bisect_left(seg.terms, term)
+        if ti >= len(seg.terms) or seg.terms[ti] != term:
+            return np.zeros(0, np.int32)
+        lo, hi = int(seg.postings_offsets[ti]), int(seg.postings_offsets[ti + 1])
+        docs = np.asarray(seg.postings_docs[lo:hi])
+        j = np.searchsorted(docs, local)
+        if j >= len(docs) or docs[j] != local:
+            return np.zeros(0, np.int32)
+        plo = int(seg.positions_offsets[lo + j])
+        phi = int(seg.positions_offsets[lo + j + 1])
+        return np.asarray(seg.positions[plo:phi])
+
+    def phrase_match(self, global_doc: int, phrase_terms: list[str]) -> bool:
+        """True if the terms appear consecutively in the document."""
+        if not phrase_terms:
+            return True
+        positions = self.doc_positions(global_doc, phrase_terms[0])
+        current = set(positions.tolist())
+        for step, term in enumerate(phrase_terms[1:], start=1):
+            nxt = set((self.doc_positions(global_doc, term) - step).tolist())
+            current &= nxt
+            if not current:
+                return False
+        return bool(current)
+
+
+# --------------------------------------------------------------------------
+# Kernel
+# --------------------------------------------------------------------------
+
+
+def _tier_contrib(docs_m, tfs_m, rows, idfs, dlen, avgdl):
+    """Gather one tier's query postings; returns (doc ids, weights, hits)."""
+    safe_rows = jnp.maximum(rows, 0)
+    d = docs_m[safe_rows]  # [Q, L]
+    tf = tfs_m[safe_rows]
+    dl = dlen[jnp.maximum(d, 0)]
+    norm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    valid = (d >= 0) & (rows >= 0)[:, None]
+    w = jnp.where(valid, idfs[:, None] * norm, 0.0)
+    hit = jnp.where(valid, 1.0, 0.0)
+    return d.reshape(-1), w.reshape(-1), hit.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _bm25_search(
+    docs0, tfs0, docs1, tfs1, docs2, tfs2, docs3, tfs3,
+    dense_tf, dlen, mask, all_rows, all_idfs, params, k,
+):
+    avgdl = params[0]
+    required = params[1]
+    min_score = params[2]
+    n_pad = dlen.shape[0]
+
+    caps = list(TIER_QUERY_CAP)
+    splits = np.cumsum(caps).tolist()
+    r0, r1, r2, r3, rd = jnp.split(all_rows, splits)
+    i0, i1, i2, i3, idn = jnp.split(all_idfs, splits)
+
+    ds, ws, hs = [], [], []
+    for docs_m, tfs_m, rows, idfs in (
+        (docs0, tfs0, r0, i0),
+        (docs1, tfs1, r1, i1),
+        (docs2, tfs2, r2, i2),
+        (docs3, tfs3, r3, i3),
+    ):
+        d, w, h = _tier_contrib(docs_m, tfs_m, rows, idfs, dlen, avgdl)
+        ds.append(d)
+        ws.append(w)
+        hs.append(h)
+    d_all = jnp.concatenate(ds)
+    d_all = jnp.where(d_all >= 0, d_all, n_pad)  # out-of-range -> dropped
+    w_all = jnp.concatenate(ws)
+    h_all = jnp.concatenate(hs)
+
+    acc = jnp.zeros((2, n_pad), jnp.float32)
+    acc = acc.at[:, d_all].add(jnp.stack([w_all, h_all]), mode="drop")
+    scores, counts = acc[0], acc[1]
+
+    # dense (stopword-grade) terms: elementwise
+    for j in range(DENSE_QUERY_CAP):
+        row = rd[j]
+        idf_w = idn[j]
+        tf = dense_tf[jnp.maximum(row, 0)].astype(jnp.float32)
+        norm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dlen / avgdl))
+        active = (row >= 0) & (tf > 0)
+        scores = scores + jnp.where(active, idf_w * norm, 0.0)
+        counts = counts + jnp.where(active, 1.0, 0.0)
+
+    matched = (counts >= jnp.maximum(required, 1.0)) & mask
+    final = jnp.where(matched, scores, NEG_INF)
+    top_s, top_i = masked_topk(final, k, min_score=min_score)
+    return top_s, top_i, matched

@@ -1,0 +1,203 @@
+import numpy as np
+import pytest
+
+from nucliadb_tpu.index.text_engine import (
+    DeviceTextEngine,
+    TextQuery,
+    build_segment,
+    open_text_segment,
+    tokenize,
+)
+from nucliadb_tpu.index.text_engine.builder import DocEntry, merge_text_segments
+from nucliadb_tpu.index.text_engine.fuzzy import FuzzyIndex, levenshtein_leq
+from nucliadb_tpu.query_language import LabelAtom, and_, not_
+from nucliadb_tpu.types import Seq, SimpleOpenIndex
+
+DOCS = [
+    ("r1/f1", "the quick brown fox jumps over the lazy dog", ["/t/t"]),
+    ("r1/f2", "a quick brown cat sleeps", ["/t/t"]),
+    ("r2/f1", "the lazy dog sleeps all day", ["/t/a"]),
+    ("r3/f1", "foxes are quick and brown animals", ["/t/a"]),
+    ("r4/f1", "nothing in common here", ["/t/t"]),
+]
+
+
+def make_engine(tmp_path, docs=DOCS, n_segments=1):
+    per = (len(docs) + n_segments - 1) // n_segments
+    segs = []
+    for s in range(n_segments):
+        chunk = docs[s * per : (s + 1) * per]
+        if not chunk:
+            continue
+        entries = [
+            DocEntry(key=k, text=t, facets=f, columns={"created": 1000 + i})
+            for i, (k, t, f) in enumerate(chunk)
+        ]
+        meta = build_segment(str(tmp_path / f"ts{s}"), entries, kind="text")
+        segs.append((open_text_segment(meta.path), Seq(s + 1)))
+    return DeviceTextEngine(segs)
+
+
+def bm25_reference(docs_texts, query_terms, k1=1.2, b=0.75):
+    """Plain-python BM25 for oracle comparison (Lucene idf)."""
+    toks = [tokenize(t) for t in docs_texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    scores = np.zeros(n)
+    for term in query_terms:
+        df = sum(1 for t in toks if term in t)
+        if df == 0:
+            continue
+        idf = np.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, t in enumerate(toks):
+            tf = t.count(term)
+            if tf:
+                scores[d] += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+    return scores
+
+
+def test_tokenizer():
+    assert tokenize("Hello, World! it's 42") == ["hello", "world", "it", "s", "42"]
+
+
+def test_segment_roundtrip(tmp_path):
+    entries = [DocEntry(key="a/b", text="hello world hello", facets=["/t/t"])]
+    meta = build_segment(str(tmp_path / "s"), entries, kind="text")
+    seg = open_text_segment(meta.path)
+    assert seg.keys == ["a/b"]
+    assert seg.terms == ["hello", "world"]
+    ti = seg.terms.index("hello")
+    lo, hi = seg.postings_offsets[ti], seg.postings_offsets[ti + 1]
+    assert seg.postings_tfs[lo:hi].tolist() == [2]
+    assert seg.dlen[0] == 3
+
+
+def test_bm25_matches_reference(tmp_path):
+    engine = make_engine(tmp_path)
+    hits, matched = engine.search(TextQuery(text="quick brown", top_k=10))
+    ref = bm25_reference([d[1] for d in DOCS], ["quick", "brown"])
+    # keys sorted at build; DOCS keys already sorted
+    got = {h.key: h.score for h in hits}
+    for i, (key, text, _) in enumerate(DOCS):
+        if ref[i] > 0:
+            assert key in got
+            np.testing.assert_allclose(got[key], ref[i], rtol=1e-4)
+        else:
+            assert key not in got
+    # ranking correct
+    order = [h.key for h in hits]
+    expected = [DOCS[i][0] for i in np.argsort(-ref) if ref[i] > 0]
+    assert order == expected
+
+
+def test_bm25_multisegment_equals_single(tmp_path):
+    e1 = make_engine(tmp_path / "a", n_segments=1)
+    e2 = make_engine(tmp_path / "b", n_segments=3)
+    h1, _ = e1.search(TextQuery(text="lazy dog", top_k=10))
+    h2, _ = e2.search(TextQuery(text="lazy dog", top_k=10))
+    assert [(h.key, round(h.score, 4)) for h in h1] == [
+        (h.key, round(h.score, 4)) for h in h2
+    ]
+
+
+def test_and_semantics(tmp_path):
+    engine = make_engine(tmp_path)
+    hits, _ = engine.search(TextQuery(text="quick dog", top_k=10, all_terms=True))
+    assert [h.key for h in hits] == ["r1/f1"]  # only doc with both
+    hits_or, _ = engine.search(TextQuery(text="quick dog", top_k=10))
+    assert len(hits_or) == 4
+
+
+def test_facet_filter(tmp_path):
+    engine = make_engine(tmp_path)
+    hits, _ = engine.search(
+        TextQuery(text="quick", top_k=10, filter=LabelAtom("/t/a"))
+    )
+    assert [h.key for h in hits] == ["r3/f1"]
+    hits2, _ = engine.search(
+        TextQuery(text="quick", top_k=10, filter=not_(LabelAtom("/t/a")))
+    )
+    assert all(h.key in ("r1/f1", "r1/f2") for h in hits2)
+
+
+def test_key_prefix_filter_and_deletions(tmp_path):
+    entries = [
+        DocEntry(key=k, text=t, facets=f) for k, t, f in DOCS
+    ]
+    meta = build_segment(str(tmp_path / "s"), entries, kind="text")
+    open_index = [(open_text_segment(meta.path), Seq(1))]
+    engine = DeviceTextEngine(open_index, deletions=[("r1/", Seq(2))])
+    hits, _ = engine.search(TextQuery(text="quick", top_k=10))
+    assert all(not h.key.startswith("r1/") for h in hits)
+    engine2 = DeviceTextEngine(open_index, deletions=[("r1/", Seq(1))])  # same seq: kept
+    hits2, _ = engine2.search(TextQuery(text="quick", top_k=10))
+    assert any(h.key.startswith("r1/") for h in hits2)
+
+
+def test_fuzzy_search(tmp_path):
+    engine = make_engine(tmp_path)
+    hits, _ = engine.search(TextQuery(text="quikc", top_k=10))  # typo, no fuzzy
+    assert hits == []
+    hits_f, _ = engine.search(TextQuery(text="quick", top_k=10, fuzzy=True))
+    assert len(hits_f) >= 3
+    hits_typo, _ = engine.search(TextQuery(text="qick", top_k=10, fuzzy=True))
+    assert any(h.key == "r1/f1" for h in hits_typo)
+
+
+def test_fuzzy_index():
+    fi = FuzzyIndex(["quick", "quack", "brown", "browns", "crown"])
+    assert fi.expand("quick", 1) == ["quack", "quick"]  # one substitution apart
+    assert fi.expand("quic", 1) == ["quick"]
+    assert set(fi.expand("brown", 1)) == {"brown", "browns", "crown"}
+    assert levenshtein_leq("kitten", "sitten", 1)
+    assert not levenshtein_leq("kitten", "sitting", 2)
+
+
+def test_phrase_match(tmp_path):
+    engine = make_engine(tmp_path)
+    # "lazy dog" consecutive in r1/f1 and r2/f1
+    did1 = engine.keys.index("r1/f1")
+    did3 = engine.keys.index("r3/f1")
+    assert engine.phrase_match(did1, ["lazy", "dog"])
+    assert not engine.phrase_match(did1, ["dog", "lazy"])
+    assert not engine.phrase_match(did3, ["lazy", "dog"])
+    assert engine.phrase_match(did1, ["quick", "brown", "fox"])
+
+
+def test_pure_filter_query(tmp_path):
+    engine = make_engine(tmp_path)
+    hits, matched = engine.search(
+        TextQuery(text="", only_faceted=True, filter=LabelAtom("/t/t"), top_k=10)
+    )
+    assert {h.key for h in hits} == {"r1/f1", "r1/f2", "r4/f1"}
+    assert matched.sum() == 3
+
+
+def test_matched_bitmap_for_facets(tmp_path):
+    engine = make_engine(tmp_path)
+    _, matched = engine.search(TextQuery(text="sleeps", top_k=10))
+    # facet counting host-side
+    count_t = matched[engine.facet_postings("/t/t")].sum()
+    count_a = matched[engine.facet_postings("/t/a")].sum()
+    assert (count_t, count_a) == (1, 1)
+
+
+def test_merge_text_segments(tmp_path):
+    e = [DocEntry(key=k, text=t, facets=f) for k, t, f in DOCS[:2]]
+    e2 = [DocEntry(key=k, text=t, facets=f) for k, t, f in DOCS[2:]]
+    m1 = build_segment(str(tmp_path / "s1"), e, kind="text")
+    m2 = build_segment(str(tmp_path / "s2"), e2, kind="text")
+    open_index = SimpleOpenIndex(
+        segment_list=[(m1, Seq(1)), (m2, Seq(2))],
+        deletion_list=[("r4/", Seq(3))],
+    )
+    merged = merge_text_segments(str(tmp_path / "m"), open_index, kind="text")
+    assert merged.records == 4
+    seg = open_text_segment(merged.path)
+    engine = DeviceTextEngine([(seg, Seq(4))])
+    hits, _ = engine.search(TextQuery(text="quick brown", top_k=10))
+    ref = bm25_reference([d[1] for d in DOCS[:4]], ["quick", "brown"])
+    got = {h.key: h.score for h in hits}
+    for i in range(4):
+        if ref[i] > 0:
+            np.testing.assert_allclose(got[DOCS[i][0]], ref[i], rtol=1e-4)

@@ -1,0 +1,184 @@
+import numpy as np
+import pytest
+
+from nucliadb_tpu.index.paragraph import (
+    ParagraphIndexer,
+    ParagraphSearcher,
+    ParagraphSearchRequest,
+    split_phrases,
+)
+from nucliadb_tpu.index.text import (
+    DocumentSearchRequest,
+    TextIndexer,
+    TextSearcher,
+)
+from nucliadb_tpu.models.internal import (
+    IndexParagraph,
+    ResourceDoc,
+    ResourceStatus,
+    Security,
+    TextInformation,
+)
+from nucliadb_tpu.query_language import LabelAtom
+from nucliadb_tpu.types import FieldId, PrefilterKind, Seq, SimpleOpenIndex
+
+
+def make_resource(rid, text, labels=None, groups=None, created=1000):
+    rd = ResourceDoc(resource_id=rid, labels=labels or [], created=created, modified=created)
+    rd.texts["t/text1"] = TextInformation(text=text, labels=["/t/t"])
+    # paragraphs: split text in two halves on sentence boundary if possible
+    half = max(text.find(". ") + 1, len(text) // 2)
+    paras = {
+        f"{rid}/t/text1/0-{half}": IndexParagraph(start=0, end=half),
+        f"{rid}/t/text1/{half}-{len(text)}": IndexParagraph(start=half, end=len(text), index=1),
+    }
+    rd.paragraphs["t/text1"] = paras
+    if groups is not None:
+        rd.security = Security(access_groups=groups)
+    return rd
+
+
+RESOURCES = [
+    make_resource("r1", "the quick brown fox jumps. the lazy dog sleeps", ["/l/ls/a"]),
+    make_resource("r2", "a quick cat naps. brown leaves fall", ["/l/ls/b"]),
+    make_resource("r3", "secret quick document here. hidden content", ["/l/ls/a"], groups=["admins"]),
+]
+
+
+def build_text_searcher(tmp_path, resources=RESOURCES):
+    indexer = TextIndexer()
+    segs = []
+    for i, r in enumerate(resources):
+        m = indexer.index_resource(r, str(tmp_path / f"t{i}"))
+        segs.append((m, Seq(i + 1)))
+    return TextSearcher(SimpleOpenIndex(segment_list=segs))
+
+
+def build_para_searcher(tmp_path, resources=RESOURCES):
+    indexer = ParagraphIndexer()
+    segs = []
+    for i, r in enumerate(resources):
+        m = indexer.index_resource(r, str(tmp_path / f"p{i}"))
+        segs.append((m, Seq(i + 1)))
+    return ParagraphSearcher(SimpleOpenIndex(segment_list=segs))
+
+
+def test_text_search_bm25(tmp_path):
+    s = build_text_searcher(tmp_path)
+    resp = s.search(DocumentSearchRequest(query="quick brown", top_k=10))
+    # r1 and r2 both contain quick+brown; r2 is shorter so BM25 ranks it first
+    assert {h.rid for h in resp.hits[:2]} == {"r1", "r2"}
+    assert resp.total >= 2
+    assert all(h.field == "t/text1" for h in resp.hits)
+
+
+def test_text_security_groups(tmp_path):
+    s = build_text_searcher(tmp_path)
+    resp = s.search(DocumentSearchRequest(query="quick", top_k=10, security_groups=[]))
+    assert all(h.rid != "r3" for h in resp.hits)  # r3 restricted to admins
+    resp2 = s.search(
+        DocumentSearchRequest(query="quick", top_k=10, security_groups=["admins"])
+    )
+    assert any(h.rid == "r3" for h in resp2.hits)
+    resp3 = s.search(DocumentSearchRequest(query="quick", top_k=10))  # no security check
+    assert any(h.rid == "r3" for h in resp3.hits)
+
+
+def test_text_facets_and_order(tmp_path):
+    s = build_text_searcher(tmp_path)
+    resp = s.search(
+        DocumentSearchRequest(query="quick", top_k=10, faceted=["/l/ls"])
+    )
+    assert resp.facet_counts["/l/ls"] == {"/l/ls/a": 2, "/l/ls/b": 1}
+    resp2 = s.search(
+        DocumentSearchRequest(query="quick", top_k=10, order_by="created", order_desc=False)
+    )
+    assert len(resp2.hits) == 3
+
+
+def test_text_prefilter(tmp_path):
+    s = build_text_searcher(tmp_path)
+    pf = s.prefilter()
+    assert pf.is_all
+    pf2 = s.prefilter(filter=LabelAtom("/l/ls/a"), security_groups=[])
+    assert pf2.kind is PrefilterKind.SOME
+    assert set(pf2.fields) == {FieldId("r1", "t/text1")}
+    pf3 = s.prefilter(filter=LabelAtom("/l/nope/x"))
+    assert pf3.is_none
+
+
+def test_paragraph_search(tmp_path):
+    s = build_para_searcher(tmp_path)
+    resp = s.search(ParagraphSearchRequest(query="lazy dog", top_k=10))
+    assert resp.hits[0].rid == "r1"
+    assert resp.hits[0].paragraph_id.startswith("r1/t/text1/")
+    # positions carried for hydration
+    assert resp.hits[0].end > resp.hits[0].start
+
+
+def test_paragraph_fuzzy(tmp_path):
+    s = build_para_searcher(tmp_path)
+    resp = s.search(ParagraphSearchRequest(query="quik", top_k=10, fuzzy=True))
+    assert resp.total > 0
+    resp2 = s.search(ParagraphSearchRequest(query="quik", top_k=10, fuzzy=False))
+    assert resp2.total == 0
+
+
+def test_paragraph_phrase(tmp_path):
+    s = build_para_searcher(tmp_path)
+    resp = s.search(ParagraphSearchRequest(query='"lazy dog"', top_k=10))
+    assert len(resp.hits) == 1 and resp.hits[0].rid == "r1"
+    resp2 = s.search(ParagraphSearchRequest(query='"dog lazy"', top_k=10))
+    assert resp2.hits == []
+
+
+def test_paragraph_ematch(tmp_path):
+    s = build_para_searcher(tmp_path)
+    resp = s.search(ParagraphSearchRequest(query="lazy dog sleeps", top_k=10))
+    em = [h for h in resp.hits if h.ematch]
+    assert len(em) == 1 and em[0].rid == "r1"
+
+
+def test_paragraph_prefilter_handoff(tmp_path):
+    from nucliadb_tpu.types import PrefilterResult
+
+    s = build_para_searcher(tmp_path)
+    pf = PrefilterResult.some([FieldId("r2", "t/text1")])
+    resp = s.search(ParagraphSearchRequest(query="quick", top_k=10, field_filter=pf))
+    assert all(h.rid == "r2" for h in resp.hits)
+    resp2 = s.search(
+        ParagraphSearchRequest(query="quick", top_k=10, field_filter=PrefilterResult.none())
+    )
+    assert resp2.hits == []
+
+
+def test_paragraph_pagination(tmp_path):
+    s = build_para_searcher(tmp_path)
+    all_resp = s.search(ParagraphSearchRequest(query="quick", top_k=10))
+    page2 = s.search(ParagraphSearchRequest(query="quick", top_k=1, offset=1))
+    assert page2.hits[0].paragraph_id == all_resp.hits[1].paragraph_id
+
+
+def test_split_phrases():
+    rest, phrases = split_phrases('hello "brown fox" world "lazy dog"')
+    assert phrases == ["brown fox", "lazy dog"]
+    assert "hello" in rest and "world" in rest
+
+
+def test_suggest(tmp_path):
+    s = build_para_searcher(tmp_path)
+    hits = s.suggest("qui", top_k=5)
+    assert hits and any(h.rid in ("r1", "r2", "r3") for h in hits)
+
+
+def test_deletions(tmp_path):
+    indexer = ParagraphIndexer()
+    segs = []
+    for i, r in enumerate(RESOURCES):
+        m = indexer.index_resource(r, str(tmp_path / f"p{i}"))
+        segs.append((m, Seq(i + 1)))
+    s = ParagraphSearcher(
+        SimpleOpenIndex(segment_list=segs, deletion_list=[("r1/", Seq(10))])
+    )
+    resp = s.search(ParagraphSearchRequest(query="quick", top_k=10))
+    assert all(h.rid != "r1" for h in resp.hits)
