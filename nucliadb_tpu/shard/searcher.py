@@ -1,0 +1,228 @@
+"""Shard search: query planning + prefilter pipeline + per-index execution.
+
+Parity with the reference's query planner and shard executor
+(nidx/src/searcher/query_planner.rs:37-495, shard_search.rs:37-290):
+
+1. one unified request is planned into per-index requests (IndexQueries),
+2. prefilters run first — the text index turns security + field filters into
+   a FieldId set, the json index turns a typed JSON filter into another —
+   and their intersection is applied to the vector/paragraph requests
+   (an empty result clears every downstream query),
+3. the index searches execute and assemble one ShardSearchResponse.
+
+The reference parallelizes (2)+(3) with scoped threads; here the text engine
+prefilter is host-numpy (microseconds) and each device search is one jit
+dispatch, so the executor is a straight pipeline — concurrency comes from
+batching inside the kernels, not host threads.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+import numpy as np
+
+from ..index.json import JsonExpression, JsonSearcher
+from ..index.paragraph import (
+    ParagraphSearcher,
+    ParagraphSearchRequest,
+    ParagraphSearchResponse,
+)
+from ..index.relation import GraphSearchRequest, GraphPath, RelationSearcher
+from ..index.text import (
+    DocumentSearchRequest,
+    DocumentSearchResponse,
+    TextSearcher,
+)
+from ..index.vector import (
+    VectorHit,
+    VectorSearcher,
+    VectorSearchRequest,
+)
+from ..query_language import BooleanExpression
+from ..types import OpenIndexMetadata, PrefilterResult
+from .config import ShardConfig
+
+
+@dataclass
+class ShardSearchRequest:
+    """One search against a shard (parity: nodereader SearchRequest)."""
+
+    body: str = ""
+    top_k: int = 20
+
+    # which indexes to query
+    paragraph: bool = True
+    document: bool = False
+
+    # semantic
+    vector: Optional[np.ndarray] = None
+    vectorset: str = ""
+    min_score_semantic: Optional[float] = None
+
+    # keyword
+    min_score_bm25: Optional[float] = None
+    all_terms: bool = False
+
+    # filters
+    filter: Optional[BooleanExpression] = None  # paragraph/label level
+    field_filter: Optional[BooleanExpression] = None  # field level -> prefilter
+    json_filter: Optional[JsonExpression] = None
+    security_groups: Optional[list[str]] = None
+    key_filters: list[str] = dc_field(default_factory=list)  # resource/field keys
+
+    # graph
+    graph: Optional[GraphSearchRequest] = None
+
+    # facets
+    faceted: list[str] = dc_field(default_factory=list)
+    only_faceted: bool = False
+    order_by: Optional[str] = None
+    order_desc: bool = True
+
+
+@dataclass
+class ShardSearchResponse:
+    document: Optional[DocumentSearchResponse] = None
+    paragraph: Optional[ParagraphSearchResponse] = None
+    vector: list[VectorHit] = dc_field(default_factory=list)
+    graph: list[GraphPath] = dc_field(default_factory=list)
+    prefilter: PrefilterResult = dc_field(default_factory=PrefilterResult.all)
+
+
+class ShardSearcher:
+    """Open searchers over all indexes of one shard."""
+
+    def __init__(
+        self,
+        config: ShardConfig,
+        open_indexes: dict[str, OpenIndexMetadata],
+    ):
+        """``open_indexes`` maps index name ('text', 'paragraph', 'relation',
+        'json', 'vector/{vs}') to its OpenIndexMetadata."""
+        self.config = config
+        self.text = TextSearcher(open_indexes["text"]) if "text" in open_indexes else None
+        self.paragraph = (
+            ParagraphSearcher(open_indexes["paragraph"])
+            if "paragraph" in open_indexes
+            else None
+        )
+        self.relation = (
+            RelationSearcher(open_indexes["relation"])
+            if "relation" in open_indexes
+            else None
+        )
+        self.json = JsonSearcher(open_indexes["json"]) if "json" in open_indexes else None
+        self.vectors: dict[str, VectorSearcher] = {}
+        for name, oi in open_indexes.items():
+            if name.startswith("vector/"):
+                vs = name.split("/", 1)[1]
+                vs_config = config.vectorsets[vs]
+                self.vectors[vs] = VectorSearcher(vs_config, oi)
+
+    # ------------------------------------------------------------------
+
+    def _needs_prefilter(self, request: ShardSearchRequest) -> bool:
+        """Parity: query_planner.rs prefilter-necessity decision — field-level
+        filters or security must reach the vector/paragraph indexes."""
+        return (
+            request.field_filter is not None
+            or request.security_groups is not None
+            or request.json_filter is not None
+        )
+
+    def compute_prefilter(self, request: ShardSearchRequest) -> PrefilterResult:
+        """Text ∧ JSON prefilters (parity: shard_search.rs:175-208)."""
+        result = PrefilterResult.all()
+        if (
+            request.field_filter is not None or request.security_groups is not None
+        ) and self.text is not None:
+            result = result.intersect(
+                self.text.prefilter(
+                    filter=request.field_filter,
+                    security_groups=request.security_groups,
+                )
+            )
+        if request.json_filter is not None and self.json is not None:
+            result = result.intersect(self.json.prefilter(request.json_filter))
+        return result
+
+    def search(self, request: ShardSearchRequest) -> ShardSearchResponse:
+        response = ShardSearchResponse()
+
+        prefilter = (
+            self.compute_prefilter(request)
+            if self._needs_prefilter(request)
+            else PrefilterResult.all()
+        )
+        response.prefilter = prefilter
+        if prefilter.is_none:
+            # empty prefilter clears every downstream query
+            # (parity: IndexQueries::apply_prefilter, query_planner.rs:157-170)
+            return response
+
+        key_prefixes = list(request.key_filters) or None
+
+        if request.document and self.text is not None:
+            response.document = self.text.search(
+                DocumentSearchRequest(
+                    query=request.body,
+                    top_k=request.top_k,
+                    filter=request.filter,
+                    security_groups=request.security_groups,
+                    faceted=request.faceted,
+                    only_faceted=request.only_faceted,
+                    order_by=request.order_by,
+                    order_desc=request.order_desc,
+                    min_score=request.min_score_bm25,
+                    all_terms=request.all_terms,
+                )
+            )
+
+        if request.paragraph and request.body.strip() and self.paragraph is not None:
+            pf = prefilter
+            if key_prefixes:
+                # key filters narrow the prefilter further
+                para_req_prefixes = key_prefixes
+            else:
+                para_req_prefixes = None
+            presp = self.paragraph.search(
+                ParagraphSearchRequest(
+                    query=request.body,
+                    top_k=request.top_k,
+                    filter=request.filter,
+                    field_filter=pf,
+                    min_score=request.min_score_bm25,
+                    all_terms=request.all_terms,
+                )
+            )
+            if para_req_prefixes:
+                presp.hits = [
+                    h
+                    for h in presp.hits
+                    if any(
+                        h.paragraph_id.startswith(p) for p in para_req_prefixes
+                    )
+                ]
+            response.paragraph = presp
+
+        if request.vector is not None:
+            vs_name = request.vectorset or next(iter(self.vectors), "")
+            searcher = self.vectors.get(vs_name)
+            if searcher is not None:
+                hits = searcher.search(
+                    VectorSearchRequest(
+                        vectors=np.asarray(request.vector, np.float32),
+                        top_k=request.top_k,
+                        filter=request.filter,
+                        field_filter=prefilter,
+                        min_score=request.min_score_semantic,
+                    )
+                )
+                response.vector = hits[0] if hits else []
+
+        if request.graph is not None and self.relation is not None:
+            response.graph = self.relation.graph_search(request.graph)
+
+        return response
