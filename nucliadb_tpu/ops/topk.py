@@ -14,7 +14,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-3.0e38)
+# A plain Python float, NEVER a device scalar: module-level device arrays
+# become jaxpr constants whose values must be fetched from the device during
+# lowering — on the tunneled deployment platform that fetch stalls for
+# minutes (measured 292s lowering a 10-op program).
+NEG_INF = -3.0e38
 
 
 def masked_topk(

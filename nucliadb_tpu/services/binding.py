@@ -1,0 +1,94 @@
+"""Embedded node: all services in one process for standalone mode.
+
+Parity: the reference's PyO3 binding (nidx/nidx_binding/src/lib.rs:53-199)
+which embeds indexer+scheduler+worker+searcher with an atomic seq counter
+replacing NATS and a watch channel for sync. Here the same composition is
+plain Python; ``wait_for_sync`` runs the sync loop body inline (deterministic
+for tests and standalone), and ``tick_background`` runs one scheduler +
+worker round (the standalone runtime calls it periodically).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Optional
+
+from ..index.vector.config import VectorConfig
+from ..metadata import MetadataStore
+from ..models.internal import ResourceDoc
+from ..shard import ShardSearchRequest, ShardSearchResponse
+from ..storage import LocalStorage, MemoryStorage, Storage
+from ..types import IndexKind, Seq
+from .indexer import IndexerService
+from .scheduler import SchedulerService
+from .searcher import SyncedSearcher
+from .worker import WorkerService
+
+
+class EmbeddedNode:
+    def __init__(self, data_dir: str | None = None, storage: Storage | None = None):
+        self.data_dir = data_dir or tempfile.mkdtemp(prefix="ndbtpu_node_")
+        os.makedirs(self.data_dir, exist_ok=True)
+        self.metadata = MetadataStore(os.path.join(self.data_dir, "metadata.db"))
+        self.storage = storage if storage is not None else LocalStorage(
+            os.path.join(self.data_dir, "blobs")
+        )
+        self.indexer = IndexerService(
+            self.metadata, self.storage, os.path.join(self.data_dir, "indexer")
+        )
+        self.scheduler = SchedulerService(self.metadata, self.storage)
+        self.worker = WorkerService(
+            self.metadata, self.storage, os.path.join(self.data_dir, "worker")
+        )
+        self.searcher = SyncedSearcher(
+            self.metadata, self.storage, os.path.join(self.data_dir, "segments")
+        )
+
+    # ---- shard/index lifecycle (parity: NidxApi NewShard/vectorsets) ------
+
+    def create_shard(
+        self,
+        kbid: str,
+        vectorsets: dict[str, VectorConfig],
+        shard_id: str | None = None,
+    ) -> str:
+        shard_id = shard_id or uuid.uuid4().hex
+        self.metadata.create_shard(shard_id, kbid)
+        for kind in (IndexKind.TEXT, IndexKind.PARAGRAPH, IndexKind.RELATION, IndexKind.JSON):
+            self.metadata.create_index(shard_id, kind.value, kind.value)
+        for name, config in vectorsets.items():
+            self.metadata.create_index(shard_id, "vector", name, config.to_dict())
+        return shard_id
+
+    def add_vectorset(self, shard_id: str, name: str, config: VectorConfig) -> None:
+        self.metadata.create_index(shard_id, "vector", name, config.to_dict())
+
+    def delete_shard(self, shard_id: str) -> None:
+        self.metadata.delete_shard(shard_id)
+
+    # ---- data plane ---------------------------------------------------------
+
+    def index(self, shard_id: str, resource: ResourceDoc, *, hidden: bool = False) -> Seq:
+        return self.indexer.index_resource(shard_id, resource, hidden=hidden)
+
+    def delete_resource(self, shard_id: str, resource_id: str) -> Seq:
+        return self.indexer.delete_resource(shard_id, resource_id)
+
+    def wait_for_sync(self) -> list[str]:
+        """Synchronize searchers with the latest committed state."""
+        return self.searcher.sync()
+
+    def search(self, shard_id: str, request: ShardSearchRequest) -> ShardSearchResponse:
+        return self.searcher.search(shard_id, request)
+
+    # ---- background round ---------------------------------------------------
+
+    def tick_background(self) -> dict:
+        """One scheduler round + drain the merge queue (standalone cadence)."""
+        jobs = self.scheduler.tick()
+        merged = 0
+        while self.worker.run_one():
+            merged += 1
+        return {"jobs_enqueued": jobs, "merged": merged}

@@ -1,0 +1,91 @@
+"""Searcher service: segment sync + shard searcher cache.
+
+Parity: nidx/src/searcher/ (SyncedSearcher, sync.rs:57-219,
+index_cache.rs) — watches indexes' updated_at, diffs the desired segment
+set against the local cache, downloads what's missing, and (re)opens shard
+searchers over consolidated device arenas. The reference keeps an LRU of
+per-index searchers with single-flight loads; here a shard's searchers
+rebuild atomically on change (device arenas are consolidated per index
+anyway) and the previous searcher serves until the swap.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional
+
+from ..index.vector.config import VectorConfig
+from ..metadata import MetadataStore
+from ..shard import ShardConfig, ShardSearcher, ShardSearchRequest, ShardSearchResponse
+from ..storage import Storage
+from ..storage.storage import download_segment
+from ..types import SegmentMetadata, SimpleOpenIndex
+
+
+class SyncedSearcher:
+    def __init__(self, metadata: MetadataStore, storage: Storage, cache_dir: str | None = None):
+        self.metadata = metadata
+        self.storage = storage
+        self.cache_dir = cache_dir or tempfile.mkdtemp(prefix="ndbtpu_searcher_")
+        self._shards: dict[str, ShardSearcher] = {}
+        self._index_state: dict[int, float] = {}  # index id -> updated_at seen
+
+    # ------------------------------------------------------------------
+
+    def sync(self) -> list[str]:
+        """Refresh shard searchers whose indexes changed; returns shard ids."""
+        dirty: set[str] = set()
+        for shard in self.metadata.list_shards():
+            for index in self.metadata.get_indexes(shard.id):
+                seen = self._index_state.get(index.id)
+                if seen is None or index.updated_at > seen:
+                    dirty.add(shard.id)
+        for shard_id in dirty:
+            self._reload_shard(shard_id)
+        return sorted(dirty)
+
+    def _open_index_meta(self, index_id: int) -> SimpleOpenIndex:
+        oi = SimpleOpenIndex(
+            deletion_list=self.metadata.deletions_for_index(index_id)
+        )
+        for seg in self.metadata.ready_segments(index_id):
+            local = os.path.join(self.cache_dir, str(index_id), str(seg.id))
+            download_segment(self.storage, seg.storage_key, local)
+            oi.segment_list.append(
+                (
+                    SegmentMetadata(
+                        path=local,
+                        records=seg.records,
+                        tags=frozenset(seg.tags),
+                        index_metadata=seg.index_metadata,
+                    ),
+                    seg.seq,
+                )
+            )
+        return oi
+
+    def _reload_shard(self, shard_id: str) -> None:
+        shard = self.metadata.get_shard(shard_id)
+        if shard is None:
+            self._shards.pop(shard_id, None)
+            return
+        vectorsets: dict[str, VectorConfig] = {}
+        open_indexes: dict[str, SimpleOpenIndex] = {}
+        for index in self.metadata.get_indexes(shard_id):
+            if index.kind == "vector":
+                vectorsets[index.name] = VectorConfig.from_dict(index.configuration)
+            open_indexes[index.full_name] = self._open_index_meta(index.id)
+            self._index_state[index.id] = index.updated_at
+        config = ShardConfig(shard_id=shard_id, kbid=shard.kbid, vectorsets=vectorsets)
+        self._shards[shard_id] = ShardSearcher(config, open_indexes)
+
+    # ------------------------------------------------------------------
+
+    def shard(self, shard_id: str) -> ShardSearcher:
+        if shard_id not in self._shards:
+            self._reload_shard(shard_id)
+        return self._shards[shard_id]
+
+    def search(self, shard_id: str, request: ShardSearchRequest) -> ShardSearchResponse:
+        return self.shard(shard_id).search(request)

@@ -49,7 +49,7 @@ def test_blockwise_topk_matches_flat(rng):
 
 def test_sharded_topk_allgather():
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     devices = np.array(jax.devices()[:4])
     mesh = Mesh(devices, ("shard",))
@@ -70,7 +70,7 @@ def test_sharded_topk_allgather():
         mesh=mesh,
         in_specs=P(None, "shard"),
         out_specs=P(None, None),  # replicated result
-        check_rep=False,
+        check_vma=False,
     )
     s_out, i_out = jax.jit(fn)(scores)
     # compare against global topk

@@ -1,0 +1,185 @@
+import numpy as np
+import pytest
+
+from nucliadb_tpu.index.vector import VectorConfig
+from nucliadb_tpu.metadata import MetadataStore
+from nucliadb_tpu.models.internal import (
+    IndexParagraph,
+    ResourceDoc,
+    TextInformation,
+    VectorSentence,
+)
+from nucliadb_tpu.services import EmbeddedNode
+from nucliadb_tpu.services.scheduler import (
+    plan_log_merges,
+    plan_vector_merges,
+)
+from nucliadb_tpu.shard import ShardSearchRequest
+from nucliadb_tpu.storage import MemoryStorage
+from nucliadb_tpu.storage.storage import pack_segment, unpack_segment
+from nucliadb_tpu.types import Seq
+
+DIM = 16
+
+
+def embed(text):
+    r = np.random.default_rng(abs(hash(text)) % (2**31))
+    v = r.standard_normal(DIM).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def make_resource(rid, text):
+    rd = ResourceDoc(resource_id=rid, created=1000, modified=1000)
+    rd.texts["t/t1"] = TextInformation(text=text)
+    para = IndexParagraph(start=0, end=len(text))
+    para.vectorsets_sentences["m1"] = {
+        f"{rid}/t/t1/0/0-{len(text)}": VectorSentence(vector=embed(text))
+    }
+    rd.paragraphs["t/t1"] = {f"{rid}/t/t1/0-{len(text)}": para}
+    return rd
+
+
+@pytest.fixture
+def node(tmp_path):
+    return EmbeddedNode(data_dir=str(tmp_path / "node"), storage=MemoryStorage())
+
+
+def test_end_to_end_index_and_search(node):
+    shard_id = node.create_shard("kb1", {"m1": VectorConfig(dimension=DIM)})
+    node.index(shard_id, make_resource("r1", "the quick brown fox"))
+    node.index(shard_id, make_resource("r2", "lazy dogs sleep all day"))
+    node.wait_for_sync()
+
+    resp = node.search(
+        shard_id,
+        ShardSearchRequest(body="quick fox", vector=embed("the quick brown fox"), top_k=5),
+    )
+    assert resp.paragraph.hits[0].rid == "r1"
+    assert resp.vector[0].key.startswith("r1/")
+
+
+def test_reindex_replaces_old_version(node):
+    shard_id = node.create_shard("kb1", {"m1": VectorConfig(dimension=DIM)})
+    node.index(shard_id, make_resource("r1", "original content about cats"))
+    # reindex same resource: the index message builder emits deletions for
+    # the resource's previous keys
+    updated = make_resource("r1", "updated content about dogs")
+    updated.texts_to_delete = []  # full resource replace -> rid/ prefix delete
+    updated.vectors_to_delete_in_all_vectorsets = ["r1/"]
+    updated.paragraphs_to_delete = ["r1/"]
+    node.index(shard_id, updated)
+    node.wait_for_sync()
+
+    resp = node.search(shard_id, ShardSearchRequest(body="cats", top_k=5))
+    assert resp.paragraph.hits == []
+    resp2 = node.search(shard_id, ShardSearchRequest(body="dogs", top_k=5))
+    assert [h.rid for h in resp2.hits] if hasattr(resp2, "hits") else True
+    assert resp2.paragraph.hits and resp2.paragraph.hits[0].rid == "r1"
+
+
+def test_delete_resource(node):
+    shard_id = node.create_shard("kb1", {"m1": VectorConfig(dimension=DIM)})
+    node.index(shard_id, make_resource("r1", "findable content"))
+    node.delete_resource(shard_id, "r1")
+    node.wait_for_sync()
+    resp = node.search(shard_id, ShardSearchRequest(body="findable", top_k=5))
+    assert resp.paragraph.hits == []
+
+
+def test_merge_pipeline(node):
+    shard_id = node.create_shard("kb1", {"m1": VectorConfig(dimension=DIM)})
+    for i in range(6):
+        node.index(shard_id, make_resource(f"r{i}", f"document number {i} quick"))
+    node.delete_resource(shard_id, "r3")
+
+    # before merge: 6 segments per index
+    text_index = [i for i in node.metadata.get_indexes(shard_id) if i.kind == "text"][0]
+    assert len(node.metadata.ready_segments(text_index.id)) == 6
+
+    stats = node.tick_background()
+    assert stats["jobs_enqueued"] > 0 and stats["merged"] > 0
+    segs = node.metadata.ready_segments(text_index.id)
+    assert len(segs) == 1
+    assert segs[0].records == 5  # r3 dropped during merge
+
+    node.wait_for_sync()
+    resp = node.search(shard_id, ShardSearchRequest(body="quick", top_k=10))
+    assert len(resp.paragraph.hits) == 5
+    assert all(h.rid != "r3" for h in resp.paragraph.hits)
+
+
+def test_merge_respects_ack_floor(tmp_path):
+    node = EmbeddedNode(data_dir=str(tmp_path / "n2"), storage=MemoryStorage())
+    shard_id = node.create_shard("kb1", {})
+    for i in range(5):
+        node.index(shard_id, make_resource(f"r{i}", f"doc {i}"))
+    # simulate an unacked in-flight operation below which merges must not plan
+    seq = node.metadata.next_seq()
+    node.metadata.record_index_request(seq)
+    for i in range(5, 10):
+        node.index(shard_id, make_resource(f"r{i}", f"doc {i}"))
+    floor = node.metadata.ack_floor()
+    assert int(floor) == int(seq) - 1
+    node.scheduler.schedule_merges()
+    # only the first 5 segments (below the floor) may be in a job
+    text_index = [i for i in node.metadata.get_indexes(shard_id) if i.kind == "text"][0]
+    in_jobs = [
+        s for s in node.metadata.ready_segments(text_index.id) if s.merge_job_id
+    ]
+    assert all(s.seq <= floor for s in in_jobs)
+    assert len(in_jobs) >= 4
+
+
+def test_segment_pack_roundtrip(tmp_path):
+    seg_dir = tmp_path / "seg"
+    seg_dir.mkdir()
+    (seg_dir / "a.bin").write_bytes(b"hello")
+    (seg_dir / "meta.json").write_text("{}")
+    blob = pack_segment(str(seg_dir))
+    out = tmp_path / "out"
+    unpack_segment(blob, str(out))
+    assert (out / "a.bin").read_bytes() == b"hello"
+
+
+def test_plan_log_merges():
+    from nucliadb_tpu.metadata import SegmentRow
+
+    def seg(i, records):
+        return SegmentRow(i, 1, Seq(i), records, 0, [], {}, True, None, None)
+
+    # 4 tiny segments merge; 1 big one doesn't join them
+    plans = plan_log_merges([seg(1, 100), seg(2, 200), seg(3, 50), seg(4, 80), seg(5, 9_000_000)])
+    assert len(plans) == 1 and len(plans[0]) == 4
+    assert plan_log_merges([seg(1, 100), seg(2, 100)]) == []
+
+
+def test_plan_vector_merges():
+    from nucliadb_tpu.metadata import SegmentRow
+
+    def seg(i, records):
+        return SegmentRow(i, 1, Seq(i), records, 0, [], {}, True, None, None)
+
+    plans = plan_vector_merges([seg(i, 1000) for i in range(6)])
+    assert len(plans) == 1 and len(plans[0]) == 6
+    # big segments are left alone
+    assert plan_vector_merges([seg(i, 150_000) for i in range(6)]) == []
+
+
+def test_metadata_merge_job_lease(tmp_path):
+    m = MetadataStore(str(tmp_path / "m.db"))
+    m.create_shard("s1", "kb")
+    idx = m.create_index("s1", "text", "text")
+    rows = [m.create_segment(idx.id, Seq(i), 10) for i in range(4)]
+    m.commit_operation(
+        ready_segments=[r.id for r in rows], deletions=[], touched_indexes=[idx.id]
+    )
+    job_id = m.enqueue_merge(idx.id, Seq(3), [r.id for r in rows])
+    assert job_id is not None
+    # double-enqueue over same segments is refused
+    assert m.enqueue_merge(idx.id, Seq(3), [rows[0].id]) is None
+    job = m.take_merge_job()
+    assert job is not None and job.id == job_id
+    # job is leased: not retaken while heartbeat fresh
+    assert m.take_merge_job() is None
+    m.finish_merge_job(job.id)
+    assert m.pending_merge_jobs() == 0
