@@ -1,0 +1,173 @@
+"""Knowledge box + shard management.
+
+Parity with the reference's cluster manager and KB datamanagers
+(nucliadb/src/nucliadb/common/cluster/manager.py:51 KBShardManager,
+common/datamanagers/kb.py): a KB owns N shards; writes go to the current
+writable shard; searches fan out over all shards. Shard state lives in the
+main KV under ``/kbs/{kbid}/shards``; resources record their shard so
+updates and deletes route correctly.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Optional
+
+from ..index.vector.config import Quantization, Similarity, VectorCardinality, VectorConfig
+from ..maindb import Driver
+from ..models.api import KnowledgeBoxConfig, VectorSetSpec
+from ..services import EmbeddedNode
+
+KB_CONFIG = "/kbs/{kbid}/config"
+KB_SHARDS = "/kbs/{kbid}/shards"
+KB_SLUG = "/kbslugs/{slug}"
+KB_PREFIX = "/kbs/{kbid}/"
+RESOURCE_PAYLOAD = "/kbs/{kbid}/r/{rid}/payload"
+RESOURCE_META = "/kbs/{kbid}/r/{rid}/meta"
+RESOURCE_SLUG = "/kbs/{kbid}/rslugs/{slug}"
+
+# resources per shard before a new writable shard is created (the reference
+# sizes shards by paragraph count; see common/cluster settings)
+MAX_RESOURCES_PER_SHARD = 250_000
+
+
+def vector_config_from_spec(spec: VectorSetSpec) -> VectorConfig:
+    return VectorConfig(
+        dimension=spec.dimension,
+        similarity=Similarity(spec.similarity),
+        cardinality=VectorCardinality.MULTI if spec.multivector else VectorCardinality.SINGLE,
+        quantization=Quantization(spec.quantization),
+    )
+
+
+@dataclass
+class KBShards:
+    shards: list[str]
+    writable: int
+    counts: dict[str, int]
+
+
+class KnowledgeBoxManager:
+    def __init__(self, driver: Driver, node: EmbeddedNode):
+        self.driver = driver
+        self.node = node
+
+    # ---- lifecycle -------------------------------------------------------
+
+    def create(self, config: KnowledgeBoxConfig, kbid: str | None = None) -> str:
+        kbid = kbid or uuid.uuid4().hex
+        vectorsets = {
+            name: vector_config_from_spec(spec)
+            for name, spec in config.vectorsets.items()
+        }
+        shard_ids = [
+            self.node.create_shard(kbid, vectorsets) for _ in range(max(config.shards, 1))
+        ]
+        with self.driver as txn:
+            if config.slug:
+                existing = txn.get(KB_SLUG.format(slug=config.slug))
+                if existing is not None:
+                    raise KeyError(f"kb slug already exists: {config.slug}")
+                txn.set(KB_SLUG.format(slug=config.slug), kbid.encode())
+            txn.set(
+                KB_CONFIG.format(kbid=kbid),
+                config.model_dump_json().encode(),
+            )
+            txn.set(
+                KB_SHARDS.format(kbid=kbid),
+                json.dumps(
+                    {"shards": shard_ids, "writable": 0, "counts": {s: 0 for s in shard_ids}}
+                ).encode(),
+            )
+        return kbid
+
+    def get_config(self, kbid: str) -> Optional[KnowledgeBoxConfig]:
+        with self.driver as txn:
+            raw = txn.get(KB_CONFIG.format(kbid=kbid))
+        return KnowledgeBoxConfig.model_validate_json(raw) if raw else None
+
+    def resolve_slug(self, slug: str) -> Optional[str]:
+        with self.driver as txn:
+            raw = txn.get(KB_SLUG.format(slug=slug))
+        return raw.decode() if raw else None
+
+    def list_kbs(self) -> list[str]:
+        with self.driver as txn:
+            keys = list(txn.keys("/kbs/"))
+        return sorted({k.split("/")[2] for k in keys})
+
+    def delete(self, kbid: str) -> None:
+        shards = self.get_shards(kbid)
+        config = self.get_config(kbid)
+        with self.driver as txn:
+            if config and config.slug:
+                txn.delete(KB_SLUG.format(slug=config.slug))
+            txn.delete_by_prefix(KB_PREFIX.format(kbid=kbid))
+        if shards:
+            for shard_id in shards.shards:
+                self.node.delete_shard(shard_id)
+
+    def add_vectorset(self, kbid: str, name: str, spec: VectorSetSpec) -> None:
+        config = self.get_config(kbid)
+        if config is None:
+            raise KeyError(kbid)
+        config.vectorsets[name] = spec
+        shards = self.get_shards(kbid)
+        for shard_id in shards.shards:
+            self.node.add_vectorset(shard_id, name, vector_config_from_spec(spec))
+        with self.driver as txn:
+            txn.set(KB_CONFIG.format(kbid=kbid), config.model_dump_json().encode())
+
+    # ---- shards ----------------------------------------------------------
+
+    def get_shards(self, kbid: str) -> Optional[KBShards]:
+        with self.driver as txn:
+            raw = txn.get(KB_SHARDS.format(kbid=kbid))
+        if raw is None:
+            return None
+        d = json.loads(raw)
+        return KBShards(shards=d["shards"], writable=d["writable"], counts=d["counts"])
+
+    def _save_shards(self, kbid: str, shards: KBShards) -> None:
+        with self.driver as txn:
+            txn.set(
+                KB_SHARDS.format(kbid=kbid),
+                json.dumps(
+                    {
+                        "shards": shards.shards,
+                        "writable": shards.writable,
+                        "counts": shards.counts,
+                    }
+                ).encode(),
+            )
+
+    def writable_shard(self, kbid: str) -> str:
+        """The shard new resources go to; rolls over when full
+        (parity: KBShardManager shard creation on overflow)."""
+        shards = self.get_shards(kbid)
+        if shards is None:
+            raise KeyError(f"unknown kb {kbid}")
+        current = shards.shards[shards.writable]
+        if shards.counts.get(current, 0) >= MAX_RESOURCES_PER_SHARD:
+            config = self.get_config(kbid)
+            vectorsets = {
+                name: vector_config_from_spec(spec)
+                for name, spec in (config.vectorsets if config else {}).items()
+            }
+            new_shard = self.node.create_shard(kbid, vectorsets)
+            shards.shards.append(new_shard)
+            shards.writable = len(shards.shards) - 1
+            shards.counts[new_shard] = 0
+            self._save_shards(kbid, shards)
+            current = new_shard
+        return current
+
+    def record_resource(self, kbid: str, shard_id: str, delta: int) -> None:
+        shards = self.get_shards(kbid)
+        if shards is None:
+            return
+        shards.counts[shard_id] = max(shards.counts.get(shard_id, 0) + delta, 0)
+        self._save_shards(kbid, shards)

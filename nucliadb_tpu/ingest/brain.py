@@ -1,0 +1,175 @@
+"""ResourceBrain: build the index message from resource state.
+
+Parity with the reference's brain builder
+(nucliadb/src/nucliadb/ingest/orm/brain_v2.py:76-783 +
+index_message.py:44-353): turns stored resource fields into a ResourceDoc —
+texts per field, paragraphs with positions, the label hierarchy facets
+(docs/internal/SEARCH.md:104-141), vectors per vectorset, relations,
+security — plus the deletion prefixes for reindexing.
+
+Label hierarchy emitted (subset matching the reference's conventions):
+  /n/s/{status}      resource status
+  /n/i/{icon}        resource icon/mimetype
+  /l/{set}/{label}   classifications
+  /t/{tag}           origin tags
+  /u/s/{source_id}   origin source
+  /e/{group}/{value} entities (from relations)
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..models.api import CreateResourcePayload
+from ..models.internal import (
+    IndexParagraph,
+    IndexRelation,
+    RelationNode,
+    ResourceDoc,
+    ResourceStatus,
+    Security,
+    TextInformation,
+    VectorSentence,
+    paragraph_id,
+    vector_key,
+)
+
+PARAGRAPH_SPLIT_RE = re.compile(r"\n\s*\n")
+
+
+def split_paragraphs(text: str) -> list[tuple[int, int]]:
+    """[start, end) character ranges of paragraphs (double-newline blocks).
+
+    The reference receives paragraph boundaries from the processing service;
+    an embedded deployment derives them from the text itself.
+    """
+    if not text.strip():
+        return []
+    spans = []
+    pos = 0
+    for m in PARAGRAPH_SPLIT_RE.finditer(text):
+        if m.start() > pos:
+            spans.append((pos, m.start()))
+        pos = m.end()
+    if pos < len(text):
+        spans.append((pos, len(text)))
+    return spans
+
+
+class ResourceBrain:
+    def __init__(self, rid: str):
+        self.rid = rid
+
+    def resource_labels(self, payload: CreateResourcePayload, status: ResourceStatus) -> list[str]:
+        labels = [f"/n/s/{status.value}"]
+        if payload.icon:
+            labels.append(f"/n/i/{payload.icon}")
+        for c in payload.usermetadata.classifications:
+            labels.append(f"/l/{c.labelset}/{c.label}")
+        if payload.origin:
+            labels.extend(f"/t/{t}" for t in payload.origin.tags)
+            if payload.origin.source_id:
+                labels.append(f"/u/s/{payload.origin.source_id}")
+        for rel in payload.usergenerated_relations:
+            for node in (rel.from_, rel.to):
+                if node is not None and node.type == "entity":
+                    labels.append(f"/e/{node.group}/{node.value}")
+        return sorted(set(labels))
+
+    def build(
+        self,
+        payload: CreateResourcePayload,
+        *,
+        status: ResourceStatus = ResourceStatus.PROCESSED,
+        created: float | None = None,
+    ) -> ResourceDoc:
+        now = time.time()
+        doc = ResourceDoc(
+            resource_id=self.rid,
+            labels=self.resource_labels(payload, status),
+            status=status,
+            created=created if created is not None else now,
+            modified=now,
+        )
+
+        fields: dict[str, str] = {}
+        if payload.title:
+            fields["a/title"] = payload.title
+        if payload.summary:
+            fields["a/summary"] = payload.summary
+        for name, tf in payload.texts.items():
+            fields[f"t/{name}"] = tf.body
+
+        for fid, text in fields.items():
+            doc.texts[fid] = TextInformation(text=text, labels=[])
+            paragraphs: dict[str, IndexParagraph] = {}
+            for start, end in split_paragraphs(text):
+                pid = paragraph_id(self.rid, fid, start, end)
+                paragraphs[pid] = IndexParagraph(
+                    start=start, end=end, fieldname=fid, index=len(paragraphs)
+                )
+            if paragraphs:
+                doc.paragraphs[fid] = paragraphs
+
+        # attach sentence embeddings to their containing paragraphs
+        for vectorset, by_field in payload.embeddings.items():
+            for api_field, sentences in by_field.items():
+                fid = api_field if "/" in api_field else f"t/{api_field}"
+                paragraphs = doc.paragraphs.get(fid)
+                if paragraphs is None:
+                    continue
+                for idx, emb in enumerate(sentences):
+                    target: Optional[IndexParagraph] = None
+                    for para in paragraphs.values():
+                        if emb.start >= para.start and emb.end <= para.end:
+                            target = para
+                            break
+                    if target is None:  # fall back to first paragraph
+                        target = next(iter(paragraphs.values()))
+                    key = vector_key(self.rid, fid, idx, emb.start, emb.end)
+                    target.vectorsets_sentences.setdefault(vectorset, {})[key] = (
+                        VectorSentence(vector=np.asarray(emb.vector, np.float32))
+                    )
+
+        # relations
+        rels: list[IndexRelation] = []
+        for rel in payload.usergenerated_relations:
+            if rel.from_ is None or rel.to is None:
+                continue
+            rels.append(
+                IndexRelation(
+                    source=RelationNode(
+                        value=rel.from_.value,
+                        ntype=rel.from_.type.upper(),
+                        subtype=rel.from_.group,
+                    ),
+                    target=RelationNode(
+                        value=rel.to.value, ntype=rel.to.type.upper(), subtype=rel.to.group
+                    ),
+                    relation=rel.relation,
+                    label=rel.label,
+                )
+            )
+        if rels:
+            doc.relations["a/metadata"] = rels
+
+        if payload.origin and payload.origin.metadata:
+            import json
+
+            doc.json_fields["a/origin"] = json.dumps(payload.origin.metadata)
+
+        if payload.security is not None:
+            doc.security = Security(access_groups=list(payload.security.access_groups))
+
+        # every (re)index op deletes the resource's previous keys: deletions
+        # recorded at the op's own seq never touch the op's own segment
+        # (strictly-greater rule), so this is safe on first writes too and
+        # makes reindexing correct by construction.
+        doc.paragraphs_to_delete = [self.rid + "/"]
+        doc.vectors_to_delete_in_all_vectorsets = [self.rid + "/"]
+
+        return doc

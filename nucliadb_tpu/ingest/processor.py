@@ -1,0 +1,156 @@
+"""Processor: resource CRUD -> KV state + index operations.
+
+Parity with the reference's Processor
+(nucliadb/src/nucliadb/ingest/orm/processor/processor.py:138-300): persists
+the resource, builds the brain, routes the index message to the node, and
+keeps the catalog (resource listing) consistent. Sequencing: the node's seq
+counter provides the total order the reference gets from NATS.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Optional
+
+from ..common.kb import (
+    KnowledgeBoxManager,
+    RESOURCE_META,
+    RESOURCE_PAYLOAD,
+    RESOURCE_SLUG,
+)
+from ..maindb import Driver
+from ..models.api import CreateResourcePayload, UpdateResourcePayload
+from ..models.internal import ResourceStatus
+from ..services import EmbeddedNode
+from .brain import ResourceBrain
+
+
+@dataclass
+class ResourceMeta:
+    rid: str
+    shard: str
+    slug: str
+    created: float
+    modified: float
+    status: str = "PROCESSED"
+
+    def to_json(self) -> bytes:
+        return json.dumps(self.__dict__).encode()
+
+    @staticmethod
+    def from_json(raw: bytes) -> "ResourceMeta":
+        return ResourceMeta(**json.loads(raw))
+
+
+class Processor:
+    def __init__(self, driver: Driver, node: EmbeddedNode, kbs: KnowledgeBoxManager):
+        self.driver = driver
+        self.node = node
+        self.kbs = kbs
+
+    # ---- writes ------------------------------------------------------------
+
+    def create_resource(
+        self, kbid: str, payload: CreateResourcePayload, rid: str | None = None
+    ) -> tuple[str, int]:
+        rid = rid or uuid.uuid4().hex
+        shard_id = self.kbs.writable_shard(kbid)
+        now = time.time()
+        meta = ResourceMeta(
+            rid=rid, shard=shard_id, slug=payload.slug, created=now, modified=now
+        )
+        with self.driver as txn:
+            if payload.slug:
+                existing = txn.get(RESOURCE_SLUG.format(kbid=kbid, slug=payload.slug))
+                if existing is not None:
+                    raise KeyError(f"resource slug exists: {payload.slug}")
+                txn.set(RESOURCE_SLUG.format(kbid=kbid, slug=payload.slug), rid.encode())
+            txn.set(
+                RESOURCE_PAYLOAD.format(kbid=kbid, rid=rid),
+                payload.model_dump_json().encode(),
+            )
+            txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
+        doc = ResourceBrain(rid).build(payload, created=now)
+        seq = self.node.index(shard_id, doc, hidden=payload.hidden)
+        self.kbs.record_resource(kbid, shard_id, +1)
+        return rid, int(seq)
+
+    def update_resource(
+        self, kbid: str, rid: str, payload: UpdateResourcePayload
+    ) -> int:
+        meta = self.get_meta(kbid, rid)
+        if meta is None:
+            raise KeyError(f"unknown resource {rid}")
+        current = self.get_payload(kbid, rid)
+        merged = CreateResourcePayload.model_validate(
+            {**current.model_dump(), **payload.model_dump(exclude_unset=True)}
+        )
+        meta.modified = time.time()
+        with self.driver as txn:
+            txn.set(
+                RESOURCE_PAYLOAD.format(kbid=kbid, rid=rid),
+                merged.model_dump_json().encode(),
+            )
+            txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
+        doc = ResourceBrain(rid).build(merged, created=meta.created)
+        seq = self.node.index(meta.shard, doc, hidden=merged.hidden)
+        return int(seq)
+
+    def delete_resource(self, kbid: str, rid: str) -> Optional[int]:
+        meta = self.get_meta(kbid, rid)
+        if meta is None:
+            return None
+        payload = self.get_payload(kbid, rid)
+        with self.driver as txn:
+            if payload is not None and payload.slug:
+                txn.delete(RESOURCE_SLUG.format(kbid=kbid, slug=payload.slug))
+            txn.delete(RESOURCE_PAYLOAD.format(kbid=kbid, rid=rid))
+            txn.delete(RESOURCE_META.format(kbid=kbid, rid=rid))
+        seq = self.node.delete_resource(meta.shard, rid)
+        self.kbs.record_resource(kbid, meta.shard, -1)
+        return int(seq)
+
+    # ---- reads ---------------------------------------------------------------
+
+    def get_payload(self, kbid: str, rid: str) -> Optional[CreateResourcePayload]:
+        with self.driver as txn:
+            raw = txn.get(RESOURCE_PAYLOAD.format(kbid=kbid, rid=rid))
+        return CreateResourcePayload.model_validate_json(raw) if raw else None
+
+    def get_meta(self, kbid: str, rid: str) -> Optional[ResourceMeta]:
+        with self.driver as txn:
+            raw = txn.get(RESOURCE_META.format(kbid=kbid, rid=rid))
+        return ResourceMeta.from_json(raw) if raw else None
+
+    def resolve_slug(self, kbid: str, slug: str) -> Optional[str]:
+        with self.driver as txn:
+            raw = txn.get(RESOURCE_SLUG.format(kbid=kbid, slug=slug))
+        return raw.decode() if raw else None
+
+    def list_resources(self, kbid: str) -> list[str]:
+        prefix = f"/kbs/{kbid}/r/"
+        with self.driver as txn:
+            keys = list(txn.keys(prefix))
+        return sorted({k.split("/")[4] for k in keys})
+
+    def field_text(self, kbid: str, rid: str, field_id: str) -> Optional[str]:
+        """Extracted text of one field (the hydration source for /find).
+
+        Parity: search/search/paragraphs.py get_paragraph_text — the
+        reference reads extracted text from blob storage; here field text
+        lives in the resource payload in KV.
+        """
+        payload = self.get_payload(kbid, rid)
+        if payload is None:
+            return None
+        if field_id == "a/title":
+            return payload.title
+        if field_id == "a/summary":
+            return payload.summary
+        if field_id.startswith("t/"):
+            tf = payload.texts.get(field_id[2:])
+            return tf.body if tf else None
+        return None

@@ -1,0 +1,92 @@
+"""sqlite KV driver with transactions and prefix scans."""
+
+from __future__ import annotations
+
+import sqlite3
+import threading
+from typing import Iterator, Optional
+
+
+class Transaction:
+    """A read-write transaction over the KV table.
+
+    Parity surface: common/maindb/driver.py Transaction (get/set/delete/
+    batch_get/keys/count) — synchronous here; the HTTP layer runs them in a
+    thread pool.
+    """
+
+    def __init__(self, driver: "Driver"):
+        self._driver = driver
+        self._open = True
+
+    def get(self, key: str) -> Optional[bytes]:
+        row = self._driver._conn.execute(
+            "SELECT value FROM resources WHERE key=?", (key,)
+        ).fetchone()
+        return row[0] if row else None
+
+    def batch_get(self, keys: list[str]) -> list[Optional[bytes]]:
+        return [self.get(k) for k in keys]
+
+    def set(self, key: str, value: bytes) -> None:
+        self._driver._conn.execute(
+            "INSERT INTO resources(key, value) VALUES(?,?)"
+            " ON CONFLICT(key) DO UPDATE SET value=excluded.value",
+            (key, value),
+        )
+
+    def delete(self, key: str) -> None:
+        self._driver._conn.execute("DELETE FROM resources WHERE key=?", (key,))
+
+    def delete_by_prefix(self, prefix: str) -> None:
+        self._driver._conn.execute(
+            "DELETE FROM resources WHERE key GLOB ?", (prefix + "*",)
+        )
+
+    def keys(self, prefix: str, count: int = -1) -> Iterator[str]:
+        q = "SELECT key FROM resources WHERE key GLOB ? ORDER BY key"
+        if count >= 0:
+            q += f" LIMIT {int(count)}"
+        for (key,) in self._driver._conn.execute(q, (prefix + "*",)):
+            yield key
+
+    def count(self, prefix: str) -> int:
+        return self._driver._conn.execute(
+            "SELECT COUNT(*) FROM resources WHERE key GLOB ?", (prefix + "*",)
+        ).fetchone()[0]
+
+    def commit(self) -> None:
+        self._driver._conn.commit()
+        self._driver._lock.release()
+        self._open = False
+
+    def abort(self) -> None:
+        if self._open:
+            self._driver._conn.rollback()
+            self._driver._lock.release()
+            self._open = False
+
+
+class Driver:
+    def __init__(self, path: str = ":memory:"):
+        self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._conn.execute("PRAGMA journal_mode=WAL")
+        self._conn.execute(
+            "CREATE TABLE IF NOT EXISTS resources (key TEXT PRIMARY KEY, value BLOB)"
+        )
+        self._conn.commit()
+        self._lock = threading.RLock()
+
+    def transaction(self) -> Transaction:
+        self._lock.acquire()
+        return Transaction(self)
+
+    def __enter__(self) -> Transaction:
+        self._txn = self.transaction()
+        return self._txn
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self._txn.commit()
+        else:
+            self._txn.abort()

@@ -1,0 +1,290 @@
+"""User-facing API models (pydantic).
+
+Parity with the essentials of the reference's ``nucliadb_models`` package:
+knowledge box config, resource creation/update payloads, and the /find,
+/search, /suggest, /catalog, /ask request-response surfaces. One deliberate
+standalone extension: resources may carry inline ``embeddings`` per field
+(the reference receives vectors from the external Nuclia Processing service
+via BrokerMessages; an embedded deployment has no processing callback, so
+the writer accepts them directly — same data, different transport).
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import Any, Optional, Union
+
+from pydantic import BaseModel, Field
+
+
+# ---- knowledge box --------------------------------------------------------
+
+
+class VectorSetSpec(BaseModel):
+    dimension: int
+    similarity: str = "dot"  # dot | cosine
+    quantization: str = "int8"  # none | int8 | binary
+    multivector: bool = False
+
+
+class KnowledgeBoxConfig(BaseModel):
+    slug: str = ""
+    title: str = ""
+    description: str = ""
+    vectorsets: dict[str, VectorSetSpec] = Field(default_factory=dict)
+    shards: int = 1
+
+
+class KnowledgeBoxObj(BaseModel):
+    uuid: str
+    slug: str = ""
+    config: Optional[KnowledgeBoxConfig] = None
+
+
+# ---- resources ------------------------------------------------------------
+
+
+class SentenceEmbedding(BaseModel):
+    start: int
+    end: int
+    vector: list[float]
+
+
+class TextFieldPayload(BaseModel):
+    body: str
+    format: str = "PLAIN"
+
+
+class Classification(BaseModel):
+    labelset: str
+    label: str
+
+
+class UserMetadata(BaseModel):
+    classifications: list[Classification] = Field(default_factory=list)
+
+
+class RelationNodePayload(BaseModel):
+    value: str
+    type: str = "entity"
+    group: str = ""
+
+
+class RelationPayload(BaseModel):
+    relation: str = "ENTITY"
+    label: str = ""
+    from_: Optional[RelationNodePayload] = Field(default=None, alias="from")
+    to: Optional[RelationNodePayload] = None
+
+    model_config = {"populate_by_name": True}
+
+
+class ResourceSecurity(BaseModel):
+    access_groups: list[str] = Field(default_factory=list)
+
+
+class Origin(BaseModel):
+    source_id: str = ""
+    url: str = ""
+    tags: list[str] = Field(default_factory=list)
+    collaborators: list[str] = Field(default_factory=list)
+    metadata: dict[str, str] = Field(default_factory=dict)
+
+
+class CreateResourcePayload(BaseModel):
+    slug: str = ""
+    title: str = ""
+    summary: str = ""
+    icon: str = ""
+    texts: dict[str, TextFieldPayload] = Field(default_factory=dict)
+    usermetadata: UserMetadata = Field(default_factory=UserMetadata)
+    usergenerated_relations: list[RelationPayload] = Field(default_factory=list)
+    origin: Optional[Origin] = None
+    security: Optional[ResourceSecurity] = None
+    hidden: bool = False
+    # standalone extension: vectorset -> field id -> sentence embeddings
+    embeddings: dict[str, dict[str, list[SentenceEmbedding]]] = Field(
+        default_factory=dict
+    )
+
+
+class UpdateResourcePayload(CreateResourcePayload):
+    pass
+
+
+class ResourceCreated(BaseModel):
+    uuid: str
+    seqid: Optional[int] = None
+
+
+# ---- search ---------------------------------------------------------------
+
+
+class SearchFeature(str, Enum):
+    KEYWORD = "keyword"
+    SEMANTIC = "semantic"
+    RELATIONS = "relations"
+    FULLTEXT = "fulltext"
+
+
+class FilterExpression(BaseModel):
+    """JSON filter expression tree (reference: filter_expression.py).
+
+    Exactly one of the fields is set per node.
+    """
+
+    literal: Optional[str] = None  # a facet/label like /l/set/label
+    all_: Optional[list["FilterExpression"]] = Field(default=None, alias="all")
+    any_: Optional[list["FilterExpression"]] = Field(default=None, alias="any")
+    none: Optional[list["FilterExpression"]] = None
+    not_: Optional["FilterExpression"] = Field(default=None, alias="not")
+
+    model_config = {"populate_by_name": True}
+
+
+class FindRequest(BaseModel):
+    query: str = ""
+    features: list[SearchFeature] = Field(
+        default_factory=lambda: [SearchFeature.KEYWORD, SearchFeature.SEMANTIC]
+    )
+    vector: Optional[list[float]] = None
+    vectorset: str = ""
+    top_k: int = 20
+    min_score_semantic: Optional[float] = None
+    min_score_bm25: Optional[float] = None
+    filter_expression: Optional[FilterExpression] = None
+    fields: list[str] = Field(default_factory=list)  # restrict to field ids
+    security_groups: Optional[list[str]] = None
+    highlight: bool = False
+    show_hidden: bool = False
+    rank_fusion: str = "rrf"  # rrf | weighted
+    keyword_boost: float = 1.0
+    semantic_boost: float = 1.0
+
+
+class FindParagraph(BaseModel):
+    score: float
+    score_type: str  # BM25 | VECTOR | BOTH
+    order: int
+    text: str = ""
+    id: str
+    labels: list[str] = Field(default_factory=list)
+    position: dict[str, Any] = Field(default_factory=dict)
+    fuzzy_result: bool = False
+    is_a_match: bool = False
+
+
+class FindField(BaseModel):
+    paragraphs: dict[str, FindParagraph] = Field(default_factory=dict)
+
+
+class FindResource(BaseModel):
+    id: str
+    title: str = ""
+    summary: str = ""
+    fields: dict[str, FindField] = Field(default_factory=dict)
+
+
+class Relation(BaseModel):
+    relation: str
+    label: str = ""
+    from_value: str = ""
+    to_value: str = ""
+    metadata: dict[str, Any] = Field(default_factory=dict)
+
+
+class KnowledgeboxFindResults(BaseModel):
+    resources: dict[str, FindResource] = Field(default_factory=dict)
+    relations: list[Relation] = Field(default_factory=list)
+    total: int = 0
+    page_size: int = 20
+    next_page: bool = False
+    best_matches: list[str] = Field(default_factory=list)
+    min_score_semantic: float = 0.0
+    min_score_bm25: float = 0.0
+
+
+class SuggestRequest(BaseModel):
+    query: str
+    features: list[str] = Field(default_factory=lambda: ["paragraph", "entities"])
+    top_k: int = 10
+
+
+class SuggestedParagraph(BaseModel):
+    id: str
+    text: str = ""
+    score: float = 0.0
+    rid: str = ""
+    field: str = ""
+
+
+class SuggestResponse(BaseModel):
+    paragraphs: list[SuggestedParagraph] = Field(default_factory=list)
+    entities: list[str] = Field(default_factory=list)
+
+
+class CatalogRequest(BaseModel):
+    query: str = ""
+    filter_expression: Optional[FilterExpression] = None
+    faceted: list[str] = Field(default_factory=list)
+    page_number: int = 0
+    page_size: int = 20
+    order_by: str = "created"
+    order_desc: bool = True
+
+
+class CatalogResource(BaseModel):
+    id: str
+    title: str = ""
+    labels: list[str] = Field(default_factory=list)
+    created: float = 0.0
+    modified: float = 0.0
+
+
+class CatalogResponse(BaseModel):
+    resources: list[CatalogResource] = Field(default_factory=list)
+    total: int = 0
+    facets: dict[str, dict[str, int]] = Field(default_factory=dict)
+
+
+class GraphSearchPayload(BaseModel):
+    """Single-hop path query payload (reference: /graph endpoint models)."""
+
+    source_value: Optional[str] = None
+    source_type: Optional[str] = None
+    relation_label: Optional[str] = None
+    target_value: Optional[str] = None
+    target_type: Optional[str] = None
+    fuzzy: bool = False
+    undirected: bool = False
+    top_k: int = 50
+
+
+class GraphPathResult(BaseModel):
+    source: str
+    source_type: str = ""
+    relation: str = ""
+    label: str = ""
+    target: str = ""
+    target_type: str = ""
+
+
+class GraphSearchResponse(BaseModel):
+    paths: list[GraphPathResult] = Field(default_factory=list)
+
+
+class AskRequest(BaseModel):
+    query: str
+    vector: Optional[list[float]] = None
+    vectorset: str = ""
+    top_k: int = 10
+    filter_expression: Optional[FilterExpression] = None
+    security_groups: Optional[list[str]] = None
+    prompt: str = ""
+
+
+class AskResponse(BaseModel):
+    answer: str
+    status: str = "success"
+    retrieval: Optional[KnowledgeboxFindResults] = None
+    citations: dict[str, list[str]] = Field(default_factory=dict)

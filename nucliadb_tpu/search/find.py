@@ -1,0 +1,429 @@
+"""The /find pipeline and sibling search endpoints.
+
+Parity with the reference's hybrid retrieval flow
+(nucliadb/src/nucliadb/search/search/find.py:65 + retrieval.py:46 +
+find_merge.py:58-343): parse -> shard fan-out -> rank fusion (RRF k=60) ->
+cut -> hydrate text -> response tree (resources -> fields -> paragraphs),
+plus /suggest, /catalog, /graph and a retrieval-grounded /ask.
+
+The reference embeds queries through the external Predict API
+(search/predict.py); here a ``PredictEngine`` protocol fills that seam —
+standalone deployments pass query vectors explicitly or plug an encoder.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Protocol
+
+import numpy as np
+
+from ..common.kb import KnowledgeBoxManager
+from ..index.relation import GraphSearchRequest, NodePattern, RelationPattern
+from ..ingest.processor import Processor
+from ..models.api import (
+    AskRequest,
+    AskResponse,
+    CatalogRequest,
+    CatalogResource,
+    CatalogResponse,
+    FilterExpression,
+    FindParagraph,
+    FindRequest,
+    FindResource,
+    FindField,
+    GraphPathResult,
+    GraphSearchPayload,
+    GraphSearchResponse,
+    KnowledgeboxFindResults,
+    Relation,
+    SearchFeature,
+    SuggestedParagraph,
+    SuggestRequest,
+    SuggestResponse,
+)
+from ..query_language import BooleanExpression, LabelAtom, and_, not_, or_
+from ..services import EmbeddedNode
+from ..shard import ShardSearchRequest
+from .rank_fusion import TextBlock, reciprocal_rank_fusion, weighted_comb_sum
+
+
+class PredictEngine(Protocol):
+    """Seam for the external Predict API (query embedding / generation)."""
+
+    def embed(self, kbid: str, vectorset: str, text: str) -> Optional[np.ndarray]: ...
+
+    def generate(self, kbid: str, prompt: str, context: list[str]) -> str: ...
+
+
+def filter_to_expression(f: Optional[FilterExpression]) -> Optional[BooleanExpression]:
+    if f is None:
+        return None
+    if f.literal is not None:
+        return LabelAtom(f.literal)
+    if f.all_ is not None:
+        return and_(*[filter_to_expression(x) for x in f.all_])
+    if f.any_ is not None:
+        return or_(*[filter_to_expression(x) for x in f.any_])
+    if f.none is not None:
+        return not_(or_(*[filter_to_expression(x) for x in f.none]))
+    if f.not_ is not None:
+        return not_(filter_to_expression(f.not_))
+    raise ValueError("empty filter expression node")
+
+
+def parse_vector_key(key: str) -> Optional[tuple[str, str, int, int]]:
+    """'{rid}/{ftype}/{fname}/{idx}/{start}-{end}' -> (rid, field, start, end)."""
+    parts = key.split("/")
+    if len(parts) < 4:
+        return None
+    try:
+        start, end = parts[-1].split("-")
+        return parts[0], "/".join(parts[1:-2]), int(start), int(end)
+    except ValueError:
+        return None
+
+
+def parse_paragraph_id(pid: str) -> Optional[tuple[str, str, int, int]]:
+    parts = pid.split("/")
+    if len(parts) < 3:
+        return None
+    try:
+        start, end = parts[-1].split("-")
+        return parts[0], "/".join(parts[1:-1]), int(start), int(end)
+    except ValueError:
+        return None
+
+
+class SearchService:
+    def __init__(
+        self,
+        node: EmbeddedNode,
+        kbs: KnowledgeBoxManager,
+        processor: Processor,
+        predict: Optional[PredictEngine] = None,
+    ):
+        self.node = node
+        self.kbs = kbs
+        self.processor = processor
+        self.predict = predict
+
+    # ------------------------------------------------------------------
+
+    def _shard_ids(self, kbid: str) -> list[str]:
+        shards = self.kbs.get_shards(kbid)
+        if shards is None:
+            raise KeyError(f"unknown kb {kbid}")
+        return shards.shards
+
+    def _query_vector(self, kbid: str, request: FindRequest) -> Optional[np.ndarray]:
+        if request.vector is not None:
+            return np.asarray(request.vector, np.float32)
+        if self.predict is not None and request.query:
+            config = self.kbs.get_config(kbid)
+            vectorset = request.vectorset or (
+                next(iter(config.vectorsets)) if config and config.vectorsets else ""
+            )
+            return self.predict.embed(kbid, vectorset, request.query)
+        return None
+
+    # ------------------------------------------------------------------
+
+    def find(self, kbid: str, request: FindRequest) -> KnowledgeboxFindResults:
+        expr = filter_to_expression(request.filter_expression)
+        vector = (
+            self._query_vector(kbid, request)
+            if SearchFeature.SEMANTIC in request.features
+            else None
+        )
+        keyword = SearchFeature.KEYWORD in request.features and bool(request.query.strip())
+
+        # over-fetch per source so fusion has a window to work with
+        # (parity: find.py over-requests before fusion cut)
+        fetch_k = max(request.top_k * 2, 20)
+        shard_req = ShardSearchRequest(
+            body=request.query if keyword else "",
+            top_k=fetch_k,
+            paragraph=keyword,
+            vector=vector,
+            vectorset=request.vectorset,
+            min_score_semantic=request.min_score_semantic,
+            min_score_bm25=request.min_score_bm25,
+            filter=expr,
+            security_groups=request.security_groups,
+            key_filters=[f.strip("/") + "/" for f in request.fields] if request.fields else [],
+        )
+
+        keyword_blocks: list[TextBlock] = []
+        semantic_blocks: list[TextBlock] = []
+        for shard_id in self._shard_ids(kbid):
+            resp = self.node.search(shard_id, shard_req)
+            if resp.paragraph is not None:
+                for h in resp.paragraph.hits:
+                    keyword_blocks.append(
+                        TextBlock(
+                            block_id=h.paragraph_id,
+                            score=h.score,
+                            source="keyword",
+                            rid=h.rid,
+                            field=h.field,
+                            start=h.start,
+                            end=h.end,
+                            is_a_match=h.ematch,
+                            split=h.split,
+                        )
+                    )
+            for h in resp.vector:
+                parsed = parse_vector_key(h.key)
+                if parsed is None:
+                    continue
+                rid, fid, start, end = parsed
+                semantic_blocks.append(
+                    TextBlock(
+                        block_id=f"{rid}/{fid}/{start}-{end}",
+                        score=h.score,
+                        source="semantic",
+                        rid=rid,
+                        field=fid,
+                        start=start,
+                        end=end,
+                        labels=h.labels,
+                    )
+                )
+
+        keyword_blocks.sort(key=lambda b: -b.score)
+        semantic_blocks.sort(key=lambda b: -b.score)
+        lists = {"keyword": keyword_blocks, "semantic": semantic_blocks}
+        if request.rank_fusion == "weighted":
+            fused = weighted_comb_sum(
+                lists,
+                weights={
+                    "keyword": request.keyword_boost,
+                    "semantic": request.semantic_boost,
+                },
+            )
+        else:
+            fused = reciprocal_rank_fusion(
+                lists,
+                boosts={
+                    "keyword": request.keyword_boost,
+                    "semantic": request.semantic_boost,
+                },
+            )
+        cut = fused[: request.top_k]
+
+        results = KnowledgeboxFindResults(
+            total=len(fused),
+            page_size=request.top_k,
+            next_page=len(fused) > request.top_k,
+        )
+        for order, block in enumerate(cut):
+            text = self.processor.field_text(kbid, block.rid, block.field) or ""
+            snippet = text[block.start : block.end]
+            score_type = (
+                "BOTH"
+                if len(block.sources) > 1
+                else ("VECTOR" if "semantic" in block.sources else "BM25")
+            )
+            resource = results.resources.get(block.rid)
+            if resource is None:
+                payload = self.processor.get_payload(kbid, block.rid)
+                resource = FindResource(
+                    id=block.rid,
+                    title=payload.title if payload else "",
+                    summary=payload.summary if payload else "",
+                )
+                results.resources[block.rid] = resource
+            field = resource.fields.setdefault(f"/{block.field}", FindField())
+            field.paragraphs[block.block_id] = FindParagraph(
+                score=block.fused_score,
+                score_type=score_type,
+                order=order,
+                text=snippet,
+                id=block.block_id,
+                labels=block.labels,
+                position={"start": block.start, "end": block.end},
+                is_a_match=block.is_a_match,
+                fuzzy_result=block.fuzzy,
+            )
+            results.best_matches.append(block.block_id)
+
+        if SearchFeature.RELATIONS in request.features:
+            results.relations = self._query_relations(kbid, request.query)
+        return results
+
+    def _query_relations(self, kbid: str, query: str) -> list[Relation]:
+        """Entity neighbourhood for query terms (the reference detects
+        entities via Predict; here we match query tokens against graph nodes)."""
+        from ..index.text_engine.tokenizer import tokenize
+
+        tokens = tokenize(query)
+        out: list[Relation] = []
+        for shard_id in self._shard_ids(kbid):
+            searcher = self.node.searcher.shard(shard_id)
+            if searcher.relation is None:
+                continue
+            paths = searcher.relation.neighbours(tokens, top_k=20)
+            for p in paths:
+                out.append(
+                    Relation(
+                        relation=p.relation,
+                        label=p.label,
+                        from_value=p.source.value,
+                        to_value=p.target.value,
+                        metadata=p.metadata,
+                    )
+                )
+        return out
+
+    # ------------------------------------------------------------------
+
+    def suggest(self, kbid: str, request: SuggestRequest) -> SuggestResponse:
+        resp = SuggestResponse()
+        for shard_id in self._shard_ids(kbid):
+            searcher = self.node.searcher.shard(shard_id)
+            if "paragraph" in request.features and searcher.paragraph is not None:
+                for hit in searcher.paragraph.suggest(request.query, request.top_k):
+                    text = self.processor.field_text(kbid, hit.rid, hit.field) or ""
+                    resp.paragraphs.append(
+                        SuggestedParagraph(
+                            id=hit.paragraph_id,
+                            text=text[hit.start : hit.end],
+                            score=hit.score,
+                            rid=hit.rid,
+                            field=hit.field,
+                        )
+                    )
+            if "entities" in request.features and searcher.relation is not None:
+                for node in searcher.relation.suggest_nodes(request.query, request.top_k):
+                    resp.entities.append(node.value)
+        resp.paragraphs = sorted(resp.paragraphs, key=lambda p: -p.score)[: request.top_k]
+        resp.entities = sorted(set(resp.entities))[: request.top_k]
+        return resp
+
+    def catalog(self, kbid: str, request: CatalogRequest) -> CatalogResponse:
+        """Faceted resource listing (parity: /catalog, common/catalog/pg.py —
+        the reference lists from PG; here from the text index's document
+        search with facets + date ordering)."""
+        from ..index.text import DocumentSearchRequest
+
+        expr = filter_to_expression(request.filter_expression)
+        resources: dict[str, CatalogResource] = {}
+        facet_totals: dict[str, dict[str, int]] = {}
+        total = 0
+        for shard_id in self._shard_ids(kbid):
+            searcher = self.node.searcher.shard(shard_id)
+            if searcher.text is None:
+                continue
+            resp = searcher.text.search(
+                DocumentSearchRequest(
+                    query=request.query,
+                    top_k=(request.page_number + 1) * request.page_size,
+                    filter=expr,
+                    faceted=request.faceted,
+                    only_faceted=not request.query.strip(),
+                    order_by=request.order_by,
+                    order_desc=request.order_desc,
+                )
+            )
+            total += resp.total
+            for facet, counts in resp.facet_counts.items():
+                dst = facet_totals.setdefault(facet, {})
+                for label, c in counts.items():
+                    dst[label] = dst.get(label, 0) + c
+            for hit in resp.hits:
+                if hit.rid in resources:
+                    continue
+                meta = self.processor.get_meta(kbid, hit.rid)
+                payload = self.processor.get_payload(kbid, hit.rid)
+                resources[hit.rid] = CatalogResource(
+                    id=hit.rid,
+                    title=payload.title if payload else "",
+                    labels=[
+                        f"/l/{c.labelset}/{c.label}"
+                        for c in (payload.usermetadata.classifications if payload else [])
+                    ],
+                    created=meta.created if meta else 0.0,
+                    modified=meta.modified if meta else 0.0,
+                )
+        items = sorted(
+            resources.values(),
+            key=lambda r: getattr(r, request.order_by, r.created),
+            reverse=request.order_desc,
+        )
+        lo = request.page_number * request.page_size
+        return CatalogResponse(
+            resources=items[lo : lo + request.page_size],
+            total=total,
+            facets=facet_totals,
+        )
+
+    def graph(self, kbid: str, request: GraphSearchPayload) -> GraphSearchResponse:
+        greq = GraphSearchRequest(
+            source=NodePattern(
+                value=request.source_value,
+                ntype=request.source_type.upper() if request.source_type else None,
+                fuzzy=request.fuzzy,
+            ),
+            relation=RelationPattern(label=request.relation_label),
+            target=NodePattern(
+                value=request.target_value,
+                ntype=request.target_type.upper() if request.target_type else None,
+                fuzzy=request.fuzzy,
+            ),
+            undirected=request.undirected,
+            top_k=request.top_k,
+        )
+        out = GraphSearchResponse()
+        for shard_id in self._shard_ids(kbid):
+            searcher = self.node.searcher.shard(shard_id)
+            if searcher.relation is None:
+                continue
+            for p in searcher.relation.graph_search(greq):
+                out.paths.append(
+                    GraphPathResult(
+                        source=p.source.value,
+                        source_type=p.source.ntype,
+                        relation=p.relation,
+                        label=p.label,
+                        target=p.target.value,
+                        target_type=p.target.ntype,
+                    )
+                )
+        return out
+
+    def ask(self, kbid: str, request: AskRequest) -> AskResponse:
+        """Retrieval-grounded answering (parity: /ask, chat/ask.py). The
+        generative step goes through the PredictEngine seam; without one the
+        endpoint returns the retrieved context with citations (the
+        reference's predict-proxy role cannot be assumed in an embedded
+        deployment)."""
+        find_req = FindRequest(
+            query=request.query,
+            vector=request.vector,
+            vectorset=request.vectorset,
+            top_k=request.top_k,
+            filter_expression=request.filter_expression,
+            security_groups=request.security_groups,
+        )
+        retrieval = self.find(kbid, find_req)
+        context: list[str] = []
+        citations: dict[str, list[str]] = {}
+        for rid, resource in retrieval.resources.items():
+            for fid, field in resource.fields.items():
+                for pid, para in field.paragraphs.items():
+                    context.append(para.text)
+                    citations.setdefault(rid, []).append(pid)
+        if not context:
+            return AskResponse(answer="", status="no_context", retrieval=retrieval)
+        if self.predict is not None:
+            answer = self.predict.generate(kbid, request.prompt or request.query, context)
+            return AskResponse(
+                answer=answer, retrieval=retrieval, citations=citations
+            )
+        answer = "\n\n".join(context[:3])
+        return AskResponse(
+            answer=answer,
+            status="no_generative_model",
+            retrieval=retrieval,
+            citations=citations,
+        )

@@ -1,0 +1,233 @@
+import numpy as np
+import pytest
+
+from nucliadb_tpu.common.kb import KnowledgeBoxManager
+from nucliadb_tpu.ingest.brain import ResourceBrain, split_paragraphs
+from nucliadb_tpu.ingest.processor import Processor
+from nucliadb_tpu.maindb import Driver
+from nucliadb_tpu.models.api import (
+    AskRequest,
+    CatalogRequest,
+    Classification,
+    CreateResourcePayload,
+    FilterExpression,
+    FindRequest,
+    GraphSearchPayload,
+    KnowledgeBoxConfig,
+    RelationNodePayload,
+    RelationPayload,
+    SearchFeature,
+    SentenceEmbedding,
+    SuggestRequest,
+    TextFieldPayload,
+    UserMetadata,
+    VectorSetSpec,
+)
+from nucliadb_tpu.search import SearchService
+from nucliadb_tpu.services import EmbeddedNode
+from nucliadb_tpu.storage import MemoryStorage
+
+DIM = 16
+
+
+def embed(text):
+    r = np.random.default_rng(abs(hash(text)) % (2**31))
+    v = r.standard_normal(DIM).astype(np.float32)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+def payload(title, body, labels=(), entities=(), slug=""):
+    p = CreateResourcePayload(
+        slug=slug,
+        title=title,
+        texts={"text1": TextFieldPayload(body=body)},
+        usermetadata=UserMetadata(
+            classifications=[Classification(labelset=ls, label=l) for ls, l in labels]
+        ),
+        embeddings={
+            "model1": {
+                "text1": [SentenceEmbedding(start=0, end=len(body), vector=embed(body))]
+            }
+        },
+    )
+    p.usergenerated_relations = [
+        RelationPayload(
+            relation="ENTITY",
+            label=lbl,
+            **{"from": RelationNodePayload(value=a, group="person")},
+            to=RelationNodePayload(value=b, group="place"),
+        )
+        for a, lbl, b in entities
+    ]
+    return p
+
+
+@pytest.fixture
+def stack(tmp_path):
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"), storage=MemoryStorage())
+    driver = Driver(str(tmp_path / "kv.db"))
+    kbs = KnowledgeBoxManager(driver, node)
+    processor = Processor(driver, node, kbs)
+    search = SearchService(node, kbs, processor)
+    kbid = kbs.create(
+        KnowledgeBoxConfig(
+            slug="testkb", vectorsets={"model1": VectorSetSpec(dimension=DIM)}
+        )
+    )
+    rids = {}
+    rids["fox"], _ = processor.create_resource(
+        kbid,
+        payload(
+            "Fox doc",
+            "the quick brown fox jumps over the lazy dog",
+            labels=[("topic", "animals")],
+            entities=[("fox", "jumps over", "meadow")],
+            slug="fox-doc",
+        ),
+    )
+    rids["fin"], _ = processor.create_resource(
+        kbid,
+        payload(
+            "Finance doc",
+            "stock markets rallied on quick tech gains",
+            labels=[("topic", "finance")],
+        ),
+    )
+    node.wait_for_sync()
+    return node, kbs, processor, search, kbid, rids
+
+
+def test_split_paragraphs():
+    assert split_paragraphs("a b c") == [(0, 5)]
+    spans = split_paragraphs("first para\n\nsecond para")
+    assert len(spans) == 2
+    assert spans[0] == (0, 10)
+
+
+def test_brain_builder_labels():
+    p = payload("T", "body", labels=[("topic", "x")])
+    doc = ResourceBrain("r1").build(p)
+    assert "/l/topic/x" in doc.labels
+    assert "/n/s/PROCESSED" in doc.labels
+    assert "a/title" in doc.texts and "t/text1" in doc.texts
+    assert doc.vectors_to_delete_in_all_vectorsets == ["r1/"]
+
+
+def test_find_hybrid(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    req = FindRequest(
+        query="quick fox",
+        vector=embed("the quick brown fox jumps over the lazy dog"),
+        top_k=5,
+    )
+    results = search.find(kbid, req)
+    assert rids["fox"] in results.resources
+    fox = results.resources[rids["fox"]]
+    assert fox.title == "Fox doc"
+    paras = [p for f in fox.fields.values() for p in f.paragraphs.values()]
+    assert any("quick brown fox" in p.text for p in paras)
+    # hybrid: the fox paragraph matched both sources
+    top = min(paras, key=lambda p: p.order)
+    assert top.score_type in ("BOTH", "BM25", "VECTOR")
+    assert results.best_matches
+
+
+def test_find_filter(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    req = FindRequest(
+        query="quick",
+        features=[SearchFeature.KEYWORD],
+        filter_expression=FilterExpression(literal="/l/topic/finance"),
+        top_k=5,
+    )
+    results = search.find(kbid, req)
+    assert set(results.resources) == {rids["fin"]}
+
+
+def test_find_relations_feature(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    req = FindRequest(
+        query="fox news",
+        features=[SearchFeature.KEYWORD, SearchFeature.RELATIONS],
+        top_k=5,
+    )
+    results = search.find(kbid, req)
+    assert any(r.from_value == "fox" for r in results.relations)
+
+
+def test_resource_update_and_find(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    from nucliadb_tpu.models.api import UpdateResourcePayload
+
+    p = payload("Wolf doc", "a silent grey wolf watches")
+    processor.update_resource(kbid, rids["fox"], UpdateResourcePayload(**p.model_dump()))
+    node.wait_for_sync()
+    res = search.find(kbid, FindRequest(query="fox", features=[SearchFeature.KEYWORD]))
+    assert rids["fox"] not in res.resources
+    res2 = search.find(kbid, FindRequest(query="wolf", features=[SearchFeature.KEYWORD]))
+    assert rids["fox"] in res2.resources
+
+
+def test_resource_delete(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    processor.delete_resource(kbid, rids["fin"])
+    node.wait_for_sync()
+    res = search.find(kbid, FindRequest(query="markets", features=[SearchFeature.KEYWORD]))
+    assert res.resources == {}
+    assert processor.get_payload(kbid, rids["fin"]) is None
+
+
+def test_suggest(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    resp = search.suggest(kbid, SuggestRequest(query="qui"))
+    assert resp.paragraphs
+    resp2 = search.suggest(kbid, SuggestRequest(query="fo", features=["entities"]))
+    assert "fox" in resp2.entities
+
+
+def test_catalog(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    resp = search.catalog(kbid, CatalogRequest(faceted=["/l/topic"]))
+    assert len(resp.resources) == 2
+    assert resp.facets["/l/topic"]["/l/topic/animals"] >= 1
+    resp2 = search.catalog(
+        kbid,
+        CatalogRequest(filter_expression=FilterExpression(literal="/l/topic/finance")),
+    )
+    assert [r.id for r in resp2.resources] == [rids["fin"]]
+
+
+def test_graph_endpoint(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    resp = search.graph(kbid, GraphSearchPayload(source_value="fox"))
+    assert len(resp.paths) == 1 and resp.paths[0].target == "meadow"
+
+
+def test_ask_without_generative(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    resp = search.ask(
+        kbid,
+        AskRequest(query="quick fox", vector=embed("the quick brown fox jumps over the lazy dog")),
+    )
+    assert resp.status == "no_generative_model"
+    assert "fox" in resp.answer
+    assert rids["fox"] in resp.citations
+
+
+def test_kb_lifecycle(tmp_path):
+    node = EmbeddedNode(data_dir=str(tmp_path / "n"), storage=MemoryStorage())
+    driver = Driver(str(tmp_path / "kv2.db"))
+    kbs = KnowledgeBoxManager(driver, node)
+    kbid = kbs.create(KnowledgeBoxConfig(slug="kb-a"))
+    assert kbs.resolve_slug("kb-a") == kbid
+    assert kbid in kbs.list_kbs()
+    with pytest.raises(KeyError):
+        kbs.create(KnowledgeBoxConfig(slug="kb-a"))
+    kbs.delete(kbid)
+    assert kbs.resolve_slug("kb-a") is None
+    assert kbid not in kbs.list_kbs()
+
+
+def test_slug_resolution(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    assert processor.resolve_slug(kbid, "fox-doc") == rids["fox"]
