@@ -1,0 +1,207 @@
+"""Tiny asyncio HTTP/1.1 server with a path-template router."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import re
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Awaitable, Callable, Optional
+from urllib.parse import parse_qs, unquote, urlparse
+
+MAX_BODY = 256 * 1024 * 1024
+
+
+class HTTPError(Exception):
+    def __init__(self, status: int, detail: str):
+        self.status = status
+        self.detail = detail
+        super().__init__(detail)
+
+
+@dataclass
+class Request:
+    method: str
+    path: str
+    params: dict[str, str]  # path template params
+    query: dict[str, str]
+    headers: dict[str, str]
+    body: bytes = b""
+
+    def json(self) -> Any:
+        if not self.body:
+            return {}
+        try:
+            return json.loads(self.body)
+        except ValueError as e:
+            raise HTTPError(422, f"invalid JSON body: {e}")
+
+
+Handler = Callable[[Request], Any]
+
+_PARAM_RE = re.compile(r"\{(\w+)\}")
+
+
+def _compile(pattern: str) -> re.Pattern:
+    regex = _PARAM_RE.sub(lambda m: f"(?P<{m.group(1)}>[^/]+)", pattern)
+    return re.compile("^" + regex + "$")
+
+
+_STATUS_TEXT = {
+    200: "OK", 201: "Created", 204: "No Content", 404: "Not Found",
+    409: "Conflict", 412: "Precondition Failed", 422: "Unprocessable Entity",
+    429: "Too Many Requests", 500: "Internal Server Error",
+}
+
+
+class Router:
+    def __init__(self) -> None:
+        self.routes: list[tuple[str, re.Pattern, Handler]] = []
+
+    def add(self, method: str, pattern: str, handler: Handler) -> None:
+        self.routes.append((method.upper(), _compile(pattern), handler))
+
+    def get(self, pattern: str):
+        return lambda fn: (self.add("GET", pattern, fn), fn)[1]
+
+    def post(self, pattern: str):
+        return lambda fn: (self.add("POST", pattern, fn), fn)[1]
+
+    def patch(self, pattern: str):
+        return lambda fn: (self.add("PATCH", pattern, fn), fn)[1]
+
+    def delete(self, pattern: str):
+        return lambda fn: (self.add("DELETE", pattern, fn), fn)[1]
+
+    def resolve(self, method: str, path: str) -> Optional[tuple[Handler, dict[str, str]]]:
+        for m, regex, handler in self.routes:
+            if m != method:
+                continue
+            match = regex.match(path)
+            if match:
+                return handler, {k: unquote(v) for k, v in match.groupdict().items()}
+        return None
+
+
+class HTTPServer:
+    def __init__(self, router: Router, host: str = "127.0.0.1", port: int = 8080):
+        self.router = router
+        self.host = host
+        self.port = port
+        self._server: Optional[asyncio.AbstractServer] = None
+        # service layer is synchronous; one worker keeps device access serial
+        self._pool = ThreadPoolExecutor(max_workers=4)
+
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(self._handle, self.host, self.port)
+        addr = self._server.sockets[0].getsockname()
+        self.port = addr[1]
+
+    async def stop(self) -> None:
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+        self._pool.shutdown(wait=False)
+
+    async def serve_forever(self) -> None:
+        await self.start()
+        assert self._server is not None
+        async with self._server:
+            await self._server.serve_forever()
+
+    # ------------------------------------------------------------------
+
+    async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        try:
+            while True:
+                try:
+                    request = await self._read_request(reader)
+                except (asyncio.IncompleteReadError, ConnectionError):
+                    break
+                if request is None:
+                    break
+                status, payload = await self._dispatch(request)
+                keep_alive = request.headers.get("connection", "keep-alive") != "close"
+                await self._write_response(writer, status, payload, keep_alive)
+                if not keep_alive:
+                    break
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def _read_request(self, reader: asyncio.StreamReader) -> Optional[Request]:
+        line = await reader.readline()
+        if not line:
+            return None
+        try:
+            method, target, _ = line.decode("latin1").strip().split(" ", 2)
+        except ValueError:
+            raise HTTPError(400, "malformed request line")
+        headers: dict[str, str] = {}
+        while True:
+            hline = await reader.readline()
+            if hline in (b"\r\n", b"\n", b""):
+                break
+            name, _, value = hline.decode("latin1").partition(":")
+            headers[name.strip().lower()] = value.strip()
+        length = int(headers.get("content-length", 0))
+        if length > MAX_BODY:
+            raise HTTPError(413, "body too large")
+        body = await reader.readexactly(length) if length else b""
+        parsed = urlparse(target)
+        query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+        return Request(
+            method=method.upper(),
+            path=parsed.path,
+            params={},
+            query=query,
+            headers=headers,
+            body=body,
+        )
+
+    async def _dispatch(self, request: Request) -> tuple[int, bytes]:
+        resolved = self.router.resolve(request.method, request.path)
+        if resolved is None:
+            return 404, json.dumps({"detail": "not found"}).encode()
+        handler, params = resolved
+        request.params = params
+        loop = asyncio.get_running_loop()
+        try:
+            result = await loop.run_in_executor(self._pool, handler, request)
+            status = 200
+            if isinstance(result, tuple):
+                status, result = result
+            if result is None:
+                return status, b""
+            if hasattr(result, "model_dump_json"):
+                return status, result.model_dump_json().encode()
+            if isinstance(result, (bytes, bytearray)):
+                return status, bytes(result)
+            return status, json.dumps(result).encode()
+        except HTTPError as e:
+            return e.status, json.dumps({"detail": e.detail}).encode()
+        except KeyError as e:
+            return 404, json.dumps({"detail": str(e)}).encode()
+        except Exception:
+            return 500, json.dumps(
+                {"detail": "internal error", "traceback": traceback.format_exc()}
+            ).encode()
+
+    async def _write_response(
+        self, writer: asyncio.StreamWriter, status: int, payload: bytes, keep_alive: bool
+    ) -> None:
+        text = _STATUS_TEXT.get(status, "Unknown")
+        head = (
+            f"HTTP/1.1 {status} {text}\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            f"Connection: {'keep-alive' if keep_alive else 'close'}\r\n"
+            "\r\n"
+        ).encode("latin1")
+        writer.write(head + payload)
+        await writer.drain()

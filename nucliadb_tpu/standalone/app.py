@@ -1,0 +1,277 @@
+"""Standalone application: routes (v1 REST parity) + component wiring.
+
+Route surface mirrors the reference's v1 API (writer/api/v1, reader/api/v1,
+search/api/v1): KB lifecycle, resource CRUD (+slug addressing), vectorsets,
+find/search/suggest/catalog/graph/ask, health probes and Prometheus
+metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Optional
+
+from pydantic import ValidationError
+
+from ..common.kb import KnowledgeBoxManager
+from ..http import HTTPError, HTTPServer, Request, Router
+from ..ingest.processor import Processor
+from ..maindb import Driver
+from ..models.api import (
+    AskRequest,
+    CatalogRequest,
+    CreateResourcePayload,
+    FindRequest,
+    GraphSearchPayload,
+    KnowledgeBoxConfig,
+    KnowledgeBoxObj,
+    ResourceCreated,
+    SuggestRequest,
+    UpdateResourcePayload,
+    VectorSetSpec,
+)
+from ..search import SearchService
+from ..services import EmbeddedNode
+from ..version import __version__
+
+
+def _validate(model, data):
+    try:
+        return model.model_validate(data)
+    except ValidationError as e:
+        raise HTTPError(422, str(e))
+
+
+class StandaloneApp:
+    def __init__(self, data_dir: str = "./data", host: str = "127.0.0.1", port: int = 8080):
+        os.makedirs(data_dir, exist_ok=True)
+        self.node = EmbeddedNode(data_dir=os.path.join(data_dir, "node"))
+        self.driver = Driver(os.path.join(data_dir, "maindb.db"))
+        self.kbs = KnowledgeBoxManager(self.driver, self.node)
+        self.processor = Processor(self.driver, self.node, self.kbs)
+        self.search = SearchService(self.node, self.kbs, self.processor)
+        self.router = Router()
+        self.server = HTTPServer(self.router, host, port)
+        self._register_routes()
+        self._last_sync = 0.0
+        self._sync_lock = threading.Lock()
+        self._bg_stop = threading.Event()
+        self._bg_thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------------
+
+    def _sync(self, force: bool = False) -> None:
+        """Debounced searcher sync: searches see state at most ~200ms old
+        (the reference searcher syncs on a timer; sync.rs cadence)."""
+        with self._sync_lock:
+            if force or time.time() - self._last_sync > 0.2:
+                self.node.wait_for_sync()
+                self._last_sync = time.time()
+
+    def _background_loop(self, interval: float = 15.0) -> None:
+        while not self._bg_stop.wait(interval):
+            try:
+                self.node.tick_background()
+                self._sync(force=True)
+            except Exception:
+                pass
+
+    def start_background(self, interval: float = 15.0) -> None:
+        self._bg_thread = threading.Thread(
+            target=self._background_loop, args=(interval,), daemon=True
+        )
+        self._bg_thread.start()
+
+    def stop_background(self) -> None:
+        self._bg_stop.set()
+
+    def _kbid(self, request: Request) -> str:
+        kbid = request.params["kbid"]
+        if self.kbs.get_config(kbid) is None:
+            raise HTTPError(404, f"unknown knowledge box {kbid}")
+        return kbid
+
+    # ------------------------------------------------------------------
+
+    def _register_routes(self) -> None:
+        r = self.router
+
+        @r.get("/")
+        def root(request: Request):
+            return {"title": "nucliadb_tpu", "version": __version__}
+
+        @r.get("/health/alive")
+        def alive(request: Request):
+            return {"status": "ok"}
+
+        @r.get("/health/ready")
+        def ready(request: Request):
+            return {"status": "ok"}
+
+        @r.get("/metrics")
+        def metrics(request: Request):
+            from ..telemetry.metrics import render_prometheus
+
+            return 200, render_prometheus()
+
+        # ---- knowledge boxes (writer/api/v1/knowledgebox.py parity) ----
+
+        @r.post("/api/v1/kbs")
+        def create_kb(request: Request):
+            config = _validate(KnowledgeBoxConfig, request.json())
+            try:
+                kbid = self.kbs.create(config)
+            except KeyError as e:
+                raise HTTPError(409, str(e))
+            return 201, KnowledgeBoxObj(uuid=kbid, slug=config.slug, config=config)
+
+        @r.get("/api/v1/kbs")
+        def list_kbs(request: Request):
+            return {"kbs": self.kbs.list_kbs()}
+
+        @r.get("/api/v1/kb/s/{slug}")
+        def kb_by_slug(request: Request):
+            kbid = self.kbs.resolve_slug(request.params["slug"])
+            if kbid is None:
+                raise HTTPError(404, "unknown kb slug")
+            config = self.kbs.get_config(kbid)
+            return KnowledgeBoxObj(uuid=kbid, slug=config.slug if config else "", config=config)
+
+        @r.get("/api/v1/kb/{kbid}")
+        def get_kb(request: Request):
+            kbid = self._kbid(request)
+            config = self.kbs.get_config(kbid)
+            return KnowledgeBoxObj(uuid=kbid, slug=config.slug if config else "", config=config)
+
+        @r.delete("/api/v1/kb/{kbid}")
+        def delete_kb(request: Request):
+            kbid = self._kbid(request)
+            self.kbs.delete(kbid)
+            return 204, None
+
+        @r.post("/api/v1/kb/{kbid}/vectorsets/{name}")
+        def add_vectorset(request: Request):
+            kbid = self._kbid(request)
+            spec = _validate(VectorSetSpec, request.json())
+            self.kbs.add_vectorset(kbid, request.params["name"], spec)
+            return 201, {"name": request.params["name"]}
+
+        # ---- resources (writer/api/v1/resource.py parity) --------------
+
+        @r.post("/api/v1/kb/{kbid}/resources")
+        def create_resource(request: Request):
+            kbid = self._kbid(request)
+            payload = _validate(CreateResourcePayload, request.json())
+            try:
+                rid, seq = self.processor.create_resource(kbid, payload)
+            except KeyError as e:
+                raise HTTPError(409, str(e))
+            return 201, ResourceCreated(uuid=rid, seqid=seq)
+
+        @r.get("/api/v1/kb/{kbid}/resource/{rid}")
+        def get_resource(request: Request):
+            kbid = self._kbid(request)
+            rid = request.params["rid"]
+            payload = self.processor.get_payload(kbid, rid)
+            if payload is None:
+                raise HTTPError(404, f"unknown resource {rid}")
+            meta = self.processor.get_meta(kbid, rid)
+            out = payload.model_dump()
+            out["id"] = rid
+            if meta:
+                out["created"] = meta.created
+                out["modified"] = meta.modified
+            if request.query.get("show") != "values":
+                out.pop("embeddings", None)
+            return out
+
+        @r.get("/api/v1/kb/{kbid}/slug/{slug}")
+        def get_resource_by_slug(request: Request):
+            kbid = self._kbid(request)
+            rid = self.processor.resolve_slug(kbid, request.params["slug"])
+            if rid is None:
+                raise HTTPError(404, "unknown resource slug")
+            request.params["rid"] = rid
+            return get_resource(request)
+
+        @r.patch("/api/v1/kb/{kbid}/resource/{rid}")
+        def update_resource(request: Request):
+            kbid = self._kbid(request)
+            payload = _validate(UpdateResourcePayload, request.json())
+            seq = self.processor.update_resource(kbid, request.params["rid"], payload)
+            return {"seqid": seq}
+
+        @r.delete("/api/v1/kb/{kbid}/resource/{rid}")
+        def delete_resource(request: Request):
+            kbid = self._kbid(request)
+            seq = self.processor.delete_resource(kbid, request.params["rid"])
+            if seq is None:
+                raise HTTPError(404, "unknown resource")
+            return 204, None
+
+        @r.get("/api/v1/kb/{kbid}/resources")
+        def list_resources(request: Request):
+            kbid = self._kbid(request)
+            return {"resources": self.processor.list_resources(kbid)}
+
+        # ---- search (search/api/v1 parity) -------------------------------
+
+        @r.post("/api/v1/kb/{kbid}/find")
+        def find(request: Request):
+            kbid = self._kbid(request)
+            req = _validate(FindRequest, request.json())
+            self._sync()
+            return self.search.find(kbid, req)
+
+        @r.get("/api/v1/kb/{kbid}/find")
+        def find_get(request: Request):
+            kbid = self._kbid(request)
+            req = FindRequest(
+                query=request.query.get("query", ""),
+                top_k=int(request.query.get("top_k", 20)),
+            )
+            self._sync()
+            return self.search.find(kbid, req)
+
+        @r.post("/api/v1/kb/{kbid}/search")
+        def search_post(request: Request):
+            # legacy /search maps onto the same retrieval pipeline
+            return find(request)
+
+        @r.post("/api/v1/kb/{kbid}/suggest")
+        def suggest(request: Request):
+            kbid = self._kbid(request)
+            req = _validate(SuggestRequest, request.json())
+            self._sync()
+            return self.search.suggest(kbid, req)
+
+        @r.get("/api/v1/kb/{kbid}/suggest")
+        def suggest_get(request: Request):
+            kbid = self._kbid(request)
+            req = SuggestRequest(query=request.query.get("query", ""))
+            self._sync()
+            return self.search.suggest(kbid, req)
+
+        @r.post("/api/v1/kb/{kbid}/catalog")
+        def catalog(request: Request):
+            kbid = self._kbid(request)
+            req = _validate(CatalogRequest, request.json())
+            self._sync()
+            return self.search.catalog(kbid, req)
+
+        @r.post("/api/v1/kb/{kbid}/graph")
+        def graph(request: Request):
+            kbid = self._kbid(request)
+            req = _validate(GraphSearchPayload, request.json())
+            self._sync()
+            return self.search.graph(kbid, req)
+
+        @r.post("/api/v1/kb/{kbid}/ask")
+        def ask(request: Request):
+            kbid = self._kbid(request)
+            req = _validate(AskRequest, request.json())
+            self._sync()
+            return self.search.ask(kbid, req)

@@ -1,0 +1,151 @@
+import asyncio
+import threading
+
+import httpx
+import numpy as np
+import pytest
+
+from nucliadb_tpu.standalone import StandaloneApp
+
+DIM = 16
+
+
+def embed(text):
+    r = np.random.default_rng(abs(hash(text)) % (2**31))
+    v = r.standard_normal(DIM).astype(np.float32)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    app = StandaloneApp(
+        data_dir=str(tmp_path_factory.mktemp("standalone")), host="127.0.0.1", port=0
+    )
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(app.server.start())
+        started.set()
+        loop.run_forever()
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    started.wait(10)
+    base = f"http://127.0.0.1:{app.server.port}"
+    client = httpx.Client(base_url=base, timeout=60)
+    yield client, app
+    client.close()
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_http_full_flow(server):
+    client, app = server
+    # root + health
+    assert client.get("/").json()["title"] == "nucliadb_tpu"
+    assert client.get("/health/ready").json() == {"status": "ok"}
+
+    # create kb
+    resp = client.post(
+        "/api/v1/kbs",
+        json={
+            "slug": "httpkb",
+            "vectorsets": {"model1": {"dimension": DIM}},
+        },
+    )
+    assert resp.status_code == 201, resp.text
+    kbid = resp.json()["uuid"]
+    assert client.get("/api/v1/kb/s/httpkb").json()["uuid"] == kbid
+    assert kbid in client.get("/api/v1/kbs").json()["kbs"]
+
+    # create resources
+    body = "the quick brown fox jumps over the lazy dog"
+    resp = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "slug": "fox",
+            "title": "Fox doc",
+            "texts": {"text1": {"body": body}},
+            "usermetadata": {
+                "classifications": [{"labelset": "topic", "label": "animals"}]
+            },
+            "usergenerated_relations": [
+                {
+                    "relation": "ENTITY",
+                    "label": "jumps over",
+                    "from": {"value": "fox", "group": "animal"},
+                    "to": {"value": "dog", "group": "animal"},
+                }
+            ],
+            "embeddings": {
+                "model1": {"text1": [{"start": 0, "end": len(body), "vector": embed(body)}]}
+            },
+        },
+    )
+    assert resp.status_code == 201, resp.text
+    rid = resp.json()["uuid"]
+
+    body2 = "markets rallied on tech gains"
+    resp = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "Finance", "texts": {"text1": {"body": body2}}},
+    )
+    assert resp.status_code == 201
+
+    # read back
+    got = client.get(f"/api/v1/kb/{kbid}/resource/{rid}").json()
+    assert got["title"] == "Fox doc"
+    assert "embeddings" not in got
+    assert client.get(f"/api/v1/kb/{kbid}/slug/fox").json()["id"] == rid
+
+    # find (hybrid)
+    resp = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "quick fox", "vector": embed(body), "top_k": 5},
+    )
+    assert resp.status_code == 200, resp.text
+    results = resp.json()
+    assert rid in results["resources"]
+    paras = [
+        p
+        for f in results["resources"][rid]["fields"].values()
+        for p in f["paragraphs"].values()
+    ]
+    assert any("quick brown fox" in p["text"] for p in paras)
+
+    # suggest + catalog + graph + ask
+    sugg = client.get(f"/api/v1/kb/{kbid}/suggest", params={"query": "qui"}).json()
+    assert sugg["paragraphs"]
+    cat = client.post(f"/api/v1/kb/{kbid}/catalog", json={"faceted": ["/l/topic"]}).json()
+    assert cat["total"] >= 1
+    graph = client.post(
+        f"/api/v1/kb/{kbid}/graph", json={"source_value": "fox"}
+    ).json()
+    assert graph["paths"][0]["target"] == "dog"
+    ask = client.post(
+        f"/api/v1/kb/{kbid}/ask", json={"query": "quick fox", "vector": embed(body)}
+    ).json()
+    assert ask["status"] in ("success", "no_generative_model")
+    assert "fox" in ask["answer"]
+
+    # update + delete resource
+    resp = client.patch(
+        f"/api/v1/kb/{kbid}/resource/{rid}", json={"title": "Fox doc 2"}
+    )
+    assert resp.status_code == 200
+    assert client.get(f"/api/v1/kb/{kbid}/resource/{rid}").json()["title"] == "Fox doc 2"
+    assert client.delete(f"/api/v1/kb/{kbid}/resource/{rid}").status_code == 204
+    assert client.get(f"/api/v1/kb/{kbid}/resource/{rid}").status_code == 404
+
+    # metrics endpoint
+    assert b"ndbtpu" in client.get("/metrics").content or client.get("/metrics").status_code == 200
+
+    # validation errors
+    assert client.post(f"/api/v1/kb/{kbid}/find", content=b"{bad json").status_code == 422
+    assert client.post("/api/v1/kbs", json={"slug": "httpkb"}).status_code == 409
+    assert client.get("/api/v1/kb/nope").status_code == 404
+
+    # delete kb
+    assert client.delete(f"/api/v1/kb/{kbid}").status_code == 204
+    assert client.get(f"/api/v1/kb/{kbid}").status_code == 404
