@@ -1,0 +1,193 @@
+"""sqlite-backed ordered streams with durable consumers."""
+
+from __future__ import annotations
+
+import sqlite3
+import threading
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+MAX_DELIVERIES = 5  # parity: nidx/src/indexer.rs:170-174
+DEFAULT_ACK_WAIT = 60.0
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS messages (
+    stream TEXT NOT NULL,
+    seq INTEGER NOT NULL,
+    subject TEXT NOT NULL,
+    payload BLOB NOT NULL,
+    created_at REAL NOT NULL,
+    PRIMARY KEY (stream, seq)
+);
+CREATE TABLE IF NOT EXISTS stream_counters (
+    stream TEXT PRIMARY KEY,
+    last_seq INTEGER NOT NULL
+);
+CREATE TABLE IF NOT EXISTS consumers (
+    stream TEXT NOT NULL,
+    name TEXT NOT NULL,
+    seq INTEGER NOT NULL,
+    deliveries INTEGER NOT NULL DEFAULT 0,
+    leased_until REAL,
+    acked INTEGER NOT NULL DEFAULT 0,
+    PRIMARY KEY (stream, name, seq)
+);
+"""
+
+
+@dataclass
+class BusMessage:
+    stream: str
+    seq: int
+    subject: str
+    payload: bytes
+    deliveries: int
+
+
+class EmbeddedBus:
+    def __init__(self, path: str = ":memory:", ack_wait: float = DEFAULT_ACK_WAIT):
+        self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._conn.execute("PRAGMA journal_mode=WAL")
+        self._lock = threading.RLock()
+        self.ack_wait = ack_wait
+        with self._lock, self._conn:
+            self._conn.executescript(_SCHEMA)
+        self._watchers: dict[str, list[Callable[[BusMessage], None]]] = {}
+
+    # ---- publish ---------------------------------------------------------
+
+    def publish(self, stream: str, subject: str, payload: bytes) -> int:
+        with self._lock, self._conn:
+            self._conn.execute(
+                "INSERT INTO stream_counters(stream, last_seq) VALUES(?, 1)"
+                " ON CONFLICT(stream) DO UPDATE SET last_seq = last_seq + 1",
+                (stream,),
+            )
+            seq = self._conn.execute(
+                "SELECT last_seq FROM stream_counters WHERE stream=?", (stream,)
+            ).fetchone()[0]
+            self._conn.execute(
+                "INSERT INTO messages(stream, seq, subject, payload, created_at)"
+                " VALUES(?,?,?,?,?)",
+                (stream, seq, subject, payload, time.time()),
+            )
+        for cb in self._watchers.get(stream, []):
+            cb(BusMessage(stream, seq, subject, payload, 0))
+        return seq
+
+    def watch(self, stream: str, callback: Callable[[BusMessage], None]) -> None:
+        """Push notification on publish (parity: NATS pubsub notify.{kbid})."""
+        self._watchers.setdefault(stream, []).append(callback)
+
+    # ---- consume ---------------------------------------------------------
+
+    def _consumer_floor(self, stream: str, consumer: str) -> int:
+        row = self._conn.execute(
+            "SELECT MAX(seq) FROM consumers WHERE stream=? AND name=? AND acked=1",
+            (stream, consumer),
+        ).fetchone()
+        return row[0] or 0
+
+    def next(
+        self, stream: str, consumer: str, *, subject_prefix: str = ""
+    ) -> Optional[BusMessage]:
+        """Lease the next deliverable message (ordered; at-least-once)."""
+        now = time.time()
+        with self._lock, self._conn:
+            # next message: redelivery-eligible lease, or the first never-seen
+            row = self._conn.execute(
+                "SELECT m.seq, m.subject, m.payload,"
+                " COALESCE(c.deliveries, 0), c.leased_until, COALESCE(c.acked, 0)"
+                " FROM messages m LEFT JOIN consumers c"
+                "   ON c.stream = m.stream AND c.seq = m.seq AND c.name = ?"
+                " WHERE m.stream = ? AND m.subject GLOB ?"
+                "   AND COALESCE(c.acked, 0) = 0"
+                "   AND (c.leased_until IS NULL OR c.leased_until < ?)"
+                " ORDER BY m.seq LIMIT 1",
+                (consumer, stream, subject_prefix + "*", now),
+            ).fetchone()
+            if row is None:
+                return None
+            seq, subject, payload, deliveries, _, _ = row
+            if deliveries >= MAX_DELIVERIES:
+                # poison message: skip + ack (parity: indexer.rs redelivery cap)
+                self._conn.execute(
+                    "INSERT INTO consumers(stream, name, seq, deliveries, acked)"
+                    " VALUES(?,?,?,?,1) ON CONFLICT(stream, name, seq)"
+                    " DO UPDATE SET acked=1",
+                    (stream, consumer, seq, deliveries),
+                )
+                return self._next_unlocked_retry(stream, consumer, subject_prefix)
+            self._conn.execute(
+                "INSERT INTO consumers(stream, name, seq, deliveries, leased_until)"
+                " VALUES(?,?,?,?,?) ON CONFLICT(stream, name, seq)"
+                " DO UPDATE SET deliveries = deliveries + 1, leased_until = excluded.leased_until",
+                (stream, consumer, seq, deliveries + 1, now + self.ack_wait),
+            )
+            return BusMessage(stream, seq, subject, payload, deliveries + 1)
+
+    def _next_unlocked_retry(self, stream, consumer, subject_prefix):
+        # re-enter after skipping a poison message (lock is already held)
+        return self.next(stream, consumer, subject_prefix=subject_prefix)
+
+    def ack(self, stream: str, consumer: str, seq: int) -> None:
+        with self._lock, self._conn:
+            self._conn.execute(
+                "INSERT INTO consumers(stream, name, seq, deliveries, acked)"
+                " VALUES(?,?,?,1,1) ON CONFLICT(stream, name, seq)"
+                " DO UPDATE SET acked=1, leased_until=NULL",
+                (stream, consumer, seq),
+            )
+
+    def nak(self, stream: str, consumer: str, seq: int) -> None:
+        """Release the lease for immediate redelivery."""
+        with self._lock, self._conn:
+            self._conn.execute(
+                "UPDATE consumers SET leased_until=NULL WHERE stream=? AND name=? AND seq=?",
+                (stream, consumer, seq),
+            )
+
+    def in_progress(self, stream: str, consumer: str, seq: int) -> None:
+        """Extend the lease (parity: ack keepalive at 80% of ack_wait)."""
+        with self._lock, self._conn:
+            self._conn.execute(
+                "UPDATE consumers SET leased_until=? WHERE stream=? AND name=? AND seq=?",
+                (time.time() + self.ack_wait, stream, consumer, seq),
+            )
+
+    # ---- introspection -----------------------------------------------------
+
+    def last_seq(self, stream: str) -> int:
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT last_seq FROM stream_counters WHERE stream=?", (stream,)
+            ).fetchone()
+        return row[0] if row else 0
+
+    def ack_floor(self, stream: str, consumer: str) -> int:
+        """Highest seq below which everything is acked."""
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT MIN(m.seq) FROM messages m LEFT JOIN consumers c"
+                " ON c.stream=m.stream AND c.seq=m.seq AND c.name=?"
+                " WHERE m.stream=? AND COALESCE(c.acked, 0)=0",
+                (consumer, stream),
+            ).fetchone()
+            if row[0] is not None:
+                return row[0] - 1
+            return self.last_seq(stream)
+
+    def pending(self, stream: str, consumer: str) -> int:
+        """Unacked depth — the back-pressure signal
+        (common/back_pressure/materializer.py)."""
+        return self.last_seq(stream) - self.ack_floor(stream, consumer)
+
+    def purge_acked(self, stream: str, consumers: list[str]) -> int:
+        """Drop messages acked by every listed consumer."""
+        floor = min(self.ack_floor(stream, c) for c in consumers) if consumers else 0
+        with self._lock, self._conn:
+            cur = self._conn.execute(
+                "DELETE FROM messages WHERE stream=? AND seq<=?", (stream, floor)
+            )
+        return cur.rowcount

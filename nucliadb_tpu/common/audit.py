@@ -1,0 +1,61 @@
+"""Audit reporting: search/modify/delete events to an audit stream.
+
+Parity: nucliadb_utils/src/nucliadb_utils/audit/stream.py:66-163 — audit
+events are fire-and-forget messages on a dedicated stream; consumers ship
+them to billing/analytics. Here they ride the embedded bus.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from enum import Enum
+from typing import Optional
+
+from ..bus import EmbeddedBus
+
+AUDIT_STREAM = "ndb_audit"
+
+
+class AuditType(str, Enum):
+    VISITED = "visited"
+    MODIFIED = "modified"
+    DELETED = "deleted"
+    NEW = "new"
+    SEARCH = "search"
+    SUGGEST = "suggest"
+    CHAT = "chat"
+
+
+class AuditStream:
+    def __init__(self, bus: Optional[EmbeddedBus] = None):
+        self.bus = bus
+
+    def report(
+        self,
+        *,
+        kbid: str,
+        audit_type: AuditType,
+        rid: str = "",
+        user: str = "",
+        detail: Optional[dict] = None,
+    ) -> None:
+        if self.bus is None:
+            return
+        event = {
+            "kbid": kbid,
+            "type": audit_type.value,
+            "rid": rid,
+            "user": user,
+            "when": time.time(),
+            "detail": detail or {},
+        }
+        self.bus.publish(AUDIT_STREAM, f"audit.{kbid}", json.dumps(event).encode())
+
+    def search(self, kbid: str, query: str, results: int, user: str = "") -> None:
+        self.report(
+            kbid=kbid,
+            audit_type=AuditType.SEARCH,
+            user=user,
+            detail={"query": query, "results": results},
+        )

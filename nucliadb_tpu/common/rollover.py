@@ -1,0 +1,106 @@
+"""Rollover and rebalance: reshape a KB's shards while serving.
+
+Parity: nucliadb/src/nucliadb/common/cluster/rollover.py:631
+(rollover_kb_index: rebuild every index of a KB onto fresh shards, then
+atomically swap) and rebalance.py:537 (move resources between shards to
+even out sizes). Both are safe-by-construction here: the old shards keep
+serving until the KB shard record swaps, and every resource reindex emits
+prefix deletions so replays are idempotent.
+"""
+
+from __future__ import annotations
+
+from ..ingest.brain import ResourceBrain
+from ..ingest.processor import Processor
+from ..services import EmbeddedNode
+from .kb import KBShards, KnowledgeBoxManager, vector_config_from_spec
+
+
+def rollover_kb(
+    kbs: KnowledgeBoxManager,
+    processor: Processor,
+    node: EmbeddedNode,
+    kbid: str,
+    *,
+    n_shards: int | None = None,
+) -> list[str]:
+    """Reindex the whole KB onto new shards and swap. Returns new shard ids."""
+    old = kbs.get_shards(kbid)
+    if old is None:
+        raise KeyError(f"unknown kb {kbid}")
+    config = kbs.get_config(kbid)
+    vectorsets = {
+        name: vector_config_from_spec(spec)
+        for name, spec in (config.vectorsets if config else {}).items()
+    }
+    count = n_shards or len(old.shards)
+    new_shards = [node.create_shard(kbid, vectorsets) for _ in range(count)]
+
+    # distribute resources round-robin over the new shards
+    rids = processor.list_resources(kbid)
+    counts = {s: 0 for s in new_shards}
+    for i, rid in enumerate(rids):
+        payload = processor.get_payload(kbid, rid)
+        meta = processor.get_meta(kbid, rid)
+        if payload is None or meta is None:
+            continue
+        target = new_shards[i % count]
+        doc = ResourceBrain(rid).build(payload, created=meta.created)
+        node.index(target, doc, hidden=payload.hidden)
+        counts[target] += 1
+        meta.shard = target
+        with processor.driver as txn:
+            from ..ingest.processor import RESOURCE_META
+
+            txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
+
+    # swap the shard record, then retire the old shards
+    kbs._save_shards(kbid, KBShards(shards=new_shards, writable=0, counts=counts))
+    for shard_id in old.shards:
+        node.delete_shard(shard_id)
+    return new_shards
+
+
+def rebalance_kb(
+    kbs: KnowledgeBoxManager,
+    processor: Processor,
+    node: EmbeddedNode,
+    kbid: str,
+) -> dict[str, int]:
+    """Move resources from overfull shards to the emptiest ones until the
+    spread is within 10% (parity intent: rebalance.py)."""
+    shards = kbs.get_shards(kbid)
+    if shards is None or len(shards.shards) < 2:
+        return {}
+    rid_by_shard: dict[str, list[str]] = {s: [] for s in shards.shards}
+    for rid in processor.list_resources(kbid):
+        meta = processor.get_meta(kbid, rid)
+        if meta is not None and meta.shard in rid_by_shard:
+            rid_by_shard[meta.shard].append(rid)
+    total = sum(len(v) for v in rid_by_shard.values())
+    target = total // len(shards.shards)
+    moved = 0
+    for src, rids in rid_by_shard.items():
+        while len(rids) > target + max(1, target // 10):
+            dst = min(rid_by_shard, key=lambda s: len(rid_by_shard[s]))
+            if dst == src:
+                break
+            rid = rids.pop()
+            payload = processor.get_payload(kbid, rid)
+            meta = processor.get_meta(kbid, rid)
+            if payload is None or meta is None:
+                continue
+            doc = ResourceBrain(rid).build(payload, created=meta.created)
+            node.index(dst, doc, hidden=payload.hidden)
+            node.delete_resource(src, rid)
+            meta.shard = dst
+            with processor.driver as txn:
+                from ..ingest.processor import RESOURCE_META
+
+                txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
+            rid_by_shard[dst].append(rid)
+            moved += 1
+    counts = {s: len(v) for s, v in rid_by_shard.items()}
+    shards.counts = counts
+    kbs._save_shards(kbid, shards)
+    return counts

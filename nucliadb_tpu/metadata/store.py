@@ -142,6 +142,13 @@ class MetadataStore:
             ).fetchone()
         return Seq(row[0])
 
+    def last_seq(self) -> Seq:
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT value FROM counters WHERE name='seq'"
+            ).fetchone()
+        return Seq(row[0] if row else 0)
+
     # ---- shards -----------------------------------------------------------
 
     def create_shard(self, shard_id: str, kbid: str, config: dict | None = None) -> None:

@@ -1,0 +1,212 @@
+import time
+
+import numpy as np
+import pytest
+
+from nucliadb_tpu.bus import EmbeddedBus
+from nucliadb_tpu.common.audit import AuditStream, AuditType, AUDIT_STREAM
+from nucliadb_tpu.common.back_pressure import (
+    BackPressureMaterializer,
+    BackPressureSettings,
+    TryAfterError,
+)
+from nucliadb_tpu.common.export_import import (
+    create_backup,
+    export_kb,
+    import_kb,
+    list_backups,
+    restore_backup,
+)
+from nucliadb_tpu.common.kb import KnowledgeBoxManager
+from nucliadb_tpu.common.rollover import rebalance_kb, rollover_kb
+from nucliadb_tpu.ingest.processor import Processor
+from nucliadb_tpu.maindb import Driver
+from nucliadb_tpu.metadata import MetadataStore
+from nucliadb_tpu.models.api import (
+    CreateResourcePayload,
+    FindRequest,
+    KnowledgeBoxConfig,
+    SearchFeature,
+    TextFieldPayload,
+    VectorSetSpec,
+)
+from nucliadb_tpu.search import SearchService
+from nucliadb_tpu.services import EmbeddedNode
+from nucliadb_tpu.storage import MemoryStorage
+from nucliadb_tpu.tasks import TaskConsumer, TaskProducer
+
+
+# ---- bus -------------------------------------------------------------------
+
+
+def test_bus_ordering_and_ack():
+    bus = EmbeddedBus()
+    for i in range(3):
+        bus.publish("s1", "sub.a", f"m{i}".encode())
+    m1 = bus.next("s1", "c1")
+    assert m1.payload == b"m0" and m1.deliveries == 1
+    bus.ack("s1", "c1", m1.seq)
+    m2 = bus.next("s1", "c1")
+    assert m2.payload == b"m1"
+    # unacked m2 is leased: next returns the following message only after lease
+    bus.ack("s1", "c1", m2.seq)
+    assert bus.next("s1", "c1").payload == b"m2"
+
+
+def test_bus_redelivery_and_poison():
+    bus = EmbeddedBus(ack_wait=0.01)
+    bus.publish("s1", "sub", b"bad")
+    bus.publish("s1", "sub", b"good")
+    seen = 0
+    while True:
+        msg = bus.next("s1", "c1")
+        if msg is None or msg.payload == b"good":
+            break
+        seen += 1
+        time.sleep(0.02)  # let the lease expire, never ack
+    assert seen == 5  # MAX_DELIVERIES, then skipped
+    assert msg is not None and msg.payload == b"good"
+
+
+def test_bus_pending_and_floor():
+    bus = EmbeddedBus()
+    for i in range(5):
+        bus.publish("s1", "x", b"p")
+    assert bus.pending("s1", "c") == 5
+    m = bus.next("s1", "c")
+    bus.ack("s1", "c", m.seq)
+    assert bus.ack_floor("s1", "c") == 1
+    assert bus.pending("s1", "c") == 4
+
+
+def test_bus_subject_filter_and_watch():
+    bus = EmbeddedBus()
+    events = []
+    bus.watch("s1", lambda m: events.append(m.subject))
+    bus.publish("s1", "a.1", b"x")
+    bus.publish("s1", "b.1", b"y")
+    assert events == ["a.1", "b.1"]
+    m = bus.next("s1", "c", subject_prefix="b.")
+    assert m.subject == "b.1"
+
+
+def test_tasks_framework():
+    bus = EmbeddedBus()
+    done = []
+    producer = TaskProducer(bus, "reindex")
+    consumer = TaskConsumer(bus, "reindex", lambda t: done.append((t.kbid, t.payload)))
+    producer.send("kb1", rid="r1")
+    producer.send("kb2", rid="r2")
+    assert consumer.drain() == 2
+    assert done == [("kb1", {"rid": "r1"}), ("kb2", {"rid": "r2"})]
+
+
+def test_audit_stream():
+    bus = EmbeddedBus()
+    audit = AuditStream(bus)
+    audit.search("kb1", "hello", 3)
+    msg = bus.next(AUDIT_STREAM, "auditor")
+    assert msg is not None and b"hello" in msg.payload
+
+
+# ---- back pressure -----------------------------------------------------------
+
+
+def test_back_pressure(tmp_path):
+    meta = MetadataStore(str(tmp_path / "m.db"))
+    bp = BackPressureMaterializer(
+        meta, settings=BackPressureSettings(max_indexing_pending=2)
+    )
+    bp.check_indexing()  # empty: fine
+    for _ in range(4):
+        meta.record_index_request(meta.next_seq())
+    with pytest.raises(TryAfterError) as e:
+        bp.check_indexing()
+    assert e.value.try_after > 0
+
+
+# ---- export/import/backup/rollover -------------------------------------------
+
+
+def make_stack(tmp_path, name):
+    node = EmbeddedNode(data_dir=str(tmp_path / name), storage=MemoryStorage())
+    driver = Driver(str(tmp_path / f"{name}.db"))
+    kbs = KnowledgeBoxManager(driver, node)
+    processor = Processor(driver, node, kbs)
+    search = SearchService(node, kbs, processor)
+    return node, kbs, processor, search
+
+
+def populate(kbs, processor, n=4):
+    kbid = kbs.create(KnowledgeBoxConfig(slug="src", vectorsets={}))
+    for i in range(n):
+        processor.create_resource(
+            kbid,
+            CreateResourcePayload(
+                title=f"Doc {i}",
+                texts={
+                    "t": TextFieldPayload(
+                        body=f"document number {i} about {'alpha' if i % 2 else 'omega'}"
+                    )
+                },
+            ),
+        )
+    return kbid
+
+
+def test_export_import_roundtrip(tmp_path):
+    node, kbs, processor, search = make_stack(tmp_path, "a")
+    kbid = populate(kbs, processor)
+    blob = export_kb(kbs, processor, kbid)
+
+    node2, kbs2, processor2, search2 = make_stack(tmp_path, "b")
+    new_kbid = import_kb(kbs2, processor2, blob, slug="imported")
+    assert len(processor2.list_resources(new_kbid)) == 4
+    node2.wait_for_sync()
+    res = search2.find(
+        new_kbid, FindRequest(query="alpha", features=[SearchFeature.KEYWORD])
+    )
+    assert len(res.resources) == 2
+
+
+def test_backup_restore(tmp_path):
+    node, kbs, processor, search = make_stack(tmp_path, "c")
+    kbid = populate(kbs, processor)
+    storage = MemoryStorage()
+    backup_id = create_backup(kbs, processor, storage, kbid)
+    assert backup_id in list_backups(storage)
+    restored = restore_backup(kbs, processor, storage, backup_id, slug="restored")
+    assert restored != kbid
+    assert len(processor.list_resources(restored)) == 4
+
+
+def test_rollover(tmp_path):
+    node, kbs, processor, search = make_stack(tmp_path, "d")
+    kbid = populate(kbs, processor, n=5)
+    node.wait_for_sync()
+    old = kbs.get_shards(kbid).shards
+    new_shards = rollover_kb(kbs, processor, node, kbid, n_shards=2)
+    assert len(new_shards) == 2 and set(new_shards) != set(old)
+    node.wait_for_sync()
+    res = search.find(kbid, FindRequest(query="document", features=[SearchFeature.KEYWORD]))
+    assert len(res.resources) == 5
+    # resource metas updated to new shards
+    for rid in processor.list_resources(kbid):
+        assert processor.get_meta(kbid, rid).shard in new_shards
+
+
+def test_rebalance(tmp_path):
+    node, kbs, processor, search = make_stack(tmp_path, "e")
+    kbid = kbs.create(KnowledgeBoxConfig(slug="reb", shards=2))
+    for i in range(6):
+        processor.create_resource(
+            kbid,
+            CreateResourcePayload(title=f"D{i}", texts={"t": TextFieldPayload(body=f"doc {i}")}),
+        )
+    # all went to shard 0 (writable); rebalance should spread them
+    counts = rebalance_kb(kbs, processor, node, kbid)
+    assert len(counts) == 2
+    assert max(counts.values()) - min(counts.values()) <= 2
+    node.wait_for_sync()
+    res = search.find(kbid, FindRequest(query="doc", features=[SearchFeature.KEYWORD]))
+    assert len(res.resources) == 6
