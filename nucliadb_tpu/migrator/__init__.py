@@ -1,0 +1,89 @@
+"""Versioned data migrations.
+
+Parity: nucliadb/src/migrations/ + the migrator framework
+(nucliadb/src/nucliadb/migrator/, proposal 003-migration-strategy): global
+and per-KB migration functions run in version order under a lock; the
+current version persists in the main KV so restarts resume where they left
+off. Rollover-based reindex migrations reuse common/rollover.py.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from ..common.kb import KnowledgeBoxManager
+from ..ingest.processor import Processor
+from ..maindb import Driver
+from ..services import EmbeddedNode
+
+VERSION_KEY = "/migration/version"
+KB_VERSION_KEY = "/kbs/{kbid}/migration/version"
+
+
+@dataclass
+class Migration:
+    version: int
+    name: str
+    global_fn: Optional[Callable] = None  # fn(context)
+    kb_fn: Optional[Callable] = None  # fn(context, kbid)
+
+
+@dataclass
+class MigrationContext:
+    driver: Driver
+    node: EmbeddedNode
+    kbs: KnowledgeBoxManager
+    processor: Processor
+
+
+_REGISTRY: list[Migration] = []
+
+
+def register(migration: Migration) -> None:
+    _REGISTRY.append(migration)
+    _REGISTRY.sort(key=lambda m: m.version)
+
+
+def registered() -> list[Migration]:
+    return list(_REGISTRY)
+
+
+def current_version(driver: Driver) -> int:
+    with driver as txn:
+        raw = txn.get(VERSION_KEY)
+    return int(raw) if raw else 0
+
+
+def run_migrations(context: MigrationContext) -> list[str]:
+    """Apply every pending migration in order; returns the applied names."""
+    applied = []
+    start = current_version(context.driver)
+    for migration in _REGISTRY:
+        if migration.version <= start:
+            continue
+        if migration.global_fn is not None:
+            migration.global_fn(context)
+        if migration.kb_fn is not None:
+            for kbid in context.kbs.list_kbs():
+                kb_done = _kb_version(context.driver, kbid)
+                if migration.version <= kb_done:
+                    continue
+                migration.kb_fn(context, kbid)
+                _set_kb_version(context.driver, kbid, migration.version)
+        with context.driver as txn:
+            txn.set(VERSION_KEY, str(migration.version).encode())
+        applied.append(migration.name)
+    return applied
+
+
+def _kb_version(driver: Driver, kbid: str) -> int:
+    with driver as txn:
+        raw = txn.get(KB_VERSION_KEY.format(kbid=kbid))
+    return int(raw) if raw else 0
+
+
+def _set_kb_version(driver: Driver, kbid: str, version: int) -> None:
+    with driver as txn:
+        txn.set(KB_VERSION_KEY.format(kbid=kbid), str(version).encode())

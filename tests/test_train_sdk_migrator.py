@@ -1,0 +1,172 @@
+import asyncio
+import threading
+
+import pytest
+
+from nucliadb_tpu.common.kb import KnowledgeBoxManager
+from nucliadb_tpu.ingest.processor import Processor
+from nucliadb_tpu.maindb import Driver
+from nucliadb_tpu.migrator import (
+    Migration,
+    MigrationContext,
+    current_version,
+    register,
+    registered,
+    run_migrations,
+    _REGISTRY,
+)
+from nucliadb_tpu.models.api import (
+    Classification,
+    CreateResourcePayload,
+    KnowledgeBoxConfig,
+    RelationNodePayload,
+    RelationPayload,
+    TextFieldPayload,
+    UserMetadata,
+)
+from nucliadb_tpu.services import EmbeddedNode
+from nucliadb_tpu.storage import MemoryStorage
+from nucliadb_tpu.train import (
+    TrainSet,
+    export_trainset,
+    field_classification_batches,
+    paragraph_classification_batches,
+    qa_batches,
+    sentence_batches,
+    token_classification_batches,
+)
+from nucliadb_tpu.train.dataset import load_partition
+
+
+@pytest.fixture
+def stack(tmp_path):
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"), storage=MemoryStorage())
+    driver = Driver(str(tmp_path / "kv.db"))
+    kbs = KnowledgeBoxManager(driver, node)
+    processor = Processor(driver, node, kbs)
+    kbid = kbs.create(KnowledgeBoxConfig(slug="train"))
+    p1 = CreateResourcePayload(
+        title="What is a fox?",
+        texts={"t": TextFieldPayload(body="The fox is quick.\n\nIt hunts at night.")},
+        usermetadata=UserMetadata(
+            classifications=[Classification(labelset="topic", label="animals")]
+        ),
+    )
+    p1.usergenerated_relations = [
+        RelationPayload(
+            relation="ENTITY",
+            **{"from": RelationNodePayload(value="fox", group="ANIMAL")},
+            to=RelationNodePayload(value="night", group="TIME"),
+        )
+    ]
+    processor.create_resource(kbid, p1)
+    processor.create_resource(
+        kbid,
+        CreateResourcePayload(
+            title="Market news",
+            texts={"t": TextFieldPayload(body="Stocks rallied.")},
+            usermetadata=UserMetadata(
+                classifications=[Classification(labelset="topic", label="finance")]
+            ),
+        ),
+    )
+    return node, driver, kbs, processor, kbid
+
+
+def test_paragraph_classification(stack):
+    node, driver, kbs, processor, kbid = stack
+    batches = list(paragraph_classification_batches(processor, TrainSet(kbid=kbid)))
+    texts = [t for b in batches for t in b.texts]
+    labels = [l for b in batches for l in b.labels]
+    assert "The fox is quick." in texts
+    assert ["/l/topic/animals"] in labels
+
+
+def test_field_classification_and_sentences(stack):
+    node, driver, kbs, processor, kbid = stack
+    fb = list(field_classification_batches(processor, TrainSet(kbid=kbid)))
+    assert any("/l/topic/finance" in l for b in fb for l in b.labels)
+    sb = list(sentence_batches(processor, TrainSet(kbid=kbid, batch_size=2)))
+    assert sum(len(b.texts) for b in sb) >= 4
+
+
+def test_token_classification(stack):
+    node, driver, kbs, processor, kbid = stack
+    batches = list(token_classification_batches(processor, TrainSet(kbid=kbid)))
+    found = False
+    for b in batches:
+        for tokens, tags in zip(b.tokens, b.tags):
+            if "fox" in tokens:
+                assert tags[tokens.index("fox")] == "B-ANIMAL"
+                found = True
+    assert found
+
+
+def test_qa_batches(stack):
+    node, driver, kbs, processor, kbid = stack
+    batches = list(qa_batches(processor, TrainSet(kbid=kbid)))
+    qs = [q for b in batches for q in b.questions]
+    assert "What is a fox?" in qs
+
+
+def test_export_trainset(stack, tmp_path):
+    node, driver, kbs, processor, kbid = stack
+    manifest = export_trainset(
+        processor, TrainSet(kbid=kbid), "paragraph_classification", str(tmp_path / "ds")
+    )
+    assert manifest["examples"] >= 3
+    part = load_partition(str(tmp_path / "ds" / manifest["partitions"][0]))
+    assert part[0]["texts"]
+
+
+def test_migrator(stack):
+    node, driver, kbs, processor, kbid = stack
+    _REGISTRY.clear()
+    calls = []
+    register(
+        Migration(version=1, name="noop-global", global_fn=lambda ctx: calls.append("g1"))
+    )
+    register(
+        Migration(
+            version=2, name="per-kb", kb_fn=lambda ctx, k: calls.append(("kb", k))
+        )
+    )
+    ctx = MigrationContext(driver=driver, node=node, kbs=kbs, processor=processor)
+    applied = run_migrations(ctx)
+    assert applied == ["noop-global", "per-kb"]
+    assert "g1" in calls and ("kb", kbid) in calls
+    assert current_version(driver) == 2
+    # second run: nothing to do
+    assert run_migrations(ctx) == []
+
+
+def test_sdk_against_server(tmp_path):
+    from nucliadb_tpu.sdk import NucliaDBClient
+    from nucliadb_tpu.standalone import StandaloneApp
+    from nucliadb_tpu.models.api import FindRequest, SearchFeature
+
+    app = StandaloneApp(data_dir=str(tmp_path / "srv"), host="127.0.0.1", port=0)
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(app.server.start())
+        started.set()
+        loop.run_forever()
+
+    threading.Thread(target=run, daemon=True).start()
+    started.wait(10)
+
+    client = NucliaDBClient(base_url=f"http://127.0.0.1:{app.server.port}")
+    kb = client.create_kb(KnowledgeBoxConfig(slug="sdk-kb"))
+    created = client.create_resource(
+        kb.uuid,
+        CreateResourcePayload(title="Hello", texts={"t": TextFieldPayload(body="hello sdk world")}),
+    )
+    res = client.find(kb.uuid, FindRequest(query="sdk", features=[SearchFeature.KEYWORD]))
+    assert created.uuid in res.resources
+    client.delete_resource(kb.uuid, created.uuid)
+    client.delete_kb(kb.uuid)
+    client.close()
+    loop.call_soon_threadsafe(loop.stop)
