@@ -32,6 +32,11 @@ import numpy as np
 from ...types import SegmentMetadata, Seq
 from .tokenizer import tokenize_with_positions
 
+try:  # native postings builder (native/postings.cpp) — same output, ~30x faster
+    import nucliadb_tpu_native as _native
+except ImportError:
+    _native = None
+
 
 @dataclass
 class DocEntry:
@@ -93,44 +98,57 @@ def build_segment(
     col_names = sorted({name for d in docs for name in d.columns})
     columns = {name: np.zeros(len(docs), dtype=np.int64) for name in col_names}
 
-    # term -> {doc -> [positions]}
-    term_docs: dict[str, dict[int, list[int]]] = {}
-    dlen = np.zeros(len(docs), dtype=np.int32)
-    total_len = 0
     for did, doc in enumerate(docs):
         for facet in set(doc.facets):
             facets.setdefault(facet, []).append(did)
         for name, value in doc.columns.items():
             columns[name][did] = value
-        toks = tokenize_with_positions(doc.text)
-        dlen[did] = len(toks)
-        total_len += len(toks)
-        for tok, pos in toks:
-            term_docs.setdefault(tok, {}).setdefault(did, []).append(pos)
 
-    terms = sorted(term_docs)
-    offsets = np.zeros(len(terms) + 1, dtype=np.int64)
-    docs_arr: list[int] = []
-    tfs_arr: list[int] = []
-    pos_offsets: list[int] = [0]
-    pos_arr: list[int] = []
-    for ti, term in enumerate(terms):
-        entries = sorted(term_docs[term].items())
-        for did, positions in entries:
-            docs_arr.append(did)
-            tfs_arr.append(min(len(positions), 65535))
-            pos_arr.extend(positions)
-            pos_offsets.append(len(pos_arr))
-        offsets[ti + 1] = len(docs_arr)
+    if _native is not None:
+        terms, off_b, docs_b, tfs_b, poff_b, pos_b, dlen_b = _native.build_postings(
+            [d.text for d in docs]
+        )
+        offsets = np.frombuffer(off_b, np.int64)
+        docs_np = np.frombuffer(docs_b, np.int32)
+        tfs_np = np.frombuffer(tfs_b, np.uint16)
+        pos_offsets_np = np.frombuffer(poff_b, np.int64)
+        pos_np = np.frombuffer(pos_b, np.int32)
+        dlen = np.frombuffer(dlen_b, np.int32)
+    else:
+        # term -> {doc -> [positions]}
+        term_docs: dict[str, dict[int, list[int]]] = {}
+        dlen = np.zeros(len(docs), dtype=np.int32)
+        for did, doc in enumerate(docs):
+            toks = tokenize_with_positions(doc.text)
+            dlen[did] = len(toks)
+            for tok, pos in toks:
+                term_docs.setdefault(tok, {}).setdefault(did, []).append(pos)
+        terms = sorted(term_docs)
+        offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+        docs_arr: list[int] = []
+        tfs_arr: list[int] = []
+        pos_offsets: list[int] = [0]
+        pos_arr: list[int] = []
+        for ti, term in enumerate(terms):
+            entries = sorted(term_docs[term].items())
+            for did, positions in entries:
+                docs_arr.append(did)
+                tfs_arr.append(min(len(positions), 65535))
+                pos_arr.extend(positions)
+                pos_offsets.append(len(pos_arr))
+            offsets[ti + 1] = len(docs_arr)
+        docs_np = np.asarray(docs_arr, np.int32)
+        tfs_np = np.asarray(tfs_arr, np.uint16)
+        pos_offsets_np = np.asarray(pos_offsets, np.int64)
+        pos_np = np.asarray(pos_arr, np.int32)
 
+    total_len = int(dlen.sum())
     os.makedirs(path, exist_ok=True)
     np.save(os.path.join(path, "postings_offsets.npy"), offsets)
-    np.save(os.path.join(path, "postings_docs.npy"), np.asarray(docs_arr, np.int32))
-    np.save(os.path.join(path, "postings_tfs.npy"), np.asarray(tfs_arr, np.uint16))
-    np.save(
-        os.path.join(path, "positions_offsets.npy"), np.asarray(pos_offsets, np.int64)
-    )
-    np.save(os.path.join(path, "positions.npy"), np.asarray(pos_arr, np.int32))
+    np.save(os.path.join(path, "postings_docs.npy"), docs_np)
+    np.save(os.path.join(path, "postings_tfs.npy"), tfs_np)
+    np.save(os.path.join(path, "positions_offsets.npy"), pos_offsets_np)
+    np.save(os.path.join(path, "positions.npy"), pos_np)
     np.save(os.path.join(path, "dlen.npy"), dlen)
     np.savez(os.path.join(path, "columns.npz"), **columns)
     with open(os.path.join(path, "keys.msgpack"), "wb") as f:

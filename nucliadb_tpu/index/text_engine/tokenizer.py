@@ -12,6 +12,11 @@ from __future__ import annotations
 import re
 import unicodedata
 
+try:  # native fast path (see native/postings.cpp); built via native/build.py
+    import nucliadb_tpu_native as _native
+except ImportError:  # pure-Python fallback with matching semantics
+    _native = None
+
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 MAX_TOKEN_LEN = 40
 
@@ -21,6 +26,8 @@ def _normalize(token: str) -> str:
 
 
 def tokenize(text: str) -> list[str]:
+    if _native is not None:
+        return [t for t, _ in _native.tokenize_with_positions(text)]
     return [
         _normalize(m.group(0))
         for m in _WORD_RE.finditer(text)
@@ -30,6 +37,8 @@ def tokenize(text: str) -> list[str]:
 
 def tokenize_with_positions(text: str) -> list[tuple[str, int]]:
     """(token, ordinal position) pairs — positions are token ordinals."""
+    if _native is not None:
+        return _native.tokenize_with_positions(text)
     out = []
     pos = 0
     for m in _WORD_RE.finditer(text):

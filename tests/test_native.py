@@ -1,0 +1,91 @@
+"""Native extension equivalence + performance tests (skipped if not built)."""
+
+import time
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip("nucliadb_tpu_native")
+
+from nucliadb_tpu.index.text_engine.builder import DocEntry, build_segment, open_text_segment
+from nucliadb_tpu.index.text_engine.tokenizer import MAX_TOKEN_LEN
+
+import re
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def py_tokenize_with_positions(text):
+    out = []
+    pos = 0
+    for m in _WORD_RE.finditer(text):
+        tok = m.group(0)
+        if len(tok) > MAX_TOKEN_LEN:
+            pos += 1
+            continue
+        out.append((tok.lower(), pos))
+        pos += 1
+    return out
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "Hello, World! it's 42",
+        "the quick  brown... FOX_1 jumps-over (the) lazy dog",
+        "word " + "x" * 50 + " tail",  # long token dropped, position advances
+        "café über señor",  # accented words survive intact
+        "",
+        "    ",
+    ],
+)
+def test_native_tokenizer_matches_python(text):
+    assert native.tokenize_with_positions(text) == py_tokenize_with_positions(text)
+
+
+def test_native_postings_equivalence(tmp_path, rng):
+    words = ["alpha", "beta", "gamma", "delta", "fox", "dog", "markets", "tpu"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 30)).tolist())
+        for _ in range(50)
+    ]
+    docs = [DocEntry(key=f"r{i:03d}/f", text=t) for i, t in enumerate(texts)]
+
+    import nucliadb_tpu.index.text_engine.builder as builder_mod
+
+    meta_native = build_segment(str(tmp_path / "nat"), docs, kind="text")
+    saved = builder_mod._native
+    builder_mod._native = None
+    try:
+        meta_py = build_segment(str(tmp_path / "py"), docs, kind="text")
+    finally:
+        builder_mod._native = saved
+
+    a = open_text_segment(meta_native.path)
+    b = open_text_segment(meta_py.path)
+    assert a.terms == b.terms
+    np.testing.assert_array_equal(np.asarray(a.postings_offsets), np.asarray(b.postings_offsets))
+    np.testing.assert_array_equal(np.asarray(a.postings_docs), np.asarray(b.postings_docs))
+    np.testing.assert_array_equal(np.asarray(a.postings_tfs), np.asarray(b.postings_tfs))
+    np.testing.assert_array_equal(np.asarray(a.positions), np.asarray(b.positions))
+    np.testing.assert_array_equal(np.asarray(a.dlen), np.asarray(b.dlen))
+
+
+def test_native_postings_speed(rng):
+    words = [f"word{i}" for i in range(2000)]
+    texts = [
+        " ".join(rng.choice(words, size=200).tolist()) for _ in range(200)
+    ]
+    t0 = time.time()
+    native.build_postings(texts)
+    t_native = time.time() - t0
+
+    from nucliadb_tpu.index.text_engine.tokenizer import tokenize_with_positions
+
+    t0 = time.time()
+    term_docs = {}
+    for did, text in enumerate(texts):
+        for tok, pos in py_tokenize_with_positions(text):
+            term_docs.setdefault(tok, {}).setdefault(did, []).append(pos)
+    t_py = time.time() - t0
+    assert t_native < t_py, (t_native, t_py)
