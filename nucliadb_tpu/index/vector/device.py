@@ -170,6 +170,22 @@ class DeviceVectorIndex:
             elif config.quantization == Quantization.BINARY:
                 self.codes = quant.BinaryCodes.encode(self.vectors)
 
+        # graph strategy (flag "hnsw"): batched proximity-graph search for
+        # corpora beyond the scan sweet spot (see ops/hnsw.py)
+        self.graph = None
+        if not self.multi and "hnsw" in config.flags and self.n_para > 0:
+            from ...ops import hnsw as hnsw_ops
+
+            flat = arena[: self.n_para]
+            adj, entry_ids = hnsw_ops.build_graph(flat, vectors_dev=self.vectors)
+            adj_pad = np.full((self.p_pad, adj.shape[1]), -1, np.int32)
+            adj_pad[: self.n_para] = adj
+            self.graph = hnsw_ops.DeviceHnsw(
+                adj=jax.device_put(jnp.asarray(adj_pad)),
+                entry_ids=jax.device_put(jnp.asarray(entry_ids)),
+                n_nodes=self.n_para,
+            )
+
     # ------------------------------------------------------------------
     # Masks (host side)
     # ------------------------------------------------------------------
@@ -254,7 +270,14 @@ class DeviceVectorIndex:
             qp = np.zeros((b_pad, q.shape[1]), np.float32)
             qp[: q.shape[0]] = q
             qj = jnp.asarray(qp)
-            if isinstance(self.codes, quant.Int8Codes):
+            if self.graph is not None:
+                from ...ops import hnsw as hnsw_ops
+
+                s, i = hnsw_ops.hnsw_search(
+                    self.vectors, self.graph.adj, self.graph.entry_ids, qj,
+                    mask_j, ms, top_k, similarity=self.config.similarity.value,
+                )
+            elif isinstance(self.codes, quant.Int8Codes):
                 s, i = _search_int8(
                     self.codes, self.vectors, qj, mask_j, ms, top_k,
                     self.config.similarity.value,
