@@ -1,0 +1,95 @@
+"""gRPC client for the node services (and searcher-to-searcher forwarding)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import grpc
+import msgpack
+
+from ..models.internal import ResourceDoc
+from ..shard import ShardSearchRequest, ShardSearchResponse
+from . import codec
+
+_SERVICE = "/nidx.Node/"
+
+
+class NodeClient:
+    def __init__(self, address: str, timeout: float = 30.0):
+        self.channel = grpc.insecure_channel(address)
+        self.timeout = timeout
+
+    def close(self) -> None:
+        self.channel.close()
+
+    def _unary(self, method: str, req_ser, resp_deser):
+        return self.channel.unary_unary(
+            _SERVICE + method,
+            request_serializer=req_ser,
+            response_deserializer=resp_deser,
+        )
+
+    # ---- api ----------------------------------------------------------------
+
+    def new_shard(self, kbid: str, vectorsets: dict, shard_id: Optional[str] = None) -> str:
+        fn = self._unary("NewShard", msgpack.packb, msgpack.unpackb)
+        out = fn(
+            {
+                "kbid": kbid,
+                "vectorsets": {k: v.to_dict() for k, v in vectorsets.items()},
+                "shard_id": shard_id,
+            },
+            timeout=self.timeout,
+        )
+        return out["shard_id"]
+
+    def delete_shard(self, shard_id: str) -> None:
+        self._unary("DeleteShard", msgpack.packb, msgpack.unpackb)(
+            {"shard_id": shard_id}, timeout=self.timeout
+        )
+
+    def list_shards(self, kbid: Optional[str] = None) -> list[dict]:
+        fn = self._unary("ListShards", msgpack.packb, msgpack.unpackb)
+        return fn({"kbid": kbid}, timeout=self.timeout)["shards"]
+
+    def get_shard(self, shard_id: str) -> dict:
+        fn = self._unary("GetShard", msgpack.packb, msgpack.unpackb)
+        return fn({"shard_id": shard_id}, timeout=self.timeout)
+
+    # ---- indexer -------------------------------------------------------------
+
+    def index(self, shard_id: str, doc: ResourceDoc, hidden: bool = False) -> int:
+        fn = self._unary("Index", lambda b: b, msgpack.unpackb)
+        out = fn(
+            msgpack.packb(
+                {
+                    "shard_id": shard_id,
+                    "hidden": hidden,
+                    "resource": codec.pack_resource(doc),
+                }
+            ),
+            timeout=self.timeout,
+        )
+        return out["seq"]
+
+    def delete_resource(self, shard_id: str, resource_id: str) -> int:
+        fn = self._unary("Delete", msgpack.packb, msgpack.unpackb)
+        return fn(
+            {"shard_id": shard_id, "resource_id": resource_id}, timeout=self.timeout
+        )["seq"]
+
+    # ---- searcher -------------------------------------------------------------
+
+    def search(self, shard_id: str, request: ShardSearchRequest) -> ShardSearchResponse:
+        fn = self._unary("Search", lambda b: b, lambda b: b)
+        out = fn(
+            msgpack.packb(
+                {"shard_id": shard_id, "request": codec.pack_search_request(request)}
+            ),
+            timeout=self.timeout,
+        )
+        return codec.unpack_search_response(out)
+
+    def sync(self) -> list[str]:
+        fn = self._unary("Sync", msgpack.packb, msgpack.unpackb)
+        return fn({}, timeout=self.timeout)["synced"]

@@ -1,0 +1,126 @@
+"""gRPC server exposing the node's three services.
+
+Method surface parity (nidx_protos/nidx.proto:8-34):
+- NidxApi:     NewShard, DeleteShard, ListShards, AddVectorSet, GetShard
+- NidxIndexer: Index, Delete
+- NidxSearcher: Search, Suggest (suggest rides Search's paragraph/graph)
+"""
+
+from __future__ import annotations
+
+import json
+from concurrent import futures
+from typing import Optional
+
+import grpc
+import msgpack
+
+from ..index.vector.config import VectorConfig
+from ..services import EmbeddedNode
+from . import codec
+
+
+def _unary(fn, req_deser, resp_ser):
+    return grpc.unary_unary_rpc_method_handler(
+        fn, request_deserializer=req_deser, response_serializer=resp_ser
+    )
+
+
+class NodeGrpcServer:
+    def __init__(self, node: EmbeddedNode, address: str = "127.0.0.1:0", workers: int = 8):
+        self.node = node
+        self.server = grpc.server(futures.ThreadPoolExecutor(max_workers=workers))
+        handlers = {
+            # ---- NidxApi ----
+            "NewShard": _unary(self._new_shard, msgpack.unpackb, msgpack.packb),
+            "DeleteShard": _unary(self._delete_shard, msgpack.unpackb, msgpack.packb),
+            "ListShards": _unary(self._list_shards, msgpack.unpackb, msgpack.packb),
+            "AddVectorSet": _unary(self._add_vectorset, msgpack.unpackb, msgpack.packb),
+            "GetShard": _unary(self._get_shard, msgpack.unpackb, msgpack.packb),
+            # ---- NidxIndexer ----
+            "Index": _unary(self._index, lambda b: b, msgpack.packb),
+            "Delete": _unary(self._delete, msgpack.unpackb, msgpack.packb),
+            # ---- NidxSearcher ----
+            "Search": _unary(self._search, lambda b: b, lambda b: b),
+            "Sync": _unary(self._sync, msgpack.unpackb, msgpack.packb),
+        }
+        self.server.add_generic_rpc_handlers(
+            (grpc.method_handlers_generic_handler("nidx.Node", handlers),)
+        )
+        self.port = self.server.add_insecure_port(address)
+
+    def start(self) -> None:
+        self.server.start()
+
+    def stop(self, grace: float = 1.0) -> None:
+        self.server.stop(grace)
+
+    # ---- api ----------------------------------------------------------------
+
+    def _new_shard(self, request, context):
+        vectorsets = {
+            name: VectorConfig.from_dict(cfg)
+            for name, cfg in request.get("vectorsets", {}).items()
+        }
+        shard_id = self.node.create_shard(
+            request["kbid"], vectorsets, shard_id=request.get("shard_id")
+        )
+        return {"shard_id": shard_id}
+
+    def _delete_shard(self, request, context):
+        self.node.delete_shard(request["shard_id"])
+        return {"ok": True}
+
+    def _list_shards(self, request, context):
+        shards = self.node.metadata.list_shards(request.get("kbid"))
+        return {"shards": [{"id": s.id, "kbid": s.kbid} for s in shards]}
+
+    def _add_vectorset(self, request, context):
+        self.node.add_vectorset(
+            request["shard_id"],
+            request["name"],
+            VectorConfig.from_dict(request["config"]),
+        )
+        return {"ok": True}
+
+    def _get_shard(self, request, context):
+        """Shard stats (parity: GetShard — fields/paragraphs/size)."""
+        shard_id = request["shard_id"]
+        stats = {"shard_id": shard_id, "indexes": []}
+        for index in self.node.metadata.get_indexes(shard_id):
+            segs = self.node.metadata.ready_segments(index.id)
+            stats["indexes"].append(
+                {
+                    "kind": index.kind,
+                    "name": index.name,
+                    "segments": len(segs),
+                    "records": sum(s.records for s in segs),
+                    "size_bytes": sum(s.size_bytes for s in segs),
+                }
+            )
+        return stats
+
+    # ---- indexer -------------------------------------------------------------
+
+    def _index(self, request: bytes, context):
+        envelope = msgpack.unpackb(request)
+        doc = codec.unpack_resource(envelope["resource"])
+        seq = self.node.index(
+            envelope["shard_id"], doc, hidden=envelope.get("hidden", False)
+        )
+        return {"seq": int(seq)}
+
+    def _delete(self, request, context):
+        seq = self.node.delete_resource(request["shard_id"], request["resource_id"])
+        return {"seq": int(seq)}
+
+    # ---- searcher -------------------------------------------------------------
+
+    def _search(self, request: bytes, context) -> bytes:
+        envelope = msgpack.unpackb(request)
+        req = codec.unpack_search_request(envelope["request"])
+        resp = self.node.search(envelope["shard_id"], req)
+        return codec.pack_search_response(resp)
+
+    def _sync(self, request, context):
+        return {"synced": self.node.wait_for_sync()}

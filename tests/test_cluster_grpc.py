@@ -1,0 +1,186 @@
+import numpy as np
+import pytest
+
+from nucliadb_tpu.cluster import DistributedSearcher, ShardSelector, merge_shard_responses
+from nucliadb_tpu.grpc_plane import NodeClient, NodeGrpcServer
+from nucliadb_tpu.index.vector import VectorConfig
+from nucliadb_tpu.models.internal import (
+    IndexParagraph,
+    ResourceDoc,
+    TextInformation,
+    VectorSentence,
+)
+from nucliadb_tpu.services import EmbeddedNode
+from nucliadb_tpu.shard import ShardSearchRequest
+from nucliadb_tpu.storage import MemoryStorage
+
+DIM = 16
+
+
+def embed(t):
+    r = np.random.default_rng(abs(hash(t)) % (2**31))
+    v = r.standard_normal(DIM).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def make_resource(rid, text):
+    rd = ResourceDoc(resource_id=rid, created=1, modified=1)
+    rd.texts["t/t1"] = TextInformation(text=text)
+    p = IndexParagraph(start=0, end=len(text))
+    p.vectorsets_sentences["m1"] = {
+        f"{rid}/t/t1/0/0-{len(text)}": VectorSentence(vector=embed(text))
+    }
+    rd.paragraphs["t/t1"] = {f"{rid}/t/t1/0-{len(text)}": p}
+    rd.vectors_to_delete_in_all_vectorsets = [rid + "/"]
+    rd.paragraphs_to_delete = [rid + "/"]
+    return rd
+
+
+# ---- rendezvous ------------------------------------------------------------
+
+
+def test_rendezvous_determinism_and_spread():
+    nodes = [f"node{i}" for i in range(5)]
+    sel = ShardSelector(nodes, replication=2)
+    shards = [f"shard{i}" for i in range(200)]
+    placements = {s: sel.nodes_for_shard(s) for s in shards}
+    # deterministic
+    assert placements == {s: sel.nodes_for_shard(s) for s in shards}
+    # reasonably spread
+    counts = {n: 0 for n in nodes}
+    for reps in placements.values():
+        counts[reps[0]] += 1
+    assert max(counts.values()) < 3 * min(counts.values()) + 10
+
+
+def test_rendezvous_minimal_movement():
+    shards = [f"s{i}" for i in range(300)]
+    sel5 = ShardSelector([f"n{i}" for i in range(5)], replication=1)
+    sel6 = ShardSelector([f"n{i}" for i in range(6)], replication=1)
+    moved = sum(
+        1 for s in shards if sel5.nodes_for_shard(s)[0] != sel6.nodes_for_shard(s)[0]
+    )
+    # expected ~1/6 of shards move; allow slack
+    assert moved < len(shards) * 0.3
+
+
+# ---- gRPC node services -----------------------------------------------------
+
+
+@pytest.fixture
+def grpc_node(tmp_path):
+    node = EmbeddedNode(data_dir=str(tmp_path / "n"), storage=MemoryStorage())
+    server = NodeGrpcServer(node)
+    server.start()
+    client = NodeClient(f"127.0.0.1:{server.port}")
+    yield node, client
+    client.close()
+    server.stop()
+
+
+def test_grpc_full_flow(grpc_node):
+    node, client = grpc_node
+    shard_id = client.new_shard("kb1", {"m1": VectorConfig(dimension=DIM)})
+    assert client.list_shards("kb1")[0]["id"] == shard_id
+
+    client.index(shard_id, make_resource("r1", "the quick brown fox"))
+    client.index(shard_id, make_resource("r2", "lazy dogs sleep"))
+    client.sync()
+
+    resp = client.search(
+        shard_id,
+        ShardSearchRequest(body="quick fox", vector=embed("the quick brown fox"), top_k=3),
+    )
+    assert resp.paragraph.hits[0].rid == "r1"
+    assert resp.vector[0].key.startswith("r1/")
+    np.testing.assert_allclose(resp.vector[0].score, 1.0, rtol=1e-3)
+
+    stats = client.get_shard(shard_id)
+    kinds = {i["kind"] for i in stats["indexes"]}
+    assert kinds == {"text", "paragraph", "relation", "json", "vector"}
+
+    client.delete_resource(shard_id, "r1")
+    client.sync()
+    resp2 = client.search(shard_id, ShardSearchRequest(body="fox", top_k=3))
+    assert resp2.paragraph.hits == []
+
+
+# ---- distributed scatter-gather with failover -------------------------------
+
+
+class LocalBackend:
+    def __init__(self, node):
+        self.node = node
+        self.isolated = False  # simulated network partition
+
+    def search(self, shard_id, request):
+        if self.isolated:
+            raise ConnectionError("network partition")
+        return self.node.search(shard_id, request)
+
+
+def test_distributed_search_failover(tmp_path):
+    # 3 nodes; every shard indexed on all (full replication for the test)
+    nodes = {}
+    backends = {}
+    shard_ids = []
+    for i in range(3):
+        n = EmbeddedNode(data_dir=str(tmp_path / f"n{i}"), storage=MemoryStorage())
+        nodes[f"node{i}"] = n
+        backends[f"node{i}"] = LocalBackend(n)
+    # two shards, same data replicated on every node (replica simulation)
+    for s in range(2):
+        sid = f"shard{s}"
+        shard_ids.append(sid)
+        for n in nodes.values():
+            n.create_shard("kb1", {"m1": VectorConfig(dimension=DIM)}, shard_id=sid)
+            n.index(sid, make_resource(f"r{s}", f"document {s} about topic{s}"))
+            n.wait_for_sync()
+
+    selector = ShardSelector(list(backends), replication=3)
+    searcher = DistributedSearcher(backends, selector)
+    req = ShardSearchRequest(body="document", top_k=5)
+
+    resp, errors = searcher.search(shard_ids, req)
+    assert not errors
+    assert {h.rid for h in resp.paragraph.hits} == {"r0", "r1"}
+
+    # partition the primary replica of each shard: failover must kick in
+    for sid in shard_ids:
+        primary = selector.nodes_for_shard(sid)[0]
+        backends[primary].isolated = True
+    resp2, errors2 = searcher.search(shard_ids, req)
+    assert not errors2
+    assert {h.rid for h in resp2.paragraph.hits} == {"r0", "r1"}
+
+    # isolate everything: errors reported, no crash
+    for b in backends.values():
+        b.isolated = True
+    resp3, errors3 = searcher.search(shard_ids, req)
+    assert len(errors3) == 2
+    assert resp3.paragraph is None or resp3.paragraph.hits == []
+
+
+def test_merge_orders_by_score(tmp_path):
+    from nucliadb_tpu.index.paragraph import ParagraphHit, ParagraphSearchResponse
+    from nucliadb_tpu.shard import ShardSearchResponse
+
+    def presp(scores, prefix):
+        return ShardSearchResponse(
+            paragraph=ParagraphSearchResponse(
+                hits=[
+                    ParagraphHit(
+                        paragraph_id=f"{prefix}{j}", rid=prefix, field="f",
+                        score=s, start=0, end=1, split="", index=0, ematch=False,
+                    )
+                    for j, s in enumerate(scores)
+                ],
+                total=len(scores),
+                ematches=[],
+                query_terms=[],
+            )
+        )
+
+    merged = merge_shard_responses([presp([0.9, 0.2], "a"), presp([0.5], "b")], top_k=2)
+    assert [h.score for h in merged.paragraph.hits] == [0.9, 0.5]
+    assert merged.paragraph.total == 3
