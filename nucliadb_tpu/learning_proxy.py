@@ -1,0 +1,53 @@
+"""Learning configuration proxy.
+
+Parity with the reference's learning_proxy
+(nucliadb/src/nucliadb/learning_proxy.py): per-KB learning configuration
+(which embedding model / generative model the platform uses) with a proxy
+seam to an external learning backend. Embedded deployments keep the config
+in KV and serve it locally; if a backend base_url is configured, calls
+proxy through (httpx) — this image is egress-free so that path is exercised
+only in tests with local servers.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+import httpx
+
+from .maindb import Driver
+
+LEARNING_KEY = "/kbs/{kbid}/learning/config"
+
+
+class LearningProxy:
+    def __init__(self, driver: Driver, base_url: Optional[str] = None):
+        self.driver = driver
+        self.base_url = base_url
+
+    def get_configuration(self, kbid: str) -> dict[str, Any]:
+        if self.base_url:
+            resp = httpx.get(f"{self.base_url}/config/{kbid}", timeout=10)
+            resp.raise_for_status()
+            return resp.json()
+        with self.driver as txn:
+            raw = txn.get(LEARNING_KEY.format(kbid=kbid))
+        return json.loads(raw) if raw else {}
+
+    def set_configuration(self, kbid: str, config: dict[str, Any]) -> dict[str, Any]:
+        if self.base_url:
+            resp = httpx.patch(
+                f"{self.base_url}/config/{kbid}", json=config, timeout=10
+            )
+            resp.raise_for_status()
+            return resp.json()
+        current = self.get_configuration(kbid)
+        current.update(config)
+        with self.driver as txn:
+            txn.set(LEARNING_KEY.format(kbid=kbid), json.dumps(current).encode())
+        return current
+
+    def delete_configuration(self, kbid: str) -> None:
+        with self.driver as txn:
+            txn.delete(LEARNING_KEY.format(kbid=kbid))

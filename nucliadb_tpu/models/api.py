@@ -160,6 +160,7 @@ class FindRequest(BaseModel):
     rank_fusion: str = "rrf"  # rrf | weighted
     keyword_boost: float = 1.0
     semantic_boost: float = 1.0
+    with_synonyms: bool = False  # expand the keyword query with KB synonyms
 
 
 class FindParagraph(BaseModel):

@@ -106,6 +106,9 @@ class SearchService:
         self.kbs = kbs
         self.processor = processor
         self.predict = predict
+        from ..common.kb_services import SynonymsService
+
+        self.synonyms = SynonymsService(kbs.driver)
 
     # ------------------------------------------------------------------
 
@@ -136,12 +139,15 @@ class SearchService:
             else None
         )
         keyword = SearchFeature.KEYWORD in request.features and bool(request.query.strip())
+        query_text = request.query
+        if request.with_synonyms and keyword:
+            query_text = self.synonyms.expand_query(kbid, query_text)
 
         # over-fetch per source so fusion has a window to work with
         # (parity: find.py over-requests before fusion cut)
         fetch_k = max(request.top_k * 2, 20)
         shard_req = ShardSearchRequest(
-            body=request.query if keyword else "",
+            body=query_text if keyword else "",
             top_k=fetch_k,
             paragraph=keyword,
             vector=vector,

@@ -33,7 +33,13 @@ from ..models.api import (
     UpdateResourcePayload,
     VectorSetSpec,
 )
+from ..bus import EmbeddedBus
+from ..common.audit import AuditStream
+from ..common.back_pressure import BackPressureMaterializer, TryAfterError
+from ..common.kb_services import EntitiesService, LabelsService, SynonymsService
+from ..learning_proxy import LearningProxy
 from ..search import SearchService
+from ..search.augmentor import AugmentRequest, Augmentor
 from ..services import EmbeddedNode
 from ..version import __version__
 
@@ -53,6 +59,14 @@ class StandaloneApp:
         self.kbs = KnowledgeBoxManager(self.driver, self.node)
         self.processor = Processor(self.driver, self.node, self.kbs)
         self.search = SearchService(self.node, self.kbs, self.processor)
+        self.bus = EmbeddedBus(os.path.join(data_dir, "bus.db"))
+        self.audit = AuditStream(self.bus)
+        self.back_pressure = BackPressureMaterializer(self.node.metadata, self.bus)
+        self.labels = LabelsService(self.driver)
+        self.entities = EntitiesService(self.driver)
+        self.synonyms = SynonymsService(self.driver)
+        self.learning = LearningProxy(self.driver)
+        self.augmentor = Augmentor(self.processor)
         self.router = Router()
         self.server = HTTPServer(self.router, host, port)
         self._register_routes()
@@ -164,11 +178,18 @@ class StandaloneApp:
         @r.post("/api/v1/kb/{kbid}/resources")
         def create_resource(request: Request):
             kbid = self._kbid(request)
+            try:
+                self.back_pressure.check_indexing()
+            except TryAfterError as e:
+                raise HTTPError(429, str(e))
             payload = _validate(CreateResourcePayload, request.json())
             try:
                 rid, seq = self.processor.create_resource(kbid, payload)
             except KeyError as e:
                 raise HTTPError(409, str(e))
+            from ..common.audit import AuditType
+
+            self.audit.report(kbid=kbid, audit_type=AuditType.NEW, rid=rid)
             return 201, ResourceCreated(uuid=rid, seqid=seq)
 
         @r.get("/api/v1/kb/{kbid}/resource/{rid}")
@@ -275,3 +296,187 @@ class StandaloneApp:
             req = _validate(AskRequest, request.json())
             self._sync()
             return self.search.ask(kbid, req)
+
+        # ---- vocabulary services (writer/api/v1/services.py parity) -----
+
+        @r.post("/api/v1/kb/{kbid}/labelset/{labelset}")
+        def set_labelset(request: Request):
+            kbid = self._kbid(request)
+            self.labels.set_labelset(kbid, request.params["labelset"], request.json())
+            return 201, {"ok": True}
+
+        @r.get("/api/v1/kb/{kbid}/labelsets")
+        def list_labelsets(request: Request):
+            kbid = self._kbid(request)
+            return {"labelsets": self.labels.list_labelsets(kbid)}
+
+        @r.get("/api/v1/kb/{kbid}/labelset/{labelset}")
+        def get_labelset(request: Request):
+            kbid = self._kbid(request)
+            out = self.labels.get_labelset(kbid, request.params["labelset"])
+            if out is None:
+                raise HTTPError(404, "unknown labelset")
+            return out
+
+        @r.delete("/api/v1/kb/{kbid}/labelset/{labelset}")
+        def delete_labelset(request: Request):
+            kbid = self._kbid(request)
+            self.labels.delete_labelset(kbid, request.params["labelset"])
+            return 204, None
+
+        @r.post("/api/v1/kb/{kbid}/entitiesgroup/{group}")
+        def set_entities(request: Request):
+            kbid = self._kbid(request)
+            self.entities.set_group(kbid, request.params["group"], request.json())
+            return 201, {"ok": True}
+
+        @r.get("/api/v1/kb/{kbid}/entitiesgroups")
+        def list_entities(request: Request):
+            kbid = self._kbid(request)
+            return {"groups": self.entities.list_groups(kbid)}
+
+        @r.get("/api/v1/kb/{kbid}/entitiesgroup/{group}")
+        def get_entities(request: Request):
+            kbid = self._kbid(request)
+            out = self.entities.get_group(kbid, request.params["group"])
+            if out is None:
+                raise HTTPError(404, "unknown entities group")
+            return out
+
+        @r.delete("/api/v1/kb/{kbid}/entitiesgroup/{group}")
+        def delete_entities(request: Request):
+            kbid = self._kbid(request)
+            self.entities.delete_group(kbid, request.params["group"])
+            return 204, None
+
+        @r.post("/api/v1/kb/{kbid}/custom-synonyms")
+        def set_synonyms(request: Request):
+            kbid = self._kbid(request)
+            self.synonyms.set_synonyms(kbid, request.json())
+            return 201, {"ok": True}
+
+        @r.get("/api/v1/kb/{kbid}/custom-synonyms")
+        def get_synonyms(request: Request):
+            kbid = self._kbid(request)
+            return {"synonyms": self.synonyms.get_synonyms(kbid)}
+
+        @r.delete("/api/v1/kb/{kbid}/custom-synonyms")
+        def delete_synonyms(request: Request):
+            kbid = self._kbid(request)
+            self.synonyms.delete_synonyms(kbid)
+            return 204, None
+
+        # ---- augment + learning config -----------------------------------
+
+        @r.post("/api/v1/kb/{kbid}/augment")
+        def augment(request: Request):
+            kbid = self._kbid(request)
+            req = _validate(AugmentRequest, request.json())
+            return self.augmentor.augment(kbid, req)
+
+        @r.get("/api/v1/kb/{kbid}/configuration")
+        def get_learning(request: Request):
+            kbid = self._kbid(request)
+            return self.learning.get_configuration(kbid)
+
+        @r.patch("/api/v1/kb/{kbid}/configuration")
+        def set_learning(request: Request):
+            kbid = self._kbid(request)
+            return self.learning.set_configuration(kbid, request.json())
+
+        # ---- export / import / backups -------------------------------------
+
+        @r.get("/api/v1/kb/{kbid}/export")
+        def export(request: Request):
+            from ..common.export_import import export_kb
+
+            kbid = self._kbid(request)
+            return 200, export_kb(self.kbs, self.processor, kbid)
+
+        @r.post("/api/v1/kbs/import")
+        def import_(request: Request):
+            from ..common.export_import import import_kb
+
+            kbid = import_kb(
+                self.kbs, self.processor, request.body,
+                slug=request.query.get("slug"),
+            )
+            return 201, {"uuid": kbid}
+
+        @r.post("/api/v1/kb/{kbid}/backup")
+        def backup(request: Request):
+            from ..common.export_import import create_backup
+
+            kbid = self._kbid(request)
+            backup_id = create_backup(self.kbs, self.processor, self.node.storage, kbid)
+            return 201, {"backup_id": backup_id}
+
+        @r.post("/api/v1/backups/{backup_id}/restore")
+        def restore(request: Request):
+            from ..common.export_import import restore_backup
+
+            kbid = restore_backup(
+                self.kbs, self.processor, self.node.storage,
+                request.params["backup_id"], slug=request.query.get("slug"),
+            )
+            return 201, {"uuid": kbid}
+
+        @r.get("/api/v1/backups")
+        def backups(request: Request):
+            from ..common.export_import import list_backups
+
+            return {"backups": list_backups(self.node.storage)}
+
+        # ---- train ----------------------------------------------------------
+
+        @r.post("/api/v1/kb/{kbid}/trainset/{task}")
+        def trainset(request: Request):
+            from ..train import TrainSet, export_trainset
+
+            kbid = self._kbid(request)
+            body = request.json()
+            manifest = export_trainset(
+                self.processor,
+                TrainSet(kbid=kbid, batch_size=int(body.get("batch_size", 32))),
+                request.params["task"],
+                body.get("output_dir") or os.path.join(
+                    self.node.data_dir, "trainsets", kbid, request.params["task"]
+                ),
+            )
+            return 201, manifest
+
+        # ---- admin ------------------------------------------------------------
+
+        @r.post("/api/v1/admin/rollover/{kbid}")
+        def rollover(request: Request):
+            from ..common.rollover import rollover_kb
+
+            kbid = self._kbid(request)
+            shards = rollover_kb(self.kbs, self.processor, self.node, kbid)
+            self._sync(force=True)
+            return {"shards": shards}
+
+        @r.post("/api/v1/admin/rebalance/{kbid}")
+        def rebalance(request: Request):
+            from ..common.rollover import rebalance_kb
+
+            kbid = self._kbid(request)
+            counts = rebalance_kb(self.kbs, self.processor, self.node, kbid)
+            self._sync(force=True)
+            return {"counts": counts}
+
+        @r.post("/api/v1/admin/tick")
+        def tick(request: Request):
+            stats = self.node.tick_background()
+            self._sync(force=True)
+            return stats
+
+        @r.get("/api/v1/admin/shards/{kbid}")
+        def kb_shards(request: Request):
+            kbid = self._kbid(request)
+            shards = self.kbs.get_shards(kbid)
+            return {
+                "shards": shards.shards if shards else [],
+                "writable": shards.writable if shards else 0,
+                "counts": shards.counts if shards else {},
+            }

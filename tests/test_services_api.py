@@ -1,0 +1,131 @@
+import numpy as np
+import pytest
+
+from nucliadb_tpu.common.external_index import (
+    InMemoryExternalIndex,
+    get_provider,
+)
+from nucliadb_tpu.common.kb import KnowledgeBoxManager
+from nucliadb_tpu.common.kb_services import SynonymsService
+from nucliadb_tpu.ingest.processor import Processor
+from nucliadb_tpu.learning_proxy import LearningProxy
+from nucliadb_tpu.maindb import Driver
+from nucliadb_tpu.models.api import (
+    CreateResourcePayload,
+    FindRequest,
+    KnowledgeBoxConfig,
+    SearchFeature,
+    TextFieldPayload,
+)
+from nucliadb_tpu.models.internal import IndexParagraph, ResourceDoc, TextInformation, VectorSentence
+from nucliadb_tpu.search import SearchService
+from nucliadb_tpu.search.augmentor import AugmentOp, AugmentRequest, Augmentor
+from nucliadb_tpu.services import EmbeddedNode
+from nucliadb_tpu.settings import Settings, from_env
+from nucliadb_tpu.storage import MemoryStorage
+
+
+@pytest.fixture
+def stack(tmp_path):
+    node = EmbeddedNode(data_dir=str(tmp_path / "n"), storage=MemoryStorage())
+    driver = Driver(str(tmp_path / "kv.db"))
+    kbs = KnowledgeBoxManager(driver, node)
+    processor = Processor(driver, node, kbs)
+    search = SearchService(node, kbs, processor)
+    kbid = kbs.create(KnowledgeBoxConfig(slug="svc"))
+    processor.create_resource(
+        kbid,
+        CreateResourcePayload(
+            title="Car doc",
+            texts={"t": TextFieldPayload(body="the automobile is fast.\n\nIt has wheels.")},
+        ),
+    )
+    node.wait_for_sync()
+    return node, driver, kbs, processor, search, kbid
+
+
+def test_synonyms_expand_query(stack):
+    node, driver, kbs, processor, search, kbid = stack
+    syn = SynonymsService(driver)
+    syn.set_synonyms(kbid, {"car": ["automobile", "vehicle"]})
+    # with synonyms the query must match via "automobile"
+    res2 = search.find(
+        kbid,
+        FindRequest(query="car", features=[SearchFeature.KEYWORD], with_synonyms=True),
+    )
+    assert len(res2.resources) == 1
+
+
+def test_learning_proxy_config(stack):
+    node, driver, kbs, processor, search, kbid = stack
+    lp = LearningProxy(driver)
+    assert lp.get_configuration(kbid) == {}
+    lp.set_configuration(kbid, {"semantic_model": "model1"})
+    lp.set_configuration(kbid, {"generative_model": "g"})
+    assert lp.get_configuration(kbid) == {
+        "semantic_model": "model1",
+        "generative_model": "g",
+    }
+    lp.delete_configuration(kbid)
+    assert lp.get_configuration(kbid) == {}
+
+
+def test_augmentor(stack):
+    node, driver, kbs, processor, search, kbid = stack
+    rid = processor.list_resources(kbid)[0]
+    aug = Augmentor(processor)
+    resp = aug.augment(
+        kbid,
+        AugmentRequest(
+            operations=[
+                AugmentOp(op="resource", rid=rid),
+                AugmentOp(op="field", rid=rid, field_id="t/t"),
+                AugmentOp(op="paragraph", paragraph_id=f"{rid}/t/t/0-23"),
+                AugmentOp(op="neighbours", paragraph_id=f"{rid}/t/t/0-23", after=1),
+                AugmentOp(op="resource", rid="missing"),
+            ]
+        ),
+    )
+    assert resp.blocks[0].title == "Car doc"
+    assert "automobile" in resp.blocks[1].text
+    assert resp.blocks[2].text == "the automobile is fast."
+    assert "wheels" in resp.blocks[3].text  # neighbour included
+    assert resp.blocks[4].error == "not found"
+
+
+def test_external_index_provider():
+    cls = get_provider("memory")
+    idx = cls()
+    doc = ResourceDoc(resource_id="r1")
+    doc.texts["t/t"] = TextInformation(text="x")
+    para = IndexParagraph(start=0, end=1)
+    para.vectorsets_sentences["vs"] = {
+        "r1/t/t/0/0-1": VectorSentence(vector=np.array([1.0, 0.0], np.float32))
+    }
+    doc.paragraphs["t/t"] = {"r1/t/t/0-1": para}
+    doc.labels = ["/l/a/b"]
+    idx.index_resource(doc, "vs")
+    hits = idx.query(np.array([1.0, 0.0], np.float32), 5)
+    assert hits[0].key == "r1/t/t/0/0-1"
+    assert idx.query(np.array([1.0, 0.0], np.float32), 5, filter_labels=["/l/x/y"]) == []
+    idx.delete_resource("r1")
+    assert idx.query(np.array([1.0, 0.0], np.float32), 5) == []
+    with pytest.raises(KeyError):
+        get_provider("nope")
+
+
+def test_settings_from_env():
+    s = from_env(
+        {
+            "NDBTPU_DATA_DIR": "/tmp/x",
+            "NDBTPU_SCHEDULER__VECTOR_MAX_SEGMENT": "100000",
+            "NDBTPU_HTTP__PORT": "9999",
+            "NDBTPU_FLAGS": "hnsw,debug",
+            "UNRELATED": "1",
+        }
+    )
+    assert s.data_dir == "/tmp/x"
+    assert s.scheduler.vector_max_segment == 100000
+    assert s.scheduler.min_segments_to_merge == 4  # default preserved
+    assert s.http.port == 9999
+    assert s.has_flag("hnsw") and not s.has_flag("nope")

@@ -146,6 +146,59 @@ def test_http_full_flow(server):
     assert client.post("/api/v1/kbs", json={"slug": "httpkb"}).status_code == 409
     assert client.get("/api/v1/kb/nope").status_code == 404
 
+    # vocabulary services
+    assert (
+        client.post(
+            f"/api/v1/kb/{kbid}/labelset/topic",
+            json={"title": "Topic", "labels": [{"title": "animals"}]},
+        ).status_code
+        == 201
+    )
+    assert "topic" in client.get(f"/api/v1/kb/{kbid}/labelsets").json()["labelsets"]
+    assert client.get(f"/api/v1/kb/{kbid}/labelset/topic").json()["title"] == "Topic"
+    assert (
+        client.post(
+            f"/api/v1/kb/{kbid}/entitiesgroup/animals",
+            json={"title": "Animals", "entities": {"fox": {"value": "fox"}}},
+        ).status_code
+        == 201
+    )
+    assert client.get(f"/api/v1/kb/{kbid}/entitiesgroups").json()["groups"] == ["animals"]
+    assert (
+        client.post(
+            f"/api/v1/kb/{kbid}/custom-synonyms", json={"finance": ["markets"]}
+        ).status_code
+        == 201
+    )
+    res = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "finance", "features": ["keyword"], "with_synonyms": True},
+    ).json()
+    assert len(res["resources"]) == 1  # matched via synonym "markets"
+
+    # augment (rid was deleted above -> block carries an error) + learning config
+    aug = client.post(
+        f"/api/v1/kb/{kbid}/augment",
+        json={"operations": [{"op": "field", "rid": rid, "field_id": "t/text1"}]},
+    )
+    assert aug.status_code == 200
+    assert aug.json()["blocks"][0]["error"] == "not found"
+    assert client.patch(
+        f"/api/v1/kb/{kbid}/configuration", json={"semantic_model": "m"}
+    ).json()["semantic_model"] == "m"
+
+    # export/import + backup
+    blob = client.get(f"/api/v1/kb/{kbid}/export").content
+    imported = client.post("/api/v1/kbs/import?slug=copy", content=blob)
+    assert imported.status_code == 201
+    backup = client.post(f"/api/v1/kb/{kbid}/backup").json()
+    assert backup["backup_id"] in client.get("/api/v1/backups").json()["backups"]
+
+    # admin
+    assert "merged" in client.post("/api/v1/admin/tick").json()
+    shards_info = client.get(f"/api/v1/admin/shards/{kbid}").json()
+    assert len(shards_info["shards"]) >= 1
+
     # delete kb
     assert client.delete(f"/api/v1/kb/{kbid}").status_code == 204
     assert client.get(f"/api/v1/kb/{kbid}").status_code == 404
