@@ -187,6 +187,8 @@ class HTTPServer:
             return e.status, json.dumps({"detail": e.detail}).encode()
         except KeyError as e:
             return 404, json.dumps({"detail": str(e)}).encode()
+        except ValueError as e:
+            return 422, json.dumps({"detail": str(e)}).encode()
         except Exception:
             return 500, json.dumps(
                 {"detail": "internal error", "traceback": traceback.format_exc()}

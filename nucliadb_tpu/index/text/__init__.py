@@ -98,6 +98,7 @@ class DocumentSearchRequest:
     order_desc: bool = True
     min_score: Optional[float] = None
     all_terms: bool = False
+    count_resources: bool = False  # totals/facets at resource (not field) level
 
 
 @dataclass
@@ -166,16 +167,27 @@ class TextSearcher:
                     )
                     for d in dids
                 ]
+        def _rid(did: int) -> str:
+            attrs = self.engine.attrs[did]
+            return attrs.get("rid") or self.engine.keys[did].split("/", 1)[0]
+
         facet_counts: dict[str, dict[str, int]] = {}
         for facet_prefix in request.faceted:
             prefix = facet_prefix.rstrip("/")
             counts: dict[str, int] = {}
             for facet, postings in self.engine.facets.items():
                 if facet == prefix or facet.startswith(prefix + "/"):
-                    c = int(matched[postings].sum())
+                    if request.count_resources:
+                        c = len({_rid(int(d)) for d in postings if matched[d]})
+                    else:
+                        c = int(matched[postings].sum())
                     if c:
                         counts[facet] = c
             facet_counts[facet_prefix] = counts
+        if request.count_resources:
+            total = len({_rid(int(d)) for d in np.nonzero(matched)[0]})
+        else:
+            total = int(matched.sum())
         out = [
             DocumentHit(
                 key=h.key,
@@ -186,7 +198,7 @@ class TextSearcher:
             for h in hits
         ]
         return DocumentSearchResponse(
-            hits=out, total=int(matched.sum()), facet_counts=facet_counts
+            hits=out, total=total, facet_counts=facet_counts
         )
 
     def prefilter(

@@ -188,6 +188,11 @@ class VectorSearcher:
         single = q.ndim == 1
         if single:
             q = q[None, :]
+        if q.shape[-1] != self.config.dimension:
+            raise ValueError(
+                f"query vector dimension {q.shape[-1]} does not match the "
+                f"vectorset dimension {self.config.dimension}"
+            )
         if q.ndim == 3 and self.config.cardinality != VectorCardinality.MULTI:
             raise ValueError("multivector query against a single-vector index")
         mask = self._build_mask(request)

@@ -329,6 +329,7 @@ class SearchService:
                     only_faceted=not request.query.strip(),
                     order_by=request.order_by,
                     order_desc=request.order_desc,
+                    count_resources=True,  # catalog lists resources, not fields
                 )
             )
             total += resp.total
