@@ -5,16 +5,19 @@
 // This CPython extension is the equivalent for the TPU build's text engine:
 // given a batch of documents it produces the exact CSR arrays the
 // device-side BM25 engine consumes (terms, postings offsets/docs/tfs,
-// position lists, doc lengths) in one pass, ~20-40x faster than the Python
-// dict-of-dicts builder.
+// position lists, doc lengths) in one pass.
+//
+// Hot-loop design: tokens are never materialized as std::string during the
+// scan — an open-addressing hash table (FNV-1a over the lowercased bytes)
+// interns each distinct term once into a byte arena; postings append to
+// per-term vectors addressed by term slot. Terms sort once at the end.
 //
 // Tokenizer semantics (must match nucliadb_tpu/index/text_engine/tokenizer.py):
 //   - split on non-word characters; word characters are ASCII [A-Za-z0-9_]
-//     and every byte >= 0x80 (UTF-8 continuation/lead bytes -> non-ASCII
-//     scripts stay intact),
+//     and every byte >= 0x80 (UTF-8 sequences -> non-ASCII scripts intact),
 //   - ASCII letters lowercased; non-ASCII bytes untouched,
-//   - tokens longer than 40 bytes are dropped (but still advance the
-//     position counter), matching RemoveLongFilter(40).
+//   - tokens longer than 40 bytes are dropped but still advance the position
+//     counter, matching RemoveLongFilter(40).
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
@@ -22,7 +25,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
-#include <map>
+#include <numeric>
 #include <string>
 #include <vector>
 
@@ -35,35 +38,80 @@ inline bool is_word_byte(unsigned char c) {
            (c >= 'a' && c <= 'z') || c == '_' || c >= 0x80;
 }
 
-inline char lower_ascii(char c) {
-    return (c >= 'A' && c <= 'Z') ? char(c - 'A' + 'a') : c;
+inline unsigned char lower_ascii(unsigned char c) {
+    return (c >= 'A' && c <= 'Z') ? (unsigned char)(c - 'A' + 'a') : c;
 }
 
 struct Posting {
     std::vector<int32_t> docs;
     std::vector<uint16_t> tfs;
-    std::vector<std::vector<int32_t>> positions;  // aligned with docs
+    std::vector<int64_t> pos_start;  // index into positions, per (doc) entry
+    std::vector<int32_t> positions;  // per-term position pool
 };
 
-// Tokenize one UTF-8 buffer, appending (token, ordinal) pairs via callback.
-template <typename F>
-void tokenize(const char* data, Py_ssize_t len, F&& emit) {
-    int32_t pos = 0;
-    Py_ssize_t i = 0;
-    while (i < len) {
-        while (i < len && !is_word_byte((unsigned char)data[i])) i++;
-        if (i >= len) break;
-        Py_ssize_t start = i;
-        while (i < len && is_word_byte((unsigned char)data[i])) i++;
-        size_t tok_len = size_t(i - start);
-        if (tok_len <= kMaxTokenLen) {
-            std::string tok(data + start, tok_len);
-            for (auto& c : tok) c = lower_ascii(c);
-            emit(std::move(tok), pos);
+struct Interner {
+    // open addressing, power-of-two capacity
+    std::vector<int32_t> slots;      // term index + 1, 0 = empty
+    std::vector<uint64_t> hashes;
+    std::vector<uint32_t> term_off;  // into arena
+    std::vector<uint32_t> term_len;
+    std::string arena;
+    size_t count = 0;
+
+    Interner() : slots(1 << 12, 0), hashes(1 << 12, 0) {}
+
+    static uint64_t fnv1a(const unsigned char* p, size_t n) {
+        uint64_t h = 1469598103934665603ull;
+        for (size_t i = 0; i < n; ++i) {
+            h ^= lower_ascii(p[i]);
+            h *= 1099511628211ull;
         }
-        pos++;
+        return h;
     }
-}
+
+    bool equals(int32_t idx, const unsigned char* p, size_t n) const {
+        if (term_len[size_t(idx)] != n) return false;
+        const char* t = arena.data() + term_off[size_t(idx)];
+        for (size_t i = 0; i < n; ++i) {
+            if ((unsigned char)t[i] != lower_ascii(p[i])) return false;
+        }
+        return true;
+    }
+
+    void grow() {
+        size_t cap = slots.size() * 2;
+        std::vector<int32_t> ns(cap, 0);
+        std::vector<uint64_t> nh(cap, 0);
+        for (size_t i = 0; i < slots.size(); ++i) {
+            if (!slots[i]) continue;
+            size_t j = size_t(hashes[i]) & (cap - 1);
+            while (ns[j]) j = (j + 1) & (cap - 1);
+            ns[j] = slots[i];
+            nh[j] = hashes[i];
+        }
+        slots.swap(ns);
+        hashes.swap(nh);
+    }
+
+    // returns term index; interns on first sight (lowercasing into arena)
+    int32_t intern(const unsigned char* p, size_t n) {
+        if (count * 2 >= slots.size()) grow();
+        uint64_t h = fnv1a(p, n);
+        size_t mask = slots.size() - 1;
+        size_t j = size_t(h) & mask;
+        while (slots[j]) {
+            if (hashes[j] == h && equals(slots[j] - 1, p, n)) return slots[j] - 1;
+            j = (j + 1) & mask;
+        }
+        int32_t idx = int32_t(count++);
+        term_off.push_back(uint32_t(arena.size()));
+        term_len.push_back(uint32_t(n));
+        for (size_t i = 0; i < n; ++i) arena.push_back(char(lower_ascii(p[i])));
+        slots[j] = idx + 1;
+        hashes[j] = h;
+        return idx;
+    }
+};
 
 PyObject* bytes_from_vec(const void* data, size_t nbytes) {
     return PyBytes_FromStringAndSize(static_cast<const char*>(data), Py_ssize_t(nbytes));
@@ -82,14 +130,14 @@ PyObject* build_postings(PyObject* self, PyObject* args) {
     }
     Py_ssize_t n_docs = PyList_GET_SIZE(doc_list);
 
-    std::map<std::string, Posting> index;  // ordered -> terms come out sorted
+    Interner interner;
+    std::vector<Posting> postings;
     std::vector<int32_t> dlen(size_t(n_docs), 0);
 
     for (Py_ssize_t d = 0; d < n_docs; ++d) {
         PyObject* item = PyList_GET_ITEM(doc_list, d);
         const char* data = nullptr;
         Py_ssize_t len = 0;
-        PyObject* tmp = nullptr;
         if (PyUnicode_Check(item)) {
             data = PyUnicode_AsUTF8AndSize(item, &len);
             if (data == nullptr) return nullptr;
@@ -99,23 +147,49 @@ PyObject* build_postings(PyObject* self, PyObject* args) {
             PyErr_SetString(PyExc_TypeError, "documents must be str or bytes");
             return nullptr;
         }
-        int32_t kept_tokens = 0;
-        tokenize(data, len, [&](std::string&& tok, int32_t pos) {
-            kept_tokens++;
-            Posting& p = index[std::move(tok)];
-            if (!p.docs.empty() && p.docs.back() == int32_t(d)) {
-                if (p.tfs.back() < 65535) p.tfs.back()++;
-                p.positions.back().push_back(pos);
-            } else {
-                p.docs.push_back(int32_t(d));
-                p.tfs.push_back(1);
-                p.positions.emplace_back(1, pos);
+        const unsigned char* u = (const unsigned char*)data;
+        int32_t pos = 0;
+        int32_t kept = 0;
+        Py_ssize_t i = 0;
+        while (i < len) {
+            while (i < len && !is_word_byte(u[i])) i++;
+            if (i >= len) break;
+            Py_ssize_t start = i;
+            while (i < len && is_word_byte(u[i])) i++;
+            size_t tok_len = size_t(i - start);
+            if (tok_len <= kMaxTokenLen) {
+                int32_t t = interner.intern(u + start, tok_len);
+                if (size_t(t) >= postings.size()) postings.emplace_back();
+                Posting& p = postings[size_t(t)];
+                if (!p.docs.empty() && p.docs.back() == int32_t(d)) {
+                    if (p.tfs.back() < 65535) p.tfs.back()++;
+                } else {
+                    p.docs.push_back(int32_t(d));
+                    p.tfs.push_back(1);
+                    p.pos_start.push_back(int64_t(p.positions.size()));
+                }
+                p.positions.push_back(pos);
+                kept++;
             }
-        });
-        dlen[size_t(d)] = kept_tokens;  // kept tokens only (python parity)
+            pos++;
+        }
+        dlen[size_t(d)] = kept;
     }
 
-    size_t n_terms = index.size();
+    // sort terms lexicographically (byte order == the python builder's)
+    size_t n_terms = interner.count;
+    std::vector<int32_t> order(n_terms);
+    std::iota(order.begin(), order.end(), 0);
+    const std::string& arena = interner.arena;
+    std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+        const char* pa = arena.data() + interner.term_off[size_t(a)];
+        const char* pb = arena.data() + interner.term_off[size_t(b)];
+        size_t la = interner.term_len[size_t(a)], lb = interner.term_len[size_t(b)];
+        int c = std::memcmp(pa, pb, std::min(la, lb));
+        if (c) return c < 0;
+        return la < lb;
+    });
+
     std::vector<int64_t> offsets(n_terms + 1, 0);
     std::vector<int32_t> docs_flat;
     std::vector<uint16_t> tfs_flat;
@@ -124,23 +198,27 @@ PyObject* build_postings(PyObject* self, PyObject* args) {
 
     PyObject* terms = PyList_New(Py_ssize_t(n_terms));
     if (terms == nullptr) return nullptr;
-    size_t ti = 0;
-    for (auto& kv : index) {
-        PyObject* s = PyUnicode_DecodeUTF8(kv.first.data(), Py_ssize_t(kv.first.size()), "replace");
+    for (size_t ti = 0; ti < n_terms; ++ti) {
+        int32_t t = order[ti];
+        PyObject* s = PyUnicode_DecodeUTF8(
+            arena.data() + interner.term_off[size_t(t)],
+            Py_ssize_t(interner.term_len[size_t(t)]), "replace");
         PyList_SET_ITEM(terms, Py_ssize_t(ti), s);
-        const Posting& p = kv.second;
+        const Posting& p = postings[size_t(t)];
         for (size_t j = 0; j < p.docs.size(); ++j) {
             docs_flat.push_back(p.docs[j]);
             tfs_flat.push_back(p.tfs[j]);
+            int64_t lo = p.pos_start[j];
+            int64_t hi = (j + 1 < p.pos_start.size()) ? p.pos_start[j + 1]
+                                                      : int64_t(p.positions.size());
             positions_flat.insert(
-                positions_flat.end(), p.positions[j].begin(), p.positions[j].end());
+                positions_flat.end(), p.positions.begin() + lo, p.positions.begin() + hi);
             pos_offsets.push_back(int64_t(positions_flat.size()));
         }
         offsets[ti + 1] = int64_t(docs_flat.size());
-        ti++;
     }
 
-    PyObject* result = Py_BuildValue(
+    return Py_BuildValue(
         "(NNNNNNN)",
         terms,
         bytes_from_vec(offsets.data(), offsets.size() * sizeof(int64_t)),
@@ -149,7 +227,6 @@ PyObject* build_postings(PyObject* self, PyObject* args) {
         bytes_from_vec(pos_offsets.data(), pos_offsets.size() * sizeof(int64_t)),
         bytes_from_vec(positions_flat.data(), positions_flat.size() * sizeof(int32_t)),
         bytes_from_vec(dlen.data(), dlen.size() * sizeof(int32_t)));
-    return result;
 }
 
 // tokenize_with_positions(text: str) -> list[(token, pos)]
@@ -159,17 +236,29 @@ PyObject* tokenize_py(PyObject* self, PyObject* args) {
     if (!PyArg_ParseTuple(args, "s#", &data, &len)) return nullptr;
     PyObject* out = PyList_New(0);
     if (out == nullptr) return nullptr;
-    bool failed = false;
-    tokenize(data, len, [&](std::string&& tok, int32_t pos) {
-        if (failed) return;
-        PyObject* s = PyUnicode_DecodeUTF8(tok.data(), Py_ssize_t(tok.size()), "replace");
-        PyObject* tup = Py_BuildValue("(Ni)", s, pos);
-        if (tup == nullptr || PyList_Append(out, tup) < 0) failed = true;
-        Py_XDECREF(tup);
-    });
-    if (failed) {
-        Py_DECREF(out);
-        return nullptr;
+    const unsigned char* u = (const unsigned char*)data;
+    std::string tok;
+    int32_t pos = 0;
+    Py_ssize_t i = 0;
+    while (i < len) {
+        while (i < len && !is_word_byte(u[i])) i++;
+        if (i >= len) break;
+        Py_ssize_t start = i;
+        while (i < len && is_word_byte(u[i])) i++;
+        size_t tok_len = size_t(i - start);
+        if (tok_len <= kMaxTokenLen) {
+            tok.clear();
+            for (size_t j = 0; j < tok_len; ++j) tok.push_back(char(lower_ascii(u[start + Py_ssize_t(j)])));
+            PyObject* s = PyUnicode_DecodeUTF8(tok.data(), Py_ssize_t(tok.size()), "replace");
+            PyObject* tup = Py_BuildValue("(Ni)", s, pos);
+            if (tup == nullptr || PyList_Append(out, tup) < 0) {
+                Py_XDECREF(tup);
+                Py_DECREF(out);
+                return nullptr;
+            }
+            Py_DECREF(tup);
+        }
+        pos++;
     }
     return out;
 }
