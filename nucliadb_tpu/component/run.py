@@ -1,0 +1,85 @@
+"""Component runner: ``python -m nucliadb_tpu.component.run indexer worker ...``
+
+Components (any subset; parity nidx/src/main.rs:130-153):
+  ingest     consume writer BrokerMessages from the bus (partition 0)
+  scheduler  merge planning + purge loops on a timer
+  worker     merge job execution loop
+  searcher   node gRPC services (search plane) with periodic sync
+  api        alias of searcher (shard admin rides the same gRPC server)
+
+All components share --data-dir (metadata/KV/bus/storage). Each process
+death is fatal (supervisor restarts — parity: nidx panics on task death).
+"""
+
+from __future__ import annotations
+
+import argparse
+import threading
+import time
+
+from ..bus import EmbeddedBus
+from ..common.kb import KnowledgeBoxManager
+from ..ingest.consumer import IngestConsumer
+from ..ingest.processor import Processor
+from ..maindb import Driver
+from ..services import EmbeddedNode
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="nucliadb_tpu component runner")
+    parser.add_argument("components", nargs="+",
+                        choices=["ingest", "scheduler", "worker", "searcher", "api"])
+    parser.add_argument("--data-dir", default="./data")
+    parser.add_argument("--grpc-address", default="127.0.0.1:10000")
+    parser.add_argument("--interval", type=float, default=15.0)
+    args = parser.parse_args()
+
+    import os
+
+    node = EmbeddedNode(data_dir=os.path.join(args.data_dir, "node"))
+    threads: list[threading.Thread] = []
+    stop = threading.Event()
+
+    def loop(fn, interval):
+        def body():
+            while not stop.wait(interval):
+                fn()
+        t = threading.Thread(target=body, daemon=True)
+        t.start()
+        threads.append(t)
+
+    components = set(args.components)
+    if "ingest" in components:
+        driver = Driver(os.path.join(args.data_dir, "maindb.db"))
+        bus = EmbeddedBus(os.path.join(args.data_dir, "bus.db"))
+        kbs = KnowledgeBoxManager(driver, node)
+        processor = Processor(driver, node, kbs)
+        consumer = IngestConsumer(bus, processor)
+        loop(consumer.drain, 0.2)
+        print("ingest consumer started")
+    if "scheduler" in components:
+        loop(lambda: node.scheduler.tick(), args.interval)
+        print("scheduler started")
+    if "worker" in components:
+        def work():
+            while node.worker.run_one():
+                pass
+        loop(work, 1.0)
+        print("worker started")
+    if components & {"searcher", "api"}:
+        from ..grpc_plane import NodeGrpcServer
+
+        server = NodeGrpcServer(node, address=args.grpc_address)
+        server.start()
+        loop(lambda: node.wait_for_sync(), 1.0)
+        print(f"searcher/api gRPC on port {server.port}")
+
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        stop.set()
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,17 @@ class StandaloneApp:
             raise HTTPError(404, f"unknown knowledge box {kbid}")
         return kbid
 
+    def _notify(self, kbid: str, rid: Optional[str], action: str, seq) -> None:
+        """Activity event (parity: reader notifications / notify.{kbid})."""
+        self.bus.publish(
+            "ndb_notify",
+            f"notify.{kbid}",
+            json.dumps(
+                {"kbid": kbid, "rid": rid, "action": action,
+                 "seq": int(seq) if seq is not None else None, "when": time.time()}
+            ).encode(),
+        )
+
     # ------------------------------------------------------------------
 
     def _register_routes(self) -> None:
@@ -190,6 +201,7 @@ class StandaloneApp:
             from ..common.audit import AuditType
 
             self.audit.report(kbid=kbid, audit_type=AuditType.NEW, rid=rid)
+            self._notify(kbid, rid, "created", seq)
             return 201, ResourceCreated(uuid=rid, seqid=seq)
 
         @r.get("/api/v1/kb/{kbid}/resource/{rid}")
@@ -223,6 +235,7 @@ class StandaloneApp:
             kbid = self._kbid(request)
             payload = _validate(UpdateResourcePayload, request.json())
             seq = self.processor.update_resource(kbid, request.params["rid"], payload)
+            self._notify(kbid, request.params["rid"], "modified", seq)
             return {"seqid": seq}
 
         @r.delete("/api/v1/kb/{kbid}/resource/{rid}")
@@ -231,7 +244,29 @@ class StandaloneApp:
             seq = self.processor.delete_resource(kbid, request.params["rid"])
             if seq is None:
                 raise HTTPError(404, "unknown resource")
+            self._notify(kbid, request.params["rid"], "deleted", seq)
             return 204, None
+
+        @r.get("/api/v1/kb/{kbid}/notifications")
+        def notifications(request: Request):
+            """Recent activity events, cursor-paginated by bus seq
+            (parity: reader notifications stream)."""
+            kbid = self._kbid(request)
+            since = int(request.query.get("since", 0))
+            limit = int(request.query.get("limit", 100))
+            out = []
+            consumer = f"notif_{kbid}_{since}"
+            while len(out) < limit:
+                msg = self.bus.next("ndb_notify", consumer, subject_prefix=f"notify.{kbid}")
+                if msg is None:
+                    break
+                self.bus.ack("ndb_notify", consumer, msg.seq)
+                if msg.seq <= since:
+                    continue
+                event = json.loads(msg.payload)
+                event["seq_cursor"] = msg.seq
+                out.append(event)
+            return {"notifications": out}
 
         @r.get("/api/v1/kb/{kbid}/resources")
         def list_resources(request: Request):
