@@ -161,6 +161,7 @@ class FindRequest(BaseModel):
     keyword_boost: float = 1.0
     semantic_boost: float = 1.0
     with_synonyms: bool = False  # expand the keyword query with KB synonyms
+    offset: int = 0  # pagination offset over the fused ranking
 
 
 class FindParagraph(BaseModel):

@@ -83,6 +83,18 @@ def parse_vector_key(key: str) -> Optional[tuple[str, str, int, int]]:
         return None
 
 
+def _highlight(snippet: str, terms: list[str]) -> str:
+    """Wrap matched words in <mark> tags (parity: find highlight option)."""
+    import re
+
+    if not terms:
+        return snippet
+    pattern = re.compile(
+        r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b", re.IGNORECASE
+    )
+    return pattern.sub(lambda m: f"<mark>{m.group(0)}</mark>", snippet)
+
+
 def parse_paragraph_id(pid: str) -> Optional[tuple[str, str, int, int]]:
     parts = pid.split("/")
     if len(parts) < 3:
@@ -145,7 +157,7 @@ class SearchService:
 
         # over-fetch per source so fusion has a window to work with
         # (parity: find.py over-requests before fusion cut)
-        fetch_k = max(request.top_k * 2, 20)
+        fetch_k = max((request.top_k + request.offset) * 2, 20)
         shard_req = ShardSearchRequest(
             body=query_text if keyword else "",
             top_k=fetch_k,
@@ -215,16 +227,24 @@ class SearchService:
                     "semantic": request.semantic_boost,
                 },
             )
-        cut = fused[: request.top_k]
+        cut = fused[request.offset : request.offset + request.top_k]
+
+        highlight_terms: list[str] = []
+        if request.highlight and request.query:
+            from ..index.text_engine.tokenizer import tokenize
+
+            highlight_terms = tokenize(query_text)
 
         results = KnowledgeboxFindResults(
             total=len(fused),
             page_size=request.top_k,
-            next_page=len(fused) > request.top_k,
+            next_page=len(fused) > request.offset + request.top_k,
         )
         for order, block in enumerate(cut):
             text = self.processor.field_text(kbid, block.rid, block.field) or ""
             snippet = text[block.start : block.end]
+            if highlight_terms:
+                snippet = _highlight(snippet, highlight_terms)
             score_type = (
                 "BOTH"
                 if len(block.sources) > 1

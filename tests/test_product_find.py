@@ -231,3 +231,27 @@ def test_kb_lifecycle(tmp_path):
 def test_slug_resolution(stack):
     node, kbs, processor, search, kbid, rids = stack
     assert processor.resolve_slug(kbid, "fox-doc") == rids["fox"]
+
+
+def test_find_highlight_and_offset(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    res = search.find(
+        kbid,
+        FindRequest(query="quick fox", features=[SearchFeature.KEYWORD], highlight=True),
+    )
+    paras = [
+        p
+        for r in res.resources.values()
+        for f in r.fields.values()
+        for p in f.paragraphs.values()
+    ]
+    assert any("<mark>quick</mark>" in p.text for p in paras)
+
+    all_res = search.find(
+        kbid, FindRequest(query="quick", features=[SearchFeature.KEYWORD], top_k=10)
+    )
+    page2 = search.find(
+        kbid,
+        FindRequest(query="quick", features=[SearchFeature.KEYWORD], top_k=1, offset=1),
+    )
+    assert page2.best_matches[0] == all_res.best_matches[1]
