@@ -24,12 +24,30 @@ from ..types import SegmentMetadata, SimpleOpenIndex
 
 
 class SyncedSearcher:
-    def __init__(self, metadata: MetadataStore, storage: Storage, cache_dir: str | None = None):
+    def __init__(
+        self,
+        metadata: MetadataStore,
+        storage: Storage,
+        cache_dir: str | None = None,
+        *,
+        selector=None,
+        node_name: str | None = None,
+    ):
         self.metadata = metadata
         self.storage = storage
         self.cache_dir = cache_dir or tempfile.mkdtemp(prefix="ndbtpu_searcher_")
         self._shards: dict[str, ShardSearcher] = {}
         self._index_state: dict[int, float] = {}  # index id -> updated_at seen
+        # multi-node deployments: only sync shards this node owns per the
+        # rendezvous selector (parity: searcher syncs its assigned shards,
+        # nidx/src/searcher/sync.rs + shard_selector)
+        self.selector = selector
+        self.node_name = node_name
+
+    def _owns(self, shard_id: str) -> bool:
+        if self.selector is None or self.node_name is None:
+            return True
+        return self.node_name in self.selector.nodes_for_shard(shard_id)
 
     # ------------------------------------------------------------------
 
@@ -37,6 +55,9 @@ class SyncedSearcher:
         """Refresh shard searchers whose indexes changed; returns shard ids."""
         dirty: set[str] = set()
         for shard in self.metadata.list_shards():
+            if not self._owns(shard.id):
+                self._shards.pop(shard.id, None)  # dropped after topology change
+                continue
             for index in self.metadata.get_indexes(shard.id):
                 seen = self._index_state.get(index.id)
                 if seen is None or index.updated_at > seen:

@@ -247,6 +247,65 @@ class StandaloneApp:
             self._notify(kbid, request.params["rid"], "deleted", seq)
             return 204, None
 
+        # ---- file (blob) fields -------------------------------------------
+        # The reference stores extracted blobs in object storage and serves
+        # them via the reader's download endpoints (writer/tus uploads,
+        # docs/internal/BLOBS.md). Embedded parity: direct binary upload +
+        # download; text extraction is the processing service's job and is
+        # out of scope for an embedded deployment (file fields index their
+        # filename/content-type as metadata).
+
+        @r.post("/api/v1/kb/{kbid}/resource/{rid}/file/{field}/upload")
+        def upload_file(request: Request):
+            kbid = self._kbid(request)
+            rid = request.params["rid"]
+            if self.processor.get_meta(kbid, rid) is None:
+                raise HTTPError(404, "unknown resource")
+            field = request.params["field"]
+            key = f"blobs/{kbid}/{rid}/{field}"
+            self.node.storage.put(key, request.body)
+            filename = request.query.get("filename", field)
+            content_type = request.headers.get("content-type", "application/octet-stream")
+            with self.driver as txn:
+                txn.set(
+                    f"/kbs/{kbid}/r/{rid}/files/{field}",
+                    json.dumps(
+                        {
+                            "key": key,
+                            "filename": filename,
+                            "content_type": content_type,
+                            "size": len(request.body),
+                        }
+                    ).encode(),
+                )
+            return 201, {"field": field, "size": len(request.body)}
+
+        @r.get("/api/v1/kb/{kbid}/resource/{rid}/file/{field}/download")
+        def download_file(request: Request):
+            kbid = self._kbid(request)
+            rid = request.params["rid"]
+            with self.driver as txn:
+                raw = txn.get(f"/kbs/{kbid}/r/{rid}/files/{request.params['field']}")
+            if raw is None:
+                raise HTTPError(404, "unknown file field")
+            info = json.loads(raw)
+            return 200, self.node.storage.get(info["key"])
+
+        @r.get("/api/v1/kb/{kbid}/resource/{rid}/files")
+        def list_files(request: Request):
+            kbid = self._kbid(request)
+            rid = request.params["rid"]
+            prefix = f"/kbs/{kbid}/r/{rid}/files/"
+            with self.driver as txn:
+                out = {}
+                for key in txn.keys(prefix):
+                    raw = txn.get(key)
+                    if raw:
+                        info = json.loads(raw)
+                        info.pop("key", None)
+                        out[key[len(prefix):]] = info
+            return {"files": out}
+
         @r.get("/api/v1/kb/{kbid}/notifications")
         def notifications(request: Request):
             """Recent activity events, cursor-paginated by bus seq
@@ -330,7 +389,28 @@ class StandaloneApp:
             kbid = self._kbid(request)
             req = _validate(AskRequest, request.json())
             self._sync()
-            return self.search.ask(kbid, req)
+            result = self.search.ask(kbid, req)
+            accept = request.headers.get("x-synchronous", "")
+            if request.query.get("stream") != "ndjson" and accept != "false":
+                return result
+            # ndjson item stream (parity: /ask's default ndjson response —
+            # AskResponseItems: retrieval, answer chunks, citations, status)
+            lines = []
+            if result.retrieval is not None:
+                lines.append(
+                    json.dumps(
+                        {"item": {"type": "retrieval",
+                                  "results": json.loads(result.retrieval.model_dump_json())}}
+                    )
+                )
+            text = result.answer
+            for i in range(0, len(text), 80):
+                lines.append(
+                    json.dumps({"item": {"type": "answer", "text": text[i : i + 80]}})
+                )
+            lines.append(json.dumps({"item": {"type": "citations", "citations": result.citations}}))
+            lines.append(json.dumps({"item": {"type": "status", "status": result.status}}))
+            return 200, ("\n".join(lines) + "\n").encode()
 
         # ---- vocabulary services (writer/api/v1/services.py parity) -----
 

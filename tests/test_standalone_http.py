@@ -202,3 +202,49 @@ def test_http_full_flow(server):
     # delete kb
     assert client.delete(f"/api/v1/kb/{kbid}").status_code == 204
     assert client.get(f"/api/v1/kb/{kbid}").status_code == 404
+
+
+def test_file_fields_and_ask_ndjson(server):
+    client, app = server
+    resp = client.post(
+        "/api/v1/kbs", json={"slug": "files-kb", "vectorsets": {}}
+    )
+    kbid = resp.json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "With file", "texts": {"t": {"body": "report about foxes"}}},
+    ).json()["uuid"]
+
+    # upload + list + download a blob field
+    data = b"PDFBYTES" * 100
+    up = client.post(
+        f"/api/v1/kb/{kbid}/resource/{rid}/file/doc1/upload",
+        params={"filename": "report.pdf"},
+        content=data,
+        headers={"content-type": "application/pdf"},
+    )
+    assert up.status_code == 201 and up.json()["size"] == len(data)
+    files = client.get(f"/api/v1/kb/{kbid}/resource/{rid}/files").json()["files"]
+    assert files["doc1"]["filename"] == "report.pdf"
+    down = client.get(f"/api/v1/kb/{kbid}/resource/{rid}/file/doc1/download")
+    assert down.content == data
+    assert (
+        client.get(f"/api/v1/kb/{kbid}/resource/{rid}/file/nope/download").status_code
+        == 404
+    )
+
+    # ndjson ask stream
+    import json as _json
+
+    resp = client.post(
+        f"/api/v1/kb/{kbid}/ask", params={"stream": "ndjson"},
+        json={"query": "foxes"},
+    )
+    items = [_json.loads(line)["item"] for line in resp.text.strip().split("\n")]
+    types = [i["type"] for i in items]
+    assert types[0] == "retrieval" and types[-1] == "status"
+    assert any(t == "answer" for t in types)
+
+    # notifications cursor
+    notes = client.get(f"/api/v1/kb/{kbid}/notifications").json()["notifications"]
+    assert [n["action"] for n in notes] == ["created"]
