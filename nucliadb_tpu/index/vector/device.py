@@ -170,6 +170,14 @@ class DeviceVectorIndex:
             elif config.quantization == Quantization.BINARY:
                 self.codes = quant.BinaryCodes.encode(self.vectors)
 
+        # IVF strategy (flag "ivf"): cluster-blocked scan reading nprobe/K of
+        # the corpus per query (see ops/ivf.py)
+        self.ivf = None
+        if not self.multi and "ivf" in config.flags and self.n_para > 0:
+            from ...ops import ivf as ivf_ops
+
+            self.ivf = ivf_ops.build_ivf(self.vectors, self.n_para)
+
         # graph strategy (flag "hnsw"): batched proximity-graph search for
         # corpora beyond the scan sweet spot (see ops/hnsw.py)
         self.graph = None
@@ -270,7 +278,12 @@ class DeviceVectorIndex:
             qp = np.zeros((b_pad, q.shape[1]), np.float32)
             qp[: q.shape[0]] = q
             qj = jnp.asarray(qp)
-            if self.graph is not None:
+            if self.ivf is not None:
+                from ...ops import ivf as ivf_ops
+
+                pq = prepare_query(qj, self.config.similarity.value)
+                s, i = ivf_ops.ivf_search(self.ivf, pq, mask_j, ms, top_k)
+            elif self.graph is not None:
                 from ...ops import hnsw as hnsw_ops
 
                 s, i = hnsw_ops.hnsw_search(

@@ -37,3 +37,31 @@ def test_hnsw_strategy_end_to_end(rng, tmp_path):
         got = {h.key for h in hits[b]}
         recalls.append(len(exact & got) / k)
     assert np.mean(recalls) >= 0.9, np.mean(recalls)
+
+
+def test_ivf_strategy_end_to_end(rng, tmp_path):
+    n, d, k = 1500, 32, 10
+    centers = rng.standard_normal((15, d)).astype(np.float32)
+    v = centers[rng.integers(0, 15, n)] + 0.3 * rng.standard_normal((n, d)).astype(
+        np.float32
+    )
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    cfg = VectorConfig(dimension=d, flags=["ivf"])
+    elems = [Elem(key=f"r/{i:05d}", vectors=v[i : i + 1]) for i in range(n)]
+    meta = create_segment(str(tmp_path / "s"), elems, cfg)
+    searcher = VectorSearcher(cfg, SimpleOpenIndex(segment_list=[(meta, Seq(1))]))
+    assert searcher.index.ivf is not None
+
+    q = centers[rng.integers(0, 15, 4)] + 0.3 * rng.standard_normal((4, d)).astype(
+        np.float32
+    )
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    hits = searcher.search(VectorSearchRequest(vectors=q, top_k=k))
+
+    true = q.astype(np.float64) @ v.astype(np.float64).T
+    recalls = []
+    for b in range(4):
+        exact = {f"r/{i:05d}" for i in np.argsort(-true[b])[:k]}
+        got = {h.key for h in hits[b]}
+        recalls.append(len(exact & got) / k)
+    assert np.mean(recalls) >= 0.9, np.mean(recalls)
