@@ -100,8 +100,19 @@ class DeviceTextEngine:
         self.doc_seg: list[tuple[int, int]] = []  # global doc -> (segment idx, offset)
         total_len = 0
 
-        # global term -> {global doc -> tf}; positions stay per-segment
-        term_postings: dict[str, dict[int, int]] = {}
+        # Consolidation is pure numpy: per-posting Python loops are a cliff
+        # (a 1M-doc segment has ~1e8 postings). Per segment we remap its term
+        # ids to the global dictionary and offset its doc ids; a stable sort
+        # by global term id then groups every term's postings.
+        all_terms: set[str] = set()
+        for seg, _ in segments:
+            all_terms.update(seg.terms)
+        self.terms_sorted = sorted(all_terms)
+        term_to_gid = {t: i for i, t in enumerate(self.terms_sorted)}
+
+        gid_chunks: list[np.ndarray] = []
+        doc_chunks: list[np.ndarray] = []
+        tf_chunks: list[np.ndarray] = []
 
         offset = 0
         for seg_idx, (seg, seq) in enumerate(segments):
@@ -116,14 +127,28 @@ class DeviceTextEngine:
                 column_chunks.setdefault(name, []).append(np.asarray(col))
             self.doc_seg.extend((seg_idx, offset) for _ in range(seg.n_docs))
             po = np.asarray(seg.postings_offsets)
-            pd = np.asarray(seg.postings_docs)
-            pt = np.asarray(seg.postings_tfs)
-            for ti, term in enumerate(seg.terms):
-                lo, hi = int(po[ti]), int(po[ti + 1])
-                dst = term_postings.setdefault(term, {})
-                for j in range(lo, hi):
-                    dst[int(pd[j]) + offset] = int(pt[j])
+            counts = np.diff(po).astype(np.int64)
+            local_gids = np.fromiter(
+                (term_to_gid[t] for t in seg.terms), dtype=np.int64, count=len(seg.terms)
+            )
+            gid_chunks.append(np.repeat(local_gids, counts))
+            doc_chunks.append(np.asarray(seg.postings_docs, np.int64) + offset)
+            tf_chunks.append(np.asarray(seg.postings_tfs, np.float32))
             offset += seg.n_docs
+
+        if gid_chunks:
+            gids = np.concatenate(gid_chunks)
+            pdocs = np.concatenate(doc_chunks)
+            ptfs = np.concatenate(tf_chunks)
+            order = np.argsort(gids, kind="stable")
+            gids, pdocs, ptfs = gids[order], pdocs[order], ptfs[order]
+            group_counts = np.bincount(gids, minlength=len(self.terms_sorted))
+            group_offsets = np.zeros(len(self.terms_sorted) + 1, np.int64)
+            np.cumsum(group_counts, out=group_offsets[1:])
+        else:
+            pdocs = np.zeros(0, np.int64)
+            ptfs = np.zeros(0, np.float32)
+            group_offsets = np.zeros(len(self.terms_sorted) + 1, np.int64)
 
         self.keys = keys
         self.attrs = attrs
@@ -143,44 +168,40 @@ class DeviceTextEngine:
         dlen_p[: self.n_docs] = np.maximum(dlen, 1)
         self.dlen = jax.device_put(jnp.asarray(dlen_p))
 
-        # ---- tier the terms ---------------------------------------------
-        self.terms_sorted = sorted(term_postings)
+        # ---- tier the terms (vectorized: no per-posting python) -----------
+        dfs = np.diff(group_offsets)
+        # tier = first width >= df; beyond the last width -> dense
+        tier_idx = np.searchsorted(np.asarray(TIER_WIDTHS), dfs, side="left")
+
         self.term_info: dict[str, tuple[int, int, int]] = {}  # term -> (tier, row, df)
-        tier_rows: list[list[tuple[np.ndarray, np.ndarray]]] = [[] for _ in TIER_WIDTHS]
-        dense_rows: list[np.ndarray] = []  # each [n_pad] uint8
-
-        for term in self.terms_sorted:
-            postings = term_postings[term]
-            dids = np.fromiter(postings.keys(), dtype=np.int32, count=len(postings))
-            tfs = np.fromiter(postings.values(), dtype=np.float32, count=len(postings))
-            order = np.argsort(dids)
-            dids, tfs = dids[order], tfs[order]
-            df = len(dids)
-            placed = False
-            for tier, width in enumerate(TIER_WIDTHS):
-                if df <= width:
-                    self.term_info[term] = (tier, len(tier_rows[tier]), df)
-                    tier_rows[tier].append((dids, tfs))
-                    placed = True
-                    break
-            if not placed:
-                dense = np.zeros(self.n_pad, np.uint8)
-                dense[dids] = np.minimum(tfs, 255).astype(np.uint8)
-                self.term_info[term] = (-1, len(dense_rows), df)
-                dense_rows.append(dense)
-
         self.tier_docs: list[jax.Array] = []
         self.tier_tfs: list[jax.Array] = []
         for tier, width in enumerate(TIER_WIDTHS):
-            rows = tier_rows[tier]
-            t = max(len(rows), 1)  # always >=1 row so gathers are well-formed
+            gids_t = np.nonzero(tier_idx == tier)[0]
+            t = max(len(gids_t), 1)  # >=1 row so gathers are well-formed
             docs_m = np.full((t, width), -1, np.int32)
             tfs_m = np.zeros((t, width), np.float32)
-            for r, (dids, tfs) in enumerate(rows):
-                docs_m[r, : len(dids)] = dids
-                tfs_m[r, : len(tfs)] = tfs
+            if len(gids_t):
+                lengths = dfs[gids_t]
+                total = int(lengths.sum())
+                excl = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+                within = np.arange(total) - np.repeat(excl, lengths)
+                dst = np.repeat(np.arange(len(gids_t)) * width, lengths) + within
+                src = np.repeat(group_offsets[gids_t], lengths) + within
+                docs_m.reshape(-1)[dst] = pdocs[src]
+                tfs_m.reshape(-1)[dst] = ptfs[src]
+                for row, gid in enumerate(gids_t):
+                    self.term_info[self.terms_sorted[gid]] = (tier, row, int(dfs[gid]))
             self.tier_docs.append(jax.device_put(jnp.asarray(docs_m)))
             self.tier_tfs.append(jax.device_put(jnp.asarray(tfs_m)))
+
+        dense_rows: list[np.ndarray] = []  # each [n_pad] uint8
+        for row, gid in enumerate(np.nonzero(tier_idx == len(TIER_WIDTHS))[0]):
+            lo, hi = int(group_offsets[gid]), int(group_offsets[gid + 1])
+            dense = np.zeros(self.n_pad, np.uint8)
+            dense[pdocs[lo:hi]] = np.minimum(ptfs[lo:hi], 255).astype(np.uint8)
+            self.term_info[self.terms_sorted[gid]] = (-1, row, int(dfs[gid]))
+            dense_rows.append(dense)
         dense_m = (
             np.stack(dense_rows) if dense_rows else np.zeros((1, self.n_pad), np.uint8)
         )
