@@ -162,6 +162,7 @@ class FindRequest(BaseModel):
     semantic_boost: float = 1.0
     with_synonyms: bool = False  # expand the keyword query with KB synonyms
     offset: int = 0  # pagination offset over the fused ranking
+    search_after: Optional[str] = None  # opaque cursor from a previous page
 
 
 class FindParagraph(BaseModel):
@@ -204,6 +205,7 @@ class KnowledgeboxFindResults(BaseModel):
     best_matches: list[str] = Field(default_factory=list)
     min_score_semantic: float = 0.0
     min_score_bm25: float = 0.0
+    next_cursor: Optional[str] = None  # pass back as search_after
 
 
 class SuggestRequest(BaseModel):

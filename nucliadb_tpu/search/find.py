@@ -227,6 +227,25 @@ class SearchService:
                     "semantic": request.semantic_boost,
                 },
             )
+        if request.search_after:
+            # cursor pagination, stable under concurrent writes for items
+            # that keep their fused ordering (parity: search_after.py's
+            # tie-broken cursors): skip past the cursor's (score, id) pair
+            import base64, json as _json
+
+            try:
+                cur_score, cur_id = _json.loads(
+                    base64.urlsafe_b64decode(request.search_after.encode())
+                )
+            except Exception:
+                raise ValueError("invalid search_after cursor")
+            # fused ordering is (score desc, block_id asc): keep strictly-after
+            fused = [
+                b
+                for b in fused
+                if b.fused_score < cur_score
+                or (b.fused_score == cur_score and b.block_id > cur_id)
+            ]
         cut = fused[request.offset : request.offset + request.top_k]
 
         highlight_terms: list[str] = []
@@ -240,6 +259,13 @@ class SearchService:
             page_size=request.top_k,
             next_page=len(fused) > request.offset + request.top_k,
         )
+        if cut and results.next_page:
+            import base64, json as _json
+
+            last = cut[-1]
+            results.next_cursor = base64.urlsafe_b64encode(
+                _json.dumps([last.fused_score, last.block_id]).encode()
+            ).decode()
         for order, block in enumerate(cut):
             text = self.processor.field_text(kbid, block.rid, block.field) or ""
             snippet = text[block.start : block.end]

@@ -255,3 +255,32 @@ def test_find_highlight_and_offset(stack):
         FindRequest(query="quick", features=[SearchFeature.KEYWORD], top_k=1, offset=1),
     )
     assert page2.best_matches[0] == all_res.best_matches[1]
+
+
+def test_find_search_after_cursor(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    all_res = search.find(
+        kbid, FindRequest(query="quick", features=[SearchFeature.KEYWORD], top_k=10)
+    )
+    page1 = search.find(
+        kbid, FindRequest(query="quick", features=[SearchFeature.KEYWORD], top_k=1)
+    )
+    assert page1.next_cursor is not None
+    page2 = search.find(
+        kbid,
+        FindRequest(
+            query="quick",
+            features=[SearchFeature.KEYWORD],
+            top_k=1,
+            search_after=page1.next_cursor,
+        ),
+    )
+    assert page2.best_matches[0] == all_res.best_matches[1]
+    # bad cursor -> clean error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        search.find(
+            kbid,
+            FindRequest(query="quick", features=[SearchFeature.KEYWORD], search_after="garbage!"),
+        )
