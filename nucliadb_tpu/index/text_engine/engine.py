@@ -316,47 +316,10 @@ class DeviceTextEngine:
         if not terms:
             return [], np.zeros(self.n_docs, dtype=bool)
 
-        # assign terms to tier slots, keeping the highest-idf ones per tier
-        tier_q: list[list[tuple[int, float]]] = [[] for _ in TIER_WIDTHS]
-        dense_q: list[tuple[int, float]] = []
-        for term, weight in terms:
-            tier, row, df = self.term_info[term]
-            w_idf = weight * self.idf(df)
-            if tier < 0:
-                dense_q.append((row, w_idf))
-            else:
-                tier_q[tier].append((row, w_idf))
-
-        rows_np = []
-        idfs_np = []
-        for tier, cap in enumerate(TIER_QUERY_CAP):
-            entries = sorted(tier_q[tier], key=lambda e: -e[1])[:cap]
-            rows = np.full(cap, -1, np.int32)
-            idfs = np.zeros(cap, np.float32)
-            for j, (row, w) in enumerate(entries):
-                rows[j] = row
-                idfs[j] = w
-            rows_np.append(rows)
-            idfs_np.append(idfs)
-        dense_entries = sorted(dense_q, key=lambda e: -e[1])[:DENSE_QUERY_CAP]
-        drows = np.full(DENSE_QUERY_CAP, -1, np.int32)
-        didfs = np.zeros(DENSE_QUERY_CAP, np.float32)
-        for j, (row, w) in enumerate(dense_entries):
-            drows[j] = row
-            didfs[j] = w
-
-        all_rows = jnp.asarray(np.concatenate(rows_np + [drows]))
-        all_idfs = jnp.asarray(np.concatenate(idfs_np + [didfs]))
-        params = jnp.asarray(
-            np.array(
-                [
-                    self.avgdl,
-                    float(required),
-                    NEG_INF if query.min_score is None else query.min_score,
-                ],
-                dtype=np.float32,
-            )
-        )
+        all_rows_np, all_idfs_np, params_np, _ = self._device_inputs(query)
+        all_rows = jnp.asarray(all_rows_np)
+        all_idfs = jnp.asarray(all_idfs_np)
+        params = jnp.asarray(params_np)
         mask_j = (
             self.base_mask_device()
             if (query.filter is None and query.key_prefixes is None and query.extra_mask is None)
@@ -381,6 +344,81 @@ class DeviceTextEngine:
             if d >= 0
         ]
         return hits, matched_np
+
+    def _device_inputs(self, query: TextQuery):
+        """(rows, idfs, params, mask) numpy inputs for one scored query."""
+        terms, required = self._plan_terms(query)
+        tier_q: list[list[tuple[int, float]]] = [[] for _ in TIER_WIDTHS]
+        dense_q: list[tuple[int, float]] = []
+        for term, weight in terms:
+            tier, row, df = self.term_info[term]
+            w_idf = weight * self.idf(df)
+            if tier < 0:
+                dense_q.append((row, w_idf))
+            else:
+                tier_q[tier].append((row, w_idf))
+        rows_np, idfs_np = [], []
+        for tier, cap in enumerate(TIER_QUERY_CAP):
+            entries = sorted(tier_q[tier], key=lambda e: -e[1])[:cap]
+            rows = np.full(cap, -1, np.int32)
+            idfs = np.zeros(cap, np.float32)
+            for j, (row, w) in enumerate(entries):
+                rows[j] = row
+                idfs[j] = w
+            rows_np.append(rows)
+            idfs_np.append(idfs)
+        dense_entries = sorted(dense_q, key=lambda e: -e[1])[:DENSE_QUERY_CAP]
+        drows = np.full(DENSE_QUERY_CAP, -1, np.int32)
+        didfs = np.zeros(DENSE_QUERY_CAP, np.float32)
+        for j, (row, w) in enumerate(dense_entries):
+            drows[j] = row
+            didfs[j] = w
+        all_rows = np.concatenate(rows_np + [drows])
+        all_idfs = np.concatenate(idfs_np + [didfs])
+        params = np.array(
+            [
+                self.avgdl,
+                float(required),
+                NEG_INF if query.min_score is None else query.min_score,
+            ],
+            dtype=np.float32,
+        )
+        return all_rows, all_idfs, params, self.build_mask(query)
+
+    def search_batch(self, queries: list[TextQuery]) -> list[tuple[list[TextHit], np.ndarray]]:
+        """Score a batch of keyword queries in ONE device dispatch.
+
+        All queries share top_k (the max of the batch is used). Pure-filter
+        queries are not batchable (no scoring) and raise.
+        """
+        if not queries:
+            return []
+        if any(q.only_faceted or not q.text.strip() for q in queries):
+            raise ValueError("search_batch requires scored (non-empty) queries")
+        k = min(max(q.top_k for q in queries), self.n_pad)
+        rows, idfs, params, masks = zip(*(self._device_inputs(q) for q in queries))
+        top_s, top_i, matched = _bm25_search_batch(
+            self.tier_docs[0], self.tier_tfs[0],
+            self.tier_docs[1], self.tier_tfs[1],
+            self.tier_docs[2], self.tier_tfs[2],
+            self.tier_docs[3], self.tier_tfs[3],
+            self.dense_tf, self.dlen,
+            jnp.asarray(np.stack(masks)), jnp.asarray(np.stack(rows)),
+            jnp.asarray(np.stack(idfs)), jnp.asarray(np.stack(params)), k,
+        )
+        top_s, top_i = np.asarray(top_s), np.asarray(top_i)
+        matched_np = np.asarray(matched)[:, : self.n_docs]
+        out = []
+        for b, query in enumerate(queries):
+            hits = [
+                TextHit(
+                    key=self.keys[d], score=float(s), doc_id=int(d), attrs=self.attrs[d]
+                )
+                for s, d in zip(top_s[b][: query.top_k], top_i[b][: query.top_k])
+                if d >= 0
+            ]
+            out.append((hits, matched_np[b]))
+        return out
 
     # ------------------------------------------------------------------
     # positions (host) for phrase verification
@@ -422,6 +460,26 @@ class DeviceTextEngine:
 # --------------------------------------------------------------------------
 # Kernel
 # --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _bm25_search_batch(
+    docs0, tfs0, docs1, tfs1, docs2, tfs2, docs3, tfs3,
+    dense_tf, dlen, masks, all_rows, all_idfs, params, k,
+):
+    """Batched variant: per-query rows/idfs/params/masks stacked on axis 0.
+
+    One dispatch scores B queries (the serving-side batching the reference
+    gets from concurrent tantivy searchers; here it is one vmapped program).
+    """
+
+    def core(mask, rows, idfs, p):
+        return _bm25_search.__wrapped__(
+            docs0, tfs0, docs1, tfs1, docs2, tfs2, docs3, tfs3,
+            dense_tf, dlen, mask, rows, idfs, p, k,
+        )
+
+    return jax.vmap(core)(masks, all_rows, all_idfs, params)
 
 
 def _tier_contrib(docs_m, tfs_m, rows, idfs, dlen, avgdl):

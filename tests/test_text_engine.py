@@ -201,3 +201,21 @@ def test_merge_text_segments(tmp_path):
     for i in range(4):
         if ref[i] > 0:
             np.testing.assert_allclose(got[DOCS[i][0]], ref[i], rtol=1e-4)
+
+
+def test_search_batch_matches_single(tmp_path):
+    engine = make_engine(tmp_path)
+    queries = [
+        TextQuery(text="quick brown", top_k=10),
+        TextQuery(text="lazy dog", top_k=10),
+        TextQuery(text="sleeps", top_k=10, filter=LabelAtom("/t/t")),
+    ]
+    batched = engine.search_batch(queries)
+    for q, (bhits, bmatched) in zip(queries, batched):
+        shits, smatched = engine.search(q)
+        assert [(h.key, round(h.score, 5)) for h in bhits] == [
+            (h.key, round(h.score, 5)) for h in shits
+        ]
+        assert (bmatched == smatched).all()
+    with pytest.raises(ValueError):
+        engine.search_batch([TextQuery(text="  ")])
