@@ -148,7 +148,7 @@ class ParagraphSearcher:
             min_score=request.min_score,
             all_terms=request.all_terms,
         )
-        hits, matched = self.engine.search(q)
+        hits, matched = self.engine.search(q, need_matched=False)
 
         phrase_terms = [tokenize(p) for p in phrases]
         query_tokens = tokenize(request.query)

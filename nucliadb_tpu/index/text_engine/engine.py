@@ -80,6 +80,20 @@ class TextHit:
     attrs: dict
 
 
+class _CountOnly:
+    """Stand-in for the matched bitmap when only its sum was downloaded."""
+
+    def __init__(self, count: int, n: int):
+        self._count = count
+        self._n = n
+
+    def sum(self) -> int:
+        return self._count
+
+    def __len__(self) -> int:
+        return self._n
+
+
 class DeviceTextEngine:
     """Consolidated segments of one text index + BM25 device kernels."""
 
@@ -295,10 +309,14 @@ class DeviceTextEngine:
         required = len(set(tokens)) if query.all_terms else min(1, len(seen))
         return sorted(seen.items()), required
 
-    def search(self, query: TextQuery) -> tuple[list[TextHit], np.ndarray]:
+    def search(
+        self, query: TextQuery, *, need_matched: bool = True
+    ) -> tuple[list[TextHit], np.ndarray]:
         """Run a query; returns (hits, matched bitmap over global docs).
 
-        The bitmap feeds host-side facet counting and date ordering.
+        The bitmap feeds host-side facet counting and date ordering; callers
+        that only need the match count pass ``need_matched=False`` and get a
+        sum-only proxy (avoids downloading n_pad bytes per search).
         """
         mask = self.build_mask(query)
         terms, required = self._plan_terms(query)
@@ -336,7 +354,13 @@ class DeviceTextEngine:
         )
         top_s = np.asarray(top_s)
         top_i = np.asarray(top_i)
-        matched_np = np.asarray(matched)[: self.n_docs]
+        if need_matched:
+            matched_np = np.asarray(matched)[: self.n_docs]
+        else:
+            # only the count crosses the wire (the bitmap is ~n_pad bytes per
+            # search through a ~10MB/s link)
+            count = int(np.asarray(jnp.sum(matched)))
+            matched_np = _CountOnly(count, self.n_docs)
 
         hits = [
             TextHit(key=self.keys[d], score=float(s), doc_id=int(d), attrs=self.attrs[d])
