@@ -9,8 +9,14 @@ These are the TPU-native replacements for the reference's hot Rust loops:
   brute-force path, nidx_vector/src/segment.rs:477-623).
 - ``quant``    — 1-bit sign quantization with bit-plane popcount dots and
   exact rerank (replaces RaBitQ, nidx_vector/src/vector_types/rabitq.rs).
-- ``bm25``     — CSR-postings BM25 scoring via scatter-add (replaces tantivy
-  scoring in nidx_text / nidx_paragraph).
-- ``maxsim``   — multivector MaxSim rescoring (replaces
-  nidx_vector/src/multivector.rs).
+- ``hnsw``     — batched proximity-graph build + fixed-trip beam search
+  (replaces the HNSW core, nidx_vector/src/hnsw/).
+- ``ivf``      — matmul k-means + cluster-blocked scans (no reference
+  analogue; the MXU-native structure for very large corpora).
+- ``fusion``   — on-device reciprocal rank fusion.
+
+BM25 scoring lives with its postings layout in
+``index/text_engine/engine.py`` and multivector MaxSim with the paragraph
+slot layout in ``index/vector/device.py`` — both are device kernels in the
+same sense, colocated with the data structures they scan.
 """

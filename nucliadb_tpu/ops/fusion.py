@@ -51,7 +51,11 @@ def rrf_merge(
     valid = (cand >= 0) & ~dup
 
     score = jnp.where(valid, score, NEG_INF)
-    top_s, pos = jax.lax.top_k(score, min(k, c))
+    k_eff = min(k, c)
+    top_s, pos = jax.lax.top_k(score, k_eff)
     top_i = jnp.take_along_axis(cand, pos, axis=-1)
     top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    if k_eff < k:  # honor the documented [B, k] shape
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - k_eff)), constant_values=-1)
     return top_s, top_i

@@ -269,7 +269,10 @@ def hnsw_search(
         if use_table:
             seen = jnp.take_along_axis(visited, safe_f, axis=1) & valid
             ns = jnp.where(valid & ~seen, ns, NEG_INF)
-            visited = visited.at[jnp.arange(b)[:, None], safe_f].set(True, mode="drop")
+            # scatter with the UNCLAMPED ids: mode="drop" discards the -1
+            # pads (clamping first would poison node 0's visited bit and
+            # silently exclude it from all results)
+            visited = visited.at[jnp.arange(b)[:, None], flat].set(True, mode="drop")
         else:
             ns = jnp.where(valid, ns, NEG_INF)
         # merge neighbors with current beam, dedup by construction of top-k
@@ -299,7 +302,7 @@ def hnsw_search(
         jnp.zeros((b, n_pad), bool) if use_table else jnp.zeros((b, 1), bool)
     )
     if use_table:
-        visited = visited.at[jnp.arange(b)[:, None], jnp.maximum(ids0, 0)].set(True)
+        visited = visited.at[jnp.arange(b)[:, None], ids0].set(True, mode="drop")
 
     state = (s0, ids0, best_s, best_i, visited)
     state, _ = jax.lax.scan(body, state, None, length=trips)

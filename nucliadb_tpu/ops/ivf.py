@@ -31,12 +31,19 @@ KMEANS_ITERS = 8
 DEFAULT_NPROBE = 16
 
 
-@partial(jax.jit, static_argnames=("k_clusters", "iters", "block"))
-def kmeans(vectors: jax.Array, valid: jax.Array, k_clusters: int, iters: int = KMEANS_ITERS, block: int = 65536):
+@partial(jax.jit, static_argnames=("k_clusters", "iters", "block", "n_valid"))
+def kmeans(
+    vectors: jax.Array,
+    valid: jax.Array,
+    k_clusters: int,
+    iters: int = KMEANS_ITERS,
+    block: int = 65536,
+    n_valid: int | None = None,
+):
     """Lloyd's k-means with matmul-only updates.
 
-    vectors [N_pad, D] (padding rows must have valid=False). Returns
-    (centroids [K, D], assign [N_pad] int32).
+    vectors [N_pad, D] (padding rows must have valid=False; valid rows come
+    first). Returns (centroids [K, D], assign [N_pad] int32).
     """
     n_pad, d = vectors.shape
     blk = n_pad
@@ -45,8 +52,11 @@ def kmeans(vectors: jax.Array, valid: jax.Array, k_clusters: int, iters: int = K
     nb = n_pad // blk
     assert nb * blk == n_pad, (n_pad, blk)
 
-    stride = n_pad // k_clusters
-    centroids = vectors[:: max(stride, 1)][:k_clusters]
+    # seed strictly from VALID rows: striding the padded arena would make
+    # zero padding rows into seeds that collapse to dead duplicate clusters
+    seed_span = n_valid if n_valid is not None else n_pad
+    stride = max(seed_span // k_clusters, 1)
+    centroids = vectors[: stride * k_clusters : stride][:k_clusters]
 
     vblocks = vectors.reshape(nb, blk, d)
     wblocks = valid.reshape(nb, blk).astype(jnp.float32)
@@ -123,7 +133,7 @@ def build_ivf(
     if k_clusters is None:
         k_clusters = max(16, 1 << int(math.ceil(math.log2(math.sqrt(max(n_valid, 1))))))
     valid = jnp.arange(n_pad) < n_valid
-    centroids, assign = kmeans(vectors, valid, k_clusters, iters)
+    centroids, assign = kmeans(vectors, valid, k_clusters, iters, n_valid=n_valid)
 
     assign_np = np.asarray(assign)[:n_valid]
     order = np.argsort(assign_np, kind="stable")

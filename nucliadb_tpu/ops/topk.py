@@ -92,8 +92,16 @@ def blockwise_topk(scores: jax.Array, k: int, block: int) -> tuple[jax.Array, ja
     i = i + base
     s = s.reshape(*lead, nb * kb)
     i = i.reshape(*lead, nb * kb)
-    top_s, pos = jax.lax.top_k(s, min(k, nb * kb))
+    k_eff = min(k, nb * kb)
+    top_s, pos = jax.lax.top_k(s, k_eff)
     top_i = jnp.take_along_axis(i, pos, axis=-1)
+    # same invalid-slot contract as masked_topk: NEG_INF winners -> id -1,
+    # output padded to exactly k columns
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    if k_eff < k:
+        pad = [(0, 0)] * (len(lead)) + [(0, k - k_eff)]
+        top_s = jnp.pad(top_s, pad, constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, pad, constant_values=-1)
     return top_s, top_i
 
 

@@ -135,7 +135,8 @@ def _sharded_search_quant(mesh, per_shard, k, similarity, codes, vectors, valid,
         safe = jnp.maximum(cand, 0)
         cand_vecs = vecs[safe]
         exact = jnp.einsum(
-            "bd,bcd->bc", qs, cand_vecs, preferred_element_type=jnp.float32
+            "bd,bcd->bc", qs, cand_vecs, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # match the single-chip rerank
         )
         ls, pos = masked_topk(exact, k, mask=cand >= 0)
         li = jnp.where(

@@ -104,3 +104,25 @@ def test_hnsw_no_duplicate_results(rng):
     for row in np.asarray(i):
         real = [x for x in row.tolist() if x >= 0]
         assert len(real) == len(set(real))
+
+
+def test_node_zero_is_retrievable(rng):
+    """Regression: -1 pads clamped to 0 in the visited scatter used to
+    permanently exclude node 0 from results."""
+    n, d = 1000, 32
+    v, centers = clustered(rng, n, d)
+    adj, entry_ids = hnsw.build_graph(v, wave=256, seed=5)
+    n_pad = 1024
+    arena = np.zeros((n_pad, d), np.float32)
+    arena[:n] = v
+    q = v[0:1]  # query IS node 0's vector
+    s, i = hnsw.hnsw_search(
+        jnp.asarray(arena),
+        jnp.asarray(np.pad(adj, ((0, n_pad - n), (0, 0)), constant_values=-1)),
+        jnp.asarray(entry_ids),
+        jnp.asarray(q),
+        jnp.asarray(np.arange(n_pad) < n),
+        jnp.float32(-3e38),
+        10,
+    )
+    assert 0 in np.asarray(i)[0].tolist()
