@@ -20,6 +20,7 @@ import numpy as np
 
 from ...models.internal import ResourceDoc
 from ...types import FieldId, OpenIndexMetadata, PrefilterResult, SegmentMetadata, Seq
+from ...utils.keys import key_matches_prefix
 
 
 def flatten_json(value: Any, prefix: str = "") -> list[tuple[str, Any]]:
@@ -77,7 +78,7 @@ class JsonIndexer:
         for seg_meta, seq in open_index.segments():
             applicable = [k for k, dseq in deletions if dseq > seq]
             for d in _load_docs(seg_meta.path):
-                if any(d["key"].startswith(p) for p in applicable):
+                if any(key_matches_prefix(d["key"], p) for p in applicable):
                     continue
                 out.append(d)
         out.sort(key=lambda d: d["key"])
@@ -150,7 +151,7 @@ class JsonSearcher:
         for seg_meta, seq in open_index.segments():
             applicable = [k for k, dseq in deletions if dseq > seq]
             for d in _load_docs(seg_meta.path):
-                if any(d["key"].startswith(p) for p in applicable):
+                if any(key_matches_prefix(d["key"], p) for p in applicable):
                     continue
                 self.docs.append(d)
         # doc id -> {path -> [values]}

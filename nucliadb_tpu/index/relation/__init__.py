@@ -26,6 +26,7 @@ import numpy as np
 
 from ...models.internal import IndexRelation, ResourceDoc
 from ...types import OpenIndexMetadata, SegmentMetadata, Seq
+from ...utils.keys import key_matches_prefix
 from ..text_engine.fuzzy import FuzzyIndex
 from ..text_engine.tokenizer import strip_diacritics
 
@@ -83,7 +84,7 @@ class RelationIndexer:
             edges = _load_edges(seg_meta.path)
             applicable = [k for k, dseq in deletions if dseq > seq]
             for e in edges:
-                if any(e["key"].startswith(p) for p in applicable):
+                if any(key_matches_prefix(e["key"], p) for p in applicable):
                     continue
                 out.append(e)
         out.sort(key=lambda e: e["key"])
@@ -154,15 +155,19 @@ class RelationSearcher:
             edges = _load_edges(seg_meta.path)
             applicable = [k for k, dseq in deletions if dseq > seq]
             for e in edges:
-                if any(e["key"].startswith(p) for p in applicable):
+                if any(key_matches_prefix(e["key"], p) for p in applicable):
                     continue
                 self.edges.append(e)
         values = sorted(
             {e["source_value"] for e in self.edges}
             | {e["target_value"] for e in self.edges}
         )
-        self.node_values = values
-        self._norm_values = [strip_diacritics(v.lower()) for v in values]
+        # sort by NORMALIZED value: prefix suggest bisects _norm_values, so
+        # the normalized list must be the sorted one (case-sensitive ordering
+        # of the originals is not, e.g. ['Zebra', 'apple'])
+        pairs = sorted((strip_diacritics(v.lower()), v) for v in values)
+        self.node_values = [v for _, v in pairs]
+        self._norm_values = [n for n, _ in pairs]
         self._fuzzy: FuzzyIndex | None = None
 
     @property

@@ -73,12 +73,10 @@ class TextSegmentData:
         return len(self.keys)
 
     def key_prefix_mask(self, prefixes: Sequence[str]) -> np.ndarray:
-        import bisect
+        from ...utils.keys import key_prefix_ranges
 
         mask = np.zeros(self.n_docs, dtype=bool)
-        for prefix in prefixes:
-            lo = bisect.bisect_left(self.keys, prefix)
-            hi = bisect.bisect_left(self.keys, prefix + "￿")
+        for lo, hi in key_prefix_ranges(self.keys, prefixes):
             mask[lo:hi] = True
         return mask
 
@@ -222,6 +220,11 @@ def merge_text_segments(out_path, open_index, *, kind: str):
 
     Replaces nidx_tantivy's merge (index_reader.rs merge) — same semantics:
     alive docs of all operants, deletions applied by seq.
+
+    Known divergence: documents are reconstructed from their token streams,
+    so position gaps left by dropped over-long tokens (>40 chars) collapse —
+    a phrase spanning such a gap can start matching after a merge. Bounded
+    to documents containing 40+ character tokens.
     """
     # Rebuild DocEntries from postings (text is not stored; reconstruct a
     # positional token stream per doc).

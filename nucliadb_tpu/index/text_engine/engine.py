@@ -46,6 +46,7 @@ FUZZY_WEIGHT = 0.7  # score discount for fuzzy-expanded terms
 TIER_WIDTHS = (32, 256, 2048, 16384)  # postings padded length per tier
 TIER_QUERY_CAP = (32, 32, 8, 8)  # query terms per tier per query
 DENSE_QUERY_CAP = 4
+IMPOSSIBLE_REQUIRED = 1_000_000  # AND queries with unknown terms match nothing
 
 
 def _bucket(n: int, minimum: int = 128) -> int:
@@ -249,14 +250,12 @@ class DeviceTextEngine:
         return self.facets.get(facet, np.zeros(0, np.int32))
 
     def key_prefix_postings(self, prefixes: Sequence[str]) -> np.ndarray:
-        import bisect
+        from ...utils.keys import key_prefix_ranges
 
-        out = []
-        for prefix in prefixes:
-            lo = bisect.bisect_left(self.keys, prefix)
-            hi = bisect.bisect_left(self.keys, prefix + "￿")
-            if hi > lo:
-                out.append(np.arange(lo, hi, dtype=np.int32))
+        out = [
+            np.arange(lo, hi, dtype=np.int32)
+            for lo, hi in key_prefix_ranges(self.keys, prefixes)
+        ]
         return np.concatenate(out) if out else np.zeros(0, np.int32)
 
     def _resolve_atom(self, atom) -> np.ndarray:
@@ -306,7 +305,13 @@ class DeviceTextEngine:
                 for cand in self.fuzzy_index.expand(tok, query.fuzzy_distance):
                     if cand != tok:
                         seen.setdefault(cand, FUZZY_WEIGHT)
-        required = len(set(tokens)) if query.all_terms else min(1, len(seen))
+        if query.all_terms:
+            distinct = len(set(tokens))
+            # a token absent from the dictionary makes an AND query
+            # unsatisfiable (sentinel bypasses the scheduling clamp)
+            required = IMPOSSIBLE_REQUIRED if n_exact < distinct else n_exact
+        else:
+            required = min(1, len(seen))
         return sorted(seen.items()), required
 
     def search(
@@ -319,9 +324,9 @@ class DeviceTextEngine:
         sum-only proxy (avoids downloading n_pad bytes per search).
         """
         mask = self.build_mask(query)
-        terms, required = self._plan_terms(query)
+        scored = bool(query.text.strip() or query.phrases)
 
-        if query.only_faceted or not query.text.strip():
+        if not scored:
             # pure filter query: matched = mask; order by key
             matched = mask[: self.n_docs].copy()
             dids = np.nonzero(matched)[0][: query.top_k]
@@ -331,10 +336,13 @@ class DeviceTextEngine:
             ]
             return hits, matched
 
+        terms, required = self._plan_terms(query)
         if not terms:
             return [], np.zeros(self.n_docs, dtype=bool)
 
-        all_rows_np, all_idfs_np, params_np, _ = self._device_inputs(query)
+        all_rows_np, all_idfs_np, params_np = self._device_inputs_planned(
+            terms, required, query
+        )
         all_rows = jnp.asarray(all_rows_np)
         all_idfs = jnp.asarray(all_idfs_np)
         params = jnp.asarray(params_np)
@@ -362,6 +370,11 @@ class DeviceTextEngine:
             count = int(np.asarray(jnp.sum(matched)))
             matched_np = _CountOnly(count, self.n_docs)
 
+        if query.only_faceted:
+            # facets-only: the matched set reflects the query, hits are not
+            # materialized (parity: only_faceted skips result building)
+            return [], matched_np
+
         hits = [
             TextHit(key=self.keys[d], score=float(s), doc_id=int(d), attrs=self.attrs[d])
             for s, d in zip(top_s, top_i)
@@ -372,6 +385,12 @@ class DeviceTextEngine:
     def _device_inputs(self, query: TextQuery):
         """(rows, idfs, params, mask) numpy inputs for one scored query."""
         terms, required = self._plan_terms(query)
+        rows, idfs, params = self._device_inputs_planned(terms, required, query)
+        return rows, idfs, params, self.build_mask(query)
+
+    def _device_inputs_planned(
+        self, terms: list[tuple[str, float]], required: int, query: TextQuery
+    ):
         tier_q: list[list[tuple[int, float]]] = [[] for _ in TIER_WIDTHS]
         dense_q: list[tuple[int, float]] = []
         for term, weight in terms:
@@ -399,15 +418,24 @@ class DeviceTextEngine:
             didfs[j] = w
         all_rows = np.concatenate(rows_np + [drows])
         all_idfs = np.concatenate(idfs_np + [didfs])
+        # all_terms queries clamp `required` to the slots actually scheduled:
+        # tier caps drop the lowest-idf terms, and an unclamped requirement
+        # could exceed the maximum achievable match count (zero results for
+        # documents that DO contain every term)
+        scheduled = int((all_rows >= 0).sum())
+        if required >= IMPOSSIBLE_REQUIRED:
+            required_eff = IMPOSSIBLE_REQUIRED  # unsatisfiable AND stays so
+        else:
+            required_eff = max(min(required, scheduled), 1)
         params = np.array(
             [
                 self.avgdl,
-                float(required),
+                float(required_eff),
                 NEG_INF if query.min_score is None else query.min_score,
             ],
             dtype=np.float32,
         )
-        return all_rows, all_idfs, params, self.build_mask(query)
+        return all_rows, all_idfs, params
 
     def search_batch(self, queries: list[TextQuery]) -> list[tuple[list[TextHit], np.ndarray]]:
         """Score a batch of keyword queries in ONE device dispatch.
@@ -417,7 +445,7 @@ class DeviceTextEngine:
         """
         if not queries:
             return []
-        if any(q.only_faceted or not q.text.strip() for q in queries):
+        if any(not (q.text.strip() or q.phrases) for q in queries):
             raise ValueError("search_batch requires scored (non-empty) queries")
         k = min(max(q.top_k for q in queries), self.n_pad)
         rows, idfs, params, masks = zip(*(self._device_inputs(q) for q in queries))

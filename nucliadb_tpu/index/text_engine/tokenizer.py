@@ -1,10 +1,17 @@
-"""Tokenization: lowercase alphanumeric word splitting.
+"""Tokenization: lowercase word splitting.
 
-Matches tantivy's default ``SimpleTokenizer`` + ``LowerCaser`` +
-``RemoveLongFilter(40)`` pipeline the reference indexes with
-(nidx_text/src/schema.rs TEXT fields, nidx_paragraph schema): split on
-non-alphanumeric (unicode-aware), lowercase, drop tokens longer than 40
-chars. Token positions are token ordinals (for phrase queries).
+Covers the role of tantivy's default tokenizer pipeline (SimpleTokenizer +
+LowerCaser + RemoveLongFilter(40)) the reference indexes with. Exact rules
+(shared byte-for-byte by the native C++ builder and this fallback — an
+index must be buildable and queryable by either):
+
+- word characters: ASCII [A-Za-z0-9_] and every non-ASCII character
+  (non-ASCII scripts stay intact; non-ASCII punctuation is treated as part
+  of adjacent words — a deliberate simplification over full Unicode
+  word-boundary tables),
+- ASCII letters lowercased, non-ASCII left untouched,
+- tokens longer than 40 chars dropped but still advancing the position
+  ordinal (phrase positions stay stable).
 """
 
 from __future__ import annotations
@@ -17,12 +24,17 @@ try:  # native fast path (see native/postings.cpp); built via native/build.py
 except ImportError:  # pure-Python fallback with matching semantics
     _native = None
 
-_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# mirror of the native word-byte rule: ASCII alnum + '_' + any non-ASCII
+_WORD_RE = re.compile(r"[0-9A-Za-z_-\U0010ffff]+")
 MAX_TOKEN_LEN = 40
+
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
 
 
 def _normalize(token: str) -> str:
-    return token.lower()
+    return token.translate(_ASCII_LOWER)  # ASCII-only lowering (native parity)
 
 
 def tokenize(text: str) -> list[str]:

@@ -85,15 +85,8 @@ class LoadedSegment:
         return mask
 
 
-def key_prefix_ranges(sorted_keys: Sequence[str], prefixes: Iterable[str]):
-    """Yield [lo, hi) ranges of keys starting with each prefix (binary search)."""
-    import bisect
-
-    for prefix in prefixes:
-        lo = bisect.bisect_left(sorted_keys, prefix)
-        hi = bisect.bisect_left(sorted_keys, prefix + "￿")
-        if hi > lo:
-            yield lo, hi
+# boundary-aware prefix ranges shared by every index (utils/keys.py)
+from ...utils.keys import key_prefix_ranges  # noqa: E402  (re-exported)
 
 
 def _normalize_rows(v: np.ndarray) -> np.ndarray:

@@ -1,0 +1,43 @@
+"""Key-prefix matching with path-segment boundaries (single implementation).
+
+Deletion keys and prefilter field ids address key *subtrees*:
+``rid`` or ``rid/field`` must match the exact key and everything under
+``rid/field/...`` — but never a sibling sharing a string prefix
+(``rid/f1`` must not match ``rid/f10``). A prefix that already ends with
+``/`` keeps plain string-prefix semantics (the whole-resource ``rid/`` form).
+
+Used by every index's deletion mask, the vector/paragraph prefilter handoff
+and the text engines' key filters (previously three inline copies of the
+bisect trick — and all of them boundary-unaware).
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Iterable, Sequence
+
+_SENTINEL = "￿"
+
+
+def key_matches_prefix(key: str, prefix: str) -> bool:
+    if prefix.endswith("/"):
+        return key.startswith(prefix)
+    return key == prefix or key.startswith(prefix + "/")
+
+
+def key_prefix_ranges(
+    sorted_keys: Sequence[str], prefixes: Iterable[str]
+) -> Iterable[tuple[int, int]]:
+    """Yield [lo, hi) ranges of sorted keys matching each prefix."""
+    for prefix in prefixes:
+        if prefix.endswith("/"):
+            spans = [(prefix, prefix + _SENTINEL)]
+        else:
+            # exact key, then the '/' subtree (keys sorting between them,
+            # like 'rid/f1!', are correctly excluded)
+            spans = [(prefix, prefix + "\x00"), (prefix + "/", prefix + "/" + _SENTINEL)]
+        for lo_key, hi_key in spans:
+            lo = bisect.bisect_left(sorted_keys, lo_key)
+            hi = bisect.bisect_left(sorted_keys, hi_key)
+            if hi > lo:
+                yield lo, hi

@@ -182,3 +182,51 @@ def test_deletions(tmp_path):
     )
     resp = s.search(ParagraphSearchRequest(query="quick", top_k=10))
     assert all(h.rid != "r1" for h in resp.hits)
+
+
+def test_phrase_only_query(tmp_path):
+    """Regression: phrase-only queries used to fall into the pure-filter
+    path and return arbitrary documents."""
+    s = build_para_searcher(tmp_path)
+    resp = s.search(ParagraphSearchRequest(query='"lazy dog"', top_k=10))
+    assert len(resp.hits) == 1 and resp.hits[0].rid == "r1"
+    assert all(h.score > 0 for h in resp.hits)
+    resp2 = s.search(ParagraphSearchRequest(query='"no such phrase here"', top_k=10))
+    assert resp2.hits == []
+
+
+def test_field_deletion_does_not_hit_sibling_prefix(tmp_path):
+    """Regression: deleting field f1 must not delete f10."""
+    from nucliadb_tpu.index.text_engine import DeviceTextEngine, TextQuery
+    from nucliadb_tpu.index.text_engine.builder import DocEntry, build_segment, open_text_segment
+
+    docs = [
+        DocEntry(key="r1/t/f1", text="alpha content"),
+        DocEntry(key="r1/t/f10", text="beta content"),
+    ]
+    meta = build_segment(str(tmp_path / "s"), docs, kind="text")
+    seg = open_text_segment(meta.path)
+    from nucliadb_tpu.types import Seq
+
+    engine = DeviceTextEngine([(seg, Seq(1))], deletions=[("r1/t/f1", Seq(2))])
+    hits, _ = engine.search(TextQuery(text="content", top_k=10))
+    assert [h.key for h in hits] == ["r1/t/f10"]
+
+
+def test_all_terms_with_capped_tiers(tmp_path):
+    """Regression: all_terms must stay satisfiable when tier caps drop terms,
+    but stay unsatisfiable when a term is missing from the dictionary."""
+    from nucliadb_tpu.index.text_engine import DeviceTextEngine, TextQuery
+    from nucliadb_tpu.index.text_engine.builder import DocEntry, build_segment, open_text_segment
+    from nucliadb_tpu.types import Seq
+
+    docs = [DocEntry(key="r/a", text=" ".join(f"t{i}" for i in range(12)))]
+    meta = build_segment(str(tmp_path / "s"), docs, kind="text")
+    engine = DeviceTextEngine([(open_text_segment(meta.path), Seq(1))])
+    # 12 known terms, all tier-0 (cap 32): plain AND works
+    q = " ".join(f"t{i}" for i in range(12))
+    hits, _ = engine.search(TextQuery(text=q, top_k=5, all_terms=True))
+    assert len(hits) == 1
+    # one unknown term -> unsatisfiable
+    hits2, _ = engine.search(TextQuery(text=q + " unknownterm", top_k=5, all_terms=True))
+    assert hits2 == []
