@@ -82,20 +82,18 @@ class EmbeddedBus:
 
     # ---- consume ---------------------------------------------------------
 
-    def _consumer_floor(self, stream: str, consumer: str) -> int:
-        row = self._conn.execute(
-            "SELECT MAX(seq) FROM consumers WHERE stream=? AND name=? AND acked=1",
-            (stream, consumer),
-        ).fetchone()
-        return row[0] or 0
-
     def next(
         self, stream: str, consumer: str, *, subject_prefix: str = ""
     ) -> Optional[BusMessage]:
-        """Lease the next deliverable message (ordered; at-least-once)."""
+        """Lease the next deliverable message (strictly ordered; at-least-once).
+
+        Ordering is strict per consumer: if the earliest unacked matching
+        message is still leased (e.g. a crashed consumer's in-flight write),
+        nothing newer is delivered until the lease expires — skipping ahead
+        would apply writes out of order.
+        """
         now = time.time()
         with self._lock, self._conn:
-            # next message: redelivery-eligible lease, or the first never-seen
             row = self._conn.execute(
                 "SELECT m.seq, m.subject, m.payload,"
                 " COALESCE(c.deliveries, 0), c.leased_until, COALESCE(c.acked, 0)"
@@ -103,13 +101,14 @@ class EmbeddedBus:
                 "   ON c.stream = m.stream AND c.seq = m.seq AND c.name = ?"
                 " WHERE m.stream = ? AND m.subject GLOB ?"
                 "   AND COALESCE(c.acked, 0) = 0"
-                "   AND (c.leased_until IS NULL OR c.leased_until < ?)"
                 " ORDER BY m.seq LIMIT 1",
-                (consumer, stream, subject_prefix + "*", now),
+                (consumer, stream, subject_prefix + "*"),
             ).fetchone()
             if row is None:
                 return None
-            seq, subject, payload, deliveries, _, _ = row
+            seq, subject, payload, deliveries, leased_until, _ = row
+            if leased_until is not None and leased_until >= now:
+                return None  # earliest message in flight: hold ordering
             if deliveries >= MAX_DELIVERIES:
                 # poison message: skip + ack (parity: indexer.rs redelivery cap)
                 self._conn.execute(
@@ -165,27 +164,48 @@ class EmbeddedBus:
             ).fetchone()
         return row[0] if row else 0
 
-    def ack_floor(self, stream: str, consumer: str) -> int:
-        """Highest seq below which everything is acked."""
+    def ack_floor(self, stream: str, consumer: str, *, subject_prefix: str = "") -> int:
+        """Highest seq below which every message THIS CONSUMER SEES is acked.
+
+        The subject filter must match the consumer's, or foreign-subject
+        messages pin the floor forever (multi-partition streams).
+        """
         with self._lock:
             row = self._conn.execute(
                 "SELECT MIN(m.seq) FROM messages m LEFT JOIN consumers c"
                 " ON c.stream=m.stream AND c.seq=m.seq AND c.name=?"
-                " WHERE m.stream=? AND COALESCE(c.acked, 0)=0",
-                (consumer, stream),
+                " WHERE m.stream=? AND m.subject GLOB ? AND COALESCE(c.acked, 0)=0",
+                (consumer, stream, subject_prefix + "*"),
             ).fetchone()
             if row[0] is not None:
                 return row[0] - 1
             return self.last_seq(stream)
 
-    def pending(self, stream: str, consumer: str) -> int:
+    def pending(self, stream: str, consumer: str, *, subject_prefix: str = "") -> int:
         """Unacked depth — the back-pressure signal
         (common/back_pressure/materializer.py)."""
-        return self.last_seq(stream) - self.ack_floor(stream, consumer)
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT COUNT(*) FROM messages m LEFT JOIN consumers c"
+                " ON c.stream=m.stream AND c.seq=m.seq AND c.name=?"
+                " WHERE m.stream=? AND m.subject GLOB ? AND COALESCE(c.acked, 0)=0",
+                (consumer, stream, subject_prefix + "*"),
+            ).fetchone()
+        return row[0]
 
-    def purge_acked(self, stream: str, consumers: list[str]) -> int:
-        """Drop messages acked by every listed consumer."""
-        floor = min(self.ack_floor(stream, c) for c in consumers) if consumers else 0
+    def purge_acked(
+        self, stream: str, consumers: list[tuple[str, str]] | list[str]
+    ) -> int:
+        """Drop messages acked by every listed consumer. Entries may be plain
+        consumer names or (name, subject_prefix) pairs."""
+        floors = []
+        for entry in consumers:
+            if isinstance(entry, tuple):
+                name, prefix = entry
+            else:
+                name, prefix = entry, ""
+            floors.append(self.ack_floor(stream, name, subject_prefix=prefix))
+        floor = min(floors) if floors else 0
         with self._lock, self._conn:
             cur = self._conn.execute(
                 "DELETE FROM messages WHERE stream=? AND seq<=?", (stream, floor)

@@ -48,39 +48,44 @@ class IndexerService:
         """Index one resource into a shard at the given (or next) seq."""
         seq = seq if seq is not None else self.metadata.next_seq()
         self.metadata.record_index_request(seq)
-        config = self._shard_config(shard_id)
-        indexes = {i.full_name: i for i in self.metadata.get_indexes(shard_id)}
-
         op_dir = os.path.join(self.work_dir, f"op_{int(seq)}")
-        shard_indexer = ShardIndexer(config)
-        ops = shard_indexer.index_resource(resource, op_dir, hidden=hidden)
+        try:
+            config = self._shard_config(shard_id)
+            indexes = {i.full_name: i for i in self.metadata.get_indexes(shard_id)}
+            shard_indexer = ShardIndexer(config)
+            ops = shard_indexer.index_resource(resource, op_dir, hidden=hidden)
 
-        ready: list[int] = []
-        deletions: list[tuple[int, Seq, list[str]]] = []
-        touched: list[int] = []
-        for op in ops:
-            index = indexes.get(op.index_name)
-            if index is None:
-                continue
-            touched.append(index.id)
-            deletions.append((index.id, seq, op.deletions))
-            if op.segment is None:
-                continue
-            row = self.metadata.create_segment(
-                index.id,
-                seq,
-                op.segment.records,
-                tags=sorted(op.segment.tags),
-                index_metadata=op.segment.index_metadata,
+            ready: list[int] = []
+            deletions: list[tuple[int, Seq, list[str]]] = []
+            touched: list[int] = []
+            for op in ops:
+                index = indexes.get(op.index_name)
+                if index is None:
+                    continue
+                touched.append(index.id)
+                deletions.append((index.id, seq, op.deletions))
+                if op.segment is None:
+                    continue
+                row = self.metadata.create_segment(
+                    index.id,
+                    seq,
+                    op.segment.records,
+                    tags=sorted(op.segment.tags),
+                    index_metadata=op.segment.index_metadata,
+                )
+                upload_segment(self.storage, row.storage_key, op.segment.path)
+                ready.append(row.id)
+
+            self.metadata.commit_operation(
+                ready_segments=ready, deletions=deletions, touched_indexes=touched
             )
-            upload_segment(self.storage, row.storage_key, op.segment.path)
-            ready.append(row.id)
-
-        self.metadata.commit_operation(
-            ready_segments=ready, deletions=deletions, touched_indexes=touched
-        )
-        self.metadata.ack_index_request(seq)
-        shutil.rmtree(op_dir, ignore_errors=True)
+        finally:
+            # the seq must leave the unacked set even on failure, or the
+            # merge ack floor wedges forever (retries arrive under a NEW seq,
+            # matching the bus's skip+ack poison semantics; the reference's
+            # floor comes from NATS, which advances the same way)
+            self.metadata.ack_index_request(seq)
+            shutil.rmtree(op_dir, ignore_errors=True)
         return seq
 
     def delete_resource(self, shard_id: str, resource_id: str) -> Seq:
@@ -88,14 +93,16 @@ class IndexerService:
         (parity: indexer.rs Deletion operation path)."""
         seq = self.metadata.next_seq()
         self.metadata.record_index_request(seq)
-        prefix = resource_id + "/"
-        deletions = []
-        touched = []
-        for index in self.metadata.get_indexes(shard_id):
-            deletions.append((index.id, seq, [prefix]))
-            touched.append(index.id)
-        self.metadata.commit_operation(
-            ready_segments=[], deletions=deletions, touched_indexes=touched
-        )
-        self.metadata.ack_index_request(seq)
+        try:
+            prefix = resource_id + "/"
+            deletions = []
+            touched = []
+            for index in self.metadata.get_indexes(shard_id):
+                deletions.append((index.id, seq, [prefix]))
+                touched.append(index.id)
+            self.metadata.commit_operation(
+                ready_segments=[], deletions=deletions, touched_indexes=touched
+            )
+        finally:
+            self.metadata.ack_index_request(seq)
         return seq

@@ -30,7 +30,12 @@ VECTOR_MAX_SEGMENT = 200_000
 
 
 def plan_log_merges(segments: list[SegmentRow]) -> list[list[SegmentRow]]:
-    """Group mergeable segments into log buckets (scheduler/log_merge.rs:58-110)."""
+    """Group mergeable segments into log buckets (scheduler/log_merge.rs:58-110).
+
+    A bucket splits into chunks whose summed record count stays under the top
+    bucket size (the reference's chunking, log_merge.rs:92-107) so one job
+    never merges an unbounded number of records.
+    """
     buckets: dict[int, list[SegmentRow]] = {}
     for seg in segments:
         if seg.records >= LOG_TOP_RECORDS:
@@ -42,9 +47,18 @@ def plan_log_merges(segments: list[SegmentRow]) -> list[list[SegmentRow]]:
         buckets.setdefault(level, []).append(seg)
     plans = []
     for level in sorted(buckets):
-        group = buckets[level]
-        if len(group) >= MIN_SEGMENTS_TO_MERGE:
-            plans.append(sorted(group, key=lambda s: int(s.seq)))
+        group = sorted(buckets[level], key=lambda s: int(s.seq))
+        chunk: list[SegmentRow] = []
+        total = 0
+        for seg in group:
+            if total + seg.records > LOG_TOP_RECORDS and chunk:
+                if len(chunk) >= MIN_SEGMENTS_TO_MERGE:
+                    plans.append(chunk)
+                chunk, total = [], 0
+            chunk.append(seg)
+            total += seg.records
+        if len(chunk) >= MIN_SEGMENTS_TO_MERGE:
+            plans.append(chunk)
     return plans
 
 
@@ -114,13 +128,19 @@ class SchedulerService:
         return purged
 
     def purge_deletions(self) -> None:
-        """Deletions at or below every segment's seq can never apply again."""
+        """Deletions at or below every segment's seq can never apply again —
+        bounded ALSO by the ack floor (parity: purge_tasks.rs:47-63): an
+        in-flight op below the deletion could still commit a segment the
+        deletion must apply to."""
+        floor = int(self.metadata.ack_floor())
         for shard in self.metadata.list_shards():
             for index in self.metadata.get_indexes(shard.id):
                 segs = self.metadata.ready_segments(index.id)
                 if segs:
                     oldest = min(int(s.seq) for s in segs)
-                    self.metadata.purge_deletions_below(index.id, Seq(oldest))
+                    self.metadata.purge_deletions_below(
+                        index.id, Seq(min(oldest, floor))
+                    )
 
     def tick(self) -> int:
         jobs = self.schedule_merges()

@@ -54,7 +54,9 @@ class SyncedSearcher:
     def sync(self) -> list[str]:
         """Refresh shard searchers whose indexes changed; returns shard ids."""
         dirty: set[str] = set()
+        live: set[str] = set()
         for shard in self.metadata.list_shards():
+            live.add(shard.id)
             if not self._owns(shard.id):
                 self._shards.pop(shard.id, None)  # dropped after topology change
                 continue
@@ -62,6 +64,11 @@ class SyncedSearcher:
                 seen = self._index_state.get(index.id)
                 if seen is None or index.updated_at > seen:
                     dirty.add(shard.id)
+        # evict deleted shards (parity: sync.rs processes deletions too —
+        # a cached searcher for a deleted shard would serve stale data forever)
+        for shard_id in list(self._shards):
+            if shard_id not in live:
+                self._shards.pop(shard_id, None)
         for shard_id in dirty:
             self._reload_shard(shard_id)
         return sorted(dirty)
@@ -70,8 +77,19 @@ class SyncedSearcher:
         oi = SimpleOpenIndex(
             deletion_list=self.metadata.deletions_for_index(index_id)
         )
-        for seg in self.metadata.ready_segments(index_id):
-            local = os.path.join(self.cache_dir, str(index_id), str(seg.id))
+        ready = self.metadata.ready_segments(index_id)
+        # prune merged-away/purged segments from the local cache (parity:
+        # sync.rs diffs desired-vs-local and deletes the undesired)
+        index_dir = os.path.join(self.cache_dir, str(index_id))
+        desired = {str(seg.id) for seg in ready}
+        if os.path.isdir(index_dir):
+            import shutil
+
+            for name in os.listdir(index_dir):
+                if name not in desired:
+                    shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+        for seg in ready:
+            local = os.path.join(index_dir, str(seg.id))
             download_segment(self.storage, seg.storage_key, local)
             oi.segment_list.append(
                 (

@@ -30,14 +30,26 @@ class WorkerService:
         self.work_dir = work_dir or tempfile.mkdtemp(prefix="ndbtpu_worker_")
 
     def run_one(self) -> bool:
-        """Take and run one merge job; returns False when queue is empty."""
+        """Take and run one merge job; returns False when queue is empty.
+
+        Failed jobs are LEFT LEASED: the lease goes stale, take_merge_job
+        re-leases with retries+1 and poison jobs die at the retry cap —
+        deleting the job on failure would reset the retry count every
+        scheduler tick and re-run a deterministic failure forever.
+        """
         job = self.metadata.take_merge_job()
         if job is None:
             return False
         try:
             self._run_job(job)
-        finally:
-            self.metadata.finish_merge_job(job.id)
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).exception(
+                "merge job %s failed (retry %s)", job.id, job.retries
+            )
+            return True
+        self.metadata.finish_merge_job(job.id)
         return True
 
     def _index_kind_and_config(self, index_id: int):
@@ -59,6 +71,9 @@ class WorkerService:
         for seg in operants:
             local = os.path.join(job_dir, f"seg_{seg.id}")
             download_segment(self.storage, seg.storage_key, local)
+            # heartbeat per download: a long download phase must not let the
+            # lease go stale and a second worker double-run the job
+            self.metadata.heartbeat_merge_job(job.id)
             open_index.segment_list.append(
                 (
                     SegmentMetadata(
