@@ -54,11 +54,22 @@ class KnowledgeBoxManager:
     def __init__(self, driver: Driver, node: EmbeddedNode):
         self.driver = driver
         self.node = node
+        # serializes read-modify-write of the shard record: HTTP handlers run
+        # on a thread pool, and a concurrent record_resource during rollover
+        # would write stale (deleted) shard ids back (multi-process
+        # deployments move this to a KV-level compare-and-swap)
+        import threading
+
+        self._shards_mutex = threading.Lock()
 
     # ---- lifecycle -------------------------------------------------------
 
     def create(self, config: KnowledgeBoxConfig, kbid: str | None = None) -> str:
         kbid = kbid or uuid.uuid4().hex
+        if config.slug and self.resolve_slug(config.slug) is not None:
+            # check BEFORE creating shards: a rejected create must not leak
+            # orphaned node shards
+            raise KeyError(f"kb slug already exists: {config.slug}")
         vectorsets = {
             name: vector_config_from_spec(spec)
             for name, spec in config.vectorsets.items()
@@ -106,6 +117,8 @@ class KnowledgeBoxManager:
             if config and config.slug:
                 txn.delete(KB_SLUG.format(slug=config.slug))
             txn.delete_by_prefix(KB_PREFIX.format(kbid=kbid))
+        for key in list(self.node.storage.list(f"blobs/{kbid}/")):
+            self.node.storage.delete(key)
         if shards:
             for shard_id in shards.shards:
                 self.node.delete_shard(shard_id)
@@ -147,27 +160,34 @@ class KnowledgeBoxManager:
     def writable_shard(self, kbid: str) -> str:
         """The shard new resources go to; rolls over when full
         (parity: KBShardManager shard creation on overflow)."""
-        shards = self.get_shards(kbid)
-        if shards is None:
-            raise KeyError(f"unknown kb {kbid}")
-        current = shards.shards[shards.writable]
-        if shards.counts.get(current, 0) >= MAX_RESOURCES_PER_SHARD:
-            config = self.get_config(kbid)
-            vectorsets = {
-                name: vector_config_from_spec(spec)
-                for name, spec in (config.vectorsets if config else {}).items()
-            }
-            new_shard = self.node.create_shard(kbid, vectorsets)
-            shards.shards.append(new_shard)
-            shards.writable = len(shards.shards) - 1
-            shards.counts[new_shard] = 0
-            self._save_shards(kbid, shards)
-            current = new_shard
-        return current
+        with self._shards_mutex:
+            shards = self.get_shards(kbid)
+            if shards is None:
+                raise KeyError(f"unknown kb {kbid}")
+            current = shards.shards[shards.writable]
+            if shards.counts.get(current, 0) >= MAX_RESOURCES_PER_SHARD:
+                config = self.get_config(kbid)
+                vectorsets = {
+                    name: vector_config_from_spec(spec)
+                    for name, spec in (config.vectorsets if config else {}).items()
+                }
+                new_shard = self.node.create_shard(kbid, vectorsets)
+                shards.shards.append(new_shard)
+                shards.writable = len(shards.shards) - 1
+                shards.counts[new_shard] = 0
+                self._save_shards(kbid, shards)
+                current = new_shard
+            return current
 
     def record_resource(self, kbid: str, shard_id: str, delta: int) -> None:
-        shards = self.get_shards(kbid)
-        if shards is None:
-            return
-        shards.counts[shard_id] = max(shards.counts.get(shard_id, 0) + delta, 0)
-        self._save_shards(kbid, shards)
+        with self._shards_mutex:
+            shards = self.get_shards(kbid)
+            if shards is None or shard_id not in shards.counts and shard_id not in shards.shards:
+                return
+            shards.counts[shard_id] = max(shards.counts.get(shard_id, 0) + delta, 0)
+            self._save_shards(kbid, shards)
+
+    def swap_shards(self, kbid: str, shards: KBShards) -> None:
+        """Atomically replace the KB's shard record (rollover/rebalance)."""
+        with self._shards_mutex:
+            self._save_shards(kbid, shards)

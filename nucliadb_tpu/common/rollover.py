@@ -55,7 +55,7 @@ def rollover_kb(
             txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
 
     # swap the shard record, then retire the old shards
-    kbs._save_shards(kbid, KBShards(shards=new_shards, writable=0, counts=counts))
+    kbs.swap_shards(kbid, KBShards(shards=new_shards, writable=0, counts=counts))
     for shard_id in old.shards:
         node.delete_shard(shard_id)
     return new_shards
@@ -102,5 +102,5 @@ def rebalance_kb(
             moved += 1
     counts = {s: len(v) for s, v in rid_by_shard.items()}
     shards.counts = counts
-    kbs._save_shards(kbid, shards)
+    kbs.swap_shards(kbid, shards)
     return counts

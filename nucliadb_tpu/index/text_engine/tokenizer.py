@@ -25,7 +25,7 @@ except ImportError:  # pure-Python fallback with matching semantics
     _native = None
 
 # mirror of the native word-byte rule: ASCII alnum + '_' + any non-ASCII
-_WORD_RE = re.compile(r"[0-9A-Za-z_-\U0010ffff]+")
+_WORD_RE = re.compile("[0-9A-Za-z_" + "\u0080" + "-" + "\U0010ffff" + "]+")
 MAX_TOKEN_LEN = 40
 
 _ASCII_LOWER = str.maketrans(

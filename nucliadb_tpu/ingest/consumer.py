@@ -58,7 +58,12 @@ class TransactionUtility:
         self.partitions = partitions
 
     def _partition(self, kbid: str) -> int:
-        return hash(kbid) % self.partitions
+        import zlib
+
+        # stable across processes (builtin hash() is salted per process and
+        # would route one KB to different partitions after a restart,
+        # breaking per-partition ordering)
+        return zlib.crc32(kbid.encode()) % self.partitions
 
     def commit(self, message: BrokerMessage) -> int:
         subject = f"ingest.{self._partition(message.kbid)}"

@@ -90,6 +90,15 @@ class Processor:
         )
         meta.modified = time.time()
         with self.driver as txn:
+            if merged.slug != meta.slug:
+                if merged.slug:
+                    existing = txn.get(RESOURCE_SLUG.format(kbid=kbid, slug=merged.slug))
+                    if existing is not None and existing.decode() != rid:
+                        raise KeyError(f"resource slug exists: {merged.slug}")
+                    txn.set(RESOURCE_SLUG.format(kbid=kbid, slug=merged.slug), rid.encode())
+                if meta.slug:
+                    txn.delete(RESOURCE_SLUG.format(kbid=kbid, slug=meta.slug))
+                meta.slug = merged.slug
             txn.set(
                 RESOURCE_PAYLOAD.format(kbid=kbid, rid=rid),
                 merged.model_dump_json().encode(),
@@ -105,10 +114,15 @@ class Processor:
             return None
         payload = self.get_payload(kbid, rid)
         with self.driver as txn:
-            if payload is not None and payload.slug:
+            if meta.slug:
+                txn.delete(RESOURCE_SLUG.format(kbid=kbid, slug=meta.slug))
+            elif payload is not None and payload.slug:
                 txn.delete(RESOURCE_SLUG.format(kbid=kbid, slug=payload.slug))
-            txn.delete(RESOURCE_PAYLOAD.format(kbid=kbid, rid=rid))
-            txn.delete(RESOURCE_META.format(kbid=kbid, rid=rid))
+            # the whole subtree: payload, meta, file-field entries
+            txn.delete_by_prefix(f"/kbs/{kbid}/r/{rid}/")
+        # uploaded blobs go with the resource
+        for key in list(self.node.storage.list(f"blobs/{kbid}/{rid}/")):
+            self.node.storage.delete(key)
         seq = self.node.delete_resource(meta.shard, rid)
         self.kbs.record_resource(kbid, meta.shard, -1)
         return int(seq)
