@@ -39,6 +39,32 @@ class Request:
             raise HTTPError(422, f"invalid JSON body: {e}")
 
 
+class Response:
+    """Full-control response: status + body + extra headers. Needed by
+    protocol endpoints (TUS resumable uploads) that speak through headers."""
+
+    def __init__(self, status: int = 200, body: bytes = b"",
+                 headers: Optional[dict[str, str]] = None,
+                 content_type: str = "application/json"):
+        self.status = status
+        self.body = body
+        self.headers = headers or {}
+        self.content_type = content_type
+
+
+class StreamingResponse:
+    """Chunked-transfer response: `chunks` is a sync iterator of str/bytes,
+    pulled on the executor so slow producers (bus polls, model streams)
+    never block the event loop. Used for SSE notifications and ndjson /ask
+    (parity: reference reader SSE + ask's StreamingResponse)."""
+
+    def __init__(self, chunks, content_type: str = "application/octet-stream",
+                 status: int = 200):
+        self.chunks = iter(chunks)
+        self.content_type = content_type
+        self.status = status
+
+
 Handler = Callable[[Request], Any]
 
 _PARAM_RE = re.compile(r"\{(\w+)\}")
@@ -74,6 +100,15 @@ class Router:
 
     def delete(self, pattern: str):
         return lambda fn: (self.add("DELETE", pattern, fn), fn)[1]
+
+    def head(self, pattern: str):
+        return lambda fn: (self.add("HEAD", pattern, fn), fn)[1]
+
+    def options(self, pattern: str):
+        return lambda fn: (self.add("OPTIONS", pattern, fn), fn)[1]
+
+    def put(self, pattern: str):
+        return lambda fn: (self.add("PUT", pattern, fn), fn)[1]
 
     def resolve(self, method: str, path: str) -> Optional[tuple[Handler, dict[str, str]]]:
         for m, regex, handler in self.routes:
@@ -124,7 +159,24 @@ class HTTPServer:
                     break
                 status, payload = await self._dispatch(request)
                 keep_alive = request.headers.get("connection", "keep-alive") != "close"
-                await self._write_response(writer, status, payload, keep_alive)
+                if isinstance(payload, StreamingResponse):
+                    await self._write_streaming(writer, payload, keep_alive)
+                    if not keep_alive:
+                        break
+                    continue
+                is_head = request.method == "HEAD"
+                if isinstance(payload, Response):
+                    await self._write_response(
+                        writer, payload.status, payload.body, keep_alive,
+                        content_type=payload.content_type, extra=payload.headers,
+                        is_head=is_head,
+                    )
+                    if not keep_alive:
+                        break
+                    continue
+                await self._write_response(
+                    writer, status, payload, keep_alive, is_head=is_head
+                )
                 if not keep_alive:
                     break
         finally:
@@ -176,6 +228,8 @@ class HTTPServer:
             status = 200
             if isinstance(result, tuple):
                 status, result = result
+            if isinstance(result, (StreamingResponse, Response)):
+                return result.status, result
             if result is None:
                 return status, b""
             if hasattr(result, "model_dump_json"):
@@ -194,16 +248,54 @@ class HTTPServer:
                 {"detail": "internal error", "traceback": traceback.format_exc()}
             ).encode()
 
-    async def _write_response(
-        self, writer: asyncio.StreamWriter, status: int, payload: bytes, keep_alive: bool
+    async def _write_streaming(
+        self, writer: asyncio.StreamWriter, resp: StreamingResponse, keep_alive: bool
     ) -> None:
-        text = _STATUS_TEXT.get(status, "Unknown")
+        text = _STATUS_TEXT.get(resp.status, "Unknown")
         head = (
-            f"HTTP/1.1 {status} {text}\r\n"
-            f"Content-Type: application/json\r\n"
-            f"Content-Length: {len(payload)}\r\n"
+            f"HTTP/1.1 {resp.status} {text}\r\n"
+            f"Content-Type: {resp.content_type}\r\n"
+            "Transfer-Encoding: chunked\r\n"
+            "Cache-Control: no-cache\r\n"
             f"Connection: {'keep-alive' if keep_alive else 'close'}\r\n"
             "\r\n"
         ).encode("latin1")
-        writer.write(head + payload)
+        writer.write(head)
+        await writer.drain()
+        loop = asyncio.get_running_loop()
+        while True:
+            try:
+                chunk = await loop.run_in_executor(self._pool, next, resp.chunks, None)
+            except Exception:
+                chunk = None
+            if chunk is None:
+                break
+            data = chunk.encode() if isinstance(chunk, str) else bytes(chunk)
+            if not data:
+                continue
+            writer.write(f"{len(data):x}\r\n".encode("latin1") + data + b"\r\n")
+            try:
+                await writer.drain()
+            except ConnectionError:
+                return
+        writer.write(b"0\r\n\r\n")
+        await writer.drain()
+
+    async def _write_response(
+        self, writer: asyncio.StreamWriter, status: int, payload: bytes, keep_alive: bool,
+        content_type: str = "application/json", extra: Optional[dict[str, str]] = None,
+        is_head: bool = False,
+    ) -> None:
+        text = _STATUS_TEXT.get(status, "Unknown")
+        lines = [
+            f"HTTP/1.1 {status} {text}",
+            f"Content-Type: {content_type}",
+            f"Content-Length: {len(payload)}",
+            f"Connection: {'keep-alive' if keep_alive else 'close'}",
+        ]
+        for name, value in (extra or {}).items():
+            lines.append(f"{name}: {value}")
+        head = ("\r\n".join(lines) + "\r\n\r\n").encode("latin1")
+        # HEAD responses advertise the length but must not carry the body
+        writer.write(head if is_head else head + payload)
         await writer.drain()

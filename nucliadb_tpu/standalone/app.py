@@ -17,7 +17,8 @@ from typing import Optional
 from pydantic import ValidationError
 
 from ..common.kb import KnowledgeBoxManager
-from ..http import HTTPError, HTTPServer, Request, Router
+from ..http import HTTPError, HTTPServer, Request, Response, Router, StreamingResponse
+from .tus import TUS_HEADERS, TusError, TusManager, parse_upload_metadata
 from ..ingest.processor import Processor
 from ..maindb import Driver
 from ..models.api import (
@@ -67,6 +68,8 @@ class StandaloneApp:
         self.synonyms = SynonymsService(self.driver)
         self.learning = LearningProxy(self.driver)
         self.augmentor = Augmentor(self.processor)
+        self.tus = TusManager(self.driver, self.node.storage)
+        self._openapi_cache: Optional[dict] = None
         self.router = Router()
         self.server = HTTPServer(self.router, host, port)
         self._register_routes()
@@ -127,6 +130,16 @@ class StandaloneApp:
         @r.get("/")
         def root(request: Request):
             return {"title": "nucliadb_tpu", "version": __version__}
+
+        @r.get("/api/v1/openapi.json")
+        def openapi_spec(request: Request):
+            """Generated OpenAPI 3.1 schema of the live route table
+            (parity: nucliadb/openapi.py component schemas)."""
+            from .openapi import build_openapi
+
+            if self._openapi_cache is None:
+                self._openapi_cache = build_openapi(self.router)
+            return self._openapi_cache
 
         @r.get("/health/alive")
         def alive(request: Request):
@@ -291,6 +304,131 @@ class StandaloneApp:
             info = json.loads(raw)
             return 200, self.node.storage.get(info["key"])
 
+        # ---- TUS resumable uploads (writer/api/v1/upload.py parity) -----
+
+        def _tus_options(request: Request):
+            return Response(status=204, headers=dict(TUS_HEADERS))
+
+        for pattern in (
+            "/api/v1/kb/{kbid}/tusupload",
+            "/api/v1/kb/{kbid}/tusupload/{upload_id}",
+            "/api/v1/kb/{kbid}/resource/{rid}/file/{field}/tusupload",
+            "/api/v1/kb/{kbid}/resource/{rid}/file/{field}/tusupload/{upload_id}",
+            "/api/v1/kb/{kbid}/slug/{rslug}/file/{field}/tusupload",
+        ):
+            r.add("OPTIONS", pattern, _tus_options)
+
+        def _tus_create(request: Request, kbid: str, rid: str, field: str,
+                        deterministic: bool) -> Response:
+            size = -1
+            if "upload-length" in request.headers:
+                size = int(request.headers["upload-length"])
+            elif request.headers.get("upload-defer-length") != "1":
+                raise HTTPError(400, "Upload-Length or Upload-Defer-Length: 1 required")
+            try:
+                metadata = parse_upload_metadata(
+                    request.headers.get("upload-metadata", "")
+                )
+            except TusError as e:
+                raise HTTPError(e.status, e.detail)
+            session = self.tus.create(
+                kbid, rid, field, size=size, metadata=metadata,
+                deterministic=deterministic,
+            )
+            location = f"{request.path.rstrip('/')}/{session.upload_id}"
+            return Response(
+                status=201,
+                headers={
+                    "Location": location,
+                    "Tus-Resumable": "1.0.0",
+                    "Access-Control-Expose-Headers": "Location,Tus-Resumable",
+                },
+            )
+
+        @r.post("/api/v1/kb/{kbid}/resource/{rid}/file/{field}/tusupload")
+        def tus_post_field(request: Request):
+            kbid = self._kbid(request)
+            rid = request.params["rid"]
+            if self.processor.get_meta(kbid, rid) is None:
+                raise HTTPError(404, "unknown resource")
+            return _tus_create(request, kbid, rid, request.params["field"],
+                               deterministic=True)
+
+        @r.post("/api/v1/kb/{kbid}/slug/{rslug}/file/{field}/tusupload")
+        def tus_post_field_by_slug(request: Request):
+            kbid = self._kbid(request)
+            rid = self.processor.resolve_slug(kbid, request.params["rslug"])
+            if rid is None:
+                raise HTTPError(404, "unknown resource slug")
+            return _tus_create(request, kbid, rid, request.params["field"],
+                               deterministic=True)
+
+        @r.post("/api/v1/kb/{kbid}/tusupload")
+        def tus_post_kb(request: Request):
+            """KB-level TUS: implicitly creates the resource the upload
+            lands on (parity: upload.py tus_post → store_file_on_nuclia_db)."""
+            kbid = self._kbid(request)
+            item = request.json() if request.body else {}
+            payload = _validate(CreateResourcePayload, item or {})
+            if not payload.title:
+                payload.title = "Upload"
+            try:
+                rid, seq = self.processor.create_resource(kbid, payload)
+            except KeyError as e:
+                raise HTTPError(409, str(e))
+            self._notify(kbid, rid, "created", seq)
+            resp = _tus_create(request, kbid, rid, "file", deterministic=False)
+            resp.headers["NDB-Resource"] = f"/kb/{kbid}/resource/{rid}"
+            return resp
+
+        def _tus_head(request: Request):
+            kbid = self._kbid(request)
+            try:
+                session = self.tus.get(kbid, request.params["upload_id"])
+            except TusError as e:
+                raise HTTPError(e.status, e.detail)
+            headers = {
+                "Tus-Resumable": "1.0.0",
+                "Upload-Offset": str(session.offset),
+                "Upload-Length": str(session.size) if session.size >= 0 else "0",
+                "Access-Control-Expose-Headers":
+                    "Upload-Offset,Tus-Resumable,Upload-Length",
+            }
+            return Response(status=200, headers=headers)
+
+        def _tus_patch(request: Request):
+            kbid = self._kbid(request)
+            try:
+                offset = int(request.headers.get("upload-offset", 0))
+                declared = (
+                    int(request.headers["upload-length"])
+                    if "upload-length" in request.headers
+                    else None
+                )
+                session, finished = self.tus.patch(
+                    kbid, request.params["upload_id"], offset, request.body,
+                    declared_size=declared,
+                )
+            except TusError as e:
+                raise HTTPError(e.status, e.detail)
+            headers = {
+                "Tus-Resumable": "1.0.0",
+                "Upload-Offset": str(session.offset),
+                "Access-Control-Expose-Headers":
+                    "Upload-Offset,Tus-Resumable,Tus-Upload-Finished",
+            }
+            if finished:
+                headers["Tus-Upload-Finished"] = "1"
+                self._notify(kbid, session.rid, "modified", None)
+            return Response(status=204, headers=headers)
+
+        for pattern in (
+            "/api/v1/kb/{kbid}/tusupload/{upload_id}",
+            "/api/v1/kb/{kbid}/resource/{rid}/file/{field}/tusupload/{upload_id}",
+        ):
+            r.add("HEAD", pattern, _tus_head)
+            r.add("PATCH", pattern, _tus_patch)
+
         @r.get("/api/v1/kb/{kbid}/resource/{rid}/files")
         def list_files(request: Request):
             kbid = self._kbid(request)
@@ -306,13 +444,7 @@ class StandaloneApp:
                         out[key[len(prefix):]] = info
             return {"files": out}
 
-        @r.get("/api/v1/kb/{kbid}/notifications")
-        def notifications(request: Request):
-            """Recent activity events, cursor-paginated by bus seq
-            (parity: reader notifications stream)."""
-            kbid = self._kbid(request)
-            since = int(request.query.get("since", 0))
-            limit = int(request.query.get("limit", 100))
+        def _drain_notifications(kbid: str, since: int, limit: int) -> list[dict]:
             out = []
             consumer = f"notif_{kbid}_{since}"
             while len(out) < limit:
@@ -325,7 +457,43 @@ class StandaloneApp:
                 event = json.loads(msg.payload)
                 event["seq_cursor"] = msg.seq
                 out.append(event)
-            return {"notifications": out}
+            return out
+
+        @r.get("/api/v1/kb/{kbid}/notifications")
+        def notifications(request: Request):
+            """Activity events. Default: cursor-paginated JSON by bus seq.
+            With `Accept: text/event-stream` (or ?stream=sse): a live SSE
+            stream that tails the KB's notify subject for up to `timeout`
+            seconds then closes (parity: reader notifications SSE endpoint,
+            reference reader/api/v1/knowledgebox.py notifications)."""
+            kbid = self._kbid(request)
+            since = int(request.query.get("since", 0))
+            limit = int(request.query.get("limit", 100))
+            wants_sse = (
+                "text/event-stream" in request.headers.get("accept", "")
+                or request.query.get("stream") == "sse"
+            )
+            if not wants_sse:
+                return {"notifications": _drain_notifications(kbid, since, limit)}
+
+            timeout = min(float(request.query.get("timeout", 30.0)), 300.0)
+
+            def sse_events():
+                deadline = time.time() + timeout
+                cursor = since
+                sent = 0
+                while time.time() < deadline and sent < limit:
+                    events = _drain_notifications(kbid, cursor, limit - sent)
+                    for event in events:
+                        cursor = max(cursor, event["seq_cursor"])
+                        sent += 1
+                        yield f"data: {json.dumps(event)}\n\n"
+                    if not events:
+                        # comment frame keeps intermediaries from idling out
+                        yield ": keep-alive\n\n"
+                        time.sleep(0.2)
+
+            return StreamingResponse(sse_events(), content_type="text/event-stream")
 
         @r.get("/api/v1/kb/{kbid}/resources")
         def list_resources(request: Request):
@@ -393,24 +561,26 @@ class StandaloneApp:
             accept = request.headers.get("x-synchronous", "")
             if request.query.get("stream") != "ndjson" and accept != "false":
                 return result
-            # ndjson item stream (parity: /ask's default ndjson response —
-            # AskResponseItems: retrieval, answer chunks, citations, status)
-            lines = []
-            if result.retrieval is not None:
-                lines.append(
-                    json.dumps(
+            # chunked ndjson item stream (parity: /ask's default ndjson
+            # response — AskResponseItems: retrieval, answer chunks,
+            # citations, status; reference search/api/v1/ask.py)
+            def ndjson_items():
+                if result.retrieval is not None:
+                    yield json.dumps(
                         {"item": {"type": "retrieval",
                                   "results": json.loads(result.retrieval.model_dump_json())}}
-                    )
-                )
-            text = result.answer
-            for i in range(0, len(text), 80):
-                lines.append(
-                    json.dumps({"item": {"type": "answer", "text": text[i : i + 80]}})
-                )
-            lines.append(json.dumps({"item": {"type": "citations", "citations": result.citations}}))
-            lines.append(json.dumps({"item": {"type": "status", "status": result.status}}))
-            return 200, ("\n".join(lines) + "\n").encode()
+                    ) + "\n"
+                text = result.answer
+                for i in range(0, len(text), 80):
+                    yield json.dumps(
+                        {"item": {"type": "answer", "text": text[i : i + 80]}}
+                    ) + "\n"
+                yield json.dumps(
+                    {"item": {"type": "citations", "citations": result.citations}}
+                ) + "\n"
+                yield json.dumps({"item": {"type": "status", "status": result.status}}) + "\n"
+
+            return StreamingResponse(ndjson_items(), content_type="application/x-ndjson")
 
         # ---- vocabulary services (writer/api/v1/services.py parity) -----
 

@@ -1,0 +1,246 @@
+"""TUS 1.0.0 resumable uploads (creation + creation-defer-length).
+
+Parity: reference writer TUS endpoints
+(nucliadb/src/nucliadb/writer/api/v1/upload.py:93-635 and writer/tus/) —
+POST creates an upload session, HEAD reports the committed offset, PATCH
+appends `application/offset+octet-stream` chunks at the declared offset and
+finalizes when offset == Upload-Length.
+
+Object-store-friendly layout: each PATCH chunk is stored as its own
+immutable object `tus/{kbid}/{upload_id}/{index:08d}` (the reference rides
+S3/GCS multipart uploads the same way, writer/tus/s3.py append_data);
+finalize concatenates chunks into the blob key and records the file field.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import threading
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+from typing import Optional
+
+from ..maindb import Driver
+from ..storage import Storage
+
+TUS_HEADERS = {
+    "Tus-Resumable": "1.0.0",
+    "Tus-Version": "1.0.0",
+    "Tus-Extension": "creation-defer-length",
+}
+
+TUS_KEY = "/kbs/{kbid}/tus/{upload_id}"
+CHUNK_KEY = "tus/{kbid}/{upload_id}/{index:08d}"
+FILE_FIELD_KEY = "/kbs/{kbid}/r/{rid}/files/{field}"
+BLOB_KEY = "blobs/{kbid}/{rid}/{field}"
+
+# stale sessions are garbage-collected after this many seconds
+SESSION_TTL = 24 * 3600
+
+
+class TusError(Exception):
+    def __init__(self, status: int, detail: str):
+        self.status = status
+        self.detail = detail
+        super().__init__(detail)
+
+
+@dataclass
+class TusSession:
+    upload_id: str
+    kbid: str
+    rid: str
+    field: str
+    size: int = -1  # -1 = deferred (Upload-Defer-Length)
+    offset: int = 0
+    chunks: int = 0
+    filename: str = ""
+    content_type: str = "application/octet-stream"
+    language: Optional[str] = None
+    md5: Optional[str] = None
+    created: float = field(default_factory=time.time)
+
+    def to_json(self) -> bytes:
+        return json.dumps(asdict(self)).encode()
+
+    @classmethod
+    def from_json(cls, raw: bytes) -> "TusSession":
+        return cls(**json.loads(raw))
+
+
+def parse_upload_metadata(header: str) -> dict[str, str]:
+    """`Upload-Metadata: key1 b64val1,key2 b64val2` (TUS creation ext)."""
+    out: dict[str, str] = {}
+    for part in header.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, value = part.partition(" ")
+        if not name:
+            raise TusError(400, f"Upload-Metadata header contains errors: {part!r}")
+        try:
+            out[name] = base64.b64decode(value).decode() if value.strip() else ""
+        except Exception:
+            # the reference tolerates unencoded values (maybe_b64decode)
+            out[name] = value.strip()
+    return out
+
+
+def deterministic_upload_id(kbid: str, rid: str, field: str) -> str:
+    """Field-addressed uploads resume across clients (parity:
+    upload.py:285 md5(kbid__rid__field))."""
+    return hashlib.md5(f"{kbid}__{rid}__{field}".encode()).hexdigest()
+
+
+class TusManager:
+    def __init__(self, driver: Driver, storage: Storage):
+        self.driver = driver
+        self.storage = storage
+        self._mutex = threading.Lock()
+
+    # ---- session lifecycle ------------------------------------------------
+
+    def create(
+        self,
+        kbid: str,
+        rid: str,
+        field: str,
+        *,
+        size: int = -1,
+        metadata: Optional[dict[str, str]] = None,
+        deterministic: bool = True,
+    ) -> TusSession:
+        metadata = metadata or {}
+        upload_id = (
+            deterministic_upload_id(kbid, rid, field)
+            if deterministic
+            else uuid.uuid4().hex
+        )
+        session = TusSession(
+            upload_id=upload_id,
+            kbid=kbid,
+            rid=rid,
+            field=field,
+            size=size,
+            filename=metadata.get("filename", field),
+            content_type=metadata.get("content_type")
+            or metadata.get("content-type")
+            or "application/octet-stream",
+            language=metadata.get("language"),
+            md5=metadata.get("md5"),
+        )
+        with self._mutex:
+            # restarting an upload for the same field resets prior state
+            self._purge_chunks(session)
+            with self.driver as txn:
+                txn.set(TUS_KEY.format(kbid=kbid, upload_id=upload_id), session.to_json())
+        return session
+
+    def get(self, kbid: str, upload_id: str) -> TusSession:
+        with self.driver as txn:
+            raw = txn.get(TUS_KEY.format(kbid=kbid, upload_id=upload_id))
+        if raw is None:
+            raise TusError(404, f"unknown upload {upload_id}")
+        return TusSession.from_json(raw)
+
+    # ---- data plane ---------------------------------------------------------
+
+    def patch(
+        self, kbid: str, upload_id: str, offset: int, body: bytes,
+        declared_size: Optional[int] = None,
+    ) -> tuple[TusSession, bool]:
+        """Append a chunk at `offset`. Returns (session, finished)."""
+        with self._mutex:
+            session = self.get(kbid, upload_id)
+            if offset != session.offset:
+                raise TusError(
+                    409,
+                    f"Upload-Offset mismatch: expected {session.offset}, got {offset}",
+                )
+            if declared_size is not None and session.size < 0:
+                session.size = declared_size  # creation-defer-length resolution
+            if session.size >= 0 and session.offset + len(body) > session.size:
+                raise TusError(400, "chunk exceeds Upload-Length")
+            if body:
+                self.storage.put(
+                    CHUNK_KEY.format(kbid=kbid, upload_id=upload_id, index=session.chunks),
+                    body,
+                )
+                session.chunks += 1
+                session.offset += len(body)
+            finished = session.size >= 0 and session.offset == session.size
+            if finished:
+                self._finalize(session)
+            else:
+                with self.driver as txn:
+                    txn.set(
+                        TUS_KEY.format(kbid=kbid, upload_id=upload_id), session.to_json()
+                    )
+            return session, finished
+
+    def _finalize(self, session: TusSession) -> None:
+        blob_key = BLOB_KEY.format(
+            kbid=session.kbid, rid=session.rid, field=session.field
+        )
+        data = b"".join(
+            self.storage.get(
+                CHUNK_KEY.format(
+                    kbid=session.kbid, upload_id=session.upload_id, index=i
+                )
+            )
+            for i in range(session.chunks)
+        )
+        if session.md5 and hashlib.md5(data).hexdigest() != session.md5:
+            self._purge_chunks(session)
+            with self.driver as txn:
+                txn.delete(
+                    TUS_KEY.format(kbid=session.kbid, upload_id=session.upload_id)
+                )
+            raise TusError(412, "md5 checksum mismatch")
+        self.storage.put(blob_key, data)
+        with self.driver as txn:
+            txn.set(
+                FILE_FIELD_KEY.format(
+                    kbid=session.kbid, rid=session.rid, field=session.field
+                ),
+                json.dumps(
+                    {
+                        "key": blob_key,
+                        "filename": session.filename,
+                        "content_type": session.content_type,
+                        "size": len(data),
+                        "language": session.language,
+                    }
+                ).encode(),
+            )
+            txn.delete(TUS_KEY.format(kbid=session.kbid, upload_id=session.upload_id))
+        self._purge_chunks(session)
+
+    def _purge_chunks(self, session: TusSession) -> None:
+        prefix = f"tus/{session.kbid}/{session.upload_id}/"
+        for key in list(self.storage.list(prefix)):
+            self.storage.delete(key)
+
+    # ---- gc -----------------------------------------------------------------
+
+    def purge_stale(self, now: Optional[float] = None) -> int:
+        """Drop sessions older than SESSION_TTL (parity: tus storage
+        manager cleanup); returns number purged."""
+        now = now or time.time()
+        purged = 0
+        with self._mutex, self.driver as txn:
+            for key in list(txn.keys("/kbs/")):
+                if "/tus/" not in key:
+                    continue
+                raw = txn.get(key)
+                if raw is None:
+                    continue
+                session = TusSession.from_json(raw)
+                if now - session.created > SESSION_TTL:
+                    self._purge_chunks(session)
+                    txn.delete(key)
+                    purged += 1
+        return purged

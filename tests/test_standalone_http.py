@@ -245,6 +245,161 @@ def test_file_fields_and_ask_ndjson(server):
     assert types[0] == "retrieval" and types[-1] == "status"
     assert any(t == "answer" for t in types)
 
+    # ndjson is delivered chunked (a real stream, not one buffered body)
+    assert resp.headers.get("transfer-encoding") == "chunked"
+
     # notifications cursor
     notes = client.get(f"/api/v1/kb/{kbid}/notifications").json()["notifications"]
     assert [n["action"] for n in notes] == ["created"]
+
+
+def test_notifications_sse(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "sse-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources", json={"title": "sse res"}
+    ).json()["uuid"]
+
+    import json as _json
+
+    events = []
+    with client.stream(
+        "GET",
+        f"/api/v1/kb/{kbid}/notifications",
+        params={"timeout": 2},
+        headers={"accept": "text/event-stream"},
+    ) as resp:
+        assert resp.status_code == 200
+        assert resp.headers["content-type"].startswith("text/event-stream")
+        assert resp.headers.get("transfer-encoding") == "chunked"
+        for line in resp.iter_lines():
+            if line.startswith("data: "):
+                events.append(_json.loads(line[len("data: "):]))
+                if len(events) >= 1:
+                    break
+    assert events and events[0]["action"] == "created" and events[0]["rid"] == rid
+
+
+def test_tus_resumable_upload(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "tus-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources", json={"title": "tus res"}
+    ).json()["uuid"]
+
+    base = f"/api/v1/kb/{kbid}/resource/{rid}/file/bigdoc/tusupload"
+
+    # server capabilities
+    opts = client.request("OPTIONS", base)
+    assert opts.status_code == 204
+    assert opts.headers["tus-resumable"] == "1.0.0"
+    assert "creation-defer-length" in opts.headers["tus-extension"]
+
+    import base64 as _b64
+
+    data = b"0123456789abcdef" * 1000  # 16000 bytes
+    meta = "filename " + _b64.b64encode(b"big.bin").decode() + ",content_type " + _b64.b64encode(b"application/x-bin").decode()
+    created = client.post(
+        base,
+        headers={
+            "tus-resumable": "1.0.0",
+            "upload-length": str(len(data)),
+            "upload-metadata": meta,
+        },
+    )
+    assert created.status_code == 201, created.text
+    loc = created.headers["location"]
+    assert loc.startswith(base)
+
+    # HEAD reports offset 0
+    head = client.request("HEAD", loc)
+    assert head.status_code == 200
+    assert head.headers["upload-offset"] == "0"
+    assert head.headers["upload-length"] == str(len(data))
+
+    # three chunks; a wrong-offset PATCH is rejected with 409
+    third = len(data) // 3
+    chunks = [data[:third], data[third : 2 * third], data[2 * third :]]
+    offset = 0
+    for i, chunk in enumerate(chunks):
+        resp = client.patch(
+            loc,
+            content=chunk,
+            headers={
+                "tus-resumable": "1.0.0",
+                "upload-offset": str(offset),
+                "content-type": "application/offset+octet-stream",
+            },
+        )
+        assert resp.status_code == 204, resp.text
+        offset += len(chunk)
+        assert resp.headers["upload-offset"] == str(offset)
+        if i == 0:
+            bad = client.patch(
+                loc,
+                content=chunk,
+                headers={"tus-resumable": "1.0.0", "upload-offset": "0"},
+            )
+            assert bad.status_code == 409
+            # resume point: HEAD gives the committed offset
+            assert client.request("HEAD", loc).headers["upload-offset"] == str(offset)
+    assert resp.headers.get("tus-upload-finished") == "1"
+
+    # the finished upload materialized as a file field
+    files = client.get(f"/api/v1/kb/{kbid}/resource/{rid}/files").json()["files"]
+    assert files["bigdoc"]["filename"] == "big.bin"
+    assert files["bigdoc"]["size"] == len(data)
+    down = client.get(f"/api/v1/kb/{kbid}/resource/{rid}/file/bigdoc/download")
+    assert down.content == data
+    # session is gone
+    assert client.request("HEAD", loc).status_code == 404
+
+
+def test_tus_kb_level_defer_length(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "tus-kb2"}).json()["uuid"]
+    created = client.post(
+        f"/api/v1/kb/{kbid}/tusupload",
+        headers={"tus-resumable": "1.0.0", "upload-defer-length": "1"},
+    )
+    assert created.status_code == 201, created.text
+    loc = created.headers["location"]
+    rid = created.headers["ndb-resource"].rsplit("/", 1)[-1]
+
+    # first chunk without knowing the total; final chunk declares the length
+    resp = client.patch(
+        loc, content=b"AAAA",
+        headers={"tus-resumable": "1.0.0", "upload-offset": "0"},
+    )
+    assert resp.status_code == 204
+    resp = client.patch(
+        loc, content=b"BB",
+        headers={"tus-resumable": "1.0.0", "upload-offset": "4", "upload-length": "6"},
+    )
+    assert resp.status_code == 204
+    assert resp.headers.get("tus-upload-finished") == "1"
+    down = client.get(f"/api/v1/kb/{kbid}/resource/{rid}/file/file/download")
+    assert down.content == b"AAAABB"
+
+
+def test_openapi_schema(server):
+    client, app = server
+    spec = client.get("/api/v1/openapi.json").json()
+    assert spec["openapi"] == "3.1.0"
+    paths = spec["paths"]
+    # the whole route table is described
+    assert "/api/v1/kb/{kbid}/find" in paths
+    find = paths["/api/v1/kb/{kbid}/find"]["post"]
+    assert find["requestBody"]["content"]["application/json"]["schema"]["$ref"].endswith(
+        "FindRequest"
+    )
+    assert {"name": "kbid", "in": "path", "required": True, "schema": {"type": "string"}} in find[
+        "parameters"
+    ]
+    schemas = spec["components"]["schemas"]
+    assert "FindRequest" in schemas and "KnowledgeboxFindResults" in schemas
+    # nested models are hoisted into shared components
+    assert "FindParagraph" in schemas
+    # TUS + SSE routes are present too
+    assert "/api/v1/kb/{kbid}/resource/{rid}/file/{field}/tusupload" in paths
+    assert "/api/v1/kb/{kbid}/notifications" in paths
