@@ -184,15 +184,61 @@ class DeviceVectorIndex:
         if not self.multi and "hnsw" in config.flags and self.n_para > 0:
             from ...ops import hnsw as hnsw_ops
 
-            flat = arena[: self.n_para]
-            adj, entry_ids = hnsw_ops.build_graph(flat, vectors_dev=self.vectors)
+            stitched = self._stitch_segment_graphs(segments)
+            if stitched is not None:
+                adj, entry_ids = stitched
+                n_components = len(segments)
+            else:
+                flat = arena[: self.n_para]
+                adj, entry_ids = hnsw_ops.build_graph(flat, vectors_dev=self.vectors)
+                n_components = 1
             adj_pad = np.full((self.p_pad, adj.shape[1]), -1, np.int32)
             adj_pad[: self.n_para] = adj
+            seg_of = None
+            if n_components > 1:
+                seg_pad = np.zeros(self.p_pad, np.int32)
+                seg_pad[: self.n_para] = self.para_seg
+                seg_of = jax.device_put(jnp.asarray(seg_pad))
             self.graph = hnsw_ops.DeviceHnsw(
                 adj=jax.device_put(jnp.asarray(adj_pad)),
                 entry_ids=jax.device_put(jnp.asarray(entry_ids)),
                 n_nodes=self.n_para,
+                seg_of=seg_of,
+                n_segments=n_components,
             )
+
+    @staticmethod
+    def _stitch_segment_graphs(
+        segments: Sequence[tuple[LoadedSegment, Seq]],
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Disjoint union of the segments' persisted graphs (parity: disk
+        HNSW reuse, hnsw/disk.rs). Node ids shift by each segment's paragraph
+        base offset; entry sets union. No cross-segment edges exist — the
+        beam expands every segment's subgraph in the same fixed-trip search,
+        which matches the reference's per-segment HNSW search + host merge
+        semantics. Returns None (→ rebuild) if any segment lacks a graph."""
+        # beyond ~8 components the per-component beam slots stop paying for
+        # themselves (the merge policy keeps open segment counts below this)
+        if (
+            not segments
+            or len(segments) > 8
+            or any(seg.hnsw_adj is None for seg, _ in segments)
+        ):
+            return None
+        m_max = max(seg.hnsw_adj.shape[1] for seg, _ in segments)
+        adj_parts: list[np.ndarray] = []
+        entry_parts: list[np.ndarray] = []
+        offset = 0
+        for seg, _ in segments:
+            adj = np.asarray(seg.hnsw_adj, dtype=np.int32)
+            if adj.shape[1] < m_max:
+                adj = np.pad(
+                    adj, ((0, 0), (0, m_max - adj.shape[1])), constant_values=-1
+                )
+            adj_parts.append(np.where(adj >= 0, adj + offset, -1))
+            entry_parts.append(np.asarray(seg.hnsw_entry, dtype=np.int32) + offset)
+            offset += seg.n_paragraphs
+        return np.concatenate(adj_parts), np.concatenate(entry_parts)
 
     # ------------------------------------------------------------------
     # Masks (host side)
@@ -289,6 +335,7 @@ class DeviceVectorIndex:
                 s, i = hnsw_ops.hnsw_search(
                     self.vectors, self.graph.adj, self.graph.entry_ids, qj,
                     mask_j, ms, top_k, similarity=self.config.similarity.value,
+                    seg_of=self.graph.seg_of, n_segments=self.graph.n_segments,
                 )
             elif isinstance(self.codes, quant.Int8Codes):
                 s, i = _search_int8(

@@ -68,6 +68,10 @@ class LoadedSegment:
     labels: dict[str, np.ndarray]  # label -> sorted int32 paragraph ids
     para_meta: list[dict]
     tags: frozenset[str] = frozenset()
+    # persisted proximity graph (None when the segment was written without
+    # the "hnsw" flag or by an older format version)
+    hnsw_adj: np.ndarray | None = None  # [P, m_max0] int32, -1 padded
+    hnsw_entry: np.ndarray | None = None  # [E] int32
 
     @property
     def n_paragraphs(self) -> int:
@@ -139,6 +143,19 @@ def create_segment(
         f.write(msgpack.packb({k: v for k, v in labels.items()}))
     with open(os.path.join(path, "para_meta.msgpack"), "wb") as f:
         f.write(msgpack.packb(para_meta))
+    # persisted proximity graph (parity: disk HNSW, nidx_vector/src/hnsw/
+    # disk.rs:15-38 serialize_to): built once at segment create/merge time so
+    # searcher (re)loads stitch adjacency arrays instead of rebuilding. Only
+    # for single-cardinality hnsw-flagged configs.
+    has_graph = False
+    if "hnsw" in config.flags and vectors.shape[0] == len(keys) and len(keys) > 0:
+        from ...ops import hnsw as hnsw_ops
+
+        adj, entry_ids = hnsw_ops.build_graph(vectors)
+        np.save(os.path.join(path, "hnsw_adj.npy"), adj)
+        np.save(os.path.join(path, "hnsw_entry.npy"), entry_ids)
+        has_graph = True
+
     meta = {
         "format_version": FORMAT_VERSION,
         "records": len(keys),
@@ -146,6 +163,7 @@ def create_segment(
         "dim": dim,
         "config": config.to_dict(),
         "tags": sorted(tags),
+        "has_graph": has_graph,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -168,6 +186,10 @@ def open_segment(path: str) -> LoadedSegment:
     labels = {k: np.asarray(v, dtype=np.int32) for k, v in labels_raw.items()}
     with open(os.path.join(path, "para_meta.msgpack"), "rb") as f:
         para_meta = msgpack.unpackb(f.read())
+    hnsw_adj = hnsw_entry = None
+    if meta.get("has_graph") and os.path.exists(os.path.join(path, "hnsw_adj.npy")):
+        hnsw_adj = np.load(os.path.join(path, "hnsw_adj.npy"), mmap_mode="r")
+        hnsw_entry = np.load(os.path.join(path, "hnsw_entry.npy"))
     return LoadedSegment(
         path=path,
         config=config,
@@ -177,6 +199,8 @@ def open_segment(path: str) -> LoadedSegment:
         labels=labels,
         para_meta=para_meta,
         tags=frozenset(meta.get("tags", [])),
+        hnsw_adj=hnsw_adj,
+        hnsw_entry=hnsw_entry,
     )
 
 

@@ -59,18 +59,27 @@ SEARCH_TRIPS = 6  # fixed beam iterations (see module docstring)
 
 @dataclass
 class DeviceHnsw:
-    """Device-resident graph: one flat level + an exact-scanned entry set."""
+    """Device-resident graph: one flat level + an exact-scanned entry set.
+
+    When stitched from several per-segment persisted graphs the components
+    are disconnected; ``seg_of`` + ``n_segments`` make the search reserve
+    beam slots per component (see hnsw_search)."""
 
     adj: jax.Array  # [N_pad, M_MAX_0] int32 neighbor ids (-1 pad)
     entry_ids: jax.Array  # [E] int32 node ids of the entry set
     n_nodes: int
+    seg_of: jax.Array | None = None  # [N_pad] int32 component id per node
+    n_segments: int = 1
 
     def tree_flatten(self):
-        return (self.adj, self.entry_ids), (self.n_nodes,)
+        return (self.adj, self.entry_ids, self.seg_of), (self.n_nodes, self.n_segments)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(adj=children[0], entry_ids=children[1], n_nodes=aux[0])
+        return cls(
+            adj=children[0], entry_ids=children[1], seg_of=children[2],
+            n_nodes=aux[0], n_segments=aux[1],
+        )
 
 
 jax.tree_util.register_pytree_node(
@@ -147,15 +156,46 @@ def build_graph(
     adj_count = np.zeros(n, dtype=np.int32)
     inserted_mask = np.zeros(n_pad, dtype=bool)
 
-    # entry set ~ the nodes HNSW would promote to level >= 1
+    # entry set ~ the nodes HNSW would promote to level >= 1. Small sets are
+    # picked by farthest-point sampling: a kNN graph has no cross-cluster
+    # edges, so every region needs its own entry or it is unreachable
+    # (random 16-of-400 misses ~2 of 10 clusters). Large sets (n/m) are
+    # dense enough that random coverage is sufficient and FPS would be
+    # O(E*n*d) at merge scale.
     entry_size = max(min(n, 16), int(math.ceil(n / m)))
-    entry_ids = np.sort(order[:entry_size]).astype(np.int32)
+    if entry_size <= 256:
+        chosen = [int(order[0])]
+        min_sim = vectors_np @ vectors_np[chosen[0]]
+        for _ in range(entry_size - 1):
+            nxt = int(np.argmin(min_sim))
+            chosen.append(nxt)
+            min_sim = np.maximum(min_sim, vectors_np @ vectors_np[nxt])
+        entry_ids = np.sort(np.asarray(chosen, dtype=np.int32))
+    else:
+        entry_ids = np.sort(order[:entry_size]).astype(np.int32)
 
     def add_edges(src: int, targets: np.ndarray):
         free = m_max0 - adj_count[src]
         take = targets[:free]
         adj[src, adj_count[src] : adj_count[src] + len(take)] = take
         adj_count[src] += len(take)
+
+    def add_reverse(node: int, targets: np.ndarray):
+        """Reverse links with overflow prune (keep the closest) — directed
+        kNN edges alone leave a third of small graphs unreachable from the
+        entry set."""
+        for t in targets:
+            t = int(t)
+            if adj_count[t] < m_max0:
+                adj[t, adj_count[t]] = node
+                adj_count[t] += 1
+            else:
+                edges = adj[t]
+                sims = vectors_np[edges] @ vectors_np[t]
+                weakest = int(np.argmin(sims))
+                new_sim = float(vectors_np[node] @ vectors_np[t])
+                if new_sim > sims[weakest]:
+                    adj[t, weakest] = node
 
     pos = 0
     first = order[: min(wave, n)]
@@ -169,6 +209,8 @@ def build_graph(
         nn = np.argsort(-sims, axis=1)[:, : min(m, len(first) - 1)]
         for i, node in enumerate(first):
             add_edges(int(node), first[nn[i]])
+        for i, node in enumerate(first):
+            add_reverse(int(node), first[nn[i]])
 
     ef = min(ef_construction, n)
     while pos < n:
@@ -187,21 +229,9 @@ def build_graph(
             node = int(node)
             neigh = cand_i_np[row][kept_np[row]][:m]
             add_edges(node, neigh.astype(np.int32))
-            # reverse links; on overflow replace the weakest existing edge if
-            # the new one is stronger (parity intent: bidirectional insert
-            # with prune, build.rs — prune at Mmax keeps the closest)
-            for t in neigh:
-                t = int(t)
-                if adj_count[t] < m_max0:
-                    adj[t, adj_count[t]] = node
-                    adj_count[t] += 1
-                else:
-                    edges = adj[t]
-                    sims = vectors_np[edges] @ vectors_np[t]
-                    weakest = int(np.argmin(sims))
-                    new_sim = float(vectors_np[node] @ vectors_np[t])
-                    if new_sim > sims[weakest]:
-                        adj[t, weakest] = node
+            # bidirectional insert with prune at Mmax keeps the closest
+            # (parity intent: build.rs bidirectional link insert)
+            add_reverse(node, neigh)
         inserted_mask[wave_nodes] = True
 
     return adj, entry_ids
@@ -221,7 +251,7 @@ def _dedup_scores(scores: jax.Array, ids: jax.Array) -> jax.Array:
     return jnp.where(dup, NEG_INF, scores)
 
 
-@partial(jax.jit, static_argnames=("k", "ef", "trips", "similarity"))
+@partial(jax.jit, static_argnames=("k", "ef", "trips", "similarity", "n_segments"))
 def hnsw_search(
     vectors: jax.Array,  # [N_pad, D] arena (padding rows masked out)
     adj: jax.Array,  # [N_pad, m_max0] int32 (-1 pad)
@@ -233,22 +263,55 @@ def hnsw_search(
     ef: int = EF_SEARCH,
     trips: int = SEARCH_TRIPS,
     similarity: str = "dot",
+    seg_of: jax.Array | None = None,  # [N_pad] int32 component per node
+    n_segments: int = 1,
 ):
-    """Masked fixed-trip beam search; returns ([B, k] scores, [B, k] ids)."""
+    """Masked fixed-trip beam search; returns ([B, k] scores, [B, k] ids).
+
+    With ``n_segments > 1`` (graph stitched from disconnected per-segment
+    subgraphs) the beam reserves ``max(ef, k)`` slots PER component —
+    a shared best-first beam would otherwise collapse into whichever
+    component's entries score best and starve the others. This mirrors the
+    reference, which runs each segment's HNSW with its own ef and merges
+    (nidx_vector/src/searcher.rs per-segment search), but in one program."""
     q = prepare_query(queries, similarity)
     b = q.shape[0]
     n_pad, m_max = adj.shape
-    beam = max(ef, k)
+    per_seg = max(ef, k)
+    beam = per_seg * n_segments
+
+    def seg_topk(all_s: jax.Array, all_i: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Top per_seg per component (unrolled over the static segment
+        count), concatenated -> [B, beam]."""
+        segs = jnp.where(all_i >= 0, seg_of[jnp.maximum(all_i, 0)], -1)
+        take = min(per_seg, all_s.shape[1])
+        pad = per_seg - take
+        parts_s, parts_i = [], []
+        for s in range(n_segments):
+            ms = jnp.where(segs == s, all_s, NEG_INF)
+            ts, pos = jax.lax.top_k(ms, take)
+            ti = jnp.take_along_axis(all_i, pos, axis=1)
+            ti = jnp.where(ts > NEG_INF / 2, ti, -1)
+            if pad:
+                ts = jnp.pad(ts, ((0, 0), (0, pad)), constant_values=NEG_INF)
+                ti = jnp.pad(ti, ((0, 0), (0, pad)), constant_values=-1)
+            parts_s.append(ts)
+            parts_i.append(ti)
+        return jnp.concatenate(parts_s, axis=1), jnp.concatenate(parts_i, axis=1)
 
     # entry: exact scan over the entry set
     entry_vecs = vectors[entry_ids]  # [E, D]
     entry_scores = scores_matmul(q, entry_vecs)  # [B, E]
-    s0, p0 = jax.lax.top_k(entry_scores, min(beam, entry_ids.shape[0]))
-    ids0 = entry_ids[p0]  # [B, beam0]
-    pad = beam - ids0.shape[1]
-    if pad:
-        ids0 = jnp.pad(ids0, ((0, 0), (0, pad)), constant_values=-1)
-        s0 = jnp.pad(s0, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    if n_segments > 1:
+        ids_b = jnp.broadcast_to(entry_ids[None, :], entry_scores.shape)
+        s0, ids0 = seg_topk(entry_scores, ids_b)
+    else:
+        s0, p0 = jax.lax.top_k(entry_scores, min(beam, entry_ids.shape[0]))
+        ids0 = entry_ids[p0]  # [B, beam0]
+        pad = beam - ids0.shape[1]
+        if pad:
+            ids0 = jnp.pad(ids0, ((0, 0), (0, pad)), constant_values=-1)
+            s0 = jnp.pad(s0, ((0, 0), (0, pad)), constant_values=NEG_INF)
 
     # Visited tracking: a [B, N_pad] bool table when it fits in <=64MB;
     # beyond that, rely on final dedup — a re-visited node scores identically
@@ -278,9 +341,12 @@ def hnsw_search(
         # merge neighbors with current beam, dedup by construction of top-k
         all_s = jnp.concatenate([beam_s, ns], axis=1)
         all_i = jnp.concatenate([beam_i, flat], axis=1)
-        top_s, pos = jax.lax.top_k(all_s, beam)
-        top_i = jnp.take_along_axis(all_i, pos, axis=1)
-        top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+        if n_segments > 1:
+            top_s, top_i = seg_topk(all_s, all_i)
+        else:
+            top_s, pos = jax.lax.top_k(all_s, beam)
+            top_i = jnp.take_along_axis(all_i, pos, axis=1)
+            top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
         # accumulate best FILTERED results seen so far; the same id re-enters
         # every trip (beam entries persist), so dedup before the cut or the
         # accumulator fills with copies of the top hit
@@ -296,8 +362,13 @@ def hnsw_search(
     init_best_s = jnp.where(
         node_mask[jnp.maximum(ids0, 0)] & (ids0 >= 0), s0, NEG_INF
     )
-    best_s = jnp.full((b, best_k), NEG_INF).at[:, : ids0.shape[1]].set(init_best_s)
-    best_i = jnp.full((b, best_k), -1, jnp.int32).at[:, : ids0.shape[1]].set(ids0)
+    if ids0.shape[1] >= best_k:
+        bs0, bpos = jax.lax.top_k(init_best_s, best_k)
+        best_s = bs0
+        best_i = jnp.take_along_axis(ids0, bpos, axis=1)
+    else:
+        best_s = jnp.full((b, best_k), NEG_INF).at[:, : ids0.shape[1]].set(init_best_s)
+        best_i = jnp.full((b, best_k), -1, jnp.int32).at[:, : ids0.shape[1]].set(ids0)
     visited = (
         jnp.zeros((b, n_pad), bool) if use_table else jnp.zeros((b, 1), bool)
     )
