@@ -39,8 +39,20 @@ class SearcherSettings(BaseModel):
 
 
 class StorageSettings(BaseModel):
-    backend: str = "local"  # local | memory  (s3/gcs/azure slots)
-    root: str = "./data/blobs"
+    backend: str = "local"  # local | memory | s3 | gcs | azure
+    root: str = "./data/blobs"  # local backend
+    # cloud backends (parity: nucliadb_utils/storages/settings.py and
+    # nidx INDEXER__OBJECT_STORE settings)
+    endpoint: str = ""  # custom endpoint (MinIO, fake-gcs, azurite)
+    key_prefix: str = ""
+    bucket: str = ""  # s3 | gcs
+    access_key: str = ""  # s3
+    secret_key: str = ""  # s3
+    region: str = "us-east-1"  # s3
+    token: str = ""  # gcs static bearer (else anonymous/metadata)
+    account: str = ""  # azure
+    account_key: str = ""  # azure
+    container: str = ""  # azure
 
 
 class TelemetrySettings(BaseModel):
