@@ -338,10 +338,21 @@ class DeviceVectorIndex:
                     seg_of=self.graph.seg_of, n_segments=self.graph.n_segments,
                 )
             elif isinstance(self.codes, quant.Int8Codes):
-                s, i = _search_int8(
-                    self.codes, self.vectors, qj, mask_j, ms, top_k,
-                    self.config.similarity.value,
-                )
+                from ...ops import pallas_scan
+
+                if "pallas" in self.config.flags and pallas_scan.eligible(
+                    self.p_pad, self.config.dimension, self.multi
+                ):
+                    s, i = _search_int8_pallas(
+                        self.codes, self.vectors, qj, mask_j, ms, top_k,
+                        self.config.similarity.value,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                else:
+                    s, i = _search_int8(
+                        self.codes, self.vectors, qj, mask_j, ms, top_k,
+                        self.config.similarity.value,
+                    )
             elif isinstance(self.codes, quant.BinaryCodes):
                 s, i = _search_binary(
                     self.codes, self.vectors, qj, mask_j, ms, top_k,
@@ -413,6 +424,38 @@ def _search_int8(codes, vectors, queries, para_mask, min_score, k, similarity):
     est = quant.int8_estimate_scores(codes, q)
     c = min(quant.int8_rerank_budget(k), est.shape[-1])
     _, cand = quant.approx_candidates(est, c, mask=para_mask)
+    return _rerank_and_cut(vectors, q, cand, min_score, k)
+
+
+@partial(jax.jit, static_argnames=("k", "similarity", "interpret"))
+def _search_int8_pallas(
+    codes, vectors, queries, para_mask, min_score, k, similarity, interpret=False
+):
+    """Int8 candidates via the fused Pallas scan (config flag "pallas").
+
+    Measured on the tunneled v5e at 1M x 768 batch 32 it is within run-to-run
+    noise of the XLA matmul + approx_max_k path (both 1-3 ms/batch across
+    runs; XLA already streams bucketed arenas near the HBM roofline), so the
+    XLA path stays the default — this kernel avoids materializing the [B, N]
+    score matrix in HBM and is kept for shapes/chips where that matters.
+    """
+    from ...ops import pallas_scan
+
+    q = prepare_query(queries, similarity)
+    qs = jnp.maximum(jnp.max(jnp.abs(q), axis=-1), 1e-12) / 127.0
+    qc = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
+    slot_s, slot_i = pallas_scan.int8_scan_slots(
+        qc, codes.codes, codes.scale, para_mask,
+        block_n=pallas_scan.BLOCK_N, slots=pallas_scan.SLOTS,
+        interpret=interpret,
+    )
+    c = min(quant.int8_rerank_budget(k), slot_s.shape[-1])
+    top_s, pos = jax.lax.top_k(slot_s, c)
+    cand = jnp.where(
+        top_s > pallas_scan.NEG_INF / 2,
+        jnp.take_along_axis(slot_i, pos, axis=-1),
+        -1,
+    )
     return _rerank_and_cut(vectors, q, cand, min_score, k)
 
 

@@ -1,0 +1,114 @@
+"""Fused Pallas int8 scan kernel (interpret mode on the CPU test mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nucliadb_tpu.ops.pallas_scan import NEG_INF, eligible, int8_scan_slots
+
+
+def _quantize(q):
+    qs = jnp.maximum(jnp.max(jnp.abs(q), -1), 1e-12) / 127.0
+    return jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
+
+
+def test_slot_scan_matches_oracle(rng):
+    n, d, b, k = 2048, 128, 8, 10
+    block, slots = 512, 256
+    codes = jnp.asarray(rng.integers(-127, 128, (n, d)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+    mask = jnp.ones((n,), bool).at[:50].set(False)
+    q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    qc = _quantize(q)
+
+    ss, ii = int8_scan_slots(
+        qc, codes, scale, mask, block_n=block, slots=slots, interpret=True
+    )
+    assert ss.shape == (b, slots) and ii.shape == (b, slots)
+
+    # oracle: full masked score matrix
+    est = np.array(
+        (qc.astype(jnp.int32) @ codes.T.astype(jnp.int32)).astype(jnp.float32)
+        * scale[None, :]
+    )
+    est[:, :50] = -np.inf
+
+    ss_np, ii_np = np.asarray(ss), np.asarray(ii)
+    # every slot holds the max over its residue class (exact, not approximate)
+    for row in range(b):
+        for s in range(0, slots, 37):  # sample slots
+            cols = np.arange(s, n, slots)
+            expect = est[row, cols].max()
+            assert np.isclose(ss_np[row, s], expect, rtol=1e-6), (row, s)
+            assert ii_np[row, s] in cols
+            assert np.isclose(est[row, ii_np[row, s]], expect, rtol=1e-6)
+    # masked ids never surface
+    assert not np.isin(ii_np, np.arange(50)).any()
+
+    # top-k over slots ~= true top-k (collisions only)
+    ks, kpos = jax.lax.top_k(ss, k)
+    ki = np.take_along_axis(ii_np, np.asarray(kpos), axis=1)
+    true_i = np.argsort(-est, axis=1)[:, :k]
+    recall = np.mean([len(set(true_i[r]) & set(ki[r])) / k for r in range(b)])
+    assert recall >= 0.9, recall
+
+
+def test_all_masked_block():
+    n, d, b = 1024, 128, 8
+    codes = jnp.ones((n, d), jnp.int8)
+    scale = jnp.ones((n,), jnp.float32)
+    mask = jnp.zeros((n,), bool)  # nothing eligible
+    q = jnp.ones((b, d), jnp.float32)
+    ss, ii = int8_scan_slots(
+        _quantize(q), codes, scale, mask, block_n=512, slots=256, interpret=True
+    )
+    assert (np.asarray(ss) <= NEG_INF / 2).all()
+    assert (np.asarray(ii) == -1).all()
+
+
+def test_eligibility_gate():
+    assert eligible(1048576, 768, multi=False)
+    assert eligible(786432, 768, multi=False)  # 1.5 * 2^19 bucket
+    assert not eligible(4096, 768, multi=False)  # too small
+    assert not eligible(1048576, 768, multi=True)
+    assert not eligible(1048576, 100, multi=False)  # lane-unaligned dim
+
+
+def test_device_index_pallas_flag(rng, tmp_path):
+    """End-to-end: the 'pallas' config flag routes int8 search through the
+    fused kernel (interpret mode on CPU) with identical result quality."""
+    from nucliadb_tpu.index.vector import (
+        Elem, VectorConfig, VectorSearcher, VectorSearchRequest,
+    )
+    from nucliadb_tpu.index.vector.segment import create_segment
+    from nucliadb_tpu.ops import pallas_scan
+    from nucliadb_tpu.types import Seq, SimpleOpenIndex
+    from unittest import mock
+
+    n, d, k = 1200, 128, 10
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    cfg = VectorConfig(dimension=d, flags=["pallas"])
+    elems = [Elem(key=f"r/{i:05d}", vectors=v[i : i + 1]) for i in range(n)]
+    meta = create_segment(str(tmp_path / "s"), elems, cfg)
+
+    # shrink the kernel blocks so the small test corpus is eligible
+    with mock.patch.object(pallas_scan, "BLOCK_N", 512), mock.patch.object(
+        pallas_scan, "SLOTS", 256
+    ):
+        searcher = VectorSearcher(cfg, SimpleOpenIndex(segment_list=[(meta, Seq(1))]))
+        # force the quantized path (tiny corpora normally take the exact scan)
+        from nucliadb_tpu.ops import quant
+
+        searcher.index.codes = quant.Int8Codes.encode(searcher.index.vectors)
+        q = rng.standard_normal((4, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        hits = searcher.search(VectorSearchRequest(vectors=q, top_k=k))
+
+    true = q.astype(np.float64) @ v.astype(np.float64).T
+    recalls = []
+    for b in range(4):
+        exact = {f"r/{i:05d}" for i in np.argsort(-true[b])[:k]}
+        got = {h.key for h in hits[b]}
+        recalls.append(len(exact & got) / k)
+    assert np.mean(recalls) >= 0.9, np.mean(recalls)
