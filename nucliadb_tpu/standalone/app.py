@@ -268,6 +268,27 @@ class StandaloneApp:
         # out of scope for an embedded deployment (file fields index their
         # filename/content-type as metadata).
 
+        def _extract_and_index(
+            kbid: str, rid: str, field: str, filename: str, content_type: str,
+            data: bytes,
+        ) -> bool:
+            """Local extraction for text-bearing formats: the extracted text
+            becomes a searchable text field (parity: processing-service
+            extraction landing as extracted fields; ingest/extract.py)."""
+            from ..ingest.extract import extract_text
+            from ..models.api import TextFieldPayload, UpdateResourcePayload
+
+            text = extract_text(filename, content_type, data)
+            if text is None:
+                return False
+            current = self.processor.get_payload(kbid, rid)
+            texts = dict(current.texts) if current else {}
+            texts[field] = TextFieldPayload(body=text, format="EXTRACTED")
+            self.processor.update_resource(
+                kbid, rid, UpdateResourcePayload(texts=texts)
+            )
+            return True
+
         @r.post("/api/v1/kb/{kbid}/resource/{rid}/file/{field}/upload")
         def upload_file(request: Request):
             kbid = self._kbid(request)
@@ -291,7 +312,11 @@ class StandaloneApp:
                         }
                     ).encode(),
                 )
-            return 201, {"field": field, "size": len(request.body)}
+            extracted = _extract_and_index(
+                kbid, rid, field, filename, content_type, request.body
+            )
+            return 201, {"field": field, "size": len(request.body),
+                         "extracted": extracted}
 
         @r.get("/api/v1/kb/{kbid}/resource/{rid}/file/{field}/download")
         def download_file(request: Request):
@@ -419,6 +444,13 @@ class StandaloneApp:
             }
             if finished:
                 headers["Tus-Upload-Finished"] = "1"
+                blob = self.node.storage.get(
+                    f"blobs/{kbid}/{session.rid}/{session.field}"
+                )
+                _extract_and_index(
+                    kbid, session.rid, session.field, session.filename,
+                    session.content_type, blob,
+                )
                 self._notify(kbid, session.rid, "modified", None)
             return Response(status=204, headers=headers)
 

@@ -210,3 +210,17 @@ def test_rebalance(tmp_path):
     node.wait_for_sync()
     res = search.find(kbid, FindRequest(query="doc", features=[SearchFeature.KEYWORD]))
     assert len(res.resources) == 6
+
+
+def test_extract_text_formats():
+    from nucliadb_tpu.ingest.extract import extract_text, sniff_content_type
+
+    assert extract_text("a.txt", "text/plain", b"hello world") == "hello world"
+    assert "title" not in (
+        extract_text("a.html", "", b"<html><style>p{}</style><p>Only this</p></html>") or ""
+    )
+    assert extract_text("a.html", "", b"<p>Only this</p>") == "Only this"
+    assert extract_text("d.json", "", b'{"a": ["x", {"b": "y"}], "n": 3}') == "x\ny"
+    assert extract_text("blob.bin", "application/octet-stream", b"\x00\x01") is None
+    assert sniff_content_type("f.md", "application/octet-stream") == "text/markdown"
+    assert sniff_content_type("f", "text/html; charset=utf-8") == "text/html"

@@ -403,3 +403,51 @@ def test_openapi_schema(server):
     # TUS + SSE routes are present too
     assert "/api/v1/kb/{kbid}/resource/{rid}/file/{field}/tusupload" in paths
     assert "/api/v1/kb/{kbid}/notifications" in paths
+
+
+def test_file_upload_text_extraction(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "extract-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources", json={"title": "doc holder"}
+    ).json()["uuid"]
+
+    # HTML upload -> tags stripped, script dropped, text searchable
+    html = b"""<html><head><title>t</title><script>var x=1;</script></head>
+    <body><h1>Quarterly Report</h1><p>The walrus population is thriving.</p></body></html>"""
+    up = client.post(
+        f"/api/v1/kb/{kbid}/resource/{rid}/file/report/upload",
+        params={"filename": "report.html"},
+        content=html,
+        headers={"content-type": "text/html"},
+    )
+    assert up.status_code == 201 and up.json()["extracted"] is True
+    app._sync(force=True)
+    res = client.post(f"/api/v1/kb/{kbid}/find", json={"query": "walrus"}).json()
+    assert rid in res["resources"]
+    body = client.get(f"/api/v1/kb/{kbid}/resource/{rid}").json()["texts"]["report"]["body"]
+    assert "var x=1" not in body and "walrus population" in body
+
+    # markdown via TUS also extracts on finalize
+    md = b"# Notes\n\nthe yak herd moved north\n"
+    loc = client.post(
+        f"/api/v1/kb/{kbid}/resource/{rid}/file/notes/tusupload",
+        headers={
+            "upload-length": str(len(md)),
+            "upload-metadata": "filename " + __import__("base64").b64encode(b"notes.md").decode(),
+        },
+    ).headers["location"]
+    fin = client.patch(loc, content=md, headers={"upload-offset": "0"})
+    assert fin.headers.get("tus-upload-finished") == "1"
+    app._sync(force=True)
+    res = client.post(f"/api/v1/kb/{kbid}/find", json={"query": "yak"}).json()
+    assert rid in res["resources"]
+
+    # binary formats pass through unextracted
+    up = client.post(
+        f"/api/v1/kb/{kbid}/resource/{rid}/file/bin/upload",
+        params={"filename": "x.pdf"},
+        content=b"%PDF-1.4 binary",
+        headers={"content-type": "application/pdf"},
+    )
+    assert up.json()["extracted"] is False
