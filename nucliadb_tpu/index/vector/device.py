@@ -176,7 +176,20 @@ class DeviceVectorIndex:
         if not self.multi and "ivf" in config.flags and self.n_para > 0:
             from ...ops import ivf as ivf_ops
 
-            self.ivf = ivf_ops.build_ivf(self.vectors, self.n_para)
+            # reuse the biggest segment's persisted centroids when that
+            # segment describes enough of the corpus (>= 1/4); k-means then
+            # reduces to one assignment pass over the arena
+            centroids = None
+            best = max(
+                (s for s, _ in segments if s.ivf_centroids is not None),
+                key=lambda s: s.n_paragraphs,
+                default=None,
+            )
+            if best is not None and best.n_paragraphs * 4 >= self.n_para:
+                centroids = jnp.asarray(np.asarray(best.ivf_centroids))
+            self.ivf = ivf_ops.build_ivf(
+                self.vectors, self.n_para, centroids=centroids
+            )
 
         # graph strategy (flag "hnsw"): batched proximity-graph search for
         # corpora beyond the scan sweet spot (see ops/hnsw.py)

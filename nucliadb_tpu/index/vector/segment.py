@@ -72,6 +72,7 @@ class LoadedSegment:
     # the "hnsw" flag or by an older format version)
     hnsw_adj: np.ndarray | None = None  # [P, m_max0] int32, -1 padded
     hnsw_entry: np.ndarray | None = None  # [E] int32
+    ivf_centroids: np.ndarray | None = None  # [K, D] f32
 
     @property
     def n_paragraphs(self) -> int:
@@ -156,6 +157,28 @@ def create_segment(
         np.save(os.path.join(path, "hnsw_entry.npy"), entry_ids)
         has_graph = True
 
+    # persisted IVF centroids: the k-means (8 Lloyd passes) runs once here;
+    # consolidation reuses the biggest segment's centroids and only pays the
+    # single assignment pass (ops/ivf.py build_ivf centroids=...)
+    has_ivf = False
+    if "ivf" in config.flags and vectors.shape[0] == len(keys) and len(keys) > 0:
+        import jax.numpy as jnp
+
+        from ...ops import ivf as ivf_ops
+
+        n = vectors.shape[0]
+        n_pad = -(-n // 8) * 8
+        padded = np.zeros((n_pad, dim), np.float32)
+        padded[:n] = vectors
+        centroids, _ = ivf_ops.kmeans(
+            jnp.asarray(padded),
+            jnp.arange(n_pad) < n,
+            max(16, 1 << int(np.ceil(np.log2(np.sqrt(max(n, 1)))))),
+            n_valid=n,
+        )
+        np.save(os.path.join(path, "ivf_centroids.npy"), np.asarray(centroids))
+        has_ivf = True
+
     meta = {
         "format_version": FORMAT_VERSION,
         "records": len(keys),
@@ -164,6 +187,7 @@ def create_segment(
         "config": config.to_dict(),
         "tags": sorted(tags),
         "has_graph": has_graph,
+        "has_ivf": has_ivf,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -186,10 +210,12 @@ def open_segment(path: str) -> LoadedSegment:
     labels = {k: np.asarray(v, dtype=np.int32) for k, v in labels_raw.items()}
     with open(os.path.join(path, "para_meta.msgpack"), "rb") as f:
         para_meta = msgpack.unpackb(f.read())
-    hnsw_adj = hnsw_entry = None
+    hnsw_adj = hnsw_entry = ivf_centroids = None
     if meta.get("has_graph") and os.path.exists(os.path.join(path, "hnsw_adj.npy")):
         hnsw_adj = np.load(os.path.join(path, "hnsw_adj.npy"), mmap_mode="r")
         hnsw_entry = np.load(os.path.join(path, "hnsw_entry.npy"))
+    if meta.get("has_ivf") and os.path.exists(os.path.join(path, "ivf_centroids.npy")):
+        ivf_centroids = np.load(os.path.join(path, "ivf_centroids.npy"))
     return LoadedSegment(
         path=path,
         config=config,
@@ -201,6 +227,7 @@ def open_segment(path: str) -> LoadedSegment:
         tags=frozenset(meta.get("tags", [])),
         hnsw_adj=hnsw_adj,
         hnsw_entry=hnsw_entry,
+        ivf_centroids=ivf_centroids,
     )
 
 

@@ -100,6 +100,28 @@ def kmeans(
     return centroids, assigns.reshape(n_pad)
 
 
+@partial(jax.jit, static_argnames=("block",))
+def assign_all(vectors: jax.Array, centroids: jax.Array, block: int = 65536):
+    """One blocked matmul pass: nearest centroid per row. This is the cheap
+    1/9th of build_ivf — reused when centroids are already known (persisted
+    per segment, see index/vector/segment.py)."""
+    n_pad, d = vectors.shape
+    blk = n_pad
+    while blk > block and blk % 2 == 0:
+        blk //= 2
+    nb = n_pad // blk
+    vblocks = vectors.reshape(nb, blk, d)
+
+    def assign_block(carry, vb):
+        scores = jax.lax.dot_general(
+            vb, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return carry, jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+    _, assigns = jax.lax.scan(assign_block, None, vblocks)
+    return assigns.reshape(n_pad)
+
+
 @dataclass
 class DeviceIVF:
     centroids: jax.Array  # [K, D]
@@ -124,16 +146,28 @@ def build_ivf(
     *,
     k_clusters: int | None = None,
     iters: int = KMEANS_ITERS,
+    centroids: jax.Array | None = None,
 ) -> DeviceIVF:
     """Cluster and lay out the arena. Host only reorders ids (tiny arrays);
-    the member arena is gathered on device in cluster-sized rows."""
+    the member arena is gathered on device in cluster-sized rows.
+
+    With ``centroids`` given (persisted by a segment at create/merge time),
+    the 8 Lloyd iterations are skipped and only the single assignment pass
+    runs — the searcher-reload analogue of reusing the biggest operant's
+    HNSW in the reference (segment.rs:137-197)."""
     import math
 
     n_pad, d = vectors.shape
-    if k_clusters is None:
-        k_clusters = max(16, 1 << int(math.ceil(math.log2(math.sqrt(max(n_valid, 1))))))
-    valid = jnp.arange(n_pad) < n_valid
-    centroids, assign = kmeans(vectors, valid, k_clusters, iters, n_valid=n_valid)
+    if centroids is not None:
+        assign = assign_all(vectors, centroids)
+    else:
+        if k_clusters is None:
+            k_clusters = max(
+                16, 1 << int(math.ceil(math.log2(math.sqrt(max(n_valid, 1)))))
+            )
+        valid = jnp.arange(n_pad) < n_valid
+        centroids, assign = kmeans(vectors, valid, k_clusters, iters, n_valid=n_valid)
+    k_clusters = centroids.shape[0]
 
     assign_np = np.asarray(assign)[:n_valid]
     order = np.argsort(assign_np, kind="stable")

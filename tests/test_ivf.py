@@ -58,3 +58,65 @@ def test_ivf_mask_and_padding(rng):
     ids = np.asarray(i)
     assert ((ids < 100) | (ids == -1)).all()
     assert (ids >= 0).any()
+
+
+def test_ivf_centroids_persisted_and_reused(rng, tmp_path):
+    """Segments persist k-means centroids; consolidation reuses the biggest
+    segment's and skips Lloyd iterations (one assignment pass only)."""
+    import os
+    from unittest import mock
+
+    import numpy as np
+
+    from nucliadb_tpu.index.vector import (
+        Elem, VectorConfig, VectorSearcher, VectorSearchRequest,
+    )
+    from nucliadb_tpu.index.vector.segment import create_segment, open_segment
+    from nucliadb_tpu.ops import ivf as ivf_ops
+    from nucliadb_tpu.types import Seq, SimpleOpenIndex
+
+    n, d, k = 1600, 32, 10
+    centers = rng.standard_normal((12, d)).astype(np.float32)
+    v = centers[rng.integers(0, 12, n)] + 0.3 * rng.standard_normal((n, d)).astype(
+        np.float32
+    )
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    cfg = VectorConfig(dimension=d, flags=["ivf"])
+
+    # big segment (3/4) + small fresh segment (1/4)
+    cut = 3 * n // 4
+    m0 = create_segment(
+        str(tmp_path / "big"),
+        [Elem(key=f"r/{i:05d}", vectors=v[i : i + 1]) for i in range(cut)],
+        cfg,
+    )
+    m1 = create_segment(
+        str(tmp_path / "small"),
+        [Elem(key=f"r/{i:05d}", vectors=v[i : i + 1]) for i in range(cut, n)],
+        cfg,
+    )
+    assert os.path.exists(os.path.join(m0.path, "ivf_centroids.npy"))
+    assert open_segment(m0.path).ivf_centroids is not None
+
+    # consolidation must NOT run k-means (reuses persisted centroids)
+    with mock.patch.object(
+        ivf_ops, "kmeans", side_effect=AssertionError("kmeans at load")
+    ):
+        searcher = VectorSearcher(
+            cfg,
+            SimpleOpenIndex(segment_list=[(m0, Seq(1)), (m1, Seq(2))]),
+        )
+    assert searcher.index.ivf is not None
+
+    q = centers[rng.integers(0, 12, 4)] + 0.3 * rng.standard_normal((4, d)).astype(
+        np.float32
+    )
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    hits = searcher.search(VectorSearchRequest(vectors=q, top_k=k))
+    true = q.astype(np.float64) @ v.astype(np.float64).T
+    recalls = []
+    for b in range(4):
+        exact = {f"r/{i:05d}" for i in np.argsort(-true[b])[:k]}
+        got = {h.key for h in hits[b]}
+        recalls.append(len(exact & got) / k)
+    assert np.mean(recalls) >= 0.9, np.mean(recalls)
