@@ -144,12 +144,24 @@ class SearchService:
     # ------------------------------------------------------------------
 
     def find(self, kbid: str, request: FindRequest) -> KnowledgeboxFindResults:
+        from .metrics import Metrics
+
+        metrics = Metrics()
+        try:
+            return self._find(kbid, request, metrics)
+        finally:
+            metrics.log_if_slow("find", f"kbid={kbid} q={request.query[:80]!r}")
+
+    def _find(
+        self, kbid: str, request: FindRequest, metrics
+    ) -> KnowledgeboxFindResults:
         expr = filter_to_expression(request.filter_expression)
-        vector = (
-            self._query_vector(kbid, request)
-            if SearchFeature.SEMANTIC in request.features
-            else None
-        )
+        with metrics.time("embed"):
+            vector = (
+                self._query_vector(kbid, request)
+                if SearchFeature.SEMANTIC in request.features
+                else None
+            )
         keyword = SearchFeature.KEYWORD in request.features and bool(request.query.strip())
         query_text = request.query
         if request.with_synonyms and keyword:
@@ -173,134 +185,137 @@ class SearchService:
 
         keyword_blocks: list[TextBlock] = []
         semantic_blocks: list[TextBlock] = []
-        for shard_id in self._shard_ids(kbid):
-            resp = self.node.search(shard_id, shard_req)
-            if resp.paragraph is not None:
-                for h in resp.paragraph.hits:
-                    keyword_blocks.append(
+        with metrics.time("retrieval"):
+            for shard_id in self._shard_ids(kbid):
+                resp = self.node.search(shard_id, shard_req)
+                if resp.paragraph is not None:
+                    for h in resp.paragraph.hits:
+                        keyword_blocks.append(
+                            TextBlock(
+                                block_id=h.paragraph_id,
+                                score=h.score,
+                                source="keyword",
+                                rid=h.rid,
+                                field=h.field,
+                                start=h.start,
+                                end=h.end,
+                                is_a_match=h.ematch,
+                                split=h.split,
+                            )
+                        )
+                for h in resp.vector:
+                    parsed = parse_vector_key(h.key)
+                    if parsed is None:
+                        continue
+                    rid, fid, start, end = parsed
+                    semantic_blocks.append(
                         TextBlock(
-                            block_id=h.paragraph_id,
+                            block_id=f"{rid}/{fid}/{start}-{end}",
                             score=h.score,
-                            source="keyword",
-                            rid=h.rid,
-                            field=h.field,
-                            start=h.start,
-                            end=h.end,
-                            is_a_match=h.ematch,
-                            split=h.split,
+                            source="semantic",
+                            rid=rid,
+                            field=fid,
+                            start=start,
+                            end=end,
+                            labels=h.labels,
                         )
                     )
-            for h in resp.vector:
-                parsed = parse_vector_key(h.key)
-                if parsed is None:
-                    continue
-                rid, fid, start, end = parsed
-                semantic_blocks.append(
-                    TextBlock(
-                        block_id=f"{rid}/{fid}/{start}-{end}",
-                        score=h.score,
-                        source="semantic",
-                        rid=rid,
-                        field=fid,
-                        start=start,
-                        end=end,
-                        labels=h.labels,
+        with metrics.time("fusion"):
+            keyword_blocks.sort(key=lambda b: -b.score)
+            semantic_blocks.sort(key=lambda b: -b.score)
+            lists = {"keyword": keyword_blocks, "semantic": semantic_blocks}
+            if request.rank_fusion == "weighted":
+                fused = weighted_comb_sum(
+                    lists,
+                    weights={
+                        "keyword": request.keyword_boost,
+                        "semantic": request.semantic_boost,
+                    },
+                )
+            else:
+                fused = reciprocal_rank_fusion(
+                    lists,
+                    boosts={
+                        "keyword": request.keyword_boost,
+                        "semantic": request.semantic_boost,
+                    },
+                )
+            if request.search_after:
+                # cursor pagination, stable under concurrent writes for items
+                # that keep their fused ordering (parity: search_after.py's
+                # tie-broken cursors): skip past the cursor's (score, id) pair
+                import base64, json as _json
+
+                try:
+                    cur_score, cur_id = _json.loads(
+                        base64.urlsafe_b64decode(request.search_after.encode())
                     )
+                except Exception:
+                    raise ValueError("invalid search_after cursor")
+                # fused ordering is (score desc, block_id asc): keep strictly-after
+                fused = [
+                    b
+                    for b in fused
+                    if b.fused_score < cur_score
+                    or (b.fused_score == cur_score and b.block_id > cur_id)
+                ]
+            cut = fused[request.offset : request.offset + request.top_k]
+
+
+        with metrics.time("hydration"):
+            highlight_terms: list[str] = []
+            if request.highlight and request.query:
+                from ..index.text_engine.tokenizer import tokenize
+
+                highlight_terms = tokenize(query_text)
+
+            results = KnowledgeboxFindResults(
+                total=len(fused),
+                page_size=request.top_k,
+                next_page=len(fused) > request.offset + request.top_k,
+            )
+            if cut and results.next_page:
+                import base64, json as _json
+
+                last = cut[-1]
+                results.next_cursor = base64.urlsafe_b64encode(
+                    _json.dumps([last.fused_score, last.block_id]).encode()
+                ).decode()
+            for order, block in enumerate(cut):
+                text = self.processor.field_text(kbid, block.rid, block.field) or ""
+                snippet = text[block.start : block.end]
+                if highlight_terms:
+                    snippet = _highlight(snippet, highlight_terms)
+                score_type = (
+                    "BOTH"
+                    if len(block.sources) > 1
+                    else ("VECTOR" if "semantic" in block.sources else "BM25")
                 )
-
-        keyword_blocks.sort(key=lambda b: -b.score)
-        semantic_blocks.sort(key=lambda b: -b.score)
-        lists = {"keyword": keyword_blocks, "semantic": semantic_blocks}
-        if request.rank_fusion == "weighted":
-            fused = weighted_comb_sum(
-                lists,
-                weights={
-                    "keyword": request.keyword_boost,
-                    "semantic": request.semantic_boost,
-                },
-            )
-        else:
-            fused = reciprocal_rank_fusion(
-                lists,
-                boosts={
-                    "keyword": request.keyword_boost,
-                    "semantic": request.semantic_boost,
-                },
-            )
-        if request.search_after:
-            # cursor pagination, stable under concurrent writes for items
-            # that keep their fused ordering (parity: search_after.py's
-            # tie-broken cursors): skip past the cursor's (score, id) pair
-            import base64, json as _json
-
-            try:
-                cur_score, cur_id = _json.loads(
-                    base64.urlsafe_b64decode(request.search_after.encode())
+                resource = results.resources.get(block.rid)
+                if resource is None:
+                    payload = self.processor.get_payload(kbid, block.rid)
+                    resource = FindResource(
+                        id=block.rid,
+                        title=payload.title if payload else "",
+                        summary=payload.summary if payload else "",
+                    )
+                    results.resources[block.rid] = resource
+                field = resource.fields.setdefault(f"/{block.field}", FindField())
+                field.paragraphs[block.block_id] = FindParagraph(
+                    score=block.fused_score,
+                    score_type=score_type,
+                    order=order,
+                    text=snippet,
+                    id=block.block_id,
+                    labels=block.labels,
+                    position={"start": block.start, "end": block.end},
+                    is_a_match=block.is_a_match,
+                    fuzzy_result=block.fuzzy,
                 )
-            except Exception:
-                raise ValueError("invalid search_after cursor")
-            # fused ordering is (score desc, block_id asc): keep strictly-after
-            fused = [
-                b
-                for b in fused
-                if b.fused_score < cur_score
-                or (b.fused_score == cur_score and b.block_id > cur_id)
-            ]
-        cut = fused[request.offset : request.offset + request.top_k]
+                results.best_matches.append(block.block_id)
 
-        highlight_terms: list[str] = []
-        if request.highlight and request.query:
-            from ..index.text_engine.tokenizer import tokenize
-
-            highlight_terms = tokenize(query_text)
-
-        results = KnowledgeboxFindResults(
-            total=len(fused),
-            page_size=request.top_k,
-            next_page=len(fused) > request.offset + request.top_k,
-        )
-        if cut and results.next_page:
-            import base64, json as _json
-
-            last = cut[-1]
-            results.next_cursor = base64.urlsafe_b64encode(
-                _json.dumps([last.fused_score, last.block_id]).encode()
-            ).decode()
-        for order, block in enumerate(cut):
-            text = self.processor.field_text(kbid, block.rid, block.field) or ""
-            snippet = text[block.start : block.end]
-            if highlight_terms:
-                snippet = _highlight(snippet, highlight_terms)
-            score_type = (
-                "BOTH"
-                if len(block.sources) > 1
-                else ("VECTOR" if "semantic" in block.sources else "BM25")
-            )
-            resource = results.resources.get(block.rid)
-            if resource is None:
-                payload = self.processor.get_payload(kbid, block.rid)
-                resource = FindResource(
-                    id=block.rid,
-                    title=payload.title if payload else "",
-                    summary=payload.summary if payload else "",
-                )
-                results.resources[block.rid] = resource
-            field = resource.fields.setdefault(f"/{block.field}", FindField())
-            field.paragraphs[block.block_id] = FindParagraph(
-                score=block.fused_score,
-                score_type=score_type,
-                order=order,
-                text=snippet,
-                id=block.block_id,
-                labels=block.labels,
-                position={"start": block.start, "end": block.end},
-                is_a_match=block.is_a_match,
-                fuzzy_result=block.fuzzy,
-            )
-            results.best_matches.append(block.block_id)
-
-        if SearchFeature.RELATIONS in request.features:
-            results.relations = self._query_relations(kbid, request.query)
+            if SearchFeature.RELATIONS in request.features:
+                results.relations = self._query_relations(kbid, request.query)
         return results
 
     def _query_relations(self, kbid: str, query: str) -> list[Relation]:

@@ -284,3 +284,29 @@ def test_find_search_after_cursor(stack):
             kbid,
             FindRequest(query="quick", features=[SearchFeature.KEYWORD], search_after="garbage!"),
         )
+
+
+def test_find_phase_metrics(caplog):
+    """Phase timings are recorded per find request and slow queries log."""
+    import logging
+
+    from nucliadb_tpu.search import metrics as m
+
+    metrics = m.Metrics()
+    with metrics.time("retrieval"):
+        pass
+    with metrics.time("fusion"):
+        pass
+    d = metrics.to_dict()
+    assert set(d) >= {"retrieval", "fusion", "total"}
+
+    # below thresholds: no log
+    with caplog.at_level(logging.WARNING, logger="nucliadb_tpu.search.slow"):
+        metrics.log_if_slow("find", "kbid=x")
+    assert not caplog.records
+
+    # force a slow phase -> structured warning
+    metrics.phases["retrieval"] = 1.5
+    with caplog.at_level(logging.WARNING, logger="nucliadb_tpu.search.slow"):
+        metrics.log_if_slow("find", "kbid=x")
+    assert caplog.records and "slow find query" in caplog.records[0].getMessage()
