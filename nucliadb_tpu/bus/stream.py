@@ -80,6 +80,26 @@ class EmbeddedBus:
         """Push notification on publish (parity: NATS pubsub notify.{kbid})."""
         self._watchers.setdefault(stream, []).append(callback)
 
+    def scan(
+        self,
+        stream: str,
+        *,
+        subject_prefix: str = "",
+        after_seq: int = 0,
+        limit: int = 100,
+    ) -> list[BusMessage]:
+        """Read-only cursor scan: no consumer state, repeatable (parity:
+        JetStream DeliverByStartSequence ephemeral consumers). Used by the
+        notifications API so repeated polls with the same cursor re-deliver."""
+        with self._lock, self._conn:
+            rows = self._conn.execute(
+                "SELECT seq, subject, payload FROM messages"
+                " WHERE stream = ? AND subject GLOB ? AND seq > ?"
+                " ORDER BY seq LIMIT ?",
+                (stream, subject_prefix + "*", after_seq, limit),
+            ).fetchall()
+        return [BusMessage(stream, seq, subject, payload, 0) for seq, subject, payload in rows]
+
     # ---- consume ---------------------------------------------------------
 
     def next(

@@ -477,15 +477,15 @@ class StandaloneApp:
             return {"files": out}
 
         def _drain_notifications(kbid: str, since: int, limit: int) -> list[dict]:
+            """Repeatable cursor read: the same `since` re-delivers (a
+            consumer-based drain would ack and starve repeated polls)."""
             out = []
-            consumer = f"notif_{kbid}_{since}"
-            while len(out) < limit:
-                msg = self.bus.next("ndb_notify", consumer, subject_prefix=f"notify.{kbid}")
-                if msg is None:
-                    break
-                self.bus.ack("ndb_notify", consumer, msg.seq)
-                if msg.seq <= since:
-                    continue
+            for msg in self.bus.scan(
+                "ndb_notify",
+                subject_prefix=f"notify.{kbid}",
+                after_seq=since,
+                limit=limit,
+            ):
                 event = json.loads(msg.payload)
                 event["seq_cursor"] = msg.seq
                 out.append(event)

@@ -16,6 +16,7 @@ from nucliadb_tpu.migrator import (
     _REGISTRY,
 )
 from nucliadb_tpu.models.api import (
+    AskRequest,
     Classification,
     CreateResourcePayload,
     KnowledgeBoxConfig,
@@ -166,6 +167,38 @@ def test_sdk_against_server(tmp_path):
     )
     res = client.find(kb.uuid, FindRequest(query="sdk", features=[SearchFeature.KEYWORD]))
     assert created.uuid in res.resources
+    # files: plain + resumable TUS round trips
+    client.upload_file(
+        kb.uuid, created.uuid, "att", b"plain bytes", filename="a.bin"
+    )
+    assert client.download_file(kb.uuid, created.uuid, "att") == b"plain bytes"
+    big = b"x" * (3 * 1024) + b"END"
+    client.tus_upload(
+        kb.uuid, created.uuid, "big", big, filename="big.bin", chunk_size=1024
+    )
+    assert client.download_file(kb.uuid, created.uuid, "big") == big
+
+    # notifications: cursor + live SSE stream
+    notes = client.notifications(kb.uuid)
+    assert any(n["action"] == "created" for n in notes)
+    sse = next(iter(client.notifications_stream(kb.uuid, timeout=2)))
+    assert sse["action"] == "created"
+
+    # vocabulary + export/import + openapi
+    client.set_labelset(kb.uuid, "topic", {"title": "T", "labels": [{"title": "x"}]})
+    assert "topic" in client.get_labelsets(kb.uuid)
+    client.set_synonyms(kb.uuid, {"hello": ["hi"]})
+    blob = client.export_kb(kb.uuid)
+    copy_id = client.import_kb(blob, slug="sdk-copy")
+    assert copy_id
+    assert "/api/v1/kb/{kbid}/find" in client.openapi()["paths"]
+
+    # streaming ask
+    items = list(
+        client.ask_stream(kb.uuid, AskRequest(query="hello"))
+    )
+    assert items[-1]["type"] == "status"
+
     client.delete_resource(kb.uuid, created.uuid)
     client.delete_kb(kb.uuid)
     client.close()
