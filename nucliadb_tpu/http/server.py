@@ -206,7 +206,9 @@ class HTTPServer:
             raise HTTPError(413, "body too large")
         body = await reader.readexactly(length) if length else b""
         parsed = urlparse(target)
-        query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+        # repeated params (?show=a&show=b) collapse to "a,b" — handlers
+        # accept the comma form (FastAPI-style repeated query params parity)
+        query = {k: ",".join(v) for k, v in parse_qs(parsed.query).items()}
         return Request(
             method=method.upper(),
             path=parsed.path,

@@ -219,19 +219,36 @@ class StandaloneApp:
 
         @r.get("/api/v1/kb/{kbid}/resource/{rid}")
         def get_resource(request: Request):
+            """GET with `show=` serialization options (parity: reader
+            resource serialization, reader/api/v1 `show=basic|values|
+            relations|extracted|security`; repeated or comma-separated)."""
             kbid = self._kbid(request)
             rid = request.params["rid"]
             payload = self.processor.get_payload(kbid, rid)
             if payload is None:
                 raise HTTPError(404, f"unknown resource {rid}")
             meta = self.processor.get_meta(kbid, rid)
+            show = {
+                s.strip() for s in request.query.get("show", "basic,values").split(",")
+            }
             out = payload.model_dump()
             out["id"] = rid
             if meta:
                 out["created"] = meta.created
                 out["modified"] = meta.modified
-            if request.query.get("show") != "values":
-                out.pop("embeddings", None)
+            if "values" not in show:
+                out.pop("texts", None)
+            elif "extracted" not in show and "texts" in out:
+                out["texts"] = {
+                    fid: t
+                    for fid, t in out["texts"].items()
+                    if t.get("format") != "EXTRACTED"
+                }
+            if "relations" not in show and "values" not in show:
+                out.pop("usergenerated_relations", None)
+            if "security" not in show and "values" not in show:
+                out.pop("security", None)
+            out.pop("embeddings", None)
             return out
 
         @r.get("/api/v1/kb/{kbid}/slug/{slug}")

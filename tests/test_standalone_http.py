@@ -425,7 +425,9 @@ def test_file_upload_text_extraction(server):
     app._sync(force=True)
     res = client.post(f"/api/v1/kb/{kbid}/find", json={"query": "walrus"}).json()
     assert rid in res["resources"]
-    body = client.get(f"/api/v1/kb/{kbid}/resource/{rid}").json()["texts"]["report"]["body"]
+    body = client.get(
+        f"/api/v1/kb/{kbid}/resource/{rid}", params={"show": "values,extracted"}
+    ).json()["texts"]["report"]["body"]
     assert "var x=1" not in body and "walrus population" in body
 
     # markdown via TUS also extracts on finalize
@@ -451,3 +453,41 @@ def test_file_upload_text_extraction(server):
         headers={"content-type": "application/pdf"},
     )
     assert up.json()["extracted"] is False
+
+
+def test_resource_show_options(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "show-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "title": "shown",
+            "texts": {"t": {"body": "visible text"}},
+            "usergenerated_relations": [
+                {"relation": "ENTITY", "label": "l",
+                 "from": {"value": "a"}, "to": {"value": "b"}}
+            ],
+            "security": {"access_groups": ["g1"]},
+        },
+    ).json()["uuid"]
+    # extracted text field lands via upload
+    client.post(
+        f"/api/v1/kb/{kbid}/resource/{rid}/file/doc/upload",
+        params={"filename": "d.txt"}, content=b"hidden extracted text",
+        headers={"content-type": "text/plain"},
+    )
+
+    base = f"/api/v1/kb/{kbid}/resource/{rid}"
+    basic = client.get(base, params={"show": "basic"}).json()
+    assert basic["title"] == "shown" and "texts" not in basic
+    assert "usergenerated_relations" not in basic and "security" not in basic
+
+    vals = client.get(base, params=[("show", "basic"), ("show", "values")]).json()
+    assert vals["texts"]["t"]["body"] == "visible text"
+    assert "doc" not in vals["texts"]  # extracted hidden unless requested
+
+    extr = client.get(base, params={"show": "values,extracted"}).json()
+    assert extr["texts"]["doc"]["format"] == "EXTRACTED"
+
+    default = client.get(base).json()
+    assert "texts" in default and "embeddings" not in default
