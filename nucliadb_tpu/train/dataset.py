@@ -30,6 +30,10 @@ def _register():
             "sentences": g.sentence_batches,
             "token_classification": g.token_classification_batches,
             "question_answers": g.qa_batches,
+            "sentence_classification": g.sentence_classification_batches,
+            "field_streaming": g.field_streaming_batches,
+            "paragraph_streaming": g.paragraph_streaming_batches,
+            "image_classification": g.image_classification_batches,
         }
     )
 

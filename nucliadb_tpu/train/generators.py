@@ -184,3 +184,127 @@ def qa_batches(processor: Processor, trainset: TrainSet) -> Iterator[QABatch]:
                     batch = QABatch()
     if batch.questions:
         yield batch
+
+
+@dataclass
+class SentenceClassificationBatch:
+    texts: list[str] = field(default_factory=list)
+    labels: list[list[str]] = field(default_factory=list)
+
+
+@dataclass
+class FieldStreamingBatch:
+    rids: list[str] = field(default_factory=list)
+    fields: list[str] = field(default_factory=list)
+    texts: list[str] = field(default_factory=list)
+    labels: list[list[str]] = field(default_factory=list)
+
+
+@dataclass
+class ParagraphStreamingBatch:
+    paragraph_ids: list[str] = field(default_factory=list)
+    texts: list[str] = field(default_factory=list)
+
+
+@dataclass
+class ImageClassificationBatch:
+    rids: list[str] = field(default_factory=list)
+    fields: list[str] = field(default_factory=list)
+    blob_keys: list[str] = field(default_factory=list)
+    content_types: list[str] = field(default_factory=list)
+    labels: list[list[str]] = field(default_factory=list)
+
+
+_SENTENCE_RE = re.compile(r"[^.!?\n]+[.!?]?")
+
+
+def sentence_classification_batches(
+    processor: Processor, trainset: TrainSet
+) -> Iterator[SentenceClassificationBatch]:
+    """(sentence, labels) pairs (parity: train/generators/
+    sentence_classifier.py)."""
+    batch = SentenceClassificationBatch()
+    for rid, fid, text, payload in _iter_fields(processor, trainset.kbid):
+        labels = _labels(payload, trainset.labelset)
+        if not labels:
+            continue
+        for start, end in split_paragraphs(text):
+            for m in _SENTENCE_RE.finditer(text[start:end]):
+                sent = m.group(0).strip()
+                if sent:
+                    batch.texts.append(sent)
+                    batch.labels.append(labels)
+                    if len(batch.texts) >= trainset.batch_size:
+                        yield batch
+                        batch = SentenceClassificationBatch()
+    if batch.texts:
+        yield batch
+
+
+def field_streaming_batches(
+    processor: Processor, trainset: TrainSet
+) -> Iterator[FieldStreamingBatch]:
+    """Full field text + labels stream (parity: field_streaming.py)."""
+    batch = FieldStreamingBatch()
+    for rid, fid, text, payload in _iter_fields(processor, trainset.kbid):
+        batch.rids.append(rid)
+        batch.fields.append(fid)
+        batch.texts.append(text)
+        batch.labels.append(_labels(payload, trainset.labelset))
+        if len(batch.texts) >= trainset.batch_size:
+            yield batch
+            batch = FieldStreamingBatch()
+    if batch.texts:
+        yield batch
+
+
+def paragraph_streaming_batches(
+    processor: Processor, trainset: TrainSet
+) -> Iterator[ParagraphStreamingBatch]:
+    """(paragraph id, text) stream (parity: paragraph_streaming.py)."""
+    batch = ParagraphStreamingBatch()
+    for rid, fid, text, payload in _iter_fields(processor, trainset.kbid):
+        for start, end in split_paragraphs(text):
+            batch.paragraph_ids.append(f"{rid}/{fid}/{start}-{end}")
+            batch.texts.append(text[start:end])
+            if len(batch.texts) >= trainset.batch_size:
+                yield batch
+                batch = ParagraphStreamingBatch()
+    if batch.texts:
+        yield batch
+
+
+def image_classification_batches(
+    processor: Processor, trainset: TrainSet
+) -> Iterator[ImageClassificationBatch]:
+    """Image file fields + resource labels (parity: image_classifier.py —
+    the reference streams page selections from image fields; here every
+    image/* blob field is an example, addressed by its storage key)."""
+    import json as _json
+
+    batch = ImageClassificationBatch()
+    kbid = trainset.kbid
+    for rid in processor.list_resources(kbid):
+        payload = processor.get_payload(kbid, rid)
+        if payload is None:
+            continue
+        labels = _labels(payload, trainset.labelset)
+        prefix = f"/kbs/{kbid}/r/{rid}/files/"
+        with processor.driver as txn:
+            entries = {
+                key[len(prefix):]: _json.loads(txn.get(key) or b"{}")
+                for key in txn.keys(prefix)
+            }
+        for fid, info in entries.items():
+            if not str(info.get("content_type", "")).startswith("image/"):
+                continue
+            batch.rids.append(rid)
+            batch.fields.append(fid)
+            batch.blob_keys.append(info.get("key", ""))
+            batch.content_types.append(info["content_type"])
+            batch.labels.append(labels)
+            if len(batch.rids) >= trainset.batch_size:
+                yield batch
+                batch = ImageClassificationBatch()
+    if batch.rids:
+        yield batch

@@ -203,3 +203,51 @@ def test_sdk_against_server(tmp_path):
     client.delete_kb(kb.uuid)
     client.close()
     loop.call_soon_threadsafe(loop.stop)
+
+
+def test_new_train_generators(tmp_path):
+    import json
+
+    from nucliadb_tpu.train.dataset import GENERATORS
+    from nucliadb_tpu.train.generators import TrainSet
+
+    driver = Driver(str(tmp_path / "db.sqlite"))
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"))
+    kbs = KnowledgeBoxManager(driver, node)
+    kbid = kbs.create(KnowledgeBoxConfig(slug="train2"))
+    processor = Processor(driver, node, kbs)
+    rid, _ = processor.create_resource(
+        kbid,
+        CreateResourcePayload(
+            title="Doc",
+            texts={"t": TextFieldPayload(body="First sentence. Second one!\n\nNew para.")},
+            usermetadata=UserMetadata(
+                classifications=[Classification(labelset="topic", label="x")]
+            ),
+        ),
+    )
+    # an image file field for the image classifier
+    node.storage.put(f"blobs/{kbid}/{rid}/pic", b"\x89PNG fake")
+    with driver as txn:
+        txn.set(
+            f"/kbs/{kbid}/r/{rid}/files/pic",
+            json.dumps(
+                {"key": f"blobs/{kbid}/{rid}/pic", "content_type": "image/png",
+                 "filename": "p.png", "size": 9}
+            ).encode(),
+        )
+
+    ts = TrainSet(kbid=kbid, batch_size=8)
+    sc = list(GENERATORS["sentence_classification"](processor, ts))
+    assert sc and "First sentence." in sc[0].texts
+    assert all(l == ["/l/topic/x"] for l in sc[0].labels)
+
+    fs = list(GENERATORS["field_streaming"](processor, ts))
+    assert fs and "a/title" in fs[0].fields
+
+    ps = list(GENERATORS["paragraph_streaming"](processor, ts))
+    assert ps and any(p.startswith(rid) for p in ps[0].paragraph_ids)
+
+    ic = list(GENERATORS["image_classification"](processor, ts))
+    assert ic and ic[0].content_types == ["image/png"]
+    assert node.storage.get(ic[0].blob_keys[0]) == b"\x89PNG fake"
