@@ -103,6 +103,13 @@ class ResourceBrain:
             fields["a/summary"] = payload.summary
         for name, tf in payload.texts.items():
             fields[f"t/{name}"] = tf.body
+        # link fields index their stored title/description/uri (u/ prefix,
+        # parity: reference link fields — URI content extraction is the
+        # processing service's job)
+        for name, lf in payload.links.items():
+            fields[f"u/{name}"] = "\n".join(
+                part for part in (lf.title, lf.description, lf.uri) if part
+            )
 
         for fid, text in fields.items():
             doc.texts[fid] = TextInformation(text=text, labels=[])
@@ -114,6 +121,31 @@ class ResourceBrain:
                 )
             if paragraphs:
                 doc.paragraphs[fid] = paragraphs
+
+        # conversation fields: one paragraph per message with exact offsets
+        # into the joined transcript (c/ prefix, parity: conversation fields
+        # indexing each message as a paragraph)
+        for name, conv in payload.conversations.items():
+            fid = f"c/{name}"
+            parts: list[str] = []
+            spans: list[tuple[int, int]] = []
+            pos = 0
+            for msg in conv.messages:
+                line = f"{msg.who}: {msg.text}" if msg.who else msg.text
+                parts.append(line)
+                spans.append((pos, pos + len(line)))
+                pos += len(line) + 1  # joining newline
+            text = "\n".join(parts)
+            if not text:
+                continue
+            doc.texts[fid] = TextInformation(text=text, labels=[])
+            paragraphs = {}
+            for start, end in spans:
+                pid = paragraph_id(self.rid, fid, start, end)
+                paragraphs[pid] = IndexParagraph(
+                    start=start, end=end, fieldname=fid, index=len(paragraphs)
+                )
+            doc.paragraphs[fid] = paragraphs
 
         # attach sentence embeddings to their containing paragraphs
         for vectorset, by_field in payload.embeddings.items():

@@ -167,4 +167,18 @@ class Processor:
         if field_id.startswith("t/"):
             tf = payload.texts.get(field_id[2:])
             return tf.body if tf else None
+        if field_id.startswith("u/"):
+            lf = payload.links.get(field_id[2:])
+            if lf is None:
+                return None
+            return "\n".join(p for p in (lf.title, lf.description, lf.uri) if p)
+        if field_id.startswith("c/"):
+            conv = payload.conversations.get(field_id[2:])
+            if conv is None:
+                return None
+            # MUST join exactly like the brain builder so paragraph offsets
+            # (start-end in the transcript) hydrate the right spans
+            return "\n".join(
+                f"{m.who}: {m.text}" if m.who else m.text for m in conv.messages
+            )
         return None

@@ -55,6 +55,32 @@ class TextFieldPayload(BaseModel):
     format: str = "PLAIN"
 
 
+class ConversationMessage(BaseModel):
+    """One message of a conversation field (parity: reference conversation
+    fields, writer/api/v1 conversation routes + models.ConversationField)."""
+
+    text: str
+    who: str = ""
+    to: list[str] = Field(default_factory=list)
+    ident: str = ""
+    timestamp: float = 0.0
+
+
+class ConversationFieldPayload(BaseModel):
+    messages: list[ConversationMessage] = Field(default_factory=list)
+
+
+class LinkFieldPayload(BaseModel):
+    """Link field (parity: reference link fields; content extraction from
+    the URI is the processing service's job — the stored title/description
+    are what gets indexed here)."""
+
+    uri: str
+    title: str = ""
+    description: str = ""
+    language: str = ""
+
+
 class Classification(BaseModel):
     labelset: str
     label: str
@@ -97,6 +123,8 @@ class CreateResourcePayload(BaseModel):
     summary: str = ""
     icon: str = ""
     texts: dict[str, TextFieldPayload] = Field(default_factory=dict)
+    conversations: dict[str, ConversationFieldPayload] = Field(default_factory=dict)
+    links: dict[str, LinkFieldPayload] = Field(default_factory=dict)
     usermetadata: UserMetadata = Field(default_factory=UserMetadata)
     usergenerated_relations: list[RelationPayload] = Field(default_factory=list)
     origin: Optional[Origin] = None

@@ -12,6 +12,7 @@ import json
 import os
 import threading
 import time
+import uuid
 from typing import Optional
 
 from pydantic import ValidationError
@@ -70,6 +71,7 @@ class StandaloneApp:
         self.augmentor = Augmentor(self.processor)
         self.tus = TusManager(self.driver, self.node.storage)
         self._openapi_cache: Optional[dict] = None
+        self._imports_done: set[str] = set()
         self.router = Router()
         self.server = HTTPServer(self.router, host, port)
         self._register_routes()
@@ -478,6 +480,116 @@ class StandaloneApp:
             r.add("HEAD", pattern, _tus_head)
             r.add("PATCH", pattern, _tus_patch)
 
+        # ---- typed field CRUD (text / link / conversation) ---------------
+        # parity: writer/api/v1 field.py per-field routes + reader field GET
+
+        def _put_field(kbid: str, rid: str, kind: str, field: str, value) -> None:
+            from ..models.api import UpdateResourcePayload
+
+            current = self.processor.get_payload(kbid, rid)
+            if current is None:
+                raise HTTPError(404, "unknown resource")
+            coll = dict(getattr(current, kind))
+            if value is None:
+                if field not in coll:
+                    raise HTTPError(404, f"unknown {kind} field {field}")
+                del coll[field]
+            else:
+                coll[field] = value
+            seq = self.processor.update_resource(
+                kbid, rid, UpdateResourcePayload(**{kind: coll})
+            )
+            self._notify(kbid, rid, "modified", seq)
+
+        def _field_routes(kind: str, model):
+            def put_field(request: Request):
+                kbid = self._kbid(request)
+                rid = request.params["rid"]
+                _put_field(
+                    kbid, rid, kind, request.params["field"],
+                    _validate(model, request.json()),
+                )
+                return 201, {"ok": True}
+
+            def get_field(request: Request):
+                kbid = self._kbid(request)
+                payload = self.processor.get_payload(kbid, request.params["rid"])
+                coll = getattr(payload, kind) if payload else {}
+                field = request.params["field"]
+                if field not in coll:
+                    raise HTTPError(404, f"unknown {kind} field {field}")
+                return coll[field]
+
+            def delete_field(request: Request):
+                kbid = self._kbid(request)
+                _put_field(kbid, request.params["rid"], kind, request.params["field"], None)
+                return 204, None
+
+            singular = {"texts": "text", "links": "link", "conversations": "conversation"}[kind]
+            pattern = "/api/v1/kb/{kbid}/resource/{rid}/" + singular + "/{field}"
+            r.add("PUT", pattern, put_field)
+            r.add("GET", pattern, get_field)
+            r.add("DELETE", pattern, delete_field)
+
+        from ..models.api import (
+            ConversationFieldPayload,
+            ConversationMessage,
+            LinkFieldPayload,
+            TextFieldPayload,
+        )
+
+        _field_routes("texts", TextFieldPayload)
+        _field_routes("links", LinkFieldPayload)
+        _field_routes("conversations", ConversationFieldPayload)
+
+        @r.put("/api/v1/kb/{kbid}/resource/{rid}/conversation/{field}/messages")
+        def append_messages(request: Request):
+            """Append messages to a conversation field (parity: writer
+            conversation messages route)."""
+            kbid = self._kbid(request)
+            rid = request.params["rid"]
+            field = request.params["field"]
+            payload = self.processor.get_payload(kbid, rid)
+            if payload is None:
+                raise HTTPError(404, "unknown resource")
+            conv = payload.conversations.get(field) or ConversationFieldPayload()
+            new = [
+                _validate(ConversationMessage, m) for m in (request.json() or [])
+            ]
+            conv = ConversationFieldPayload(messages=list(conv.messages) + new)
+            _put_field(kbid, rid, "conversations", field, conv)
+            return 200, {"messages": len(conv.messages)}
+
+        @r.get("/api/v1/kb/{kbid}/resource/{rid}/conversation/{field}/messages")
+        def get_messages(request: Request):
+            kbid = self._kbid(request)
+            payload = self.processor.get_payload(kbid, request.params["rid"])
+            conv = (payload.conversations if payload else {}).get(request.params["field"])
+            if conv is None:
+                raise HTTPError(404, "unknown conversation field")
+            page = int(request.query.get("page", 0))
+            size = int(request.query.get("size", 50))
+            msgs = conv.messages[page * size : (page + 1) * size]
+            return {
+                "messages": [m.model_dump() for m in msgs],
+                "total": len(conv.messages),
+            }
+
+        @r.post("/api/v1/kb/{kbid}/resource/{rid}/reindex")
+        def reindex_resource(request: Request):
+            """Rebuild the brain from the stored payload and re-index
+            (parity: writer reindex route)."""
+            from ..models.api import UpdateResourcePayload
+
+            kbid = self._kbid(request)
+            rid = request.params["rid"]
+            if self.processor.get_meta(kbid, rid) is None:
+                raise HTTPError(404, "unknown resource")
+            seq = self.processor.update_resource(kbid, rid, UpdateResourcePayload())
+            return 200, {"seqid": int(seq)}
+
+        r.add("POST", "/api/v1/kb/{kbid}/resource/{rid}/reprocess", reindex_resource)
+
         @r.get("/api/v1/kb/{kbid}/resource/{rid}/files")
         def list_files(request: Request):
             kbid = self._kbid(request)
@@ -593,6 +705,102 @@ class StandaloneApp:
             req = _validate(CatalogRequest, request.json())
             self._sync()
             return self.search.catalog(kbid, req)
+
+        @r.post("/api/v1/kb/{kbid}/catalog/facets")
+        def catalog_facets(request: Request):
+            """Facet distribution only (parity: /catalog/facets)."""
+            kbid = self._kbid(request)
+            body = request.json() or {}
+            prefixes = body.get("prefixes", body.get("faceted", []))
+            if prefixes and isinstance(prefixes[0], dict):
+                prefixes = [p.get("prefix", "") for p in prefixes]
+            req = CatalogRequest(faceted=prefixes, page_size=0)
+            self._sync()
+            return {"facets": self.search.catalog(kbid, req).facets}
+
+        @r.get("/api/v1/kb/{kbid}/counters")
+        def counters(request: Request):
+            """KB counters (parity: /counters — resources/fields/paragraphs/
+            sentences; the reference reads shard stats, here from payloads)."""
+            from ..ingest.brain import split_paragraphs
+
+            kbid = self._kbid(request)
+            shards = self.kbs.get_shards(kbid)
+            resources = sum((shards.counts or {}).values()) if shards else 0
+            fields = paragraphs = sentences = 0
+            for rid in self.processor.list_resources(kbid):
+                payload = self.processor.get_payload(kbid, rid)
+                if payload is None:
+                    continue
+                texts = [t.body for t in payload.texts.values()]
+                if payload.title:
+                    texts.append(payload.title)
+                if payload.summary:
+                    texts.append(payload.summary)
+                fields += len(texts) + len(payload.links) + len(payload.conversations)
+                # conversations index one paragraph per message (brain.py)
+                for conv in payload.conversations.values():
+                    paragraphs += len(conv.messages)
+                    sentences += len(conv.messages)
+                for text in texts:
+                    spans = list(split_paragraphs(text))
+                    paragraphs += len(spans)
+                    sentences += sum(
+                        max(text[s:e].count(". ") + 1, 1) for s, e in spans
+                    )
+            return {
+                "resources": resources,
+                "fields": fields,
+                "paragraphs": paragraphs,
+                "sentences": sentences,
+            }
+
+        @r.post("/api/v1/kb/{kbid}/feedback")
+        def feedback(request: Request):
+            """User feedback on search/ask results -> audit stream (parity:
+            search/api/v1/feedback.py sending AuditEffect to the stream)."""
+            kbid = self._kbid(request)
+            body = request.json() or {}
+            if "ident" not in body:
+                raise HTTPError(422, "feedback requires an 'ident'")
+            self.bus.publish(
+                "ndb_audit",
+                f"feedback.{kbid}",
+                json.dumps({"kbid": kbid, **body, "when": time.time()}).encode(),
+            )
+            return 204, None
+
+        @r.post("/api/v1/kb/{kbid}/summarize")
+        def summarize(request: Request):
+            """Resource summaries (parity: /summarize through Predict; the
+            embedded fallback is extractive — leading sentences per field)."""
+            kbid = self._kbid(request)
+            body = request.json() or {}
+            rids = body.get("resources", [])
+            if not rids:
+                raise HTTPError(422, "summarize requires 'resources'")
+            out = {}
+            for ref in rids:
+                rid = self.processor.resolve_slug(kbid, ref) or ref
+                payload = self.processor.get_payload(kbid, rid)
+                if payload is None:
+                    out[ref] = {"summary": "", "error": "not found"}
+                    continue
+                text = "\n".join(t.body for t in payload.texts.values())[:4000]
+                if self.search.predict is not None:
+                    summary = self.search.predict.generate(
+                        kbid, f"Summarize:\n{text}", []
+                    )
+                else:
+                    import re as _re
+
+                    sentences = _re.findall(r"[^.!?\n]+[.!?]?", text)
+                    summary = " ".join(s.strip() for s in sentences[:3])
+                out[ref] = {"summary": summary}
+            return {
+                "resources": out,
+                "summary": "\n".join(v["summary"] for v in out.values()),
+            }
 
         @r.post("/api/v1/kb/{kbid}/graph")
         def graph(request: Request):
@@ -736,6 +944,55 @@ class StandaloneApp:
                 slug=request.query.get("slug"),
             )
             return 201, {"uuid": kbid}
+
+        @r.post("/api/v1/kb/{kbid}/export")
+        def start_export(request: Request):
+            """Async-API parity: the reference creates an export job and
+            polls its status (export/{id}/status); embedded exports complete
+            synchronously, so the job is born finished and the payload is
+            stored for a later GET export/{id}."""
+            from ..common.export_import import export_kb
+
+            kbid = self._kbid(request)
+            export_id = uuid.uuid4().hex
+            self.node.storage.put(
+                f"exports/{kbid}/{export_id}",
+                export_kb(self.kbs, self.processor, kbid),
+            )
+            return 201, {"export_id": export_id}
+
+        @r.get("/api/v1/kb/{kbid}/export/{export_id}")
+        def get_export(request: Request):
+            kbid = self._kbid(request)
+            key = f"exports/{kbid}/{request.params['export_id']}"
+            if not self.node.storage.exists(key):
+                raise HTTPError(404, "unknown export")
+            return 200, self.node.storage.get(key)
+
+        @r.get("/api/v1/kb/{kbid}/export/{export_id}/status")
+        def export_status(request: Request):
+            kbid = self._kbid(request)
+            key = f"exports/{kbid}/{request.params['export_id']}"
+            if not self.node.storage.exists(key):
+                raise HTTPError(404, "unknown export")
+            return {"status": "finished", "total": 100, "processed": 100}
+
+        @r.post("/api/v1/kb/{kbid}/import")
+        def import_into(request: Request):
+            from ..common.export_import import import_kb
+
+            kbid = self._kbid(request)
+            import_kb(self.kbs, self.processor, request.body, kbid=kbid)
+            import_id = uuid.uuid4().hex
+            self._imports_done.add(import_id)
+            return 200, {"import_id": import_id}
+
+        @r.get("/api/v1/kb/{kbid}/import/{import_id}/status")
+        def import_status(request: Request):
+            self._kbid(request)
+            if request.params["import_id"] not in self._imports_done:
+                raise HTTPError(404, "unknown import")
+            return {"status": "finished", "total": 100, "processed": 100}
 
         @r.post("/api/v1/kb/{kbid}/backup")
         def backup(request: Request):

@@ -491,3 +491,111 @@ def test_resource_show_options(server):
 
     default = client.get(base).json()
     assert "texts" in default and "embeddings" not in default
+
+
+def test_conversation_link_fields_and_counters(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "conv-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "title": "Chat",
+            "conversations": {
+                "support": {
+                    "messages": [
+                        {"who": "user", "text": "my gizmo exploded"},
+                        {"who": "agent", "text": "have you tried rebooting the gizmo?"},
+                    ]
+                }
+            },
+            "links": {
+                "src": {"uri": "https://example.com/gizmo",
+                        "title": "Gizmo manual", "description": "all about gizmos"},
+            },
+        },
+    ).json()["uuid"]
+    app._sync(force=True)
+
+    # conversation messages are searchable paragraphs
+    res = client.post(f"/api/v1/kb/{kbid}/find", json={"query": "exploded"}).json()
+    assert rid in res["resources"]
+    paras = [
+        p for f in res["resources"][rid]["fields"].values() for p in f["paragraphs"].values()
+    ]
+    assert any("exploded" in p["text"] for p in paras)
+    # link title searchable too
+    res = client.post(f"/api/v1/kb/{kbid}/find", json={"query": "manual"}).json()
+    assert rid in res["resources"]
+
+    # per-field CRUD
+    base = f"/api/v1/kb/{kbid}/resource/{rid}"
+    got = client.get(f"{base}/conversation/support").json()
+    assert len(got["messages"]) == 2
+    ap = client.put(
+        f"{base}/conversation/support/messages",
+        json=[{"who": "user", "text": "rebooting fixed the quibble"}],
+    )
+    assert ap.status_code == 200 and ap.json()["messages"] == 3
+    msgs = client.get(f"{base}/conversation/support/messages").json()
+    assert msgs["total"] == 3
+    app._sync(force=True)
+    res = client.post(f"/api/v1/kb/{kbid}/find", json={"query": "quibble"}).json()
+    assert rid in res["resources"]
+
+    assert client.get(f"{base}/link/src").json()["uri"] == "https://example.com/gizmo"
+    put = client.put(f"{base}/text/extra", json={"body": "afterthought text"})
+    assert put.status_code == 201
+    assert client.get(f"{base}/text/extra").json()["body"] == "afterthought text"
+    assert client.delete(f"{base}/text/extra").status_code == 204
+    assert client.get(f"{base}/text/extra").status_code == 404
+
+    # counters
+    counts = client.get(f"/api/v1/kb/{kbid}/counters").json()
+    assert counts["resources"] == 1 and counts["fields"] >= 3
+    assert counts["paragraphs"] >= 4
+
+    # reindex
+    assert client.post(f"{base}/reindex").status_code == 200
+
+
+def test_facets_feedback_summarize_export_status(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "misc-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "slug": "doc1",
+            "title": "Doc",
+            "texts": {"t": {"body": "First point. Second point. Third point. Fourth."}},
+            "usermetadata": {"classifications": [{"labelset": "topic", "label": "a"}]},
+        },
+    ).json()["uuid"]
+    app._sync(force=True)
+
+    facets = client.post(
+        f"/api/v1/kb/{kbid}/catalog/facets", json={"prefixes": ["/l/topic"]}
+    ).json()["facets"]
+    assert facets["/l/topic"]["/l/topic/a"] == 1
+
+    assert client.post(
+        f"/api/v1/kb/{kbid}/feedback",
+        json={"ident": "q1", "good": True, "feedback": "nice"},
+    ).status_code == 204
+    assert client.post(f"/api/v1/kb/{kbid}/feedback", json={}).status_code == 422
+
+    summ = client.post(
+        f"/api/v1/kb/{kbid}/summarize", json={"resources": ["doc1"]}
+    ).json()
+    assert "First point." in summ["resources"]["doc1"]["summary"]
+    assert "Fourth" not in summ["resources"]["doc1"]["summary"]  # extractive cut
+
+    # async-API export/import parity
+    exp = client.post(f"/api/v1/kb/{kbid}/export").json()
+    st = client.get(f"/api/v1/kb/{kbid}/export/{exp['export_id']}/status").json()
+    assert st["status"] == "finished"
+    blob = client.get(f"/api/v1/kb/{kbid}/export/{exp['export_id']}").content
+    kbid2 = client.post("/api/v1/kbs", json={"slug": "misc-copy"}).json()["uuid"]
+    imp = client.post(f"/api/v1/kb/{kbid2}/import", content=blob).json()
+    st = client.get(f"/api/v1/kb/{kbid2}/import/{imp['import_id']}/status").json()
+    assert st["status"] == "finished"
+    assert rid in client.get(f"/api/v1/kb/{kbid2}/resources").json()["resources"]
