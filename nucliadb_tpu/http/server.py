@@ -85,9 +85,11 @@ _STATUS_TEXT = {
 class Router:
     def __init__(self) -> None:
         self.routes: list[tuple[str, re.Pattern, Handler]] = []
+        self.templates: list[str] = []  # raw pattern per routes[i]
 
     def add(self, method: str, pattern: str, handler: Handler) -> None:
         self.routes.append((method.upper(), _compile(pattern), handler))
+        self.templates.append(pattern)
 
     def get(self, pattern: str):
         return lambda fn: (self.add("GET", pattern, fn), fn)[1]

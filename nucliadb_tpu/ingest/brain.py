@@ -193,6 +193,11 @@ class ResourceBrain:
             import json
 
             doc.json_fields["a/origin"] = json.dumps(payload.origin.metadata)
+        if payload.key_values:
+            import json
+
+            for name, value in payload.key_values.items():
+                doc.json_fields[f"kv/{name}"] = json.dumps(value)
 
         if payload.security is not None:
             doc.security = Security(access_groups=list(payload.security.access_groups))

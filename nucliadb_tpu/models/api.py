@@ -125,6 +125,9 @@ class CreateResourcePayload(BaseModel):
     texts: dict[str, TextFieldPayload] = Field(default_factory=dict)
     conversations: dict[str, ConversationFieldPayload] = Field(default_factory=dict)
     links: dict[str, LinkFieldPayload] = Field(default_factory=dict)
+    # arbitrary JSON documents per field, indexed into the json filter index
+    # (parity: reference key_value fields / kv-schemas)
+    key_values: dict[str, dict] = Field(default_factory=dict)
     usermetadata: UserMetadata = Field(default_factory=UserMetadata)
     usergenerated_relations: list[RelationPayload] = Field(default_factory=list)
     origin: Optional[Origin] = None

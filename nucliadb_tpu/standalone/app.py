@@ -505,10 +505,11 @@ class StandaloneApp:
             def put_field(request: Request):
                 kbid = self._kbid(request)
                 rid = request.params["rid"]
-                _put_field(
-                    kbid, rid, kind, request.params["field"],
-                    _validate(model, request.json()),
-                )
+                body = request.json()
+                value = _validate(model, body) if model is not None else body
+                if model is None and not isinstance(value, dict):
+                    raise HTTPError(422, "key_value field body must be an object")
+                _put_field(kbid, rid, kind, request.params["field"], value)
                 return 201, {"ok": True}
 
             def get_field(request: Request):
@@ -525,7 +526,10 @@ class StandaloneApp:
                 _put_field(kbid, request.params["rid"], kind, request.params["field"], None)
                 return 204, None
 
-            singular = {"texts": "text", "links": "link", "conversations": "conversation"}[kind]
+            singular = {
+                "texts": "text", "links": "link",
+                "conversations": "conversation", "key_values": "key_value",
+            }[kind]
             pattern = "/api/v1/kb/{kbid}/resource/{rid}/" + singular + "/{field}"
             r.add("PUT", pattern, put_field)
             r.add("GET", pattern, get_field)
@@ -541,6 +545,7 @@ class StandaloneApp:
         _field_routes("texts", TextFieldPayload)
         _field_routes("links", LinkFieldPayload)
         _field_routes("conversations", ConversationFieldPayload)
+        _field_routes("key_values", None)
 
         @r.put("/api/v1/kb/{kbid}/resource/{rid}/conversation/{field}/messages")
         def append_messages(request: Request):
@@ -1071,3 +1076,30 @@ class StandaloneApp:
                 "writable": shards.writable if shards else 0,
                 "counts": shards.counts if shards else {},
             }
+
+        # ---- slug-addressed twins ----------------------------------------
+        # every /resource/{rid}/... route also answers under
+        # /slug/{rslug}/... (parity: the reference registers an RSLUG_PREFIX
+        # variant of each writer/reader resource route)
+
+        def _slug_adapter(handler):
+            def by_slug(request: Request):
+                kbid = self._kbid(request)
+                rid = self.processor.resolve_slug(kbid, request.params.pop("rslug"))
+                if rid is None:
+                    raise HTTPError(404, "unknown resource slug")
+                request.params["rid"] = rid
+                return handler(request)
+
+            by_slug.__name__ = handler.__name__ + "_by_slug"
+            by_slug.__doc__ = handler.__doc__
+            return by_slug
+
+        existing = {(m, t) for (m, _, _), t in zip(r.routes, r.templates)}
+        for (method, _, handler), template in list(zip(r.routes, r.templates)):
+            if "/resource/{rid}" not in template:
+                continue
+            twin = template.replace("/resource/{rid}", "/slug/{rslug}")
+            if (method, twin) in existing:
+                continue
+            r.add(method, twin, _slug_adapter(handler))

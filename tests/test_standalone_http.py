@@ -599,3 +599,44 @@ def test_facets_feedback_summarize_export_status(server):
     st = client.get(f"/api/v1/kb/{kbid2}/import/{imp['import_id']}/status").json()
     assert st["status"] == "finished"
     assert rid in client.get(f"/api/v1/kb/{kbid2}/resources").json()["resources"]
+
+
+def test_slug_twins_and_key_value_fields(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "twin-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "slug": "twin-res",
+            "title": "Twin",
+            "key_values": {"specs": {"color": "red", "weight": 3}},
+        },
+    ).json()["uuid"]
+
+    base_rid = f"/api/v1/kb/{kbid}/resource/{rid}"
+    base_slug = f"/api/v1/kb/{kbid}/slug/twin-res"
+
+    # key_value field CRUD via both addressings
+    assert client.get(f"{base_rid}/key_value/specs").json()["color"] == "red"
+    assert client.get(f"{base_slug}/key_value/specs").json()["color"] == "red"
+    assert client.put(
+        f"{base_slug}/key_value/specs", json={"color": "blue"}
+    ).status_code == 201
+    assert client.get(f"{base_rid}/key_value/specs").json() == {"color": "blue"}
+    assert client.put(f"{base_rid}/key_value/bad", json=[1, 2]).status_code == 422
+
+    # slug twins cover files, patch, reindex
+    up = client.post(
+        f"{base_slug}/file/doc/upload", params={"filename": "n.txt"},
+        content=b"note text", headers={"content-type": "text/plain"},
+    )
+    assert up.status_code == 201
+    assert client.get(f"{base_rid}/file/doc/download").content == b"note text"
+    assert client.patch(f"{base_slug}", json={"title": "Twin 2"}).status_code == 200
+    assert client.get(base_rid).json()["title"] == "Twin 2"
+    assert client.post(f"{base_slug}/reindex").status_code == 200
+    assert client.get(f"/api/v1/kb/{kbid}/slug/nope/key_value/specs").status_code == 404
+
+    # delete via slug twin
+    assert client.delete(base_slug).status_code == 204
+    assert client.get(base_rid).status_code == 404
