@@ -668,10 +668,76 @@ class StandaloneApp:
 
         # ---- search (search/api/v1 parity) -------------------------------
 
+        # ---- search configurations (saved request presets) ----------------
+        # parity: /search_configurations CRUD + `search_configuration` name
+        # in find/ask bodies (reference search_configurations.py): the saved
+        # config supplies defaults, the request's own keys win.
+
+        SEARCH_CONFIG_KEY = "/kbs/{kbid}/search_configurations/{name}"
+
+        @r.get("/api/v1/kb/{kbid}/search_configurations")
+        def list_search_configs(request: Request):
+            kbid = self._kbid(request)
+            prefix = SEARCH_CONFIG_KEY.format(kbid=kbid, name="")
+            out = {}
+            with self.driver as txn:
+                for key in txn.keys(prefix):
+                    raw = txn.get(key)
+                    if raw:
+                        out[key[len(prefix):]] = json.loads(raw)
+            return out
+
+        @r.get("/api/v1/kb/{kbid}/search_configurations/{name}")
+        def get_search_config(request: Request):
+            kbid = self._kbid(request)
+            with self.driver as txn:
+                raw = txn.get(
+                    SEARCH_CONFIG_KEY.format(kbid=kbid, name=request.params["name"])
+                )
+            if raw is None:
+                raise HTTPError(404, "unknown search configuration")
+            return json.loads(raw)
+
+        def set_search_config(request: Request):
+            kbid = self._kbid(request)
+            body = request.json()
+            if not isinstance(body, dict):
+                raise HTTPError(422, "search configuration must be an object")
+            _validate(FindRequest, {k: v for k, v in body.items() if k != "kind"})
+            with self.driver as txn:
+                txn.set(
+                    SEARCH_CONFIG_KEY.format(kbid=kbid, name=request.params["name"]),
+                    json.dumps(body).encode(),
+                )
+            return 201, {"ok": True}
+
+        r.add("POST", "/api/v1/kb/{kbid}/search_configurations/{name}", set_search_config)
+        r.add("PATCH", "/api/v1/kb/{kbid}/search_configurations/{name}", set_search_config)
+
+        @r.delete("/api/v1/kb/{kbid}/search_configurations/{name}")
+        def delete_search_config(request: Request):
+            kbid = self._kbid(request)
+            with self.driver as txn:
+                txn.delete(
+                    SEARCH_CONFIG_KEY.format(kbid=kbid, name=request.params["name"])
+                )
+            return 204, None
+
+        def _apply_search_config(kbid: str, body: dict) -> dict:
+            name = body.pop("search_configuration", None)
+            if not name:
+                return body
+            with self.driver as txn:
+                raw = txn.get(SEARCH_CONFIG_KEY.format(kbid=kbid, name=name))
+            if raw is None:
+                raise HTTPError(422, f"unknown search configuration {name!r}")
+            config = {k: v for k, v in json.loads(raw).items() if k != "kind"}
+            return {**config, **body}
+
         @r.post("/api/v1/kb/{kbid}/find")
         def find(request: Request):
             kbid = self._kbid(request)
-            req = _validate(FindRequest, request.json())
+            req = _validate(FindRequest, _apply_search_config(kbid, request.json()))
             self._sync()
             return self.search.find(kbid, req)
 
@@ -817,7 +883,7 @@ class StandaloneApp:
         @r.post("/api/v1/kb/{kbid}/ask")
         def ask(request: Request):
             kbid = self._kbid(request)
-            req = _validate(AskRequest, request.json())
+            req = _validate(AskRequest, _apply_search_config(kbid, request.json()))
             self._sync()
             result = self.search.ask(kbid, req)
             accept = request.headers.get("x-synchronous", "")

@@ -640,3 +640,49 @@ def test_slug_twins_and_key_value_fields(server):
     # delete via slug twin
     assert client.delete(base_slug).status_code == 204
     assert client.get(base_rid).status_code == 404
+
+
+def test_search_configurations(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "cfg-kb"}).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "A", "texts": {"t": {"body": "alpha beta gamma"}}},
+    )
+    app._sync(force=True)
+
+    # saved config: keyword-only, top_k 1
+    assert client.post(
+        f"/api/v1/kb/{kbid}/search_configurations/kw_only",
+        json={"kind": "find", "features": ["keyword"], "top_k": 1},
+    ).status_code == 201
+    assert "kw_only" in client.get(f"/api/v1/kb/{kbid}/search_configurations").json()
+    got = client.get(f"/api/v1/kb/{kbid}/search_configurations/kw_only").json()
+    assert got["top_k"] == 1
+
+    # applied by name; request's own keys win over the preset
+    res = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "alpha", "search_configuration": "kw_only"},
+    )
+    assert res.status_code == 200 and res.json()["page_size"] == 1
+    res = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "alpha", "search_configuration": "kw_only", "top_k": 7},
+    )
+    assert res.json()["page_size"] == 7
+
+    # unknown config -> 422; invalid body -> 422; delete -> gone
+    assert client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "a", "search_configuration": "nope"},
+    ).status_code == 422
+    assert client.post(
+        f"/api/v1/kb/{kbid}/search_configurations/bad", json={"top_k": "NaN"}
+    ).status_code == 422
+    assert client.delete(
+        f"/api/v1/kb/{kbid}/search_configurations/kw_only"
+    ).status_code == 204
+    assert client.get(
+        f"/api/v1/kb/{kbid}/search_configurations/kw_only"
+    ).status_code == 404
