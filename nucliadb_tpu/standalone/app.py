@@ -209,6 +209,8 @@ class StandaloneApp:
             except TryAfterError as e:
                 raise HTTPError(429, str(e))
             payload = _validate(CreateResourcePayload, request.json())
+            for field, value in payload.key_values.items():
+                self._check_kv_schema(kbid, field, value)
             try:
                 rid, seq = self.processor.create_resource(kbid, payload)
             except KeyError as e:
@@ -507,8 +509,10 @@ class StandaloneApp:
                 rid = request.params["rid"]
                 body = request.json()
                 value = _validate(model, body) if model is not None else body
-                if model is None and not isinstance(value, dict):
-                    raise HTTPError(422, "key_value field body must be an object")
+                if model is None:
+                    if not isinstance(value, dict):
+                        raise HTTPError(422, "key_value field body must be an object")
+                    self._check_kv_schema(kbid, request.params["field"], value)
                 _put_field(kbid, rid, kind, request.params["field"], value)
                 return 201, {"ok": True}
 
@@ -667,6 +671,109 @@ class StandaloneApp:
             return {"resources": self.processor.list_resources(kbid)}
 
         # ---- search (search/api/v1 parity) -------------------------------
+
+        @r.post("/api/v1/kb/{kbid}/hydrate")
+        def hydrate(request: Request):
+            """Resolve paragraph/field ids to their text (parity: /hydrate —
+            the batch hydration endpoint for agent workflows)."""
+            kbid = self._kbid(request)
+            body = request.json() or {}
+            out: dict[str, Optional[str]] = {}
+            for pid in body.get("paragraphs", []):
+                from ..search.find import parse_paragraph_id
+
+                parsed = parse_paragraph_id(pid)
+                if parsed is None:
+                    out[pid] = None
+                    continue
+                rid, fid, start, end = parsed
+                text = self.processor.field_text(kbid, rid, fid)
+                out[pid] = text[start:end] if text else None
+            for fid_full in body.get("fields", []):
+                rid, _, fid = fid_full.partition("/")
+                out[fid_full] = self.processor.field_text(kbid, rid, fid)
+            return {"texts": out}
+
+        @r.get("/api/v1/kb/{kbid}/processing-status")
+        def processing_status(request: Request):
+            """Per-resource processing status (parity: /processing-status —
+            embedded ingestion is synchronous, so resources are PROCESSED
+            the moment they exist)."""
+            kbid = self._kbid(request)
+            cursor = request.query.get("cursor", "")
+            limit = int(request.query.get("limit", 20))
+            rids = [
+                rid for rid in self.processor.list_resources(kbid) if rid > cursor
+            ][:limit]
+            results = []
+            for rid in rids:
+                meta = self.processor.get_meta(kbid, rid)
+                if meta is None:
+                    continue
+                results.append(
+                    {"resource_id": rid, "completed": True,
+                     "status": meta.status, "modified": meta.modified}
+                )
+            return {
+                "results": results,
+                "cursor": rids[-1] if len(rids) == limit else None,
+            }
+
+        # ---- kv-schemas: JSON schemas validating key_value fields ---------
+        # parity: /kv-schemas CRUD; stored schemas validate key_value field
+        # writes whose field name matches the schema id
+
+        KV_SCHEMA_KEY = "/kbs/{kbid}/kv_schemas/{sid}"
+
+        @r.get("/api/v1/kb/{kbid}/kv-schemas")
+        def list_kv_schemas(request: Request):
+            kbid = self._kbid(request)
+            prefix = KV_SCHEMA_KEY.format(kbid=kbid, sid="")
+            with self.driver as txn:
+                return {
+                    "schemas": {
+                        key[len(prefix):]: json.loads(txn.get(key) or b"{}")
+                        for key in txn.keys(prefix)
+                    }
+                }
+
+        @r.post("/api/v1/kb/{kbid}/kv-schemas/{sid}")
+        def set_kv_schema(request: Request):
+            from ..utils.jsonschema import validate_schema
+
+            kbid = self._kbid(request)
+            schema = request.json()
+            try:
+                validate_schema(schema)
+            except ValueError as e:
+                raise HTTPError(422, f"invalid schema: {e}")
+            with self.driver as txn:
+                txn.set(
+                    KV_SCHEMA_KEY.format(kbid=kbid, sid=request.params["sid"]),
+                    json.dumps(schema).encode(),
+                )
+            return 201, {"ok": True}
+
+        @r.delete("/api/v1/kb/{kbid}/kv-schemas/{sid}")
+        def delete_kv_schema(request: Request):
+            kbid = self._kbid(request)
+            with self.driver as txn:
+                txn.delete(KV_SCHEMA_KEY.format(kbid=kbid, sid=request.params["sid"]))
+            return 204, None
+
+        def _check_kv_schema(kbid: str, field: str, value: dict) -> None:
+            from ..utils.jsonschema import validate_instance
+
+            with self.driver as txn:
+                raw = txn.get(KV_SCHEMA_KEY.format(kbid=kbid, sid=field))
+            if raw is None:
+                return
+            try:
+                validate_instance(value, json.loads(raw))
+            except ValueError as e:
+                raise HTTPError(422, f"key_value does not match schema: {e}")
+
+        self._check_kv_schema = _check_kv_schema
 
         # ---- search configurations (saved request presets) ----------------
         # parity: /search_configurations CRUD + `search_configuration` name

@@ -686,3 +686,65 @@ def test_search_configurations(server):
     assert client.get(
         f"/api/v1/kb/{kbid}/search_configurations/kw_only"
     ).status_code == 404
+
+
+def test_hydrate_processing_status_kv_schemas(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "hyd-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "H", "texts": {"t": {"body": "para one.\n\npara two."}}},
+    ).json()["uuid"]
+    app._sync(force=True)
+
+    # hydrate paragraph + field ids
+    res = client.post(
+        f"/api/v1/kb/{kbid}/find", json={"query": "para", "features": ["keyword"]}
+    ).json()
+    pid = next(
+        p
+        for f in res["resources"][rid]["fields"].values()
+        for p in f["paragraphs"]
+    )
+    hyd = client.post(
+        f"/api/v1/kb/{kbid}/hydrate",
+        json={"paragraphs": [pid, "garbage"], "fields": [f"{rid}/t/t"]},
+    ).json()["texts"]
+    assert hyd[pid].startswith("para")
+    assert hyd["garbage"] is None
+    assert hyd[f"{rid}/t/t"] == "para one.\n\npara two."
+
+    # processing status: synchronous ingestion -> completed
+    st = client.get(f"/api/v1/kb/{kbid}/processing-status").json()
+    assert st["results"][0]["resource_id"] == rid
+    assert st["results"][0]["completed"] is True
+
+    # kv schema validates key_value writes for the matching field name
+    assert client.post(
+        f"/api/v1/kb/{kbid}/kv-schemas/specs",
+        json={
+            "type": "object",
+            "required": ["color"],
+            "properties": {"color": {"type": "string"},
+                           "weight": {"type": "number", "minimum": 0}},
+        },
+    ).status_code == 201
+    assert "specs" in client.get(f"/api/v1/kb/{kbid}/kv-schemas").json()["schemas"]
+    ok = client.put(
+        f"/api/v1/kb/{kbid}/resource/{rid}/key_value/specs",
+        json={"color": "red", "weight": 1.5},
+    )
+    assert ok.status_code == 201
+    bad = client.put(
+        f"/api/v1/kb/{kbid}/resource/{rid}/key_value/specs", json={"weight": -2}
+    )
+    assert bad.status_code == 422 and "required" in bad.json()["detail"]
+    # create-time validation too
+    assert client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "x", "key_values": {"specs": {"color": 7}}},
+    ).status_code == 422
+    # invalid schema rejected
+    assert client.post(
+        f"/api/v1/kb/{kbid}/kv-schemas/bad", json={"type": "wibble"}
+    ).status_code == 422
