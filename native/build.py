@@ -17,13 +17,13 @@ import sysconfig
 def build() -> str:
     here = os.path.dirname(os.path.abspath(__file__))
     repo = os.path.dirname(here)
-    src = os.path.join(here, "postings.cpp")
+    sources = [os.path.join(here, "postings.cpp"), os.path.join(here, "hnsw_link.cpp")]
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = os.path.join(repo, f"nucliadb_tpu_native{suffix}")
     include = sysconfig.get_paths()["include"]
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        f"-I{include}", src, "-o", out,
+        f"-I{include}", *sources, "-o", out,
     ]
     subprocess.run(cmd, check=True)
     return out

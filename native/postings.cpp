@@ -263,11 +263,19 @@ PyObject* tokenize_py(PyObject* self, PyObject* args) {
     return out;
 }
 
+}  // namespace
+
+extern "C" PyObject* hnsw_link_wave(PyObject*, PyObject*);  // hnsw_link.cpp
+
+namespace {
+
 PyMethodDef methods[] = {
     {"build_postings", build_postings, METH_VARARGS,
      "Build CSR postings for a batch of documents."},
     {"tokenize_with_positions", tokenize_py, METH_VARARGS,
      "Tokenize a string into (token, ordinal) pairs."},
+    {"hnsw_link_wave", hnsw_link_wave, METH_VARARGS,
+     "Insert one wave of HNSW forward+reverse links (prune at Mmax)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -46,6 +46,16 @@ import numpy as np
 from .distance import prepare_query, scores_matmul
 from .topk import NEG_INF, masked_topk
 
+try:  # native wave linker (native/hnsw_link.cpp); python fallback below
+    import nucliadb_tpu_native as _native
+except ImportError:
+    _native = None
+
+
+@jax.jit
+def _mark_inserted(mask: jax.Array, ids: jax.Array) -> jax.Array:
+    return mask.at[ids].set(True)
+
 # parameter parity: nidx_vector/src/hnsw/params.rs:34-46 (M, M_MAX_0, efC).
 # EF_SEARCH deviates deliberately: the reference's ef=30 feeds an
 # expand-until-k-filtered loop; our fixed-trip beam needs ef=50 to reach the
@@ -174,28 +184,41 @@ def build_graph(
     else:
         entry_ids = np.sort(order[:entry_size]).astype(np.int32)
 
-    def add_edges(src: int, targets: np.ndarray):
-        free = m_max0 - adj_count[src]
-        take = targets[:free]
-        adj[src, adj_count[src] : adj_count[src] + len(take)] = take
-        adj_count[src] += len(take)
+    vectors_c = np.ascontiguousarray(vectors_np, dtype=np.float32)
 
-    def add_reverse(node: int, targets: np.ndarray):
-        """Reverse links with overflow prune (keep the closest) — directed
-        kNN edges alone leave a third of small graphs unreachable from the
-        entry set."""
-        for t in targets:
-            t = int(t)
-            if adj_count[t] < m_max0:
-                adj[t, adj_count[t]] = node
-                adj_count[t] += 1
-            else:
-                edges = adj[t]
-                sims = vectors_np[edges] @ vectors_np[t]
-                weakest = int(np.argmin(sims))
-                new_sim = float(vectors_np[node] @ vectors_np[t])
-                if new_sim > sims[weakest]:
-                    adj[t, weakest] = node
+    def link_wave_host(wave_nodes: np.ndarray, cand_ids: np.ndarray, kept: np.ndarray):
+        """Per-row forward edges + reverse edges with prune-at-Mmax (parity
+        intent: build.rs bidirectional link insert). Native when built —
+        this was the indexing-side Python hot loop."""
+        if _native is not None:
+            _native.hnsw_link_wave(
+                adj, adj_count, vectors_c,
+                np.ascontiguousarray(wave_nodes, dtype=np.int32),
+                np.ascontiguousarray(cand_ids, dtype=np.int32),
+                np.ascontiguousarray(kept, dtype=np.uint8),
+                m,
+            )
+            return
+        for row, node in enumerate(wave_nodes):
+            node = int(node)
+            neigh = cand_ids[row][kept[row].astype(bool)][:m]
+            free = m_max0 - adj_count[node]
+            take = neigh[:free]
+            adj[node, adj_count[node] : adj_count[node] + len(take)] = take
+            adj_count[node] += len(take)
+            # reverse links with overflow prune (keep the closest) — directed
+            # kNN edges alone leave a third of small graphs unreachable
+            for t in neigh:
+                t = int(t)
+                if adj_count[t] < m_max0:
+                    adj[t, adj_count[t]] = node
+                    adj_count[t] += 1
+                else:
+                    edges = adj[t]
+                    sims = vectors_c[edges] @ vectors_c[t]
+                    weakest = int(np.argmin(sims))
+                    if float(vectors_c[node] @ vectors_c[t]) > sims[weakest]:
+                        adj[t, weakest] = node
 
     pos = 0
     first = order[: min(wave, n)]
@@ -203,36 +226,42 @@ def build_graph(
     inserted_mask[first] = True
     pos = len(first)
     if len(first) > 1:
-        block = vectors_np[first]
+        block = vectors_c[first]
         sims = block @ block.T
         np.fill_diagonal(sims, -np.inf)
         nn = np.argsort(-sims, axis=1)[:, : min(m, len(first) - 1)]
-        for i, node in enumerate(first):
-            add_edges(int(node), first[nn[i]])
-        for i, node in enumerate(first):
-            add_reverse(int(node), first[nn[i]])
+        link_wave_host(
+            first.astype(np.int32),
+            first[nn].astype(np.int32),
+            np.ones(nn.shape, dtype=np.uint8),
+        )
 
     ef = min(ef_construction, n)
-    while pos < n:
-        wave_nodes = order[pos : pos + wave]
-        pos += len(wave_nodes)
-        wv = jnp.asarray(vectors_np[wave_nodes])
-        mask_j = jnp.asarray(inserted_mask)
-        cand_s, cand_i = _wave_candidates(vectors_dev, wv, mask_j, ef)
-        safe = jnp.maximum(cand_i, 0)
-        cand_vecs = vectors_dev[safe]
-        kept = _heuristic_select(cand_s, cand_vecs, cand_i >= 0)
-        cand_i_np = np.asarray(cand_i)
-        kept_np = np.asarray(kept)
+    waves = [order[p : p + wave].astype(np.int32) for p in range(pos, n, wave)]
 
-        for row, node in enumerate(wave_nodes):
-            node = int(node)
-            neigh = cand_i_np[row][kept_np[row]][:m]
-            add_edges(node, neigh.astype(np.int32))
-            # bidirectional insert with prune at Mmax keeps the closest
-            # (parity intent: build.rs bidirectional link insert)
-            add_reverse(node, neigh)
-        inserted_mask[wave_nodes] = True
+    def dispatch(wn: np.ndarray, mask_j: jax.Array):
+        # candidates depend only on vectors + inserted mask (exact scan),
+        # never on adjacency — so wave t+1 can be in flight on the device
+        # while wave t links on the host
+        wv = jnp.asarray(vectors_c[wn])
+        cand_s, cand_i = _wave_candidates(vectors_dev, wv, mask_j, ef)
+        kept = _heuristic_select(
+            cand_s, vectors_dev[jnp.maximum(cand_i, 0)], cand_i >= 0
+        )
+        return cand_i, kept
+
+    mask_j = jnp.asarray(inserted_mask)
+    prev = None
+    for wn in waves:
+        out = dispatch(wn, mask_j)
+        mask_j = _mark_inserted(mask_j, jnp.asarray(wn))
+        if prev is not None:
+            prev_wn, (pc, pk) = prev
+            link_wave_host(prev_wn, np.asarray(pc), np.asarray(pk))
+        prev = (wn, out)
+    if prev is not None:
+        prev_wn, (pc, pk) = prev
+        link_wave_host(prev_wn, np.asarray(pc), np.asarray(pk))
 
     return adj, entry_ids
 
