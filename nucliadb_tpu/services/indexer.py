@@ -26,6 +26,9 @@ class IndexerService:
         self.metadata = metadata
         self.storage = storage
         self.work_dir = work_dir or tempfile.mkdtemp(prefix="ndbtpu_indexer_")
+        from ..telemetry.metrics import UtilizationTracker
+
+        self.utilization = UtilizationTracker("indexer")
 
     def _shard_config(self, shard_id: str) -> ShardConfig:
         shard = self.metadata.get_shard(shard_id)
@@ -48,6 +51,10 @@ class IndexerService:
         """Index one resource into a shard at the given (or next) seq."""
         seq = seq if seq is not None else self.metadata.next_seq()
         self.metadata.record_index_request(seq)
+        with self.utilization.work():
+            return self._index_resource(shard_id, resource, seq, hidden)
+
+    def _index_resource(self, shard_id, resource, seq, hidden) -> Seq:
         op_dir = os.path.join(self.work_dir, f"op_{int(seq)}")
         try:
             config = self._shard_config(shard_id)

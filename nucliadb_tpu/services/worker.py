@@ -28,6 +28,9 @@ class WorkerService:
         self.metadata = metadata
         self.storage = storage
         self.work_dir = work_dir or tempfile.mkdtemp(prefix="ndbtpu_worker_")
+        from ..telemetry.metrics import UtilizationTracker
+
+        self.utilization = UtilizationTracker("worker")
 
     def run_one(self) -> bool:
         """Take and run one merge job; returns False when queue is empty.
@@ -41,7 +44,8 @@ class WorkerService:
         if job is None:
             return False
         try:
-            self._run_job(job)
+            with self.utilization.work():
+                self._run_job(job)
         except Exception:
             import logging
 

@@ -987,6 +987,33 @@ class StandaloneApp:
             self._sync()
             return self.search.graph(kbid, req)
 
+        @r.post("/api/v1/kb/{kbid}/graph/nodes")
+        def graph_nodes(request: Request):
+            """Distinct node search (parity: /graph/nodes — node-only results
+            from the same path query)."""
+            kbid = self._kbid(request)
+            req = _validate(GraphSearchPayload, request.json())
+            self._sync()
+            out = self.search.graph(kbid, req)
+            seen = {}
+            for p in out.paths:
+                for value, ntype in ((p.source, p.source_type), (p.target, p.target_type)):
+                    if value:
+                        seen.setdefault((value, ntype), {"value": value, "type": ntype})
+            return {"nodes": list(seen.values())}
+
+        @r.post("/api/v1/kb/{kbid}/graph/relations")
+        def graph_relations(request: Request):
+            """Distinct relation search (parity: /graph/relations)."""
+            kbid = self._kbid(request)
+            req = _validate(GraphSearchPayload, request.json())
+            self._sync()
+            out = self.search.graph(kbid, req)
+            seen = {}
+            for p in out.paths:
+                seen.setdefault((p.relation, p.label), {"relation": p.relation, "label": p.label})
+            return {"relations": list(seen.values())}
+
         @r.post("/api/v1/kb/{kbid}/ask")
         def ask(request: Request):
             kbid = self._kbid(request)

@@ -91,6 +91,53 @@ def render_prometheus() -> bytes:
     return generate_latest(REGISTRY)
 
 
+class UtilizationTracker:
+    """Busy/idle seconds per component (parity: nidx
+    utilization_tracker.rs:20-57 — two monotonically increasing counters a
+    dashboard turns into a utilization ratio)."""
+
+    _instances: dict[str, "UtilizationTracker"] = {}
+
+    def __new__(cls, component: str):
+        # one tracker per component name: service instances come and go
+        # (tests, component restarts) but prometheus counters must not
+        if component in cls._instances:
+            return cls._instances[component]
+        self = super().__new__(cls)
+        cls._instances[component] = self
+        return self
+
+    def __init__(self, component: str):
+        if hasattr(self, "busy"):
+            return
+        self.busy = Counter(
+            f"ndbtpu_{component}_busy_seconds", f"{component} busy time"
+        )
+        self.idle = Counter(
+            f"ndbtpu_{component}_idle_seconds", f"{component} idle time"
+        )
+        self._last = time.monotonic()
+        self._busy_total = 0.0
+        self._idle_total = 0.0
+
+    @contextmanager
+    def work(self):
+        now = time.monotonic()
+        self.idle.inc(max(now - self._last, 0.0))
+        self._idle_total += max(now - self._last, 0.0)
+        start = now
+        try:
+            yield
+        finally:
+            end = time.monotonic()
+            self.busy.inc(end - start)
+            self._busy_total += end - start
+            self._last = end
+
+    def totals(self) -> tuple[float, float]:
+        return self._busy_total, self._idle_total
+
+
 # core metric families (parity: nidx/src/metrics.rs)
 indexing_observer = Observer("ndbtpu_indexing", labels={"kind": ""})
 merge_observer = Observer("ndbtpu_merge", labels={"kind": ""})

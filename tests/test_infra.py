@@ -224,3 +224,16 @@ def test_extract_text_formats():
     assert extract_text("blob.bin", "application/octet-stream", b"\x00\x01") is None
     assert sniff_content_type("f.md", "application/octet-stream") == "text/markdown"
     assert sniff_content_type("f", "text/html; charset=utf-8") == "text/html"
+
+
+def test_utilization_tracker():
+    import time as _time
+
+    from nucliadb_tpu.telemetry.metrics import UtilizationTracker
+
+    t = UtilizationTracker("testcomp")
+    _time.sleep(0.02)
+    with t.work():
+        _time.sleep(0.03)
+    busy, idle = t.totals()
+    assert busy >= 0.025 and idle >= 0.015

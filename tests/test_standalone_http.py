@@ -748,3 +748,31 @@ def test_hydrate_processing_status_kv_schemas(server):
     assert client.post(
         f"/api/v1/kb/{kbid}/kv-schemas/bad", json={"type": "wibble"}
     ).status_code == 422
+
+
+def test_graph_nodes_relations(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "gn-kb"}).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "title": "G",
+            "usergenerated_relations": [
+                {"relation": "ENTITY", "label": "chases",
+                 "from": {"value": "cat", "group": "animal"},
+                 "to": {"value": "mouse", "group": "animal"}},
+                {"relation": "ENTITY", "label": "eats",
+                 "from": {"value": "cat", "group": "animal"},
+                 "to": {"value": "fish", "group": "animal"}},
+            ],
+        },
+    )
+    app._sync(force=True)
+    nodes = client.post(
+        f"/api/v1/kb/{kbid}/graph/nodes", json={"source_value": "cat"}
+    ).json()["nodes"]
+    assert {n["value"] for n in nodes} == {"cat", "mouse", "fish"}
+    rels = client.post(
+        f"/api/v1/kb/{kbid}/graph/relations", json={"source_value": "cat"}
+    ).json()["relations"]
+    assert {x["label"] for x in rels} == {"chases", "eats"}
