@@ -11,5 +11,6 @@ placement across slices (rendezvous hashing) remains a host concern
 """
 
 from .mesh import MeshShardedVectorIndex, make_mesh
+from .text_mesh import MeshShardedTextEngine
 
-__all__ = ["MeshShardedVectorIndex", "make_mesh"]
+__all__ = ["MeshShardedVectorIndex", "MeshShardedTextEngine", "make_mesh"]
