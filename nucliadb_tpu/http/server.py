@@ -76,7 +76,8 @@ def _compile(pattern: str) -> re.Pattern:
 
 
 _STATUS_TEXT = {
-    200: "OK", 201: "Created", 204: "No Content", 404: "Not Found",
+    200: "OK", 201: "Created", 204: "No Content",
+    401: "Unauthorized", 403: "Forbidden", 404: "Not Found",
     409: "Conflict", 412: "Precondition Failed", 422: "Unprocessable Entity",
     429: "Too Many Requests", 500: "Internal Server Error",
 }
@@ -123,10 +124,12 @@ class Router:
 
 
 class HTTPServer:
-    def __init__(self, router: Router, host: str = "127.0.0.1", port: int = 8080):
+    def __init__(self, router: Router, host: str = "127.0.0.1", port: int = 8080,
+                 auth_hook=None):
         self.router = router
         self.host = host
         self.port = port
+        self.auth_hook = auth_hook  # callable(Request) raising HTTPError
         self._server: Optional[asyncio.AbstractServer] = None
         # service layer is synchronous; one worker keeps device access serial
         self._pool = ThreadPoolExecutor(max_workers=4)
@@ -221,6 +224,11 @@ class HTTPServer:
         )
 
     async def _dispatch(self, request: Request) -> tuple[int, bytes]:
+        if self.auth_hook is not None:
+            try:
+                self.auth_hook(request)
+            except HTTPError as e:
+                return e.status, json.dumps({"detail": e.detail}).encode()
         resolved = self.router.resolve(request.method, request.path)
         if resolved is None:
             return 404, json.dumps({"detail": "not found"}).encode()

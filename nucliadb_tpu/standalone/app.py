@@ -54,8 +54,12 @@ def _validate(model, data):
 
 
 class StandaloneApp:
-    def __init__(self, data_dir: str = "./data", host: str = "127.0.0.1", port: int = 8080):
+    def __init__(self, data_dir: str = "./data", host: str = "127.0.0.1",
+                 port: int = 8080, auth: "AuthSettings | None" = None):
+        from .auth import AuthSettings, make_auth_hook
+
         os.makedirs(data_dir, exist_ok=True)
+        self.auth = auth or AuthSettings()
         self.node = EmbeddedNode(data_dir=os.path.join(data_dir, "node"))
         self.driver = Driver(os.path.join(data_dir, "maindb.db"))
         self.kbs = KnowledgeBoxManager(self.driver, self.node)
@@ -73,7 +77,9 @@ class StandaloneApp:
         self._openapi_cache: Optional[dict] = None
         self._imports_done: set[str] = set()
         self.router = Router()
-        self.server = HTTPServer(self.router, host, port)
+        self.server = HTTPServer(
+            self.router, host, port, auth_hook=make_auth_hook(self.auth)
+        )
         self._register_routes()
         self._last_sync = 0.0
         self._sync_lock = threading.Lock()

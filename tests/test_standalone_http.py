@@ -776,3 +776,71 @@ def test_graph_nodes_relations(server):
         f"/api/v1/kb/{kbid}/graph/relations", json={"source_value": "cat"}
     ).json()["relations"]
     assert {x["label"] for x in rels} == {"chases", "eats"}
+
+
+def test_auth_policies(tmp_path_factory):
+    from nucliadb_tpu.standalone.auth import AuthSettings
+
+    def boot(auth):
+        app = StandaloneApp(
+            data_dir=str(tmp_path_factory.mktemp("auth")), host="127.0.0.1",
+            port=0, auth=auth,
+        )
+        loop = asyncio.new_event_loop()
+        started = threading.Event()
+
+        def run():
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(app.server.start())
+            started.set()
+            loop.run_forever()
+
+        threading.Thread(target=run, daemon=True).start()
+        started.wait(10)
+        return httpx.Client(base_url=f"http://127.0.0.1:{app.server.port}", timeout=30), loop
+
+    # upstream_naive: identity + roles via trusted proxy headers
+    client, loop = boot(AuthSettings(policy="upstream_naive"))
+    try:
+        assert client.get("/health/ready").status_code == 200  # open
+        assert client.get("/api/v1/kbs").status_code == 401  # no headers
+        reader = {"x-nucliadb-user": "u", "x-nucliadb-roles": "READER"}
+        manager = {"x-nucliadb-user": "u", "x-nucliadb-roles": "MANAGER"}
+        writer = {"x-nucliadb-user": "u", "x-nucliadb-roles": "READER;WRITER"}
+        assert client.get("/api/v1/kbs", headers=reader).status_code == 200
+        assert client.post("/api/v1/kbs", json={"slug": "x"}, headers=reader).status_code == 403
+        kbid = client.post(
+            "/api/v1/kbs", json={"slug": "x"}, headers=manager
+        ).json()["uuid"]
+        assert client.post(
+            f"/api/v1/kb/{kbid}/resources", json={"title": "t"}, headers=reader
+        ).status_code == 403
+        rid = client.post(
+            f"/api/v1/kb/{kbid}/resources", json={"title": "t"}, headers=writer
+        ).json()["uuid"]
+        # find is a READER surface even though it's a POST
+        assert client.post(
+            f"/api/v1/kb/{kbid}/find", json={"query": "t"}, headers=reader
+        ).status_code == 200
+        # KB delete needs MANAGER
+        assert client.delete(f"/api/v1/kb/{kbid}", headers=writer).status_code == 403
+        assert client.delete(f"/api/v1/kb/{kbid}", headers=manager).status_code == 204
+    finally:
+        client.close()
+        loop.call_soon_threadsafe(loop.stop)
+
+    # api_key: static bearer tokens -> roles
+    client, loop = boot(
+        AuthSettings(policy="api_key", api_keys={"sekrit": ["READER", "WRITER", "MANAGER"]})
+    )
+    try:
+        assert client.get("/api/v1/kbs").status_code == 401
+        assert client.get(
+            "/api/v1/kbs", headers={"authorization": "Bearer wrong"}
+        ).status_code == 401
+        assert client.get(
+            "/api/v1/kbs", headers={"authorization": "Bearer sekrit"}
+        ).status_code == 200
+    finally:
+        client.close()
+        loop.call_soon_threadsafe(loop.stop)
