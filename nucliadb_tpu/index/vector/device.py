@@ -160,7 +160,13 @@ class DeviceVectorIndex:
             arena[: self.n_para] = flat
             self.m_count = None
 
-        self.vectors = jax.device_put(jnp.asarray(arena))
+        # flag "bf16": store the rerank arena in bfloat16 — halves the
+        # dominant HBM cost (f32 vectors are 3 GB per 1M x 768; codes are
+        # 0.77 GB) so one chip holds ~2x the corpus. Scores still accumulate
+        # in f32 on the MXU (preferred_element_type), so recall impact is
+        # the bf16 rounding of inputs only (~1e-3 on normalized dots).
+        store_dtype = jnp.bfloat16 if "bf16" in config.flags else jnp.float32
+        self.vectors = jax.device_put(jnp.asarray(arena, dtype=store_dtype))
         self._base_mask_dev: jax.Array | None = None
 
         self.codes: quant.Int8Codes | quant.BinaryCodes | None = None
