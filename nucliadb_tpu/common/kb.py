@@ -134,6 +134,19 @@ class KnowledgeBoxManager:
         with self.driver as txn:
             txn.set(KB_CONFIG.format(kbid=kbid), config.model_dump_json().encode())
 
+    def delete_vectorset(self, kbid: str, name: str) -> None:
+        """Remove a vectorset and purge its per-shard indexes (parity:
+        writer vectorsets DELETE + purge_kb_vectorsets)."""
+        config = self.get_config(kbid)
+        if config is None or name not in config.vectorsets:
+            raise KeyError(f"unknown vectorset {name}")
+        del config.vectorsets[name]
+        shards = self.get_shards(kbid)
+        for shard_id in shards.shards if shards else []:
+            self.node.delete_vectorset(shard_id, name)
+        with self.driver as txn:
+            txn.set(KB_CONFIG.format(kbid=kbid), config.model_dump_json().encode())
+
     # ---- shards ----------------------------------------------------------
 
     def get_shards(self, kbid: str) -> Optional[KBShards]:

@@ -217,6 +217,15 @@ class MetadataStore:
                 "UPDATE indexes SET deleted_at=? WHERE id=?", (time.time(), index_id)
             )
 
+    def retire_index_segments(self, index_id: int) -> None:
+        """Schedule all of an index's segments for purge (vectorset delete:
+        parity with the reference's purge_kb_vectorsets, purge/__init__.py)."""
+        with self._lock, self._conn:
+            self._conn.execute(
+                "UPDATE segments SET delete_at=? WHERE index_id=?",
+                (time.time(), index_id),
+            )
+
     def touch_index(self, index_id: int) -> None:
         with self._lock, self._conn:
             self._conn.execute(

@@ -65,6 +65,14 @@ class EmbeddedNode:
     def add_vectorset(self, shard_id: str, name: str, config: VectorConfig) -> None:
         self.metadata.create_index(shard_id, "vector", name, config.to_dict())
 
+    def delete_vectorset(self, shard_id: str, name: str) -> None:
+        """Drop a vector index: metadata row soft-deletes, segments retire
+        into the purge loop, searchers drop it at next sync."""
+        for index in self.metadata.get_indexes(shard_id):
+            if index.kind == "vector" and index.name == name:
+                self.metadata.retire_index_segments(index.id)
+                self.metadata.delete_index(index.id)
+
     def delete_shard(self, shard_id: str) -> None:
         self.metadata.delete_shard(shard_id)
 

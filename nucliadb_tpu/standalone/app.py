@@ -100,6 +100,7 @@ class StandaloneApp:
         while not self._bg_stop.wait(interval):
             try:
                 self.node.tick_background()
+                self.tus.purge_stale()
                 self._sync(force=True)
             except Exception:
                 pass
@@ -204,6 +205,24 @@ class StandaloneApp:
             spec = _validate(VectorSetSpec, request.json())
             self.kbs.add_vectorset(kbid, request.params["name"], spec)
             return 201, {"name": request.params["name"]}
+
+        @r.get("/api/v1/kb/{kbid}/vectorsets")
+        def list_vectorsets(request: Request):
+            kbid = self._kbid(request)
+            config = self.kbs.get_config(kbid)
+            return {
+                "vectorsets": {
+                    name: spec.model_dump()
+                    for name, spec in (config.vectorsets if config else {}).items()
+                }
+            }
+
+        @r.delete("/api/v1/kb/{kbid}/vectorsets/{name}")
+        def delete_vectorset(request: Request):
+            kbid = self._kbid(request)
+            self.kbs.delete_vectorset(kbid, request.params["name"])
+            self._sync(force=True)
+            return 204, None
 
         # ---- resources (writer/api/v1/resource.py parity) --------------
 
@@ -1228,6 +1247,16 @@ class StandaloneApp:
             from ..common.export_import import list_backups
 
             return {"backups": list_backups(self.node.storage)}
+
+        @r.delete("/api/v1/backups/{backup_id}")
+        def delete_backup_route(request: Request):
+            from ..common.export_import import delete_backup, list_backups
+
+            backup_id = request.params["backup_id"]
+            if backup_id not in list_backups(self.node.storage):
+                raise HTTPError(404, "unknown backup")
+            delete_backup(self.node.storage, backup_id)
+            return 204, None
 
         # ---- train ----------------------------------------------------------
 

@@ -844,3 +844,48 @@ def test_auth_policies(tmp_path_factory):
     finally:
         client.close()
         loop.call_soon_threadsafe(loop.stop)
+
+
+def test_vectorset_lifecycle_and_backup_delete(server):
+    client, app = server
+    kbid = client.post(
+        "/api/v1/kbs",
+        json={"slug": "vs-kb", "vectorsets": {"m1": {"dimension": DIM}}},
+    ).json()["uuid"]
+    # add + list
+    assert client.post(
+        f"/api/v1/kb/{kbid}/vectorsets/m2", json={"dimension": DIM}
+    ).status_code == 201
+    vs = client.get(f"/api/v1/kb/{kbid}/vectorsets").json()["vectorsets"]
+    assert set(vs) == {"m1", "m2"}
+
+    # index into both, then drop m2: searches on m1 still work
+    body = "vectors galore"
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "title": "V",
+            "texts": {"t": {"body": body}},
+            "embeddings": {
+                "m1": {"t": [{"start": 0, "end": 5, "vector": embed(body)}]},
+                "m2": {"t": [{"start": 0, "end": 5, "vector": embed(body)}]},
+            },
+        },
+    )
+    app._sync(force=True)
+    assert client.delete(f"/api/v1/kb/{kbid}/vectorsets/m2").status_code == 204
+    assert set(client.get(f"/api/v1/kb/{kbid}/vectorsets").json()["vectorsets"]) == {"m1"}
+    res = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "vectors", "vector": embed(body), "vectorset": "m1"},
+    )
+    assert res.status_code == 200 and res.json()["resources"]
+    # deleted vectorset is rejected
+    assert client.delete(f"/api/v1/kb/{kbid}/vectorsets/m2").status_code == 404
+
+    # backups: create, list, delete
+    backup_id = client.post(f"/api/v1/kb/{kbid}/backup").json()["backup_id"]
+    assert backup_id in client.get("/api/v1/backups").json()["backups"]
+    assert client.delete(f"/api/v1/backups/{backup_id}").status_code == 204
+    assert backup_id not in client.get("/api/v1/backups").json()["backups"]
+    assert client.delete(f"/api/v1/backups/{backup_id}").status_code == 404
