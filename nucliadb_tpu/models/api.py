@@ -308,6 +308,11 @@ class GraphSearchResponse(BaseModel):
     paths: list[GraphPathResult] = Field(default_factory=list)
 
 
+class ChatContextMessage(BaseModel):
+    author: str = "USER"  # USER | NUCLIA
+    text: str
+
+
 class AskRequest(BaseModel):
     query: str
     vector: Optional[list[float]] = None
@@ -316,6 +321,16 @@ class AskRequest(BaseModel):
     filter_expression: Optional[FilterExpression] = None
     security_groups: Optional[list[str]] = None
     prompt: str = ""
+    # conversation continuity + caller-supplied grounding (parity:
+    # AskRequest chat_history / extra_context)
+    chat_history: list[ChatContextMessage] = Field(default_factory=list)
+    extra_context: list[str] = Field(default_factory=list)
+    citations: bool = True
+    generative_model: str = ""
+    # context-building strategies (parity: rag_strategies; names follow the
+    # reference: full_resource widens hits to whole fields,
+    # neighbouring_paragraphs adds adjacent paragraphs)
+    rag_strategies: list[str] = Field(default_factory=list)
 
 
 class AskResponse(BaseModel):

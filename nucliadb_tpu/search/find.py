@@ -476,15 +476,41 @@ class SearchService:
         retrieval = self.find(kbid, find_req)
         context: list[str] = []
         citations: dict[str, list[str]] = {}
+        full_resource = "full_resource" in request.rag_strategies
+        neighbours = "neighbouring_paragraphs" in request.rag_strategies
         for rid, resource in retrieval.resources.items():
+            hit_fields = set()
             for fid, field in resource.fields.items():
                 for pid, para in field.paragraphs.items():
-                    context.append(para.text)
+                    hit_fields.add(fid)
+                    if not full_resource:
+                        if neighbours:
+                            context.append(
+                                self._with_neighbours(kbid, rid, fid, pid, para.text)
+                            )
+                        else:
+                            context.append(para.text)
                     citations.setdefault(rid, []).append(pid)
-        if not context:
+            if full_resource:
+                # widen each hit to the whole field text (parity:
+                # rag_strategies full_resource, search/search/chat/prompt.py)
+                for fid in hit_fields:
+                    text = self.processor.field_text(kbid, rid, fid.strip("/"))
+                    if text:
+                        context.append(text)
+        # chat history + caller-supplied grounding lead the prompt context
+        history = [
+            f"{m.author}: {m.text}" for m in request.chat_history
+        ]
+        context = request.extra_context + context
+        if not context and not history:
             return AskResponse(answer="", status="no_context", retrieval=retrieval)
+        if not request.citations:
+            citations = {}
         if self.predict is not None:
-            answer = self.predict.generate(kbid, request.prompt or request.query, context)
+            answer = self.predict.generate(
+                kbid, request.prompt or request.query, history + context
+            )
             return AskResponse(
                 answer=answer, retrieval=retrieval, citations=citations
             )
@@ -495,3 +521,23 @@ class SearchService:
             retrieval=retrieval,
             citations=citations,
         )
+
+    def _with_neighbours(
+        self, kbid: str, rid: str, fid: str, pid: str, fallback: str
+    ) -> str:
+        """Extend a paragraph hit with its adjacent paragraphs (parity:
+        rag_strategies neighbouring_paragraphs)."""
+        from ..ingest.brain import split_paragraphs
+
+        text = self.processor.field_text(kbid, rid, fid.strip("/"))
+        parsed = parse_paragraph_id(pid)
+        if text is None or parsed is None:
+            return fallback
+        _, _, start, end = parsed
+        spans = list(split_paragraphs(text))
+        for i, (s, e) in enumerate(spans):
+            if s == start and e == end:
+                lo = spans[max(i - 1, 0)][0]
+                hi = spans[min(i + 1, len(spans) - 1)][1]
+                return text[lo:hi]
+        return fallback

@@ -310,3 +310,41 @@ def test_find_phase_metrics(caplog):
     with caplog.at_level(logging.WARNING, logger="nucliadb_tpu.search.slow"):
         metrics.log_if_slow("find", "kbid=x")
     assert caplog.records and "slow find query" in caplog.records[0].getMessage()
+
+
+def test_ask_rag_strategies_and_history(stack):
+    """rag strategies widen the grounding; chat history and extra context
+    feed the prompt; citations toggle."""
+    from nucliadb_tpu.models.api import AskRequest, ChatContextMessage
+
+    node, kbs, processor, search, kbid, rids = stack
+
+    base = AskRequest(query="fox", top_k=3)
+    plain = search.ask(kbid, base)
+    assert plain.citations  # on by default
+
+    no_cit = search.ask(kbid, AskRequest(query="fox", citations=False))
+    assert no_cit.citations == {}
+
+    widened = search.ask(
+        kbid, AskRequest(query="fox", rag_strategies=["full_resource"])
+    )
+    # full_resource pulls the entire field text into the answer context
+    assert len(widened.answer) >= len(plain.answer)
+
+    neigh = search.ask(
+        kbid, AskRequest(query="fox", rag_strategies=["neighbouring_paragraphs"])
+    )
+    assert neigh.status in ("success", "no_generative_model")
+
+    hist = search.ask(
+        kbid,
+        AskRequest(
+            query="irrelevantquerywithnomatches",
+            chat_history=[ChatContextMessage(author="USER", text="earlier q")],
+            extra_context=["caller supplied grounding"],
+        ),
+    )
+    # extra context keeps the request answerable even with no retrieval hits
+    assert hist.status != "no_context"
+    assert "caller supplied grounding" in hist.answer
