@@ -347,7 +347,9 @@ class DeviceVectorIndex:
                 from ...ops import ivf as ivf_ops
 
                 pq = prepare_query(qj, self.config.similarity.value)
-                s, i = ivf_ops.ivf_search(self.ivf, pq, mask_j, ms, top_k)
+                s, i = ivf_ops.ivf_search(
+                    self.ivf, self.vectors, pq, mask_j, ms, top_k
+                )
             elif self.graph is not None:
                 from ...ops import hnsw as hnsw_ops
 

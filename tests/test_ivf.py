@@ -33,7 +33,7 @@ def test_ivf_recall(rng):
     vj = jnp.asarray(v)
     index = ivf.build_ivf(vj, n, k_clusters=64)
     mask = jnp.ones(n, bool)
-    s, i = ivf.ivf_search(index, jnp.asarray(q), mask, jnp.float32(-3e38), k, nprobe=8)
+    s, i = ivf.ivf_search(index, vj, jnp.asarray(q), mask, jnp.float32(-3e38), k, nprobe=8)
     ids = np.asarray(i)
     true = q.astype(np.float64) @ v.astype(np.float64).T
     recalls = [
@@ -53,7 +53,8 @@ def test_ivf_mask_and_padding(rng):
     mask[:100] = True
     q = clustered(rng, 3, d, centers)
     s, i = ivf.ivf_search(
-        index, jnp.asarray(q), jnp.asarray(mask), jnp.float32(-3e38), 5, nprobe=16
+        index, jnp.asarray(v), jnp.asarray(q), jnp.asarray(mask), jnp.float32(-3e38),
+        5, nprobe=16,
     )
     ids = np.asarray(i)
     assert ((ids < 100) | (ids == -1)).all()
