@@ -55,7 +55,8 @@ def _validate(model, data):
 
 class StandaloneApp:
     def __init__(self, data_dir: str = "./data", host: str = "127.0.0.1",
-                 port: int = 8080, auth: "AuthSettings | None" = None):
+                 port: int = 8080, auth: "AuthSettings | None" = None,
+                 predict=None):
         from .auth import AuthSettings, make_auth_hook
 
         os.makedirs(data_dir, exist_ok=True)
@@ -64,7 +65,7 @@ class StandaloneApp:
         self.driver = Driver(os.path.join(data_dir, "maindb.db"))
         self.kbs = KnowledgeBoxManager(self.driver, self.node)
         self.processor = Processor(self.driver, self.node, self.kbs)
-        self.search = SearchService(self.node, self.kbs, self.processor)
+        self.search = SearchService(self.node, self.kbs, self.processor, predict=predict)
         self.bus = EmbeddedBus(os.path.join(data_dir, "bus.db"))
         self.audit = AuditStream(self.bus)
         self.back_pressure = BackPressureMaterializer(self.node.metadata, self.bus)
@@ -696,6 +697,40 @@ class StandaloneApp:
             return {"resources": self.processor.list_resources(kbid)}
 
         # ---- search (search/api/v1 parity) -------------------------------
+
+        @r.post("/api/v1/kb/{kbid}/predict/{endpoint}")
+        def predict_proxy(request: Request):
+            """Predict passthrough (parity: /predict/{endpoint} proxying to
+            the learning backend). Embedded serving routes `sentence` and
+            `chat` to the configured PredictEngine; other endpoints need an
+            external learning deployment (412, like the reference without
+            NUA)."""
+            kbid = self._kbid(request)
+            engine = self.search.predict
+            if engine is None:
+                raise HTTPError(412, "no predict engine configured")
+            body = request.json() or {}
+            endpoint = request.params["endpoint"]
+            if endpoint == "sentence":
+                vec = engine.embed(
+                    kbid, body.get("vectorset", ""), body.get("text", "")
+                )
+                if vec is None:
+                    raise HTTPError(412, "predict engine cannot embed")
+                return {"data": [float(x) for x in vec]}
+            if endpoint == "chat":
+                answer = engine.generate(
+                    kbid, body.get("question", ""), body.get("context", [])
+                )
+                return {"answer": answer}
+            raise HTTPError(404, f"unknown predict endpoint {endpoint}")
+
+        @r.get("/api/v1/kb/{kbid}/models")
+        def list_models(request: Request):
+            """Trained-model listing (parity: /models — embedded deployments
+            have no trained models unless a learning backend is attached)."""
+            self._kbid(request)
+            return {"models": []}
 
         @r.post("/api/v1/kb/{kbid}/hydrate")
         def hydrate(request: Request):

@@ -889,3 +889,57 @@ def test_vectorset_lifecycle_and_backup_delete(server):
     assert client.delete(f"/api/v1/backups/{backup_id}").status_code == 204
     assert backup_id not in client.get("/api/v1/backups").json()["backups"]
     assert client.delete(f"/api/v1/backups/{backup_id}").status_code == 404
+
+
+def test_predict_proxy_and_models(tmp_path_factory):
+    from nucliadb_tpu.search.predict import LocalPredictEngine
+
+    app = StandaloneApp(
+        data_dir=str(tmp_path_factory.mktemp("pred")), host="127.0.0.1", port=0,
+        predict=LocalPredictEngine(generator=lambda p, ctx: f"answer to {p}"),
+    )
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(app.server.start())
+        started.set()
+        loop.run_forever()
+
+    threading.Thread(target=run, daemon=True).start()
+    started.wait(10)
+    client = httpx.Client(base_url=f"http://127.0.0.1:{app.server.port}", timeout=30)
+    try:
+        kbid = client.post("/api/v1/kbs", json={"slug": "pred"}).json()["uuid"]
+        emb = client.post(
+            f"/api/v1/kb/{kbid}/predict/sentence", json={"text": "hello"}
+        ).json()["data"]
+        assert len(emb) == 256  # HashingEncoder default dimension
+        ans = client.post(
+            f"/api/v1/kb/{kbid}/predict/chat", json={"question": "why?"}
+        ).json()["answer"]
+        assert ans == "answer to why?"
+        assert client.post(
+            f"/api/v1/kb/{kbid}/predict/nope", json={}
+        ).status_code == 404
+        assert client.get(f"/api/v1/kb/{kbid}/models").json() == {"models": []}
+        # with a predict engine, /ask generates and /find can embed queries
+        client.post(
+            f"/api/v1/kb/{kbid}/resources",
+            json={"title": "T", "texts": {"t": {"body": "some grounding text"}}},
+        )
+        app._sync(force=True)
+        ask = client.post(f"/api/v1/kb/{kbid}/ask", json={"query": "grounding"}).json()
+        assert ask["status"] == "success" and ask["answer"].startswith("answer to")
+    finally:
+        client.close()
+        loop.call_soon_threadsafe(loop.stop)
+
+
+def test_predict_proxy_without_engine(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "nopred"}).json()["uuid"]
+    assert client.post(
+        f"/api/v1/kb/{kbid}/predict/sentence", json={"text": "x"}
+    ).status_code == 412
