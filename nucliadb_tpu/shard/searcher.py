@@ -23,6 +23,11 @@ from typing import Optional
 
 import numpy as np
 
+from concurrent.futures import ThreadPoolExecutor
+
+# per-index fan-out threads (2 suffice: paragraph ∥ vector)
+_INDEX_POOL = ThreadPoolExecutor(max_workers=4, thread_name_prefix="idxsearch")
+
 from ..index.json import JsonExpression, JsonSearcher
 from ..index.paragraph import (
     ParagraphSearcher,
@@ -180,13 +185,9 @@ class ShardSearcher:
                 )
             )
 
-        if request.paragraph and request.body.strip() and self.paragraph is not None:
+        def run_paragraph():
             pf = prefilter
-            if key_prefixes:
-                # key filters narrow the prefilter further
-                para_req_prefixes = key_prefixes
-            else:
-                para_req_prefixes = None
+            para_req_prefixes = key_prefixes if key_prefixes else None
             presp = self.paragraph.search(
                 ParagraphSearchRequest(
                     query=request.body,
@@ -205,22 +206,41 @@ class ShardSearcher:
                         h.paragraph_id.startswith(p) for p in para_req_prefixes
                     )
                 ]
-            response.paragraph = presp
+            return presp
 
-        if request.vector is not None:
+        def run_vector():
             vs_name = request.vectorset or next(iter(self.vectors), "")
             searcher = self.vectors.get(vs_name)
-            if searcher is not None:
-                hits = searcher.search(
-                    VectorSearchRequest(
-                        vectors=np.asarray(request.vector, np.float32),
-                        top_k=request.top_k,
-                        filter=request.filter,
-                        field_filter=prefilter,
-                        min_score=request.min_score_semantic,
-                    )
+            if searcher is None:
+                return response.vector  # keep the default (empty) result
+            hits = searcher.search(
+                VectorSearchRequest(
+                    vectors=np.asarray(request.vector, np.float32),
+                    top_k=request.top_k,
+                    filter=request.filter,
+                    field_filter=prefilter,
+                    min_score=request.min_score_semantic,
                 )
-                response.vector = hits[0] if hits else []
+            )
+            return hits[0] if hits else []
+
+        want_paragraph = (
+            request.paragraph and request.body.strip() and self.paragraph is not None
+        )
+        want_vector = request.vector is not None
+        if want_paragraph and want_vector:
+            # hybrid: the two device programs dispatch from parallel threads
+            # so their host<->device round trips overlap (parity: the
+            # reference's scoped-thread per-index fan-out,
+            # shard_search.rs:185-273 — and on the tunneled TPU the overlap
+            # is most of the latency win)
+            para_fut = _INDEX_POOL.submit(run_paragraph)
+            response.vector = run_vector()
+            response.paragraph = para_fut.result()
+        elif want_paragraph:
+            response.paragraph = run_paragraph()
+        elif want_vector:
+            response.vector = run_vector()
 
         if request.graph is not None and self.relation is not None:
             response.graph = self.relation.graph_search(request.graph)
