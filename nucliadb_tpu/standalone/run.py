@@ -17,9 +17,42 @@ def main() -> None:
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--bg-interval", type=float, default=15.0)
+    parser.add_argument(
+        "--auth-policy", default="insecure",
+        choices=["insecure", "upstream_naive", "api_key"],
+        help="auth mode (parity: reference auth_policy settings)",
+    )
+    parser.add_argument(
+        "--api-key", action="append", default=[],
+        metavar="TOKEN=ROLE1;ROLE2",
+        help="api_key policy: static token to roles (repeatable)",
+    )
+    parser.add_argument(
+        "--local-predict", action="store_true",
+        help="enable the in-process hashing predict engine (query embedding "
+        "without an external model — useful for demos/tests)",
+    )
     args = parser.parse_args()
 
-    app = StandaloneApp(data_dir=args.data_dir, host=args.host, port=args.port)
+    from .auth import AuthSettings
+
+    api_keys = {}
+    for entry in args.api_key:
+        token, _, roles = entry.partition("=")
+        api_keys[token] = [
+            role.strip().upper() for role in roles.split(";") if role.strip()
+        ]
+    auth = AuthSettings(policy=args.auth_policy, api_keys=api_keys)
+    predict = None
+    if args.local_predict:
+        from ..search.predict import LocalPredictEngine
+
+        predict = LocalPredictEngine()
+
+    app = StandaloneApp(
+        data_dir=args.data_dir, host=args.host, port=args.port,
+        auth=auth, predict=predict,
+    )
     app.start_background(args.bg_interval)
     print(f"nucliadb_tpu standalone listening on http://{args.host}:{args.port}")
     try:

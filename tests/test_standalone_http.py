@@ -943,3 +943,43 @@ def test_predict_proxy_without_engine(server):
     assert client.post(
         f"/api/v1/kb/{kbid}/predict/sentence", json={"text": "x"}
     ).status_code == 412
+
+
+def test_run_launcher_subprocess(tmp_path):
+    """The `python -m nucliadb_tpu.standalone.run` binary boots, enforces
+    auth flags, and serves (parity: the reference's nucliadb binary)."""
+    import socket
+    import subprocess
+    import sys
+    import time as _time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys; sys.argv = ['run', '--data-dir', %r, '--host', '127.0.0.1',"
+        " '--port', '%d', '--auth-policy', 'api_key', '--api-key', 'tok=READER;WRITER;MANAGER'];"
+        "from nucliadb_tpu.standalone.run import main; main()"
+    ) % (str(tmp_path / "data"), port)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    try:
+        client = httpx.Client(base_url=f"http://127.0.0.1:{port}", timeout=5)
+        for _ in range(100):
+            try:
+                if client.get("/health/ready").status_code == 200:
+                    break
+            except httpx.TransportError:
+                _time.sleep(0.2)
+        else:
+            raise AssertionError("server did not come up")
+        assert client.get("/api/v1/kbs").status_code == 401
+        assert client.get(
+            "/api/v1/kbs", headers={"authorization": "Bearer tok"}
+        ).status_code == 200
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
