@@ -99,6 +99,8 @@ class DocumentSearchRequest:
     min_score: Optional[float] = None
     all_terms: bool = False
     count_resources: bool = False  # totals/facets at resource (not field) level
+    range_creation: Optional[tuple] = None  # (lo, hi) unix seconds
+    range_modification: Optional[tuple] = None
 
 
 @dataclass
@@ -138,12 +140,27 @@ class TextSearcher:
         return mask
 
     def search(self, request: DocumentSearchRequest) -> DocumentSearchResponse:
+        extra_mask = self._security_mask(request.security_groups)
+        for column, window in (("created", request.range_creation),
+                               ("modified", request.range_modification)):
+            if window is None:
+                continue
+            col = self.engine.columns.get(column)
+            if col is None:
+                continue
+            lo, hi = window
+            dmask = np.ones(self.engine.n_docs, dtype=bool)
+            if lo is not None:
+                dmask &= col >= lo
+            if hi is not None:
+                dmask &= col <= hi
+            extra_mask = dmask if extra_mask is None else (extra_mask & dmask)
         q = TextQuery(
             text=request.query,
             top_k=max(request.top_k, 1),
             only_faceted=request.only_faceted or not request.query.strip(),
             filter=request.filter,
-            extra_mask=self._security_mask(request.security_groups),
+            extra_mask=extra_mask,
             min_score=request.min_score,
             all_terms=request.all_terms,
         )
@@ -205,6 +222,8 @@ class TextSearcher:
         self,
         filter: Optional[BooleanExpression] = None,
         security_groups: Optional[list[str]] = None,
+        range_creation=None,
+        range_modification=None,
     ) -> PrefilterResult:
         """Turn security + label filters into a FieldId set for other indexes.
 
@@ -212,9 +231,24 @@ class TextSearcher:
         All when nothing filters, None when nothing matches, Some(fields)
         otherwise.
         """
-        if filter is None and security_groups is None:
+        if (
+            filter is None and security_groups is None
+            and range_creation is None and range_modification is None
+        ):
             return PrefilterResult.all()
         mask = self.engine.alive.copy()
+        for column, window in (("created", range_creation),
+                               ("modified", range_modification)):
+            if window is None:
+                continue
+            col = self.engine.columns.get(column)
+            if col is None:
+                continue
+            lo, hi = window
+            if lo is not None:
+                mask &= col >= lo
+            if hi is not None:
+                mask &= col <= hi
         if filter is not None:
             mask &= evaluate_bitset(filter, self.engine.n_docs, self.engine._resolve_atom)
         sec = self._security_mask(security_groups)

@@ -194,6 +194,12 @@ class FindRequest(BaseModel):
     with_synonyms: bool = False  # expand the keyword query with KB synonyms
     offset: int = 0  # pagination offset over the fused ranking
     search_after: Optional[str] = None  # opaque cursor from a previous page
+    # date windows (unix seconds or ISO-8601 strings; parity:
+    # range_creation_* / range_modification_* search params)
+    range_creation_start: Optional[Union[float, str]] = None
+    range_creation_end: Optional[Union[float, str]] = None
+    range_modification_start: Optional[Union[float, str]] = None
+    range_modification_end: Optional[Union[float, str]] = None
 
 
 class FindParagraph(BaseModel):
@@ -261,6 +267,10 @@ class SuggestResponse(BaseModel):
 class CatalogRequest(BaseModel):
     query: str = ""
     filter_expression: Optional[FilterExpression] = None
+    range_creation_start: Optional[Union[float, str]] = None
+    range_creation_end: Optional[Union[float, str]] = None
+    range_modification_start: Optional[Union[float, str]] = None
+    range_modification_end: Optional[Union[float, str]] = None
     faceted: list[str] = Field(default_factory=list)
     page_number: int = 0
     page_size: int = 20

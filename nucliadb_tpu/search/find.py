@@ -71,6 +71,26 @@ def filter_to_expression(f: Optional[FilterExpression]) -> Optional[BooleanExpre
     raise ValueError("empty filter expression node")
 
 
+
+def _parse_ts(v) -> "Optional[float]":
+    """Unix seconds or ISO-8601 -> unix seconds."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def _range(start, end):
+    lo, hi = _parse_ts(start), _parse_ts(end)
+    return None if lo is None and hi is None else (lo, hi)
+
+
 def parse_vector_key(key: str) -> Optional[tuple[str, str, int, int]]:
     """'{rid}/{ftype}/{fname}/{idx}/{start}-{end}' -> (rid, field, start, end)."""
     parts = key.split("/")
@@ -181,6 +201,12 @@ class SearchService:
             filter=expr,
             security_groups=request.security_groups,
             key_filters=[f.strip("/") + "/" for f in request.fields] if request.fields else [],
+            range_creation=_range(
+                request.range_creation_start, request.range_creation_end
+            ),
+            range_modification=_range(
+                request.range_modification_start, request.range_modification_end
+            ),
         )
 
         keyword_blocks: list[TextBlock] = []
@@ -391,6 +417,13 @@ class SearchService:
                     order_by=request.order_by,
                     order_desc=request.order_desc,
                     count_resources=True,  # catalog lists resources, not fields
+                    range_creation=_range(
+                        request.range_creation_start, request.range_creation_end
+                    ),
+                    range_modification=_range(
+                        request.range_modification_start,
+                        request.range_modification_end,
+                    ),
                 )
             )
             total += resp.total

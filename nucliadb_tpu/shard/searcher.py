@@ -74,6 +74,10 @@ class ShardSearchRequest:
     filter: Optional[BooleanExpression] = None  # paragraph/label level
     field_filter: Optional[BooleanExpression] = None  # field level -> prefilter
     json_filter: Optional[JsonExpression] = None
+    # date windows over resource created/modified (parity: find/catalog
+    # range_creation_* / range_modification_* params) -> text prefilter
+    range_creation: Optional[tuple[Optional[float], Optional[float]]] = None
+    range_modification: Optional[tuple[Optional[float], Optional[float]]] = None
     security_groups: Optional[list[str]] = None
     key_filters: list[str] = dc_field(default_factory=list)  # resource/field keys
 
@@ -135,18 +139,25 @@ class ShardSearcher:
             request.field_filter is not None
             or request.security_groups is not None
             or request.json_filter is not None
+            or request.range_creation is not None
+            or request.range_modification is not None
         )
 
     def compute_prefilter(self, request: ShardSearchRequest) -> PrefilterResult:
         """Text ∧ JSON prefilters (parity: shard_search.rs:175-208)."""
         result = PrefilterResult.all()
         if (
-            request.field_filter is not None or request.security_groups is not None
+            request.field_filter is not None
+            or request.security_groups is not None
+            or request.range_creation is not None
+            or request.range_modification is not None
         ) and self.text is not None:
             result = result.intersect(
                 self.text.prefilter(
                     filter=request.field_filter,
                     security_groups=request.security_groups,
+                    range_creation=request.range_creation,
+                    range_modification=request.range_modification,
                 )
             )
         if request.json_filter is not None and self.json is not None:

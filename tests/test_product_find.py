@@ -348,3 +348,62 @@ def test_ask_rag_strategies_and_history(stack):
     # extra context keeps the request answerable even with no retrieval hits
     assert hist.status != "no_context"
     assert "caller supplied grounding" in hist.answer
+
+
+def test_date_range_filters(stack):
+    """range_creation/modification windows filter find and catalog
+    (parity: range_* search params)."""
+    import time as _time
+
+    from nucliadb_tpu.models.api import CatalogRequest
+
+    node, kbs, processor, search, kbid, rids = stack
+    cutoff = _time.time() + 1
+    # a resource created after the cutoff
+    _time.sleep(0.01)
+    late_rid, _ = processor.create_resource(
+        kbid, payload("Late doc", "the quick late arrival", slug="late")
+    )
+    meta = processor.get_meta(kbid, late_rid)
+    meta.created = cutoff + 100
+    with processor.driver as txn:
+        from nucliadb_tpu.common.kb import RESOURCE_META
+
+        txn.set(RESOURCE_META.format(kbid=kbid, rid=late_rid), meta.to_json())
+    # reindex so the text index picks up the new created timestamp
+    from nucliadb_tpu.models.api import UpdateResourcePayload
+
+    processor.update_resource(kbid, late_rid, UpdateResourcePayload())
+    node.wait_for_sync()
+
+    # find restricted to AFTER the cutoff only returns the late doc
+    res = search.find(
+        kbid,
+        FindRequest(query="quick", features=[SearchFeature.KEYWORD],
+                    range_creation_start=cutoff),
+    )
+    assert set(res.resources) == {late_rid}
+    # before the cutoff excludes it
+    res = search.find(
+        kbid,
+        FindRequest(query="quick", features=[SearchFeature.KEYWORD],
+                    range_creation_end=cutoff),
+    )
+    assert late_rid not in res.resources and res.resources
+
+    # ISO-8601 accepted
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        cutoff, datetime.timezone.utc
+    ).isoformat()
+    res = search.find(
+        kbid,
+        FindRequest(query="quick", features=[SearchFeature.KEYWORD],
+                    range_creation_start=iso),
+    )
+    assert set(res.resources) == {late_rid}
+
+    # catalog honors the window too
+    cat = search.catalog(kbid, CatalogRequest(range_creation_start=cutoff))
+    assert [r.id for r in cat.resources] == [late_rid]
