@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
+from collections import OrderedDict
 from typing import Optional
 
 from ..index.vector.config import VectorConfig
@@ -32,11 +34,19 @@ class SyncedSearcher:
         *,
         selector=None,
         node_name: str | None = None,
+        max_open_shards: int = 64,
     ):
         self.metadata = metadata
         self.storage = storage
         self.cache_dir = cache_dir or tempfile.mkdtemp(prefix="ndbtpu_searcher_")
-        self._shards: dict[str, ShardSearcher] = {}
+        # LRU of open shard searchers + single-flight loads (parity:
+        # nidx searcher IndexCache, index_cache.rs:145-260 — bounded open
+        # searchers, one concurrent load per key, readers keep serving the
+        # old searcher until the swap)
+        self._shards: OrderedDict[str, ShardSearcher] = OrderedDict()
+        self._mu = threading.Lock()
+        self._loads: dict[str, threading.Lock] = {}
+        self.max_open_shards = max_open_shards
         self._index_state: dict[int, float] = {}  # index id -> updated_at seen
         # multi-node deployments: only sync shards this node owns per the
         # rendezvous selector (parity: searcher syncs its assigned shards,
@@ -58,7 +68,8 @@ class SyncedSearcher:
         for shard in self.metadata.list_shards():
             live.add(shard.id)
             if not self._owns(shard.id):
-                self._shards.pop(shard.id, None)  # dropped after topology change
+                with self._mu:
+                    self._shards.pop(shard.id, None)  # dropped on topology change
                 continue
             for index in self.metadata.get_indexes(shard.id):
                 seen = self._index_state.get(index.id)
@@ -66,11 +77,16 @@ class SyncedSearcher:
                     dirty.add(shard.id)
         # evict deleted shards (parity: sync.rs processes deletions too —
         # a cached searcher for a deleted shard would serve stale data forever)
-        for shard_id in list(self._shards):
-            if shard_id not in live:
-                self._shards.pop(shard_id, None)
+        with self._mu:
+            for shard_id in list(self._shards):
+                if shard_id not in live:
+                    self._shards.pop(shard_id, None)
         for shard_id in dirty:
-            self._reload_shard(shard_id)
+            # only OPEN searchers reload eagerly; everything else loads
+            # lazily on first search (parity: the reference's cache
+            # invalidates on change, loads on demand)
+            if shard_id in self._shards:
+                self._reload_shard(shard_id)
         return sorted(dirty)
 
     def _open_index_meta(self, index_id: int) -> SimpleOpenIndex:
@@ -107,7 +123,8 @@ class SyncedSearcher:
     def _reload_shard(self, shard_id: str) -> None:
         shard = self.metadata.get_shard(shard_id)
         if shard is None:
-            self._shards.pop(shard_id, None)
+            with self._mu:
+                self._shards.pop(shard_id, None)
             return
         vectorsets: dict[str, VectorConfig] = {}
         open_indexes: dict[str, SimpleOpenIndex] = {}
@@ -117,14 +134,31 @@ class SyncedSearcher:
             open_indexes[index.full_name] = self._open_index_meta(index.id)
             self._index_state[index.id] = index.updated_at
         config = ShardConfig(shard_id=shard_id, kbid=shard.kbid, vectorsets=vectorsets)
-        self._shards[shard_id] = ShardSearcher(config, open_indexes)
+        searcher = ShardSearcher(config, open_indexes)
+        with self._mu:
+            self._shards[shard_id] = searcher
+            self._shards.move_to_end(shard_id)
+            while len(self._shards) > self.max_open_shards:
+                evicted, _ = self._shards.popitem(last=False)
+                self._loads.pop(evicted, None)
 
     # ------------------------------------------------------------------
 
     def shard(self, shard_id: str) -> ShardSearcher:
-        if shard_id not in self._shards:
+        with self._mu:
+            searcher = self._shards.get(shard_id)
+            if searcher is not None:
+                self._shards.move_to_end(shard_id)
+                return searcher
+            load = self._loads.setdefault(shard_id, threading.Lock())
+        with load:  # single flight: one concurrent load per shard
+            with self._mu:
+                searcher = self._shards.get(shard_id)
+                if searcher is not None:
+                    return searcher
             self._reload_shard(shard_id)
-        return self._shards[shard_id]
+            with self._mu:
+                return self._shards[shard_id]
 
     def search(self, shard_id: str, request: ShardSearchRequest) -> ShardSearchResponse:
         return self.shard(shard_id).search(request)

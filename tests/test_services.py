@@ -262,3 +262,50 @@ def test_subject_scoped_pending():
     bus.ack("s", "c0", m.seq)
     assert bus.pending("s", "c0", subject_prefix="ingest.0") == 1
     assert bus.ack_floor("s", "c0", subject_prefix="ingest.0") >= m.seq
+
+
+def test_searcher_lru_and_single_flight(tmp_path):
+    """Open shard searchers are LRU-bounded; concurrent first loads of the
+    same shard run once (parity: nidx IndexCache)."""
+    import threading
+    from unittest import mock
+
+    from nucliadb_tpu.metadata import MetadataStore
+    from nucliadb_tpu.services.searcher import SyncedSearcher
+    from nucliadb_tpu.storage import MemoryStorage
+
+    metadata = MetadataStore(str(tmp_path / "meta.db"))
+    storage = MemoryStorage()
+    for i in range(4):
+        metadata.create_shard(f"s{i}", "kb")
+        metadata.create_index(f"s{i}", "text", "text", {})
+    searcher = SyncedSearcher(
+        metadata, storage, str(tmp_path / "cache"), max_open_shards=2
+    )
+
+    searcher.shard("s0")
+    searcher.shard("s1")
+    searcher.shard("s2")  # evicts s0
+    assert list(searcher._shards) == ["s1", "s2"]
+    searcher.shard("s1")  # refresh recency
+    searcher.shard("s3")  # evicts s2
+    assert list(searcher._shards) == ["s1", "s3"]
+
+    # single flight: 8 threads racing the same cold shard -> one load
+    searcher._shards.clear()
+    calls = []
+    orig = searcher._reload_shard
+
+    def counting(shard_id):
+        calls.append(shard_id)
+        return orig(shard_id)
+
+    with mock.patch.object(searcher, "_reload_shard", side_effect=counting):
+        threads = [
+            threading.Thread(target=searcher.shard, args=("s0",)) for _ in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert calls == ["s0"]
