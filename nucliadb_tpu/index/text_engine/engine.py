@@ -168,6 +168,13 @@ class DeviceTextEngine:
         self.keys = keys
         self.attrs = attrs
         self.n_docs = offset
+        # per-segment sorted runs of self.keys (prefix bisects must stay
+        # within a segment — the concatenation is NOT globally sorted)
+        self.seg_bounds: list[tuple[int, int]] = []
+        run_lo = 0
+        for seg, _ in segments:
+            self.seg_bounds.append((run_lo, run_lo + seg.n_docs))
+            run_lo += seg.n_docs
         self.alive = np.concatenate(alive_chunks) if alive_chunks else np.zeros(0, bool)
         self.facets = {
             f: np.sort(np.concatenate(c)) for f, c in facet_chunks.items()
@@ -254,7 +261,7 @@ class DeviceTextEngine:
 
         out = [
             np.arange(lo, hi, dtype=np.int32)
-            for lo, hi in key_prefix_ranges(self.keys, prefixes)
+            for lo, hi in key_prefix_ranges(self.keys, prefixes, self.seg_bounds)
         ]
         return np.concatenate(out) if out else np.zeros(0, np.int32)
 

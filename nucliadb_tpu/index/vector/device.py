@@ -134,6 +134,12 @@ class DeviceVectorIndex:
             for label, chunks in para_labels_postings.items()
         }
         self.n_para = para_offset
+        # per-segment sorted key runs (see key_prefix_postings)
+        self.seg_bounds: list[tuple[int, int]] = []
+        run_lo = 0
+        for seg, _ in segments:
+            self.seg_bounds.append((run_lo, run_lo + seg.n_paragraphs))
+            run_lo += seg.n_paragraphs
         self.para_seg = (
             np.concatenate(para_seg_chunks) if para_seg_chunks else np.zeros(0, np.int32)
         )
@@ -279,7 +285,9 @@ class DeviceVectorIndex:
 
     def key_prefix_postings(self, prefixes: Sequence[str]) -> np.ndarray:
         out = []
-        for lo, hi in key_prefix_ranges(self.keys, prefixes):
+        # bisect within each segment's sorted run — the concatenated key
+        # list is NOT globally sorted across segments
+        for lo, hi in key_prefix_ranges(self.keys, prefixes, self.seg_bounds):
             out.append(np.arange(lo, hi, dtype=np.int32))
         return np.concatenate(out) if out else np.zeros(0, np.int32)
 

@@ -26,9 +26,19 @@ def key_matches_prefix(key: str, prefix: str) -> bool:
 
 
 def key_prefix_ranges(
-    sorted_keys: Sequence[str], prefixes: Iterable[str]
+    sorted_keys: Sequence[str],
+    prefixes: Iterable[str],
+    bounds: Sequence[tuple[int, int]] | None = None,
 ) -> Iterable[tuple[int, int]]:
-    """Yield [lo, hi) ranges of sorted keys matching each prefix."""
+    """Yield [lo, hi) ranges of sorted keys matching each prefix.
+
+    ``bounds`` lists [lo, hi) runs that are EACH sorted (consolidated
+    engines concatenate per-segment sorted key lists — a later segment's
+    keys can sort below an earlier segment's, so a global bisect over the
+    concatenation silently matches the wrong rows). Without bounds the whole
+    sequence must be sorted.
+    """
+    runs = bounds if bounds is not None else [(0, len(sorted_keys))]
     for prefix in prefixes:
         if prefix.endswith("/"):
             spans = [(prefix, prefix + _SENTINEL)]
@@ -36,8 +46,9 @@ def key_prefix_ranges(
             # exact key, then the '/' subtree (keys sorting between them,
             # like 'rid/f1!', are correctly excluded)
             spans = [(prefix, prefix + "\x00"), (prefix + "/", prefix + "/" + _SENTINEL)]
-        for lo_key, hi_key in spans:
-            lo = bisect.bisect_left(sorted_keys, lo_key)
-            hi = bisect.bisect_left(sorted_keys, hi_key)
-            if hi > lo:
-                yield lo, hi
+        for run_lo, run_hi in runs:
+            for lo_key, hi_key in spans:
+                lo = bisect.bisect_left(sorted_keys, lo_key, run_lo, run_hi)
+                hi = bisect.bisect_left(sorted_keys, hi_key, run_lo, run_hi)
+                if hi > lo:
+                    yield lo, hi

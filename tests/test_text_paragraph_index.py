@@ -230,3 +230,59 @@ def test_all_terms_with_capped_tiers(tmp_path):
     # one unknown term -> unsatisfiable
     hits2, _ = engine.search(TextQuery(text=q + " unknownterm", top_k=5, all_terms=True))
     assert hits2 == []
+
+
+def test_key_prefix_filter_across_unsorted_segments(tmp_path):
+    """A later segment whose keys sort BELOW an earlier segment's must not
+    break prefix filtering (regression: the consolidated key list is only
+    per-segment sorted; a global bisect matched wrong rows)."""
+    from nucliadb_tpu.index.text_engine import (
+        DeviceTextEngine, TextQuery, build_segment, open_text_segment,
+    )
+    from nucliadb_tpu.index.text_engine.builder import DocEntry
+    from nucliadb_tpu.types import Seq
+
+    # segment 1 has keys starting 'm...', segment 2 'a...' (sorts below)
+    seg1 = [DocEntry(key=f"mmm{i}/f", text="quick fox", facets=[]) for i in range(3)]
+    seg2 = [DocEntry(key=f"aaa{i}/f", text="quick dog", facets=[]) for i in range(3)]
+    m1 = build_segment(str(tmp_path / "s1"), seg1, kind="text")
+    m2 = build_segment(str(tmp_path / "s2"), seg2, kind="text")
+    engine = DeviceTextEngine(
+        [(open_text_segment(m1.path), Seq(1)), (open_text_segment(m2.path), Seq(2))]
+    )
+
+    pids = engine.key_prefix_postings(["aaa1/"])
+    assert [engine.keys[p] for p in pids] == ["aaa1/f"]
+    pids = engine.key_prefix_postings(["mmm0"])
+    assert [engine.keys[p] for p in pids] == ["mmm0/f"]
+
+    hits, _ = engine.search(TextQuery(text="quick", top_k=10, key_prefixes=["aaa0/"]))
+    assert {h.key for h in hits} == {"aaa0/f"}
+
+
+def test_vector_key_prefix_across_unsorted_segments(rng, tmp_path):
+    from nucliadb_tpu.index.vector import (
+        Elem, VectorConfig, VectorSearcher, VectorSearchRequest,
+    )
+    from nucliadb_tpu.index.vector.segment import create_segment
+    from nucliadb_tpu.types import Seq, SimpleOpenIndex
+
+    d = 16
+    v = rng.standard_normal((6, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    cfg = VectorConfig(dimension=d)
+    m1 = create_segment(
+        str(tmp_path / "s1"),
+        [Elem(key=f"mmm{i}/f/0/0-1", vectors=v[i : i + 1]) for i in range(3)],
+        cfg,
+    )
+    m2 = create_segment(
+        str(tmp_path / "s2"),
+        [Elem(key=f"aaa{i}/f/0/0-1", vectors=v[3 + i : 4 + i]) for i in range(3)],
+        cfg,
+    )
+    searcher = VectorSearcher(
+        cfg, SimpleOpenIndex(segment_list=[(m1, Seq(1)), (m2, Seq(2))])
+    )
+    pids = searcher.index.key_prefix_postings(["aaa1/"])
+    assert [searcher.index.keys[p] for p in pids] == ["aaa1/f/0/0-1"]
