@@ -7,8 +7,11 @@ a thread pool for the (synchronous) service calls. The API surface itself
 mirrors the reference's v1 REST routes (see standalone/app.py).
 """
 
-from .server import HTTPError, HTTPServer, Request, Response, Router, StreamingResponse
+from .server import (
+    HTTPError, HTTPServer, Pace, Request, Response, Router, StreamingResponse,
+)
 
 __all__ = [
-    "HTTPServer", "Router", "Request", "Response", "HTTPError", "StreamingResponse",
+    "HTTPServer", "Router", "Request", "Response", "HTTPError",
+    "StreamingResponse", "Pace",
 ]

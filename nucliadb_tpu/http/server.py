@@ -52,11 +52,22 @@ class Response:
         self.content_type = content_type
 
 
+class Pace:
+    """Yielded by a StreamingResponse iterator to ask the ASYNC writer to
+    sleep — a generator calling time.sleep would pin one of the few shared
+    executor workers for its whole idle poll (N idle SSE clients would
+    starve every other request)."""
+
+    def __init__(self, seconds: float):
+        self.seconds = seconds
+
+
 class StreamingResponse:
-    """Chunked-transfer response: `chunks` is a sync iterator of str/bytes,
-    pulled on the executor so slow producers (bus polls, model streams)
-    never block the event loop. Used for SSE notifications and ndjson /ask
-    (parity: reference reader SSE + ask's StreamingResponse)."""
+    """Chunked-transfer response: `chunks` is a sync iterator of str/bytes
+    (or Pace sleep markers), pulled on the executor so slow producers (bus
+    polls, model streams) never block the event loop. Used for SSE
+    notifications and ndjson /ask (parity: reference reader SSE + ask's
+    StreamingResponse)."""
 
     def __init__(self, chunks, content_type: str = "application/octet-stream",
                  status: int = 200):
@@ -282,6 +293,9 @@ class HTTPServer:
                 chunk = None
             if chunk is None:
                 break
+            if isinstance(chunk, Pace):
+                await asyncio.sleep(chunk.seconds)
+                continue
             data = chunk.encode() if isinstance(chunk, str) else bytes(chunk)
             if not data:
                 continue

@@ -118,6 +118,27 @@ class DocumentSearchResponse:
     facet_counts: dict[str, dict[str, int]]
 
 
+
+def _date_range_mask(engine, range_creation, range_modification) -> "Optional[np.ndarray]":
+    """Boolean doc mask for created/modified windows (None = no constraint)."""
+    mask = None
+    for column, window in (("created", range_creation),
+                           ("modified", range_modification)):
+        if window is None:
+            continue
+        col = engine.columns.get(column)
+        if col is None:
+            continue
+        lo, hi = window
+        m = np.ones(engine.n_docs, dtype=bool)
+        if lo is not None:
+            m &= col >= lo
+        if hi is not None:
+            m &= col <= hi
+        mask = m if mask is None else (mask & m)
+    return mask
+
+
 class TextSearcher:
     def __init__(self, open_index: OpenIndexMetadata):
         segments = [
@@ -141,19 +162,10 @@ class TextSearcher:
 
     def search(self, request: DocumentSearchRequest) -> DocumentSearchResponse:
         extra_mask = self._security_mask(request.security_groups)
-        for column, window in (("created", request.range_creation),
-                               ("modified", request.range_modification)):
-            if window is None:
-                continue
-            col = self.engine.columns.get(column)
-            if col is None:
-                continue
-            lo, hi = window
-            dmask = np.ones(self.engine.n_docs, dtype=bool)
-            if lo is not None:
-                dmask &= col >= lo
-            if hi is not None:
-                dmask &= col <= hi
+        dmask = _date_range_mask(
+            self.engine, request.range_creation, request.range_modification
+        )
+        if dmask is not None:
             extra_mask = dmask if extra_mask is None else (extra_mask & dmask)
         q = TextQuery(
             text=request.query,
@@ -237,18 +249,9 @@ class TextSearcher:
         ):
             return PrefilterResult.all()
         mask = self.engine.alive.copy()
-        for column, window in (("created", range_creation),
-                               ("modified", range_modification)):
-            if window is None:
-                continue
-            col = self.engine.columns.get(column)
-            if col is None:
-                continue
-            lo, hi = window
-            if lo is not None:
-                mask &= col >= lo
-            if hi is not None:
-                mask &= col <= hi
+        dmask = _date_range_mask(self.engine, range_creation, range_modification)
+        if dmask is not None:
+            mask &= dmask
         if filter is not None:
             mask &= evaluate_bitset(filter, self.engine.n_docs, self.engine._resolve_atom)
         sec = self._security_mask(security_groups)

@@ -127,15 +127,13 @@ class ResourceBrain:
         # indexing each message as a paragraph)
         for name, conv in payload.conversations.items():
             fid = f"c/{name}"
-            parts: list[str] = []
             spans: list[tuple[int, int]] = []
             pos = 0
-            for msg in conv.messages:
-                line = f"{msg.who}: {msg.text}" if msg.who else msg.text
-                parts.append(line)
+            lines = conv.transcript_lines()
+            for line in lines:
                 spans.append((pos, pos + len(line)))
                 pos += len(line) + 1  # joining newline
-            text = "\n".join(parts)
+            text = "\n".join(lines)
             if not text:
                 continue
             doc.texts[fid] = TextInformation(text=text, labels=[])

@@ -174,11 +174,7 @@ class Processor:
             return "\n".join(p for p in (lf.title, lf.description, lf.uri) if p)
         if field_id.startswith("c/"):
             conv = payload.conversations.get(field_id[2:])
-            if conv is None:
-                return None
-            # MUST join exactly like the brain builder so paragraph offsets
-            # (start-end in the transcript) hydrate the right spans
-            return "\n".join(
-                f"{m.who}: {m.text}" if m.who else m.text for m in conv.messages
-            )
+            # transcript() is the same join the brain builder computed
+            # paragraph offsets over
+            return conv.transcript() if conv is not None else None
         return None

@@ -69,6 +69,17 @@ class ConversationMessage(BaseModel):
 class ConversationFieldPayload(BaseModel):
     messages: list[ConversationMessage] = Field(default_factory=list)
 
+    def transcript_lines(self) -> list[str]:
+        """Canonical per-message lines. The brain builder computes
+        paragraph offsets over '\n'.join(lines) and /find hydration slices
+        the same join — ONE implementation keeps the offsets valid."""
+        return [
+            f"{m.who}: {m.text}" if m.who else m.text for m in self.messages
+        ]
+
+    def transcript(self) -> str:
+        return "\n".join(self.transcript_lines())
+
 
 class LinkFieldPayload(BaseModel):
     """Link field (parity: reference link fields; content extraction from

@@ -18,7 +18,9 @@ from typing import Optional
 from pydantic import ValidationError
 
 from ..common.kb import KnowledgeBoxManager
-from ..http import HTTPError, HTTPServer, Request, Response, Router, StreamingResponse
+from ..http import (
+    HTTPError, HTTPServer, Pace, Request, Response, Router, StreamingResponse,
+)
 from .tus import TUS_HEADERS, TusError, TusManager, parse_upload_metadata
 from ..ingest.processor import Processor
 from ..maindb import Driver
@@ -294,6 +296,8 @@ class StandaloneApp:
         def update_resource(request: Request):
             kbid = self._kbid(request)
             payload = _validate(UpdateResourcePayload, request.json())
+            for field, value in payload.key_values.items():
+                self._check_kv_schema(kbid, field, value)
             seq = self.processor.update_resource(kbid, request.params["rid"], payload)
             self._notify(kbid, request.params["rid"], "modified", seq)
             return {"seqid": seq}
@@ -462,10 +466,15 @@ class StandaloneApp:
             headers = {
                 "Tus-Resumable": "1.0.0",
                 "Upload-Offset": str(session.offset),
-                "Upload-Length": str(session.size) if session.size >= 0 else "0",
                 "Access-Control-Expose-Headers":
-                    "Upload-Offset,Tus-Resumable,Upload-Length",
+                    "Upload-Offset,Tus-Resumable,Upload-Length,Upload-Defer-Length",
             }
+            if session.size >= 0:
+                headers["Upload-Length"] = str(session.size)
+            else:
+                # TUS 1.0: while the length is deferred, Upload-Length MUST
+                # be omitted ("0" would read as a complete/corrupt upload)
+                headers["Upload-Defer-Length"] = "1"
             return Response(status=200, headers=headers)
 
         def _tus_patch(request: Request):
@@ -685,9 +694,11 @@ class StandaloneApp:
                         sent += 1
                         yield f"data: {json.dumps(event)}\n\n"
                     if not events:
-                        # comment frame keeps intermediaries from idling out
+                        # comment frame keeps intermediaries from idling out;
+                        # the sleep happens on the event loop (Pace), not on
+                        # a shared executor worker
                         yield ": keep-alive\n\n"
-                        time.sleep(0.2)
+                        yield Pace(0.2)
 
             return StreamingResponse(sse_events(), content_type="text/event-stream")
 

@@ -22,10 +22,22 @@ READER = "READER"
 WRITER = "WRITER"
 MANAGER = "MANAGER"
 
-# POST endpoints that are reads (retrieval surfaces)
-_READER_POSTS = (
-    "/find", "/search", "/suggest", "/catalog", "/graph", "/ask",
-    "/summarize", "/hydrate", "/augment", "/feedback", "/retrieve",
+import re as _re
+
+# POST endpoints that are reads (retrieval surfaces). ANCHORED patterns —
+# matching on a path suffix would let a client forge READER access by
+# naming an object 'ask'/'find' (e.g. POST /labelset/ask).
+_READER_POST_RE = _re.compile(
+    r"^/api/v1/kb/[^/]+/"
+    r"(find|search|suggest|catalog(/facets)?|graph(/nodes|/relations)?|ask"
+    r"|summarize|hydrate|augment|feedback|retrieve|predict/[^/]+)$"
+)
+
+# management-only read surfaces: KB enumeration, full-data exports, backups,
+# admin introspection
+_MANAGER_GET_RE = _re.compile(
+    r"^(/api/v1/kbs$|/api/v1/admin|/api/v1/backups"
+    r"|/api/v1/kb/[^/]+/export(/|$))"
 )
 
 
@@ -46,10 +58,8 @@ def required_role(method: str, path: str) -> Optional[str]:
     ):
         return None
     if method in ("GET", "HEAD", "OPTIONS"):
-        return READER
-    if method == "POST" and (
-        path.endswith(_READER_POSTS) or "/graph/" in path
-    ):
+        return MANAGER if _MANAGER_GET_RE.match(path) else READER
+    if method == "POST" and _READER_POST_RE.match(path):
         return READER
     # KB lifecycle + admin + import/backup restore are management surface
     if path == "/api/v1/kbs" or path.startswith(

@@ -99,7 +99,14 @@ class TusManager:
     def __init__(self, driver: Driver, storage: Storage):
         self.driver = driver
         self.storage = storage
-        self._mutex = threading.Lock()
+        self._mutex = threading.Lock()  # guards the session-lock map only
+        # per-upload locks: chunk PUTs can take seconds on cloud backends;
+        # one global lock would serialize unrelated uploads
+        self._session_locks: dict[str, threading.Lock] = {}
+
+    def _session_lock(self, upload_id: str) -> threading.Lock:
+        with self._mutex:
+            return self._session_locks.setdefault(upload_id, threading.Lock())
 
     # ---- session lifecycle ------------------------------------------------
 
@@ -132,7 +139,7 @@ class TusManager:
             language=metadata.get("language"),
             md5=metadata.get("md5"),
         )
-        with self._mutex:
+        with self._session_lock(upload_id):
             # restarting an upload for the same field resets prior state
             self._purge_chunks(session)
             with self.driver as txn:
@@ -153,7 +160,7 @@ class TusManager:
         declared_size: Optional[int] = None,
     ) -> tuple[TusSession, bool]:
         """Append a chunk at `offset`. Returns (session, finished)."""
-        with self._mutex:
+        with self._session_lock(upload_id):
             session = self.get(kbid, upload_id)
             if offset != session.offset:
                 raise TusError(
@@ -218,6 +225,8 @@ class TusManager:
             )
             txn.delete(TUS_KEY.format(kbid=session.kbid, upload_id=session.upload_id))
         self._purge_chunks(session)
+        with self._mutex:
+            self._session_locks.pop(session.upload_id, None)
 
     def _purge_chunks(self, session: TusSession) -> None:
         prefix = f"tus/{session.kbid}/{session.upload_id}/"
@@ -231,7 +240,7 @@ class TusManager:
         manager cleanup); returns number purged."""
         now = now or time.time()
         purged = 0
-        with self._mutex, self.driver as txn:
+        with self.driver as txn:
             for key in list(txn.keys("/kbs/")):
                 if "/tus/" not in key:
                     continue

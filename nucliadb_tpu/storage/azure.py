@@ -131,7 +131,10 @@ class AzureStorage:
         )
 
     def get(self, key: str) -> bytes:
-        return self._request("GET", key).content
+        resp = self._request("GET", key, ok=(200, 404))
+        if resp.status_code == 404:
+            raise KeyError(key)
+        return resp.content
 
     def exists(self, key: str) -> bool:
         return self._request("HEAD", key, ok=(200, 404)).status_code == 200

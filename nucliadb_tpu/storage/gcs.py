@@ -73,7 +73,13 @@ class GCSStorage:
             f"{self.endpoint}/storage/v1/b/{self.bucket}/o/{self._obj(key)}",
             headers=self._headers(),
         )
-        return resp.status_code == 200
+        if resp.status_code == 200:
+            return True
+        if resp.status_code == 404:
+            return False
+        # an auth/server failure must NOT read as "missing" — callers treat
+        # False as ground truth (export lookups, purge decisions)
+        raise IOError(f"GCS exists {key}: {resp.status_code}")
 
     def delete(self, key: str) -> None:
         resp = self._client.delete(

@@ -163,7 +163,10 @@ class S3Storage:
         self._request("PUT", key, body=bytes(data))
 
     def get(self, key: str) -> bytes:
-        return self._request("GET", key).content
+        resp = self._request("GET", key, ok=(200, 404))
+        if resp.status_code == 404:
+            raise KeyError(key)
+        return resp.content
 
     def exists(self, key: str) -> bool:
         resp = self._request("HEAD", key, ok=(200, 404))

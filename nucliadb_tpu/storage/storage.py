@@ -70,8 +70,11 @@ class LocalStorage:
         os.replace(tmp, path)
 
     def get(self, key: str) -> bytes:
-        with open(self._path(key), "rb") as f:
-            return f.read()
+        try:
+            with open(self._path(key), "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            raise KeyError(key)  # missing keys raise KeyError on EVERY backend
 
     def exists(self, key: str) -> bool:
         return os.path.isfile(self._path(key))

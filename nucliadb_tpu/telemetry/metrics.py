@@ -116,23 +116,33 @@ class UtilizationTracker:
         self.idle = Counter(
             f"ndbtpu_{component}_idle_seconds", f"{component} idle time"
         )
+        self._lock = __import__("threading").Lock()
         self._last = time.monotonic()
+        self._active = 0
         self._busy_total = 0.0
         self._idle_total = 0.0
 
     @contextmanager
     def work(self):
-        now = time.monotonic()
-        self.idle.inc(max(now - self._last, 0.0))
-        self._idle_total += max(now - self._last, 0.0)
-        start = now
+        # thread-safe accounting: a gap counts as idle only while NO worker
+        # is active (unguarded, concurrent workers double-count idle and
+        # rewind _last, breaking busy+idle == wall time)
+        start = time.monotonic()
+        with self._lock:
+            if self._active == 0:
+                gap = max(start - self._last, 0.0)
+                self.idle.inc(gap)
+                self._idle_total += gap
+            self._active += 1
         try:
             yield
         finally:
             end = time.monotonic()
-            self.busy.inc(end - start)
-            self._busy_total += end - start
-            self._last = end
+            with self._lock:
+                self._active -= 1
+                self.busy.inc(end - start)
+                self._busy_total += end - start
+                self._last = max(self._last, end)
 
     def totals(self) -> tuple[float, float]:
         return self._busy_total, self._idle_total

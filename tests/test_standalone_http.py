@@ -807,7 +807,9 @@ def test_auth_policies(tmp_path_factory):
         reader = {"x-nucliadb-user": "u", "x-nucliadb-roles": "READER"}
         manager = {"x-nucliadb-user": "u", "x-nucliadb-roles": "MANAGER"}
         writer = {"x-nucliadb-user": "u", "x-nucliadb-roles": "READER;WRITER"}
-        assert client.get("/api/v1/kbs", headers=reader).status_code == 200
+        # KB enumeration is a management read
+        assert client.get("/api/v1/kbs", headers=reader).status_code == 403
+        assert client.get("/api/v1/kbs", headers=manager).status_code == 200
         assert client.post("/api/v1/kbs", json={"slug": "x"}, headers=reader).status_code == 403
         kbid = client.post(
             "/api/v1/kbs", json={"slug": "x"}, headers=manager
@@ -840,7 +842,7 @@ def test_auth_policies(tmp_path_factory):
         ).status_code == 401
         assert client.get(
             "/api/v1/kbs", headers={"authorization": "Bearer sekrit"}
-        ).status_code == 200
+        ).status_code == 200  # token has MANAGER
     finally:
         client.close()
         loop.call_soon_threadsafe(loop.stop)
@@ -983,3 +985,86 @@ def test_run_launcher_subprocess(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_auth_no_escalation_via_path_suffix(tmp_path_factory):
+    """Regression: POST routes whose final path segment is a client-chosen
+    name like 'ask' must not classify as READER; reader-only GETs must not
+    reach management surfaces (KB listing, exports, backups)."""
+    from nucliadb_tpu.standalone.auth import AuthSettings
+
+    app = StandaloneApp(
+        data_dir=str(tmp_path_factory.mktemp("esc")), host="127.0.0.1", port=0,
+        auth=AuthSettings(policy="upstream_naive"),
+    )
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(app.server.start())
+        started.set()
+        loop.run_forever()
+
+    threading.Thread(target=run, daemon=True).start()
+    started.wait(10)
+    client = httpx.Client(base_url=f"http://127.0.0.1:{app.server.port}", timeout=30)
+    reader = {"x-nucliadb-user": "u", "x-nucliadb-roles": "READER"}
+    manager = {"x-nucliadb-user": "u", "x-nucliadb-roles": "MANAGER"}
+    try:
+        kbid = client.post("/api/v1/kbs", json={"slug": "esc"}, headers=manager).json()["uuid"]
+        # write routes with reader-bait names stay WRITER-gated
+        for path, body in (
+            (f"/api/v1/kb/{kbid}/labelset/ask", {"title": "x"}),
+            (f"/api/v1/kb/{kbid}/kv-schemas/find", {"type": "object"}),
+            (f"/api/v1/kb/{kbid}/search_configurations/ask", {"top_k": 1}),
+            (f"/api/v1/kb/{kbid}/entitiesgroup/search", {"title": "x"}),
+        ):
+            assert client.post(path, json=body, headers=reader).status_code == 403, path
+        # genuine retrieval POSTs remain READER
+        assert client.post(
+            f"/api/v1/kb/{kbid}/find", json={"query": "x"}, headers=reader
+        ).status_code == 200
+        # management reads need MANAGER
+        assert client.get("/api/v1/kbs", headers=reader).status_code == 403
+        assert client.get(f"/api/v1/kb/{kbid}/export", headers=reader).status_code == 403
+        assert client.get("/api/v1/backups", headers=reader).status_code == 403
+        assert client.get("/api/v1/kbs", headers=manager).status_code == 200
+        # plain reads still READER
+        assert client.get(f"/api/v1/kb/{kbid}", headers=reader).status_code == 200
+    finally:
+        client.close()
+        loop.call_soon_threadsafe(loop.stop)
+
+
+def test_kv_schema_enforced_on_patch(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "kvp"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources", json={"title": "r"}
+    ).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/kv-schemas/specs",
+        json={"type": "object", "required": ["color"]},
+    )
+    bad = client.patch(
+        f"/api/v1/kb/{kbid}/resource/{rid}",
+        json={"key_values": {"specs": {"nope": 1}}},
+    )
+    assert bad.status_code == 422
+    ok = client.patch(
+        f"/api/v1/kb/{kbid}/resource/{rid}",
+        json={"key_values": {"specs": {"color": "red"}}},
+    )
+    assert ok.status_code == 200
+
+
+def test_tus_head_defer_length(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "tusdl"}).json()["uuid"]
+    loc = client.post(
+        f"/api/v1/kb/{kbid}/tusupload", headers={"upload-defer-length": "1"}
+    ).headers["location"]
+    head = client.request("HEAD", loc)
+    assert head.headers.get("upload-defer-length") == "1"
+    assert "upload-length" not in head.headers
