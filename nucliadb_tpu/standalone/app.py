@@ -113,6 +113,18 @@ class StandaloneApp:
             target=self._background_loop, args=(interval,), daemon=True
         )
         self._bg_thread.start()
+        # pre-compile the hot kernels off the request path: the first
+        # find otherwise pays 2-25s of XLA compiles (the persistent cache
+        # makes later processes warm, but a fresh cache hits it once)
+        threading.Thread(target=self._warmup, daemon=True).start()
+
+    def _warmup(self) -> None:
+        try:
+            from ..utils.warmup import warmup_kernels
+
+            warmup_kernels()
+        except Exception:
+            pass
 
     def stop_background(self) -> None:
         self._bg_stop.set()

@@ -237,3 +237,11 @@ def test_utilization_tracker():
         _time.sleep(0.03)
     busy, idle = t.totals()
     assert busy >= 0.025 and idle >= 0.015
+
+
+def test_warmup_kernels():
+    from nucliadb_tpu.utils.warmup import warmup_kernels
+
+    assert warmup_kernels((16,)) >= 0.0
+    # second call is cached (near-instant)
+    assert warmup_kernels((16,)) < 1.0
