@@ -32,7 +32,20 @@ def main() -> None:
     parser.add_argument("--data-dir", default="./data")
     parser.add_argument("--grpc-address", default="127.0.0.1:10000")
     parser.add_argument("--interval", type=float, default=15.0)
+    parser.add_argument(
+        "--control-socket", default="",
+        help="unix socket answering alive/ready probes (parity: nidx ctl)",
+    )
+    parser.add_argument(
+        "--supervise", action="store_true",
+        help="restart the component process when it dies (parity: the "
+        "reference panics on task death and relies on a supervisor)",
+    )
     args = parser.parse_args()
+
+    if args.supervise:
+        _supervise()
+        return
 
     import os
 
@@ -43,7 +56,18 @@ def main() -> None:
     def loop(fn, interval):
         def body():
             while not stop.wait(interval):
-                fn()
+                try:
+                    fn()
+                except Exception:
+                    # task death kills the PROCESS (parity: nidx main.rs
+                    # panics so the supervisor restarts) — a silently dead
+                    # thread would leave a zombie component
+                    import logging, os as _os, traceback
+
+                    logging.getLogger(__name__).critical(
+                        "component task died:\n%s", traceback.format_exc()
+                    )
+                    _os._exit(1)
         t = threading.Thread(target=body, daemon=True)
         t.start()
         threads.append(t)
@@ -74,11 +98,41 @@ def main() -> None:
         loop(lambda: node.wait_for_sync(), 1.0)
         print(f"searcher/api gRPC on port {server.port}")
 
+    if args.control_socket:
+        from .control import ControlSocket
+
+        ControlSocket(
+            args.control_socket,
+            ready_check=lambda: all(t.is_alive() for t in threads),
+        )
+        print(f"control socket at {args.control_socket}")
+
     try:
         while True:
             time.sleep(3600)
     except KeyboardInterrupt:
         stop.set()
+
+
+def _supervise() -> None:
+    """Restart-on-death wrapper around the component process."""
+    import subprocess
+    import sys
+
+    argv = [a for a in sys.argv[1:] if a != "--supervise"]
+    backoff = 1.0
+    while True:
+        started = time.time()
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "nucliadb_tpu.component.run", *argv]
+        )
+        code = proc.wait()
+        if code == 0:
+            return
+        # reset backoff after a healthy stretch; cap at 30s
+        backoff = 1.0 if time.time() - started > 60 else min(backoff * 2, 30.0)
+        print(f"component exited with {code}; restarting in {backoff:.0f}s")
+        time.sleep(backoff)
 
 
 if __name__ == "__main__":

@@ -309,3 +309,17 @@ def test_searcher_lru_and_single_flight(tmp_path):
         for t in threads:
             t.join()
     assert calls == ["s0"]
+
+
+def test_control_socket(tmp_path):
+    from nucliadb_tpu.component.control import ControlSocket, probe
+
+    ready = {"ok": False}
+    ctl = ControlSocket(str(tmp_path / "ctl.sock"), ready_check=lambda: ready["ok"])
+    try:
+        assert probe(str(tmp_path / "ctl.sock"), "alive")
+        assert not probe(str(tmp_path / "ctl.sock"), "ready")
+        ready["ok"] = True
+        assert probe(str(tmp_path / "ctl.sock"), "ready")
+    finally:
+        ctl.close()
