@@ -50,6 +50,12 @@ class Processor:
         self.driver = driver
         self.node = node
         self.kbs = kbs
+        from ..common.locking import KeyedLock
+
+        # per-resource exclusion for read-modify-write updates (parity:
+        # the reference's distributed resource lock, processor.py:221-223 —
+        # two concurrent PATCHes would otherwise lose one side's fields)
+        self._resource_locks = KeyedLock()
 
     # ---- writes ------------------------------------------------------------
 
@@ -81,6 +87,12 @@ class Processor:
     def update_resource(
         self, kbid: str, rid: str, payload: UpdateResourcePayload
     ) -> int:
+        with self._resource_locks.hold(f"{kbid}/{rid}"):
+            return self._update_resource(kbid, rid, payload)
+
+    def _update_resource(
+        self, kbid: str, rid: str, payload: UpdateResourcePayload
+    ) -> int:
         meta = self.get_meta(kbid, rid)
         if meta is None:
             raise KeyError(f"unknown resource {rid}")
@@ -109,6 +121,10 @@ class Processor:
         return int(seq)
 
     def delete_resource(self, kbid: str, rid: str) -> Optional[int]:
+        with self._resource_locks.hold(f"{kbid}/{rid}"):
+            return self._delete_resource(kbid, rid)
+
+    def _delete_resource(self, kbid: str, rid: str) -> Optional[int]:
         meta = self.get_meta(kbid, rid)
         if meta is None:
             return None

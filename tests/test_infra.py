@@ -245,3 +245,33 @@ def test_warmup_kernels():
     assert warmup_kernels((16,)) >= 0.0
     # second call is cached (near-instant)
     assert warmup_kernels((16,)) < 1.0
+
+
+def test_keyed_lock_exclusion_and_pruning():
+    import threading
+    import time as _time
+
+    from nucliadb_tpu.common.locking import KeyedLock
+
+    kl = KeyedLock()
+    order = []
+
+    def hold(tag, wait):
+        with kl.hold("k"):
+            order.append(f"{tag}-in")
+            _time.sleep(wait)
+            order.append(f"{tag}-out")
+
+    t1 = threading.Thread(target=hold, args=("a", 0.05))
+    t2 = threading.Thread(target=hold, args=("b", 0.0))
+    t1.start(); _time.sleep(0.01); t2.start()
+    t1.join(); t2.join()
+    assert order == ["a-in", "a-out", "b-in", "b-out"]  # b waited for a
+    assert kl._locks == {}  # idle entries pruned
+
+    # different keys don't contend
+    got = []
+    with kl.hold("x"):
+        t = threading.Thread(target=lambda: (kl.hold("y").__enter__(), got.append(1)))
+        t.start(); t.join(timeout=1)
+    assert got == [1]
