@@ -10,6 +10,8 @@ reporting (ematches) and facet filtering.
 from __future__ import annotations
 
 import re
+import numpy as np
+
 from dataclasses import dataclass, field as dc_field
 from typing import Optional
 
@@ -92,6 +94,9 @@ class ParagraphSearchRequest:
     fuzzy: bool = True
     filter: Optional[BooleanExpression] = None
     field_filter: PrefilterResult = dc_field(default_factory=PrefilterResult.all)
+    # boundary-aware key-prefix restriction (the /find `fields=` filter);
+    # ANDs with field_filter
+    key_prefixes: Optional[list[str]] = None
     min_score: Optional[float] = None
     all_terms: bool = False
     offset: int = 0
@@ -128,11 +133,23 @@ class ParagraphSearcher:
 
     def search(self, request: ParagraphSearchRequest) -> ParagraphSearchResponse:
         rest, phrases = split_phrases(request.query)
-        key_prefixes: Optional[list[str]] = None
         if request.field_filter.is_none:
             return ParagraphSearchResponse(hits=[], total=0, ematches=[], query_terms=[])
+
+        # prefilter fields AND key_prefixes are separate constraints — both
+        # restrict BEFORE scoring (a post-cut startswith filter both broke
+        # path boundaries and silently emptied pages when matches ranked
+        # below top_k)
+        extra_mask = None
         if not request.field_filter.is_all:
-            key_prefixes = [f.as_key_prefix() for f in request.field_filter.fields]
+            prefixes = [f.as_key_prefix() for f in request.field_filter.fields]
+            m = np.zeros(self.engine.n_docs, dtype=bool)
+            m[self.engine.key_prefix_postings(prefixes)] = True
+            extra_mask = m
+        if request.key_prefixes:
+            m = np.zeros(self.engine.n_docs, dtype=bool)
+            m[self.engine.key_prefix_postings(list(request.key_prefixes))] = True
+            extra_mask = m if extra_mask is None else (extra_mask & m)
 
         # over-fetch when phrases must be verified host-side
         fetch_k = request.top_k + request.offset
@@ -144,7 +161,7 @@ class ParagraphSearcher:
             top_k=fetch_k,
             fuzzy=request.fuzzy,
             filter=request.filter,
-            key_prefixes=key_prefixes,
+            extra_mask=extra_mask,
             min_score=request.min_score,
             all_terms=request.all_terms,
         )

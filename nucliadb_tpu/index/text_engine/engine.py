@@ -49,11 +49,7 @@ DENSE_QUERY_CAP = 4
 IMPOSSIBLE_REQUIRED = 1_000_000  # AND queries with unknown terms match nothing
 
 
-def _bucket(n: int, minimum: int = 128) -> int:
-    size = minimum
-    while size < n:
-        size *= 2
-    return size
+from ...utils.buckets import bucket as _bucket  # shared {2^k, 1.5*2^k} ladder
 
 
 @dataclass
@@ -302,21 +298,26 @@ class DeviceTextEngine:
         for phrase in query.phrases:
             tokens.extend(tokenize(phrase))
         seen: dict[str, float] = {}
-        n_exact = 0
+        satisfiable: set[str] = set()
         for tok in tokens:
             if tok in self.term_info:
-                if tok not in seen:
-                    n_exact += 1
+                satisfiable.add(tok)
                 seen[tok] = max(seen.get(tok, 0.0), 1.0)
             if query.fuzzy:
                 for cand in self.fuzzy_index.expand(tok, query.fuzzy_distance):
                     if cand != tok:
+                        satisfiable.add(tok)
                         seen.setdefault(cand, FUZZY_WEIGHT)
         if query.all_terms:
             distinct = len(set(tokens))
-            # a token absent from the dictionary makes an AND query
-            # unsatisfiable (sentinel bypasses the scheduling clamp)
-            required = IMPOSSIBLE_REQUIRED if n_exact < distinct else n_exact
+            # a token with no exact or fuzzy variant makes an AND query
+            # unsatisfiable (sentinel bypasses the scheduling clamp). The
+            # kernel count is a LOWER-BOUND filter: every true match has at
+            # least one hit per token group, so counts >= len(satisfiable);
+            # exactness comes from the host verify_all_terms pass.
+            required = (
+                IMPOSSIBLE_REQUIRED if len(satisfiable) < distinct else distinct
+            )
         else:
             required = min(1, len(seen))
         return sorted(seen.items()), required
@@ -387,6 +388,12 @@ class DeviceTextEngine:
             for s, d in zip(top_s, top_i)
             if d >= 0
         ]
+        if query.all_terms and query.fuzzy and query.text.strip():
+            # kernel counts are a superset test under fuzzy (variants of one
+            # token can satisfy another token's requirement) — exact AND
+            # verification happens host-side on the top-k only; the matched
+            # bitmap stays the (slightly over-inclusive) kernel set
+            hits = [h for h in hits if self.verify_all_terms(h.doc_id, query)]
         return hits, matched_np
 
     def _device_inputs(self, query: TextQuery):
@@ -501,6 +508,48 @@ class DeviceTextEngine:
         plo = int(seg.positions_offsets[lo + j])
         phi = int(seg.positions_offsets[lo + j + 1])
         return np.asarray(seg.positions[plo:phi])
+
+    def doc_has_term(self, global_doc: int, term: str) -> bool:
+        """Membership test via the per-segment CSR postings (host)."""
+        seg_idx, offset = self.doc_seg[global_doc]
+        seg = self.segments[seg_idx]
+        local = global_doc - offset
+        import bisect
+
+        ti = bisect.bisect_left(seg.terms, term)
+        if ti >= len(seg.terms) or seg.terms[ti] != term:
+            return False
+        lo, hi = int(seg.postings_offsets[ti]), int(seg.postings_offsets[ti + 1])
+        docs = np.asarray(seg.postings_docs[lo:hi])
+        j = np.searchsorted(docs, local)
+        return bool(j < len(docs) and docs[j] == local)
+
+    def _token_variant_groups(self, query: TextQuery) -> list[list[str]]:
+        """Per distinct query token: the token + its fuzzy expansions."""
+        groups: dict[str, list[str]] = {}
+        for tok in tokenize(query.text):
+            if tok in groups:
+                continue
+            variants = [tok] if tok in self.term_info else []
+            if query.fuzzy:
+                variants.extend(
+                    c for c in self.fuzzy_index.expand(tok, query.fuzzy_distance)
+                    if c != tok
+                )
+            groups[tok] = variants
+        return list(groups.values())
+
+    def verify_all_terms(self, global_doc: int, query: TextQuery) -> bool:
+        """Exact AND semantics: every query token must match via itself or
+        one of ITS OWN fuzzy variants. The device kernel's match count is a
+        superset test (two variants of one token can reach the required
+        count), so all_terms hits re-verify here before they surface."""
+        for variants in self._token_variant_groups(query):
+            if not variants:
+                return False
+            if not any(self.doc_has_term(global_doc, v) for v in variants):
+                return False
+        return True
 
     def phrase_match(self, global_doc: int, phrase_terms: list[str]) -> bool:
         """True if the terms appear consecutively in the document."""

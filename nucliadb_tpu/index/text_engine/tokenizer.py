@@ -40,22 +40,24 @@ def _normalize(token: str) -> str:
 def tokenize(text: str) -> list[str]:
     if _native is not None:
         return [t for t, _ in _native.tokenize_with_positions(text)]
-    return [
-        _normalize(m.group(0))
-        for m in _WORD_RE.finditer(text)
-        if len(m.group(0)) <= MAX_TOKEN_LEN and not m.group(0).isspace()
-    ]
+    return [t for t, _ in tokenize_with_positions(text)]
 
 
 def tokenize_with_positions(text: str) -> list[tuple[str, int]]:
-    """(token, ordinal position) pairs — positions are token ordinals."""
+    """(token, ordinal position) pairs — positions are token ordinals.
+
+    Byte-for-byte parity with the native tokenizer is a correctness
+    invariant (an index built by one path is queried through the other):
+    the length cap counts UTF-8 BYTES like the C++ does, and no extra
+    filters exist on either side.
+    """
     if _native is not None:
         return _native.tokenize_with_positions(text)
     out = []
     pos = 0
     for m in _WORD_RE.finditer(text):
         tok = m.group(0)
-        if len(tok) > MAX_TOKEN_LEN:
+        if len(tok.encode("utf-8")) > MAX_TOKEN_LEN:
             pos += 1
             continue
         out.append((_normalize(tok), pos))

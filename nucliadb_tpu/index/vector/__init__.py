@@ -131,6 +131,8 @@ class VectorSearchRequest:
     top_k: int = 10
     filter: Optional[BooleanExpression] = None
     field_filter: PrefilterResult = field(default_factory=PrefilterResult.all)
+    # boundary-aware key-prefix restriction (the /find `fields=` filter)
+    key_prefixes: Optional[list[str]] = None
     min_score: Optional[float] = None
     include_hidden: bool = False
 
@@ -173,6 +175,10 @@ class VectorSearcher:
                 pids = idx.key_prefix_postings(prefixes)
                 field_mask[pids] = True
             mask = field_mask if mask is None else (mask & field_mask)
+        if request.key_prefixes:
+            kp_mask = np.zeros(idx.n_para, dtype=bool)
+            kp_mask[idx.key_prefix_postings(list(request.key_prefixes))] = True
+            mask = kp_mask if mask is None else (mask & kp_mask)
         if not request.include_hidden and any(
             TAG_HIDDEN in tags for tags in idx.seg_tags
         ):

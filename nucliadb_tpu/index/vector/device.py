@@ -59,16 +59,7 @@ from .config import (
 from .segment import LoadedSegment, alive_mask, key_prefix_ranges
 
 
-def bucket(n: int, minimum: int = 128) -> int:
-    """Next size >= n from {2^k, 1.5*2^k} (>= minimum): bounds jit variants
-    to ~2 per octave while capping padding waste at 33% (a pure power-of-two
-    ladder wastes up to 2x — at 1M x 768 that is 3.2 GB of HBM)."""
-    size = minimum
-    while size < n:
-        if size + size // 2 >= n:
-            return size + size // 2
-        size *= 2
-    return size
+from ...utils.buckets import bucket  # shared {2^k, 1.5*2^k} ladder
 
 
 @dataclass
@@ -395,6 +386,19 @@ class DeviceVectorIndex:
         b = q.shape[0] if q.ndim == 2 else queries.shape[0]
         return np.asarray(s)[:b], np.asarray(i)[:b]
 
+    def _labels_of(self, pid: int) -> list[str]:
+        """Labels of one paragraph. The inverted per-paragraph lists build
+        lazily ONCE (scanning every posting list per hit made each response
+        O(top_k * n_labels) binary searches on the hot path)."""
+        inv = getattr(self, "_para_labels", None)
+        if inv is None:
+            inv = [[] for _ in range(self.n_para)]
+            for label, pids in self.labels.items():
+                for p in pids.tolist():
+                    inv[p].append(label)
+            self._para_labels = inv
+        return inv[pid]
+
     def hits(self, scores_row: np.ndarray, ids_row: np.ndarray) -> list[VectorHit]:
         """Materialize one query's results as VectorHits (host)."""
         out = []
@@ -403,12 +407,7 @@ class DeviceVectorIndex:
             if pid < 0:
                 continue
             if pid not in inv_labels:
-                inv_labels[pid] = [
-                    label
-                    for label, pids in self.labels.items()
-                    if np.searchsorted(pids, pid) < len(pids)
-                    and pids[np.searchsorted(pids, pid)] == pid
-                ]
+                inv_labels[pid] = self._labels_of(pid)
             out.append(
                 VectorHit(
                     key=self.keys[pid],

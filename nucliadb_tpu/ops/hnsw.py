@@ -361,10 +361,13 @@ def hnsw_search(
         if use_table:
             seen = jnp.take_along_axis(visited, safe_f, axis=1) & valid
             ns = jnp.where(valid & ~seen, ns, NEG_INF)
-            # scatter with the UNCLAMPED ids: mode="drop" discards the -1
-            # pads (clamping first would poison node 0's visited bit and
-            # silently exclude it from all results)
-            visited = visited.at[jnp.arange(b)[:, None], flat].set(True, mode="drop")
+            # -1 pads remap to the spare row n_pad: JAX WRAPS negative
+            # indices (mode="drop" only discards positive out-of-bounds), so
+            # scattering the raw -1s would poison node n_pad-1's visited bit
+            pad_safe = jnp.where(flat >= 0, flat, n_pad)
+            visited = visited.at[jnp.arange(b)[:, None], pad_safe].set(
+                True, mode="drop"
+            )
         else:
             ns = jnp.where(valid, ns, NEG_INF)
         # merge neighbors with current beam, dedup by construction of top-k
@@ -398,11 +401,14 @@ def hnsw_search(
     else:
         best_s = jnp.full((b, best_k), NEG_INF).at[:, : ids0.shape[1]].set(init_best_s)
         best_i = jnp.full((b, best_k), -1, jnp.int32).at[:, : ids0.shape[1]].set(ids0)
+    # width n_pad+1: the spare row absorbs -1 pad ids (negative indices WRAP
+    # in jax scatters; only positive out-of-bounds are dropped)
     visited = (
-        jnp.zeros((b, n_pad), bool) if use_table else jnp.zeros((b, 1), bool)
+        jnp.zeros((b, n_pad + 1), bool) if use_table else jnp.zeros((b, 1), bool)
     )
     if use_table:
-        visited = visited.at[jnp.arange(b)[:, None], ids0].set(True, mode="drop")
+        ids0_safe = jnp.where(ids0 >= 0, ids0, n_pad)
+        visited = visited.at[jnp.arange(b)[:, None], ids0_safe].set(True, mode="drop")
 
     state = (s0, ids0, best_s, best_i, visited)
     state, _ = jax.lax.scan(body, state, None, length=trips)

@@ -61,10 +61,14 @@ def kmeans(
     assert nb * blk == n_pad, (n_pad, blk)
 
     # seed strictly from VALID rows: striding the padded arena would make
-    # zero padding rows into seeds that collapse to dead duplicate clusters
-    seed_span = n_valid if n_valid is not None else n_pad
+    # zero padding rows into seeds that collapse to dead duplicate clusters.
+    # Modulo indexing guarantees exactly k_clusters seeds even when the
+    # corpus is smaller than k (a plain strided slice yielded < k rows and
+    # crashed the update broadcast; tiny ivf-flagged segments hit this).
+    seed_span = max(n_valid if n_valid is not None else n_pad, 1)
     stride = max(seed_span // k_clusters, 1)
-    centroids = vectors[: stride * k_clusters : stride][:k_clusters]
+    seed_idx = (np.arange(k_clusters) * stride) % seed_span
+    centroids = vectors[seed_idx]
 
     vblocks = vectors.reshape(nb, blk, d)
     wblocks = valid.reshape(nb, blk).astype(jnp.float32)

@@ -197,27 +197,21 @@ class ShardSearcher:
             )
 
         def run_paragraph():
-            pf = prefilter
-            para_req_prefixes = key_prefixes if key_prefixes else None
-            presp = self.paragraph.search(
+            # key filters restrict BEFORE scoring via the engine's
+            # boundary-aware prefix masks (a post-cut startswith filter both
+            # matched 'rid/f10' for 'rid/f1' and emptied pages whenever the
+            # matching paragraphs ranked below top_k)
+            return self.paragraph.search(
                 ParagraphSearchRequest(
                     query=request.body,
                     top_k=request.top_k,
                     filter=request.filter,
-                    field_filter=pf,
+                    field_filter=prefilter,
+                    key_prefixes=key_prefixes,
                     min_score=request.min_score_bm25,
                     all_terms=request.all_terms,
                 )
             )
-            if para_req_prefixes:
-                presp.hits = [
-                    h
-                    for h in presp.hits
-                    if any(
-                        h.paragraph_id.startswith(p) for p in para_req_prefixes
-                    )
-                ]
-            return presp
 
         def run_vector():
             vs_name = request.vectorset or next(iter(self.vectors), "")
@@ -230,6 +224,7 @@ class ShardSearcher:
                     top_k=request.top_k,
                     filter=request.filter,
                     field_filter=prefilter,
+                    key_prefixes=key_prefixes,
                     min_score=request.min_score_semantic,
                 )
             )

@@ -126,3 +126,25 @@ def test_node_zero_is_retrievable(rng):
         10,
     )
     assert 0 in np.asarray(i)[0].tolist()
+
+
+def test_last_node_reachable_without_padding(rng):
+    """Regression: -1 pad ids in the visited scatter WRAPPED to the last
+    row (jax negative indexing), permanently hiding node n_pad-1 whenever
+    the arena has no padding rows."""
+    import jax.numpy as jnp
+
+    from nucliadb_tpu.ops.hnsw import build_graph, hnsw_search
+
+    n, d = 256, 32  # n == n_pad: no padding row to absorb the wrap
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    adj, ent = build_graph(v)
+    # query IS the last node's vector; it must be the top hit
+    q = v[n - 1 : n]
+    mask = np.ones(n, dtype=bool)
+    s, i = hnsw_search(
+        jnp.asarray(v), jnp.asarray(adj), jnp.asarray(ent), jnp.asarray(q),
+        jnp.asarray(mask), -3e38, 5,
+    )
+    assert int(np.asarray(i)[0, 0]) == n - 1

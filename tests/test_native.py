@@ -89,3 +89,29 @@ def test_native_postings_speed(rng):
             term_docs.setdefault(tok, {}).setdefault(did, []).append(pos)
     t_py = time.time() - t0
     assert t_native < t_py, (t_native, t_py)
+
+
+def test_tokenizer_parity_fuzz():
+    """Native and pure-Python tokenizers agree byte-for-byte on adversarial
+    inputs (NBSP word-chars, multi-byte length caps, mixed scripts)."""
+    import random
+
+    import nucliadb_tpu.index.text_engine.tokenizer as T
+
+    if T._native is None:
+        import pytest
+
+        pytest.skip("native module not built")
+    rng = random.Random(0)
+    alphabet = list("abz019_ .,!") + [" ", "é", "漢", "x" * 50, "é" * 25]
+    saved = T._native
+    try:
+        for _ in range(500):
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+            native = saved.tokenize_with_positions(s)
+            T._native = None
+            py = T.tokenize_with_positions(s)
+            T._native = saved
+            assert native == py, s.encode()
+    finally:
+        T._native = saved

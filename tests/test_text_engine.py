@@ -219,3 +219,23 @@ def test_search_batch_matches_single(tmp_path):
         assert (bmatched == smatched).all()
     with pytest.raises(ValueError):
         engine.search_batch([TextQuery(text="  ")])
+
+
+def test_all_terms_fuzzy_does_not_cross_satisfy(tmp_path):
+    """Regression: with fuzzy on, two variants of ONE token must not satisfy
+    a two-token AND query (exact AND verifies per-token groups)."""
+    entries = [
+        DocEntry(key="r1/f", text="hello hellos greeting", facets=[]),
+        DocEntry(key="r2/f", text="hello world greeting", facets=[]),
+    ]
+    meta = build_segment(str(tmp_path / "s"), entries, kind="text")
+    engine = DeviceTextEngine([(open_text_segment(meta.path), Seq(1))])
+    hits, _ = engine.search(
+        TextQuery(text="hello world", top_k=10, all_terms=True, fuzzy=True)
+    )
+    assert {h.key for h in hits} == {"r2/f"}
+    # fuzzy still matches typos of each token independently
+    hits, _ = engine.search(
+        TextQuery(text="helo world", top_k=10, all_terms=True, fuzzy=True)
+    )
+    assert {h.key for h in hits} == {"r2/f"}
