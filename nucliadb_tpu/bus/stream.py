@@ -213,6 +213,22 @@ class EmbeddedBus:
             ).fetchone()
         return row[0]
 
+    def purge_older_than(self, stream: str, age_s: float) -> int:
+        """Retention purge for scan-consumed streams (notify, audit):
+        nothing acks them, so age is the only bound on growth."""
+        cutoff = time.time() - age_s
+        with self._lock, self._conn:
+            cur = self._conn.execute(
+                "DELETE FROM messages WHERE stream=? AND created_at<?",
+                (stream, cutoff),
+            )
+            self._conn.execute(
+                "DELETE FROM consumers WHERE stream=? AND seq NOT IN"
+                " (SELECT seq FROM messages WHERE stream=?)",
+                (stream, stream),
+            )
+            return cur.rowcount
+
     def purge_acked(
         self, stream: str, consumers: list[tuple[str, str]] | list[str]
     ) -> int:

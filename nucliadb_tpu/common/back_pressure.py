@@ -47,7 +47,7 @@ class BackPressureMaterializer:
         last = self.metadata.last_seq()
         return max(int(last) - int(floor), 0)
 
-    def ingest_pending(self, stream: str = "ndb_ingest", consumer: str = "ingest") -> int:
+    def ingest_pending(self, stream: str = "ndb_ingest", consumer: str = "ingest_0") -> int:
         if self.bus is None:
             return 0
         return self.bus.pending(stream, consumer)

@@ -83,9 +83,12 @@ def import_kb(
         elif kind == "resource":
             if target_kbid is None:
                 raise ValueError("resource record before config")
-            _, rid, payload_dict, _meta = record
+            _, rid, payload_dict, meta_dict = record
             payload = CreateResourcePayload.model_validate(payload_dict)
-            processor.create_resource(target_kbid, payload, rid=rid)
+            processor.create_resource(
+                target_kbid, payload, rid=rid,
+                created=(meta_dict or {}).get("created"),
+            )
         elif kind == "end":
             break
     if target_kbid is None:

@@ -54,8 +54,39 @@ def rollover_kb(
 
             txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
 
-    # swap the shard record, then retire the old shards
+    # swap the shard record...
     kbs.swap_shards(kbid, KBShards(shards=new_shards, writable=0, counts=counts))
+
+    # ...then repair stragglers BEFORE retiring the old shards: a resource
+    # written during the reindex window landed in an old shard (it got
+    # writable_shard from the pre-swap record) and was not in the snapshot
+    # rid list — deleting its shard would silently lose its index data and
+    # leave meta.shard dead. After the swap no NEW writes can target old
+    # shards, so a bounded number of passes converges.
+    from ..ingest.processor import RESOURCE_META
+
+    repaired_any = False
+    for _ in range(3):
+        strays = 0
+        for i, rid in enumerate(processor.list_resources(kbid)):
+            meta = processor.get_meta(kbid, rid)
+            payload = processor.get_payload(kbid, rid)
+            if meta is None or payload is None or meta.shard in new_shards:
+                continue
+            strays += 1
+            repaired_any = True
+            target = new_shards[i % count]
+            doc = ResourceBrain(rid).build(payload, created=meta.created)
+            node.index(target, doc, hidden=payload.hidden)
+            counts[target] += 1
+            meta.shard = target
+            with processor.driver as txn:
+                txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
+        if not strays:
+            break
+    if repaired_any:
+        kbs.swap_shards(kbid, KBShards(shards=new_shards, writable=0, counts=counts))
+
     for shard_id in old.shards:
         node.delete_shard(shard_id)
     return new_shards

@@ -80,6 +80,15 @@ def main() -> None:
         processor = Processor(driver, node, kbs)
         consumer = IngestConsumer(bus, processor)
         loop(consumer.drain, 0.2)
+
+        def purge_bus():
+            from ..ingest.consumer import INGEST_STREAM
+
+            bus.purge_acked(INGEST_STREAM, [consumer.consumer])
+            bus.purge_older_than("ndb_notify", 7 * 24 * 3600)
+            bus.purge_older_than("ndb_audit", 30 * 24 * 3600)
+
+        loop(purge_bus, 300.0)
         print("ingest consumer started")
     if "scheduler" in components:
         loop(lambda: node.scheduler.tick(), args.interval)

@@ -66,7 +66,16 @@ class TransactionUtility:
         return zlib.crc32(kbid.encode()) % self.partitions
 
     def commit(self, message: BrokerMessage) -> int:
-        subject = f"ingest.{self._partition(message.kbid)}"
+        if message.op == "create" and not message.rid:
+            # stamp the rid at PUBLISH time: a redelivered create must reuse
+            # the same rid (at-least-once would otherwise mint a duplicate
+            # resource per delivery)
+            import uuid
+
+            message.rid = uuid.uuid4().hex
+        # trailing '.' delimiter: the consumer filter is a GLOB prefix, and
+        # 'ingest.1' would also match partitions 10..19
+        subject = f"ingest.{self._partition(message.kbid)}."
         return self.bus.publish(INGEST_STREAM, subject, message.pack())
 
 
@@ -80,7 +89,7 @@ class IngestConsumer:
 
     def work_once(self) -> bool:
         msg = self.bus.next(
-            INGEST_STREAM, self.consumer, subject_prefix=f"ingest.{self.partition}"
+            INGEST_STREAM, self.consumer, subject_prefix=f"ingest.{self.partition}."
         )
         if msg is None:
             return False
@@ -110,7 +119,8 @@ class IngestConsumer:
             NOTIFY_STREAM,
             f"notify.{bm.kbid}",
             json.dumps(
-                {"kbid": bm.kbid, "rid": rid, "op": bm.op, "seq": int(seq) if seq else None}
+                {"kbid": bm.kbid, "rid": rid, "op": bm.op,
+                 "seq": int(seq) if seq is not None else None}
             ).encode(),
         )
         return True

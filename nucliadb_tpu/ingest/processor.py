@@ -60,18 +60,24 @@ class Processor:
     # ---- writes ------------------------------------------------------------
 
     def create_resource(
-        self, kbid: str, payload: CreateResourcePayload, rid: str | None = None
+        self, kbid: str, payload: CreateResourcePayload, rid: str | None = None,
+        *, created: float | None = None,
     ) -> tuple[str, int]:
         rid = rid or uuid.uuid4().hex
         shard_id = self.kbs.writable_shard(kbid)
         now = time.time()
+        # imports/restores carry the original creation time — stamping
+        # import time would break date-range filters and ordering
         meta = ResourceMeta(
-            rid=rid, shard=shard_id, slug=payload.slug, created=now, modified=now
+            rid=rid, shard=shard_id, slug=payload.slug,
+            created=created if created is not None else now, modified=now,
         )
         with self.driver as txn:
             if payload.slug:
                 existing = txn.get(RESOURCE_SLUG.format(kbid=kbid, slug=payload.slug))
-                if existing is not None:
+                # a slug mapping to the SAME rid is a redelivered create
+                # (at-least-once bus): overwrite instead of poisoning
+                if existing is not None and existing.decode() != rid:
                     raise KeyError(f"resource slug exists: {payload.slug}")
                 txn.set(RESOURCE_SLUG.format(kbid=kbid, slug=payload.slug), rid.encode())
             txn.set(
@@ -79,7 +85,7 @@ class Processor:
                 payload.model_dump_json().encode(),
             )
             txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
-        doc = ResourceBrain(rid).build(payload, created=now)
+        doc = ResourceBrain(rid).build(payload, created=meta.created)
         seq = self.node.index(shard_id, doc, hidden=payload.hidden)
         self.kbs.record_resource(kbid, shard_id, +1)
         return rid, int(seq)

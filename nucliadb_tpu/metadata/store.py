@@ -181,6 +181,14 @@ class MetadataStore:
             self._conn.execute(
                 "UPDATE shards SET deleted_at=? WHERE id=?", (time.time(), shard_id)
             )
+            # retire the shard's segments (blobs + rows purge later) — a
+            # deleted shard's segments otherwise leaked forever, doubling
+            # storage on every rollover
+            self._conn.execute(
+                "UPDATE segments SET delete_at=? WHERE index_id IN"
+                " (SELECT id FROM indexes WHERE shard_id=?)",
+                (time.time(), shard_id),
+            )
             self._conn.execute(
                 "UPDATE indexes SET deleted_at=? WHERE shard_id=?",
                 (time.time(), shard_id),
@@ -473,3 +481,19 @@ class MetadataStore:
             self._conn.execute(
                 "DELETE FROM index_requests WHERE acked=1 AND seq<?", (int(below),)
             )
+
+    def expire_stale_requests(self, ttl_s: float = 300.0) -> int:
+        """Drop unacked index requests older than ttl (a crash between
+        record_index_request and the ack would otherwise pin the ack floor
+        forever, halting merges and eventually rejecting every write via
+        back-pressure). Safe: a request that old either committed its
+        op transactionally or left nothing behind — skipping it cannot
+        merge past in-flight work."""
+        import time as _time
+
+        with self._lock, self._conn:
+            cur = self._conn.execute(
+                "DELETE FROM index_requests WHERE acked=0 AND created_at<?",
+                (_time.time() - ttl_s,),
+            )
+            return cur.rowcount

@@ -143,7 +143,9 @@ class SchedulerService:
                     )
 
     def tick(self) -> int:
+        self.metadata.expire_stale_requests()
         jobs = self.schedule_merges()
         self.purge_segments()
         self.purge_deletions()
+        self.metadata.prune_acked_requests(self.metadata.ack_floor())
         return jobs

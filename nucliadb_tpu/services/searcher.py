@@ -86,7 +86,10 @@ class SyncedSearcher:
             # lazily on first search (parity: the reference's cache
             # invalidates on change, loads on demand)
             if shard_id in self._shards:
-                self._reload_shard(shard_id)
+                with self._mu:
+                    load = self._loads.setdefault(shard_id, threading.Lock())
+                with load:  # same single-flight lock the lazy path takes
+                    self._reload_shard(shard_id)
         return sorted(dirty)
 
     def _open_index_meta(self, index_id: int) -> SimpleOpenIndex:

@@ -64,6 +64,29 @@ class WorkerService:
         raise KeyError(f"unknown index {index_id}")
 
     def _run_job(self, job: MergeJob) -> None:
+        import threading
+
+        # heartbeat for the WHOLE job from a side thread: a merge longer
+        # than the stale lease window would otherwise let a second worker
+        # re-lease the job and commit a duplicate merged segment
+        hb_stop = threading.Event()
+
+        def heartbeat():
+            while not hb_stop.wait(10.0):
+                try:
+                    self.metadata.heartbeat_merge_job(job.id)
+                except Exception:
+                    return
+
+        hb = threading.Thread(target=heartbeat, daemon=True)
+        hb.start()
+        try:
+            self._run_job_inner(job)
+        finally:
+            hb_stop.set()
+            hb.join(timeout=1)
+
+    def _run_job_inner(self, job: MergeJob) -> None:
         index = self._index_kind_and_config(job.index_id)
         operants = self.metadata.merge_job_segments(job.id)
         if len(operants) < 2:
@@ -75,9 +98,6 @@ class WorkerService:
         for seg in operants:
             local = os.path.join(job_dir, f"seg_{seg.id}")
             download_segment(self.storage, seg.storage_key, local)
-            # heartbeat per download: a long download phase must not let the
-            # lease go stale and a second worker double-run the job
-            self.metadata.heartbeat_merge_job(job.id)
             open_index.segment_list.append(
                 (
                     SegmentMetadata(

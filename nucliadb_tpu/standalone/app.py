@@ -104,6 +104,10 @@ class StandaloneApp:
             try:
                 self.node.tick_background()
                 self.tus.purge_stale()
+                # retention for the scan-consumed streams (nothing acks
+                # them, so age bounds their growth)
+                self.bus.purge_older_than("ndb_notify", 7 * 24 * 3600)
+                self.bus.purge_older_than("ndb_audit", 30 * 24 * 3600)
                 self._sync(force=True)
             except Exception:
                 pass

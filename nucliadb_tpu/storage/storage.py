@@ -118,9 +118,16 @@ def upload_segment(storage: Storage, key: str, segment_dir: str) -> int:
 
 
 def download_segment(storage: Storage, key: str, target_dir: str) -> None:
-    if os.path.isdir(target_dir) and os.listdir(target_dir):
+    marker = os.path.join(target_dir, ".complete")
+    if os.path.exists(marker):
         return  # already synced (searcher warm resume, sync.rs diff)
+    # a non-empty dir WITHOUT the marker is a half-extracted crash leftover:
+    # re-extract from scratch (treating it as synced served partial files)
+    if os.path.isdir(target_dir):
+        shutil.rmtree(target_dir, ignore_errors=True)
     unpack_segment(storage.get(key), target_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
 
 
 def delete_local(path: str) -> None:

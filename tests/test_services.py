@@ -323,3 +323,74 @@ def test_control_socket(tmp_path):
         assert probe(str(tmp_path / "ctl.sock"), "ready")
     finally:
         ctl.close()
+
+
+def test_stale_index_request_does_not_wedge_ack_floor(tmp_path):
+    """A crash between record_index_request and the ack must not pin the
+    ack floor forever (merges + back-pressure would wedge permanently)."""
+    from nucliadb_tpu.metadata import MetadataStore
+    from nucliadb_tpu.types import Seq
+
+    m = MetadataStore(str(tmp_path / "m.db"))
+    m.record_index_request(Seq(1))
+    m.ack_index_request(Seq(1))
+    m.record_index_request(Seq(2))  # crashed op: never acked
+    m.record_index_request(Seq(3))
+    m.ack_index_request(Seq(3))
+    assert int(m.ack_floor()) == 1  # wedged on seq 2
+    assert m.expire_stale_requests(ttl_s=0.0) == 1
+    assert int(m.ack_floor()) == 3
+
+
+def test_delete_shard_retires_segments(tmp_path):
+    from nucliadb_tpu.metadata import MetadataStore
+    from nucliadb_tpu.types import Seq
+
+    m = MetadataStore(str(tmp_path / "m.db"))
+    m.create_shard("s1", "kb")
+    idx = m.create_index("s1", "text", "text", {})
+    row = m.create_segment(idx.id, Seq(1), records=10)
+    m.commit_operation(ready_segments=[row.id], deletions=[], touched_indexes=[idx.id])
+    assert not any(s.id == row.id for s in m.purgeable_segments())
+    m.delete_shard("s1")
+    assert any(s.id == row.id for s in m.purgeable_segments())
+
+
+def test_create_redelivery_is_idempotent(tmp_path):
+    """A redelivered create (same rid+slug) overwrites instead of raising
+    'slug exists' forever (at-least-once bus)."""
+    from nucliadb_tpu.common.kb import KnowledgeBoxManager
+    from nucliadb_tpu.ingest.processor import Processor
+    from nucliadb_tpu.maindb import Driver
+    from nucliadb_tpu.models.api import CreateResourcePayload, KnowledgeBoxConfig
+
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"), storage=MemoryStorage())
+    driver = Driver(str(tmp_path / "kv.db"))
+    kbs = KnowledgeBoxManager(driver, node)
+    processor = Processor(driver, node, kbs)
+    kbid = kbs.create(KnowledgeBoxConfig(slug="idem"))
+    payload = CreateResourcePayload(slug="res1", title="A")
+    rid, _ = processor.create_resource(kbid, payload, rid="fixedrid")
+    # redelivery with the SAME rid: succeeds
+    rid2, _ = processor.create_resource(kbid, payload, rid="fixedrid")
+    assert rid2 == rid
+    # a DIFFERENT rid claiming the slug still conflicts
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        processor.create_resource(kbid, payload, rid="otherrid")
+
+
+def test_commit_stamps_rid_and_partition_subjects(tmp_path):
+    from nucliadb_tpu.bus import EmbeddedBus
+    from nucliadb_tpu.ingest.consumer import BrokerMessage, TransactionUtility
+
+    bus = EmbeddedBus(str(tmp_path / "bus.db"))
+    tx = TransactionUtility(bus, partitions=12)
+    msg = BrokerMessage(kbid="kb1", rid=None, op="create", payload={"title": "x"})
+    tx.commit(msg)
+    assert msg.rid  # stamped at publish time for idempotent redelivery
+    # subjects carry a trailing delimiter so 'ingest.1.' never GLOB-matches
+    # partition 10's messages
+    msgs = bus.scan("ndb_ingest", subject_prefix="ingest.")
+    assert all(m.subject.endswith(".") for m in msgs)
