@@ -1335,6 +1335,7 @@ class StandaloneApp:
                 body.get("output_dir") or os.path.join(
                     self.node.data_dir, "trainsets", kbid, request.params["task"]
                 ),
+                format=body.get("format", "arrow"),
             )
             return 201, manifest
 

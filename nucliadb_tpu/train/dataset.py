@@ -1,8 +1,12 @@
 """Dataset export: persist train batches to disk partitions.
 
-Parity with the reference's nucliadb_dataset package (export of train
-streams to Arrow partitions): each partition is a msgpack file of batches
-plus a manifest — a dependency-free equivalent consumable by any loader.
+Parity with the reference's nucliadb_dataset package
+(nucliadb_dataset/src/nucliadb_dataset/dataset.py — export of Train gRPC
+streams to one Arrow IPC file per partition plus a manifest): partitions
+are Arrow streaming-format files (``pyarrow.ipc.new_stream``) with a
+schema derived from the task's batch type, so any Arrow/HuggingFace loader
+consumes them directly. A msgpack format is kept as a dependency-free
+fallback (``format="msgpack"``).
 """
 
 from __future__ import annotations
@@ -41,6 +45,24 @@ def _register():
 _register()
 
 
+def _arrow_type(value):
+    """Arrow type for one column's sample value (str | list[str] |
+    list[list[str]] columns are what the batch dataclasses contain)."""
+    import pyarrow as pa
+
+    if value and isinstance(value[0], list):
+        if value[0] and isinstance(value[0][0], list):
+            return pa.list_(pa.list_(pa.string()))
+        return pa.list_(pa.string())
+    return pa.string()
+
+
+def _arrow_schema(columns: dict):
+    import pyarrow as pa
+
+    return pa.schema([(name, _arrow_type(col)) for name, col in columns.items()])
+
+
 def export_trainset(
     processor: Processor,
     trainset: TrainSet,
@@ -48,13 +70,20 @@ def export_trainset(
     output_dir: str,
     *,
     batches_per_partition: int = 64,
+    format: str = "arrow",
 ) -> dict:
-    """Write partition files + manifest; returns the manifest."""
+    """Write partition files + manifest; returns the manifest.
+
+    ``format="arrow"`` (default) writes Arrow IPC streaming files — the
+    reference dataset layout; ``format="msgpack"`` writes msgpack lists.
+    """
     if task not in GENERATORS:
         raise ValueError(f"unknown train task {task!r}; options: {sorted(GENERATORS)}")
+    if format not in ("arrow", "msgpack"):
+        raise ValueError(f"unknown format {format!r}")
     os.makedirs(output_dir, exist_ok=True)
     generator = GENERATORS[task](processor, trainset)
-    partitions = []
+    partitions: list[str] = []
     current: list[dict] = []
     examples = 0
 
@@ -62,9 +91,24 @@ def export_trainset(
         nonlocal current
         if not current:
             return
-        name = f"part-{len(partitions):05d}.msgpack"
-        with open(os.path.join(output_dir, name), "wb") as f:
-            f.write(msgpack.packb(current))
+        if format == "arrow":
+            import pyarrow as pa
+
+            name = f"part-{len(partitions):05d}.arrow"
+            schema = _arrow_schema(current[0])
+            with pa.OSFile(os.path.join(output_dir, name), "wb") as sink:
+                with pa.ipc.new_stream(sink, schema) as writer:
+                    for d in current:
+                        writer.write_batch(
+                            pa.record_batch(
+                                [pa.array(col, type=schema.field(k).type) for k, col in d.items()],
+                                schema=schema,
+                            )
+                        )
+        else:
+            name = f"part-{len(partitions):05d}.msgpack"
+            with open(os.path.join(output_dir, name), "wb") as f:
+                f.write(msgpack.packb(current))
         partitions.append(name)
         current = []
 
@@ -79,6 +123,7 @@ def export_trainset(
         "kbid": trainset.kbid,
         "task": task,
         "batch_size": trainset.batch_size,
+        "format": format,
         "partitions": partitions,
         "examples": examples,
     }
@@ -88,5 +133,16 @@ def export_trainset(
 
 
 def load_partition(path: str) -> list[dict]:
+    """Read one partition back as a list of column-dict batches (both
+    formats)."""
+    if path.endswith(".arrow"):
+        import pyarrow as pa
+
+        out = []
+        with pa.OSFile(path, "rb") as source:
+            with pa.ipc.open_stream(source) as reader:
+                for rb in reader:
+                    out.append({name: rb.column(i).to_pylist() for i, name in enumerate(rb.schema.names)})
+        return out
     with open(path, "rb") as f:
         return msgpack.unpackb(f.read())

@@ -116,7 +116,32 @@ def test_export_trainset(stack, tmp_path):
         processor, TrainSet(kbid=kbid), "paragraph_classification", str(tmp_path / "ds")
     )
     assert manifest["examples"] >= 3
+    assert manifest["format"] == "arrow"
+    assert manifest["partitions"][0].endswith(".arrow")
     part = load_partition(str(tmp_path / "ds" / manifest["partitions"][0]))
+    assert part[0]["texts"]
+    assert isinstance(part[0]["labels"][0], list)
+
+    # arrow partitions are plain IPC streams any arrow loader reads
+    import pyarrow as pa
+
+    with pa.OSFile(str(tmp_path / "ds" / manifest["partitions"][0]), "rb") as f:
+        table = pa.ipc.open_stream(f).read_all()
+    assert table.num_rows == manifest["examples"]
+    assert set(table.schema.names) == {"texts", "labels"}
+
+
+def test_export_trainset_msgpack(stack, tmp_path):
+    node, driver, kbs, processor, kbid = stack
+    manifest = export_trainset(
+        processor,
+        TrainSet(kbid=kbid),
+        "sentences",
+        str(tmp_path / "ds2"),
+        format="msgpack",
+    )
+    assert manifest["partitions"][0].endswith(".msgpack")
+    part = load_partition(str(tmp_path / "ds2" / manifest["partitions"][0]))
     assert part[0]["texts"]
 
 
