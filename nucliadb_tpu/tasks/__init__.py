@@ -1,19 +1,29 @@
 """Generic task framework over the bus.
 
-Parity: nucliadb/src/nucliadb/tasks/ (producer/consumer pairs on NATS
-streams, tasks/consumer.py:40-111): registered callbacks consume typed task
-messages with at-least-once semantics and poison-message skipping.
+Parity: nucliadb/src/nucliadb/tasks/ — registered producer/consumer pairs on
+dedicated NATS streams (tasks/producer.py create_producer, tasks/consumer.py
+:40-111 NatsTaskConsumer): producers validate a typed message before
+publishing; consumers invoke the registered callback with at-least-once
+semantics, bounded retries and poison-message skipping (the bus enforces the
+reference's <=5 redeliveries); messages that exhaust their deliveries are
+recorded on a dead-letter subject for operator inspection instead of being
+silently dropped.
 """
 
 from __future__ import annotations
 
 import json
+import logging
 from dataclasses import dataclass
-from typing import Callable
+from typing import Callable, Optional, Type
 
-from ..bus import BusMessage, EmbeddedBus
+from ..bus import EmbeddedBus
+from ..bus.stream import MAX_DELIVERIES
+
+logger = logging.getLogger(__name__)
 
 TASK_STREAM = "ndb_tasks"
+DLQ_PREFIX = "dlq."
 
 
 @dataclass
@@ -21,25 +31,52 @@ class TaskMessage:
     kbid: str
     payload: dict
 
+    def validate(self) -> None:
+        if not self.kbid:
+            raise ValueError("task message requires kbid")
+
 
 class TaskProducer:
-    def __init__(self, bus: EmbeddedBus, name: str):
+    """Publishes typed task messages to the task stream.
+
+    ``message_type`` may be any class with ``kbid``/``payload`` attributes
+    and an optional ``validate()`` — the reference validates its pydantic
+    task models the same way before the NATS publish.
+    """
+
+    def __init__(self, bus: EmbeddedBus, name: str,
+                 message_type: Type = TaskMessage):
         self.bus = bus
         self.name = name
+        self.message_type = message_type
 
     def send(self, kbid: str, **payload) -> int:
+        msg = self.message_type(kbid=kbid, payload=payload)
+        if hasattr(msg, "validate"):
+            msg.validate()
         return self.bus.publish(
             TASK_STREAM,
             f"task.{self.name}",
-            json.dumps({"kbid": kbid, "payload": payload}).encode(),
+            json.dumps({"kbid": msg.kbid, "payload": msg.payload}).encode(),
         )
 
 
 class TaskConsumer:
-    def __init__(self, bus: EmbeddedBus, name: str, callback: Callable[[TaskMessage], None]):
+    """Consumes one task type; bounded retries, then dead-letter.
+
+    A failing callback naks the message for redelivery; once the bus-side
+    delivery cap is reached the message is copied to ``dlq.{name}`` and
+    acked so the stream keeps moving (parity: indexer.rs skip-after-5 with
+    the added DLQ record for visibility).
+    """
+
+    def __init__(self, bus: EmbeddedBus, name: str,
+                 callback: Callable[[TaskMessage], None],
+                 message_type: Type = TaskMessage):
         self.bus = bus
         self.name = name
         self.callback = callback
+        self.message_type = message_type
         self.consumer = f"task_consumer_{name}"
 
     def work_once(self) -> bool:
@@ -48,10 +85,21 @@ class TaskConsumer:
             return False
         try:
             data = json.loads(msg.payload)
-            self.callback(TaskMessage(kbid=data["kbid"], payload=data["payload"]))
+            self.callback(self.message_type(kbid=data["kbid"], payload=data["payload"]))
         except Exception:
-            self.bus.nak(TASK_STREAM, self.consumer, msg.seq)
-            raise
+            logger.exception(
+                "task %s seq=%d failed (delivery %d/%d)",
+                self.name, msg.seq, msg.deliveries, MAX_DELIVERIES,
+            )
+            if msg.deliveries >= MAX_DELIVERIES:
+                # final attempt: dead-letter + ack so the queue keeps moving
+                self.bus.publish(
+                    TASK_STREAM, f"{DLQ_PREFIX}{self.name}", msg.payload
+                )
+                self.bus.ack(TASK_STREAM, self.consumer, msg.seq)
+            else:
+                self.bus.nak(TASK_STREAM, self.consumer, msg.seq)
+            return True
         self.bus.ack(TASK_STREAM, self.consumer, msg.seq)
         return True
 
@@ -60,3 +108,29 @@ class TaskConsumer:
         while self.work_once():
             n += 1
         return n
+
+    def dead_letters(self) -> list[TaskMessage]:
+        """Read this task's dead-letter records (newest last)."""
+        out = []
+        for m in self.bus.scan(TASK_STREAM, subject_prefix=f"{DLQ_PREFIX}{self.name}"):
+            data = json.loads(m.payload)
+            out.append(self.message_type(kbid=data["kbid"], payload=data["payload"]))
+        return out
+
+
+# ---- registry (parity: tasks/registry.py create_producer/create_consumer) --
+
+_PRODUCERS: dict[str, TaskProducer] = {}
+
+
+def create_producer(bus: EmbeddedBus, name: str,
+                    message_type: Type = TaskMessage) -> TaskProducer:
+    if name not in _PRODUCERS or _PRODUCERS[name].bus is not bus:
+        _PRODUCERS[name] = TaskProducer(bus, name, message_type)
+    return _PRODUCERS[name]
+
+
+def create_consumer(bus: EmbeddedBus, name: str,
+                    callback: Callable[[TaskMessage], None],
+                    message_type: Type = TaskMessage) -> TaskConsumer:
+    return TaskConsumer(bus, name, callback, message_type)

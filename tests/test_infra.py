@@ -101,6 +101,49 @@ def test_tasks_framework():
     assert done == [("kb1", {"rid": "r1"}), ("kb2", {"rid": "r2"})]
 
 
+def test_tasks_retry_then_dead_letter():
+    from nucliadb_tpu.bus.stream import MAX_DELIVERIES
+    from nucliadb_tpu.tasks import create_consumer, create_producer
+
+    bus = EmbeddedBus(ack_wait=0.0)  # expired lease -> immediate redelivery
+    attempts = []
+
+    def boom(task):
+        attempts.append(task.kbid)
+        raise RuntimeError("poison")
+
+    producer = create_producer(bus, "reindex")
+    consumer = create_consumer(bus, "reindex", boom)
+    producer.send("kbp", rid="r1")
+    for _ in range(MAX_DELIVERIES + 2):
+        consumer.work_once()
+    # retried exactly MAX_DELIVERIES times, then dead-lettered + acked
+    assert attempts == ["kbp"] * MAX_DELIVERIES
+    dlq = consumer.dead_letters()
+    assert len(dlq) == 1 and dlq[0].kbid == "kbp" and dlq[0].payload == {"rid": "r1"}
+    # stream keeps moving: a healthy task after the poison one still runs
+    ok = []
+    consumer2 = create_consumer(
+        bus, "reindex", lambda t: ok.append(t.kbid)
+    )
+    # reuse same durable consumer name: already past the poison message
+    consumer2.consumer = consumer.consumer
+    producer.send("kbq", rid="r2")
+    assert consumer2.drain() == 1
+    assert ok == ["kbq"]
+
+
+def test_task_producer_validates():
+    import pytest
+
+    from nucliadb_tpu.tasks import create_producer
+
+    bus = EmbeddedBus()
+    producer = create_producer(bus, "validated")
+    with pytest.raises(ValueError):
+        producer.send("", rid="r1")
+
+
 def test_audit_stream():
     bus = EmbeddedBus()
     audit = AuditStream(bus)
