@@ -200,6 +200,7 @@ class FindRequest(BaseModel):
     highlight: bool = False
     show_hidden: bool = False
     rank_fusion: str = "rrf"  # rrf | weighted
+    reranker: str = "noop"  # noop | predict (model rerank over a 5x window)
     keyword_boost: float = 1.0
     semantic_boost: float = 1.0
     with_synonyms: bool = False  # expand the keyword query with KB synonyms

@@ -287,6 +287,29 @@ class SearchService:
                 ]
             cut = fused[request.offset : request.offset + request.top_k]
 
+        if (
+            request.reranker == "predict"
+            and self.predict is not None
+            and hasattr(self.predict, "rerank")
+            and request.query
+        ):
+            # model rerank over a 5x window (parity: rerankers.py
+            # PredictReranker requests top_k*5 then reorders by model score;
+            # cursor pagination over reranked scores is best-effort, as in
+            # the reference)
+            with metrics.time("rerank"):
+                window = fused[request.offset : request.offset + min(request.top_k * 5, 200)]
+                passages = [
+                    (self.processor.field_text(kbid, b.rid, b.field) or "")[b.start : b.end]
+                    for b in window
+                ]
+                scores = self.predict.rerank(kbid, request.query, passages)
+                order = sorted(range(len(window)), key=lambda i: -scores[i])
+                cut = []
+                for i in order[: request.top_k]:
+                    window[i].fused_score = float(scores[i])
+                    cut.append(window[i])
+
 
         with metrics.time("hydration"):
             highlight_terms: list[str] = []

@@ -45,15 +45,24 @@ class HashingEncoder:
 
 
 class LocalPredictEngine:
-    """In-process embeddings (+ optional generation callable)."""
+    """In-process embeddings (+ optional generation/rerank callables).
+
+    Covers the reference Predict client's full method surface
+    (search/predict.py: /query embeddings + rephrase + entity detection,
+    /chat generation, /rerank, /summarize) with local callables; every
+    hook has a deterministic dependency-free default so embedded
+    deployments work without any external model service.
+    """
 
     def __init__(
         self,
         encoder: Optional[Callable[[str], np.ndarray]] = None,
         generator: Optional[Callable[[str, list[str]], str]] = None,
+        reranker: Optional[Callable[[str, list[str]], list[float]]] = None,
     ):
         self.encoder = encoder or HashingEncoder()
         self.generator = generator
+        self.reranker = reranker
 
     def embed(self, kbid: str, vectorset: str, text: str) -> Optional[np.ndarray]:
         return np.asarray(self.encoder(text), np.float32)
@@ -63,6 +72,46 @@ class LocalPredictEngine:
             joined = "\n\n".join(context[:3])
             return f"[no generative model configured]\n{joined}"
         return self.generator(prompt, context)
+
+    def rerank(self, kbid: str, query: str, passages: list[str]) -> list[float]:
+        """Model scores per passage (higher = better). Default: cosine of
+        the hashing embeddings — deterministic, test-grade."""
+        if self.reranker is not None:
+            return list(self.reranker(query, passages))
+        q = self.embed(kbid, "", query)
+        out = []
+        for p in passages:
+            v = self.embed(kbid, "", p)
+            out.append(float(np.dot(q, v)))
+        return out
+
+    def rephrase(self, kbid: str, query: str, chat_history: list[dict]) -> str:
+        """Standalone-question rewrite given chat history (parity:
+        predict.py rephrase_query). Default folds trailing user turns in."""
+        if self.generator is not None:
+            prompt = (
+                "Rewrite the last user question as a standalone question.\n"
+                + "\n".join(f"{m.get('author', 'user')}: {m.get('text', '')}" for m in chat_history)
+                + f"\nuser: {query}"
+            )
+            return self.generator(prompt, [])
+        prev = [m.get("text", "") for m in chat_history if m.get("author", "user") == "user"]
+        return " ".join(prev[-2:] + [query]).strip() if prev else query
+
+    def detect_entities(self, kbid: str, text: str) -> list[dict]:
+        """Capitalized-token entity spans (parity: /query entity detection;
+        real deployments plug an NER model via the generator seam)."""
+        out = []
+        for m in __import__("re").finditer(r"\b([A-Z][a-zA-Z0-9_-]+(?:\s+[A-Z][a-zA-Z0-9_-]+)*)", text):
+            if m.start() == 0 and " " not in m.group(0) and len(out) == 0 and text[:1].isupper():
+                continue  # sentence-initial single word: usually not an entity
+            out.append({"text": m.group(0), "family": "GENERIC", "start": m.start(), "end": m.end()})
+        return out
+
+    def summarize(self, kbid: str, texts: list[str]) -> str:
+        if self.generator is not None:
+            return self.generator("Summarize the following documents.", texts)
+        return " ".join(t.split(".")[0].strip() + "." for t in texts if t.strip())
 
 
 class HTTPPredictEngine:
@@ -84,3 +133,27 @@ class HTTPPredictEngine:
         )
         resp.raise_for_status()
         return resp.json()["answer"]
+
+    def rerank(self, kbid: str, query: str, passages: list[str]) -> list[float]:
+        resp = self.client.post(
+            "/rerank", json={"kbid": kbid, "query": query, "passages": passages}
+        )
+        resp.raise_for_status()
+        return list(resp.json()["scores"])
+
+    def rephrase(self, kbid: str, query: str, chat_history: list[dict]) -> str:
+        resp = self.client.post(
+            "/rephrase", json={"kbid": kbid, "query": query, "chat_history": chat_history}
+        )
+        resp.raise_for_status()
+        return resp.json()["rephrased"]
+
+    def detect_entities(self, kbid: str, text: str) -> list[dict]:
+        resp = self.client.post("/entities", json={"kbid": kbid, "text": text})
+        resp.raise_for_status()
+        return list(resp.json()["entities"])
+
+    def summarize(self, kbid: str, texts: list[str]) -> str:
+        resp = self.client.post("/summarize", json={"kbid": kbid, "texts": texts})
+        resp.raise_for_status()
+        return resp.json()["summary"]

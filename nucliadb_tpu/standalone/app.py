@@ -750,6 +750,22 @@ class StandaloneApp:
                     kbid, body.get("question", ""), body.get("context", [])
                 )
                 return {"answer": answer}
+            if endpoint == "rerank" and hasattr(engine, "rerank"):
+                return {
+                    "scores": engine.rerank(
+                        kbid, body.get("query", ""), body.get("passages", [])
+                    )
+                }
+            if endpoint == "rephrase" and hasattr(engine, "rephrase"):
+                return {
+                    "rephrased": engine.rephrase(
+                        kbid, body.get("query", ""), body.get("chat_history", [])
+                    )
+                }
+            if endpoint == "tokens" and hasattr(engine, "detect_entities"):
+                return {"entities": engine.detect_entities(kbid, body.get("text", ""))}
+            if endpoint == "summarize" and hasattr(engine, "summarize"):
+                return {"summary": engine.summarize(kbid, body.get("texts", []))}
             raise HTTPError(404, f"unknown predict endpoint {endpoint}")
 
         @r.get("/api/v1/kb/{kbid}/models")

@@ -407,3 +407,45 @@ def test_date_range_filters(stack):
     # catalog honors the window too
     cat = search.catalog(kbid, CatalogRequest(range_creation_start=cutoff))
     assert [r.id for r in cat.resources] == [late_rid]
+
+
+def test_find_predict_reranker(tmp_path):
+    """The predict reranker reorders the fused window by model score
+    (parity: rerankers.py PredictReranker over a top_k*5 window)."""
+    from nucliadb_tpu.search.predict import LocalPredictEngine
+
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"), storage=MemoryStorage())
+    driver = Driver(str(tmp_path / "kv.db"))
+    kbs = KnowledgeBoxManager(driver, node)
+    processor = Processor(driver, node, kbs)
+    # rerank callable strongly prefers passages mentioning "snail"
+    engine = LocalPredictEngine(
+        reranker=lambda q, ps: [10.0 if "snail" in p else 0.0 for p in ps]
+    )
+    search = SearchService(node, kbs, processor, predict=engine)
+    kbid = kbs.create(KnowledgeBoxConfig(slug="rrkb"))
+    processor.create_resource(
+        kbid, payload("Fox", "the quick brown fox jumps high", slug="fox")
+    )
+    snail_rid, _ = processor.create_resource(
+        kbid, payload("Snail", "the quick snail crawls slowly", slug="snail")
+    )
+    node.wait_for_sync()
+
+    base = FindRequest(query="quick", features=[SearchFeature.KEYWORD], top_k=2)
+    plain = search.find(kbid, base)
+    assert len(plain.best_matches) == 2
+
+    reranked = search.find(
+        kbid,
+        FindRequest(query="quick", features=[SearchFeature.KEYWORD], top_k=2,
+                    reranker="predict"),
+    )
+    # the snail paragraph wins under the model scores
+    assert reranked.best_matches[0].startswith(snail_rid)
+    first = reranked.resources[snail_rid]
+    top = min(
+        (p for f in first.fields.values() for p in f.paragraphs.values()),
+        key=lambda p: p.order,
+    )
+    assert top.score == 10.0

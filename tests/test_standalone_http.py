@@ -926,6 +926,28 @@ def test_predict_proxy_and_models(tmp_path_factory):
             f"/api/v1/kb/{kbid}/predict/nope", json={}
         ).status_code == 404
         assert client.get(f"/api/v1/kb/{kbid}/models").json() == {"models": []}
+        # the full predict client surface: rerank / rephrase / tokens / summarize
+        scores = client.post(
+            f"/api/v1/kb/{kbid}/predict/rerank",
+            json={"query": "fast fox", "passages": ["a fast fox", "slow snail"]},
+        ).json()["scores"]
+        assert len(scores) == 2 and scores[0] > scores[1]
+        reph = client.post(
+            f"/api/v1/kb/{kbid}/predict/rephrase",
+            json={"query": "and the second?", "chat_history": [
+                {"author": "user", "text": "who wrote the first book?"}]},
+        ).json()["rephrased"]
+        assert reph  # generator-backed: a standalone-question rewrite
+        ents = client.post(
+            f"/api/v1/kb/{kbid}/predict/tokens",
+            json={"text": "I met Marie Curie in Paris"},
+        ).json()["entities"]
+        assert any(e["text"] == "Marie Curie" for e in ents)
+        summ = client.post(
+            f"/api/v1/kb/{kbid}/predict/summarize",
+            json={"texts": ["First doc. More.", "Second doc. Extra."]},
+        ).json()["summary"]
+        assert summ
         # with a predict engine, /ask generates and /find can embed queries
         client.post(
             f"/api/v1/kb/{kbid}/resources",
