@@ -10,6 +10,9 @@ off. Rollover-based reindex migrations reuse common/rollover.py.
 from __future__ import annotations
 
 import json
+import time
+import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -38,6 +41,9 @@ class MigrationContext:
     processor: Processor
 
 
+LOCK_KEY = "/migration/lock"
+LOCK_TTL = 120.0
+
 _REGISTRY: list[Migration] = []
 
 
@@ -56,25 +62,70 @@ def current_version(driver: Driver) -> int:
     return int(raw) if raw else 0
 
 
-def run_migrations(context: MigrationContext) -> list[str]:
-    """Apply every pending migration in order; returns the applied names."""
+@contextmanager
+def migration_lock(driver: Driver, *, timeout: float = 30.0):
+    """KV lease lock so only one process runs migrations (parity: the
+    reference's PG advisory lock around migrations, metadata.rs:36,75-82,
+    and the Python migrator's distributed lock). Expired leases (a crashed
+    migrator) are taken over after LOCK_TTL."""
+    owner = uuid.uuid4().hex
+    deadline = time.time() + timeout
+    while True:
+        now = time.time()
+        with driver as txn:
+            raw = txn.get(LOCK_KEY)
+            holder = json.loads(raw) if raw else None
+            if holder is None or holder["expires"] < now:
+                txn.set(
+                    LOCK_KEY,
+                    json.dumps({"owner": owner, "expires": now + LOCK_TTL}).encode(),
+                )
+                break
+        if time.time() >= deadline:
+            raise TimeoutError("migration lock held by another process")
+        time.sleep(0.05)
+    try:
+        yield
+    finally:
+        with driver as txn:
+            raw = txn.get(LOCK_KEY)
+            if raw and json.loads(raw).get("owner") == owner:
+                txn.delete(LOCK_KEY)
+
+
+def latest_version() -> int:
+    return _REGISTRY[-1].version if _REGISTRY else 0
+
+
+def bootstrap_version(driver: Driver) -> None:
+    """Fresh deployments start at the latest version without replaying
+    history (parity: the reference initializes new installs at HEAD)."""
+    with driver as txn:
+        if txn.get(VERSION_KEY) is None:
+            txn.set(VERSION_KEY, str(latest_version()).encode())
+
+
+def run_migrations(context: MigrationContext, *, lock_timeout: float = 30.0) -> list[str]:
+    """Apply every pending migration in order under the migration lock;
+    returns the applied names."""
     applied = []
-    start = current_version(context.driver)
-    for migration in _REGISTRY:
-        if migration.version <= start:
-            continue
-        if migration.global_fn is not None:
-            migration.global_fn(context)
-        if migration.kb_fn is not None:
-            for kbid in context.kbs.list_kbs():
-                kb_done = _kb_version(context.driver, kbid)
-                if migration.version <= kb_done:
-                    continue
-                migration.kb_fn(context, kbid)
-                _set_kb_version(context.driver, kbid, migration.version)
-        with context.driver as txn:
-            txn.set(VERSION_KEY, str(migration.version).encode())
-        applied.append(migration.name)
+    with migration_lock(context.driver, timeout=lock_timeout):
+        start = current_version(context.driver)
+        for migration in _REGISTRY:
+            if migration.version <= start:
+                continue
+            if migration.global_fn is not None:
+                migration.global_fn(context)
+            if migration.kb_fn is not None:
+                for kbid in context.kbs.list_kbs():
+                    kb_done = _kb_version(context.driver, kbid)
+                    if migration.version <= kb_done:
+                        continue
+                    migration.kb_fn(context, kbid)
+                    _set_kb_version(context.driver, kbid, migration.version)
+            with context.driver as txn:
+                txn.set(VERSION_KEY, str(migration.version).encode())
+            applied.append(migration.name)
     return applied
 
 

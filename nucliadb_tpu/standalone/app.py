@@ -67,6 +67,7 @@ class StandaloneApp:
         self.driver = Driver(os.path.join(data_dir, "maindb.db"))
         self.kbs = KnowledgeBoxManager(self.driver, self.node)
         self.processor = Processor(self.driver, self.node, self.kbs)
+        self._run_boot_migrations()
         self.search = SearchService(self.node, self.kbs, self.processor, predict=predict)
         self.bus = EmbeddedBus(os.path.join(data_dir, "bus.db"))
         self.audit = AuditStream(self.bus)
@@ -90,6 +91,27 @@ class StandaloneApp:
         self._bg_thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------------
+
+    def _run_boot_migrations(self) -> None:
+        """Boot-time data migrations (parity: standalone/run.py:84 runs the
+        migrator before serving). Fresh data dirs bootstrap at the latest
+        version; existing ones replay pending migrations under the lock."""
+        from ..migrator import (
+            MigrationContext,
+            bootstrap_version,
+            migrations as _builtin,  # noqa: F401 — import registers them
+            run_migrations,
+        )
+
+        if self.kbs.list_kbs():
+            run_migrations(
+                MigrationContext(
+                    driver=self.driver, node=self.node,
+                    kbs=self.kbs, processor=self.processor,
+                )
+            )
+        else:
+            bootstrap_version(self.driver)
 
     def _sync(self, force: bool = False) -> None:
         """Debounced searcher sync: searches see state at most ~200ms old

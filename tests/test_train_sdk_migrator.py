@@ -276,3 +276,66 @@ def test_new_train_generators(tmp_path):
     ic = list(GENERATORS["image_classification"](processor, ts))
     assert ic and ic[0].content_types == ["image/png"]
     assert node.storage.get(ic[0].blob_keys[0]) == b"\x89PNG fake"
+
+
+def test_migration_lock(stack):
+    import pytest
+
+    from nucliadb_tpu.migrator import migration_lock
+
+    node, driver, kbs, processor, kbid = stack
+    with migration_lock(driver):
+        with pytest.raises(TimeoutError):
+            with migration_lock(driver, timeout=0.2):
+                pass
+    # released: can take it again
+    with migration_lock(driver, timeout=0.2):
+        pass
+
+
+def test_bootstrap_and_builtin_migrations(tmp_path):
+    from nucliadb_tpu.common.kb import RESOURCE_SLUG, KnowledgeBoxManager
+    from nucliadb_tpu.ingest.processor import Processor
+    from nucliadb_tpu.maindb import Driver
+    from nucliadb_tpu.migrator import (
+        MigrationContext,
+        _REGISTRY,
+        bootstrap_version,
+        current_version,
+        latest_version,
+        run_migrations,
+    )
+    from nucliadb_tpu.migrator import migrations as _builtin  # registers
+    from nucliadb_tpu.models.api import CreateResourcePayload, KnowledgeBoxConfig
+    from nucliadb_tpu.services import EmbeddedNode
+    from nucliadb_tpu.storage import MemoryStorage
+
+    assert any(m.name == "backfill-resource-slug-keys" for m in _REGISTRY)
+
+    # fresh deployment: bootstrap to latest, nothing replays
+    driver = Driver(str(tmp_path / "kv.db"))
+    bootstrap_version(driver)
+    assert current_version(driver) == latest_version() >= 2
+
+    # existing deployment with a missing slug key: migration backfills it
+    driver2 = Driver(str(tmp_path / "kv2.db"))
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"), storage=MemoryStorage())
+    kbs = KnowledgeBoxManager(driver2, node)
+    processor = Processor(driver2, node, kbs)
+    kbid = kbs.create(KnowledgeBoxConfig(slug="migkb"))
+    rid, _ = processor.create_resource(
+        kbid, CreateResourcePayload(slug="my-slug", title="T")
+    )
+    slug_key = RESOURCE_SLUG.format(kbid=kbid, slug="my-slug")
+    with driver2 as txn:
+        txn.delete(slug_key)  # simulate pre-slug-twin data
+    applied = run_migrations(
+        MigrationContext(driver=driver2, node=node, kbs=kbs, processor=processor)
+    )
+    assert "backfill-resource-slug-keys" in applied
+    with driver2 as txn:
+        assert txn.get(slug_key) == rid.encode()
+    # idempotent: a second run applies nothing
+    assert run_migrations(
+        MigrationContext(driver=driver2, node=node, kbs=kbs, processor=processor)
+    ) == []
