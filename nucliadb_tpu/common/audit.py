@@ -38,6 +38,8 @@ class AuditStream:
         audit_type: AuditType,
         rid: str = "",
         user: str = "",
+        client_type: str = "",
+        duration_ms: Optional[float] = None,
         detail: Optional[dict] = None,
     ) -> None:
         if self.bus is None:
@@ -47,15 +49,66 @@ class AuditStream:
             "type": audit_type.value,
             "rid": rid,
             "user": user,
+            "client_type": client_type,
             "when": time.time(),
             "detail": detail or {},
         }
+        if duration_ms is not None:
+            event["duration_ms"] = round(duration_ms, 3)
         self.bus.publish(AUDIT_STREAM, f"audit.{kbid}", json.dumps(event).encode())
 
-    def search(self, kbid: str, query: str, results: int, user: str = "") -> None:
+    def search(
+        self,
+        kbid: str,
+        query: str,
+        results: int,
+        user: str = "",
+        client_type: str = "",
+        duration_ms: Optional[float] = None,
+    ) -> None:
         self.report(
             kbid=kbid,
             audit_type=AuditType.SEARCH,
             user=user,
+            client_type=client_type,
+            duration_ms=duration_ms,
             detail={"query": query, "results": results},
+        )
+
+    def suggest(
+        self, kbid: str, query: str, user: str = "", client_type: str = "",
+        duration_ms: Optional[float] = None,
+    ) -> None:
+        self.report(
+            kbid=kbid, audit_type=AuditType.SUGGEST, user=user,
+            client_type=client_type, duration_ms=duration_ms,
+            detail={"query": query},
+        )
+
+    def chat(
+        self,
+        kbid: str,
+        question: str,
+        answer: str,
+        *,
+        rephrased_question: str = "",
+        status: str = "",
+        user: str = "",
+        client_type: str = "",
+        duration_ms: Optional[float] = None,
+    ) -> None:
+        """RAG interaction report (parity: audit stream ChatAudit — question,
+        rephrased question, answer, status code)."""
+        self.report(
+            kbid=kbid,
+            audit_type=AuditType.CHAT,
+            user=user,
+            client_type=client_type,
+            duration_ms=duration_ms,
+            detail={
+                "question": question,
+                "rephrased_question": rephrased_question,
+                "answer": answer[:2048],
+                "status": status,
+            },
         )

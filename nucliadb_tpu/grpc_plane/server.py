@@ -89,6 +89,17 @@ class NodeGrpcServer:
         stats = {"shard_id": shard_id, "indexes": []}
         for index in self.node.metadata.get_indexes(shard_id):
             segs = self.node.metadata.ready_segments(index.id)
+            prewarm = 0
+            for s in segs:
+                if index.kind == "vector":
+                    # device-resident bytes a searcher loads to serve: the
+                    # int8 code arena + the f32 rerank arena (parity:
+                    # GetShard prewarm size, api/shards.rs)
+                    n = int(s.index_metadata.get("n_vectors", s.records))
+                    dim = int(s.index_metadata.get("dim", 0))
+                    prewarm += n * dim * (1 + 4)
+                else:
+                    prewarm += s.size_bytes
             stats["indexes"].append(
                 {
                     "kind": index.kind,
@@ -96,6 +107,7 @@ class NodeGrpcServer:
                     "segments": len(segs),
                     "records": sum(s.records for s in segs),
                     "size_bytes": sum(s.size_bytes for s in segs),
+                    "prewarm_bytes": prewarm,
                 }
             )
         return stats

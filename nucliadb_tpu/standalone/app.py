@@ -337,6 +337,11 @@ class StandaloneApp:
             for field, value in payload.key_values.items():
                 self._check_kv_schema(kbid, field, value)
             seq = self.processor.update_resource(kbid, request.params["rid"], payload)
+            from ..common.audit import AuditType
+
+            self.audit.report(
+                kbid=kbid, audit_type=AuditType.MODIFIED, rid=request.params["rid"]
+            )
             self._notify(kbid, request.params["rid"], "modified", seq)
             return {"seqid": seq}
 
@@ -346,6 +351,11 @@ class StandaloneApp:
             seq = self.processor.delete_resource(kbid, request.params["rid"])
             if seq is None:
                 raise HTTPError(404, "unknown resource")
+            from ..common.audit import AuditType
+
+            self.audit.report(
+                kbid=kbid, audit_type=AuditType.DELETED, rid=request.params["rid"]
+            )
             self._notify(kbid, request.params["rid"], "deleted", seq)
             return 204, None
 
@@ -966,12 +976,27 @@ class StandaloneApp:
             config = {k: v for k, v in json.loads(raw).items() if k != "kind"}
             return {**config, **body}
 
+        def _audit_ctx(request: Request) -> tuple[str, str]:
+            # parity: X-NUCLIADB-USER / X-NDB-CLIENT headers on every
+            # search/chat audit report (audit/stream.py)
+            return (
+                request.headers.get("x-nucliadb-user", ""),
+                request.headers.get("x-ndb-client", ""),
+            )
+
         @r.post("/api/v1/kb/{kbid}/find")
         def find(request: Request):
             kbid = self._kbid(request)
             req = _validate(FindRequest, _apply_search_config(kbid, request.json()))
             self._sync()
-            return self.search.find(kbid, req)
+            t0 = time.monotonic()
+            results = self.search.find(kbid, req)
+            user, client = _audit_ctx(request)
+            self.audit.search(
+                kbid, req.query, len(results.best_matches), user=user,
+                client_type=client, duration_ms=(time.monotonic() - t0) * 1e3,
+            )
+            return results
 
         @r.get("/api/v1/kb/{kbid}/find")
         def find_get(request: Request):
@@ -993,7 +1018,14 @@ class StandaloneApp:
             kbid = self._kbid(request)
             req = _validate(SuggestRequest, request.json())
             self._sync()
-            return self.search.suggest(kbid, req)
+            t0 = time.monotonic()
+            results = self.search.suggest(kbid, req)
+            user, client = _audit_ctx(request)
+            self.audit.suggest(
+                kbid, req.query, user=user, client_type=client,
+                duration_ms=(time.monotonic() - t0) * 1e3,
+            )
+            return results
 
         @r.get("/api/v1/kb/{kbid}/suggest")
         def suggest_get(request: Request):
@@ -1144,7 +1176,14 @@ class StandaloneApp:
             kbid = self._kbid(request)
             req = _validate(AskRequest, _apply_search_config(kbid, request.json()))
             self._sync()
+            t0 = time.monotonic()
             result = self.search.ask(kbid, req)
+            user, client = _audit_ctx(request)
+            self.audit.chat(
+                kbid, req.query, result.answer, status=result.status,
+                user=user, client_type=client,
+                duration_ms=(time.monotonic() - t0) * 1e3,
+            )
             accept = request.headers.get("x-synchronous", "")
             if request.query.get("stream") != "ndjson" and accept != "false":
                 return result
@@ -1402,6 +1441,20 @@ class StandaloneApp:
             stats = self.node.tick_background()
             self._sync(force=True)
             return stats
+
+        @r.post("/api/v1/admin/loglevel")
+        def set_log_level(request: Request):
+            """Dynamic log level (parity: nidx telemetry.rs:57-60 runtime
+            log-level switch; Python logs.py dynamic levels)."""
+            import logging as _logging
+
+            body = request.json() or {}
+            level = str(body.get("level", "")).upper()
+            if level not in ("DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL"):
+                raise HTTPError(422, f"unknown level {level!r}")
+            name = body.get("logger", "nucliadb_tpu")
+            _logging.getLogger(name).setLevel(level)
+            return {"logger": name, "level": level}
 
         @r.get("/api/v1/admin/shards/{kbid}")
         def kb_shards(request: Request):

@@ -98,6 +98,10 @@ def test_grpc_full_flow(grpc_node):
     stats = client.get_shard(shard_id)
     kinds = {i["kind"] for i in stats["indexes"]}
     assert kinds == {"text", "paragraph", "relation", "json", "vector"}
+    vec = next(i for i in stats["indexes"] if i["kind"] == "vector")
+    # prewarm = int8 codes + f32 rerank arena for 2 vectors of DIM dims
+    assert vec["prewarm_bytes"] == 2 * DIM * 5
+    assert all("prewarm_bytes" in i for i in stats["indexes"])
 
     client.delete_resource(shard_id, "r1")
     client.sync()

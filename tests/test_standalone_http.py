@@ -1090,3 +1090,46 @@ def test_tus_head_defer_length(server):
     head = client.request("HEAD", loc)
     assert head.headers.get("upload-defer-length") == "1"
     assert "upload-length" not in head.headers
+
+
+def test_audit_events_and_loglevel(server):
+    client, app = server
+    from nucliadb_tpu.common.audit import AUDIT_STREAM
+
+    kbid = client.post("/api/v1/kbs", json={"slug": "auditkb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "A", "texts": {"t": {"body": "auditable fox text"}}},
+    ).json()["uuid"]
+    client.patch(f"/api/v1/kb/{kbid}/resource/{rid}", json={"title": "A2"})
+    client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "fox", "features": ["keyword"]},
+        headers={"x-nucliadb-user": "alice", "x-ndb-client": "dashboard"},
+    )
+    client.post(f"/api/v1/kb/{kbid}/suggest", json={"query": "fo"})
+    client.delete(f"/api/v1/kb/{kbid}/resource/{rid}")
+
+    import json as _json
+
+    events = [
+        _json.loads(m.payload)
+        for m in app.bus.scan(AUDIT_STREAM, subject_prefix=f"audit.{kbid}")
+    ]
+    types = [e["type"] for e in events]
+    assert types == ["new", "modified", "search", "suggest", "deleted"]
+    search_ev = events[types.index("search")]
+    assert search_ev["user"] == "alice"
+    assert search_ev["client_type"] == "dashboard"
+    assert search_ev["duration_ms"] > 0
+    assert search_ev["detail"]["query"] == "fox"
+
+    # dynamic log level
+    import logging
+
+    resp = client.post(
+        "/api/v1/admin/loglevel", json={"logger": "nucliadb_tpu.test", "level": "debug"}
+    )
+    assert resp.json() == {"logger": "nucliadb_tpu.test", "level": "DEBUG"}
+    assert logging.getLogger("nucliadb_tpu.test").level == logging.DEBUG
+    assert client.post("/api/v1/admin/loglevel", json={"level": "nope"}).status_code == 422
