@@ -27,8 +27,27 @@ from ..models.api import (
 
 
 class NucliaDBClient:
-    def __init__(self, base_url: str = "http://127.0.0.1:8080", timeout: float = 60.0):
-        self._client = httpx.Client(base_url=base_url, timeout=timeout)
+    """HTTP client covering the full API surface (parity: nucliadb_sdk's
+    NucliaDB client, generated around the REST API; here hand-rolled and
+    typed against models.api)."""
+
+    def __init__(
+        self,
+        base_url: str = "http://127.0.0.1:8080",
+        timeout: float = 60.0,
+        *,
+        api_key: str = "",
+        user: str = "",
+        client_type: str = "",
+    ):
+        headers = {}
+        if api_key:
+            headers["authorization"] = f"Bearer {api_key}"
+        if user:
+            headers["x-nucliadb-user"] = user
+        if client_type:
+            headers["x-ndb-client"] = client_type
+        self._client = httpx.Client(base_url=base_url, timeout=timeout, headers=headers)
 
     def close(self) -> None:
         self._client.close()
@@ -275,6 +294,174 @@ class NucliaDBClient:
         resp = self._client.post(f"/api/v1/kb/{kbid}/backup")
         self._raise(resp)
         return resp.json()["backup_id"]
+
+    def delete_labelset(self, kbid: str, labelset: str) -> None:
+        self._raise(self._client.delete(f"/api/v1/kb/{kbid}/labelset/{labelset}"))
+
+    def get_labelset(self, kbid: str, labelset: str) -> dict:
+        resp = self._client.get(f"/api/v1/kb/{kbid}/labelset/{labelset}")
+        self._raise(resp)
+        return resp.json()
+
+    def get_entities_group(self, kbid: str, group: str) -> dict:
+        resp = self._client.get(f"/api/v1/kb/{kbid}/entitiesgroup/{group}")
+        self._raise(resp)
+        return resp.json()
+
+    def delete_entities_group(self, kbid: str, group: str) -> None:
+        self._raise(self._client.delete(f"/api/v1/kb/{kbid}/entitiesgroup/{group}"))
+
+    def get_synonyms(self, kbid: str) -> dict:
+        resp = self._client.get(f"/api/v1/kb/{kbid}/custom-synonyms")
+        self._raise(resp)
+        return resp.json()
+
+    # ---- vectorsets ---------------------------------------------------------
+
+    def list_vectorsets(self, kbid: str) -> dict:
+        resp = self._client.get(f"/api/v1/kb/{kbid}/vectorsets")
+        self._raise(resp)
+        return resp.json()
+
+    def delete_vectorset(self, kbid: str, name: str) -> None:
+        self._raise(self._client.delete(f"/api/v1/kb/{kbid}/vectorsets/{name}"))
+
+    # ---- resource listing / counters / feedback -------------------------------
+
+    def list_resources(self, kbid: str, page: int = 0, size: int = 20) -> dict:
+        resp = self._client.get(
+            f"/api/v1/kb/{kbid}/resources", params={"page": page, "size": size}
+        )
+        self._raise(resp)
+        return resp.json()
+
+    def counters(self, kbid: str) -> dict:
+        resp = self._client.get(f"/api/v1/kb/{kbid}/counters")
+        self._raise(resp)
+        return resp.json()
+
+    def feedback(self, kbid: str, payload: dict) -> None:
+        self._raise(self._client.post(f"/api/v1/kb/{kbid}/feedback", json=payload))
+
+    def summarize(self, kbid: str, resources: list[str]) -> dict:
+        resp = self._client.post(
+            f"/api/v1/kb/{kbid}/summarize", json={"resources": resources}
+        )
+        self._raise(resp)
+        return resp.json()
+
+    def reindex_resource(self, kbid: str, rid: str) -> None:
+        self._raise(self._client.post(f"/api/v1/kb/{kbid}/resource/{rid}/reindex"))
+
+    # ---- graph sub-queries -----------------------------------------------------
+
+    def graph_nodes(self, kbid: str, payload: Optional[dict] = None) -> dict:
+        resp = self._client.post(f"/api/v1/kb/{kbid}/graph/nodes", json=payload or {})
+        self._raise(resp)
+        return resp.json()
+
+    def graph_relations(self, kbid: str, payload: Optional[dict] = None) -> dict:
+        resp = self._client.post(
+            f"/api/v1/kb/{kbid}/graph/relations", json=payload or {}
+        )
+        self._raise(resp)
+        return resp.json()
+
+    # ---- predict proxy / hydrate / status ---------------------------------------
+
+    def predict(self, kbid: str, endpoint: str, payload: dict) -> dict:
+        resp = self._client.post(
+            f"/api/v1/kb/{kbid}/predict/{endpoint}", json=payload
+        )
+        self._raise(resp)
+        return resp.json()
+
+    def hydrate(self, kbid: str, paragraphs: Optional[list[str]] = None,
+                fields: Optional[list[str]] = None) -> dict:
+        resp = self._client.post(
+            f"/api/v1/kb/{kbid}/hydrate",
+            json={"paragraphs": paragraphs or [], "fields": fields or []},
+        )
+        self._raise(resp)
+        return resp.json()
+
+    def processing_status(self, kbid: str) -> dict:
+        resp = self._client.get(f"/api/v1/kb/{kbid}/processing-status")
+        self._raise(resp)
+        return resp.json()
+
+    # ---- configuration / search configurations ---------------------------------
+
+    def get_configuration(self, kbid: str) -> dict:
+        resp = self._client.get(f"/api/v1/kb/{kbid}/configuration")
+        self._raise(resp)
+        return resp.json()
+
+    def patch_configuration(self, kbid: str, payload: dict) -> dict:
+        resp = self._client.patch(f"/api/v1/kb/{kbid}/configuration", json=payload)
+        self._raise(resp)
+        return resp.json()
+
+    def list_search_configurations(self, kbid: str) -> dict:
+        resp = self._client.get(f"/api/v1/kb/{kbid}/search_configurations")
+        self._raise(resp)
+        return resp.json()
+
+    # ---- backups / trainsets -----------------------------------------------------
+
+    def restore_backup(self, backup_id: str, slug: str = "") -> str:
+        resp = self._client.post(
+            f"/api/v1/backups/{backup_id}/restore",
+            params={"slug": slug} if slug else {},
+        )
+        self._raise(resp)
+        return resp.json()["uuid"]
+
+    def list_backups(self) -> list[str]:
+        resp = self._client.get("/api/v1/backups")
+        self._raise(resp)
+        return resp.json()["backups"]
+
+    def delete_backup(self, backup_id: str) -> None:
+        self._raise(self._client.delete(f"/api/v1/backups/{backup_id}"))
+
+    def export_trainset(self, kbid: str, task: str, *, batch_size: int = 32,
+                        format: str = "arrow") -> dict:
+        resp = self._client.post(
+            f"/api/v1/kb/{kbid}/trainset/{task}",
+            json={"batch_size": batch_size, "format": format},
+        )
+        self._raise(resp)
+        return resp.json()
+
+    # ---- admin -------------------------------------------------------------------
+
+    def admin_rollover(self, kbid: str) -> dict:
+        resp = self._client.post(f"/api/v1/admin/rollover/{kbid}")
+        self._raise(resp)
+        return resp.json()
+
+    def admin_rebalance(self, kbid: str) -> dict:
+        resp = self._client.post(f"/api/v1/admin/rebalance/{kbid}")
+        self._raise(resp)
+        return resp.json()
+
+    def admin_tick(self) -> dict:
+        resp = self._client.post("/api/v1/admin/tick")
+        self._raise(resp)
+        return resp.json()
+
+    def admin_shards(self, kbid: str) -> dict:
+        resp = self._client.get(f"/api/v1/admin/shards/{kbid}")
+        self._raise(resp)
+        return resp.json()
+
+    def set_log_level(self, logger: str, level: str) -> dict:
+        resp = self._client.post(
+            "/api/v1/admin/loglevel", json={"logger": logger, "level": level}
+        )
+        self._raise(resp)
+        return resp.json()
 
     # ---- misc -----------------------------------------------------------------
 

@@ -752,8 +752,32 @@ class StandaloneApp:
 
         @r.get("/api/v1/kb/{kbid}/resources")
         def list_resources(request: Request):
+            """Paginated resource listing with basic serialization (parity:
+            reader KB resource list — ResourceList{resources, pagination})."""
             kbid = self._kbid(request)
-            return {"resources": self.processor.list_resources(kbid)}
+            page = int(request.query.get("page", 0))
+            size = int(request.query.get("size", 20))
+            rids = self.processor.list_resources(kbid)
+            window = rids[page * size : (page + 1) * size]
+            out = []
+            for rid in window:
+                meta = self.processor.get_meta(kbid, rid)
+                payload = self.processor.get_payload(kbid, rid)
+                out.append(
+                    {
+                        "id": rid,
+                        "slug": meta.slug if meta else "",
+                        "title": payload.title if payload else "",
+                    }
+                )
+            return {
+                "resources": out,
+                "pagination": {
+                    "page": page,
+                    "size": size,
+                    "last": (page + 1) * size >= len(rids),
+                },
+            }
 
         # ---- search (search/api/v1 parity) -------------------------------
 

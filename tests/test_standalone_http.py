@@ -598,7 +598,7 @@ def test_facets_feedback_summarize_export_status(server):
     imp = client.post(f"/api/v1/kb/{kbid2}/import", content=blob).json()
     st = client.get(f"/api/v1/kb/{kbid2}/import/{imp['import_id']}/status").json()
     assert st["status"] == "finished"
-    assert rid in client.get(f"/api/v1/kb/{kbid2}/resources").json()["resources"]
+    assert rid in [r["id"] for r in client.get(f"/api/v1/kb/{kbid2}/resources").json()["resources"]]
 
 
 def test_slug_twins_and_key_value_fields(server):

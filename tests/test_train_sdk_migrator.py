@@ -147,6 +147,7 @@ def test_export_trainset_msgpack(stack, tmp_path):
 
 def test_migrator(stack):
     node, driver, kbs, processor, kbid = stack
+    saved = list(_REGISTRY)
     _REGISTRY.clear()
     calls = []
     register(
@@ -164,6 +165,8 @@ def test_migrator(stack):
     assert current_version(driver) == 2
     # second run: nothing to do
     assert run_migrations(ctx) == []
+    _REGISTRY.clear()
+    _REGISTRY.extend(saved)
 
 
 def test_sdk_against_server(tmp_path):
@@ -223,6 +226,40 @@ def test_sdk_against_server(tmp_path):
         client.ask_stream(kb.uuid, AskRequest(query="hello"))
     )
     assert items[-1]["type"] == "status"
+
+    # full-surface coverage: vocab getters, vectorsets, counters, feedback,
+    # graph subqueries, hydrate, status, configuration, trainset, backups,
+    # admin
+    assert client.get_labelset(kb.uuid, "topic")["title"] == "T"
+    assert client.get_synonyms(kb.uuid)["synonyms"] == {"hello": ["hi"]}
+    client.set_entities_group(kb.uuid, "things", {"title": "Things", "entities": {}})
+    assert client.get_entities_group(kb.uuid, "things")["title"] == "Things"
+    client.delete_entities_group(kb.uuid, "things")
+    assert client.list_vectorsets(kb.uuid) == {"vectorsets": {}}
+    listing = client.list_resources(kb.uuid)
+    assert created.uuid in [r["id"] for r in listing["resources"]]
+    assert client.counters(kb.uuid)["resources"] >= 1
+    client.feedback(kb.uuid, {"ident": "q1", "good": True, "task": "CHAT"})
+    client.reindex_resource(kb.uuid, created.uuid)
+    nodes = client.graph_nodes(kb.uuid)
+    assert "nodes" in nodes
+    hyd = client.hydrate(kb.uuid, fields=[f"{created.uuid}/t/t"])
+    assert hyd["texts"][f"{created.uuid}/t/t"] == "hello sdk world"
+    assert client.processing_status(kb.uuid)["results"] is not None
+    client.patch_configuration(kb.uuid, {"generative_model": "g"})
+    assert client.get_configuration(kb.uuid)["generative_model"] == "g"
+    assert client.list_search_configurations(kb.uuid) == {}
+    manifest = client.export_trainset(kb.uuid, "sentences", batch_size=8)
+    assert manifest["format"] == "arrow"
+    backup_id = client.backup_kb(kb.uuid)
+    assert backup_id in client.list_backups()
+    restored = client.restore_backup(backup_id, slug="sdk-restored")
+    assert restored
+    client.delete_backup(backup_id)
+    assert backup_id not in client.list_backups()
+    assert "merged" in client.admin_tick()
+    assert client.admin_shards(kb.uuid)["shards"]
+    assert client.set_log_level("nucliadb_tpu.sdk", "INFO")["level"] == "INFO"
 
     client.delete_resource(kb.uuid, created.uuid)
     client.delete_kb(kb.uuid)
