@@ -26,6 +26,17 @@ from ..services import EmbeddedNode
 
 
 def main() -> None:
+    import os as _os
+
+    if any(
+        _os.environ.get(k)
+        for k in ("NDBTPU_TELEMETRY__TRACING", "NDBTPU_TELEMETRY__CONSOLE_TRACES",
+                  "NDBTPU_TELEMETRY__OTLP")
+    ):
+        from ..telemetry.tracing import setup_tracing
+
+        setup_tracing()
+
     parser = argparse.ArgumentParser(description="nucliadb_tpu component runner")
     parser.add_argument("components", nargs="+",
                         choices=["ingest", "scheduler", "worker", "searcher", "api"])

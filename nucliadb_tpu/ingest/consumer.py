@@ -33,16 +33,20 @@ class SequenceOrderViolation(Exception):
 
 @dataclass
 class BrokerMessage:
-    """A write operation in transit (parity: writer.proto BrokerMessage)."""
+    """A write operation in transit (parity: writer.proto BrokerMessage).
+    ``headers`` carries the trace context across the process boundary
+    (parity: NATS-header trace propagation, telemetry.rs + indexer.rs:180)."""
 
     kbid: str
     rid: Optional[str]
     op: str  # create | update | delete
     payload: Optional[dict] = None
+    headers: Optional[dict] = None
 
     def pack(self) -> bytes:
         return msgpack.packb(
-            {"kbid": self.kbid, "rid": self.rid, "op": self.op, "payload": self.payload}
+            {"kbid": self.kbid, "rid": self.rid, "op": self.op,
+             "payload": self.payload, "headers": self.headers}
         )
 
     @staticmethod
@@ -73,6 +77,9 @@ class TransactionUtility:
             import uuid
 
             message.rid = uuid.uuid4().hex
+        from ..telemetry.tracing import inject_context
+
+        message.headers = inject_context(dict(message.headers or {}))
         # trailing '.' delimiter: the consumer filter is a GLOB prefix, and
         # 'ingest.1' would also match partitions 10..19
         subject = f"ingest.{self._partition(message.kbid)}."
@@ -96,19 +103,26 @@ class IngestConsumer:
         if msg.seq <= self._last_seq and msg.deliveries == 1:
             raise SequenceOrderViolation(f"seq {msg.seq} <= {self._last_seq}")
         bm = BrokerMessage.unpack(msg.payload)
+        from ..telemetry.tracing import extract_context, span
+
         try:
-            if bm.op == "create":
-                payload = CreateResourcePayload.model_validate(bm.payload)
-                rid, seq = self.processor.create_resource(bm.kbid, payload, rid=bm.rid)
-            elif bm.op == "update":
-                payload = UpdateResourcePayload.model_validate(bm.payload)
-                seq = self.processor.update_resource(bm.kbid, bm.rid, payload)
-                rid = bm.rid
-            elif bm.op == "delete":
-                seq = self.processor.delete_resource(bm.kbid, bm.rid)
-                rid = bm.rid
-            else:
-                raise ValueError(f"unknown op {bm.op!r}")
+            with span(
+                "ingest.process",
+                context=extract_context(bm.headers or {}),
+                kbid=bm.kbid, op=bm.op,
+            ):
+                if bm.op == "create":
+                    payload = CreateResourcePayload.model_validate(bm.payload)
+                    rid, seq = self.processor.create_resource(bm.kbid, payload, rid=bm.rid)
+                elif bm.op == "update":
+                    payload = UpdateResourcePayload.model_validate(bm.payload)
+                    seq = self.processor.update_resource(bm.kbid, bm.rid, payload)
+                    rid = bm.rid
+                elif bm.op == "delete":
+                    seq = self.processor.delete_resource(bm.kbid, bm.rid)
+                    rid = bm.rid
+                else:
+                    raise ValueError(f"unknown op {bm.op!r}")
         except Exception:
             self.bus.nak(INGEST_STREAM, self.consumer, msg.seq)
             raise

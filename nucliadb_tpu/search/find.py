@@ -164,11 +164,13 @@ class SearchService:
     # ------------------------------------------------------------------
 
     def find(self, kbid: str, request: FindRequest) -> KnowledgeboxFindResults:
+        from ..telemetry.tracing import span
         from .metrics import Metrics
 
         metrics = Metrics()
         try:
-            return self._find(kbid, request, metrics)
+            with span("search.find", kbid=kbid):
+                return self._find(kbid, request, metrics)
         finally:
             metrics.log_if_slow("find", f"kbid={kbid} q={request.query[:80]!r}")
 

@@ -49,9 +49,13 @@ class IndexerService:
         hidden: bool = False,
     ) -> Seq:
         """Index one resource into a shard at the given (or next) seq."""
+        from ..telemetry.tracing import span
+
         seq = seq if seq is not None else self.metadata.next_seq()
         self.metadata.record_index_request(seq)
-        with self.utilization.work():
+        with self.utilization.work(), span(
+            "indexer.index_resource", shard_id=shard_id, seq=int(seq)
+        ):
             return self._index_resource(shard_id, resource, seq, hidden)
 
     def _index_resource(self, shard_id, resource, seq, hidden) -> Seq:

@@ -66,6 +66,8 @@ class WorkerService:
     def _run_job(self, job: MergeJob) -> None:
         import threading
 
+        from ..telemetry.tracing import span as _span
+
         # heartbeat for the WHOLE job from a side thread: a merge longer
         # than the stale lease window would otherwise let a second worker
         # re-lease the job and commit a duplicate merged segment
@@ -81,7 +83,8 @@ class WorkerService:
         hb = threading.Thread(target=heartbeat, daemon=True)
         hb.start()
         try:
-            self._run_job_inner(job)
+            with _span("worker.merge_job", job_id=job.id, index_id=job.index_id):
+                self._run_job_inner(job)
         finally:
             hb_stop.set()
             hb.join(timeout=1)

@@ -34,6 +34,18 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    import os as _os
+
+    if any(
+        _os.environ.get(k)
+        for k in ("NDBTPU_TELEMETRY__TRACING", "NDBTPU_TELEMETRY__CONSOLE_TRACES",
+                  "NDBTPU_TELEMETRY__OTLP")
+    ):
+        from ..telemetry.tracing import setup_tracing
+
+        setup_tracing()
+
+
     from .auth import AuthSettings
 
     api_keys = {}

