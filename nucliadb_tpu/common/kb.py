@@ -61,6 +61,23 @@ class KnowledgeBoxManager:
         import threading
 
         self._shards_mutex = threading.Lock()
+        self._external_indexes: dict = {}
+
+    def external_index(self, kbid: str):
+        """The KB's ExternalIndexManager, or None (parity: the reference
+        instantiates one manager per KB with an external provider config)."""
+        if kbid in self._external_indexes:
+            return self._external_indexes[kbid]
+        config = self.get_config(kbid)
+        manager = None
+        if config is not None and config.external_index_provider:
+            from .external_index import get_provider
+
+            spec = dict(config.external_index_provider)
+            provider = get_provider(spec.pop("type"))
+            manager = provider(**spec)
+        self._external_indexes[kbid] = manager
+        return manager
 
     # ---- lifecycle -------------------------------------------------------
 
@@ -111,6 +128,7 @@ class KnowledgeBoxManager:
         return sorted({k.split("/")[2] for k in keys})
 
     def delete(self, kbid: str) -> None:
+        self._external_indexes.pop(kbid, None)
         shards = self.get_shards(kbid)
         config = self.get_config(kbid)
         with self.driver as txn:

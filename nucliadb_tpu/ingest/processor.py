@@ -86,9 +86,30 @@ class Processor:
             )
             txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
         doc = ResourceBrain(rid).build(payload, created=meta.created)
+        self._route_external_index(kbid, doc)
         seq = self.node.index(shard_id, doc, hidden=payload.hidden)
         self.kbs.record_resource(kbid, shard_id, +1)
         return rid, int(seq)
+
+    def _route_external_index(self, kbid: str, doc) -> None:
+        """When the KB has an external index provider, ship its vectors
+        there and strip them from the node doc (parity: the external-index
+        route in Processor.txn + IndexMessageBuilder skipping vectors,
+        external_index_providers/base.py:126)."""
+        manager = self.kbs.external_index(kbid)
+        if manager is None:
+            return
+        vectorsets = {
+            name
+            for paragraphs in doc.paragraphs.values()
+            for para in paragraphs.values()
+            for name in para.vectorsets_sentences
+        }
+        for name in vectorsets:
+            manager.index_resource(doc, name)
+        for paragraphs in doc.paragraphs.values():
+            for para in paragraphs.values():
+                para.vectorsets_sentences = {}
 
     def update_resource(
         self, kbid: str, rid: str, payload: UpdateResourcePayload
@@ -123,6 +144,7 @@ class Processor:
             )
             txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
         doc = ResourceBrain(rid).build(merged, created=meta.created)
+        self._route_external_index(kbid, doc)
         seq = self.node.index(meta.shard, doc, hidden=merged.hidden)
         return int(seq)
 
@@ -145,6 +167,9 @@ class Processor:
         # uploaded blobs go with the resource
         for key in list(self.node.storage.list(f"blobs/{kbid}/{rid}/")):
             self.node.storage.delete(key)
+        manager = self.kbs.external_index(kbid)
+        if manager is not None:
+            manager.delete_resource(rid)
         seq = self.node.delete_resource(meta.shard, rid)
         self.kbs.record_resource(kbid, meta.shard, -1)
         return int(seq)

@@ -33,6 +33,9 @@ class KnowledgeBoxConfig(BaseModel):
     description: str = ""
     vectorsets: dict[str, VectorSetSpec] = Field(default_factory=dict)
     shards: int = 1
+    # route vector indexing/search to an external provider instead of the
+    # node (parity: external_index_providers/base.py; e.g. {"type": "memory"})
+    external_index_provider: Optional[dict] = None
 
 
 class KnowledgeBoxObj(BaseModel):

@@ -213,6 +213,30 @@ class SearchService:
 
         keyword_blocks: list[TextBlock] = []
         semantic_blocks: list[TextBlock] = []
+
+        # external index route: the KB's vectors live in the provider, not
+        # the node (parity: external_index_providers query routing in find)
+        external = self.kbs.external_index(kbid) if vector is not None else None
+        if external is not None:
+            with metrics.time("external"):
+                for h in external.query(vector, fetch_k):
+                    parsed = parse_vector_key(h.key)
+                    if parsed is None:
+                        continue
+                    rid, fid, start, end = parsed
+                    semantic_blocks.append(
+                        TextBlock(
+                            block_id=f"{rid}/{fid}/{start}-{end}",
+                            score=h.score,
+                            source="semantic",
+                            rid=rid,
+                            field=fid,
+                            start=start,
+                            end=end,
+                        )
+                    )
+            shard_req.vector = None
+
         with metrics.time("retrieval"):
             for shard_id in self._shard_ids(kbid):
                 resp = self.node.search(shard_id, shard_req)

@@ -129,3 +129,94 @@ def test_settings_from_env():
     assert s.scheduler.min_segments_to_merge == 4  # default preserved
     assert s.http.port == 9999
     assert s.has_flag("hnsw") and not s.has_flag("nope")
+
+
+def test_external_index_end_to_end(tmp_path):
+    """A KB with external_index_provider routes vectors to the provider at
+    ingest (node vector index stays empty) and serves the semantic find leg
+    from it (parity: the external-index route in Processor + find)."""
+    import numpy as np
+
+    from nucliadb_tpu.common.kb import KnowledgeBoxManager
+    from nucliadb_tpu.ingest.processor import Processor
+    from nucliadb_tpu.maindb import Driver
+    from nucliadb_tpu.models.api import (
+        CreateResourcePayload,
+        FindRequest,
+        KnowledgeBoxConfig,
+        SearchFeature,
+        SentenceEmbedding,
+        TextFieldPayload,
+        VectorSetSpec,
+    )
+    from nucliadb_tpu.search import SearchService
+    from nucliadb_tpu.services import EmbeddedNode
+    from nucliadb_tpu.storage import MemoryStorage
+
+    dim = 8
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"), storage=MemoryStorage())
+    driver = Driver(str(tmp_path / "kv.db"))
+    kbs = KnowledgeBoxManager(driver, node)
+    processor = Processor(driver, node, kbs)
+    search = SearchService(node, kbs, processor)
+    kbid = kbs.create(
+        KnowledgeBoxConfig(
+            slug="extkb",
+            vectorsets={"vs": VectorSetSpec(dimension=dim)},
+            external_index_provider={"type": "memory"},
+        )
+    )
+
+    def unit(i):
+        v = np.zeros(dim, np.float32)
+        v[i] = 1.0
+        return v.tolist()
+
+    rids = []
+    for i, text in enumerate(["alpha doc body", "beta doc body"]):
+        rid, _ = processor.create_resource(
+            kbid,
+            CreateResourcePayload(
+                title=f"D{i}",
+                texts={"t": TextFieldPayload(body=text)},
+                embeddings={
+                    "vs": {"t": [SentenceEmbedding(start=0, end=len(text), vector=unit(i))]}
+                },
+            ),
+        )
+        rids.append(rid)
+    node.wait_for_sync()
+
+    # vectors never reached the node's vector index
+    ext = kbs.external_index(kbid)
+    assert ext is not None and len(ext._vectors) == 2
+    shard = kbs.get_shards(kbid).shards[0]
+    stats = node.shard_stats(shard) if hasattr(node, "shard_stats") else None
+    resp = node.search(
+        shard,
+        __import__("nucliadb_tpu.shard", fromlist=["searcher"]).searcher.ShardSearchRequest(
+            body="", vector=np.asarray(unit(0)), vectorset="vs", top_k=5
+        ),
+    )
+    assert resp.vector == []
+
+    # semantic find leg served from the provider
+    res = search.find(
+        kbid,
+        FindRequest(
+            query="doc", vector=unit(1), vectorset="vs", top_k=5,
+            features=[SearchFeature.SEMANTIC],
+        ),
+    )
+    assert res.best_matches[0].startswith(rids[1])
+
+    # delete drops it from the provider too
+    processor.delete_resource(kbid, rids[1])
+    assert len(ext._vectors) == 1
+    res2 = search.find(
+        kbid,
+        FindRequest(query="doc", vector=unit(1), vectorset="vs", top_k=5,
+                    features=[SearchFeature.SEMANTIC]),
+    )
+    assert rids[1] not in res2.resources
+    assert res2.best_matches and res2.best_matches[0].startswith(rids[0])
