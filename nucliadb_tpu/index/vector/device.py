@@ -374,10 +374,31 @@ class DeviceVectorIndex:
                         self.config.similarity.value,
                     )
             elif isinstance(self.codes, quant.BinaryCodes):
-                s, i = _search_binary(
-                    self.codes, self.vectors, qj, mask_j, ms, top_k,
-                    self.config.similarity.value,
-                )
+                from ...ops import pallas_scan
+
+                # batch cap 64: beyond that the adaptive block shrinks and
+                # the measured kernel falls behind XLA (47 vs 66 ms/call at
+                # 1M x 768 batch 256 on the v5e)
+                if (
+                    "pallas" in self.config.flags
+                    and qj.shape[0] <= 64
+                    and pallas_scan.binary_eligible(
+                        self.p_pad, self.config.dimension, self.multi,
+                        block_n=pallas_scan.binary_block_for(
+                            self.p_pad, qj.shape[0], pallas_scan.SLOTS
+                        ),
+                    )
+                ):
+                    s, i = _search_binary_pallas(
+                        self.codes, self.vectors, qj, mask_j, ms, top_k,
+                        self.config.similarity.value,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                else:
+                    s, i = _search_binary(
+                        self.codes, self.vectors, qj, mask_j, ms, top_k,
+                        self.config.similarity.value,
+                    )
             else:
                 s, i = _search_exact(
                     self.vectors, qj, mask_j, ms, top_k,
@@ -478,6 +499,36 @@ def _search_int8_pallas(
         interpret=interpret,
     )
     c = min(quant.int8_rerank_budget(k), slot_s.shape[-1])
+    top_s, pos = jax.lax.top_k(slot_s, c)
+    cand = jnp.where(
+        top_s > pallas_scan.NEG_INF / 2,
+        jnp.take_along_axis(slot_i, pos, axis=-1),
+        -1,
+    )
+    return _rerank_and_cut(vectors, q, cand, min_score, k)
+
+
+def _search_binary_pallas(
+    codes, vectors, queries, para_mask, min_score, k, similarity, interpret=False
+):
+    """Binary candidates via the fused Pallas popcount scan (config flag
+    "pallas"): the [B, N] estimate/bound matrices never reach HBM — only
+    the [B, S] slot table does, then the usual exact f32 rerank."""
+    from ...ops import pallas_scan
+
+    q = prepare_query(queries, similarity)
+    planes, qmin, qstep, qsum = quant.quantize_query_planes(q)
+    qnorm = jnp.linalg.norm(q.astype(jnp.float32), axis=-1)
+    n = codes.codes_t.shape[1]
+    block_n = pallas_scan.binary_block_for(n, queries.shape[0], pallas_scan.SLOTS)
+    slot_s, slot_i = pallas_scan.binary_scan_slots(
+        planes, qmin, qstep, qsum, qnorm,
+        codes.codes_t, codes.scale, codes.popcnt, codes.resid, para_mask,
+        dim=codes.dim,
+        block_n=block_n, slots=pallas_scan.SLOTS,
+        interpret=interpret,
+    )
+    c = min(quant.binary_rerank_budget(k), slot_s.shape[-1])
     top_s, pos = jax.lax.top_k(slot_s, c)
     cand = jnp.where(
         top_s > pallas_scan.NEG_INF / 2,

@@ -34,6 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .quant import EPSILON
+
 NEG_INF = float(np.finfo(np.float32).min)
 
 BLOCK_N = 8192  # rows of codes per grid step ([8192, 768] int8 = 6 MB VMEM)
@@ -110,6 +112,7 @@ def int8_scan_slots(
     n, d = codes.shape
     b = q_codes.shape[0]
     assert n % block_n == 0, (n, block_n)
+    assert block_n % slots == 0 and block_n >= slots, (block_n, slots)
     grid = n // block_n
 
     scale2 = scale.reshape(1, n)
@@ -146,4 +149,190 @@ def eligible(n: int, d: int, multi: bool, block_n: int | None = None) -> bool:
     """Shapes the fused kernel accepts (fallback: XLA path). BLOCK_N is read
     at call time so tests can shrink the blocks."""
     block_n = block_n or BLOCK_N
+    return (not multi) and n >= 2 * block_n and n % block_n == 0 and d % 128 == 0
+
+
+# --------------------------------------------------------------------------
+# Fused binary (sign-code) scan: AND + popcount bit-plane dots -> slot top-k
+# --------------------------------------------------------------------------
+#
+# The XLA binary path (ops/quant.py binary_estimate_scores ->
+# approx_candidates) materializes [B, N] estimate and bound matrices in HBM:
+# at 1M vectors and batch 256 that is ~2 GB of score traffic per call. This
+# kernel evaluates the bit-plane popcount dot, the RaBitQ-style optimistic
+# bound (estimate + EPSILON * sigma) and the slot accumulation per code
+# block entirely in VMEM — only the [B, S] slot table reaches HBM.
+#
+# Measured (tunneled v5e, 1M x 768): batch 32 XLA 29.4 vs fused 31.6 ms/call;
+# batch 256 XLA 47.4 vs fused 66.3 (the VMEM budget forces block 1024 and
+# grid overhead dominates). The popcount loop is VPU-bound and XLA's codegen
+# for it is already tight, so — like the int8 kernel — this stays opt-in
+# ("pallas" flag, batch <= 64) for chips/shapes where HBM score traffic,
+# not the VPU, is the binding constraint.
+# Parity: nidx_vector/src/vector_types/rabitq.rs QueryVector::dot (AND +
+# popcount per plane) and similarity + error bound.
+
+BINARY_BLOCK_N = 8192  # lanes per grid step ([W, 8192] u32 at D=768 = 768 KB)
+
+
+def binary_block_for(n: int, b: int, slots: int | None = None) -> int:
+    """Largest block that divides n and keeps the kernel's [B, Nb] i32
+    temporaries inside scoped VMEM (~16 MB): cap B*Nb at 32*8192 elements
+    (measured: B=256 x Nb=8192 demands 36 MB and fails to compile)."""
+    slots = slots or SLOTS
+    block = BINARY_BLOCK_N
+    budget = 32 * 8192
+    while block > slots and (b * block > budget or n % block != 0):
+        block //= 2
+    return block
+
+
+def _binary_scan_kernel(
+    planes_ref,  # [B, P*W] uint32 query bit-planes (same block every step)
+    qp_ref,  # [B, 4] f32: qmin, qstep, qsum, qnorm
+    codes_ref,  # [W, Nb] uint32 block (transposed codes)
+    scale_ref,  # [1, Nb] f32
+    popcnt_ref,  # [1, Nb] f32
+    resid_ref,  # [1, Nb] f32
+    mask_ref,  # [1, Nb] i8
+    out_s_ref,  # [B, S] f32
+    out_i_ref,  # [B, S] i32
+    acc_s,  # VMEM scratch [B, S] f32
+    acc_i,  # VMEM scratch [B, S] i32
+    *,
+    block_n: int,
+    slots: int,
+    n_planes: int,
+    n_words: int,
+    dim: float,
+    epsilon: float,
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        acc_s[:] = jnp.full(acc_s.shape, NEG_INF, jnp.float32)
+        acc_i[:] = jnp.full(acc_i.shape, -1, jnp.int32)
+
+    b = planes_ref.shape[0]
+
+    # bit-plane dot: sum_p 2^p * popcount(code & plane_p). Static (p, w)
+    # loops; each step is a [1, Nb] x [B, 1] broadcast AND on the VPU.
+    bd = jnp.zeros((b, block_n), jnp.int32)
+    for p in range(n_planes):
+        for w in range(n_words):
+            plane_pw = planes_ref[:, p * n_words + w : p * n_words + w + 1]  # [B, 1]
+            anded = jnp.bitwise_and(codes_ref[w : w + 1, :], plane_pw)  # [B, Nb]
+            bd = bd + (jax.lax.population_count(anded).astype(jnp.int32) << p)
+
+    qmin = qp_ref[:, 0:1]  # [B, 1]
+    qstep = qp_ref[:, 1:2]
+    qsum = qp_ref[:, 2:3]
+    qnorm = qp_ref[:, 3:4]
+    # estimate + 1.9-sigma optimistic bound (ops/quant.py
+    # binary_estimate_scores semantics, folded into the block pass)
+    dot_b_q = qmin * popcnt_ref[:] + qstep * bd.astype(jnp.float32)
+    est = scale_ref[:] * (2.0 * dot_b_q - qsum)
+    var_resid = (resid_ref[:] * qnorm) ** 2 / dim
+    var_quant = (2.0 * scale_ref[:]) ** 2 * dim * (qstep**2) / 12.0
+    optimistic = est + epsilon * jnp.sqrt(var_resid + var_quant)
+    scores = jnp.where(mask_ref[:] != 0, optimistic, NEG_INF)
+
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (b, slots), 1)
+    for t in range(block_n // slots):
+        sub = scores[:, t * slots : (t + 1) * slots]
+        take = sub > acc_s[:]
+        acc_s[:] = jnp.where(take, sub, acc_s[:])
+        acc_i[:] = jnp.where(take, step * block_n + t * slots + slot_iota, acc_i[:])
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _flush():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@partial(jax.jit, static_argnames=("dim", "block_n", "slots", "interpret"))
+def binary_scan_slots(
+    planes: jax.Array,  # [B, P, W] uint32 query bit-planes
+    qmin: jax.Array,  # [B] f32
+    qstep: jax.Array,  # [B] f32
+    qsum: jax.Array,  # [B] f32
+    qnorm: jax.Array,  # [B] f32
+    codes_t: jax.Array,  # [W, N] uint32 (transposed sign codes)
+    scale: jax.Array,  # [N] f32
+    popcnt: jax.Array,  # [N] f32
+    resid: jax.Array,  # [N] f32
+    mask: jax.Array,  # [N] bool
+    *,
+    dim: int,
+    block_n: int = BINARY_BLOCK_N,
+    slots: int = SLOTS,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused binary scan -> ([B, S] optimistic slot scores, [B, S] ids)."""
+    w_words, n = codes_t.shape
+    b, n_planes, _ = planes.shape
+    assert n % block_n == 0, (n, block_n)
+    assert block_n % slots == 0 and block_n >= slots, (block_n, slots)
+    grid = n // block_n
+
+    planes2 = planes.reshape(b, n_planes * w_words)
+    qparams = jnp.stack(
+        [
+            qmin.astype(jnp.float32),
+            qstep.astype(jnp.float32),
+            qsum.astype(jnp.float32),
+            qnorm.astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [B, 4]
+
+    kernel = partial(
+        _binary_scan_kernel,
+        block_n=block_n,
+        slots=slots,
+        n_planes=n_planes,
+        n_words=w_words,
+        dim=float(dim),
+        epsilon=float(EPSILON),
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((b, n_planes * w_words), lambda i: (0, 0)),
+            pl.BlockSpec((b, 4), lambda i: (0, 0)),
+            pl.BlockSpec((w_words, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, slots), lambda i: (0, 0)),
+            pl.BlockSpec((b, slots), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, slots), jnp.float32),
+            jax.ShapeDtypeStruct((b, slots), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, slots), jnp.float32),
+            pltpu.VMEM((b, slots), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        planes2,
+        qparams,
+        codes_t,
+        scale.reshape(1, n),
+        popcnt.reshape(1, n),
+        resid.reshape(1, n),
+        mask.astype(jnp.int8).reshape(1, n),
+    )
+    return out_s, out_i
+
+
+def binary_eligible(n: int, d: int, multi: bool, block_n: int | None = None) -> bool:
+    block_n = block_n or BINARY_BLOCK_N
     return (not multi) and n >= 2 * block_n and n % block_n == 0 and d % 128 == 0
