@@ -204,6 +204,9 @@ class FindRequest(BaseModel):
     show_hidden: bool = False
     rank_fusion: str = "rrf"  # rrf | weighted
     reranker: str = "noop"  # noop | predict (model rerank over a 5x window)
+    # detect KB entities in the query and AND an OR-filter over their
+    # /e/{group}/{value} labels (parity: find autofilter + autofilters echo)
+    autofilter: bool = False
     keyword_boost: float = 1.0
     semantic_boost: float = 1.0
     with_synonyms: bool = False  # expand the keyword query with KB synonyms
@@ -258,6 +261,7 @@ class KnowledgeboxFindResults(BaseModel):
     min_score_semantic: float = 0.0
     min_score_bm25: float = 0.0
     next_cursor: Optional[str] = None  # pass back as search_after
+    autofilters: list[str] = Field(default_factory=list)  # applied entity filters
 
 
 class SuggestRequest(BaseModel):
@@ -361,5 +365,6 @@ class AskRequest(BaseModel):
 class AskResponse(BaseModel):
     answer: str
     status: str = "success"
+    rephrased_query: Optional[str] = None
     retrieval: Optional[KnowledgeboxFindResults] = None
     citations: dict[str, list[str]] = Field(default_factory=dict)

@@ -138,11 +138,40 @@ class SearchService:
         self.kbs = kbs
         self.processor = processor
         self.predict = predict
-        from ..common.kb_services import SynonymsService
+        from ..common.kb_services import EntitiesService, SynonymsService
 
         self.synonyms = SynonymsService(kbs.driver)
+        self.entities = EntitiesService(kbs.driver)
 
     # ------------------------------------------------------------------
+
+    def _autofilter_labels(self, kbid: str, query: str) -> list[str]:
+        """Entity labels detected in the query: KB entity-vocabulary token
+        match, plus predict-engine detections that name a known KB entity."""
+        from ..index.text_engine.tokenizer import tokenize
+
+        q_tokens = tokenize(query)
+        detected: list[str] = []
+        known: dict[str, tuple[str, str]] = {}  # value.lower() -> (group, value)
+        for group in self.entities.list_groups(kbid):
+            definition = self.entities.get_group(kbid, group) or {}
+            for name, ent in (definition.get("entities") or {}).items():
+                value = (ent or {}).get("value") or name
+                known[value.lower()] = (group, value)
+        for value_lower, (group, value) in known.items():
+            etoks = tokenize(value_lower)
+            if not etoks:
+                continue
+            for i in range(len(q_tokens) - len(etoks) + 1):
+                if q_tokens[i : i + len(etoks)] == etoks:
+                    detected.append(f"/e/{group}/{value}")
+                    break
+        if self.predict is not None and hasattr(self.predict, "detect_entities"):
+            for ent in self.predict.detect_entities(kbid, query):
+                hit = known.get(str(ent.get("text", "")).lower())
+                if hit and f"/e/{hit[0]}/{hit[1]}" not in detected:
+                    detected.append(f"/e/{hit[0]}/{hit[1]}")
+        return sorted(set(detected))
 
     def _shard_ids(self, kbid: str) -> list[str]:
         shards = self.kbs.get_shards(kbid)
@@ -178,6 +207,17 @@ class SearchService:
         self, kbid: str, request: FindRequest, metrics
     ) -> KnowledgeboxFindResults:
         expr = filter_to_expression(request.filter_expression)
+        autofilters: list[str] = []
+        if request.autofilter and request.query:
+            # KB entities detected in the query become an OR label filter
+            # ANDed into the expression (parity: find autofilter — the
+            # reference uses /query entity detection then filters on
+            # /e/{group}/{value}; here detection = KB entity vocabulary
+            # match, with predict.detect_entities as an extra source)
+            autofilters = self._autofilter_labels(kbid, request.query)
+            if autofilters:
+                auto_expr = or_(*[LabelAtom(l) for l in autofilters])
+                expr = and_(expr, auto_expr) if expr is not None else auto_expr
         with metrics.time("embed"):
             vector = (
                 self._query_vector(kbid, request)
@@ -348,6 +388,7 @@ class SearchService:
                 total=len(fused),
                 page_size=request.top_k,
                 next_page=len(fused) > request.offset + request.top_k,
+                autofilters=autofilters,
             )
             if cut and results.next_page:
                 import base64, json as _json
@@ -547,8 +588,23 @@ class SearchService:
         endpoint returns the retrieved context with citations (the
         reference's predict-proxy role cannot be assumed in an embedded
         deployment)."""
+        rephrased: Optional[str] = None
+        retrieval_query = request.query
+        if (
+            request.chat_history
+            and self.predict is not None
+            and hasattr(self.predict, "rephrase")
+        ):
+            # standalone-question rewrite so retrieval sees the full intent
+            # (parity: predict.py rephrase_query before retrieval in ask)
+            rephrased = self.predict.rephrase(
+                kbid, request.query,
+                [m.model_dump() for m in request.chat_history],
+            )
+            if rephrased:
+                retrieval_query = rephrased
         find_req = FindRequest(
-            query=request.query,
+            query=retrieval_query,
             vector=request.vector,
             vectorset=request.vectorset,
             top_k=request.top_k,
@@ -594,7 +650,8 @@ class SearchService:
                 kbid, request.prompt or request.query, history + context
             )
             return AskResponse(
-                answer=answer, retrieval=retrieval, citations=citations
+                answer=answer, retrieval=retrieval, citations=citations,
+                rephrased_query=rephrased,
             )
         answer = "\n\n".join(context[:3])
         return AskResponse(
@@ -602,6 +659,7 @@ class SearchService:
             status="no_generative_model",
             retrieval=retrieval,
             citations=citations,
+            rephrased_query=rephrased,
         )
 
     def _with_neighbours(

@@ -449,3 +449,56 @@ def test_find_predict_reranker(tmp_path):
         key=lambda p: p.order,
     )
     assert top.score == 10.0
+
+
+def test_find_autofilter(stack):
+    """autofilter detects KB entities in the query and filters on their
+    /e/{group}/{value} labels, echoing them in results.autofilters."""
+    node, kbs, processor, search, kbid, rids = stack
+    # register the entity vocabulary (the fox doc carries /e/person/fox via
+    # its usergenerated relation)
+    search.entities.set_group(
+        kbid, "person", {"title": "P", "entities": {"fox": {"value": "fox"}}}
+    )
+    res = search.find(
+        kbid,
+        FindRequest(query="quick fox", features=[SearchFeature.KEYWORD],
+                    autofilter=True),
+    )
+    assert res.autofilters == ["/e/person/fox"]
+    # only the fox doc matches "quick" now; the finance doc ("quick tech
+    # gains") is filtered out by the entity label
+    assert set(res.resources) == {rids["fox"]}
+
+    # without autofilter both quick docs match
+    res2 = search.find(
+        kbid, FindRequest(query="quick", features=[SearchFeature.KEYWORD])
+    )
+    assert set(res2.resources) == {rids["fox"], rids["fin"]}
+    assert res2.autofilters == []
+
+
+def test_ask_rephrase_with_history(stack):
+    """Chat history triggers a standalone-question rewrite before retrieval;
+    the response echoes the rephrased query."""
+    from nucliadb_tpu.models.api import ChatContextMessage
+    from nucliadb_tpu.search import SearchService
+    from nucliadb_tpu.search.predict import HashingEncoder, LocalPredictEngine
+
+    node, kbs, processor, _, kbid, rids = stack
+    # match the KB's 16-dim vectorset so query embedding stays valid
+    engine = LocalPredictEngine(encoder=HashingEncoder(dimension=DIM))
+    search = SearchService(node, kbs, processor, predict=engine)
+    resp = search.ask(
+        kbid,
+        AskRequest(
+            query="and the lazy one?",
+            chat_history=[
+                ChatContextMessage(author="user", text="tell me about the quick brown fox"),
+                ChatContextMessage(author="assistant", text="it jumps over the lazy dog"),
+            ],
+        ),
+    )
+    assert resp.rephrased_query and "fox" in resp.rephrased_query
+    # the rewrite made retrieval find the fox doc
+    assert rids["fox"] in resp.retrieval.resources
