@@ -262,6 +262,22 @@ class KnowledgeboxFindResults(BaseModel):
     min_score_bm25: float = 0.0
     next_cursor: Optional[str] = None  # pass back as search_after
     autofilters: list[str] = Field(default_factory=list)  # applied entity filters
+    fulltext: Optional["FulltextResults"] = None  # feature "fulltext"
+
+
+class FulltextHit(BaseModel):
+    rid: str
+    field: str
+    score: float
+
+
+class FulltextResults(BaseModel):
+    """Field-level BM25 results (parity: /search fulltext block — document
+    hits from the text index, with facet counts when requested)."""
+
+    results: list[FulltextHit] = Field(default_factory=list)
+    total: int = 0
+    facets: dict[str, dict[str, int]] = Field(default_factory=dict)
 
 
 class SuggestRequest(BaseModel):

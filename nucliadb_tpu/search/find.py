@@ -225,6 +225,7 @@ class SearchService:
                 else None
             )
         keyword = SearchFeature.KEYWORD in request.features and bool(request.query.strip())
+        fulltext = SearchFeature.FULLTEXT in request.features and bool(request.query.strip())
         query_text = request.query
         if request.with_synonyms and keyword:
             query_text = self.synonyms.expand_query(kbid, query_text)
@@ -233,9 +234,10 @@ class SearchService:
         # (parity: find.py over-requests before fusion cut)
         fetch_k = max((request.top_k + request.offset) * 2, 20)
         shard_req = ShardSearchRequest(
-            body=query_text if keyword else "",
+            body=query_text if (keyword or fulltext) else "",
             top_k=fetch_k,
             paragraph=keyword,
+            document=fulltext,
             vector=vector,
             vectorset=request.vectorset,
             min_score_semantic=request.min_score_semantic,
@@ -253,6 +255,9 @@ class SearchService:
 
         keyword_blocks: list[TextBlock] = []
         semantic_blocks: list[TextBlock] = []
+        fulltext_hits: list = []
+        fulltext_total = 0
+        fulltext_facets: dict = {}
 
         # external index route: the KB's vectors live in the provider, not
         # the node (parity: external_index_providers query routing in find)
@@ -280,6 +285,13 @@ class SearchService:
         with metrics.time("retrieval"):
             for shard_id in self._shard_ids(kbid):
                 resp = self.node.search(shard_id, shard_req)
+                if resp.document is not None:
+                    fulltext_hits.extend(resp.document.hits)
+                    fulltext_total += resp.document.total
+                    for facet, counts in resp.document.facet_counts.items():
+                        agg = fulltext_facets.setdefault(facet, {})
+                        for value, count in counts.items():
+                            agg[value] = agg.get(value, 0) + count
                 if resp.paragraph is not None:
                     for h in resp.paragraph.hits:
                         keyword_blocks.append(
@@ -432,6 +444,19 @@ class SearchService:
 
             if SearchFeature.RELATIONS in request.features:
                 results.relations = self._query_relations(kbid, request.query)
+
+            if fulltext:
+                from ..models.api import FulltextHit, FulltextResults
+
+                fulltext_hits.sort(key=lambda h: -h.score)
+                results.fulltext = FulltextResults(
+                    results=[
+                        FulltextHit(rid=h.rid, field=h.field, score=h.score)
+                        for h in fulltext_hits[: request.top_k]
+                    ],
+                    total=fulltext_total,
+                    facets=fulltext_facets,
+                )
         return results
 
     def _query_relations(self, kbid: str, query: str) -> list[Relation]:

@@ -502,3 +502,27 @@ def test_ask_rephrase_with_history(stack):
     assert resp.rephrased_query and "fox" in resp.rephrased_query
     # the rewrite made retrieval find the fox doc
     assert rids["fox"] in resp.retrieval.resources
+
+
+def test_find_fulltext_feature(stack):
+    """feature "fulltext" adds field-level BM25 document hits (parity: the
+    /search fulltext block from the text index)."""
+    node, kbs, processor, search, kbid, rids = stack
+    res = search.find(
+        kbid,
+        FindRequest(query="quick", features=[SearchFeature.FULLTEXT]),
+    )
+    assert res.fulltext is not None and res.fulltext.total >= 2
+    hit_rids = {h.rid for h in res.fulltext.results}
+    assert {rids["fox"], rids["fin"]} <= hit_rids
+    assert all(h.score > 0 for h in res.fulltext.results)
+    assert all("/" in h.field or h.field for h in res.fulltext.results)
+    # paragraphs section stays empty without the keyword feature
+    assert res.resources == {}
+
+    # combined keyword + fulltext: both blocks present
+    both = search.find(
+        kbid,
+        FindRequest(query="quick", features=[SearchFeature.KEYWORD, SearchFeature.FULLTEXT]),
+    )
+    assert both.fulltext is not None and both.resources
