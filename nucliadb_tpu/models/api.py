@@ -207,6 +207,10 @@ class FindRequest(BaseModel):
     # detect KB entities in the query and AND an OR-filter over their
     # /e/{group}/{value} labels (parity: find autofilter + autofilters echo)
     autofilter: bool = False
+    # fulltext-block ordering + facet counting (parity: /search sort/faceted)
+    sort_field: Optional[str] = None  # created | modified
+    sort_order: str = "desc"
+    faceted: list[str] = Field(default_factory=list)
     keyword_boost: float = 1.0
     semantic_boost: float = 1.0
     with_synonyms: bool = False  # expand the keyword query with KB synonyms

@@ -238,6 +238,9 @@ class SearchService:
             top_k=fetch_k,
             paragraph=keyword,
             document=fulltext,
+            faceted=request.faceted,
+            order_by=request.sort_field,
+            order_desc=request.sort_order != "asc",
             vector=vector,
             vectorset=request.vectorset,
             min_score_semantic=request.min_score_semantic,
@@ -448,7 +451,8 @@ class SearchService:
             if fulltext:
                 from ..models.api import FulltextHit, FulltextResults
 
-                fulltext_hits.sort(key=lambda h: -h.score)
+                if request.sort_field is None:
+                    fulltext_hits.sort(key=lambda h: -h.score)
                 results.fulltext = FulltextResults(
                     results=[
                         FulltextHit(rid=h.rid, field=h.field, score=h.score)

@@ -526,3 +526,24 @@ def test_find_fulltext_feature(stack):
         FindRequest(query="quick", features=[SearchFeature.KEYWORD, SearchFeature.FULLTEXT]),
     )
     assert both.fulltext is not None and both.resources
+
+
+def test_find_fulltext_sort_and_facets(stack):
+    node, kbs, processor, search, kbid, rids = stack
+    res = search.find(
+        kbid,
+        FindRequest(query="quick", features=[SearchFeature.FULLTEXT],
+                    sort_field="created", sort_order="asc",
+                    faceted=["/l/topic"]),
+    )
+    assert res.fulltext is not None
+    # facet counts over matching documents
+    assert res.fulltext.facets.get("/l/topic", {}).get("/l/topic/animals", 0) >= 1
+    # ascending created order: the fox doc (created first) leads
+    assert res.fulltext.results[0].rid == rids["fox"]
+    desc = search.find(
+        kbid,
+        FindRequest(query="quick", features=[SearchFeature.FULLTEXT],
+                    sort_field="created"),
+    )
+    assert desc.fulltext.results[0].rid == rids["fin"]
