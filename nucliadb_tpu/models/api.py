@@ -342,6 +342,11 @@ class GraphSearchPayload(BaseModel):
     fuzzy: bool = False
     undirected: bool = False
     top_k: int = 50
+    # semantic node matching through the predict seam (parity: the semantic
+    # graph path — node-vector results extend the matched-node set,
+    # nidx_relation graph_query_parser.rs VectorQueryResults)
+    query: Optional[str] = None
+    semantic: bool = False
 
 
 class GraphPathResult(BaseModel):

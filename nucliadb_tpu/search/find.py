@@ -577,6 +577,28 @@ class SearchService:
             facets=facet_totals,
         )
 
+    def _semantic_graph_nodes(self, kbid: str, searcher, query: str, top_n: int) -> list[str]:
+        """Node values ranked by embedding similarity to the query (parity:
+        the reference's relation-node vector entities, config.rs:94-100 —
+        here embedded through the predict seam and cached per searcher)."""
+        if self.predict is None or not searcher.relation.node_values:
+            return []
+        cache = getattr(searcher.relation, "_semantic_vecs", None)
+        if cache is None or len(cache) != len(searcher.relation.node_values):
+            vecs = [
+                self.predict.embed(kbid, "", value)
+                for value in searcher.relation.node_values
+            ]
+            cache = np.stack([np.asarray(v, np.float32) for v in vecs])
+            norms = np.linalg.norm(cache, axis=1, keepdims=True)
+            cache = cache / np.maximum(norms, 1e-12)
+            searcher.relation._semantic_vecs = cache
+        qv = np.asarray(self.predict.embed(kbid, "", query), np.float32)
+        qv = qv / max(float(np.linalg.norm(qv)), 1e-12)
+        sims = cache @ qv
+        order = np.argsort(-sims)[:top_n]
+        return [searcher.relation.node_values[i] for i in order if sims[i] > 0]
+
     def graph(self, kbid: str, request: GraphSearchPayload) -> GraphSearchResponse:
         greq = GraphSearchRequest(
             source=NodePattern(
@@ -598,7 +620,26 @@ class SearchService:
             searcher = self.node.searcher.shard(shard_id)
             if searcher.relation is None:
                 continue
-            for p in searcher.relation.graph_search(greq):
+            paths = list(searcher.relation.graph_search(greq))
+            if request.semantic and request.query:
+                # widen the matched-node set with semantically close nodes
+                seen = {(p.source.value, p.relation, p.target.value) for p in paths}
+                for value in self._semantic_graph_nodes(
+                    kbid, searcher, request.query, max(request.top_k // 5, 5)
+                ):
+                    node_req = GraphSearchRequest(
+                        source=NodePattern(value=value),
+                        relation=RelationPattern(label=request.relation_label),
+                        target=NodePattern(),
+                        undirected=True,
+                        top_k=request.top_k,
+                    )
+                    for p in searcher.relation.graph_search(node_req):
+                        key = (p.source.value, p.relation, p.target.value)
+                        if key not in seen:
+                            seen.add(key)
+                            paths.append(p)
+            for p in paths:
                 out.paths.append(
                     GraphPathResult(
                         source=p.source.value,

@@ -547,3 +547,37 @@ def test_find_fulltext_sort_and_facets(stack):
                     sort_field="created"),
     )
     assert desc.fulltext.results[0].rid == rids["fin"]
+
+
+def test_graph_semantic_nodes(stack):
+    """semantic=true widens graph matches with embedding-close node values
+    (the semantic-graph role through the predict seam)."""
+    from nucliadb_tpu.search import SearchService
+
+    node, kbs, processor, _, kbid, rids = stack
+
+    class NodeEncoder:
+        """'fox'-ish queries land near the fox node, far from meadow."""
+        def __call__(self, text):
+            t = text.lower()
+            v = np.zeros(4, np.float32)
+            v[0] = 1.0 if "fox" in t or "vulpine" in t else 0.0
+            v[1] = 1.0 if "meadow" in t else 0.0
+            v[2] = 0.1
+            n = np.linalg.norm(v)
+            return v / n if n else v
+
+    from nucliadb_tpu.search.predict import LocalPredictEngine
+
+    search = SearchService(node, kbs, processor, predict=LocalPredictEngine(encoder=NodeEncoder()))
+
+    # no lexical pattern at all, pure semantic: "vulpine animal" ~ fox node
+    res = search.graph(
+        kbid, GraphSearchPayload(query="vulpine animal", semantic=True, top_k=10)
+    )
+    assert any(p.source == "fox" and p.target == "meadow" for p in res.paths)
+
+    # without semantic, the same pattern-free query matches everything or
+    # nothing lexically — the flag changes behavior only by ADDING paths
+    base = search.graph(kbid, GraphSearchPayload(top_k=10))
+    assert len(res.paths) >= len(base.paths) or base.paths
