@@ -383,8 +383,18 @@ class AskRequest(BaseModel):
     generative_model: str = ""
     # context-building strategies (parity: rag_strategies; names follow the
     # reference: full_resource widens hits to whole fields,
-    # neighbouring_paragraphs adds adjacent paragraphs)
+    # neighbouring_paragraphs adds adjacent paragraphs, hierarchy prefixes
+    # title/summary, metadata_extension appends origin/labels, graph adds
+    # entity triples from the relation index)
     rag_strategies: list[str] = Field(default_factory=list)
+    # extra retrievals whose contexts prepend the main one, strongest weight
+    # first (parity: ask prequeries, chat/ask.py parse_prequeries)
+    prequeries: list["PreQuery"] = Field(default_factory=list)
+
+
+class PreQuery(BaseModel):
+    request: FindRequest
+    weight: float = 1.0
 
 
 class AskResponse(BaseModel):

@@ -686,18 +686,38 @@ class SearchService:
         citations: dict[str, list[str]] = {}
         full_resource = "full_resource" in request.rag_strategies
         neighbours = "neighbouring_paragraphs" in request.rag_strategies
+        hierarchy = "hierarchy" in request.rag_strategies
+        metadata_ext = "metadata_extension" in request.rag_strategies
+
+        # prequeries: their contexts lead, strongest weight first (parity:
+        # chat/ask.py prequeries)
+        for pq in sorted(request.prequeries, key=lambda p: -p.weight):
+            pre = self.find(kbid, pq.request)
+            for rid, resource in pre.resources.items():
+                for field in resource.fields.values():
+                    for para in field.paragraphs.values():
+                        if para.text and para.text not in context:
+                            context.append(para.text)
+
         for rid, resource in retrieval.resources.items():
             hit_fields = set()
+            prefix = ""
+            if hierarchy:
+                # resource hierarchy leads each block (parity: hierarchy
+                # strategy, chat/prompt.py)
+                parts = [p for p in (resource.title, resource.summary) if p]
+                prefix = " > ".join(parts) + (" > " if parts else "")
             for fid, field in resource.fields.items():
                 for pid, para in field.paragraphs.items():
                     hit_fields.add(fid)
                     if not full_resource:
                         if neighbours:
                             context.append(
-                                self._with_neighbours(kbid, rid, fid, pid, para.text)
+                                prefix
+                                + self._with_neighbours(kbid, rid, fid, pid, para.text)
                             )
                         else:
-                            context.append(para.text)
+                            context.append(prefix + para.text)
                     citations.setdefault(rid, []).append(pid)
             if full_resource:
                 # widen each hit to the whole field text (parity:
@@ -705,7 +725,33 @@ class SearchService:
                 for fid in hit_fields:
                     text = self.processor.field_text(kbid, rid, fid.strip("/"))
                     if text:
-                        context.append(text)
+                        context.append(prefix + text)
+            if metadata_ext:
+                payload = self.processor.get_payload(kbid, rid)
+                if payload is not None:
+                    lines = []
+                    labels = [
+                        f"/l/{c.labelset}/{c.label}"
+                        for c in payload.usermetadata.classifications
+                    ]
+                    if labels:
+                        lines.append("labels: " + ", ".join(labels))
+                    if payload.origin and (payload.origin.tags or payload.origin.url):
+                        lines.append(
+                            "origin: "
+                            + " ".join(payload.origin.tags)
+                            + (f" url={payload.origin.url}" if payload.origin.url else "")
+                        )
+                    if lines:
+                        context.append(f"[{resource.title}] " + "; ".join(lines))
+
+        if "graph" in request.rag_strategies:
+            # entity triples around the query join the context (parity: the
+            # graph_strategy beta in ask)
+            for rel in self._query_relations(kbid, retrieval_query):
+                context.append(
+                    f"{rel.from_value} —{rel.label or rel.relation}→ {rel.to_value}"
+                )
         # chat history + caller-supplied grounding lead the prompt context
         history = [
             f"{m.author}: {m.text}" for m in request.chat_history

@@ -581,3 +581,49 @@ def test_graph_semantic_nodes(stack):
     # nothing lexically — the flag changes behavior only by ADDING paths
     base = search.graph(kbid, GraphSearchPayload(top_k=10))
     assert len(res.paths) >= len(base.paths) or base.paths
+
+
+def test_ask_strategies_hierarchy_metadata_graph_prequeries(stack):
+    from nucliadb_tpu.models.api import PreQuery
+
+    node, kbs, processor, search, kbid, rids = stack
+    resp = search.ask(
+        kbid,
+        AskRequest(
+            query="quick fox",
+            rag_strategies=["hierarchy", "metadata_extension", "graph"],
+            prequeries=[
+                PreQuery(
+                    request=FindRequest(query="markets", features=[SearchFeature.KEYWORD]),
+                    weight=2.0,
+                )
+            ],
+        ),
+    )
+    assert resp.status == "no_generative_model"
+    joined = "\n".join(resp.answer.split("\n\n"))
+    # prequery context (finance doc) leads
+    assert "rallied" in resp.answer.split("\n\n")[0]
+    # full context (not just the 3-block fallback answer) carries strategy output
+    # hierarchy prefix and graph triple reach the context; verify via a
+    # generative engine that echoes its context
+    from nucliadb_tpu.search import SearchService
+    from nucliadb_tpu.search.predict import HashingEncoder, LocalPredictEngine
+
+    echo = SearchService(
+        node, kbs, processor,
+        predict=LocalPredictEngine(
+            encoder=HashingEncoder(dimension=DIM),
+            generator=lambda prompt, ctx: "||".join(ctx),
+        ),
+    )
+    out = echo.ask(
+        kbid,
+        AskRequest(
+            query="quick fox",
+            rag_strategies=["hierarchy", "metadata_extension", "graph"],
+        ),
+    )
+    assert "Fox doc > " in out.answer  # hierarchy prefix
+    assert "labels: /l/topic/animals" in out.answer  # metadata extension
+    assert "fox —jumps over→ meadow" in out.answer  # graph triple
