@@ -90,6 +90,37 @@ class NodeClient:
         )
         return codec.unpack_search_response(out)
 
+    def suggest(self, shard_id: str, query: str, top_k: int = 10) -> dict:
+        fn = self._unary("Suggest", msgpack.packb, msgpack.unpackb)
+        return fn(
+            {"shard_id": shard_id, "query": query, "top_k": top_k},
+            timeout=self.timeout,
+        )
+
+    def graph_search(self, shard_id: str, **pattern) -> list[dict]:
+        """Pattern kwargs: source_value/source_type/relation_label/
+        target_value/target_type/fuzzy/undirected/top_k."""
+        fn = self._unary("GraphSearch", msgpack.packb, msgpack.unpackb)
+        return fn(
+            {"shard_id": shard_id, **pattern}, timeout=self.timeout
+        )["paths"]
+
+    def stream_paragraphs(self, shard_id: str):
+        fn = self.channel.unary_stream(
+            _SERVICE + "Paragraphs",
+            request_serializer=msgpack.packb,
+            response_deserializer=msgpack.unpackb,
+        )
+        yield from fn({"shard_id": shard_id}, timeout=self.timeout)
+
+    def stream_documents(self, shard_id: str):
+        fn = self.channel.unary_stream(
+            _SERVICE + "Documents",
+            request_serializer=msgpack.packb,
+            response_deserializer=msgpack.unpackb,
+        )
+        yield from fn({"shard_id": shard_id}, timeout=self.timeout)
+
     def sync(self) -> list[str]:
         fn = self._unary("Sync", msgpack.packb, msgpack.unpackb)
         return fn({}, timeout=self.timeout)["synced"]

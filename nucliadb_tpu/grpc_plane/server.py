@@ -3,7 +3,9 @@
 Method surface parity (nidx_protos/nidx.proto:8-34):
 - NidxApi:     NewShard, DeleteShard, ListShards, AddVectorSet, GetShard
 - NidxIndexer: Index, Delete
-- NidxSearcher: Search, Suggest (suggest rides Search's paragraph/graph)
+- NidxSearcher: Search, Suggest, GraphSearch, Paragraphs (stream),
+  Documents (stream) — the stream pair feeds train/export consumers
+  (nodereader.proto StreamRequest).
 """
 
 from __future__ import annotations
@@ -42,6 +44,16 @@ class NodeGrpcServer:
             "Delete": _unary(self._delete, msgpack.unpackb, msgpack.packb),
             # ---- NidxSearcher ----
             "Search": _unary(self._search, lambda b: b, lambda b: b),
+            "Suggest": _unary(self._suggest, msgpack.unpackb, msgpack.packb),
+            "GraphSearch": _unary(self._graph_search, msgpack.unpackb, msgpack.packb),
+            "Paragraphs": grpc.unary_stream_rpc_method_handler(
+                self._paragraphs, request_deserializer=msgpack.unpackb,
+                response_serializer=msgpack.packb,
+            ),
+            "Documents": grpc.unary_stream_rpc_method_handler(
+                self._documents, request_deserializer=msgpack.unpackb,
+                response_serializer=msgpack.packb,
+            ),
             "Sync": _unary(self._sync, msgpack.unpackb, msgpack.packb),
         }
         self.server.add_generic_rpc_handlers(
@@ -133,6 +145,82 @@ class NodeGrpcServer:
         req = codec.unpack_search_request(envelope["request"])
         resp = self.node.search(envelope["shard_id"], req)
         return codec.pack_search_response(resp)
+
+    def _suggest(self, request, context):
+        """Shard-level suggest (parity: NidxSearcher.Suggest): fuzzy
+        paragraph prefix matches + entity-prefix nodes."""
+        shard_id = request["shard_id"]
+        searcher = self.node.searcher.shard(shard_id)
+        top_k = int(request.get("top_k", 10))
+        query = request.get("query", "")
+        out = {"paragraphs": [], "entities": []}
+        if searcher.paragraph is not None:
+            for hit in searcher.paragraph.suggest(query, top_k):
+                out["paragraphs"].append(
+                    {"id": hit.paragraph_id, "score": hit.score,
+                     "rid": hit.rid, "field": hit.field,
+                     "start": hit.start, "end": hit.end}
+                )
+        if searcher.relation is not None:
+            out["entities"] = [
+                n.value for n in searcher.relation.suggest_nodes(query, top_k)
+            ]
+        return out
+
+    def _graph_search(self, request, context):
+        """Shard-level path query (parity: NidxSearcher.GraphSearch)."""
+        from ..index.relation import GraphSearchRequest, NodePattern, RelationPattern
+
+        searcher = self.node.searcher.shard(request["shard_id"])
+        if searcher.relation is None:
+            return {"paths": []}
+        greq = GraphSearchRequest(
+            source=NodePattern(
+                value=request.get("source_value"),
+                ntype=request.get("source_type"),
+                fuzzy=bool(request.get("fuzzy")),
+            ),
+            relation=RelationPattern(label=request.get("relation_label")),
+            target=NodePattern(
+                value=request.get("target_value"),
+                ntype=request.get("target_type"),
+                fuzzy=bool(request.get("fuzzy")),
+            ),
+            undirected=bool(request.get("undirected")),
+            top_k=int(request.get("top_k", 50)),
+        )
+        return {
+            "paths": [
+                {"source": p.source.value, "source_type": p.source.ntype,
+                 "relation": p.relation, "label": p.label,
+                 "target": p.target.value, "target_type": p.target.ntype}
+                for p in searcher.relation.graph_search(greq)
+            ]
+        }
+
+    def _paragraphs(self, request, context):
+        """Stream every live paragraph id of a shard (parity:
+        NidxSearcher.Paragraphs over StreamRequest — consumers hydrate
+        text from storage, as the reference's train generators do)."""
+        searcher = self.node.searcher.shard(request["shard_id"])
+        if searcher.paragraph is None:
+            return
+        engine = searcher.paragraph.engine
+        for i, key in enumerate(engine.keys):
+            if engine.alive[i]:
+                yield {"id": key}
+
+    def _documents(self, request, context):
+        """Stream every live field document of a shard (parity:
+        NidxSearcher.Documents)."""
+        searcher = self.node.searcher.shard(request["shard_id"])
+        if searcher.text is None:
+            return
+        engine = searcher.text.engine
+        for i, key in enumerate(engine.keys):
+            if engine.alive[i]:
+                rid, _, field = key.partition("/")
+                yield {"uuid": rid, "field": field}
 
     def _sync(self, request, context):
         return {"synced": self.node.wait_for_sync()}

@@ -188,3 +188,43 @@ def test_merge_orders_by_score(tmp_path):
     merged = merge_shard_responses([presp([0.9, 0.2], "a"), presp([0.5], "b")], top_k=2)
     assert [h.score for h in merged.paragraph.hits] == [0.9, 0.5]
     assert merged.paragraph.total == 3
+
+
+def test_grpc_suggest_graph_and_streams(grpc_node):
+    """The full NidxSearcher surface over gRPC: Suggest, GraphSearch and the
+    Paragraphs/Documents streams (nodereader StreamRequest parity)."""
+    from nucliadb_tpu.models.internal import IndexRelation, RelationNode
+
+    node, client = grpc_node
+    shard_id = client.new_shard("kbg", {"m1": VectorConfig(dimension=DIM)})
+    rd = make_resource("r1", "the quick brown fox")
+    rd.relations["a/metadata"] = [
+        IndexRelation(
+            source=RelationNode(value="fox", subtype="animal"),
+            relation="ENTITY",
+            label="jumps over",
+            target=RelationNode(value="dog", subtype="animal"),
+        )
+    ]
+    client.index(shard_id, rd)
+    client.index(shard_id, make_resource("r2", "quiet quiz quota"))
+    client.sync()
+
+    sugg = client.suggest(shard_id, "qui", top_k=5)
+    assert sugg["paragraphs"] and all("id" in p for p in sugg["paragraphs"])
+    assert any(p["rid"] in ("r1", "r2") for p in sugg["paragraphs"])
+
+    paths = client.graph_search(shard_id, source_value="fox")
+    assert paths and paths[0]["target"] == "dog"
+    assert client.graph_search(shard_id, source_value="cat") == []
+
+    paragraphs = list(client.stream_paragraphs(shard_id))
+    assert {p["id"].split("/")[0] for p in paragraphs} == {"r1", "r2"}
+    documents = list(client.stream_documents(shard_id))
+    assert {d["uuid"] for d in documents} == {"r1", "r2"}
+    assert all(d["field"] == "t/t1" for d in documents)
+
+    # deletions drop out of the streams after sync
+    client.delete_resource(shard_id, "r2")
+    client.sync()
+    assert {p["id"].split("/")[0] for p in client.stream_paragraphs(shard_id)} == {"r1"}
