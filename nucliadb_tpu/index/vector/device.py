@@ -310,12 +310,15 @@ class DeviceVectorIndex:
         """
         if para_mask is None:
             mask_j = self.base_mask_device()
+            matching = int(self.alive.sum())
         else:
             if para_mask.shape[0] == self.n_para:
                 full = np.zeros(self.p_pad, dtype=bool)
                 full[: self.n_para] = para_mask
                 para_mask = full
-            mask_j = jnp.asarray(self.base_mask() & para_mask)
+            combined = self.base_mask() & para_mask
+            matching = int(combined.sum())
+            mask_j = jnp.asarray(combined)
         ms = device_scalar_f32(float(NEG_INF) if min_score is None else float(min_score))
 
         q = np.asarray(queries, dtype=np.float32)
@@ -349,7 +352,7 @@ class DeviceVectorIndex:
                 s, i = ivf_ops.ivf_search(
                     self.ivf, self.vectors, pq, mask_j, ms, top_k
                 )
-            elif self.graph is not None:
+            elif self.graph is not None and self._use_graph(matching, top_k):
                 from ...ops import hnsw as hnsw_ops
 
                 s, i = hnsw_ops.hnsw_search(
@@ -406,6 +409,21 @@ class DeviceVectorIndex:
                 )
         b = q.shape[0] if q.ndim == 2 else queries.shape[0]
         return np.asarray(s)[:b], np.asarray(i)[:b]
+
+    def _use_graph(self, matching: int, top_k: int) -> bool:
+        """Per-query graph-vs-scan choice (parity: the reference's analytic
+        use_hnsw cost model, nidx_vector/src/segment.rs:626-660): a graph
+        walk under a selective filter wastes its visits on masked nodes —
+        below ~10% matching ratio (or below the exact-scan sweet spot) the
+        scan path wins, and the scan is the recall-exact choice anyway."""
+        if self.n_para == 0:
+            return False
+        # the size-based choice already happened at build time (the graph
+        # only exists under the explicit "hnsw" flag); per query only the
+        # filter selectivity matters: a walk over a sparse mask wastes its
+        # fixed visit budget on dead nodes while the scan reads the same
+        # arena either way
+        return matching / self.n_para >= 0.1
 
     def _labels_of(self, pid: int) -> list[str]:
         """Labels of one paragraph. The inverted per-paragraph lists build

@@ -121,3 +121,35 @@ def test_hnsw_graph_persisted_and_stitched(rng, tmp_path):
         got = {h.key for h in hits[b]}
         recalls.append(len(exact & got) / k)
     assert np.mean(recalls) >= 0.9, np.mean(recalls)
+
+
+def test_graph_vs_scan_cost_model(rng, tmp_path):
+    """Under a selective filter the graph path yields to the exact scan
+    (parity: the reference's use_hnsw analytic cost model,
+    nidx_vector/src/segment.rs:626-660) — filtered results stay exact."""
+    n, d, k = 1500, 32, 10
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    cfg = VectorConfig(dimension=d, flags=["hnsw"])
+    elems = [Elem(key=f"r/{i:05d}", vectors=v[i : i + 1]) for i in range(n)]
+    meta = create_segment(str(tmp_path / "s"), elems, cfg)
+    searcher = VectorSearcher(cfg, SimpleOpenIndex(segment_list=[(meta, Seq(1))]))
+    idx = searcher.index
+    assert idx.graph is not None
+
+    # unfiltered: graph is the chosen strategy
+    assert idx._use_graph(idx.n_para, k)
+    # 5% filter: scan wins
+    assert not idx._use_graph(n // 20, k)
+
+    # a 5%-selective mask returns EXACT top-k (the scan path ran)
+    mask = np.zeros(n, dtype=bool)
+    chosen = rng.choice(n, n // 20, replace=False)
+    mask[chosen] = True
+    q = v[chosen[:3]] + 0.01 * rng.standard_normal((3, d)).astype(np.float32)
+    s, i = idx.search(q, k, para_mask=mask)
+    true = q.astype(np.float64) @ v.astype(np.float64).T
+    true[:, ~mask] = -np.inf
+    for b in range(3):
+        expect = set(np.argsort(-true[b])[:k].tolist())
+        assert set(int(x) for x in i[b] if x >= 0) == expect
