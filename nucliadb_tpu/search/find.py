@@ -196,9 +196,11 @@ class SearchService:
         from ..telemetry.tracing import span
         from .metrics import Metrics
 
+        from ..telemetry.metrics import search_observer
+
         metrics = Metrics()
         try:
-            with span("search.find", kbid=kbid):
+            with span("search.find", kbid=kbid), search_observer({"endpoint": "find"}):
                 return self._find(kbid, request, metrics)
         finally:
             metrics.log_if_slow("find", f"kbid={kbid} q={request.query[:80]!r}")

@@ -63,6 +63,11 @@ class SyncedSearcher:
 
     def sync(self) -> list[str]:
         """Refresh shard searchers whose indexes changed; returns shard ids."""
+        import time as _time
+
+        from ..telemetry.metrics import sync_delay_gauge
+
+        sync_start = _time.time()
         dirty: set[str] = set()
         live: set[str] = set()
         for shard in self.metadata.list_shards():
@@ -81,6 +86,18 @@ class SyncedSearcher:
             for shard_id in list(self._shards):
                 if shard_id not in live:
                     self._shards.pop(shard_id, None)
+        # staleness being cleared this round (parity: searcher SYNC_DELAY
+        # gauge, nidx/src/main.rs:147): seconds between the oldest dirty
+        # index's update and this sync
+        oldest = min(
+            (
+                index.updated_at
+                for shard_id in dirty
+                for index in self.metadata.get_indexes(shard_id)
+            ),
+            default=None,
+        )
+        sync_delay_gauge.set(max(sync_start - oldest, 0.0) if oldest else 0.0)
         for shard_id in dirty:
             # only OPEN searchers reload eagerly; everything else loads
             # lazily on first search (parity: the reference's cache

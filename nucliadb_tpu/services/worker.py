@@ -138,6 +138,13 @@ class WorkerService:
 
     @staticmethod
     def _merge(kind: str, configuration: dict, open_index, out_dir: str) -> SegmentMetadata:
+        from ..telemetry.metrics import merge_observer
+
+        with merge_observer({"kind": kind}):
+            return WorkerService._merge_inner(kind, configuration, open_index, out_dir)
+
+    @staticmethod
+    def _merge_inner(kind: str, configuration: dict, open_index, out_dir: str) -> SegmentMetadata:
         if kind == "vector":
             return VectorIndexer(VectorConfig.from_dict(configuration)).merge(
                 open_index, out_dir

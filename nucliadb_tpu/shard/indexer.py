@@ -33,6 +33,13 @@ class IndexOp:
     deletions: list[str]
 
 
+def _observed(kind: str, fn, *args, **kwargs):
+    from ..telemetry.metrics import indexing_observer
+
+    with indexing_observer({"kind": kind}):
+        return fn(*args, **kwargs)
+
+
 class ShardIndexer:
     def __init__(self, config: ShardConfig):
         self.config = config
@@ -44,14 +51,19 @@ class ShardIndexer:
     def index_resource(
         self, resource: ResourceDoc, work_dir: str, *, hidden: bool = False
     ) -> list[IndexOp]:
-        """Build one segment per affected index under ``work_dir``."""
+        """Build one segment per affected index under ``work_dir``.
+
+        Per-kind build counters/durations land in the prometheus registry
+        (parity: nidx per-index-kind indexing metrics, indexer.rs:414-416).
+        """
         ops: list[IndexOp] = []
         ops.append(
             IndexOp(
                 kind=IndexKind.TEXT,
                 index_name="text",
-                segment=self.text.index_resource(
-                    resource, os.path.join(work_dir, "text")
+                segment=_observed(
+                    "text", self.text.index_resource,
+                    resource, os.path.join(work_dir, "text"),
                 ),
                 deletions=self.text.deletions_for_resource(resource),
             )
@@ -60,8 +72,9 @@ class ShardIndexer:
             IndexOp(
                 kind=IndexKind.PARAGRAPH,
                 index_name="paragraph",
-                segment=self.paragraph.index_resource(
-                    resource, os.path.join(work_dir, "paragraph")
+                segment=_observed(
+                    "paragraph", self.paragraph.index_resource,
+                    resource, os.path.join(work_dir, "paragraph"),
                 ),
                 deletions=self.paragraph.deletions_for_resource(resource),
             )
@@ -70,8 +83,9 @@ class ShardIndexer:
             IndexOp(
                 kind=IndexKind.RELATION,
                 index_name="relation",
-                segment=self.relation.index_resource(
-                    resource, os.path.join(work_dir, "relation")
+                segment=_observed(
+                    "relation", self.relation.index_resource,
+                    resource, os.path.join(work_dir, "relation"),
                 ),
                 deletions=self.relation.deletions_for_resource(resource),
             )
@@ -80,8 +94,9 @@ class ShardIndexer:
             IndexOp(
                 kind=IndexKind.JSON,
                 index_name="json",
-                segment=self.json.index_resource(
-                    resource, os.path.join(work_dir, "json")
+                segment=_observed(
+                    "json", self.json.index_resource,
+                    resource, os.path.join(work_dir, "json"),
                 ),
                 deletions=self.json.deletions_for_resource(resource),
             )
@@ -92,7 +107,8 @@ class ShardIndexer:
                 IndexOp(
                     kind=IndexKind.VECTOR,
                     index_name=f"vector/{vs_name}",
-                    segment=vi.index_resource(
+                    segment=_observed(
+                        "vector", vi.index_resource,
                         resource,
                         vs_name,
                         os.path.join(work_dir, f"vector_{vs_name}"),

@@ -394,3 +394,39 @@ def test_commit_stamps_rid_and_partition_subjects(tmp_path):
     # partition 10's messages
     msgs = bus.scan("ndb_ingest", subject_prefix="ingest.")
     assert all(m.subject.endswith(".") for m in msgs)
+
+
+def test_prometheus_service_metrics(tmp_path):
+    """Per-kind indexing + merge counters and the sync-delay gauge reach the
+    prometheus registry (parity: nidx/src/metrics.rs families)."""
+    import numpy as np
+
+    from nucliadb_tpu.index.vector import VectorConfig
+    from nucliadb_tpu.models.internal import IndexParagraph, ResourceDoc, TextInformation, VectorSentence
+    from nucliadb_tpu.services import EmbeddedNode
+    from nucliadb_tpu.storage import MemoryStorage
+    from nucliadb_tpu.telemetry.metrics import render_prometheus
+
+    node = EmbeddedNode(data_dir=str(tmp_path / "n"), storage=MemoryStorage())
+    shard = node.create_shard("kbm", {"m1": VectorConfig(dimension=8)})
+    for i in range(5):
+        rd = ResourceDoc(resource_id=f"r{i}", created=1, modified=1)
+        text = f"metrics doc {i}"
+        rd.texts["t/t"] = TextInformation(text=text)
+        p = IndexParagraph(start=0, end=len(text))
+        v = np.zeros(8, np.float32); v[i % 8] = 1.0
+        p.vectorsets_sentences["m1"] = {
+            f"r{i}/t/t/0/0-{len(text)}": VectorSentence(vector=v)
+        }
+        rd.paragraphs["t/t"] = {f"r{i}/t/t/0-{len(text)}": p}
+        node.index(shard, rd)
+    node.wait_for_sync()
+    node.tick_background()  # schedules + runs merges
+
+    body = render_prometheus().decode()
+    assert 'ndbtpu_indexing_total{kind="text",status="ok"}' in body
+    assert 'ndbtpu_indexing_total{kind="vector",status="ok"}' in body
+    assert "ndbtpu_sync_delay_seconds" in body
+    # 5 single-record segments per index: the log/vector merge policies
+    # schedule compactions, so merge counters appear
+    assert 'ndbtpu_merge_total{' in body
