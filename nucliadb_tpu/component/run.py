@@ -6,6 +6,7 @@ Components (any subset; parity nidx/src/main.rs:130-153):
   worker     merge job execution loop
   searcher   node gRPC services (search plane) with periodic sync
   api        alias of searcher (shard admin rides the same gRPC server)
+  train      Train gRPC service streaming training batches
 
 All components share --data-dir (metadata/KV/bus/storage). Each process
 death is fatal (supervisor restarts — parity: nidx panics on task death).
@@ -39,9 +40,11 @@ def main() -> None:
 
     parser = argparse.ArgumentParser(description="nucliadb_tpu component runner")
     parser.add_argument("components", nargs="+",
-                        choices=["ingest", "scheduler", "worker", "searcher", "api"])
+                        choices=["ingest", "scheduler", "worker", "searcher",
+                                 "api", "train"])
     parser.add_argument("--data-dir", default="./data")
     parser.add_argument("--grpc-address", default="127.0.0.1:10000")
+    parser.add_argument("--train-address", default="127.0.0.1:10001")
     parser.add_argument("--interval", type=float, default=15.0)
     parser.add_argument(
         "--control-socket", default="",
@@ -117,6 +120,17 @@ def main() -> None:
         server.start()
         loop(lambda: node.wait_for_sync(), 1.0)
         print(f"searcher/api gRPC on port {server.port}")
+
+    if "train" in components:
+        from ..grpc_plane import TrainGrpcServer
+
+        driver_t = Driver(os.path.join(args.data_dir, "maindb.db"))
+        kbs_t = KnowledgeBoxManager(driver_t, node)
+        train_server = TrainGrpcServer(
+            Processor(driver_t, node, kbs_t), address=args.train_address
+        )
+        train_server.start()
+        print(f"train gRPC on port {train_server.port}")
 
     if args.control_socket:
         from .control import ControlSocket

@@ -10,5 +10,6 @@ framing, method routing, deadlines and streaming semantics stay gRPC.
 
 from .client import NodeClient
 from .server import NodeGrpcServer
+from .train import TrainClient, TrainGrpcServer
 
-__all__ = ["NodeGrpcServer", "NodeClient"]
+__all__ = ["NodeGrpcServer", "NodeClient", "TrainGrpcServer", "TrainClient"]

@@ -376,3 +376,32 @@ def test_bootstrap_and_builtin_migrations(tmp_path):
     assert run_migrations(
         MigrationContext(driver=driver2, node=node, kbs=kbs, processor=processor)
     ) == []
+
+
+def test_train_grpc_streams(stack):
+    """Train batches stream over gRPC (parity: the Train servicer,
+    train/servicer.py:47-110) — every registered task is a method."""
+    from nucliadb_tpu.grpc_plane import TrainClient, TrainGrpcServer
+    from nucliadb_tpu.train.dataset import GENERATORS
+
+    node, driver, kbs, processor, kbid = stack
+    server = TrainGrpcServer(processor)
+    server.start()
+    client = TrainClient(f"127.0.0.1:{server.port}")
+    try:
+        batches = list(client.batches("paragraph_classification", kbid, batch_size=8))
+        texts = [t for b in batches for t in b["texts"]]
+        assert "The fox is quick." in texts
+        labels = [l for b in batches for l in b["labels"]]
+        assert ["/l/topic/animals"] in labels
+
+        # labelset restriction flows through
+        fin = list(client.batches("field_classification", kbid, labelset="topic"))
+        assert fin and all(l for b in fin for l in b["labels"])
+
+        # every generator task is servable
+        for task in GENERATORS:
+            list(client.batches(task, kbid, batch_size=4))
+    finally:
+        client.close()
+        server.stop()
