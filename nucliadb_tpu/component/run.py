@@ -7,6 +7,7 @@ Components (any subset; parity nidx/src/main.rs:130-153):
   searcher   node gRPC services (search plane) with periodic sync
   api        alias of searcher (shard admin rides the same gRPC server)
   train      Train gRPC service streaming training batches
+  writer     Writer gRPC service (KB admin, ProcessMessage writes, backups)
 
 All components share --data-dir (metadata/KV/bus/storage). Each process
 death is fatal (supervisor restarts — parity: nidx panics on task death).
@@ -41,10 +42,11 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="nucliadb_tpu component runner")
     parser.add_argument("components", nargs="+",
                         choices=["ingest", "scheduler", "worker", "searcher",
-                                 "api", "train"])
+                                 "api", "train", "writer"])
     parser.add_argument("--data-dir", default="./data")
     parser.add_argument("--grpc-address", default="127.0.0.1:10000")
     parser.add_argument("--train-address", default="127.0.0.1:10001")
+    parser.add_argument("--writer-address", default="127.0.0.1:10002")
     parser.add_argument("--interval", type=float, default=15.0)
     parser.add_argument(
         "--control-socket", default="",
@@ -131,6 +133,17 @@ def main() -> None:
         )
         train_server.start()
         print(f"train gRPC on port {train_server.port}")
+
+    if "writer" in components:
+        from ..grpc_plane import WriterGrpcServer
+
+        driver_w = Driver(os.path.join(args.data_dir, "maindb.db"))
+        kbs_w = KnowledgeBoxManager(driver_w, node)
+        writer_server = WriterGrpcServer(
+            kbs_w, Processor(driver_w, node, kbs_w), address=args.writer_address
+        )
+        writer_server.start()
+        print(f"writer gRPC on port {writer_server.port}")
 
     if args.control_socket:
         from .control import ControlSocket

@@ -11,5 +11,9 @@ framing, method routing, deadlines and streaming semantics stay gRPC.
 from .client import NodeClient
 from .server import NodeGrpcServer
 from .train import TrainClient, TrainGrpcServer
+from .writer import WriterClient, WriterGrpcServer
 
-__all__ = ["NodeGrpcServer", "NodeClient", "TrainGrpcServer", "TrainClient"]
+__all__ = [
+    "NodeGrpcServer", "NodeClient", "TrainGrpcServer", "TrainClient",
+    "WriterGrpcServer", "WriterClient",
+]

@@ -228,3 +228,47 @@ def test_grpc_suggest_graph_and_streams(grpc_node):
     client.delete_resource(shard_id, "r2")
     client.sync()
     assert {p["id"].split("/")[0] for p in client.stream_paragraphs(shard_id)} == {"r1"}
+
+
+def test_writer_grpc_service(tmp_path):
+    """Product-level Writer gRPC (parity: WriterServicer, ingest/service/
+    writer.py:78): KB admin, ProcessMessage writes, vectorsets, backups."""
+    from nucliadb_tpu.common.kb import KnowledgeBoxManager
+    from nucliadb_tpu.grpc_plane import WriterClient, WriterGrpcServer
+    from nucliadb_tpu.ingest.processor import Processor
+    from nucliadb_tpu.maindb import Driver
+
+    node = EmbeddedNode(data_dir=str(tmp_path / "n"), storage=MemoryStorage())
+    driver = Driver(str(tmp_path / "kv.db"))
+    kbs = KnowledgeBoxManager(driver, node)
+    processor = Processor(driver, node, kbs)
+    server = WriterGrpcServer(kbs, processor)
+    server.start()
+    client = WriterClient(f"127.0.0.1:{server.port}")
+    try:
+        kbid = client.new_kb({"slug": "wkb"})
+        assert kbid in client.list_kbs()
+        client.new_vectorset(kbid, "m1", {"dimension": DIM})
+
+        out = client.process_message(
+            kbid, "create",
+            payload={"title": "Doc", "texts": {"t": {"body": "writer grpc body"}}},
+        )
+        rid = out["rid"]
+        assert out["seq"] >= 0
+        client.process_message(kbid, "update", rid=rid, payload={"title": "Doc2"})
+        assert processor.get_payload(kbid, rid).title == "Doc2"
+
+        backup_id = client.create_backup(kbid)
+        restored = client.restore_backup(backup_id, slug="wkb-copy")
+        assert processor.list_resources(restored)
+        client.delete_backup(backup_id)
+
+        client.process_message(kbid, "delete", rid=rid)
+        assert processor.get_payload(kbid, rid) is None
+        client.del_vectorset(kbid, "m1")
+        client.delete_kb(kbid)
+        assert kbid not in client.list_kbs()
+    finally:
+        client.close()
+        server.stop()
