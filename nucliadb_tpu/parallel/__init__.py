@@ -10,7 +10,11 @@ placement across slices (rendezvous hashing) remains a host concern
 (services layer).
 """
 
+from .hybrid_mesh import MeshHybridIndex
 from .mesh import MeshShardedVectorIndex, make_mesh
 from .text_mesh import MeshShardedTextEngine
 
-__all__ = ["MeshShardedVectorIndex", "MeshShardedTextEngine", "make_mesh"]
+__all__ = [
+    "MeshShardedVectorIndex", "MeshShardedTextEngine", "MeshHybridIndex",
+    "make_mesh",
+]
