@@ -25,6 +25,7 @@ class AuditType(str, Enum):
     SEARCH = "search"
     SUGGEST = "suggest"
     CHAT = "chat"
+    STORAGE = "storage"
 
 
 class AuditStream:

@@ -17,14 +17,22 @@ from typing import Any, Optional
 import httpx
 
 from .maindb import Driver
+from .utils.encryption import Endecryptor
 
 LEARNING_KEY = "/kbs/{kbid}/learning/config"
 
+# fields holding credentials: encrypted at rest when NDBTPU_ENCRYPTION_KEY
+# is set (parity: the reference encrypts learning secrets via
+# nucliadb_utils encryption)
+SECRET_FIELDS = {"api_key", "openai_key", "azure_key", "user_token"}
+
 
 class LearningProxy:
-    def __init__(self, driver: Driver, base_url: Optional[str] = None):
+    def __init__(self, driver: Driver, base_url: Optional[str] = None,
+                 endecryptor: Optional[Endecryptor] = None):
         self.driver = driver
         self.base_url = base_url
+        self.endecryptor = endecryptor or Endecryptor()
 
     def get_configuration(self, kbid: str) -> dict[str, Any]:
         if self.base_url:
@@ -33,7 +41,11 @@ class LearningProxy:
             return resp.json()
         with self.driver as txn:
             raw = txn.get(LEARNING_KEY.format(kbid=kbid))
-        return json.loads(raw) if raw else {}
+        config = json.loads(raw) if raw else {}
+        return {
+            k: self.endecryptor.decrypt(v) if k in SECRET_FIELDS and isinstance(v, str) else v
+            for k, v in config.items()
+        }
 
     def set_configuration(self, kbid: str, config: dict[str, Any]) -> dict[str, Any]:
         if self.base_url:
@@ -44,8 +56,12 @@ class LearningProxy:
             return resp.json()
         current = self.get_configuration(kbid)
         current.update(config)
+        stored = {
+            k: self.endecryptor.encrypt(v) if k in SECRET_FIELDS and isinstance(v, str) else v
+            for k, v in current.items()
+        }
         with self.driver as txn:
-            txn.set(LEARNING_KEY.format(kbid=kbid), json.dumps(current).encode())
+            txn.set(LEARNING_KEY.format(kbid=kbid), json.dumps(stored).encode())
         return current
 
     def delete_configuration(self, kbid: str) -> None:

@@ -318,6 +318,15 @@ class MetadataStore:
                     (now + SEGMENT_GRACE_S, sid),
                 )
 
+    def set_segment_size(self, segment_id: int, size_bytes: int) -> None:
+        """Record the packed size after upload (create happens before the
+        upload because the storage key embeds the row id)."""
+        with self._lock, self._conn:
+            self._conn.execute(
+                "UPDATE segments SET size_bytes=? WHERE id=?",
+                (int(size_bytes), segment_id),
+            )
+
     def ready_segments(self, index_id: int) -> list[SegmentRow]:
         with self._lock:
             rows = self._conn.execute(

@@ -84,7 +84,8 @@ class IndexerService:
                     tags=sorted(op.segment.tags),
                     index_metadata=op.segment.index_metadata,
                 )
-                upload_segment(self.storage, row.storage_key, op.segment.path)
+                size = upload_segment(self.storage, row.storage_key, op.segment.path)
+                self.metadata.set_segment_size(row.id, size)
                 ready.append(row.id)
 
             self.metadata.commit_operation(

@@ -84,9 +84,10 @@ def plan_vector_merges(segments: list[SegmentRow]) -> list[list[SegmentRow]]:
 
 
 class SchedulerService:
-    def __init__(self, metadata: MetadataStore, storage=None):
+    def __init__(self, metadata: MetadataStore, storage=None, audit=None):
         self.metadata = metadata
         self.storage = storage
+        self.audit = audit  # AuditStream (optional)
 
     def schedule_merges(self) -> int:
         """Plan merges for every index; returns number of jobs enqueued.
@@ -142,10 +143,34 @@ class SchedulerService:
                         index.id, Seq(min(oldest, floor))
                     )
 
+    def audit_storage(self) -> dict[str, dict]:
+        """Per-KB storage report to the audit stream (parity: the scheduler
+        KB storage audit task, nidx/src/scheduler/audit_task.rs:170 — bytes,
+        records and segment counts per knowledge box)."""
+        report: dict[str, dict] = {}
+        for shard in self.metadata.list_shards():
+            agg = report.setdefault(
+                shard.kbid, {"bytes": 0, "records": 0, "segments": 0}
+            )
+            for index in self.metadata.get_indexes(shard.id):
+                for seg in self.metadata.ready_segments(index.id):
+                    agg["bytes"] += seg.size_bytes
+                    agg["records"] += seg.records
+                    agg["segments"] += 1
+        if self.audit is not None:
+            from ..common.audit import AuditType
+
+            for kbid, stats in report.items():
+                self.audit.report(
+                    kbid=kbid, audit_type=AuditType.STORAGE, detail=stats
+                )
+        return report
+
     def tick(self) -> int:
         self.metadata.expire_stale_requests()
         jobs = self.schedule_merges()
         self.purge_segments()
         self.purge_deletions()
         self.metadata.prune_acked_requests(self.metadata.ack_floor())
+        self.audit_storage()
         return jobs

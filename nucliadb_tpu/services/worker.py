@@ -127,7 +127,8 @@ class WorkerService:
             tags=sorted(merged.tags),
             index_metadata=merged.index_metadata,
         )
-        upload_segment(self.storage, row.storage_key, merged.path)
+        size = upload_segment(self.storage, row.storage_key, merged.path)
+        self.metadata.set_segment_size(row.id, size)
         self.metadata.commit_operation(
             ready_segments=[row.id],
             deletions=[],

@@ -71,6 +71,8 @@ class StandaloneApp:
         self.search = SearchService(self.node, self.kbs, self.processor, predict=predict)
         self.bus = EmbeddedBus(os.path.join(data_dir, "bus.db"))
         self.audit = AuditStream(self.bus)
+        # periodic KB storage reports ride the background scheduler tick
+        self.node.scheduler.audit = self.audit
         self.back_pressure = BackPressureMaterializer(self.node.metadata, self.bus)
         self.labels = LabelsService(self.driver)
         self.entities = EntitiesService(self.driver)

@@ -318,3 +318,65 @@ def test_keyed_lock_exclusion_and_pruning():
         t = threading.Thread(target=lambda: (kl.hold("y").__enter__(), got.append(1)))
         t.start(); t.join(timeout=1)
     assert got == [1]
+
+
+def test_encryption_util_and_learning_secrets(tmp_path):
+    """Secrets encrypt at rest when a key is configured (parity:
+    nucliadb_utils encryption + learning config secret fields)."""
+    from nucliadb_tpu.learning_proxy import LEARNING_KEY, LearningProxy
+    from nucliadb_tpu.maindb import Driver
+    from nucliadb_tpu.utils.encryption import Endecryptor
+
+    key = Endecryptor.generate_key()
+    enc = Endecryptor(key)
+    assert enc.active
+    token = enc.encrypt("s3cret")
+    assert token != "s3cret" and token.startswith("enc::")
+    assert enc.decrypt(token) == "s3cret"
+    # no key -> documented passthrough
+    noop = Endecryptor("")
+    assert not noop.active and noop.encrypt("x") == "x"
+
+    driver = Driver(str(tmp_path / "kv.db"))
+    proxy = LearningProxy(driver, endecryptor=enc)
+    secret = "plaintext-credential-123"
+    out = proxy.set_configuration("kb1", {"semantic_model": "m", "api_key": secret})
+    assert out["api_key"] == secret  # callers see plaintext
+    with driver as txn:
+        raw = txn.get(LEARNING_KEY.format(kbid="kb1")).decode()
+    assert secret not in raw and "enc::" in raw  # at rest: ciphertext
+    assert proxy.get_configuration("kb1")["api_key"] == secret
+
+
+def test_scheduler_kb_storage_audit(tmp_path):
+    """The scheduler tick ships per-KB storage reports to the audit stream
+    (parity: nidx scheduler audit_task.rs)."""
+    import json as _json
+
+    import numpy as np
+
+    from nucliadb_tpu.common.audit import AUDIT_STREAM, AuditStream
+    from nucliadb_tpu.index.vector import VectorConfig
+    from nucliadb_tpu.models.internal import IndexParagraph, ResourceDoc, TextInformation, VectorSentence
+    from nucliadb_tpu.services import EmbeddedNode
+    from nucliadb_tpu.storage import MemoryStorage
+
+    node = EmbeddedNode(data_dir=str(tmp_path / "n"), storage=MemoryStorage())
+    bus = EmbeddedBus()
+    node.scheduler.audit = AuditStream(bus)
+    shard = node.create_shard("kbaud", {"m1": VectorConfig(dimension=8)})
+    rd = ResourceDoc(resource_id="r1", created=1, modified=1)
+    rd.texts["t/t"] = TextInformation(text="storage audit doc")
+    p = IndexParagraph(start=0, end=17)
+    p.vectorsets_sentences["m1"] = {"r1/t/t/0/0-17": VectorSentence(vector=np.ones(8, np.float32))}
+    rd.paragraphs["t/t"] = {"r1/t/t/0-17": p}
+    node.index(shard, rd)
+    node.wait_for_sync()
+
+    report = node.scheduler.audit_storage()
+    assert report["kbaud"]["segments"] >= 1 and report["kbaud"]["bytes"] > 0
+    events = [
+        _json.loads(m.payload)
+        for m in bus.scan(AUDIT_STREAM, subject_prefix="audit.kbaud")
+    ]
+    assert any(e["type"] == "storage" and e["detail"]["bytes"] > 0 for e in events)
