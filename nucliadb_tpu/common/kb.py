@@ -117,6 +117,28 @@ class KnowledgeBoxManager:
             raw = txn.get(KB_CONFIG.format(kbid=kbid))
         return KnowledgeBoxConfig.model_validate_json(raw) if raw else None
 
+    def update_config(self, kbid: str, patch: dict) -> "KnowledgeBoxConfig":
+        """Patch title/description/slug (parity: writer PATCH /kb/{kbid}).
+        Vectorsets/shards/provider change through their dedicated APIs."""
+        config = self.get_config(kbid)
+        if config is None:
+            raise KeyError(kbid)
+        allowed = {k: v for k, v in patch.items()
+                   if k in ("title", "description", "slug")}
+        new_slug = allowed.get("slug", config.slug)
+        with self.driver as txn:
+            if new_slug != config.slug:
+                if new_slug:
+                    existing = txn.get(KB_SLUG.format(slug=new_slug))
+                    if existing is not None and existing.decode() != kbid:
+                        raise KeyError(f"kb slug already exists: {new_slug}")
+                    txn.set(KB_SLUG.format(slug=new_slug), kbid.encode())
+                if config.slug:
+                    txn.delete(KB_SLUG.format(slug=config.slug))
+            updated = config.model_copy(update=allowed)
+            txn.set(KB_CONFIG.format(kbid=kbid), updated.model_dump_json().encode())
+        return updated
+
     def resolve_slug(self, slug: str) -> Optional[str]:
         with self.driver as txn:
             raw = txn.get(KB_SLUG.format(slug=slug))

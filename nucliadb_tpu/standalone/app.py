@@ -236,6 +236,16 @@ class StandaloneApp:
             config = self.kbs.get_config(kbid)
             return KnowledgeBoxObj(uuid=kbid, slug=config.slug if config else "", config=config)
 
+        @r.patch("/api/v1/kb/{kbid}")
+        def update_kb(request: Request):
+            """Patch KB title/description/slug (parity: writer PATCH KB)."""
+            kbid = self._kbid(request)
+            try:
+                config = self.kbs.update_config(kbid, request.json() or {})
+            except KeyError as e:
+                raise HTTPError(409, str(e))
+            return KnowledgeBoxObj(uuid=kbid, slug=config.slug, config=config)
+
         @r.delete("/api/v1/kb/{kbid}")
         def delete_kb(request: Request):
             kbid = self._kbid(request)

@@ -1133,3 +1133,18 @@ def test_audit_events_and_loglevel(server):
     assert resp.json() == {"logger": "nucliadb_tpu.test", "level": "DEBUG"}
     assert logging.getLogger("nucliadb_tpu.test").level == logging.DEBUG
     assert client.post("/api/v1/admin/loglevel", json={"level": "nope"}).status_code == 422
+
+
+def test_patch_kb_config(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "patchkb", "title": "Old"}).json()["uuid"]
+    out = client.patch(
+        f"/api/v1/kb/{kbid}", json={"title": "New", "slug": "patched-kb"}
+    ).json()
+    assert out["config"]["title"] == "New"
+    # slug remap: old gone, new resolves
+    assert client.get("/api/v1/kb/s/patched-kb").json()["uuid"] == kbid
+    assert client.get("/api/v1/kb/s/patchkb").status_code == 404
+    # conflicting slug is a 409
+    client.post("/api/v1/kbs", json={"slug": "other-kb"})
+    assert client.patch(f"/api/v1/kb/{kbid}", json={"slug": "other-kb"}).status_code == 409
