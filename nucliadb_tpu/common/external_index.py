@@ -88,6 +88,12 @@ class InMemoryExternalIndex(ExternalIndexManager):
             if filter_labels and not set(filter_labels) & set(self._labels.get(key, [])):
                 continue
             out.append(
-                ExternalHit(key=key, score=float(v @ np.asarray(vector, np.float32)), metadata={})
+                ExternalHit(
+                    key=key,
+                    score=float(v @ np.asarray(vector, np.float32)),
+                    # providers return stored labels so the find leg can
+                    # post-filter (security/filters) host-side
+                    metadata={"labels": list(self._labels.get(key, []))},
+                )
             )
         return sorted(out, key=lambda h: -h.score)[:top_k]

@@ -125,7 +125,12 @@ class KnowledgeBoxManager:
             raise KeyError(kbid)
         allowed = {k: v for k, v in patch.items()
                    if k in ("title", "description", "slug")}
-        new_slug = allowed.get("slug", config.slug)
+        # validate BEFORE persisting: model_copy skips pydantic validation
+        # and a bad value would poison every later get_config()
+        updated = KnowledgeBoxConfig.model_validate(
+            {**config.model_dump(), **allowed}
+        )
+        new_slug = updated.slug
         with self.driver as txn:
             if new_slug != config.slug:
                 if new_slug:
@@ -135,7 +140,6 @@ class KnowledgeBoxManager:
                     txn.set(KB_SLUG.format(slug=new_slug), kbid.encode())
                 if config.slug:
                     txn.delete(KB_SLUG.format(slug=config.slug))
-            updated = config.model_copy(update=allowed)
             txn.set(KB_CONFIG.format(kbid=kbid), updated.model_dump_json().encode())
         return updated
 

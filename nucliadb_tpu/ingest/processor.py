@@ -99,6 +99,10 @@ class Processor:
         manager = self.kbs.external_index(kbid)
         if manager is None:
             return
+        # updates must drop removed paragraphs' vectors first (the node path
+        # gets this from prefix deletions; providers expose the same contract
+        # via delete_resource)
+        manager.delete_resource(doc.resource_id)
         vectorsets = {
             name
             for paragraphs in doc.paragraphs.values()

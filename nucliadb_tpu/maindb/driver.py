@@ -68,6 +68,11 @@ class Transaction:
 
 
 class Driver:
+    """sqlite-backed KV. ``compare_and_swap``/``delete_if`` are single-
+    statement (hence cross-process atomic) primitives for lease locks —
+    the plain Transaction read-modify-write is NOT atomic across processes.
+    """
+
     def __init__(self, path: str = ":memory:"):
         self._conn = sqlite3.connect(path, check_same_thread=False)
         self._conn.execute("PRAGMA journal_mode=WAL")
@@ -76,6 +81,31 @@ class Driver:
         )
         self._conn.commit()
         self._lock = threading.RLock()
+
+    def compare_and_swap(self, key: str, expected: Optional[bytes], new: bytes) -> bool:
+        """Atomically set ``key`` to ``new`` iff its current value is
+        ``expected`` (None = key absent). Returns True on success."""
+        with self._lock:
+            if expected is None:
+                cur = self._conn.execute(
+                    "INSERT OR IGNORE INTO resources(key, value) VALUES(?,?)",
+                    (key, new),
+                )
+            else:
+                cur = self._conn.execute(
+                    "UPDATE resources SET value=? WHERE key=? AND value=?",
+                    (new, key, expected),
+                )
+            self._conn.commit()
+            return cur.rowcount > 0
+
+    def delete_if(self, key: str, expected: bytes) -> bool:
+        with self._lock:
+            cur = self._conn.execute(
+                "DELETE FROM resources WHERE key=? AND value=?", (key, expected)
+            )
+            self._conn.commit()
+            return cur.rowcount > 0
 
     def transaction(self) -> Transaction:
         self._lock.acquire()

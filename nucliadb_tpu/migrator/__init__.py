@@ -66,31 +66,56 @@ def current_version(driver: Driver) -> int:
 def migration_lock(driver: Driver, *, timeout: float = 30.0):
     """KV lease lock so only one process runs migrations (parity: the
     reference's PG advisory lock around migrations, metadata.rs:36,75-82,
-    and the Python migrator's distributed lock). Expired leases (a crashed
-    migrator) are taken over after LOCK_TTL."""
+    and the Python migrator's distributed lock).
+
+    Acquisition is a single-statement compare-and-swap (cross-process
+    atomic); a renewal thread heartbeats the lease while held, so long
+    migrations (rollover reindexes) cannot be stolen mid-run; expired
+    leases (a crashed migrator) are taken over after LOCK_TTL."""
+    import threading
+
     owner = uuid.uuid4().hex
+
+    def lease(expires: float) -> bytes:
+        return json.dumps({"owner": owner, "expires": expires}).encode()
+
     deadline = time.time() + timeout
+    current = lease(time.time() + LOCK_TTL)
     while True:
-        now = time.time()
         with driver as txn:
             raw = txn.get(LOCK_KEY)
-            holder = json.loads(raw) if raw else None
-            if holder is None or holder["expires"] < now:
-                txn.set(
-                    LOCK_KEY,
-                    json.dumps({"owner": owner, "expires": now + LOCK_TTL}).encode(),
-                )
+        if raw is None:
+            if driver.compare_and_swap(LOCK_KEY, None, current):
+                break
+        else:
+            holder = json.loads(raw)
+            if holder["expires"] < time.time() and driver.compare_and_swap(
+                LOCK_KEY, raw, current
+            ):
                 break
         if time.time() >= deadline:
             raise TimeoutError("migration lock held by another process")
         time.sleep(0.05)
+
+    stop = threading.Event()
+
+    def renew():
+        nonlocal current
+        while not stop.wait(LOCK_TTL / 3):
+            fresh = lease(time.time() + LOCK_TTL)
+            if driver.compare_and_swap(LOCK_KEY, current, fresh):
+                current = fresh
+            else:
+                return  # lost the lease (should not happen while renewing)
+
+    renewer = threading.Thread(target=renew, daemon=True)
+    renewer.start()
     try:
         yield
     finally:
-        with driver as txn:
-            raw = txn.get(LOCK_KEY)
-            if raw and json.loads(raw).get("owner") == owner:
-                txn.delete(LOCK_KEY)
+        stop.set()
+        renewer.join(timeout=1)
+        driver.delete_if(LOCK_KEY, current)
 
 
 def latest_version() -> int:

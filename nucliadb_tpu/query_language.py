@@ -128,6 +128,32 @@ def evaluate_bitset(
     return mask
 
 
+def evaluate_one(
+    expr: BooleanExpression | None, labels, key: str = ""
+) -> bool:
+    """Evaluate an expression against ONE record's label set + key (used by
+    the external-index leg, which post-filters provider hits host-side)."""
+    if expr is None:
+        return True
+    labels = set(labels)
+
+    def resolver(atom) -> list[int]:
+        if isinstance(atom, LabelAtom):
+            return [0] if atom.label in labels else []
+        if isinstance(atom, KeyPrefixAtom):
+            return [0] if any(key.startswith(p) for p in atom.prefixes) else []
+        if isinstance(atom, FacetPrefixAtom):
+            facet = atom.facet.rstrip("/")
+            return (
+                [0]
+                if any(l == facet or l.startswith(facet + "/") for l in labels)
+                else []
+            )
+        raise TypeError(f"unknown atom {atom!r}")
+
+    return bool(evaluate_bitset(expr, 1, resolver)[0])
+
+
 def evaluate_sets(expr: BooleanExpression | None, universe: frozenset, resolver) -> frozenset:
     """Set-based evaluation (used by host-side planners over small universes)."""
     if expr is None:

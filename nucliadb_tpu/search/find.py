@@ -173,6 +173,53 @@ class SearchService:
                     detected.append(f"/e/{hit[0]}/{hit[1]}")
         return sorted(set(detected))
 
+    def _external_hit_allowed(
+        self, kbid: str, rid: str, hit, expr, request: FindRequest, shard_req
+    ) -> bool:
+        """Host-side constraint check for one external-index hit: label
+        expression (provider-returned labels + resource labels), security
+        groups, field restriction and date windows — the node leg applies
+        the same constraints through its prefilter + mask machinery."""
+        from ..query_language import evaluate_one
+
+        labels = set(hit.metadata.get("labels", []))
+        payload = None
+        if expr is not None or request.security_groups is not None:
+            payload = self.processor.get_payload(kbid, rid)
+            if payload is None:
+                return False
+            labels |= {
+                f"/l/{c.labelset}/{c.label}"
+                for c in payload.usermetadata.classifications
+            }
+        if expr is not None and not evaluate_one(expr, labels, key=hit.key):
+            return False
+        if request.security_groups is not None and payload is not None:
+            groups = (
+                set(payload.security.access_groups) if payload.security else set()
+            )
+            if groups and not groups & set(request.security_groups):
+                return False
+        if shard_req.key_filters and not any(
+            hit.key.startswith(p) or hit.key.split("/", 1)[-1].startswith(p)
+            for p in shard_req.key_filters
+        ):
+            return False
+        for window, column in (
+            (shard_req.range_creation, "created"),
+            (shard_req.range_modification, "modified"),
+        ):
+            if window is None:
+                continue
+            meta = self.processor.get_meta(kbid, rid)
+            if meta is None:
+                return False
+            value = getattr(meta, column)
+            lo, hi = window
+            if (lo is not None and value < lo) or (hi is not None and value > hi):
+                return False
+        return True
+
     def _shard_ids(self, kbid: str) -> list[str]:
         shards = self.kbs.get_shards(kbid)
         if shards is None:
@@ -265,15 +312,26 @@ class SearchService:
         fulltext_facets: dict = {}
 
         # external index route: the KB's vectors live in the provider, not
-        # the node (parity: external_index_providers query routing in find)
+        # the node (parity: external_index_providers query routing in find).
+        # Provider hits are post-filtered host-side so filters, security,
+        # date windows and min_score apply exactly as on the node leg.
         external = self.kbs.external_index(kbid) if vector is not None else None
         if external is not None:
             with metrics.time("external"):
                 for h in external.query(vector, fetch_k):
+                    if (
+                        request.min_score_semantic is not None
+                        and h.score < request.min_score_semantic
+                    ):
+                        continue
                     parsed = parse_vector_key(h.key)
                     if parsed is None:
                         continue
                     rid, fid, start, end = parsed
+                    if not self._external_hit_allowed(
+                        kbid, rid, h, expr, request, shard_req
+                    ):
+                        continue
                     semantic_blocks.append(
                         TextBlock(
                             block_id=f"{rid}/{fid}/{start}-{end}",
@@ -407,7 +465,10 @@ class SearchService:
                 next_page=len(fused) > request.offset + request.top_k,
                 autofilters=autofilters,
             )
-            if cut and results.next_page:
+            if cut and results.next_page and request.reranker != "predict":
+                # reranked scores live on a different scale than the fused
+                # ordering the cursor walks — no cursor under the reranker
+                # (the reference's predict reranker has the same limitation)
                 import base64, json as _json
 
                 last = cut[-1]
@@ -455,10 +516,25 @@ class SearchService:
 
                 if request.sort_field is None:
                     fulltext_hits.sort(key=lambda h: -h.score)
+                else:
+                    # per-shard responses are each ordered; the concatenation
+                    # is not — re-establish the global date order host-side
+                    stamp = {}
+                    for h in fulltext_hits:
+                        if h.rid not in stamp:
+                            meta = self.processor.get_meta(kbid, h.rid)
+                            stamp[h.rid] = getattr(meta, request.sort_field, 0.0) if meta else 0.0
+                    fulltext_hits.sort(
+                        key=lambda h: stamp[h.rid],
+                        reverse=request.sort_order != "asc",
+                    )
+                window = fulltext_hits[
+                    request.offset : request.offset + request.top_k
+                ]
                 results.fulltext = FulltextResults(
                     results=[
                         FulltextHit(rid=h.rid, field=h.field, score=h.score)
-                        for h in fulltext_hits[: request.top_k]
+                        for h in window
                     ],
                     total=fulltext_total,
                     facets=fulltext_facets,
@@ -585,16 +661,18 @@ class SearchService:
         here embedded through the predict seam and cached per searcher)."""
         if self.predict is None or not searcher.relation.node_values:
             return []
-        cache = getattr(searcher.relation, "_semantic_vecs", None)
-        if cache is None or len(cache) != len(searcher.relation.node_values):
+        fingerprint = hash(tuple(searcher.relation.node_values))
+        cached = getattr(searcher.relation, "_semantic_vecs", None)
+        if cached is None or cached[0] != fingerprint:
             vecs = [
                 self.predict.embed(kbid, "", value)
                 for value in searcher.relation.node_values
             ]
-            cache = np.stack([np.asarray(v, np.float32) for v in vecs])
-            norms = np.linalg.norm(cache, axis=1, keepdims=True)
-            cache = cache / np.maximum(norms, 1e-12)
-            searcher.relation._semantic_vecs = cache
+            mat = np.stack([np.asarray(v, np.float32) for v in vecs])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.maximum(norms, 1e-12)
+            searcher.relation._semantic_vecs = cached = (fingerprint, mat)
+        cache = cached[1]
         qv = np.asarray(self.predict.embed(kbid, "", query), np.float32)
         qv = qv / max(float(np.linalg.norm(qv)), 1e-12)
         sims = cache @ qv

@@ -83,11 +83,15 @@ def plan_vector_merges(segments: list[SegmentRow]) -> list[list[SegmentRow]]:
     return plans
 
 
+AUDIT_INTERVAL_S = 3600.0  # KB storage reports are hourly, not per tick
+
+
 class SchedulerService:
     def __init__(self, metadata: MetadataStore, storage=None, audit=None):
         self.metadata = metadata
         self.storage = storage
         self.audit = audit  # AuditStream (optional)
+        self._last_audit = 0.0
 
     def schedule_merges(self) -> int:
         """Plan merges for every index; returns number of jobs enqueued.
@@ -172,5 +176,9 @@ class SchedulerService:
         self.purge_segments()
         self.purge_deletions()
         self.metadata.prune_acked_requests(self.metadata.ack_floor())
-        self.audit_storage()
+        import time as _time
+
+        if self.audit is not None and _time.time() - self._last_audit > AUDIT_INTERVAL_S:
+            self._last_audit = _time.time()
+            self.audit_storage()
         return jobs

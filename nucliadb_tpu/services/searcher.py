@@ -94,6 +94,8 @@ class SyncedSearcher:
                 index.updated_at
                 for shard_id in dirty
                 for index in self.metadata.get_indexes(shard_id)
+                if self._index_state.get(index.id) is None
+                or index.updated_at > self._index_state[index.id]
             ),
             default=None,
         )

@@ -243,7 +243,11 @@ class StandaloneApp:
             try:
                 config = self.kbs.update_config(kbid, request.json() or {})
             except KeyError as e:
+                # _kbid already 404s unknown KBs; a KeyError here is a slug
+                # conflict (or a delete race, also a conflict)
                 raise HTTPError(409, str(e))
+            except ValidationError as e:
+                raise HTTPError(422, str(e))
             return KnowledgeBoxObj(uuid=kbid, slug=config.slug, config=config)
 
         @r.delete("/api/v1/kb/{kbid}")

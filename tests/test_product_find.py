@@ -627,3 +627,35 @@ def test_ask_strategies_hierarchy_metadata_graph_prequeries(stack):
     assert "Fox doc > " in out.answer  # hierarchy prefix
     assert "labels: /l/topic/animals" in out.answer  # metadata extension
     assert "fox —jumps over→ meadow" in out.answer  # graph triple
+
+
+def test_fulltext_offset_and_global_sort(tmp_path):
+    """fulltext pagination honors offset and date sort stays global across
+    shards (review regressions)."""
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"), storage=MemoryStorage())
+    driver = Driver(str(tmp_path / "kv.db"))
+    kbs = KnowledgeBoxManager(driver, node)
+    processor = Processor(driver, node, kbs)
+    search = SearchService(node, kbs, processor)
+    # two shards so the concatenation order can disagree with date order
+    kbid = kbs.create(KnowledgeBoxConfig(slug="ftkb", shards=2))
+    import time as _time
+
+    rids = []
+    for i in range(4):
+        rid, _ = processor.create_resource(
+            kbid,
+            CreateResourcePayload(title=f"F{i}", texts={"t": TextFieldPayload(body=f"shared token doc{i}")}),
+            created=1000.0 + i,
+        )
+        rids.append(rid)
+    node.wait_for_sync()
+
+    page1 = search.find(kbid, FindRequest(
+        query="shared", features=[SearchFeature.FULLTEXT],
+        sort_field="created", sort_order="asc", top_k=2))
+    page2 = search.find(kbid, FindRequest(
+        query="shared", features=[SearchFeature.FULLTEXT],
+        sort_field="created", sort_order="asc", top_k=2, offset=2))
+    got = [h.rid for h in page1.fulltext.results] + [h.rid for h in page2.fulltext.results]
+    assert got == rids  # globally date-ordered, no duplicates across pages

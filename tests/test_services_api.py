@@ -220,3 +220,84 @@ def test_external_index_end_to_end(tmp_path):
     )
     assert rids[1] not in res2.resources
     assert res2.best_matches and res2.best_matches[0].startswith(rids[0])
+
+
+def test_external_index_filters_and_updates(tmp_path):
+    """Review regressions: the external leg honors filters/security/
+    min_score, and updates drop stale vectors from the provider."""
+    import numpy as np
+
+    from nucliadb_tpu.common.kb import KnowledgeBoxManager
+    from nucliadb_tpu.ingest.processor import Processor
+    from nucliadb_tpu.maindb import Driver
+    from nucliadb_tpu.models.api import (
+        Classification,
+        CreateResourcePayload,
+        FilterExpression,
+        FindRequest,
+        KnowledgeBoxConfig,
+        ResourceSecurity,
+        SearchFeature,
+        SentenceEmbedding,
+        TextFieldPayload,
+        UpdateResourcePayload,
+        UserMetadata,
+        VectorSetSpec,
+    )
+    from nucliadb_tpu.search import SearchService
+    from nucliadb_tpu.services import EmbeddedNode
+    from nucliadb_tpu.storage import MemoryStorage
+
+    dim = 4
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"), storage=MemoryStorage())
+    driver = Driver(str(tmp_path / "kv.db"))
+    kbs = KnowledgeBoxManager(driver, node)
+    processor = Processor(driver, node, kbs)
+    search = SearchService(node, kbs, processor)
+    kbid = kbs.create(
+        KnowledgeBoxConfig(
+            slug="extf", vectorsets={"vs": VectorSetSpec(dimension=dim)},
+            external_index_provider={"type": "memory"},
+        )
+    )
+    v = [1.0, 0.0, 0.0, 0.0]
+    mk = lambda i, labels, groups=None: CreateResourcePayload(
+        title=f"D{i}",
+        texts={"t": TextFieldPayload(body=f"body {i}")},
+        usermetadata=UserMetadata(
+            classifications=[Classification(labelset=ls, label=l) for ls, l in labels]
+        ),
+        security=ResourceSecurity(access_groups=groups) if groups else None,
+        embeddings={"vs": {"t": [SentenceEmbedding(start=0, end=6, vector=v)]}},
+    )
+    r_open, _ = processor.create_resource(kbid, mk(0, [("topic", "open")]))
+    r_sec, _ = processor.create_resource(kbid, mk(1, [("topic", "sec")], groups=["admins"]))
+    node.wait_for_sync()
+
+    base = dict(query="", vector=v, vectorset="vs", top_k=5,
+                features=[SearchFeature.SEMANTIC])
+    # label filter only matches the open doc
+    res = search.find(kbid, FindRequest(
+        **base, filter_expression=FilterExpression(literal="/l/topic/open")))
+    assert set(res.resources) == {r_open}
+    # security: without the group, the secured doc is invisible
+    res = search.find(kbid, FindRequest(**base, security_groups=["public"]))
+    assert set(res.resources) == {r_open}
+    res = search.find(kbid, FindRequest(**base, security_groups=["admins"]))
+    assert set(res.resources) == {r_open, r_sec}
+    # min_score cut applies to provider scores
+    res = search.find(kbid, FindRequest(**base, min_score_semantic=2.0))
+    assert res.resources == {}
+
+    # update replaces the doc's vectors (no stale keys linger)
+    ext = kbs.external_index(kbid)
+    n_before = len(ext._vectors)
+    processor.update_resource(
+        kbid, r_open,
+        UpdateResourcePayload(
+            texts={"t": TextFieldPayload(body="new")},
+            embeddings={"vs": {"t": [SentenceEmbedding(start=0, end=3, vector=v)]}},
+        ),
+    )
+    assert len(ext._vectors) == n_before  # replaced, not accumulated
+    assert not any("0-6" in k and k.startswith(r_open) for k in ext._vectors)

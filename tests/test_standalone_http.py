@@ -1148,3 +1148,11 @@ def test_patch_kb_config(server):
     # conflicting slug is a 409
     client.post("/api/v1/kbs", json={"slug": "other-kb"})
     assert client.patch(f"/api/v1/kb/{kbid}", json={"slug": "other-kb"}).status_code == 409
+
+
+def test_patch_kb_validates_types(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "valkb"}).json()["uuid"]
+    # invalid value type is rejected with 422 and the config stays readable
+    assert client.patch(f"/api/v1/kb/{kbid}", json={"title": 123}).status_code == 422
+    assert client.get(f"/api/v1/kb/{kbid}").status_code == 200

@@ -405,3 +405,33 @@ def test_train_grpc_streams(stack):
     finally:
         client.close()
         server.stop()
+
+
+def test_migration_lock_cas_and_renewal(tmp_path):
+    """The lock acquires via atomic CAS, renews while held, and expired
+    leases are stolen (review regressions)."""
+    import json as _json
+    import time as _time
+
+    from nucliadb_tpu.maindb import Driver
+    from nucliadb_tpu.migrator import LOCK_KEY, migration_lock
+
+    driver = Driver(str(tmp_path / "kv.db"))
+    # CAS primitives
+    assert driver.compare_and_swap("/k", None, b"a")
+    assert not driver.compare_and_swap("/k", None, b"b")  # exists
+    assert driver.compare_and_swap("/k", b"a", b"b")
+    assert not driver.compare_and_swap("/k", b"a", b"c")  # stale expected
+    assert driver.delete_if("/k", b"b")
+
+    # an expired lease is stolen atomically
+    stale = _json.dumps({"owner": "dead", "expires": _time.time() - 1}).encode()
+    with driver as txn:
+        txn.set(LOCK_KEY, stale)
+    with migration_lock(driver, timeout=1.0):
+        with driver as txn:
+            holder = _json.loads(txn.get(LOCK_KEY))
+        assert holder["owner"] != "dead"
+        assert holder["expires"] > _time.time()
+    with driver as txn:
+        assert txn.get(LOCK_KEY) is None  # released
