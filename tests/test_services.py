@@ -430,3 +430,80 @@ def test_prometheus_service_metrics(tmp_path):
     # 5 single-record segments per index: the log/vector merge policies
     # schedule compactions, so merge counters appear
     assert 'ndbtpu_merge_total{' in body
+
+
+def test_concurrent_search_during_ingest_and_merge(tmp_path):
+    """Searches racing ingest + background merges never crash or see torn
+    state: every response is well-formed and hits only live resources
+    (the arena swap on searcher reload must be atomic for readers)."""
+    import threading
+
+    import numpy as np
+
+    from nucliadb_tpu.index.vector import VectorConfig
+    from nucliadb_tpu.models.internal import (
+        IndexParagraph, ResourceDoc, TextInformation, VectorSentence,
+    )
+    from nucliadb_tpu.services import EmbeddedNode
+    from nucliadb_tpu.shard import ShardSearchRequest
+    from nucliadb_tpu.storage import MemoryStorage
+
+    dim = 8
+    node = EmbeddedNode(data_dir=str(tmp_path / "n"), storage=MemoryStorage())
+    shard = node.create_shard("kbc", {"m1": VectorConfig(dimension=dim)})
+
+    def doc(i):
+        rd = ResourceDoc(resource_id=f"r{i}", created=1, modified=1)
+        text = f"race doc number {i} token{i % 3}"
+        rd.texts["t/t"] = TextInformation(text=text)
+        p = IndexParagraph(start=0, end=len(text))
+        v = np.zeros(dim, np.float32); v[i % dim] = 1.0
+        p.vectorsets_sentences["m1"] = {f"r{i}/t/t/0/0-{len(text)}": VectorSentence(vector=v)}
+        rd.paragraphs["t/t"] = {f"r{i}/t/t/0-{len(text)}": p}
+        return rd
+
+    node.index(shard, doc(0))
+    node.wait_for_sync()
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def writer():
+        i = 1
+        try:
+            while not stop.is_set() and i < 40:
+                node.index(shard, doc(i))
+                if i % 5 == 0:
+                    node.tick_background()  # merges + searcher sync
+                node.wait_for_sync()
+                i += 1
+        except BaseException as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    def reader():
+        q = np.zeros((1, dim), np.float32); q[0, 0] = 1.0
+        try:
+            while not stop.is_set():
+                resp = node.search(
+                    shard, ShardSearchRequest(body="race", vector=q[0], top_k=5)
+                )
+                # well-formed: every hit decodes and scores are finite
+                for h in resp.vector:
+                    assert h.key.startswith("r")
+                if resp.paragraph is not None:
+                    for h in resp.paragraph.hits:
+                        assert h.rid.startswith("r")
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+
+    w = threading.Thread(target=writer)
+    readers = [threading.Thread(target=reader) for _ in range(3)]
+    w.start()
+    [r.start() for r in readers]
+    w.join(timeout=120)
+    stop.set()
+    [r.join(timeout=10) for r in readers]
+    assert not errors, errors
+    # final state is complete
+    node.wait_for_sync()
+    resp = node.search(shard, ShardSearchRequest(body="race", top_k=50))
+    assert resp.paragraph.total >= 40

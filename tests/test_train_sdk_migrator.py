@@ -435,3 +435,38 @@ def test_migration_lock_cas_and_renewal(tmp_path):
         assert holder["expires"] > _time.time()
     with driver as txn:
         assert txn.get(LOCK_KEY) is None  # released
+
+
+def test_ops_tool_cli(tmp_path):
+    """The ops tool (parity: nidx tool + import/export utilities) round-trips
+    export/import/backup/restore against a data dir without a server."""
+    import subprocess
+    import sys
+
+    from nucliadb_tpu.tool import _stack
+
+    data = str(tmp_path / "data")
+    node, kbs, processor = _stack(data)
+    kbid = kbs.create(KnowledgeBoxConfig(slug="toolkb"))
+    processor.create_resource(
+        kbid, CreateResourcePayload(title="T", texts={"t": TextFieldPayload(body="tool body")})
+    )
+    node.wait_for_sync()
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "nucliadb_tpu.tool", "--data-dir", data, *args],
+            capture_output=True, text=True,
+        )
+        assert out.returncode == 0, out.stderr
+        return out.stdout.strip()
+
+    assert kbid in run("list-kbs")
+    exp = str(tmp_path / "kb.export")
+    run("export-kb", kbid, exp)
+    assert "imported ->" in run("import-kb", exp, "--slug", "tool-copy")
+    backup_id = run("backup", kbid)
+    assert backup_id in run("list-backups")
+    assert "restored ->" in run("restore", backup_id, "--slug", "tool-restored")
+    stats = run("shards", kbid)
+    assert "text: 1 segments" in stats and "(writable)" in stats
