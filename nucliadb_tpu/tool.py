@@ -19,6 +19,7 @@ def _stack(data_dir: str):
     from .maindb import Driver
     from .services import EmbeddedNode
 
+    os.makedirs(data_dir, exist_ok=True)
     driver = Driver(os.path.join(data_dir, "maindb.db"))
     node = EmbeddedNode(data_dir=os.path.join(data_dir, "node"))
     kbs = KnowledgeBoxManager(driver, node)
