@@ -78,6 +78,11 @@ class ResourceBrain:
             for node in (rel.from_, rel.to):
                 if node is not None and node.type == "entity":
                     labels.append(f"/e/{node.group}/{node.value}")
+        if payload.hidden:
+            # hidden resources carry LABEL_HIDDEN so every index leg can
+            # exclude them with a NOT filter (parity: brain_v2.py:820-822,
+            # nucliadb_models/labels.py LABEL_HIDDEN = "/q/h")
+            labels.append("/q/h")
         return sorted(set(labels))
 
     def build(

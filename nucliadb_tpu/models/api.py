@@ -36,6 +36,11 @@ class KnowledgeBoxConfig(BaseModel):
     # route vector indexing/search to an external provider instead of the
     # node (parity: external_index_providers/base.py; e.g. {"type": "memory"})
     external_index_provider: Optional[dict] = None
+    # hidden resources (parity: KB config hidden_resources_enabled /
+    # hidden_resources_hide_on_creation; writer/api/v1/resource.py:102
+    # rejects hiding when disabled)
+    hidden_resources_enabled: bool = False
+    hidden_resources_hide_on_creation: bool = False
 
 
 class KnowledgeBoxObj(BaseModel):
@@ -58,6 +63,21 @@ class TextFieldPayload(BaseModel):
     format: str = "PLAIN"
 
 
+class ConversationAttachment(BaseModel):
+    """A file carried by a conversation message. On write, ``payload`` is
+    the base64 content (parity: push-payload b64 files in the reference's
+    conversation fields); the server stores the blob and keeps only the
+    storage ``key`` + ``size``, served back by the conversation
+    download-field route (reader/api/v1/download.py
+    download_field_conversation_attachment)."""
+
+    filename: str = ""
+    content_type: str = "application/octet-stream"
+    payload: Optional[str] = None  # b64, write-only; stripped once stored
+    key: str = ""  # blob-storage key, set server-side
+    size: int = 0
+
+
 class ConversationMessage(BaseModel):
     """One message of a conversation field (parity: reference conversation
     fields, writer/api/v1 conversation routes + models.ConversationField)."""
@@ -67,6 +87,7 @@ class ConversationMessage(BaseModel):
     to: list[str] = Field(default_factory=list)
     ident: str = ""
     timestamp: float = 0.0
+    files: list[ConversationAttachment] = Field(default_factory=list)
 
 
 class ConversationFieldPayload(BaseModel):
@@ -315,6 +336,9 @@ class CatalogRequest(BaseModel):
     page_size: int = 20
     order_by: str = "created"
     order_desc: bool = True
+    # True: only hidden resources; False: only visible; None: all
+    # (parity: catalog.py hidden filter over LABEL_HIDDEN)
+    hidden: Optional[bool] = None
 
 
 class CatalogResource(BaseModel):
@@ -390,6 +414,9 @@ class AskRequest(BaseModel):
     # extra retrievals whose contexts prepend the main one, strongest weight
     # first (parity: ask prequeries, chat/ask.py parse_prequeries)
     prequeries: list["PreQuery"] = Field(default_factory=list)
+    # restrict retrieval to resource/field key prefixes (parity: the
+    # resource-scoped /resource/{rid}/ask route scopes retrieval to rid)
+    fields: list[str] = Field(default_factory=list)
 
 
 class PreQuery(BaseModel):
@@ -403,3 +430,60 @@ class AskResponse(BaseModel):
     rephrased_query: Optional[str] = None
     retrieval: Optional[KnowledgeboxFindResults] = None
     citations: dict[str, list[str]] = Field(default_factory=dict)
+
+
+# ---- raw retrieval (parity: search/api/v1/retrieve.py +
+# nucliadb_models/retrieval.py — text-block matches with a score history,
+# no resource hydration) -------------------------------------------------
+
+
+class RetrievalQuery(BaseModel):
+    """Per-leg query spec. `keyword`/`semantic` select the legs; a plain
+    string body selects both with the same text (RawQuery in the
+    reference)."""
+
+    keyword: Optional[str] = None
+    semantic: Optional[str] = None
+    vector: Optional[list[float]] = None  # pre-embedded semantic query
+
+
+class RetrievalRequest(BaseModel):
+    query: Union[str, RetrievalQuery]
+    top_k: int = Field(default=20, gt=0, le=500)
+    filter_expression: Optional[FilterExpression] = None
+    security_groups: Optional[list[str]] = None
+    fields: list[str] = Field(default_factory=list)
+    rank_fusion: str = "rrf"  # rrf | weighted
+    reranker: Optional[str] = None  # noop | predict
+    vectorset: str = ""
+
+
+class RetrievalScore(BaseModel):
+    score: float
+    source: str  # index | rank_fusion | reranker
+    type: str  # keyword | semantic | rrf | wCombSUM | reranker
+
+
+class RetrievalScores(BaseModel):
+    value: float
+    source: str
+    type: str
+    history: list[RetrievalScore] = Field(default_factory=list)
+
+
+class RetrievalMatchMetadata(BaseModel):
+    field_labels: list[str] = Field(default_factory=list)
+    paragraph_labels: list[str] = Field(default_factory=list)
+    position: dict[str, Any] = Field(default_factory=dict)
+    is_a_match: bool = False
+
+
+class RetrievalMatch(BaseModel):
+    id: str  # paragraph id "{rid}/{field}/{start}-{end}"
+    text: str = ""
+    score: RetrievalScores
+    metadata: RetrievalMatchMetadata = Field(default_factory=RetrievalMatchMetadata)
+
+
+class RetrievalResponse(BaseModel):
+    matches: list[RetrievalMatch] = Field(default_factory=list)

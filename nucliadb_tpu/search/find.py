@@ -252,10 +252,92 @@ class SearchService:
         finally:
             metrics.log_if_slow("find", f"kbid={kbid} q={request.query[:80]!r}")
 
+    def retrieve(self, kbid: str, request) -> "RetrievalResponse":
+        """Raw text-block retrieval: the same pipeline as /find up to the
+        fused (and optionally reranked) cut, reported as flat matches with
+        a score history instead of a hydrated resource tree (parity:
+        search/api/v1/retrieve.py + nucliadb_models/retrieval.py)."""
+        from ..models.api import (
+            RetrievalMatch,
+            RetrievalMatchMetadata,
+            RetrievalQuery,
+            RetrievalResponse,
+            RetrievalScore,
+            RetrievalScores,
+        )
+        from .metrics import Metrics
+
+        q = request.query
+        if isinstance(q, str):
+            q = RetrievalQuery(keyword=q, semantic=q)
+        features = []
+        if q.keyword:
+            features.append(SearchFeature.KEYWORD)
+        if q.semantic or q.vector is not None:
+            features.append(SearchFeature.SEMANTIC)
+        find_req = FindRequest(
+            query=q.keyword or q.semantic or "",
+            vector=q.vector,
+            vectorset=request.vectorset,
+            features=features,
+            top_k=request.top_k,
+            filter_expression=request.filter_expression,
+            security_groups=request.security_groups,
+            fields=request.fields,
+            rank_fusion=request.rank_fusion,
+            reranker=request.reranker or "noop",
+        )
+        blocks: list[TextBlock] = []
+        self._find(kbid, find_req, Metrics(), collect_blocks=blocks)
+        fusion_type = "wCombSUM" if request.rank_fusion == "weighted" else "rrf"
+        reranked = request.reranker == "predict" and self.predict is not None
+        matches = []
+        for b in blocks:
+            history = [
+                RetrievalScore(score=s, source="index", type=src)
+                for src, s in sorted(b.source_scores.items())
+            ]
+            final = RetrievalScore(
+                score=b.fused_score,
+                source="reranker" if reranked else "rank_fusion",
+                type="reranker" if reranked else fusion_type,
+            )
+            history.append(final)
+            text = self.processor.field_text(kbid, b.rid, b.field) or ""
+            matches.append(
+                RetrievalMatch(
+                    id=b.block_id,
+                    text=text[b.start : b.end],
+                    score=RetrievalScores(
+                        value=final.score, source=final.source,
+                        type=final.type, history=history,
+                    ),
+                    metadata=RetrievalMatchMetadata(
+                        paragraph_labels=b.labels,
+                        position={"start": b.start, "end": b.end},
+                        is_a_match=b.is_a_match,
+                    ),
+                )
+            )
+        return RetrievalResponse(matches=matches)
+
     def _find(
-        self, kbid: str, request: FindRequest, metrics
+        self, kbid: str, request: FindRequest, metrics,
+        collect_blocks: "Optional[list[TextBlock]]" = None,
     ) -> KnowledgeboxFindResults:
         expr = filter_to_expression(request.filter_expression)
+        # hidden resources: when the KB has them enabled and the caller did
+        # not ask to see them, AND a NOT /q/h filter into every index leg
+        # (parity: search/search/utils.py filter_hidden_resources + the
+        # NOT LABEL_HIDDEN expression added by the query parsers)
+        kb_cfg = self.kbs.get_config(kbid)
+        if (
+            kb_cfg is not None
+            and kb_cfg.hidden_resources_enabled
+            and not request.show_hidden
+        ):
+            hidden_expr = not_(LabelAtom("/q/h"))
+            expr = and_(expr, hidden_expr) if expr is not None else hidden_expr
         autofilters: list[str] = []
         if request.autofilter and request.query:
             # KB entities detected in the query become an OR label filter
@@ -296,6 +378,7 @@ class SearchService:
             min_score_bm25=request.min_score_bm25,
             filter=expr,
             security_groups=request.security_groups,
+            include_hidden=request.show_hidden,
             key_filters=[f.strip("/") + "/" for f in request.fields] if request.fields else [],
             range_creation=_range(
                 request.range_creation_start, request.range_creation_end
@@ -452,6 +535,12 @@ class SearchService:
                     cut.append(window[i])
 
 
+        if collect_blocks is not None:
+            # hand the cut, fused blocks (with their per-source score
+            # history) to the caller — the /retrieve path reports raw
+            # matches instead of a hydrated resource tree
+            collect_blocks.extend(cut)
+
         with metrics.time("hydration"):
             highlight_terms: list[str] = []
             if request.highlight and request.query:
@@ -569,10 +658,22 @@ class SearchService:
 
     def suggest(self, kbid: str, request: SuggestRequest) -> SuggestResponse:
         resp = SuggestResponse()
+        # hidden resources never surface in suggestions (parity: suggest
+        # parser applies the NOT LABEL_HIDDEN filter like find)
+        kb_cfg = self.kbs.get_config(kbid)
+        hide = kb_cfg is not None and kb_cfg.hidden_resources_enabled
+        hidden_rids: set[str] = set()
         for shard_id in self._shard_ids(kbid):
             searcher = self.node.searcher.shard(shard_id)
             if "paragraph" in request.features and searcher.paragraph is not None:
                 for hit in searcher.paragraph.suggest(request.query, request.top_k):
+                    if hide:
+                        if hit.rid not in hidden_rids:
+                            payload = self.processor.get_payload(kbid, hit.rid)
+                            if payload is not None and payload.hidden:
+                                hidden_rids.add(hit.rid)
+                        if hit.rid in hidden_rids:
+                            continue
                     text = self.processor.field_text(kbid, hit.rid, hit.field) or ""
                     resp.paragraphs.append(
                         SuggestedParagraph(
@@ -597,6 +698,12 @@ class SearchService:
         from ..index.text import DocumentSearchRequest
 
         expr = filter_to_expression(request.filter_expression)
+        if request.hidden is not None:
+            # parity: catalog.py hidden filter over LABEL_HIDDEN (/q/h)
+            hidden_expr = (
+                LabelAtom("/q/h") if request.hidden else not_(LabelAtom("/q/h"))
+            )
+            expr = and_(expr, hidden_expr) if expr is not None else hidden_expr
         resources: dict[str, CatalogResource] = {}
         facet_totals: dict[str, dict[str, int]] = {}
         total = 0
@@ -760,6 +867,7 @@ class SearchService:
             top_k=request.top_k,
             filter_expression=request.filter_expression,
             security_groups=request.security_groups,
+            fields=request.fields,
         )
         retrieval = self.find(kbid, find_req)
         context: list[str] = []

@@ -32,6 +32,9 @@ class TextBlock:
     split: str = ""
     fused_score: float = 0.0
     sources: set = field(default_factory=set)
+    # per-source index scores surviving fusion, for score-history reporting
+    # (parity: retrieval.py Scores.history — index scores + fused score)
+    source_scores: dict = field(default_factory=dict)
 
 
 def reciprocal_rank_fusion(
@@ -55,6 +58,7 @@ def reciprocal_rank_fusion(
                 merged[block.block_id] = entry
             entry.fused_score += contribution
             entry.sources.add(source)
+            entry.source_scores[source] = block.score
             entry.is_a_match = entry.is_a_match or block.is_a_match
     return sorted(merged.values(), key=lambda b: (-b.fused_score, b.block_id))
 
@@ -82,5 +86,6 @@ def weighted_comb_sum(
                 merged[block.block_id] = entry
             entry.fused_score += contribution
             entry.sources.add(source)
+            entry.source_scores[source] = block.score
             entry.is_a_match = entry.is_a_match or block.is_a_match
     return sorted(merged.values(), key=lambda b: (-b.fused_score, b.block_id))

@@ -63,23 +63,30 @@ def plan_log_merges(segments: list[SegmentRow]) -> list[list[SegmentRow]]:
 
 
 def plan_vector_merges(segments: list[SegmentRow]) -> list[list[SegmentRow]]:
-    """Small/big partition merge planning (scheduler/vector_merge.rs:27-80)."""
-    small = sorted(
-        (s for s in segments if s.records < VECTOR_SMALL_THRESHOLD),
-        key=lambda s: int(s.seq),
-    )
+    """Small/big partition merge planning (scheduler/vector_merge.rs:27-80).
+
+    Segments are partitioned by tag set first: a hidden-tagged segment never
+    merges with a visible one, so the searcher's coarse per-segment tag mask
+    stays exact (merging them would union the tags and over-hide the
+    visible paragraphs)."""
     plans: list[list[SegmentRow]] = []
-    group: list[SegmentRow] = []
-    total = 0
-    for seg in small:
-        if total + seg.records > VECTOR_MAX_SEGMENT and group:
-            if len(group) >= MIN_SEGMENTS_TO_MERGE:
-                plans.append(group)
-            group, total = [], 0
-        group.append(seg)
-        total += seg.records
-    if len(group) >= MIN_SEGMENTS_TO_MERGE:
-        plans.append(group)
+    by_tags: dict[frozenset, list[SegmentRow]] = {}
+    for s in segments:
+        if s.records < VECTOR_SMALL_THRESHOLD:
+            by_tags.setdefault(frozenset(s.tags), []).append(s)
+    for small in by_tags.values():
+        small.sort(key=lambda s: int(s.seq))
+        group: list[SegmentRow] = []
+        total = 0
+        for seg in small:
+            if total + seg.records > VECTOR_MAX_SEGMENT and group:
+                if len(group) >= MIN_SEGMENTS_TO_MERGE:
+                    plans.append(group)
+                group, total = [], 0
+            group.append(seg)
+            total += seg.records
+        if len(group) >= MIN_SEGMENTS_TO_MERGE:
+            plans.append(group)
     return plans
 
 

@@ -80,6 +80,9 @@ class ShardSearchRequest:
     range_modification: Optional[tuple[Optional[float], Optional[float]]] = None
     security_groups: Optional[list[str]] = None
     key_filters: list[str] = dc_field(default_factory=list)  # resource/field keys
+    # surface hidden-tagged vector segments (parity: show_hidden; hidden
+    # exclusion on text legs rides the /q/h label filter)
+    include_hidden: bool = False
 
     # graph
     graph: Optional[GraphSearchRequest] = None
@@ -226,6 +229,7 @@ class ShardSearcher:
                     field_filter=prefilter,
                     key_prefixes=key_prefixes,
                     min_score=request.min_score_semantic,
+                    include_hidden=request.include_hidden,
                 )
             )
             return hits[0] if hits else []

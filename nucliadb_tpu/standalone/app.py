@@ -33,6 +33,7 @@ from ..models.api import (
     KnowledgeBoxConfig,
     KnowledgeBoxObj,
     ResourceCreated,
+    SearchFeature,
     SuggestRequest,
     UpdateResourcePayload,
     VectorSetSpec,
@@ -291,6 +292,21 @@ class StandaloneApp:
             except TryAfterError as e:
                 raise HTTPError(429, str(e))
             payload = _validate(CreateResourcePayload, request.json())
+            kb_cfg = self.kbs.get_config(kbid)
+            if payload.hidden and not (kb_cfg and kb_cfg.hidden_resources_enabled):
+                # parity: writer/api/v1/resource.py:102 — hiding requires the
+                # KB to enable hidden resources
+                raise HTTPError(
+                    422,
+                    "Cannot hide a resource: the KB does not have hidden resources enabled",
+                )
+            if (
+                kb_cfg is not None
+                and kb_cfg.hidden_resources_enabled
+                and kb_cfg.hidden_resources_hide_on_creation
+                and "hidden" not in (request.json() or {})
+            ):
+                payload.hidden = True
             for field, value in payload.key_values.items():
                 self._check_kv_schema(kbid, field, value)
             try:
@@ -350,6 +366,13 @@ class StandaloneApp:
         def update_resource(request: Request):
             kbid = self._kbid(request)
             payload = _validate(UpdateResourcePayload, request.json())
+            if payload.hidden:
+                kb_cfg = self.kbs.get_config(kbid)
+                if not (kb_cfg and kb_cfg.hidden_resources_enabled):
+                    raise HTTPError(
+                        422,
+                        "Cannot hide a resource: the KB does not have hidden resources enabled",
+                    )
             for field, value in payload.key_values.items():
                 self._check_kv_schema(kbid, field, value)
             seq = self.processor.update_resource(kbid, request.params["rid"], payload)
@@ -433,7 +456,40 @@ class StandaloneApp:
             return 201, {"field": field, "size": len(request.body),
                          "extracted": extracted}
 
-        @r.get("/api/v1/kb/{kbid}/resource/{rid}/file/{field}/download")
+        def _serve_blob(
+            request: Request, data: bytes, content_type: str, filename: str = ""
+        ):
+            """Serve bytes honouring an HTTP Range header (parity:
+            reader/api/v1/download.py download_api + parse_media_range —
+            single-range 206 with Content-Range, 416 past EOF)."""
+            headers = {"Accept-Ranges": "bytes"}
+            if filename:
+                headers["Content-Disposition"] = f'attachment; filename="{filename}"'
+            rng = request.headers.get("range", "")
+            if rng.startswith("bytes="):
+                spec = rng[len("bytes="):].split(",")[0].strip()
+                start_s, _, end_s = spec.partition("-")
+                size = len(data)
+                try:
+                    if start_s == "":  # suffix range: last N bytes
+                        start = max(size - int(end_s), 0)
+                        end = size - 1
+                    else:
+                        start = int(start_s)
+                        end = min(int(end_s), size - 1) if end_s else size - 1
+                except ValueError:
+                    raise HTTPError(416, "invalid Range header")
+                if start >= size or start > end:
+                    raise HTTPError(416, "Range not satisfiable")
+                headers["Content-Range"] = f"bytes {start}-{end}/{size}"
+                return Response(
+                    status=206, body=data[start : end + 1],
+                    headers=headers, content_type=content_type,
+                )
+            return Response(
+                status=200, body=data, headers=headers, content_type=content_type
+            )
+
         def download_file(request: Request):
             kbid = self._kbid(request)
             rid = request.params["rid"]
@@ -442,7 +498,17 @@ class StandaloneApp:
             if raw is None:
                 raise HTTPError(404, "unknown file field")
             info = json.loads(raw)
-            return 200, self.node.storage.get(info["key"])
+            return _serve_blob(
+                request,
+                self.node.storage.get(info["key"]),
+                info.get("content_type", "application/octet-stream"),
+                info.get("filename", ""),
+            )
+
+        r.add("GET", "/api/v1/kb/{kbid}/resource/{rid}/file/{field}/download", download_file)
+        # reference path spelling for the same stored-file download
+        # (reader/api/v1/download.py download_field_file_rid_prefix)
+        r.add("GET", "/api/v1/kb/{kbid}/resource/{rid}/file/{field}/download/field", download_file)
 
         # ---- TUS resumable uploads (writer/api/v1/upload.py parity) -----
 
@@ -602,6 +668,29 @@ class StandaloneApp:
             )
             self._notify(kbid, rid, "modified", seq)
 
+        def _store_conv_attachments(kbid: str, rid: str, field: str, conv):
+            """Persist b64 message attachments to blob storage, replacing the
+            inline payload with its storage key (parity: conversation fields
+            carrying CloudFile attachments; reference stores the file and
+            serves it via the conversation download route)."""
+            import base64
+
+            for mi, msg in enumerate(conv.messages):
+                for fi, att in enumerate(msg.files):
+                    if att.payload is None:
+                        continue
+                    try:
+                        data = base64.b64decode(att.payload)
+                    except Exception:
+                        raise HTTPError(422, "attachment payload must be base64")
+                    ident = msg.ident or str(mi)
+                    key = f"blobs/{kbid}/{rid}/conv/{field}/{ident}/{fi}"
+                    self.node.storage.put(key, data)
+                    att.payload = None
+                    att.key = key
+                    att.size = len(data)
+            return conv
+
         def _field_routes(kind: str, model):
             def put_field(request: Request):
                 kbid = self._kbid(request)
@@ -612,6 +701,10 @@ class StandaloneApp:
                     if not isinstance(value, dict):
                         raise HTTPError(422, "key_value field body must be an object")
                     self._check_kv_schema(kbid, request.params["field"], value)
+                if kind == "conversations":
+                    value = _store_conv_attachments(
+                        kbid, rid, request.params["field"], value
+                    )
                 _put_field(kbid, rid, kind, request.params["field"], value)
                 return 201, {"ok": True}
 
@@ -665,8 +758,36 @@ class StandaloneApp:
                 _validate(ConversationMessage, m) for m in (request.json() or [])
             ]
             conv = ConversationFieldPayload(messages=list(conv.messages) + new)
+            conv = _store_conv_attachments(kbid, rid, field, conv)
             _put_field(kbid, rid, "conversations", field, conv)
             return 200, {"messages": len(conv.messages)}
+
+        @r.get("/api/v1/kb/{kbid}/resource/{rid}/conversation/{field}/download/field/{message_id}/{file_num}")
+        def download_conv_attachment(request: Request):
+            """Serve one message attachment (parity: reader download.py
+            download_field_conversation_attachment_rid_prefix)."""
+            kbid = self._kbid(request)
+            payload = self.processor.get_payload(kbid, request.params["rid"])
+            conv = (payload.conversations if payload else {}).get(request.params["field"])
+            if conv is None:
+                raise HTTPError(404, "unknown conversation field")
+            mid = request.params["message_id"]
+            msg = next((m for m in conv.messages if m.ident == mid), None)
+            if msg is None:
+                try:
+                    msg = conv.messages[int(mid)]
+                except (ValueError, IndexError):
+                    raise HTTPError(404, "unknown message")
+            try:
+                att = msg.files[int(request.params["file_num"])]
+            except (ValueError, IndexError):
+                raise HTTPError(404, "unknown attachment")
+            if not att.key:
+                raise HTTPError(404, "attachment has no stored content")
+            return _serve_blob(
+                request, self.node.storage.get(att.key),
+                att.content_type, att.filename,
+            )
 
         @r.get("/api/v1/kb/{kbid}/resource/{rid}/conversation/{field}/messages")
         def get_messages(request: Request):
@@ -1052,6 +1173,11 @@ class StandaloneApp:
         def search_post(request: Request):
             # legacy /search maps onto the same retrieval pipeline
             return find(request)
+
+        @r.get("/api/v1/kb/{kbid}/search")
+        def search_get(request: Request):
+            # parity: search/api/v1/search.py registers GET alongside POST
+            return find_get(request)
 
         @r.post("/api/v1/kb/{kbid}/suggest")
         def suggest(request: Request):
@@ -1439,21 +1565,61 @@ class StandaloneApp:
 
         # ---- train ----------------------------------------------------------
 
+        @r.get("/api/v1/kb/{kbid}/trainset")
+        def trainset_partitions(request: Request):
+            """Trainset partitions = the KB's shard ids (parity:
+            train/api/v1/trainset.py get_partitions_all — partitions are
+            shard replica ids the client then streams one by one)."""
+            kbid = self._kbid(request)
+            shards = self.kbs.get_shards(kbid)
+            if shards is None:
+                raise HTTPError(404, "no shards found for kb")
+            return {"partitions": list(shards.shards)}
+
+        @r.get("/api/v1/kb/{kbid}/trainset/{prefix}")
+        def trainset_partitions_prefix(request: Request):
+            kbid = self._kbid(request)
+            shards = self.kbs.get_shards(kbid)
+            if shards is None:
+                raise HTTPError(404, "no shards found for kb")
+            prefix = request.params["prefix"]
+            return {"partitions": [s for s in shards.shards if s.startswith(prefix)]}
+
         @r.post("/api/v1/kb/{kbid}/trainset/{task}")
         def trainset(request: Request):
             from ..train import TrainSet, export_trainset
+            from ..train.dataset import stream_trainset
 
             kbid = self._kbid(request)
             body = request.json()
-            manifest = export_trainset(
-                self.processor,
-                TrainSet(kbid=kbid, batch_size=int(body.get("batch_size", 32))),
-                request.params["task"],
-                body.get("output_dir") or os.path.join(
-                    self.node.data_dir, "trainsets", kbid, request.params["task"]
-                ),
-                format=body.get("format", "arrow"),
-            )
+            # reference-style streaming body: {"type": ..., "batch_size": ...}
+            # streams the Arrow IPC bytes instead of writing partition files
+            # (parity: train/api/v1/shards.py object_get_response)
+            task = str(body.get("type") or request.params["task"]).lower()
+            ts = TrainSet(kbid=kbid, batch_size=int(body.get("batch_size", 32)))
+            if body.get("stream") or body.get("type"):
+                from ..train.dataset import GENERATORS
+
+                if task not in GENERATORS:
+                    raise HTTPError(
+                        422, f"unknown train task {task!r}; options: {sorted(GENERATORS)}"
+                    )
+                return StreamingResponse(
+                    stream_trainset(self.processor, ts, task),
+                    content_type="application/octet-stream",
+                )
+            try:
+                manifest = export_trainset(
+                    self.processor,
+                    ts,
+                    task,
+                    body.get("output_dir") or os.path.join(
+                        self.node.data_dir, "trainsets", kbid, task
+                    ),
+                    format=body.get("format", "arrow"),
+                )
+            except ValueError as e:
+                raise HTTPError(422, str(e))
             return 201, manifest
 
         # ---- admin ------------------------------------------------------------
@@ -1505,6 +1671,145 @@ class StandaloneApp:
                 "writable": shards.writable if shards else 0,
                 "counts": shards.counts if shards else {},
             }
+
+        # ---- raw retrieval + resource-scoped search/ask -------------------
+        # (parity: search/api/v1/retrieve.py and search/api/v1/resource/)
+
+        @r.post("/api/v1/kb/{kbid}/retrieve")
+        def retrieve(request: Request):
+            from ..models.api import RetrievalRequest
+
+            kbid = self._kbid(request)
+            req = _validate(RetrievalRequest, request.json())
+            self._sync()
+            t0 = time.monotonic()
+            out = self.search.retrieve(kbid, req)
+            user, client = _audit_ctx(request)
+            self.audit.search(
+                kbid, "", len(out.matches), user=user, client_type=client,
+                duration_ms=(time.monotonic() - t0) * 1e3,
+            )
+            return out
+
+        def _resource_search(request: Request, body: dict):
+            kbid = self._kbid(request)
+            rid = request.params["rid"]
+            if self.processor.get_meta(kbid, rid) is None:
+                raise HTTPError(404, "unknown resource")
+            req = FindRequest(
+                query=body.get("query", ""),
+                top_k=int(body.get("top_k", 20)),
+                features=[SearchFeature.KEYWORD],
+                fields=[rid],  # key-prefix scope: every paragraph key leads with rid
+                highlight=bool(body.get("highlight", False)),
+            )
+            self._sync()
+            results = self.search.find(kbid, req)
+            paragraphs = []
+            for resource in results.resources.values():
+                for fid, field in resource.fields.items():
+                    for pid, para in field.paragraphs.items():
+                        paragraphs.append(
+                            {
+                                "rid": rid,
+                                "field": fid,
+                                "score": para.score,
+                                "order": para.order,
+                                "text": para.text,
+                                "id": pid,
+                                "labels": para.labels,
+                                "position": para.position,
+                            }
+                        )
+            paragraphs.sort(key=lambda p: p["order"])
+            return {
+                "paragraphs": {"results": paragraphs, "total": results.total},
+            }
+
+        @r.get("/api/v1/kb/{kbid}/resource/{rid}/search")
+        def resource_search_get(request: Request):
+            return _resource_search(request, dict(request.query))
+
+        @r.post("/api/v1/kb/{kbid}/resource/{rid}/search")
+        def resource_search_post(request: Request):
+            return _resource_search(request, request.json() or {})
+
+        @r.post("/api/v1/kb/{kbid}/resource/{rid}/ask")
+        def resource_ask(request: Request):
+            # retrieval scoped to one resource (parity:
+            # search/api/v1/resource/ask.py)
+            kbid = self._kbid(request)
+            rid = request.params["rid"]
+            if self.processor.get_meta(kbid, rid) is None:
+                raise HTTPError(404, "unknown resource")
+            req = _validate(AskRequest, _apply_search_config(kbid, request.json()))
+            req.fields = [rid]
+            self._sync()
+            t0 = time.monotonic()
+            result = self.search.ask(kbid, req)
+            user, client = _audit_ctx(request)
+            self.audit.chat(
+                kbid, req.query, result.answer, status=result.status,
+                user=user, client_type=client,
+                duration_ms=(time.monotonic() - t0) * 1e3,
+            )
+            return result
+
+        @r.post("/api/v1/kb/{kbid}/resource/{rid}/run-agents")
+        def run_agents(request: Request):
+            """Ingestion agents over one resource (parity:
+            search/api/v1/resource/ingestion_agents.py run_agents). Agents
+            are a Predict-side capability: with a predict engine exposing
+            run_agents the augmented fields come back from it; the embedded
+            fallback reports every field unchanged."""
+            kbid = self._kbid(request)
+            rid = request.params["rid"]
+            payload = self.processor.get_payload(kbid, rid)
+            if payload is None:
+                raise HTTPError(404, "unknown resource")
+            body = request.json() or {}
+            wanted = set(body.get("filters", []) or [])
+            results = {}
+            for fid, text_field in payload.texts.items():
+                if wanted and fid not in wanted:
+                    continue
+                if self.search.predict is not None and hasattr(
+                    self.search.predict, "run_agents"
+                ):
+                    aug = self.search.predict.run_agents(
+                        kbid, rid, fid, text_field.body
+                    )
+                    results[f"/t/{fid}"] = {
+                        "applied_data_augmentation": aug,
+                        "changed": bool(aug),
+                    }
+                else:
+                    results[f"/t/{fid}"] = {
+                        "applied_data_augmentation": {},
+                        "changed": False,
+                    }
+            return {"resource": rid, "results": results}
+
+        @r.get("/api/v1/kb/{kbid}/resource/{rid}/{field_type}/{field_id}/download/extracted/{download_field}")
+        def download_extracted(request: Request):
+            """Serve extracted content of a field (parity: reader
+            download.py download_extract_file_*). In the embedded build the
+            extraction artifact is the text landed by local extraction (an
+            EXTRACTED-format text field), served as text/plain; binary
+            artifacts (thumbnails…) come from the processing service, which
+            is an external seam here."""
+            kbid = self._kbid(request)
+            rid = request.params["rid"]
+            payload = self.processor.get_payload(kbid, rid)
+            if payload is None:
+                raise HTTPError(404, "unknown resource")
+            field_id = request.params["field_id"]
+            text_field = payload.texts.get(field_id)
+            if text_field is None:
+                raise HTTPError(404, "no extracted content for field")
+            return _serve_blob(
+                request, text_field.body.encode(), "text/plain; charset=utf-8"
+            )
 
         # ---- slug-addressed twins ----------------------------------------
         # every /resource/{rid}/... route also answers under

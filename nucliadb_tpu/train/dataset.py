@@ -132,6 +132,43 @@ def export_trainset(
     return manifest
 
 
+def stream_trainset(
+    processor: Processor, trainset: TrainSet, task: str
+) -> Iterator[bytes]:
+    """Yield one Arrow IPC stream (schema message + record batches) as byte
+    chunks — the HTTP body of the reference's train-data endpoint
+    (nucliadb/src/nucliadb/train/api/v1/shards.py object_get_response
+    streams generate_train_data as application/octet-stream)."""
+    import io
+
+    import pyarrow as pa
+
+    if task not in GENERATORS:
+        raise ValueError(f"unknown train task {task!r}; options: {sorted(GENERATORS)}")
+    sink = io.BytesIO()
+    writer = None
+    schema = None
+    for batch in GENERATORS[task](processor, trainset):
+        d = asdict(batch)
+        if writer is None:
+            schema = _arrow_schema(d)
+            writer = pa.ipc.new_stream(sink, schema)
+        writer.write_batch(
+            pa.record_batch(
+                [pa.array(col, type=schema.field(k).type) for k, col in d.items()],
+                schema=schema,
+            )
+        )
+        if sink.tell():
+            yield sink.getvalue()
+            sink.seek(0)
+            sink.truncate()
+    if writer is not None:
+        writer.close()
+        if sink.tell():
+            yield sink.getvalue()
+
+
 def load_partition(path: str) -> list[dict]:
     """Read one partition back as a list of column-dict batches (both
     formats)."""

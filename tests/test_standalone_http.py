@@ -1156,3 +1156,264 @@ def test_patch_kb_validates_types(server):
     # invalid value type is rejected with 422 and the config stays readable
     assert client.patch(f"/api/v1/kb/{kbid}", json={"title": 123}).status_code == 422
     assert client.get(f"/api/v1/kb/{kbid}").status_code == 200
+
+
+def test_retrieve_endpoint(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "retr-kb"}).json()["uuid"]
+    for i, body in enumerate(
+        ["the quick brown fox jumps", "lazy dogs sleep all day", "foxes are quick animals"]
+    ):
+        client.post(
+            f"/api/v1/kb/{kbid}/resources",
+            json={"title": f"r{i}", "texts": {"t": {"body": body}}},
+        )
+    out = client.post(
+        f"/api/v1/kb/{kbid}/retrieve",
+        json={"query": {"keyword": "quick fox"}, "top_k": 5},
+    )
+    assert out.status_code == 200, out.text
+    matches = out.json()["matches"]
+    assert matches, "expected keyword matches"
+    top = matches[0]
+    # score history carries the index score plus the fused score
+    assert top["score"]["source"] == "rank_fusion"
+    assert top["score"]["type"] == "rrf"
+    kinds = {h["type"] for h in top["score"]["history"]}
+    assert "keyword" in kinds and "rrf" in kinds
+    assert "quick" in top["text"] or "fox" in top["text"]
+    # raw string query selects both legs; with no vectorset it degrades to keyword
+    out2 = client.post(
+        f"/api/v1/kb/{kbid}/retrieve", json={"query": "lazy dogs"}
+    )
+    assert out2.status_code == 200, out2.text
+    assert out2.json()["matches"]
+    # weighted fusion reports wCombSUM as the fused score type
+    out3 = client.post(
+        f"/api/v1/kb/{kbid}/retrieve",
+        json={"query": {"keyword": "quick"}, "rank_fusion": "weighted"},
+    ).json()
+    assert out3["matches"][0]["score"]["type"] == "wCombSUM"
+
+
+def test_resource_scoped_search_and_ask(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "rscope-kb"}).json()["uuid"]
+    rid1 = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "alpha", "slug": "alpha-doc",
+              "texts": {"t": {"body": "shared term in alpha resource"}}},
+    ).json()["uuid"]
+    rid2 = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "beta",
+              "texts": {"t": {"body": "shared term in beta resource"}}},
+    ).json()["uuid"]
+
+    # resource-scoped search only surfaces paragraphs of that resource
+    out = client.get(
+        f"/api/v1/kb/{kbid}/resource/{rid1}/search", params={"query": "shared term"}
+    )
+    assert out.status_code == 200, out.text
+    hits = out.json()["paragraphs"]["results"]
+    assert hits and all(h["rid"] == rid1 for h in hits)
+    assert "alpha" in hits[0]["text"]
+
+    # slug twin answers too
+    out_slug = client.get(
+        f"/api/v1/kb/{kbid}/slug/alpha-doc/search", params={"query": "shared"}
+    )
+    assert out_slug.status_code == 200
+    assert out_slug.json()["paragraphs"]["results"]
+
+    # scoped ask grounds only on the target resource
+    ask = client.post(
+        f"/api/v1/kb/{kbid}/resource/{rid2}/ask",
+        json={"query": "shared term"},
+        headers={"x-synchronous": "true"},
+    )
+    assert ask.status_code == 200, ask.text
+    body = ask.json()
+    assert rid2 in body["retrieval"]["resources"]
+    assert rid1 not in body["retrieval"]["resources"]
+
+    # unknown resource is a 404
+    assert client.get(
+        f"/api/v1/kb/{kbid}/resource/nope/search", params={"query": "x"}
+    ).status_code == 404
+
+    # run-agents: embedded fallback reports fields unchanged
+    agents = client.post(f"/api/v1/kb/{kbid}/resource/{rid1}/run-agents", json={})
+    assert agents.status_code == 200, agents.text
+    res = agents.json()["results"]
+    assert "/t/t" in res and res["/t/t"]["changed"] is False
+
+
+def test_trainset_partitions_and_streaming(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "train-rest-kb"}).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "title": "doc",
+            "texts": {"t": {"body": "one sentence. another sentence."}},
+            "usermetadata": {"classifications": [{"labelset": "topic", "label": "a"}]},
+        },
+    )
+    parts = client.get(f"/api/v1/kb/{kbid}/trainset").json()["partitions"]
+    assert parts, "kb should expose at least one partition (shard)"
+    assert client.get(
+        f"/api/v1/kb/{kbid}/trainset/{parts[0][:4]}"
+    ).json()["partitions"] == [p for p in parts if p.startswith(parts[0][:4])]
+
+    # reference-style body with "type" streams Arrow IPC bytes
+    resp = client.post(
+        f"/api/v1/kb/{kbid}/trainset/{parts[0]}",
+        json={"type": "FIELD_CLASSIFICATION", "batch_size": 8},
+    )
+    assert resp.status_code == 200, resp.text
+    assert resp.headers["content-type"].startswith("application/octet-stream")
+    import io
+    import pyarrow as pa
+
+    with pa.ipc.open_stream(io.BytesIO(resp.content)) as reader:
+        rows = sum(rb.num_rows for rb in reader)
+    assert rows >= 1
+
+    # unknown task type -> 422
+    assert client.post(
+        f"/api/v1/kb/{kbid}/trainset/{parts[0]}", json={"type": "NOPE"}
+    ).status_code == 422
+
+
+def test_download_routes_and_ranges(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "dl-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources", json={"title": "dl", "slug": "dl-doc"}
+    ).json()["uuid"]
+    content = b"0123456789abcdef"
+    client.post(
+        f"/api/v1/kb/{kbid}/resource/{rid}/file/doc/upload",
+        params={"filename": "doc.txt"}, content=content,
+        headers={"content-type": "text/plain"},
+    )
+
+    # plain download + the reference /download/field spelling
+    for path in (
+        f"/api/v1/kb/{kbid}/resource/{rid}/file/doc/download",
+        f"/api/v1/kb/{kbid}/resource/{rid}/file/doc/download/field",
+        f"/api/v1/kb/{kbid}/slug/dl-doc/file/doc/download/field",
+    ):
+        got = client.get(path)
+        assert got.status_code == 200, (path, got.text)
+        assert got.content == content
+        assert got.headers["accept-ranges"] == "bytes"
+
+    # range requests: middle, suffix, open-ended, unsatisfiable
+    url = f"/api/v1/kb/{kbid}/resource/{rid}/file/doc/download"
+    got = client.get(url, headers={"range": "bytes=4-7"})
+    assert got.status_code == 206 and got.content == b"4567"
+    assert got.headers["content-range"] == "bytes 4-7/16"
+    assert client.get(url, headers={"range": "bytes=-4"}).content == b"cdef"
+    assert client.get(url, headers={"range": "bytes=12-"}).content == b"cdef"
+    assert client.get(url, headers={"range": "bytes=99-"}).status_code == 416
+
+    # extracted artifact download (the locally-extracted text)
+    ext = client.get(
+        f"/api/v1/kb/{kbid}/resource/{rid}/file/doc/download/extracted/text"
+    )
+    assert ext.status_code == 200 and ext.content == content
+
+    # conversation attachments: b64 payload in, stored + served back
+    import base64
+
+    att = base64.b64encode(b"attached-bytes").decode()
+    client.put(
+        f"/api/v1/kb/{kbid}/resource/{rid}/conversation/chat/messages",
+        json=[{"text": "see attachment", "ident": "m1",
+               "files": [{"filename": "a.bin", "payload": att}]}],
+    )
+    # stored message no longer carries the inline payload
+    msgs = client.get(
+        f"/api/v1/kb/{kbid}/resource/{rid}/conversation/chat/messages"
+    ).json()["messages"]
+    assert msgs[0]["files"][0]["payload"] is None
+    assert msgs[0]["files"][0]["size"] == len(b"attached-bytes")
+    got = client.get(
+        f"/api/v1/kb/{kbid}/resource/{rid}/conversation/chat/download/field/m1/0"
+    )
+    assert got.status_code == 200 and got.content == b"attached-bytes"
+    assert client.get(
+        f"/api/v1/kb/{kbid}/resource/{rid}/conversation/chat/download/field/m1/5"
+    ).status_code == 404
+
+
+def test_hidden_resources(server):
+    client, app = server
+    # hiding requires the KB to enable hidden resources
+    plain = client.post("/api/v1/kbs", json={"slug": "nohide-kb"}).json()["uuid"]
+    resp = client.post(
+        f"/api/v1/kb/{plain}/resources", json={"title": "x", "hidden": True}
+    )
+    assert resp.status_code == 422
+
+    kbid = client.post(
+        "/api/v1/kbs", json={"slug": "hide-kb", "hidden_resources_enabled": True}
+    ).json()["uuid"]
+    vis = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "visible", "texts": {"t": {"body": "common token visible"}}},
+    ).json()["uuid"]
+    hid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "hidden", "hidden": True,
+              "texts": {"t": {"body": "common token hidden"}}},
+    ).json()["uuid"]
+
+    # keyword find: hidden excluded by default, shown with show_hidden
+    out = client.post(f"/api/v1/kb/{kbid}/find", json={"query": "common token"}).json()
+    assert vis in out["resources"] and hid not in out["resources"]
+    out = client.post(
+        f"/api/v1/kb/{kbid}/find", json={"query": "common token", "show_hidden": True}
+    ).json()
+    assert vis in out["resources"] and hid in out["resources"]
+
+    # suggest never surfaces hidden resources
+    sugg = client.post(
+        f"/api/v1/kb/{kbid}/suggest", json={"query": "common"}
+    ).json()
+    assert all(p["rid"] != hid for p in sugg["paragraphs"])
+
+    # catalog hidden filter: True -> only hidden, False -> only visible
+    cat_hidden = client.post(
+        f"/api/v1/kb/{kbid}/catalog", json={"hidden": True}
+    ).json()
+    assert [r["id"] for r in cat_hidden["resources"]] == [hid]
+    cat_visible = client.post(
+        f"/api/v1/kb/{kbid}/catalog", json={"hidden": False}
+    ).json()
+    assert [r["id"] for r in cat_visible["resources"]] == [vis]
+
+    # un-hide via PATCH -> appears in default find (searches lag writes by
+    # the app's ~200ms sync debounce, so wait past it)
+    import time as _time
+
+    client.patch(f"/api/v1/kb/{kbid}/resource/{hid}", json={"hidden": False})
+    _time.sleep(0.25)
+    out = client.post(f"/api/v1/kb/{kbid}/find", json={"query": "common token"}).json()
+    assert hid in out["resources"]
+
+    # hide_on_creation: new resources default to hidden
+    kbid2 = client.post(
+        "/api/v1/kbs",
+        json={"slug": "autohide-kb", "hidden_resources_enabled": True,
+              "hidden_resources_hide_on_creation": True},
+    ).json()["uuid"]
+    auto = client.post(
+        f"/api/v1/kb/{kbid2}/resources",
+        json={"title": "auto", "texts": {"t": {"body": "auto hidden body"}}},
+    ).json()["uuid"]
+    out = client.post(f"/api/v1/kb/{kbid2}/find", json={"query": "auto hidden"}).json()
+    assert auto not in out["resources"]
+    assert client.get(f"/api/v1/kb/{kbid2}/resource/{auto}").json()["hidden"] is True
