@@ -152,6 +152,61 @@ class NucliaDBClient:
         self._raise(resp)
         return AskResponse.model_validate(resp.json())
 
+    def retrieve(self, kbid: str, request) -> "RetrievalResponse":
+        """Raw text-block retrieval with score history (POST /retrieve)."""
+        from ..models.api import RetrievalRequest, RetrievalResponse
+
+        if isinstance(request, dict):
+            request = RetrievalRequest.model_validate(request)
+        resp = self._client.post(
+            f"/api/v1/kb/{kbid}/retrieve", json=request.model_dump(exclude_none=True)
+        )
+        self._raise(resp)
+        return RetrievalResponse.model_validate(resp.json())
+
+    def resource_search(self, kbid: str, rid: str, query: str, *, top_k: int = 20) -> dict:
+        resp = self._client.get(
+            f"/api/v1/kb/{kbid}/resource/{rid}/search",
+            params={"query": query, "top_k": top_k},
+        )
+        self._raise(resp)
+        return resp.json()
+
+    def resource_ask(self, kbid: str, rid: str, request: AskRequest) -> AskResponse:
+        resp = self._client.post(
+            f"/api/v1/kb/{kbid}/resource/{rid}/ask",
+            json=request.model_dump(exclude_none=True),
+            headers={"x-synchronous": "true"},
+        )
+        self._raise(resp)
+        return AskResponse.model_validate(resp.json())
+
+    def run_agents(self, kbid: str, rid: str, *, filters: Optional[list[str]] = None) -> dict:
+        resp = self._client.post(
+            f"/api/v1/kb/{kbid}/resource/{rid}/run-agents",
+            json={"filters": filters or []},
+        )
+        self._raise(resp)
+        return resp.json()
+
+    def trainset_partitions(self, kbid: str, prefix: str = "") -> list[str]:
+        path = f"/api/v1/kb/{kbid}/trainset" + (f"/{prefix}" if prefix else "")
+        resp = self._client.get(path)
+        self._raise(resp)
+        return resp.json()["partitions"]
+
+    def trainset_stream(self, kbid: str, partition: str, task_type: str,
+                        *, batch_size: int = 32) -> bytes:
+        """Stream one partition's train data as Arrow IPC bytes. An empty
+        body means the task produced no batches (e.g. no labelled fields
+        for a classification task)."""
+        resp = self._client.post(
+            f"/api/v1/kb/{kbid}/trainset/{partition}",
+            json={"type": task_type, "batch_size": batch_size},
+        )
+        self._raise(resp)
+        return resp.content
+
     # ---- resources by slug ------------------------------------------------
 
     def get_resource_by_slug(self, kbid: str, slug: str) -> dict:

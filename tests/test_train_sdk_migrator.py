@@ -261,6 +261,24 @@ def test_sdk_against_server(tmp_path):
     assert client.admin_shards(kb.uuid)["shards"]
     assert client.set_log_level("nucliadb_tpu.sdk", "INFO")["level"] == "INFO"
 
+    # raw retrieval + resource-scoped calls + train REST
+    matches = client.retrieve(kb.uuid, {"query": {"keyword": "sdk"}}).matches
+    assert matches and matches[0].score.type == "rrf"
+    rsearch = client.resource_search(kb.uuid, created.uuid, "hello")
+    assert rsearch["paragraphs"]["results"]
+    rask = client.resource_ask(kb.uuid, created.uuid, AskRequest(query="hello"))
+    assert created.uuid in (rask.retrieval.resources if rask.retrieval else {})
+    agents = client.run_agents(kb.uuid, created.uuid)
+    assert "/t/t" in agents["results"]
+    parts = client.trainset_partitions(kb.uuid)
+    assert parts
+    stream = client.trainset_stream(kb.uuid, parts[0], "FIELD_STREAMING")
+    import io as _io
+
+    import pyarrow as _pa
+
+    assert sum(rb.num_rows for rb in _pa.ipc.open_stream(_io.BytesIO(stream))) >= 1
+
     client.delete_resource(kb.uuid, created.uuid)
     client.delete_kb(kb.uuid)
     client.close()
