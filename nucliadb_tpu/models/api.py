@@ -219,7 +219,11 @@ class FindRequest(BaseModel):
     min_score_semantic: Optional[float] = None
     min_score_bm25: Optional[float] = None
     filter_expression: Optional[FilterExpression] = None
-    fields: list[str] = Field(default_factory=list)  # restrict to field ids
+    # restrict by paragraph-key prefix: "{rid}" scopes to a resource,
+    # "{rid}/{field}" to one field (parity: FindRequest.fields)
+    fields: list[str] = Field(default_factory=list)
+    # restrict to resources by uuid (parity: FindRequest.resource_filters)
+    resource_filters: list[str] = Field(default_factory=list)
     security_groups: Optional[list[str]] = None
     highlight: bool = False
     show_hidden: bool = False

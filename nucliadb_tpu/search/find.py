@@ -379,7 +379,12 @@ class SearchService:
             filter=expr,
             security_groups=request.security_groups,
             include_hidden=request.show_hidden,
-            key_filters=[f.strip("/") + "/" for f in request.fields] if request.fields else [],
+            # field ids and resource uuids both scope retrieval by key
+            # prefix (paragraph keys lead with "{rid}/{field}/")
+            key_filters=(
+                [f.strip("/") + "/" for f in request.fields]
+                + [r.strip("/") + "/" for r in request.resource_filters]
+            ),
             range_creation=_range(
                 request.range_creation_start, request.range_creation_end
             ),

@@ -1417,3 +1417,21 @@ def test_hidden_resources(server):
     out = client.post(f"/api/v1/kb/{kbid2}/find", json={"query": "auto hidden"}).json()
     assert auto not in out["resources"]
     assert client.get(f"/api/v1/kb/{kbid2}/resource/{auto}").json()["hidden"] is True
+
+
+def test_find_resource_filters(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "rfilt-kb"}).json()["uuid"]
+    rid1 = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "one", "texts": {"t": {"body": "filtered term here"}}},
+    ).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "two", "texts": {"t": {"body": "filtered term there"}}},
+    )
+    out = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "filtered term", "resource_filters": [rid1]},
+    ).json()
+    assert list(out["resources"]) == [rid1]
