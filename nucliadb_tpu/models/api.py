@@ -14,7 +14,7 @@ from __future__ import annotations
 from enum import Enum
 from typing import Any, Optional, Union
 
-from pydantic import BaseModel, Field
+from pydantic import BaseModel, Field, model_validator
 
 
 # ---- knowledge box --------------------------------------------------------
@@ -209,6 +209,30 @@ class FilterExpression(BaseModel):
 
 
 class FindRequest(BaseModel):
+    """Hybrid retrieval request. Accepts the reference's spellings too:
+    ``min_score`` (float or {"bm25", "semantic"}) and ``page_number``/
+    ``page_size`` (legacy /search paging) are normalized in a pre-validator
+    so payloads written for nucliadb work unchanged."""
+
+    @model_validator(mode="before")
+    @classmethod
+    def _reference_aliases(cls, data):
+        if not isinstance(data, dict):
+            return data
+        ms = data.pop("min_score", None)
+        if isinstance(ms, dict):
+            data.setdefault("min_score_bm25", ms.get("bm25"))
+            data.setdefault("min_score_semantic", ms.get("semantic"))
+        elif isinstance(ms, (int, float)):
+            data.setdefault("min_score_semantic", ms)
+        if "page_size" in data:
+            data.setdefault("top_k", data.pop("page_size"))
+        if "page_number" in data:
+            data.setdefault(
+                "offset", int(data.pop("page_number")) * int(data.get("top_k", 20))
+            )
+        return data
+
     query: str = ""
     features: list[SearchFeature] = Field(
         default_factory=lambda: [SearchFeature.KEYWORD, SearchFeature.SEMANTIC]
@@ -396,6 +420,21 @@ class ChatContextMessage(BaseModel):
 
 
 class AskRequest(BaseModel):
+    """RAG request. Reference spellings accepted: ``prompt`` may be the
+    CustomPrompt object ({"system", "user"}) and ``min_score`` aliases as in
+    FindRequest."""
+
+    @model_validator(mode="before")
+    @classmethod
+    def _reference_aliases(cls, data):
+        if not isinstance(data, dict):
+            return data
+        p = data.get("prompt")
+        if isinstance(p, dict):
+            parts = [p.get("system", ""), p.get("user", "")]
+            data["prompt"] = "\n".join(s for s in parts if s)
+        return data
+
     query: str
     vector: Optional[list[float]] = None
     vectorset: str = ""
@@ -421,6 +460,15 @@ class AskRequest(BaseModel):
     # restrict retrieval to resource/field key prefixes (parity: the
     # resource-scoped /resource/{rid}/ask route scopes retrieval to rid)
     fields: list[str] = Field(default_factory=list)
+    # retrieval legs for the grounding find (parity: AskRequest.features)
+    features: list[SearchFeature] = Field(
+        default_factory=lambda: [SearchFeature.KEYWORD, SearchFeature.SEMANTIC]
+    )
+    # generation knobs passed through the predict seam (parity:
+    # AskRequest.max_tokens / answer_json_schema; without a generative
+    # engine the json schema is ignored)
+    max_tokens: int = 0
+    answer_json_schema: Optional[dict] = None
 
 
 class PreQuery(BaseModel):

@@ -13,6 +13,7 @@ standalone deployments pass query vectors explicitly or plug an encoder.
 
 from __future__ import annotations
 
+import json
 from typing import Optional, Protocol
 
 import numpy as np
@@ -869,6 +870,7 @@ class SearchService:
             query=retrieval_query,
             vector=request.vector,
             vectorset=request.vectorset,
+            features=[f for f in request.features if f != SearchFeature.RELATIONS],
             top_k=request.top_k,
             filter_expression=request.filter_expression,
             security_groups=request.security_groups,
@@ -955,9 +957,31 @@ class SearchService:
         if not request.citations:
             citations = {}
         if self.predict is not None:
-            answer = self.predict.generate(
-                kbid, request.prompt or request.query, history + context
-            )
+            prompt = request.prompt or request.query
+            if request.answer_json_schema is not None:
+                # structured answers: engines exposing generate_json get the
+                # schema; otherwise it rides the prompt (parity:
+                # answer_json_schema in ask — the reference forwards it to
+                # the Predict /chat call)
+                if hasattr(self.predict, "generate_json"):
+                    answer = self.predict.generate_json(
+                        kbid, prompt, history + context, request.answer_json_schema
+                    )
+                    return AskResponse(
+                        answer=answer if isinstance(answer, str) else json.dumps(answer),
+                        retrieval=retrieval, citations=citations,
+                        rephrased_query=rephrased,
+                    )
+                prompt += (
+                    "\nAnswer as a single JSON object matching this schema: "
+                    + json.dumps(request.answer_json_schema)
+                )
+            answer = self.predict.generate(kbid, prompt, history + context)
+            if request.max_tokens > 0:
+                # crude budget parity: cut on whitespace tokens
+                toks = answer.split()
+                if len(toks) > request.max_tokens:
+                    answer = " ".join(toks[: request.max_tokens])
             return AskResponse(
                 answer=answer, retrieval=retrieval, citations=citations,
                 rephrased_query=rephrased,

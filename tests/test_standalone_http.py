@@ -1435,3 +1435,37 @@ def test_find_resource_filters(server):
         json={"query": "filtered term", "resource_filters": [rid1]},
     ).json()
     assert list(out["resources"]) == [rid1]
+
+
+def test_reference_model_aliases(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "alias-kb"}).json()["uuid"]
+    for i in range(3):
+        client.post(
+            f"/api/v1/kb/{kbid}/resources",
+            json={"title": f"a{i}", "texts": {"t": {"body": f"alias token doc {i}"}}},
+        )
+    # reference min_score object + page_size/page_number spellings
+    out = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "alias token", "min_score": {"bm25": 0.0, "semantic": 0.4},
+              "page_size": 2, "page_number": 0},
+    )
+    assert out.status_code == 200, out.text
+    assert len(out.json()["best_matches"]) <= 2
+    page2 = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "alias token", "page_size": 2, "page_number": 1},
+    ).json()
+    assert page2["best_matches"] != out.json()["best_matches"]
+
+    # ask with a CustomPrompt object + features + max_tokens accepted
+    ask = client.post(
+        f"/api/v1/kb/{kbid}/ask",
+        json={"query": "alias token", "prompt": {"system": "Be terse.", "user": "Answer:"},
+              "features": ["keyword"], "max_tokens": 50,
+              "answer_json_schema": {"type": "object"}},
+        headers={"x-synchronous": "true"},
+    )
+    assert ask.status_code == 200, ask.text
+    assert ask.json()["status"] in ("success", "no_generative_model")
