@@ -277,6 +277,11 @@ def pack_search_request(r: ShardSearchRequest) -> bytes:
             "json_filter": pack_json_expr(r.json_filter),
             "security_groups": r.security_groups,
             "key_filters": r.key_filters,
+            "include_hidden": r.include_hidden,
+            "range_creation": list(r.range_creation) if r.range_creation else None,
+            "range_modification": (
+                list(r.range_modification) if r.range_modification else None
+            ),
             "graph": None
             if g is None
             else {
@@ -312,6 +317,13 @@ def unpack_search_request(data: bytes) -> ShardSearchRequest:
         json_filter=unpack_json_expr(d["json_filter"]),
         security_groups=d["security_groups"],
         key_filters=d["key_filters"],
+        include_hidden=d.get("include_hidden", False),
+        range_creation=(
+            tuple(d["range_creation"]) if d.get("range_creation") else None
+        ),
+        range_modification=(
+            tuple(d["range_modification"]) if d.get("range_modification") else None
+        ),
         graph=None
         if g is None
         else GraphSearchRequest(

@@ -272,3 +272,64 @@ def test_writer_grpc_service(tmp_path):
     finally:
         client.close()
         server.stop()
+
+
+def test_search_request_codec_roundtrip():
+    """Every ShardSearchRequest field must survive the gRPC-plane codec —
+    a dropped field silently changes remote search results (the date-range
+    windows were missing until this test)."""
+    import dataclasses
+
+    import numpy as np
+
+    from nucliadb_tpu.grpc_plane.codec import (
+        pack_search_request,
+        unpack_search_request,
+    )
+    from nucliadb_tpu.index.relation import (
+        GraphSearchRequest,
+        NodePattern,
+        RelationPattern,
+    )
+    from nucliadb_tpu.query_language import LabelAtom
+    from nucliadb_tpu.shard import ShardSearchRequest
+
+    req = ShardSearchRequest(
+        body="hello",
+        top_k=7,
+        paragraph=True,
+        document=True,
+        vector=np.ones((2, 4), np.float32),
+        vectorset="m",
+        min_score_semantic=0.3,
+        min_score_bm25=0.1,
+        all_terms=True,
+        filter=LabelAtom("/l/a/b"),
+        security_groups=["g1"],
+        key_filters=["rid1/"],
+        include_hidden=True,
+        range_creation=(1.0, 2.0),
+        range_modification=(None, 9.0),
+        graph=GraphSearchRequest(
+            source=NodePattern(value="a"),
+            relation=RelationPattern(),
+            target=NodePattern(),
+            undirected=True,
+            top_k=5,
+        ),
+        faceted=["/l"],
+        only_faceted=False,
+        order_by="created",
+        order_desc=False,
+    )
+    got = unpack_search_request(pack_search_request(req))
+    for f in dataclasses.fields(ShardSearchRequest):
+        a, b = getattr(req, f.name), getattr(got, f.name)
+        if f.name == "vector":
+            assert np.array_equal(a, b), "vector"
+        elif f.name in ("filter", "field_filter", "json_filter", "graph"):
+            assert (a is None) == (b is None), f.name
+        elif f.name in ("range_creation", "range_modification"):
+            assert (tuple(a) if a else None) == (tuple(b) if b else None), f.name
+        else:
+            assert a == b, f"field {f.name} dropped by codec: {a!r} != {b!r}"
