@@ -193,6 +193,34 @@ class SearchFeature(str, Enum):
     FULLTEXT = "fulltext"
 
 
+# reference query-alias spellings for system label prefixes
+# (nucliadb_models/labels.py LABEL_QUERY_ALIASES) — lets filter strings
+# written against nucliadb ("/classification.labels/topic/sports") hit the
+# same facets as the system form ("/l/topic/sports")
+LABEL_QUERY_ALIASES = {
+    "icon": "n/i",
+    "metadata.status": "n/s",
+    "metadata.language": "s/p",
+    "metadata.languages": "s/s",
+    "origin.tags": "t",
+    "origin.metadata": "m",
+    "origin.path": "p",
+    "origin.source-id": "u/s",
+    "classification.labels": "l",
+    "entities": "e",
+    "field": "f",
+    "field-values": "fg",
+    "generated.data-augmentation": "g/da",
+}
+
+
+def translate_alias_label(label: str) -> str:
+    parts = label.split("/")
+    if len(parts) > 1 and parts[1] in LABEL_QUERY_ALIASES:
+        return "/".join(["", LABEL_QUERY_ALIASES[parts[1]], *parts[2:]])
+    return label
+
+
 class FilterExpression(BaseModel):
     """JSON filter expression tree (reference: filter_expression.py).
 
@@ -243,6 +271,9 @@ class FindRequest(BaseModel):
     min_score_semantic: Optional[float] = None
     min_score_bm25: Optional[float] = None
     filter_expression: Optional[FilterExpression] = None
+    # legacy facet filter strings, AND semantics (parity: the old `filters`
+    # param, query_parser/old_filters.py; alias prefixes are translated)
+    filters: list[str] = Field(default_factory=list)
     # restrict by paragraph-key prefix: "{rid}" scopes to a resource,
     # "{rid}/{field}" to one field (parity: FindRequest.fields)
     fields: list[str] = Field(default_factory=list)

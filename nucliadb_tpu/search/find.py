@@ -57,10 +57,12 @@ class PredictEngine(Protocol):
 
 
 def filter_to_expression(f: Optional[FilterExpression]) -> Optional[BooleanExpression]:
+    from ..models.api import translate_alias_label
+
     if f is None:
         return None
     if f.literal is not None:
-        return LabelAtom(f.literal)
+        return LabelAtom(translate_alias_label(f.literal))
     if f.all_ is not None:
         return and_(*[filter_to_expression(x) for x in f.all_])
     if f.any_ is not None:
@@ -327,6 +329,14 @@ class SearchService:
         collect_blocks: "Optional[list[TextBlock]]" = None,
     ) -> KnowledgeboxFindResults:
         expr = filter_to_expression(request.filter_expression)
+        if request.filters:
+            # legacy facet strings: AND of translated label atoms
+            from ..models.api import translate_alias_label
+
+            legacy = and_(
+                *[LabelAtom(translate_alias_label(f)) for f in request.filters]
+            )
+            expr = and_(expr, legacy) if expr is not None else legacy
         # hidden resources: when the KB has them enabled and the caller did
         # not ask to see them, AND a NOT /q/h filter into every index leg
         # (parity: search/search/utils.py filter_hidden_resources + the

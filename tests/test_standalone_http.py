@@ -1469,3 +1469,38 @@ def test_reference_model_aliases(server):
     )
     assert ask.status_code == 200, ask.text
     assert ask.json()["status"] in ("success", "no_generative_model")
+
+
+def test_legacy_filters_and_alias_labels(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "lfilt-kb"}).json()["uuid"]
+    r_sport = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "s", "texts": {"t": {"body": "legacy filter body"}},
+              "usermetadata": {"classifications": [{"labelset": "topic", "label": "sports"}]}},
+    ).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "n", "texts": {"t": {"body": "legacy filter body"}},
+              "usermetadata": {"classifications": [{"labelset": "topic", "label": "news"}]}},
+    )
+    # legacy filters list with the reference's alias spelling
+    out = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "legacy filter",
+              "filters": ["/classification.labels/topic/sports"]},
+    ).json()
+    assert list(out["resources"]) == [r_sport]
+    # same alias inside a filter_expression literal
+    out2 = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "legacy filter",
+              "filter_expression": {"literal": "/classification.labels/topic/sports"}},
+    ).json()
+    assert list(out2["resources"]) == [r_sport]
+    # system spelling still works
+    out3 = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "legacy filter", "filters": ["/l/topic/sports"]},
+    ).json()
+    assert list(out3["resources"]) == [r_sport]
