@@ -386,6 +386,8 @@ class SuggestResponse(BaseModel):
 class CatalogRequest(BaseModel):
     query: str = ""
     filter_expression: Optional[FilterExpression] = None
+    # legacy facet filter strings, AND semantics (alias prefixes translated)
+    filters: list[str] = Field(default_factory=list)
     range_creation_start: Optional[Union[float, str]] = None
     range_creation_end: Optional[Union[float, str]] = None
     range_modification_start: Optional[Union[float, str]] = None

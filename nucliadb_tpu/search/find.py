@@ -380,7 +380,7 @@ class SearchService:
             top_k=fetch_k,
             paragraph=keyword,
             document=fulltext,
-            faceted=request.faceted,
+            faceted=[translate_alias_label(f) for f in request.faceted],
             order_by=request.sort_field,
             order_desc=request.sort_order != "asc",
             vector=vector,
@@ -712,8 +712,14 @@ class SearchService:
         the reference lists from PG; here from the text index's document
         search with facets + date ordering)."""
         from ..index.text import DocumentSearchRequest
+        from ..models.api import translate_alias_label
 
         expr = filter_to_expression(request.filter_expression)
+        if request.filters:
+            legacy = and_(
+                *[LabelAtom(translate_alias_label(f)) for f in request.filters]
+            )
+            expr = and_(expr, legacy) if expr is not None else legacy
         if request.hidden is not None:
             # parity: catalog.py hidden filter over LABEL_HIDDEN (/q/h)
             hidden_expr = (
@@ -732,7 +738,7 @@ class SearchService:
                     query=request.query,
                     top_k=(request.page_number + 1) * request.page_size,
                     filter=expr,
-                    faceted=request.faceted,
+                    faceted=[translate_alias_label(f) for f in request.faceted],
                     only_faceted=not request.query.strip(),
                     order_by=request.order_by,
                     order_desc=request.order_desc,
