@@ -204,9 +204,13 @@ class ParagraphSearcher:
             hits=out, total=total, ematches=ematches, query_terms=query_tokens
         )
 
-    def suggest(self, prefix: str, top_k: int = 10) -> list[ParagraphHit]:
+    def suggest(
+        self, prefix: str, top_k: int = 10, *, filter=None
+    ) -> list[ParagraphHit]:
         """Prefix suggestion: last token treated as a prefix via fuzzy+prefix
-        expansion over the vocabulary (parity intent: suggest endpoint)."""
+        expansion over the vocabulary (parity intent: suggest endpoint).
+        ``filter`` is a BooleanExpression applied like in search (parity:
+        nidx suggest honours the request filter, lib.rs:217-262)."""
         toks = tokenize(prefix)
         if not toks:
             return []
@@ -223,7 +227,9 @@ class ParagraphSearcher:
         for exp in expansions[:5]:
             text = " ".join(toks[:-1] + [exp])
             resp = self.search(
-                ParagraphSearchRequest(query=text, top_k=top_k, fuzzy=False)
+                ParagraphSearchRequest(
+                    query=text, top_k=top_k, fuzzy=False, filter=filter
+                )
             )
             for hit in resp.hits:
                 cur = best.get(hit.paragraph_id)

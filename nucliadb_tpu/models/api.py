@@ -368,6 +368,10 @@ class SuggestRequest(BaseModel):
     query: str
     features: list[str] = Field(default_factory=lambda: ["paragraph", "entities"])
     top_k: int = 10
+    # label filtering over suggested paragraphs (parity: suggest filters /
+    # filter_expression in SuggestRequest; alias prefixes translated)
+    filter_expression: Optional[FilterExpression] = None
+    filters: list[str] = Field(default_factory=list)
 
 
 class SuggestedParagraph(BaseModel):

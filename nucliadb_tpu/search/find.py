@@ -673,7 +673,15 @@ class SearchService:
     # ------------------------------------------------------------------
 
     def suggest(self, kbid: str, request: SuggestRequest) -> SuggestResponse:
+        from ..models.api import translate_alias_label
+
         resp = SuggestResponse()
+        expr = filter_to_expression(request.filter_expression)
+        if request.filters:
+            legacy = and_(
+                *[LabelAtom(translate_alias_label(f)) for f in request.filters]
+            )
+            expr = and_(expr, legacy) if expr is not None else legacy
         # hidden resources never surface in suggestions (parity: suggest
         # parser applies the NOT LABEL_HIDDEN filter like find)
         kb_cfg = self.kbs.get_config(kbid)
@@ -682,7 +690,9 @@ class SearchService:
         for shard_id in self._shard_ids(kbid):
             searcher = self.node.searcher.shard(shard_id)
             if "paragraph" in request.features and searcher.paragraph is not None:
-                for hit in searcher.paragraph.suggest(request.query, request.top_k):
+                for hit in searcher.paragraph.suggest(
+                    request.query, request.top_k, filter=expr
+                ):
                     if hide:
                         if hit.rid not in hidden_rids:
                             payload = self.processor.get_payload(kbid, hit.rid)

@@ -1504,3 +1504,27 @@ def test_legacy_filters_and_alias_labels(server):
         json={"query": "legacy filter", "filters": ["/l/topic/sports"]},
     ).json()
     assert list(out3["resources"]) == [r_sport]
+
+
+def test_suggest_with_filters(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "sugg-filt-kb"}).json()["uuid"]
+    r_sport = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "s", "texts": {"t": {"body": "suggestable body sports"}},
+              "usermetadata": {"classifications": [{"labelset": "topic", "label": "sports"}]}},
+    ).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "n", "texts": {"t": {"body": "suggestable body news"}},
+              "usermetadata": {"classifications": [{"labelset": "topic", "label": "news"}]}},
+    )
+    out = client.post(
+        f"/api/v1/kb/{kbid}/suggest",
+        json={"query": "suggest", "filters": ["/classification.labels/topic/sports"]},
+    ).json()
+    assert out["paragraphs"] and all(p["rid"] == r_sport for p in out["paragraphs"])
+    unfiltered = client.post(
+        f"/api/v1/kb/{kbid}/suggest", json={"query": "suggest"}
+    ).json()
+    assert len({p["rid"] for p in unfiltered["paragraphs"]}) == 2
