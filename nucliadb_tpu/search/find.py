@@ -41,6 +41,7 @@ from ..models.api import (
     SuggestedParagraph,
     SuggestRequest,
     SuggestResponse,
+    translate_alias_label,
 )
 from ..query_language import BooleanExpression, LabelAtom, and_, not_, or_
 from ..services import EmbeddedNode
@@ -57,8 +58,6 @@ class PredictEngine(Protocol):
 
 
 def filter_to_expression(f: Optional[FilterExpression]) -> Optional[BooleanExpression]:
-    from ..models.api import translate_alias_label
-
     if f is None:
         return None
     if f.literal is not None:
@@ -331,8 +330,6 @@ class SearchService:
         expr = filter_to_expression(request.filter_expression)
         if request.filters:
             # legacy facet strings: AND of translated label atoms
-            from ..models.api import translate_alias_label
-
             legacy = and_(
                 *[LabelAtom(translate_alias_label(f)) for f in request.filters]
             )
@@ -673,8 +670,6 @@ class SearchService:
     # ------------------------------------------------------------------
 
     def suggest(self, kbid: str, request: SuggestRequest) -> SuggestResponse:
-        from ..models.api import translate_alias_label
-
         resp = SuggestResponse()
         expr = filter_to_expression(request.filter_expression)
         if request.filters:
@@ -722,7 +717,6 @@ class SearchService:
         the reference lists from PG; here from the text index's document
         search with facets + date ordering)."""
         from ..index.text import DocumentSearchRequest
-        from ..models.api import translate_alias_label
 
         expr = filter_to_expression(request.filter_expression)
         if request.filters:
