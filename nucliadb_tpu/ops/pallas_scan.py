@@ -40,22 +40,27 @@ NEG_INF = float(np.finfo(np.float32).min)
 
 BLOCK_N = 8192  # rows of codes per grid step ([8192, 768] int8 = 6 MB VMEM)
 SLOTS = 1024  # accumulator slots per query (collision prob ~k/S)
+BLOCK_B = 128  # query rows per grid step for large batches (VMEM budget:
+#              scores [128, 8192] f32 = 4 MB + codes 6 MB + accs 2 MB)
 
 
 def _scan_kernel(
-    q_ref,  # [B, D] int8 (VMEM, same block every step)
+    q_ref,  # [Bb, D] int8 (block of queries, same for every n step)
     codes_ref,  # [Nb, D] int8 block
     scale_ref,  # [1, Nb] f32 block
     mask_ref,  # [1, Nb] i8 block (1 = eligible)
-    out_s_ref,  # [B, S] f32
-    out_i_ref,  # [B, S] i32
-    acc_s,  # VMEM scratch [B, S] f32
-    acc_i,  # VMEM scratch [B, S] i32
+    out_s_ref,  # [Bb, S] f32
+    out_i_ref,  # [Bb, S] i32
+    acc_s,  # VMEM scratch [Bb, S] f32
+    acc_i,  # VMEM scratch [Bb, S] i32
     *,
     block_n: int,
     slots: int,
 ):
-    step = pl.program_id(0)
+    # grid = (query_blocks, n_blocks); the n dimension is innermost, so for
+    # each query block the accumulator re-initialises at step 0 and flushes
+    # at the last n step — the scratch persists across the sequential grid
+    step = pl.program_id(1)
 
     @pl.when(step == 0)
     def _init():
@@ -70,8 +75,8 @@ def _scan_kernel(
         codes_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
-    )  # [B, Nb] on the MXU
-    # keep every intermediate >= 2D ([1, Nb] broadcasts over [B, Nb]);
+    )  # [Bb, Nb] on the MXU
+    # keep every intermediate >= 2D ([1, Nb] broadcasts over [Bb, Nb]);
     # rank-1 vectors crash Mosaic's layout inference
     scores = jnp.where(
         mask_ref[:] != 0, raw.astype(jnp.float32) * scale_ref[:], NEG_INF
@@ -79,23 +84,23 @@ def _scan_kernel(
 
     # slot assignment: column j -> slot j % S. Merge the r sub-ranges with
     # lane-aligned slices (slots is a multiple of 128) — a reshape to
-    # [B, r, S] would split the lane dimension and force a relayout every
-    # step, and a log-depth pairwise tree holds r live [B, S] temporaries
+    # [Bb, r, S] would split the lane dimension and force a relayout every
+    # step, and a log-depth pairwise tree holds r live [Bb, S] temporaries
     # and spills; both measured far slower than this serial chain.
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (b, slots), 1)
     for t in range(r):
-        sub = scores[:, t * slots : (t + 1) * slots]  # [B, S]
+        sub = scores[:, t * slots : (t + 1) * slots]  # [Bb, S]
         take = sub > acc_s[:]
         acc_s[:] = jnp.where(take, sub, acc_s[:])
         acc_i[:] = jnp.where(take, step * block_n + t * slots + slot_iota, acc_i[:])
 
-    @pl.when(step == pl.num_programs(0) - 1)
+    @pl.when(step == pl.num_programs(1) - 1)
     def _flush():
         out_s_ref[:] = acc_s[:]
         out_i_ref[:] = acc_i[:]
 
 
-@partial(jax.jit, static_argnames=("block_n", "slots", "interpret"))
+@partial(jax.jit, static_argnames=("block_n", "slots", "block_b", "interpret"))
 def int8_scan_slots(
     q_codes: jax.Array,  # [B, D] int8 quantized queries
     codes: jax.Array,  # [N, D] int8 (N multiple of block_n)
@@ -104,16 +109,23 @@ def int8_scan_slots(
     *,
     block_n: int = BLOCK_N,
     slots: int = SLOTS,
+    block_b: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused scan -> ([B, S] slot scores, [B, S] slot ids). Rank-preserving
     per query up to slot collisions; feed `slots >> k` into an exact top-k.
+
+    Large batches tile over a query-block grid dimension (BLOCK_B rows per
+    step) so the [Bb, Nb] score tile stays inside the ~16 MB VMEM.
     """
     n, d = codes.shape
     b = q_codes.shape[0]
+    if block_b is None:
+        block_b = min(b, BLOCK_B)
     assert n % block_n == 0, (n, block_n)
+    assert b % block_b == 0, (b, block_b)
     assert block_n % slots == 0 and block_n >= slots, (block_n, slots)
-    grid = n // block_n
+    grid = (b // block_b, n // block_n)
 
     scale2 = scale.reshape(1, n)
     mask2 = mask.astype(jnp.int8).reshape(1, n)
@@ -121,24 +133,24 @@ def int8_scan_slots(
     kernel = partial(_scan_kernel, block_n=block_n, slots=slots)
     out_s, out_i = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((b, d), lambda i: (0, 0)),
-            pl.BlockSpec((block_n, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, block_n), lambda i: (0, i)),
-            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((block_b, d), lambda qi, ni: (qi, 0)),
+            pl.BlockSpec((block_n, d), lambda qi, ni: (ni, 0)),
+            pl.BlockSpec((1, block_n), lambda qi, ni: (0, ni)),
+            pl.BlockSpec((1, block_n), lambda qi, ni: (0, ni)),
         ],
         out_specs=[
-            pl.BlockSpec((b, slots), lambda i: (0, 0)),
-            pl.BlockSpec((b, slots), lambda i: (0, 0)),
+            pl.BlockSpec((block_b, slots), lambda qi, ni: (qi, 0)),
+            pl.BlockSpec((block_b, slots), lambda qi, ni: (qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, slots), jnp.float32),
             jax.ShapeDtypeStruct((b, slots), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b, slots), jnp.float32),
-            pltpu.VMEM((b, slots), jnp.int32),
+            pltpu.VMEM((block_b, slots), jnp.float32),
+            pltpu.VMEM((block_b, slots), jnp.int32),
         ],
         interpret=interpret,
     )(q_codes, codes, scale2, mask2)
