@@ -132,6 +132,53 @@ def main() -> None:
     qps_tpu = b / dt
     stage(f"throughput measured ({dt*1000:.1f} ms/batch)")
 
+    # device-side throughput: one dispatch runs 8 scans back-to-back via
+    # lax.map, so the per-call relay round trip (~25-30 ms on this tunnel)
+    # amortizes away — this is the engine number a co-located host sees.
+    # Arenas are jit ARGUMENTS (a closure would inline 4 GB of constants
+    # into the program and ship them to the compile service).
+    q8 = jnp.stack(q_bufs)
+
+    if codec == "int8":
+
+        @jax.jit
+        def run8(cc, cs, vv, mm, qq8):
+            cd = quant.Int8Codes(codes=cc, scale=cs)
+            return jax.lax.map(
+                lambda qq: _search_int8(cd, vv, qq, mm, ms, k, "dot")[1], qq8
+            )
+
+        args8 = (codes.codes, codes.scale, vectors, mask_j, q8)
+    elif codec == "binary":
+
+        @jax.jit
+        def run8(ct, cs, cr, cp, vv, mm, qq8):
+            cd = quant.BinaryCodes(
+                codes_t=ct, scale=cs, resid=cr, popcnt=cp, dim=d
+            )
+            return jax.lax.map(
+                lambda qq: _search_binary(cd, vv, qq, mm, ms, k, "dot")[1], qq8
+            )
+
+        args8 = (codes.codes_t, codes.scale, codes.resid, codes.popcnt,
+                 vectors, mask_j, q8)
+    else:
+
+        @jax.jit
+        def run8(vv, mm, qq8):
+            return jax.lax.map(
+                lambda qq: _search_exact(vv, qq, mm, ms, k, "dot")[1], qq8
+            )
+
+        args8 = (vectors, mask_j, q8)
+
+    _ = np.asarray(run8(*args8))  # compile + warm
+    t0 = time.time()
+    _ = np.asarray(run8(*args8))
+    dt_dev = (time.time() - t0) / 8
+    qps_device = b / dt_dev
+    stage(f"device-side throughput measured ({dt_dev*1000:.1f} ms/batch)")
+
     # latency: sequential dispatch+download (includes tunnel round trip)
     t0 = time.time()
     for j in range(4):
@@ -180,6 +227,8 @@ def main() -> None:
                 "detail": {
                     "recall_at_10_vs_exact": round(recall, 4),
                     "ms_per_batch_pipelined": round(dt * 1000, 2),
+                    "engine_qps_device_side": round(qps_device, 1),
+                    "ms_per_batch_device_side": round(dt_dev * 1000, 2),
                     "ms_per_query_latency": round(lat_ms, 2),
                     "cpu_exact_qps_baseline": round(qps_cpu, 2),
                     "encode_s": round(encode_s, 2),
