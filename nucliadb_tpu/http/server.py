@@ -142,8 +142,16 @@ class HTTPServer:
         self.port = port
         self.auth_hook = auth_hook  # callable(Request) raising HTTPError
         self._server: Optional[asyncio.AbstractServer] = None
-        # service layer is synchronous; one worker keeps device access serial
-        self._pool = ThreadPoolExecutor(max_workers=4)
+        # synchronous handlers run on this pool; wide enough that
+        # concurrent searches actually ARRIVE concurrently — the vector
+        # query coalescer (index/vector/batcher.py) then merges them into
+        # shared device dispatches, so more workers does not mean more
+        # device programs (env: NUCLIADB_TPU_HTTP_WORKERS)
+        import os as _os
+
+        self._pool = ThreadPoolExecutor(
+            max_workers=int(_os.environ.get("NUCLIADB_TPU_HTTP_WORKERS", 32))
+        )
 
     async def start(self) -> None:
         self._server = await asyncio.start_server(self._handle, self.host, self.port)

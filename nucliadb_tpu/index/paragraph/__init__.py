@@ -165,7 +165,14 @@ class ParagraphSearcher:
             min_score=request.min_score,
             all_terms=request.all_terms,
         )
-        hits, matched = self.engine.search(q, need_matched=False)
+        from ..text_engine.batcher import coalescer
+
+        if coalescer.eligible(q):
+            # concurrent unfiltered keyword queries share one device
+            # dispatch (each dispatch costs a full relay round trip)
+            hits, matched = coalescer.search_one(self.engine, q)
+        else:
+            hits, matched = self.engine.search(q, need_matched=False)
 
         phrase_terms = [tokenize(p) for p in phrases]
         query_tokens = tokenize(request.query)

@@ -451,29 +451,55 @@ class DeviceTextEngine:
         )
         return all_rows, all_idfs, params
 
-    def search_batch(self, queries: list[TextQuery]) -> list[tuple[list[TextHit], np.ndarray]]:
+    def search_batch(
+        self, queries: list[TextQuery], *, need_matched: bool = True
+    ) -> list[tuple[list[TextHit], np.ndarray]]:
         """Score a batch of keyword queries in ONE device dispatch.
 
         All queries share top_k (the max of the batch is used). Pure-filter
         queries are not batchable (no scoring) and raise.
+
+        When every query is unfiltered, ONE shared [n_pad] base mask feeds
+        the whole batch (vmap in_axes=None) — no per-query mask upload.
+        ``need_matched=False`` downloads only per-query match counts instead
+        of [B, n_pad] bitmaps (the count-only discipline of ``search``).
         """
         if not queries:
             return []
         if any(not (q.text.strip() or q.phrases) for q in queries):
             raise ValueError("search_batch requires scored (non-empty) queries")
         k = min(max(q.top_k for q in queries), self.n_pad)
-        rows, idfs, params, masks = zip(*(self._device_inputs(q) for q in queries))
+        unfiltered = all(
+            q.filter is None and q.key_prefixes is None and q.extra_mask is None
+            for q in queries
+        )
+        if unfiltered:
+            planned = [self._plan_terms(q) for q in queries]
+            rip = [
+                self._device_inputs_planned(terms, req, q)
+                for (terms, req), q in zip(planned, queries)
+            ]
+            rows, idfs, params = zip(*rip)
+            masks_in = self.base_mask_device()
+        else:
+            rows, idfs, params, masks = zip(*(self._device_inputs(q) for q in queries))
+            masks_in = jnp.asarray(np.stack(masks))
         top_s, top_i, matched = _bm25_search_batch(
             self.tier_docs[0], self.tier_tfs[0],
             self.tier_docs[1], self.tier_tfs[1],
             self.tier_docs[2], self.tier_tfs[2],
             self.tier_docs[3], self.tier_tfs[3],
             self.dense_tf, self.dlen,
-            jnp.asarray(np.stack(masks)), jnp.asarray(np.stack(rows)),
+            masks_in, jnp.asarray(np.stack(rows)),
             jnp.asarray(np.stack(idfs)), jnp.asarray(np.stack(params)), k,
+            shared_mask=unfiltered, count_only=not need_matched,
         )
         top_s, top_i = np.asarray(top_s), np.asarray(top_i)
-        matched_np = np.asarray(matched)[:, : self.n_docs]
+        if need_matched:
+            matched_rows = list(np.asarray(matched)[:, : self.n_docs])
+        else:
+            counts = np.asarray(matched)
+            matched_rows = [_CountOnly(int(c), self.n_docs) for c in counts]
         out = []
         for b, query in enumerate(queries):
             hits = [
@@ -483,7 +509,9 @@ class DeviceTextEngine:
                 for s, d in zip(top_s[b][: query.top_k], top_i[b][: query.top_k])
                 if d >= 0
             ]
-            out.append((hits, matched_np[b]))
+            if query.all_terms and query.fuzzy and query.text.strip():
+                hits = [h for h in hits if self.verify_all_terms(h.doc_id, query)]
+            out.append((hits, matched_rows[b]))
         return out
 
     # ------------------------------------------------------------------
@@ -570,15 +598,18 @@ class DeviceTextEngine:
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "shared_mask", "count_only"))
 def _bm25_search_batch(
     docs0, tfs0, docs1, tfs1, docs2, tfs2, docs3, tfs3,
     dense_tf, dlen, masks, all_rows, all_idfs, params, k,
+    shared_mask: bool = False, count_only: bool = False,
 ):
-    """Batched variant: per-query rows/idfs/params/masks stacked on axis 0.
+    """Batched variant: per-query rows/idfs/params (+masks) stacked on axis 0.
 
     One dispatch scores B queries (the serving-side batching the reference
     gets from concurrent tantivy searchers; here it is one vmapped program).
+    ``shared_mask``: ``masks`` is one [n_pad] mask broadcast over the batch.
+    ``count_only``: the third output is [B] match counts, not bitmaps.
     """
 
     def core(mask, rows, idfs, p):
@@ -587,7 +618,13 @@ def _bm25_search_batch(
             dense_tf, dlen, mask, rows, idfs, p, k,
         )
 
-    return jax.vmap(core)(masks, all_rows, all_idfs, params)
+    mask_axis = None if shared_mask else 0
+    top_s, top_i, matched = jax.vmap(core, in_axes=(mask_axis, 0, 0, 0))(
+        masks, all_rows, all_idfs, params
+    )
+    if count_only:
+        return top_s, top_i, jnp.sum(matched, axis=-1)
+    return top_s, top_i, matched
 
 
 def _tier_contrib(docs_m, tfs_m, rows, idfs, dlen, avgdl):

@@ -1,0 +1,161 @@
+"""Concurrent-query coalescing for the vector index.
+
+The device kernels are batched ([B, D] queries in one dispatch) but each
+HTTP request otherwise dispatches its own program. On the deployment
+platform a dispatch costs a ~15-30 ms relay round trip, so N concurrent
+single-query searches pay N round trips for work the chip does in one.
+
+Design — **bounded-pipeline continuous batching**:
+
+- up to ``concurrency`` dispatches per key may be in flight at once, so at
+  low load queries pipeline through the relay exactly as without the
+  coalescer (a strict one-at-a-time drain was measured to HALVE throughput:
+  it serialized round trips the relay happily overlaps);
+- when every slot is busy, arriving queries queue; a slot that frees drains
+  everything queued into one batch. Batch size adapts to load by itself —
+  no timed windows (a 2 ms window was measured to catch almost nothing);
+- batches are padded to the next power of two: every distinct batch shape
+  is a fresh XLA compile (tens of seconds through the remote compile
+  service), padding bounds the shape count at log2(max_batch);
+- compatible = same searcher, top_k, min_score and include_hidden, and NO
+  per-query filters (a filtered query needs its own [N] mask; masks are
+  shared across a batch inside the kernel). Filtered queries dispatch solo,
+  exactly as before.
+
+This is the product-level realization of the "searcher batches concurrent
+requests into one device program" design (the reference's analogue is tokio
+handling many shard queries concurrently inside one searcher process,
+nidx/src/searcher/shards_query.rs:29-72 — there concurrency costs threads,
+here a bigger batch costs nothing until HBM).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import TYPE_CHECKING, Optional
+
+import numpy as np
+
+if TYPE_CHECKING:  # pragma: no cover
+    from . import VectorHit, VectorSearcher, VectorSearchRequest
+
+
+class _Entry:
+    __slots__ = ("vector", "result", "error", "done")
+
+    def __init__(self, vector: np.ndarray):
+        self.vector = vector
+        self.result: Optional[list] = None
+        self.error: Optional[BaseException] = None
+        self.done = threading.Event()
+
+
+class QueryCoalescer:
+    """Merges concurrent unfiltered vector queries into shared batches."""
+
+    def __init__(self, max_batch: int = 256, concurrency: int = 4):
+        self.max_batch = max_batch
+        self.concurrency = concurrency
+        self._lock = threading.Lock()
+        self._pending: dict[tuple, list[_Entry]] = {}
+        self._active: dict[tuple, int] = {}  # key -> in-flight dispatchers
+        # observability
+        self.batched_queries = 0
+        self.dispatches = 0
+
+    @staticmethod
+    def eligible(request: "VectorSearchRequest") -> bool:
+        q = np.asarray(request.vectors)
+        single = q.ndim == 1 or (q.ndim == 2 and q.shape[0] == 1)
+        return (
+            single
+            and request.filter is None
+            and request.field_filter.is_all
+            and not request.key_prefixes
+        )
+
+    def search_one(
+        self, searcher: "VectorSearcher", request: "VectorSearchRequest"
+    ) -> "list[VectorHit]":
+        """One single-vector query; may ride a shared batch. Returns the
+        hits for THIS query (the [0] row of a solo search)."""
+        if not self.eligible(request):
+            return searcher.search(request)[0]
+        entry = _Entry(np.asarray(request.vectors, dtype=np.float32).reshape(-1))
+        key = (
+            id(searcher),
+            request.top_k,
+            request.min_score,
+            request.include_hidden,
+        )
+        with self._lock:
+            self._pending.setdefault(key, []).append(entry)
+            dispatcher = self._active.get(key, 0) < self.concurrency
+            if dispatcher:
+                self._active[key] = self._active.get(key, 0) + 1
+
+        if dispatcher:
+            self._drain(key, searcher, request)
+
+        if not entry.done.wait(timeout=120.0):
+            raise TimeoutError("coalesced vector search timed out")
+        if entry.error is not None:
+            raise RuntimeError("coalesced vector search failed") from entry.error
+        return entry.result
+
+    def _release(self, key) -> None:
+        n = self._active.get(key, 1) - 1
+        if n <= 0:
+            self._active.pop(key, None)
+        else:
+            self._active[key] = n
+
+    def _drain(self, key, searcher, template) -> None:
+        """Dispatch pending batches for `key` until the queue is empty."""
+        from . import VectorSearchRequest as VSR
+
+        while True:
+            with self._lock:
+                queue = self._pending.get(key, [])
+                batch, rest = queue[: self.max_batch], queue[self.max_batch :]
+                if rest:
+                    self._pending[key] = rest
+                else:
+                    self._pending.pop(key, None)
+                if not batch:
+                    self._release(key)
+                    return
+            try:
+                self.dispatches += 1
+                self.batched_queries += len(batch)
+                vecs = [e.vector for e in batch]
+                padded = 1 << (len(vecs) - 1).bit_length()
+                vecs += [vecs[0]] * (padded - len(vecs))
+                out = searcher.search(
+                    VSR(
+                        vectors=np.stack(vecs),
+                        top_k=template.top_k,
+                        min_score=template.min_score,
+                        include_hidden=template.include_hidden,
+                    )
+                )
+                for e, hits in zip(batch, out):
+                    e.result = hits
+            except BaseException as exc:
+                for e in batch:
+                    e.error = exc
+                with self._lock:
+                    # fail the rest of the queue too rather than strand it
+                    for e in self._pending.pop(key, []):
+                        e.error = exc
+                        e.done.set()
+                    self._release(key)
+                for e in batch:
+                    e.done.set()
+                raise
+            for e in batch:
+                e.done.set()
+
+
+# process-wide coalescer shared by every shard searcher
+coalescer = QueryCoalescer()

@@ -221,17 +221,22 @@ class ShardSearcher:
             searcher = self.vectors.get(vs_name)
             if searcher is None:
                 return response.vector  # keep the default (empty) result
-            hits = searcher.search(
-                VectorSearchRequest(
-                    vectors=np.asarray(request.vector, np.float32),
-                    top_k=request.top_k,
-                    filter=request.filter,
-                    field_filter=prefilter,
-                    key_prefixes=key_prefixes,
-                    min_score=request.min_score_semantic,
-                    include_hidden=request.include_hidden,
-                )
+            vreq = VectorSearchRequest(
+                vectors=np.asarray(request.vector, np.float32),
+                top_k=request.top_k,
+                filter=request.filter,
+                field_filter=prefilter,
+                key_prefixes=key_prefixes,
+                min_score=request.min_score_semantic,
+                include_hidden=request.include_hidden,
             )
+            from ..index.vector.batcher import coalescer
+
+            if coalescer.eligible(vreq):
+                # concurrent unfiltered queries share one device dispatch
+                # (each dispatch costs a full relay round trip)
+                return coalescer.search_one(searcher, vreq)
+            hits = searcher.search(vreq)
             return hits[0] if hits else []
 
         want_paragraph = (

@@ -192,3 +192,96 @@ def test_indexer_from_resource(rng, tmp_path):
     assert "/n/s/PROCESSED" in hits[0].labels and "/p/x" in hits[0].labels
     # no sentences for unknown vectorset
     assert indexer.index_resource(rd, "nope", str(tmp_path / "seg2")) is None
+import threading
+
+import numpy as np
+
+from nucliadb_tpu.index.vector.batcher import QueryCoalescer
+
+
+class FakeSearcher:
+    """Counts batch dispatches; scores = dot against stored rows."""
+
+    def __init__(self, vectors):
+        self.vectors = vectors
+        self.calls = 0
+        self.lock = threading.Lock()
+
+    def search(self, request):
+        import time
+
+        with self.lock:
+            self.calls += 1
+        time.sleep(0.01)  # emulate the device dispatch round trip —
+        # natural batching only engages while a dispatch is in flight
+        q = np.atleast_2d(np.asarray(request.vectors, np.float32))
+        scores = q @ self.vectors.T
+        out = []
+        for row in scores:
+            order = np.argsort(-row)[: request.top_k]
+            out.append([(int(i), float(row[i])) for i in order])
+        return out
+
+
+def test_coalescer_batches_concurrent_queries(rng):
+    from nucliadb_tpu.index.vector import VectorSearchRequest
+
+    vectors = rng.standard_normal((64, 8)).astype(np.float32)
+    searcher = FakeSearcher(vectors)
+    # concurrency=1 makes the batching deterministic for the call-count
+    # assertion (the default 4 pipeline slots trade batch size for overlap)
+    co = QueryCoalescer(max_batch=64, concurrency=1)
+
+    queries = rng.standard_normal((16, 8)).astype(np.float32)
+    results = [None] * 16
+    barrier = threading.Barrier(16)
+
+    def worker(i):
+        barrier.wait()
+        req = VectorSearchRequest(vectors=queries[i], top_k=5)
+        results[i] = co.search_one(searcher, req)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    # every caller got ITS OWN query's results (scores to float tolerance:
+    # batched vs solo matmuls round differently)
+    for i in range(16):
+        solo = searcher.search(VectorSearchRequest(vectors=queries[i], top_k=5))[0]
+        assert [h[0] for h in results[i]] == [h[0] for h in solo], i
+        np.testing.assert_allclose(
+            [h[1] for h in results[i]], [h[1] for h in solo], rtol=1e-5
+        )
+    # and the 16 queries rode far fewer dispatches than 16
+    coalesced_calls = searcher.calls - 16  # minus the solo verification calls
+    assert coalesced_calls <= 4, coalesced_calls
+
+
+def test_coalescer_filtered_queries_go_solo(rng):
+    from nucliadb_tpu.index.vector import VectorSearchRequest
+    from nucliadb_tpu.query_language import LabelAtom
+
+    req = VectorSearchRequest(
+        vectors=rng.standard_normal(8).astype(np.float32),
+        filter=LabelAtom("/l/a/b"),
+    )
+    assert not QueryCoalescer.eligible(req)
+    batch = VectorSearchRequest(vectors=rng.standard_normal((4, 8)).astype(np.float32))
+    assert not QueryCoalescer.eligible(batch)
+
+
+def test_coalescer_propagates_errors(rng):
+    from nucliadb_tpu.index.vector import VectorSearchRequest
+
+    class Boom:
+        def search(self, request):
+            raise ValueError("boom")
+
+    co = QueryCoalescer()
+    import pytest
+
+    with pytest.raises((ValueError, RuntimeError)):
+        co.search_one(Boom(), VectorSearchRequest(vectors=rng.standard_normal(8).astype(np.float32)))
