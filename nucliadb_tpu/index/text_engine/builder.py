@@ -187,14 +187,16 @@ def open_text_segment(path: str) -> TextSegmentData:
         path=path,
         keys=keys,
         terms=terms,
-        postings_offsets=np.load(os.path.join(path, "postings_offsets.npy"), mmap_mode="r"),
+        # offset tables load into RAM: the hot host paths (phrase/ematch
+        # verification, doc_positions) do scalar indexing, and per-scalar
+        # memmap reads were the top host cost in the keyword-find profile;
+        # the big postings/positions payloads stay memmap'd
+        postings_offsets=np.load(os.path.join(path, "postings_offsets.npy")),
         postings_docs=np.load(os.path.join(path, "postings_docs.npy"), mmap_mode="r"),
         postings_tfs=np.load(os.path.join(path, "postings_tfs.npy"), mmap_mode="r"),
-        positions_offsets=np.load(
-            os.path.join(path, "positions_offsets.npy"), mmap_mode="r"
-        ),
+        positions_offsets=np.load(os.path.join(path, "positions_offsets.npy")),
         positions=np.load(os.path.join(path, "positions.npy"), mmap_mode="r"),
-        dlen=np.load(os.path.join(path, "dlen.npy"), mmap_mode="r"),
+        dlen=np.load(os.path.join(path, "dlen.npy")),
         facets={k: np.asarray(v, dtype=np.int32) for k, v in facets_raw.items()},
         attrs=attrs,
         columns={k: columns_npz[k] for k in columns_npz.files},

@@ -518,18 +518,39 @@ class DeviceTextEngine:
     # positions (host) for phrase verification
     # ------------------------------------------------------------------
 
+    def _term_postings_host(self, seg_idx: int, term: str):
+        """(docs array in RAM, postings base offset) for one segment term,
+        memoized — ematch/phrase verification hits the same few query terms
+        for every scored hit, and re-bisecting + re-slicing the memmap per
+        hit was a top host cost in the keyword-find profile."""
+        cache = getattr(self, "_host_postings_cache", None)
+        if cache is None:
+            cache = self._host_postings_cache = {}
+        key = (seg_idx, term)
+        entry = cache.get(key)
+        if entry is None:
+            import bisect
+
+            seg = self.segments[seg_idx]
+            ti = bisect.bisect_left(seg.terms, term)
+            if ti >= len(seg.terms) or seg.terms[ti] != term:
+                entry = (None, 0)
+            else:
+                lo, hi = int(seg.postings_offsets[ti]), int(seg.postings_offsets[ti + 1])
+                entry = (np.asarray(seg.postings_docs[lo:hi]), lo)
+            if len(cache) > 4096:
+                cache.clear()
+            cache[key] = entry
+        return entry
+
     def doc_positions(self, global_doc: int, term: str) -> np.ndarray:
         """Token positions of ``term`` in one document (host, mmap reads)."""
         seg_idx, offset = self.doc_seg[global_doc]
         seg = self.segments[seg_idx]
         local = global_doc - offset
-        import bisect
-
-        ti = bisect.bisect_left(seg.terms, term)
-        if ti >= len(seg.terms) or seg.terms[ti] != term:
+        docs, lo = self._term_postings_host(seg_idx, term)
+        if docs is None:
             return np.zeros(0, np.int32)
-        lo, hi = int(seg.postings_offsets[ti]), int(seg.postings_offsets[ti + 1])
-        docs = np.asarray(seg.postings_docs[lo:hi])
         j = np.searchsorted(docs, local)
         if j >= len(docs) or docs[j] != local:
             return np.zeros(0, np.int32)
@@ -540,15 +561,10 @@ class DeviceTextEngine:
     def doc_has_term(self, global_doc: int, term: str) -> bool:
         """Membership test via the per-segment CSR postings (host)."""
         seg_idx, offset = self.doc_seg[global_doc]
-        seg = self.segments[seg_idx]
         local = global_doc - offset
-        import bisect
-
-        ti = bisect.bisect_left(seg.terms, term)
-        if ti >= len(seg.terms) or seg.terms[ti] != term:
+        docs, _ = self._term_postings_host(seg_idx, term)
+        if docs is None:
             return False
-        lo, hi = int(seg.postings_offsets[ti]), int(seg.postings_offsets[ti + 1])
-        docs = np.asarray(seg.postings_docs[lo:hi])
         j = np.searchsorted(docs, local)
         return bool(j < len(docs) and docs[j] == local)
 
