@@ -179,16 +179,26 @@ class ParagraphSearcher:
 
         out: list[ParagraphHit] = []
         ematches: list[str] = []
+        n_groups = len(set(query_tokens))
         for h in hits:
             if phrase_terms and not all(
                 self.engine.phrase_match(h.doc_id, pt) for pt in phrase_terms
             ):
                 continue
             # ematch: the full query appears as a consecutive phrase
-            # (parity intent: nidx_paragraph exact-match detection)
-            ematch = bool(query_tokens) and self.engine.phrase_match(
-                h.doc_id, query_tokens
+            # (parity intent: nidx_paragraph exact-match detection). The
+            # kernel's per-hit matched-term count prunes the host-side
+            # positions walk: a doc counting fewer matched term rows than
+            # the query has tokens cannot contain them all.
+            can_ematch = bool(query_tokens) and (
+                h.term_count < 0 or h.term_count >= n_groups
             )
+            if not can_ematch:
+                ematch = False
+            elif len(query_tokens) == 1:
+                ematch = self.engine.doc_has_term(h.doc_id, query_tokens[0])
+            else:
+                ematch = self.engine.phrase_match(h.doc_id, query_tokens)
             attrs = h.attrs
             out.append(
                 ParagraphHit(

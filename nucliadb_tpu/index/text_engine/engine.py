@@ -75,6 +75,10 @@ class TextHit:
     score: float
     doc_id: int
     attrs: dict
+    # matched term-row count from the kernel (-1 = unknown); a hit with
+    # term_count < number-of-query-tokens cannot be an exact match, so the
+    # host skips positions verification for it
+    term_count: int = -1
 
 
 class _CountOnly:
@@ -361,7 +365,7 @@ class DeviceTextEngine:
         )
 
         k = min(query.top_k, self.n_pad)
-        top_s, top_i, matched = _bm25_search(
+        top_s, top_ic, matched = _bm25_search(
             self.tier_docs[0], self.tier_tfs[0],
             self.tier_docs[1], self.tier_tfs[1],
             self.tier_docs[2], self.tier_tfs[2],
@@ -369,7 +373,8 @@ class DeviceTextEngine:
             self.dense_tf, self.dlen, mask_j, all_rows, all_idfs, params, k,
         )
         top_s = np.asarray(top_s)
-        top_i = np.asarray(top_i)
+        top_ic = np.asarray(top_ic)
+        top_i, top_counts = top_ic[:k], top_ic[k:]
         if need_matched:
             matched_np = np.asarray(matched)[: self.n_docs]
         else:
@@ -384,8 +389,9 @@ class DeviceTextEngine:
             return [], matched_np
 
         hits = [
-            TextHit(key=self.keys[d], score=float(s), doc_id=int(d), attrs=self.attrs[d])
-            for s, d in zip(top_s, top_i)
+            TextHit(key=self.keys[d], score=float(s), doc_id=int(d),
+                    attrs=self.attrs[d], term_count=int(c))
+            for s, d, c in zip(top_s, top_i, top_counts)
             if d >= 0
         ]
         if query.all_terms and query.fuzzy and query.text.strip():
@@ -484,7 +490,7 @@ class DeviceTextEngine:
         else:
             rows, idfs, params, masks = zip(*(self._device_inputs(q) for q in queries))
             masks_in = jnp.asarray(np.stack(masks))
-        top_s, top_i, matched = _bm25_search_batch(
+        top_s, top_ic, matched = _bm25_search_batch(
             self.tier_docs[0], self.tier_tfs[0],
             self.tier_docs[1], self.tier_tfs[1],
             self.tier_docs[2], self.tier_tfs[2],
@@ -494,7 +500,8 @@ class DeviceTextEngine:
             jnp.asarray(np.stack(idfs)), jnp.asarray(np.stack(params)), k,
             shared_mask=unfiltered, count_only=not need_matched,
         )
-        top_s, top_i = np.asarray(top_s), np.asarray(top_i)
+        top_s, top_ic = np.asarray(top_s), np.asarray(top_ic)
+        top_i, top_counts = top_ic[:, :k], top_ic[:, k:]
         if need_matched:
             matched_rows = list(np.asarray(matched)[:, : self.n_docs])
         else:
@@ -504,9 +511,13 @@ class DeviceTextEngine:
         for b, query in enumerate(queries):
             hits = [
                 TextHit(
-                    key=self.keys[d], score=float(s), doc_id=int(d), attrs=self.attrs[d]
+                    key=self.keys[d], score=float(s), doc_id=int(d),
+                    attrs=self.attrs[d], term_count=int(c),
                 )
-                for s, d in zip(top_s[b][: query.top_k], top_i[b][: query.top_k])
+                for s, d, c in zip(
+                    top_s[b][: query.top_k], top_i[b][: query.top_k],
+                    top_counts[b][: query.top_k],
+                )
                 if d >= 0
             ]
             if query.all_terms and query.fuzzy and query.text.strip():
@@ -635,12 +646,12 @@ def _bm25_search_batch(
         )
 
     mask_axis = None if shared_mask else 0
-    top_s, top_i, matched = jax.vmap(core, in_axes=(mask_axis, 0, 0, 0))(
+    top_s, top_ic, matched = jax.vmap(core, in_axes=(mask_axis, 0, 0, 0))(
         masks, all_rows, all_idfs, params
     )
     if count_only:
-        return top_s, top_i, jnp.sum(matched, axis=-1)
-    return top_s, top_i, matched
+        return top_s, top_ic, jnp.sum(matched, axis=-1)
+    return top_s, top_ic, matched
 
 
 def _tier_contrib(docs_m, tfs_m, rows, idfs, dlen, avgdl):
@@ -704,4 +715,10 @@ def _bm25_search(
     matched = (counts >= jnp.maximum(required, 1.0)) & mask
     final = jnp.where(matched, scores, NEG_INF)
     top_s, top_i = masked_topk(final, k, min_score=min_score)
-    return top_s, top_i, matched
+    # per-hit matched-term-row counts ride along, PACKED into the ids
+    # array ([k ids | k counts] -> one download instead of two): the host
+    # uses them to skip exact-match/phrase verification for hits that
+    # cannot contain every query token (count < G is a safe pruner — a doc
+    # holding all G tokens always counts >= G)
+    top_counts = counts[jnp.maximum(top_i, 0)].astype(jnp.int32)
+    return top_s, jnp.concatenate([top_i, top_counts]), matched
