@@ -162,10 +162,11 @@ def _mesh_hybrid(
         vg_s, vg_i = sharded_topk_allgather(vs, vi, k, "shard")
 
         # ---- keyword leg: local BM25 -> merged cut ----
-        bs, bi, _ = _bm25_search.__wrapped__(
+        bs, bic, _ = _bm25_search.__wrapped__(
             d0[0], f0[0], d1[0], f1[0], d2[0], f2[0], d3[0], f3[0],
             dense_tf[0], dlen[0], tmask[0], rows[0], idfs[0], params[0], k,
         )
+        bi = bic[:k]  # ids lead the packed [ids | term counts] array
         bi = jnp.where(bi >= 0, bi + offset[0, 0], -1)
         bg_s, bg_i = sharded_topk_allgather(bs[None, :], bi[None, :], k, "shard")
 

@@ -134,10 +134,11 @@ def _mesh_bm25(
     def local(d0, f0, d1, f1, d2, f2, d3, f3, dense_tf, dlen, mask, rows,
               idfs, params, offset):
         # leading per-shard axis of size 1 inside shard_map
-        top_s, top_i, _ = _bm25_search.__wrapped__(
+        top_s, top_ic, _ = _bm25_search.__wrapped__(
             d0[0], f0[0], d1[0], f1[0], d2[0], f2[0], d3[0], f3[0],
             dense_tf[0], dlen[0], mask[0], rows[0], idfs[0], params[0], k,
         )
+        top_i = top_ic[:k]  # ids lead the packed [ids | term counts] array
         top_i = jnp.where(top_i >= 0, top_i + offset[0, 0], -1)
         ms, mi = sharded_topk_allgather(
             top_s[None, :], top_i[None, :], k, "shard"
