@@ -7,8 +7,10 @@ reference writer/api/v1/upload.py store_file_on_nuclia_db). An embedded
 deployment has no processing service, so this module extracts text locally
 for the self-describing formats (plain text, markdown, HTML, JSON, CSV) and
 attaches it to the resource as a text field — making uploads searchable out
-of the box. Binary formats (PDF, office) still need an external processing
-engine and pass through unextracted (the seam: PredictEngine-style plug).
+of the box. Binary documents (docx/pptx/xlsx/rtf and the common PDF cases)
+extract through the stdlib-only parsers in extract_binary.py; exotic PDFs
+(CID fonts), images and audio still need an external processing engine and
+pass through unextracted (the seam: PredictEngine-style plug).
 """
 
 from __future__ import annotations
@@ -29,6 +31,15 @@ _TEXT_TYPES = {
     "application/xhtml+xml": "HTML",
 }
 
+_BINARY_TYPES = {
+    "application/pdf": "PDF",
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document": "DOCX",
+    "application/vnd.openxmlformats-officedocument.presentationml.presentation": "PPTX",
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet": "XLSX",
+    "application/rtf": "RTF",
+    "text/rtf": "RTF",
+}
+
 _EXT_TYPES = {
     ".txt": "text/plain",
     ".md": "text/markdown",
@@ -37,6 +48,11 @@ _EXT_TYPES = {
     ".json": "application/json",
     ".html": "text/html",
     ".htm": "text/html",
+    ".pdf": "application/pdf",
+    ".docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    ".pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    ".xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    ".rtf": "application/rtf",
 }
 
 
@@ -89,7 +105,7 @@ def sniff_content_type(filename: str, content_type: str) -> str:
     """Resolve a usable content type from the declared one or the
     filename extension."""
     ct = (content_type or "").split(";")[0].strip().lower()
-    if ct in _TEXT_TYPES:
+    if ct in _TEXT_TYPES or ct in _BINARY_TYPES:
         return ct
     dot = filename.rfind(".")
     if dot >= 0:
@@ -103,6 +119,17 @@ def extract_text(filename: str, content_type: str, data: bytes) -> Optional[str]
     if len(data) > MAX_EXTRACT_BYTES:
         return None
     ct = sniff_content_type(filename, content_type)
+    binary_kind = _BINARY_TYPES.get(ct)
+    if binary_kind is not None:
+        from . import extract_binary as xb
+
+        return {
+            "PDF": xb.pdf_text,
+            "DOCX": xb.docx_text,
+            "PPTX": xb.pptx_text,
+            "XLSX": xb.xlsx_text,
+            "RTF": xb.rtf_text,
+        }[binary_kind](data)
     kind = _TEXT_TYPES.get(ct)
     if kind is None:
         return None
