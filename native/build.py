@@ -17,7 +17,11 @@ import sysconfig
 def build() -> str:
     here = os.path.dirname(os.path.abspath(__file__))
     repo = os.path.dirname(here)
-    sources = [os.path.join(here, "postings.cpp"), os.path.join(here, "hnsw_link.cpp")]
+    sources = [
+        os.path.join(here, "postings.cpp"),
+        os.path.join(here, "hnsw_link.cpp"),
+        os.path.join(here, "phrase.cpp"),
+    ]
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = os.path.join(repo, f"nucliadb_tpu_native{suffix}")
     include = sysconfig.get_paths()["include"]

@@ -266,6 +266,7 @@ PyObject* tokenize_py(PyObject* self, PyObject* args) {
 }  // namespace
 
 extern "C" PyObject* hnsw_link_wave(PyObject*, PyObject*);  // hnsw_link.cpp
+extern "C" PyObject* phrase_match_batch_entry(PyObject*, PyObject*);  // phrase.cpp
 
 namespace {
 
@@ -276,6 +277,8 @@ PyMethodDef methods[] = {
      "Tokenize a string into (token, ordinal) pairs."},
     {"hnsw_link_wave", hnsw_link_wave, METH_VARARGS,
      "Insert one wave of HNSW forward+reverse links (prune at Mmax)."},
+    {"phrase_match_batch", phrase_match_batch_entry, METH_VARARGS,
+     "Verify consecutive-phrase membership for a batch of docs (GIL-free)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

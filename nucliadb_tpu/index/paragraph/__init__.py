@@ -180,25 +180,40 @@ class ParagraphSearcher:
         out: list[ParagraphHit] = []
         ematches: list[str] = []
         n_groups = len(set(query_tokens))
-        for h in hits:
-            if phrase_terms and not all(
-                self.engine.phrase_match(h.doc_id, pt) for pt in phrase_terms
-            ):
+        hit_docs = [h.doc_id for h in hits]
+        # quoted phrases: batch-verify each phrase over all hits (native
+        # GIL-free path when built)
+        phrase_ok = [True] * len(hits)
+        for pt in phrase_terms:
+            for i, ok in enumerate(self.engine.phrase_match_many(hit_docs, pt)):
+                phrase_ok[i] = phrase_ok[i] and ok
+        # ematch: the full query appears as a consecutive phrase (parity
+        # intent: nidx_paragraph exact-match detection). The kernel's
+        # per-hit matched-term count prunes the verification: a doc counting
+        # fewer matched term rows than the query has tokens cannot contain
+        # them all; candidates batch through the same native verifier.
+        ematch_flags = [False] * len(hits)
+        if query_tokens:
+            cand = [
+                i
+                for i, h in enumerate(hits)
+                if phrase_ok[i] and (h.term_count < 0 or h.term_count >= n_groups)
+            ]
+            if len(query_tokens) == 1:
+                for i in cand:
+                    ematch_flags[i] = self.engine.doc_has_term(
+                        hits[i].doc_id, query_tokens[0]
+                    )
+            elif cand:
+                flags = self.engine.phrase_match_many(
+                    [hits[i].doc_id for i in cand], query_tokens
+                )
+                for i, f in zip(cand, flags):
+                    ematch_flags[i] = f
+        for idx, h in enumerate(hits):
+            if not phrase_ok[idx]:
                 continue
-            # ematch: the full query appears as a consecutive phrase
-            # (parity intent: nidx_paragraph exact-match detection). The
-            # kernel's per-hit matched-term count prunes the host-side
-            # positions walk: a doc counting fewer matched term rows than
-            # the query has tokens cannot contain them all.
-            can_ematch = bool(query_tokens) and (
-                h.term_count < 0 or h.term_count >= n_groups
-            )
-            if not can_ematch:
-                ematch = False
-            elif len(query_tokens) == 1:
-                ematch = self.engine.doc_has_term(h.doc_id, query_tokens[0])
-            else:
-                ematch = self.engine.phrase_match(h.doc_id, query_tokens)
+            ematch = ematch_flags[idx]
             attrs = h.attrs
             out.append(
                 ParagraphHit(

@@ -606,6 +606,51 @@ class DeviceTextEngine:
                 return False
         return True
 
+    def phrase_match_many(
+        self, global_docs: Sequence[int], phrase_terms: list[str]
+    ) -> list[bool]:
+        """Consecutive-phrase membership for many docs in one pass. Uses the
+        native GIL-free verifier (native/phrase.cpp) when built; falls back
+        to per-doc ``phrase_match``."""
+        if not phrase_terms:
+            return [True] * len(global_docs)
+        try:
+            import nucliadb_tpu_native as _native
+        except ImportError:
+            return [self.phrase_match(d, phrase_terms) for d in global_docs]
+
+        out = [False] * len(global_docs)
+        # group by segment: postings arrays and position CSRs are per-segment
+        by_seg: dict[int, list[int]] = {}
+        for i, gd in enumerate(global_docs):
+            by_seg.setdefault(self.doc_seg[gd][0], []).append(i)
+        for seg_idx, idxs in by_seg.items():
+            seg = self.segments[seg_idx]
+            offset = self.doc_seg[global_docs[idxs[0]]][1]
+            term_docs = []
+            term_lo = []
+            missing = False
+            for term in phrase_terms:
+                docs, lo = self._term_postings_host(seg_idx, term)
+                if docs is None:
+                    missing = True
+                    break
+                term_docs.append(np.ascontiguousarray(docs, np.int32))
+                term_lo.append(lo)
+            if missing:
+                continue
+            locals_i64 = np.asarray(
+                [global_docs[i] - offset for i in idxs], np.int64
+            )
+            flags = _native.phrase_match_batch(
+                locals_i64, term_docs, term_lo,
+                np.ascontiguousarray(seg.positions_offsets, np.int64),
+                seg.positions,
+            )
+            for pos, i in enumerate(idxs):
+                out[i] = flags[pos] == 1
+        return out
+
     def phrase_match(self, global_doc: int, phrase_terms: list[str]) -> bool:
         """True if the terms appear consecutively in the document."""
         if not phrase_terms:

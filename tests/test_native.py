@@ -115,3 +115,42 @@ def test_tokenizer_parity_fuzz():
             assert native == py, s.encode()
     finally:
         T._native = saved
+
+
+def test_phrase_match_batch_native_vs_python(tmp_path):
+    """The native verifier must agree with the python positions walk on
+    every doc, including absent terms and multi-segment engines."""
+    import numpy as np
+
+    from nucliadb_tpu.index.text_engine import (
+        DeviceTextEngine,
+        build_segment,
+        open_text_segment,
+    )
+    from nucliadb_tpu.index.text_engine.builder import DocEntry
+    from nucliadb_tpu.types import Seq
+
+    docs = [
+        ("r1/f", "the quick brown fox jumps", []),
+        ("r2/f", "quick brown dogs sleep", []),
+        ("r3/f", "brown quick inverted order", []),
+        ("r4/f", "nothing relevant", []),
+        ("r5/f", "leading words then quick brown fox again quick brown", []),
+    ]
+    segs = []
+    for si, chunk in enumerate((docs[:3], docs[3:])):
+        entries = [DocEntry(key=k, text=t, facets=f, columns={}) for k, t, f in chunk]
+        meta = build_segment(str(tmp_path / f"pm{si}"), entries, kind="paragraph")
+        segs.append((open_text_segment(meta.path), Seq(si + 1)))
+    engine = DeviceTextEngine(segs)
+
+    all_docs = list(range(5))
+    for phrase in (["quick", "brown"], ["quick", "brown", "fox"], ["fox", "jumps"],
+                   ["missingterm"], ["brown", "quick"]):
+        got = engine.phrase_match_many(all_docs, phrase)
+        expect = [engine.phrase_match(d, phrase) for d in all_docs]
+        assert got == expect, (phrase, got, expect)
+    # sanity on semantics, not just self-agreement
+    assert engine.phrase_match_many(all_docs, ["quick", "brown"]) == [
+        True, True, False, False, True
+    ]
