@@ -210,6 +210,54 @@ class StandaloneApp:
 
         # ---- knowledge boxes (writer/api/v1/knowledgebox.py parity) ----
 
+        # ---- standalone-only introspection (standalone/api_router.py) ----
+
+        @r.get("/api/v1/versions")
+        def versions(request: Request):
+            """Component versions (parity: /versions; 'latest' needs
+            network egress and stays null in embedded deployments)."""
+            return {
+                "nucliadb_tpu": {"installed": __version__, "latest": None},
+            }
+
+        @r.get("/api/v1/config-check")
+        def config_check(request: Request):
+            """Configuration sanity (parity: /config-check — NUA key state
+            + the caller's resolved identity/roles)."""
+            from .auth import _roles_for
+
+            roles = _roles_for(self.auth, request) or []
+            return {
+                "nua_api_key": {
+                    "has_key": self.search.predict is not None,
+                    "valid": self.search.predict is not None,
+                    "error": None,
+                },
+                "user": {
+                    "username": request.headers.get(
+                        self.auth.user_header, "anonymous"
+                    ),
+                    "roles": roles,
+                },
+            }
+
+        @r.get("/api/v1/temp-access-token")
+        def temp_access_token(request: Request):
+            """Short-lived signed token carrying the caller's roles
+            (parity: /temp-access-token; accepted via the eph-token query
+            param so header-less contexts like download links can
+            authenticate)."""
+            from .auth import _roles_for, issue_temp_token
+
+            roles = _roles_for(self.auth, request) or []
+            return {
+                "token": issue_temp_token(
+                    self.auth,
+                    request.headers.get(self.auth.user_header, "anonymous"),
+                    roles,
+                )
+            }
+
         @r.post("/api/v1/kbs")
         def create_kb(request: Request):
             config = _validate(KnowledgeBoxConfig, request.json())

@@ -48,6 +48,70 @@ class AuthSettings:
     user_header: str = "x-nucliadb-user"
     # api_key policy: token -> roles
     api_keys: dict[str, list[str]] = field(default_factory=dict)
+    # HMAC secret for short-lived temp access tokens (parity: the
+    # reference's JWE temp tokens, standalone/api_router.py
+    # get_temp_access_token — used e.g. in download URLs where headers
+    # cannot be set). Auto-generated per process when empty.
+    token_secret: str = ""
+
+    def secret(self) -> bytes:
+        if not self.token_secret:
+            import secrets
+
+            self.token_secret = secrets.token_hex(32)
+        return self.token_secret.encode()
+
+
+TEMP_TOKEN_TTL_S = 5 * 60  # parity: TEMP_TOKEN_EXPIRATION
+
+
+def issue_temp_token(
+    settings: AuthSettings, username: str, roles: list[str],
+    ttl_s: float = TEMP_TOKEN_TTL_S,
+) -> str:
+    """Signed short-lived token carrying the caller's identity + roles."""
+    import base64
+    import hashlib
+    import hmac as _hmac
+    import json
+    import time
+
+    payload = json.dumps(
+        {"exp": time.time() + ttl_s, "username": username, "scopes": roles}
+    ).encode()
+    sig = _hmac.new(settings.secret(), payload, hashlib.sha256).digest()
+    return (
+        base64.urlsafe_b64encode(payload).decode().rstrip("=")
+        + "."
+        + base64.urlsafe_b64encode(sig).decode().rstrip("=")
+    )
+
+
+def verify_temp_token(settings: AuthSettings, token: str) -> Optional[list[str]]:
+    """Roles carried by a valid, unexpired temp token; None otherwise."""
+    import base64
+    import hashlib
+    import hmac as _hmac
+    import json
+    import time
+
+    try:
+        payload_b64, sig_b64 = token.split(".", 1)
+        pad = lambda s: s + "=" * (-len(s) % 4)
+        payload = base64.urlsafe_b64decode(pad(payload_b64))
+        sig = base64.urlsafe_b64decode(pad(sig_b64))
+    except Exception:
+        return None
+    want = _hmac.new(settings.secret(), payload, hashlib.sha256).digest()
+    if not _hmac.compare_digest(sig, want):
+        return None
+    try:
+        claims = json.loads(payload)
+    except ValueError:
+        return None
+    if float(claims.get("exp", 0)) < time.time():
+        return None
+    return [str(r).upper() for r in claims.get("scopes", [])]
 
 
 def required_role(method: str, path: str) -> Optional[str]:
@@ -75,6 +139,13 @@ def _roles_for(settings: AuthSettings, request: Request) -> Optional[list[str]]:
     """None = unauthenticated."""
     if settings.policy == "insecure":
         return [READER, WRITER, MANAGER]
+    # temp tokens work under every authenticated policy — via the eph-token
+    # query param (download links cannot set headers) or a bearer token
+    eph = request.query.get("eph-token")
+    if eph:
+        roles = verify_temp_token(settings, eph)
+        if roles is not None:
+            return roles
     if settings.policy == "upstream_naive":
         raw = request.headers.get(settings.roles_header)
         if raw is None or settings.user_header not in request.headers:

@@ -1528,3 +1528,54 @@ def test_suggest_with_filters(server):
         f"/api/v1/kb/{kbid}/suggest", json={"query": "suggest"}
     ).json()
     assert len({p["rid"] for p in unfiltered["paragraphs"]}) == 2
+
+
+def test_standalone_introspection_and_temp_tokens(tmp_path_factory):
+    import asyncio
+    import threading
+
+    from nucliadb_tpu.standalone.auth import AuthSettings
+
+    auth = AuthSettings(policy="upstream_naive")
+    app = StandaloneApp(
+        data_dir=str(tmp_path_factory.mktemp("token-srv")), port=0, auth=auth
+    )
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(app.server.start())
+        started.set()
+        loop.run_forever()
+
+    threading.Thread(target=run, daemon=True).start()
+    started.wait(10)
+    client = httpx.Client(base_url=f"http://127.0.0.1:{app.server.port}", timeout=30)
+    ident = {"x-nucliadb-roles": "READER;WRITER", "x-nucliadb-user": "alice"}
+
+    # versions + config-check report identity
+    assert "nucliadb_tpu" in client.get("/api/v1/versions", headers=ident).json()
+    check = client.get("/api/v1/config-check", headers=ident).json()
+    assert check["user"]["username"] == "alice"
+    assert "READER" in check["user"]["roles"]
+
+    # temp token: issued with the caller's roles, then authenticates a
+    # header-less request via the eph-token query param
+    kbid_resp = client.post(
+        "/api/v1/kbs", json={"slug": "tok-kb"},
+        headers={"x-nucliadb-roles": "MANAGER", "x-nucliadb-user": "admin"},
+    )
+    assert kbid_resp.status_code == 201
+    kbid = kbid_resp.json()["uuid"]
+    token = client.get("/api/v1/temp-access-token", headers=ident).json()["token"]
+    assert client.get(f"/api/v1/kb/{kbid}").status_code == 401  # no headers
+    got = client.get(f"/api/v1/kb/{kbid}", params={"eph-token": token})
+    assert got.status_code == 200, got.text
+    # tampered token is rejected
+    bad = token[:-3] + ("AAA" if not token.endswith("AAA") else "BBB")
+    assert client.get(
+        f"/api/v1/kb/{kbid}", params={"eph-token": bad}
+    ).status_code == 401
+    client.close()
+    loop.call_soon_threadsafe(loop.stop)
