@@ -65,7 +65,8 @@ class NucliaDBClient:
         self._raise(resp)
         return KnowledgeBoxObj.model_validate(resp.json())
 
-    def list_kbs(self) -> list[str]:
+    def list_kbs(self) -> list[dict]:
+        """KB summaries [{uuid, slug}] (parity: KnowledgeBoxList)."""
         resp = self._client.get("/api/v1/kbs")
         self._raise(resp)
         return resp.json()["kbs"]

@@ -269,7 +269,12 @@ class StandaloneApp:
 
         @r.get("/api/v1/kbs")
         def list_kbs(request: Request):
-            return {"kbs": self.kbs.list_kbs()}
+            # parity: KnowledgeBoxList of {uuid, slug} summaries
+            out = []
+            for kbid in self.kbs.list_kbs():
+                cfg = self.kbs.get_config(kbid)
+                out.append({"uuid": kbid, "slug": cfg.slug if cfg else ""})
+            return {"kbs": out}
 
         @r.get("/api/v1/kb/s/{slug}")
         def kb_by_slug(request: Request):

@@ -57,7 +57,8 @@ def test_http_full_flow(server):
     assert resp.status_code == 201, resp.text
     kbid = resp.json()["uuid"]
     assert client.get("/api/v1/kb/s/httpkb").json()["uuid"] == kbid
-    assert kbid in client.get("/api/v1/kbs").json()["kbs"]
+    kb_list = client.get("/api/v1/kbs").json()["kbs"]
+    assert {"uuid": kbid, "slug": "httpkb"} in kb_list
 
     # create resources
     body = "the quick brown fox jumps over the lazy dog"
