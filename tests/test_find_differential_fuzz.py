@@ -1,0 +1,140 @@
+"""Randomized differential test: the product /find pipeline vs a plain
+Python oracle over the same evolving corpus.
+
+A random op sequence (create / update / delete, with labels, security
+groups and hidden flags) runs through the real Processor -> indexer ->
+searcher stack; after every few ops a random keyword query with random
+filter / security / show_hidden settings is answered both by
+SearchService.find and by a dict-based oracle, and the RESULT SETS must
+match exactly. This is the product-level analogue of the engine-level
+equivalence fuzzes (test_query_language_fuzz, test_lifecycle_fuzz) — it
+exercises brain building, label flow, deletions-by-seq, prefilters,
+hidden-resource filtering and security prefilters end to end."""
+
+import numpy as np
+import pytest
+
+from nucliadb_tpu.common.kb import KnowledgeBoxManager
+from nucliadb_tpu.ingest.processor import Processor
+from nucliadb_tpu.maindb import Driver
+from nucliadb_tpu.models.api import (
+    Classification,
+    CreateResourcePayload,
+    FilterExpression,
+    FindRequest,
+    KnowledgeBoxConfig,
+    ResourceSecurity,
+    SearchFeature,
+    TextFieldPayload,
+    UpdateResourcePayload,
+    UserMetadata,
+)
+from nucliadb_tpu.search import SearchService
+from nucliadb_tpu.services import EmbeddedNode
+from nucliadb_tpu.index.text_engine.tokenizer import tokenize
+
+VOCAB = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+LABELSETS = [("topic", "sports"), ("topic", "news"), ("lang", "en")]
+GROUPS = ["g1", "g2"]
+
+
+class Oracle:
+    def __init__(self):
+        self.docs = {}  # rid -> dict(tokens, labels, groups, hidden)
+
+    def put(self, rid, body, labels, groups, hidden):
+        self.docs[rid] = {
+            "tokens": set(tokenize(body)),
+            "labels": set(labels),
+            "groups": set(groups or []),
+            "hidden": hidden,
+        }
+
+    def delete(self, rid):
+        self.docs.pop(rid, None)
+
+    def find(self, query_tokens, label, security, show_hidden):
+        out = set()
+        for rid, d in self.docs.items():
+            if not (set(query_tokens) & d["tokens"]):
+                continue
+            if label is not None and f"/l/{label[0]}/{label[1]}" not in d["labels"]:
+                continue
+            if security is not None and d["groups"] and not (d["groups"] & set(security)):
+                continue
+            if d["hidden"] and not show_hidden:
+                continue
+            out.add(rid)
+        return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_find_matches_oracle_under_random_ops(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    driver = Driver(str(tmp_path / "db.sqlite"))
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"))
+    kbs = KnowledgeBoxManager(driver, node)
+    kbid = kbs.create(KnowledgeBoxConfig(slug="fuzz", hidden_resources_enabled=True))
+    processor = Processor(driver, node, kbs)
+    search = SearchService(node, kbs, processor)
+    oracle = Oracle()
+    live: list[str] = []
+
+    def random_payload(cls):
+        body = " ".join(rng.choice(VOCAB, size=rng.integers(2, 6)))
+        labels = [LABELSETS[i] for i in rng.choice(len(LABELSETS), size=rng.integers(0, 3), replace=False)]
+        groups = list(rng.choice(GROUPS, size=rng.integers(0, 3), replace=False))
+        hidden = bool(rng.random() < 0.2)
+        payload = cls(
+            title="t",
+            texts={"t": TextFieldPayload(body=body)},
+            usermetadata=UserMetadata(
+                classifications=[Classification(labelset=s, label=l) for s, l in labels]
+            ),
+            security=ResourceSecurity(access_groups=groups) if groups else None,
+            hidden=hidden,
+        )
+        brain_labels = [f"/l/{s}/{l}" for s, l in labels]
+        return payload, body, brain_labels, groups, hidden
+
+    for step in range(30):
+        op = rng.random()
+        if op < 0.55 or not live:
+            payload, body, labels, groups, hidden = random_payload(CreateResourcePayload)
+            rid, _ = processor.create_resource(kbid, payload)
+            live.append(rid)
+            oracle.put(rid, body, labels, groups, hidden)
+        elif op < 0.8:
+            rid = live[int(rng.integers(len(live)))]
+            payload, body, labels, groups, hidden = random_payload(UpdateResourcePayload)
+            processor.update_resource(kbid, rid, payload)
+            oracle.put(rid, body, labels, groups, hidden)
+        else:
+            rid = live.pop(int(rng.integers(len(live))))
+            processor.delete_resource(kbid, rid)
+            oracle.delete(rid)
+        if rng.random() < 0.3:
+            node.tick_background()  # merges interleave with queries
+
+        if step % 3 != 2:
+            continue
+        node.wait_for_sync()
+        q_tokens = list(rng.choice(VOCAB, size=rng.integers(1, 3), replace=False))
+        label = LABELSETS[int(rng.integers(len(LABELSETS)))] if rng.random() < 0.4 else None
+        security = list(rng.choice(GROUPS, size=1)) if rng.random() < 0.4 else None
+        show_hidden = bool(rng.random() < 0.3)
+        req = FindRequest(
+            query=" ".join(q_tokens),
+            features=[SearchFeature.KEYWORD],
+            top_k=50,
+            filter_expression=(
+                FilterExpression(literal=f"/l/{label[0]}/{label[1]}") if label else None
+            ),
+            security_groups=security,
+            show_hidden=show_hidden,
+        )
+        got = set(search.find(kbid, req).resources)
+        expect = oracle.find(q_tokens, label, security, show_hidden)
+        assert got == expect, (
+            step, q_tokens, label, security, show_hidden, got ^ expect
+        )
