@@ -76,6 +76,12 @@ class Driver:
     def __init__(self, path: str = ":memory:"):
         self._conn = sqlite3.connect(path, check_same_thread=False)
         self._conn.execute("PRAGMA journal_mode=WAL")
+        # NORMAL in WAL mode: commits do not fsync the WAL on every txn
+        # (process-crash safe, consistent after OS crash; only a power loss
+        # can drop the last instants of acked writes). FULL measured as the
+        # top ingest cost (~10 txns/doc); this is the standard WAL serving
+        # config and matches the durability most deployments run PG with.
+        self._conn.execute("PRAGMA synchronous=NORMAL")
         self._conn.execute(
             "CREATE TABLE IF NOT EXISTS resources (key TEXT PRIMARY KEY, value BLOB)"
         )
