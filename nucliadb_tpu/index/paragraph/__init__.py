@@ -53,7 +53,12 @@ class ParagraphIndexer:
                 text = ""
                 if field_text is not None:
                     text = field_text.text[para.start : para.end]
-                facets = sorted(set(resource.labels) | set(field_labels) | set(para.labels))
+                # /f/{type} facet (parity: the `field` facet; "/field/x"
+                # filters translate to /f/x via the query alias table)
+                facets = sorted(
+                    set(resource.labels) | set(field_labels) | set(para.labels)
+                    | {f"/f/{fid.split('/', 1)[0]}"}
+                )
                 docs.append(
                     DocEntry(
                         key=pid,

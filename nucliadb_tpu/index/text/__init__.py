@@ -53,8 +53,13 @@ class TextIndexer:
             ]
         status_label = f"/n/s/{resource.status.value}"
         for fid, info in resource.texts.items():
+            # /f/{type} facet per doc (parity: the text schema's `field`
+            # facet — enables "/field/a"-style filters via the query alias
+            # table, and catalog's title-only query matching)
+            field_type_facet = f"/f/{fid.split('/', 1)[0]}"
             facets = sorted(
-                set(resource.labels) | set(info.labels) | set(security_facets) | {status_label}
+                set(resource.labels) | set(info.labels) | set(security_facets)
+                | {status_label, field_type_facet}
             )
             docs.append(
                 DocEntry(

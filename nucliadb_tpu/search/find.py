@@ -730,6 +730,12 @@ class SearchService:
                 LabelAtom("/q/h") if request.hidden else not_(LabelAtom("/q/h"))
             )
             expr = and_(expr, hidden_expr) if expr is not None else hidden_expr
+        if request.query.strip():
+            # catalog queries match TITLES, not bodies (parity: catalog/pg.py
+            # `title ILIKE`/word matching) — restrict scoring to the
+            # title/summary ("a/") fields via their field-type facet
+            title_expr = LabelAtom("/f/a")
+            expr = and_(expr, title_expr) if expr is not None else title_expr
         resources: dict[str, CatalogResource] = {}
         facet_totals: dict[str, dict[str, int]] = {}
         total = 0

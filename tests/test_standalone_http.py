@@ -1580,3 +1580,35 @@ def test_standalone_introspection_and_temp_tokens(tmp_path_factory):
     ).status_code == 401
     client.close()
     loop.call_soon_threadsafe(loop.stop)
+
+
+def test_catalog_title_matching_and_field_type_filters(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "cat-title-kb"}).json()["uuid"]
+    r_title = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "quarterly budget report",
+              "texts": {"t": {"body": "nothing relevant here"}}},
+    ).json()["uuid"]
+    r_body = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "unrelated name",
+              "texts": {"t": {"body": "budget discussion in the body"}}},
+    ).json()["uuid"]
+
+    # catalog query matches TITLES only (parity: catalog/pg.py title ILIKE)
+    cat = client.post(f"/api/v1/kb/{kbid}/catalog", json={"query": "budget"}).json()
+    ids = [r["id"] for r in cat["resources"]]
+    assert r_title in ids and r_body not in ids
+
+    # find with the reference's /field alias restricts to field types
+    out = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "budget", "filters": ["/field/t"]},
+    ).json()
+    assert list(out["resources"]) == [r_body]
+    out2 = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "budget", "filters": ["/field/a"]},
+    ).json()
+    assert list(out2["resources"]) == [r_title]
