@@ -235,6 +235,100 @@ class RelationSearcher:
                 break
         return out
 
+    # ---- boolean path-query expressions --------------------------------
+    # (parity: nucliadb_models/graph/requests.py GraphPathQuery — and/or/not
+    # combinators over path / source_node / destination_node / node /
+    # relation leaves, evaluated by nidx_relation's tantivy boolean query,
+    # graph_query_parser.rs:153-237; here a compiled per-edge predicate)
+
+    def _leaf_node_pattern(self, d: dict) -> NodePattern:
+        match = d.get("match", "exact")
+        return NodePattern(
+            value=d.get("value"),
+            ntype=d.get("type"),
+            subtype=d.get("group"),
+            fuzzy=match in ("fuzzy", "fuzzy_words"),
+            prefix=bool(d.get("prefix", False)),
+        )
+
+    def _compile_expr(self, q: dict):
+        if not isinstance(q, dict):
+            raise ValueError(f"graph query node must be an object, got {q!r}")
+        if "and" in q:
+            preds = [self._compile_expr(x) for x in q["and"]]
+            return lambda e: all(p(e) for p in preds)
+        if "or" in q:
+            preds = [self._compile_expr(x) for x in q["or"]]
+            return lambda e: any(p(e) for p in preds)
+        if "not" in q:
+            pred = self._compile_expr(q["not"])
+            return lambda e: not pred(e)
+        prop = q.get("prop")
+        if prop == "path":
+            src = self._leaf_node_pattern(q.get("source") or {})
+            dst = self._leaf_node_pattern(q.get("destination") or {})
+            rel = RelationPattern(label=(q.get("relation") or {}).get("label"))
+            undirected = bool(q.get("undirected", False))
+
+            def path_pred(e, src=src, dst=dst, rel=rel, undirected=undirected):
+                if not self._rel_matches(rel, e):
+                    return False
+                fwd = self._node_matches(
+                    src, e["source_value"], e["source_type"], e["source_subtype"]
+                ) and self._node_matches(
+                    dst, e["target_value"], e["target_type"], e["target_subtype"]
+                )
+                bwd = undirected and self._node_matches(
+                    src, e["target_value"], e["target_type"], e["target_subtype"]
+                ) and self._node_matches(
+                    dst, e["source_value"], e["source_type"], e["source_subtype"]
+                )
+                return fwd or bwd
+
+            return path_pred
+        if prop in ("source_node", "destination_node", "node"):
+            pat = self._leaf_node_pattern(q)
+
+            def node_pred(e, pat=pat, prop=prop):
+                at_source = self._node_matches(
+                    pat, e["source_value"], e["source_type"], e["source_subtype"]
+                )
+                at_target = self._node_matches(
+                    pat, e["target_value"], e["target_type"], e["target_subtype"]
+                )
+                if prop == "source_node":
+                    return at_source
+                if prop == "destination_node":
+                    return at_target
+                return at_source or at_target
+
+            return node_pred
+        if prop == "relation":
+            rel = RelationPattern(label=q.get("label"))
+            return lambda e, rel=rel: self._rel_matches(rel, e)
+        raise ValueError(f"unsupported graph query node: {q!r}")
+
+    def graph_search_expr(self, query: dict, top_k: int = 50) -> list[GraphPath]:
+        """Boolean path-query evaluation over the open edges."""
+        pred = self._compile_expr(query)
+        out: list[GraphPath] = []
+        for e in self.edges:
+            if not pred(e):
+                continue
+            out.append(
+                GraphPath(
+                    source=GraphNode(e["source_value"], e["source_type"], e["source_subtype"]),
+                    relation=e["relation"],
+                    label=e["label"],
+                    target=GraphNode(e["target_value"], e["target_type"], e["target_subtype"]),
+                    metadata=e.get("metadata") or {},
+                    resource_field=e["key"],
+                )
+            )
+            if len(out) >= top_k:
+                break
+        return out
+
     def neighbours(self, entry_values: Sequence[str], top_k: int = 50) -> list[GraphPath]:
         """All paths touching any entry node (the /find relations feature)."""
         entry = {strip_diacritics(v.lower()) for v in entry_values}

@@ -871,6 +871,40 @@ class SearchService:
                 )
         return out
 
+    def graph_expr(self, kbid: str, query: dict, top_k: int = 50) -> GraphSearchResponse:
+        """Boolean path-query /graph mode (parity: GraphSearchRequest.query
+        expression trees — and/or/not over path/node/relation leaves).
+        Hidden resources are excluded like everywhere else."""
+        kb_cfg = self.kbs.get_config(kbid)
+        hide = kb_cfg is not None and kb_cfg.hidden_resources_enabled
+        hidden_rids: set[str] = set()
+        resp = GraphSearchResponse()
+        for shard_id in self._shard_ids(kbid):
+            searcher = self.node.searcher.shard(shard_id)
+            if searcher.relation is None:
+                continue
+            for p in searcher.relation.graph_search_expr(query, top_k):
+                if hide:
+                    rid = p.resource_field.split("/", 1)[0]
+                    if rid not in hidden_rids:
+                        payload = self.processor.get_payload(kbid, rid)
+                        if payload is not None and payload.hidden:
+                            hidden_rids.add(rid)
+                    if rid in hidden_rids:
+                        continue
+                resp.paths.append(
+                    GraphPathResult(
+                        source=p.source.value,
+                        source_type=p.source.ntype,
+                        relation=p.relation,
+                        label=p.label,
+                        target=p.target.value,
+                        target_type=p.target.ntype,
+                    )
+                )
+        resp.paths = resp.paths[:top_k]
+        return resp
+
     def ask(self, kbid: str, request: AskRequest) -> AskResponse:
         """Retrieval-grounded answering (parity: /ask, chat/ask.py). The
         generative step goes through the PredictEngine seam; without one the

@@ -1359,8 +1359,18 @@ class StandaloneApp:
         @r.post("/api/v1/kb/{kbid}/graph")
         def graph(request: Request):
             kbid = self._kbid(request)
-            req = _validate(GraphSearchPayload, request.json())
+            body = request.json() or {}
             self._sync()
+            if isinstance(body.get("query"), dict):
+                # reference-style boolean path-query expression
+                # (and/or/not over path/node/relation leaves)
+                try:
+                    return self.search.graph_expr(
+                        kbid, body["query"], int(body.get("top_k", 50))
+                    )
+                except ValueError as e:
+                    raise HTTPError(422, str(e))
+            req = _validate(GraphSearchPayload, body)
             return self.search.graph(kbid, req)
 
         @r.post("/api/v1/kb/{kbid}/graph/nodes")

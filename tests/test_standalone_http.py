@@ -1612,3 +1612,51 @@ def test_catalog_title_matching_and_field_type_filters(server):
         json={"query": "budget", "filters": ["/field/a"]},
     ).json()
     assert list(out2["resources"]) == [r_title]
+
+
+def test_graph_boolean_path_expressions(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "gexpr-kb"}).json()["uuid"]
+    rels = [
+        ("alice", "works_at", "acme"),
+        ("bob", "works_at", "acme"),
+        ("alice", "knows", "bob"),
+        ("carol", "works_at", "globex"),
+    ]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "graph", "usergenerated_relations": [
+            {"relation": "ENTITY", "label": lbl,
+             "from": {"value": s, "group": "people"},
+             "to": {"value": t, "group": "org" if lbl == "works_at" else "people"}}
+            for s, lbl, t in rels
+        ]},
+    )
+
+    def paths(query, top_k=50):
+        out = client.post(
+            f"/api/v1/kb/{kbid}/graph", json={"query": query, "top_k": top_k}
+        )
+        assert out.status_code == 200, out.text
+        return {(p["source"], p["label"], p["target"]) for p in out.json()["paths"]}
+
+    # leaf: everyone at acme
+    assert paths({"prop": "path", "destination": {"value": "acme"},
+                  "relation": {"label": "works_at"}}) == {
+        ("alice", "works_at", "acme"), ("bob", "works_at", "acme")}
+    # and: acme workers, excluding bob as source
+    assert paths({"and": [
+        {"prop": "path", "destination": {"value": "acme"}},
+        {"not": {"prop": "source_node", "value": "bob"}},
+    ]}) == {("alice", "works_at", "acme")}
+    # or over relations
+    assert paths({"or": [
+        {"prop": "relation", "label": "knows"},
+        {"prop": "node", "value": "carol"},
+    ]}) == {("alice", "knows", "bob"), ("carol", "works_at", "globex")}
+    # fuzzy node leaf (distance 1, like nidx FUZZY_DISTANCE)
+    assert paths({"prop": "node", "value": "alics", "match": "fuzzy"}) == {
+        ("alice", "works_at", "acme"), ("alice", "knows", "bob")}
+    # invalid node -> 422
+    bad = client.post(f"/api/v1/kb/{kbid}/graph", json={"query": {"prop": "wat"}})
+    assert bad.status_code == 422
