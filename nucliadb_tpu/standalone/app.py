@@ -1373,14 +1373,26 @@ class StandaloneApp:
             req = _validate(GraphSearchPayload, body)
             return self.search.graph(kbid, req)
 
+        def _graph_paths(kbid: str, body: dict):
+            """Shared path resolution for the node/relation projections:
+            dict queries are boolean expressions, flat payloads the classic
+            single-hop pattern."""
+            if isinstance(body.get("query"), dict):
+                try:
+                    return self.search.graph_expr(
+                        kbid, body["query"], int(body.get("top_k", 50))
+                    )
+                except ValueError as e:
+                    raise HTTPError(422, str(e))
+            return self.search.graph(kbid, _validate(GraphSearchPayload, body))
+
         @r.post("/api/v1/kb/{kbid}/graph/nodes")
         def graph_nodes(request: Request):
             """Distinct node search (parity: /graph/nodes — node-only results
             from the same path query)."""
             kbid = self._kbid(request)
-            req = _validate(GraphSearchPayload, request.json())
             self._sync()
-            out = self.search.graph(kbid, req)
+            out = _graph_paths(kbid, request.json() or {})
             seen = {}
             for p in out.paths:
                 for value, ntype in ((p.source, p.source_type), (p.target, p.target_type)):
@@ -1392,9 +1404,8 @@ class StandaloneApp:
         def graph_relations(request: Request):
             """Distinct relation search (parity: /graph/relations)."""
             kbid = self._kbid(request)
-            req = _validate(GraphSearchPayload, request.json())
             self._sync()
-            out = self.search.graph(kbid, req)
+            out = _graph_paths(kbid, request.json() or {})
             seen = {}
             for p in out.paths:
                 seen.setdefault((p.relation, p.label), {"relation": p.relation, "label": p.label})

@@ -1660,3 +1660,29 @@ def test_graph_boolean_path_expressions(server):
     # invalid node -> 422
     bad = client.post(f"/api/v1/kb/{kbid}/graph", json={"query": {"prop": "wat"}})
     assert bad.status_code == 422
+
+
+def test_graph_nodes_relations_expressions(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "gexpr2-kb"}).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "g", "usergenerated_relations": [
+            {"relation": "ENTITY", "label": "works_at",
+             "from": {"value": "alice", "group": "people"},
+             "to": {"value": "acme", "group": "org"}},
+            {"relation": "ENTITY", "label": "knows",
+             "from": {"value": "alice", "group": "people"},
+             "to": {"value": "bob", "group": "people"}},
+        ]},
+    )
+    nodes = client.post(
+        f"/api/v1/kb/{kbid}/graph/nodes",
+        json={"query": {"prop": "relation", "label": "works_at"}},
+    ).json()["nodes"]
+    assert {n["value"] for n in nodes} == {"alice", "acme"}
+    rels = client.post(
+        f"/api/v1/kb/{kbid}/graph/relations",
+        json={"query": {"prop": "source_node", "value": "alice"}},
+    ).json()["relations"]
+    assert {r["label"] for r in rels} == {"works_at", "knows"}
