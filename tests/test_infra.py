@@ -380,3 +380,56 @@ def test_scheduler_kb_storage_audit(tmp_path):
         for m in bus.scan(AUDIT_STREAM, subject_prefix="audit.kbaud")
     ]
     assert any(e["type"] == "storage" and e["detail"]["bytes"] > 0 for e in events)
+
+
+def test_rollover_with_concurrent_writes(tmp_path):
+    """Writes racing the rollover window must survive the shard swap (the
+    straggler-repair passes in rollover_kb; parity intent: the reference's
+    rollover indexes resources modified during the rollover before cutover,
+    common/cluster/rollover.py)."""
+    import threading
+
+    node, kbs, processor, search = make_stack(tmp_path, "rollrace")
+    kbid = populate(kbs, processor, n=8)
+    node.wait_for_sync()
+
+    stop = threading.Event()
+    written: list[str] = []
+    errors: list[BaseException] = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            try:
+                rid, _ = processor.create_resource(
+                    kbid,
+                    CreateResourcePayload(
+                        title=f"race{i}",
+                        texts={"t": TextFieldPayload(body=f"racing document {i}")},
+                    ),
+                )
+                written.append(rid)
+                i += 1
+            except BaseException as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        new_shards = rollover_kb(kbs, processor, node, kbid, n_shards=2)
+    finally:
+        stop.set()
+        t.join(10)
+    assert not errors, errors
+    assert written, "writer thread should have landed at least one resource"
+
+    node.wait_for_sync()
+    # every racing write is searchable and owned by a live (new) shard
+    res = search.find(
+        kbid, FindRequest(query="racing document", features=[SearchFeature.KEYWORD], top_k=100)
+    )
+    missing = [rid for rid in written if rid not in res.resources]
+    assert not missing, f"lost {len(missing)}/{len(written)} racing writes"
+    for rid in processor.list_resources(kbid):
+        assert processor.get_meta(kbid, rid).shard in new_shards
