@@ -871,27 +871,67 @@ class SearchService:
                 )
         return out
 
-    def graph_expr(self, kbid: str, query: dict, top_k: int = 50) -> GraphSearchResponse:
+    def graph_expr(
+        self,
+        kbid: str,
+        query: dict,
+        top_k: int = 50,
+        *,
+        filter_expression: "Optional[FilterExpression]" = None,
+        security_groups: Optional[list[str]] = None,
+        show_hidden: bool = False,
+    ) -> GraphSearchResponse:
         """Boolean path-query /graph mode (parity: GraphSearchRequest.query
-        expression trees — and/or/not over path/node/relation leaves).
-        Hidden resources are excluded like everywhere else."""
+        expression trees — and/or/not over path/node/relation leaves, plus
+        the BaseGraphSearchRequest resource constraints: filter_expression,
+        security and show_hidden)."""
+        from ..query_language import evaluate_one
+
+        expr = filter_to_expression(filter_expression)
         kb_cfg = self.kbs.get_config(kbid)
-        hide = kb_cfg is not None and kb_cfg.hidden_resources_enabled
-        hidden_rids: set[str] = set()
+        hide = (
+            kb_cfg is not None and kb_cfg.hidden_resources_enabled and not show_hidden
+        )
+        allowed: dict[str, bool] = {}  # rid -> passes resource constraints
+
+        def rid_ok(rid: str) -> bool:
+            cached = allowed.get(rid)
+            if cached is not None:
+                return cached
+            ok = True
+            payload = self.processor.get_payload(kbid, rid)
+            if payload is None:
+                ok = False
+            else:
+                if hide and payload.hidden:
+                    ok = False
+                if ok and expr is not None:
+                    labels = {
+                        f"/l/{c.labelset}/{c.label}"
+                        for c in payload.usermetadata.classifications
+                    }
+                    ok = evaluate_one(expr, labels, key=rid)
+                if ok and security_groups is not None:
+                    groups = (
+                        set(payload.security.access_groups)
+                        if payload.security
+                        else set()
+                    )
+                    if groups and not groups & set(security_groups):
+                        ok = False
+            allowed[rid] = ok
+            return ok
+
         resp = GraphSearchResponse()
         for shard_id in self._shard_ids(kbid):
             searcher = self.node.searcher.shard(shard_id)
             if searcher.relation is None:
                 continue
             for p in searcher.relation.graph_search_expr(query, top_k):
-                if hide:
-                    rid = p.resource_field.split("/", 1)[0]
-                    if rid not in hidden_rids:
-                        payload = self.processor.get_payload(kbid, rid)
-                        if payload is not None and payload.hidden:
-                            hidden_rids.add(rid)
-                    if rid in hidden_rids:
-                        continue
+                if (hide or expr is not None or security_groups is not None) and not rid_ok(
+                    p.resource_field.split("/", 1)[0]
+                ):
+                    continue
                 resp.paths.append(
                     GraphPathResult(
                         source=p.source.value,

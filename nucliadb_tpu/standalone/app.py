@@ -1356,6 +1356,21 @@ class StandaloneApp:
                 "summary": "\n".join(v["summary"] for v in out.values()),
             }
 
+        def _graph_filter(body: dict):
+            from ..models.api import FilterExpression as FE
+
+            fe = body.get("filter_expression")
+            if not fe:
+                return None
+            # reference wraps field filters as {"field": {...}}
+            return _validate(FE, fe.get("field", fe))
+
+        def _graph_security(body: dict):
+            sec = body.get("security")
+            if not sec:
+                return None
+            return list(sec.get("groups", []) or [])
+
         @r.post("/api/v1/kb/{kbid}/graph")
         def graph(request: Request):
             kbid = self._kbid(request)
@@ -1366,7 +1381,12 @@ class StandaloneApp:
                 # (and/or/not over path/node/relation leaves)
                 try:
                     return self.search.graph_expr(
-                        kbid, body["query"], int(body.get("top_k", 50))
+                        kbid,
+                        body["query"],
+                        int(body.get("top_k", 50)),
+                        filter_expression=_graph_filter(body),
+                        security_groups=_graph_security(body),
+                        show_hidden=bool(body.get("show_hidden", False)),
                     )
                 except ValueError as e:
                     raise HTTPError(422, str(e))
@@ -1380,7 +1400,12 @@ class StandaloneApp:
             if isinstance(body.get("query"), dict):
                 try:
                     return self.search.graph_expr(
-                        kbid, body["query"], int(body.get("top_k", 50))
+                        kbid,
+                        body["query"],
+                        int(body.get("top_k", 50)),
+                        filter_expression=_graph_filter(body),
+                        security_groups=_graph_security(body),
+                        show_hidden=bool(body.get("show_hidden", False)),
                     )
                 except ValueError as e:
                     raise HTTPError(422, str(e))

@@ -1686,3 +1686,42 @@ def test_graph_nodes_relations_expressions(server):
         json={"query": {"prop": "source_node", "value": "alice"}},
     ).json()["relations"]
     assert {r["label"] for r in rels} == {"works_at", "knows"}
+
+
+def test_graph_resource_constraints(server):
+    client, app = server
+    kbid = client.post(
+        "/api/v1/kbs", json={"slug": "gsec-kb", "hidden_resources_enabled": True}
+    ).json()["uuid"]
+
+    def mk(title, rels, labels=None, groups=None, hidden=False):
+        body = {"title": title, "hidden": hidden, "usergenerated_relations": [
+            {"relation": "ENTITY", "label": lbl,
+             "from": {"value": s, "group": "g"}, "to": {"value": t, "group": "g"}}
+            for s, lbl, t in rels]}
+        if labels:
+            body["usermetadata"] = {"classifications": [
+                {"labelset": s, "label": l} for s, l in labels]}
+        if groups:
+            body["security"] = {"access_groups": groups}
+        return client.post(f"/api/v1/kb/{kbid}/resources", json=body).json()["uuid"]
+
+    mk("open", [("a", "r1", "b")], labels=[("topic", "x")])
+    mk("sec", [("c", "r1", "d")], groups=["team1"])
+    mk("hid", [("e", "r1", "f")], hidden=True)
+
+    def paths(**extra):
+        out = client.post(
+            f"/api/v1/kb/{kbid}/graph",
+            json={"query": {"prop": "relation", "label": "r1"}, **extra},
+        ).json()["paths"]
+        return {p["source"] for p in out}
+
+    # hidden excluded by default; shown on demand
+    assert paths() == {"a", "c"}
+    assert paths(show_hidden=True) == {"a", "c", "e"}
+    # security view without team1 loses the restricted resource
+    assert paths(security={"groups": ["other"]}) == {"a"}
+    assert paths(security={"groups": ["team1"]}) == {"a", "c"}
+    # label filter keeps only the labelled resource's edges
+    assert paths(filter_expression={"field": {"literal": "/l/topic/x"}}) == {"a"}
