@@ -302,6 +302,22 @@ class FindRequest(BaseModel):
     range_creation_end: Optional[Union[float, str]] = None
     range_modification_start: Optional[Union[float, str]] = None
     range_modification_end: Optional[Union[float, str]] = None
+    # per-result resource serialization (parity: the `show` search param —
+    # "basic" adds timestamps/labels/icon, "values" full field values,
+    # "relations" usergenerated relations)
+    show: list[str] = Field(default_factory=list)
+
+
+class FindResourceData(BaseModel):
+    """Extra resource serialization attached per `show` options."""
+
+    created: Optional[float] = None
+    modified: Optional[float] = None
+    icon: str = ""
+    labels: list[str] = Field(default_factory=list)
+    texts: dict[str, "TextFieldPayload"] = Field(default_factory=dict)
+    links: dict[str, "LinkFieldPayload"] = Field(default_factory=dict)
+    usergenerated_relations: list["RelationPayload"] = Field(default_factory=list)
 
 
 class FindParagraph(BaseModel):
@@ -325,6 +341,8 @@ class FindResource(BaseModel):
     title: str = ""
     summary: str = ""
     fields: dict[str, FindField] = Field(default_factory=dict)
+    # populated per the request's `show` options
+    data: Optional[FindResourceData] = None
 
 
 class Relation(BaseModel):

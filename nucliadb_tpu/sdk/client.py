@@ -146,6 +146,18 @@ class NucliaDBClient:
         self._raise(resp)
         return GraphSearchResponse.model_validate(resp.json())
 
+    def graph_query(self, kbid: str, query: dict, *, top_k: int = 50,
+                    **extra) -> GraphSearchResponse:
+        """Boolean path-query expression mode (and/or/not over
+        path/node/relation leaves); extra kwargs pass through (security,
+        show_hidden, filter_expression)."""
+        resp = self._client.post(
+            f"/api/v1/kb/{kbid}/graph",
+            json={"query": query, "top_k": top_k, **extra},
+        )
+        self._raise(resp)
+        return GraphSearchResponse.model_validate(resp.json())
+
     def ask(self, kbid: str, request: AskRequest) -> AskResponse:
         resp = self._client.post(
             f"/api/v1/kb/{kbid}/ask", json=request.model_dump(exclude_none=True)

@@ -595,6 +595,28 @@ class SearchService:
                         title=payload.title if payload else "",
                         summary=payload.summary if payload else "",
                     )
+                    if request.show and payload is not None:
+                        # per-result serialization (parity: `show=` options)
+                        from ..models.api import FindResourceData
+
+                        meta = self.processor.get_meta(kbid, block.rid)
+                        data = FindResourceData()
+                        if "basic" in request.show:
+                            data.created = meta.created if meta else None
+                            data.modified = meta.modified if meta else None
+                            data.icon = payload.icon
+                            data.labels = [
+                                f"/l/{c.labelset}/{c.label}"
+                                for c in payload.usermetadata.classifications
+                            ]
+                        if "values" in request.show:
+                            data.texts = payload.texts
+                            data.links = payload.links
+                        if "relations" in request.show or "values" in request.show:
+                            data.usergenerated_relations = (
+                                payload.usergenerated_relations
+                            )
+                        resource.data = data
                     results.resources[block.rid] = resource
                 field = resource.fields.setdefault(f"/{block.field}", FindField())
                 field.paragraphs[block.block_id] = FindParagraph(

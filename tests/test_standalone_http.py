@@ -1725,3 +1725,31 @@ def test_graph_resource_constraints(server):
     assert paths(security={"groups": ["team1"]}) == {"a", "c"}
     # label filter keeps only the labelled resource's edges
     assert paths(filter_expression={"field": {"literal": "/l/topic/x"}}) == {"a"}
+
+
+def test_find_show_options(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "show-find-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "shown doc", "icon": "application/pdf",
+              "texts": {"t": {"body": "showable body text"}},
+              "usermetadata": {"classifications": [{"labelset": "topic", "label": "z"}]},
+              "usergenerated_relations": [
+                  {"relation": "ENTITY", "label": "l",
+                   "from": {"value": "x"}, "to": {"value": "y"}}]},
+    ).json()["uuid"]
+
+    base = client.post(f"/api/v1/kb/{kbid}/find", json={"query": "showable"}).json()
+    assert base["resources"][rid].get("data") is None
+
+    full = client.post(
+        f"/api/v1/kb/{kbid}/find",
+        json={"query": "showable", "show": ["basic", "values", "relations"]},
+    ).json()
+    data = full["resources"][rid]["data"]
+    assert data["icon"] == "application/pdf"
+    assert data["labels"] == ["/l/topic/z"]
+    assert data["texts"]["t"]["body"] == "showable body text"
+    assert data["usergenerated_relations"][0]["label"] == "l"
+    assert data["created"] is not None
