@@ -25,9 +25,11 @@ from nucliadb_tpu.models.api import (
     KnowledgeBoxConfig,
     ResourceSecurity,
     SearchFeature,
+    SentenceEmbedding,
     TextFieldPayload,
     UpdateResourcePayload,
     UserMetadata,
+    VectorSetSpec,
 )
 from nucliadb_tpu.search import SearchService
 from nucliadb_tpu.services import EmbeddedNode
@@ -74,7 +76,13 @@ def test_find_matches_oracle_under_random_ops(tmp_path, seed):
     driver = Driver(str(tmp_path / "db.sqlite"))
     node = EmbeddedNode(data_dir=str(tmp_path / "node"))
     kbs = KnowledgeBoxManager(driver, node)
-    kbid = kbs.create(KnowledgeBoxConfig(slug="fuzz", hidden_resources_enabled=True))
+    kbid = kbs.create(
+        KnowledgeBoxConfig(
+            slug="fuzz",
+            hidden_resources_enabled=True,
+            vectorsets={"m": VectorSetSpec(dimension=8)},
+        )
+    )
     processor = Processor(driver, node, kbs)
     search = SearchService(node, kbs, processor)
     oracle = Oracle()
@@ -85,6 +93,8 @@ def test_find_matches_oracle_under_random_ops(tmp_path, seed):
         labels = [LABELSETS[i] for i in rng.choice(len(LABELSETS), size=rng.integers(0, 3), replace=False)]
         groups = list(rng.choice(GROUPS, size=rng.integers(0, 3), replace=False))
         hidden = bool(rng.random() < 0.2)
+        vec = rng.standard_normal(8).astype(np.float32)
+        vec /= np.linalg.norm(vec)
         payload = cls(
             title="t",
             texts={"t": TextFieldPayload(body=body)},
@@ -93,6 +103,7 @@ def test_find_matches_oracle_under_random_ops(tmp_path, seed):
             ),
             security=ResourceSecurity(access_groups=groups) if groups else None,
             hidden=hidden,
+            embeddings={"m": {"t": [SentenceEmbedding(start=0, end=len(body), vector=vec.tolist())]}},
         )
         brain_labels = [f"/l/{s}/{l}" for s, l in labels]
         return payload, body, brain_labels, groups, hidden
@@ -137,4 +148,29 @@ def test_find_matches_oracle_under_random_ops(tmp_path, seed):
         expect = oracle.find(q_tokens, label, security, show_hidden)
         assert got == expect, (
             step, q_tokens, label, security, show_hidden, got ^ expect
+        )
+
+        # semantic leg: with top_k >= corpus, the result SET is exactly the
+        # filtered doc set (ranking cannot drop anything) — the same
+        # constraints must hold on the vector index's filter path
+        qv = rng.standard_normal(8).astype(np.float32)
+        sem_req = FindRequest(
+            query="",
+            vector=(qv / np.linalg.norm(qv)).tolist(),
+            features=[SearchFeature.SEMANTIC],
+            top_k=100,
+            filter_expression=req.filter_expression,
+            security_groups=security,
+            show_hidden=show_hidden,
+        )
+        got_sem = set(search.find(kbid, sem_req).resources)
+        expect_sem = {
+            rid
+            for rid, d in oracle.docs.items()
+            if (label is None or f"/l/{label[0]}/{label[1]}" in d["labels"])
+            and (security is None or not d["groups"] or (d["groups"] & set(security)))
+            and (show_hidden or not d["hidden"])
+        }
+        assert got_sem == expect_sem, (
+            step, "semantic", label, security, show_hidden, got_sem ^ expect_sem
         )
