@@ -32,6 +32,10 @@ import numpy as np
 from ...types import SegmentMetadata, Seq
 from .tokenizer import tokenize_with_positions
 
+# v2: docs carry /f/{field_type} facets (field-type filters + catalog title
+# matching); older segments lack them and need a reindex
+TEXT_FORMAT_VERSION = 2
+
 try:  # native postings builder (native/postings.cpp) — same output, ~30x faster
     import nucliadb_tpu_native as _native
 except ImportError:
@@ -162,6 +166,10 @@ def build_segment(
         "total_len": int(total_len),
         "kind": kind,
         "tags": sorted(tags),
+        # bumped when indexed content/facets change shape in a way that
+        # needs a reindex (v2 added /f/{field_type} facets); the
+        # stale-format migration rolls affected KBs forward
+        "format_version": TEXT_FORMAT_VERSION,
         **(extra_meta or {}),
     }
     with open(os.path.join(path, "meta.json"), "w") as f:

@@ -50,11 +50,39 @@ def _reindex_stale_vector_formats(ctx: MigrationContext, kbid: str) -> None:
                     return
 
 
+def _reindex_stale_text_formats(ctx: MigrationContext, kbid: str) -> None:
+    """Rollover-reindex KBs whose text/paragraph segments predate
+    TEXT_FORMAT_VERSION (v2 added the /f/{field_type} facets that power
+    field-type filters and catalog title matching)."""
+    from ..common.rollover import rollover_kb
+    from ..index.text_engine.builder import TEXT_FORMAT_VERSION
+
+    shards = ctx.kbs.get_shards(kbid)
+    if shards is None:
+        return
+    for shard_id in shards.shards:
+        for idx in ctx.node.metadata.get_indexes(shard_id):
+            if idx.kind not in ("text", "paragraph"):
+                continue
+            for seg in ctx.node.metadata.ready_segments(idx.id):
+                fmt = seg.index_metadata.get("format_version", 1)
+                if fmt < TEXT_FORMAT_VERSION:
+                    rollover_kb(ctx.kbs, ctx.processor, ctx.node, kbid)
+                    return
+
+
 register(Migration(version=1, name="backfill-resource-slug-keys", kb_fn=_backfill_slug_keys))
 register(
     Migration(
         version=2,
         name="reindex-stale-vector-segment-formats",
         kb_fn=_reindex_stale_vector_formats,
+    )
+)
+register(
+    Migration(
+        version=3,
+        name="reindex-stale-text-segment-formats",
+        kb_fn=_reindex_stale_text_formats,
     )
 )

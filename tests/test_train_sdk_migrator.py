@@ -488,3 +488,59 @@ def test_ops_tool_cli(tmp_path):
     assert "restored ->" in run("restore", backup_id, "--slug", "tool-restored")
     stats = run("shards", kbid)
     assert "text: 1 segments" in stats and "(writable)" in stats
+
+
+def test_stale_text_format_migration(tmp_path):
+    """Segments written before TEXT_FORMAT_VERSION (no /f facets) trigger a
+    rollover reindex; fresh segments do not."""
+    import json as _json
+
+    from nucliadb_tpu.migrator.migrations import _reindex_stale_text_formats
+    from nucliadb_tpu.migrator import MigrationContext
+    from nucliadb_tpu.models.api import FindRequest, SearchFeature
+    from nucliadb_tpu.search import SearchService
+
+    driver = Driver(str(tmp_path / "db.sqlite"))
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"))
+    kbs = KnowledgeBoxManager(driver, node)
+    kbid = kbs.create(KnowledgeBoxConfig(slug="fmt-kb"))
+    processor = Processor(driver, node, kbs)
+    processor.create_resource(
+        kbid,
+        CreateResourcePayload(title="v2 doc", texts={"t": TextFieldPayload(body="format body")}),
+    )
+    node.wait_for_sync()
+    ctx = MigrationContext(driver=driver, node=node, kbs=kbs, processor=processor)
+
+    old_shards = kbs.get_shards(kbid).shards
+    # fresh segments are already v2 -> no rollover
+    _reindex_stale_text_formats(ctx, kbid)
+    assert kbs.get_shards(kbid).shards == old_shards
+
+    # age one text segment's recorded format -> migration must roll over
+    aged = 0
+    for shard_id in old_shards:
+        for idx in node.metadata.get_indexes(shard_id):
+            if idx.kind not in ("text", "paragraph"):
+                continue
+            for seg in node.metadata.ready_segments(idx.id):
+                meta = dict(seg.index_metadata)
+                meta.pop("format_version", None)
+                with node.metadata._conn as conn:
+                    conn.execute(
+                        "UPDATE segments SET index_metadata=? WHERE id=?",
+                        (_json.dumps(meta), seg.id),
+                    )
+                aged += 1
+    assert aged, "expected at least one text segment to age"
+    _reindex_stale_text_formats(ctx, kbid)
+    new_shards = kbs.get_shards(kbid).shards
+    assert set(new_shards) != set(old_shards)
+    node.wait_for_sync()
+    search = SearchService(node, kbs, processor)
+    out = search.find(
+        kbid,
+        FindRequest(query="format body", features=[SearchFeature.KEYWORD],
+                    filters=["/field/t"]),
+    )
+    assert out.resources, "reindexed segments must carry the /f facets"
