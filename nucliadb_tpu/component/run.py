@@ -30,6 +30,12 @@ from ..services import EmbeddedNode
 def main() -> None:
     import os as _os
 
+    from ..utils.platform import configure_jax
+
+    # deterministic single-threaded backend init before any component
+    # thread touches jax (see standalone/app.py for the race this avoids)
+    configure_jax(init_backend=True)
+
     if any(
         _os.environ.get(k)
         for k in ("NDBTPU_TELEMETRY__TRACING", "NDBTPU_TELEMETRY__CONSOLE_TRACES",

@@ -90,7 +90,20 @@ class WorkerService:
             hb.join(timeout=1)
 
     def _run_job_inner(self, job: MergeJob) -> None:
-        index = self._index_kind_and_config(job.index_id)
+        try:
+            index = self._index_kind_and_config(job.index_id)
+        except KeyError:
+            # the index's shard was deleted between scheduling and execution
+            # (rollover retires old shards, delete_kb drops them) — the job
+            # is permanently void, not a transient failure; burning retries
+            # on it just spams the log (observed in the soak test)
+            import logging
+
+            logging.getLogger(__name__).info(
+                "merge job %s dropped: index %s no longer exists",
+                job.id, job.index_id,
+            )
+            return
         operants = self.metadata.merge_job_segments(job.id)
         if len(operants) < 2:
             return

@@ -25,8 +25,12 @@ import numpy as np
 
 from concurrent.futures import ThreadPoolExecutor
 
-# per-index fan-out threads (2 suffice: paragraph ∥ vector)
-_INDEX_POOL = ThreadPoolExecutor(max_workers=4, thread_name_prefix="idxsearch")
+# per-index fan-out threads. Sized to the HTTP worker pool, not to CPU
+# count: a request's paragraph leg runs here while its vector leg runs on
+# the request thread, and a small pool serializes the BM25 legs BEFORE the
+# text coalescer can merge them into shared dispatches (jax releases the
+# GIL during dispatch/download, so these threads mostly sleep).
+_INDEX_POOL = ThreadPoolExecutor(max_workers=32, thread_name_prefix="idxsearch")
 
 from ..index.json import JsonExpression, JsonSearcher
 from ..index.paragraph import (

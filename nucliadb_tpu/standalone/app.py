@@ -61,7 +61,14 @@ class StandaloneApp:
                  port: int = 8080, auth: "AuthSettings | None" = None,
                  predict=None):
         from .auth import AuthSettings, make_auth_hook
+        from ..utils.platform import configure_jax
 
+        # initialize the jax backend BEFORE serving: a concurrent first
+        # touch from request threads races PJRT plugin discovery and
+        # permanently poisons the process (observed in the soak test —
+        # every search 500ing with the platform missing from the
+        # known-backend list)
+        configure_jax(init_backend=True)
         os.makedirs(data_dir, exist_ok=True)
         self.auth = auth or AuthSettings()
         self.node = EmbeddedNode(data_dir=os.path.join(data_dir, "node"))

@@ -19,24 +19,36 @@ import jax
 import jax.numpy as jnp
 
 _configured = False
+_lock = __import__("threading").Lock()
 
 
-def configure_jax() -> None:
+def configure_jax(*, init_backend: bool = False) -> None:
+    """Idempotent platform setup. ``init_backend=True`` additionally forces
+    backend initialization NOW, on this thread, under the lock — a
+    concurrent first-touch of jax from several request threads was observed
+    to race PJRT plugin discovery and permanently poison the process (the
+    'axon' platform missing from the known-backend list, every subsequent
+    device call failing). Servers must call this once at boot before
+    accepting traffic."""
     global _configured
-    if _configured:
-        return
-    _configured = True
-    if os.environ.get("NUCLIADB_TPU_NO_COMPILE_CACHE"):
-        return
-    cache_dir = os.environ.get(
-        "NUCLIADB_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/nucliadb_tpu_jax")
-    )
-    try:
-        if jax.config.jax_compilation_cache_dir is None:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # cache is an optimization; never fail startup over it
+    with _lock:
+        if not _configured:
+            _configured = True
+            if not os.environ.get("NUCLIADB_TPU_NO_COMPILE_CACHE"):
+                cache_dir = os.environ.get(
+                    "NUCLIADB_TPU_COMPILE_CACHE",
+                    os.path.expanduser("~/.cache/nucliadb_tpu_jax"),
+                )
+                try:
+                    if jax.config.jax_compilation_cache_dir is None:
+                        jax.config.update("jax_compilation_cache_dir", cache_dir)
+                        jax.config.update(
+                            "jax_persistent_cache_min_compile_time_secs", 1.0
+                        )
+                except Exception:
+                    pass  # cache is an optimization; never fail startup over it
+        if init_backend:
+            jax.devices()  # deterministic, single-threaded backend init
 
 
 _scalar_cache: dict[float, jax.Array] = {}

@@ -507,3 +507,20 @@ def test_concurrent_search_during_ingest_and_merge(tmp_path):
     node.wait_for_sync()
     resp = node.search(shard, ShardSearchRequest(body="race", top_k=50))
     assert resp.paragraph.total >= 40
+
+
+def test_merge_job_for_deleted_shard_is_dropped_cleanly(tmp_path):
+    """A merge job whose index disappeared (rollover retired the shard)
+    completes as a no-op instead of burning retries (found by the soak
+    test: rollover left jobs that raised KeyError on every lease)."""
+    node = EmbeddedNode(data_dir=str(tmp_path / "m"), storage=MemoryStorage())
+    shard_id = node.create_shard("kb1", {})
+    for i in range(4):
+        node.index(shard_id, make_resource(f"r{i}", f"doc {i}"))
+    node.scheduler.schedule_merges()
+    assert node.metadata.pending_merge_jobs() > 0
+    node.delete_shard(shard_id)
+    # every orphaned job drains in one pass, no retries, no exceptions
+    for _ in range(node.metadata.pending_merge_jobs() + 1):
+        node.worker.run_one()
+    assert node.metadata.pending_merge_jobs() == 0
