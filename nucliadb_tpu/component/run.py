@@ -32,8 +32,8 @@ def main() -> None:
 
     from ..utils.platform import configure_jax
 
-    # deterministic single-threaded backend init before any component
-    # thread touches jax (see standalone/app.py for the race this avoids)
+    # fail-fast, single-threaded backend init before any component thread
+    # touches jax (see standalone/app.py)
     configure_jax(init_backend=True)
 
     if any(

@@ -63,11 +63,9 @@ class StandaloneApp:
         from .auth import AuthSettings, make_auth_hook
         from ..utils.platform import configure_jax
 
-        # initialize the jax backend BEFORE serving: a concurrent first
-        # touch from request threads races PJRT plugin discovery and
-        # permanently poisons the process (observed in the soak test —
-        # every search 500ing with the platform missing from the
-        # known-backend list)
+        # initialize the jax backend BEFORE serving: backend-init failures
+        # are cached for the process lifetime, so a broken platform setup
+        # must abort boot loudly instead of 500ing every search later
         configure_jax(init_backend=True)
         os.makedirs(data_dir, exist_ok=True)
         self.auth = auth or AuthSettings()

@@ -24,12 +24,13 @@ _lock = __import__("threading").Lock()
 
 def configure_jax(*, init_backend: bool = False) -> None:
     """Idempotent platform setup. ``init_backend=True`` additionally forces
-    backend initialization NOW, on this thread, under the lock — a
-    concurrent first-touch of jax from several request threads was observed
-    to race PJRT plugin discovery and permanently poison the process (the
-    'axon' platform missing from the known-backend list, every subsequent
-    device call failing). Servers must call this once at boot before
-    accepting traffic."""
+    backend initialization NOW, on this thread, under the lock. Servers
+    call this once at boot so a missing/misconfigured device platform
+    fails LOUDLY at startup instead of turning every search request into a
+    500 (jax caches backend-init failures for the process lifetime; the
+    soak test hit this when its environment dropped the PJRT plugin from
+    PYTHONPATH), and so the first device touch is single-threaded rather
+    than racing across request threads."""
     global _configured
     with _lock:
         if not _configured:
