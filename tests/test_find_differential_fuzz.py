@@ -44,18 +44,19 @@ class Oracle:
     def __init__(self):
         self.docs = {}  # rid -> dict(tokens, labels, groups, hidden)
 
-    def put(self, rid, body, labels, groups, hidden):
+    def put(self, rid, body, labels, groups, hidden, created):
         self.docs[rid] = {
             "tokens": set(tokenize(body)),
             "labels": set(labels),
             "groups": set(groups or []),
             "hidden": hidden,
+            "created": created,
         }
 
     def delete(self, rid):
         self.docs.pop(rid, None)
 
-    def find(self, query_tokens, label, security, show_hidden):
+    def find(self, query_tokens, label, security, show_hidden, window=None):
         out = set()
         for rid, d in self.docs.items():
             if not (set(query_tokens) & d["tokens"]):
@@ -66,6 +67,10 @@ class Oracle:
                 continue
             if d["hidden"] and not show_hidden:
                 continue
+            if window is not None:
+                lo, hi = window
+                if not (lo <= d["created"] <= hi):
+                    continue
             out.add(rid)
         return out
 
@@ -112,14 +117,15 @@ def test_find_matches_oracle_under_random_ops(tmp_path, seed):
         op = rng.random()
         if op < 0.55 or not live:
             payload, body, labels, groups, hidden = random_payload(CreateResourcePayload)
-            rid, _ = processor.create_resource(kbid, payload)
+            created = float(rng.integers(1000, 2000))
+            rid, _ = processor.create_resource(kbid, payload, created=created)
             live.append(rid)
-            oracle.put(rid, body, labels, groups, hidden)
+            oracle.put(rid, body, labels, groups, hidden, created)
         elif op < 0.8:
             rid = live[int(rng.integers(len(live)))]
             payload, body, labels, groups, hidden = random_payload(UpdateResourcePayload)
             processor.update_resource(kbid, rid, payload)
-            oracle.put(rid, body, labels, groups, hidden)
+            oracle.put(rid, body, labels, groups, hidden, oracle.docs[rid]["created"])
         else:
             rid = live.pop(int(rng.integers(len(live))))
             processor.delete_resource(kbid, rid)
@@ -134,6 +140,10 @@ def test_find_matches_oracle_under_random_ops(tmp_path, seed):
         label = LABELSETS[int(rng.integers(len(LABELSETS)))] if rng.random() < 0.4 else None
         security = list(rng.choice(GROUPS, size=1)) if rng.random() < 0.4 else None
         show_hidden = bool(rng.random() < 0.3)
+        window = None
+        if rng.random() < 0.4:
+            lo = float(rng.integers(900, 1900))
+            window = (lo, lo + float(rng.integers(100, 700)))
         req = FindRequest(
             query=" ".join(q_tokens),
             features=[SearchFeature.KEYWORD],
@@ -143,9 +153,11 @@ def test_find_matches_oracle_under_random_ops(tmp_path, seed):
             ),
             security_groups=security,
             show_hidden=show_hidden,
+            range_creation_start=window[0] if window else None,
+            range_creation_end=window[1] if window else None,
         )
         got = set(search.find(kbid, req).resources)
-        expect = oracle.find(q_tokens, label, security, show_hidden)
+        expect = oracle.find(q_tokens, label, security, show_hidden, window)
         assert got == expect, (
             step, q_tokens, label, security, show_hidden, got ^ expect
         )
