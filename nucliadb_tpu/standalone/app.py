@@ -49,6 +49,23 @@ from ..services import EmbeddedNode
 from ..version import __version__
 
 
+_CO_GAUGES = None
+
+
+def _coalescer_gauges():
+    """Process-wide gauges (created once: prometheus_client raises on
+    duplicate registration and tests build several apps per process)."""
+    global _CO_GAUGES
+    if _CO_GAUGES is None:
+        from ..telemetry.metrics import Gauge
+
+        _CO_GAUGES = (
+            Gauge("ndbtpu_coalescer_queries", "coalesced queries", ("index",)),
+            Gauge("ndbtpu_coalescer_dispatches", "device dispatches", ("index",)),
+        )
+    return _CO_GAUGES
+
+
 def _validate(model, data):
     try:
         return model.model_validate(data)
@@ -207,10 +224,19 @@ class StandaloneApp:
         def ready(request: Request):
             return {"status": "ok"}
 
+        _co_queries, _co_dispatches = _coalescer_gauges()
+
         @r.get("/metrics")
         def metrics(request: Request):
+            from ..index.text_engine.batcher import coalescer as text_co
+            from ..index.vector.batcher import coalescer as vec_co
             from ..telemetry.metrics import render_prometheus
 
+            # serving-batcher observability: queries per device dispatch
+            _co_queries.labels(index="vector").set(vec_co.batched_queries)
+            _co_dispatches.labels(index="vector").set(vec_co.dispatches)
+            _co_queries.labels(index="text").set(text_co.batched_queries)
+            _co_dispatches.labels(index="text").set(text_co.dispatches)
             return 200, render_prometheus()
 
         # ---- knowledge boxes (writer/api/v1/knowledgebox.py parity) ----
