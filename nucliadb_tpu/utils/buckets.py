@@ -8,8 +8,18 @@ dense stopword row and mask transfer the same way).
 
 from __future__ import annotations
 
+# A growing KB walks the ladder bucket by bucket, and EVERY bucket is a
+# fresh XLA compile of every hot kernel (seconds to minutes each through
+# the remote compile service on the deployment platform — the soak test
+# spent its first minutes compiling instead of serving). Starting the
+# ladder at 4096 rows removes ~10 tiny steps: a 4096-row arena costs
+# ~12 MB HBM at 768-d f32 (nothing) and scanning it is sub-millisecond,
+# so small KBs lose no measurable speed and gain a stable program shape
+# until they exceed 4096 paragraphs.
+MIN_BUCKET = 4096
 
-def bucket(n: int, minimum: int = 128) -> int:
+
+def bucket(n: int, minimum: int = MIN_BUCKET) -> int:
     size = minimum
     while size < n:
         if size + size // 2 >= n:
