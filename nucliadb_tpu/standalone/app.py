@@ -139,8 +139,19 @@ class StandaloneApp:
             bootstrap_version(self.driver)
 
     def _sync(self, force: bool = False) -> None:
-        """Debounced searcher sync: searches see state at most ~200ms old
-        (the reference searcher syncs on a timer; sync.rs cadence)."""
+        """Searcher freshness policy (the reference searcher syncs on a
+        timer — sync.rs — and searches NEVER rebuild indexes inline):
+
+        - with the background loop running (production), request-path sync
+          is a no-op; the loop refreshes on its interval and searches serve
+          the latest ready index. Under heavy ingest an inline sync would
+          make every query pay an arena rebuild (measured 2.2 s/find in
+          the soak).
+        - without it (tests, scripts), a debounced inline sync keeps
+          read-your-writes semantics.
+        """
+        if not force and self._bg_thread is not None and self._bg_thread.is_alive():
+            return
         with self._sync_lock:
             if force or time.time() - self._last_sync > 0.2:
                 self.node.wait_for_sync()
