@@ -85,6 +85,14 @@ def rollover_kb(
         if not strays:
             break
     if repaired_any:
+        # recompute counts from resource metas rather than trusting the
+        # incremental tallies: writes racing the swap can slip between the
+        # repair passes and leave the cached counters off by a few
+        counts = {s: 0 for s in new_shards}
+        for rid in processor.list_resources(kbid):
+            meta = processor.get_meta(kbid, rid)
+            if meta is not None and meta.shard in counts:
+                counts[meta.shard] += 1
         kbs.swap_shards(kbid, KBShards(shards=new_shards, writable=0, counts=counts))
 
     for shard_id in old.shards:

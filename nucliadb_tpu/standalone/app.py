@@ -1321,10 +1321,14 @@ class StandaloneApp:
             from ..ingest.brain import split_paragraphs
 
             kbid = self._kbid(request)
-            shards = self.kbs.get_shards(kbid)
-            resources = sum((shards.counts or {}).values()) if shards else 0
+            rids = self.processor.list_resources(kbid)
+            # count from the KV listing (the source of truth) — the cached
+            # per-shard counters can drift by a few under rollover races
+            # (observed in the soak) and this endpoint walks the payloads
+            # anyway
+            resources = len(rids)
             fields = paragraphs = sentences = 0
-            for rid in self.processor.list_resources(kbid):
+            for rid in rids:
                 payload = self.processor.get_payload(kbid, rid)
                 if payload is None:
                     continue
