@@ -259,6 +259,10 @@ class FindRequest(BaseModel):
             data.setdefault(
                 "offset", int(data.pop("page_number")) * int(data.get("top_k", 20))
             )
+        sort = data.pop("sort", None)
+        if isinstance(sort, dict):  # reference SortOptions {field, order}
+            data.setdefault("sort_field", sort.get("field"))
+            data.setdefault("sort_order", sort.get("order", "desc"))
         return data
 
     query: str = ""
