@@ -140,11 +140,19 @@ class VectorSearchRequest:
 class VectorSearcher:
     """Open segments of one vector index; answers queries on device."""
 
-    def __init__(self, config: VectorConfig, open_index: OpenIndexMetadata):
+    def __init__(
+        self,
+        config: VectorConfig,
+        open_index: OpenIndexMetadata,
+        prev: "VectorSearcher | None" = None,
+    ):
         from .segment import open_segment
 
         segments = [(open_segment(m.path), seq) for m, seq in open_index.segments()]
-        self.index = DeviceVectorIndex(config, segments, open_index.deletions())
+        self.index = DeviceVectorIndex(
+            config, segments, open_index.deletions(),
+            prev=prev.index if prev is not None else None,
+        )
         self.config = config
 
     def _resolve_atom(self, atom) -> np.ndarray:

@@ -70,6 +70,15 @@ class VectorHit:
     metadata: dict
 
 
+@jax.jit
+def _arena_append(arena, delta, start):
+    """Write delta rows into the (padded) arena at ``start`` on device —
+    the incremental-refresh path uploads only the NEW rows instead of the
+    whole corpus (host->device moves ~10 MB/s through the deployment
+    relay; a full re-upload per searcher refresh was the sync cost)."""
+    return jax.lax.dynamic_update_slice(arena, delta, (start, 0))
+
+
 class DeviceVectorIndex:
     """All open segments of one vector index, resident on device."""
 
@@ -78,6 +87,7 @@ class DeviceVectorIndex:
         config: VectorConfig,
         segments: Sequence[tuple[LoadedSegment, Seq]],
         deletions: Sequence[tuple[str, Seq]] = (),
+        prev: "DeviceVectorIndex | None" = None,
     ):
         configure_jax()
         self.config = config
@@ -153,8 +163,7 @@ class DeviceVectorIndex:
             flat = (
                 np.concatenate(vec_chunks) if vec_chunks else np.zeros((0, dim), np.float32)
             )
-            arena = np.zeros((self.p_pad, dim), np.float32)
-            arena[: self.n_para] = flat
+            arena = None  # built lazily: the incremental path never needs it
             self.m_count = None
 
         # flag "bf16": store the rerank arena in bfloat16 — halves the
@@ -163,7 +172,33 @@ class DeviceVectorIndex:
         # in f32 on the MXU (preferred_element_type), so recall impact is
         # the bf16 rounding of inputs only (~1e-3 on normalized dots).
         store_dtype = jnp.bfloat16 if "bf16" in config.flags else jnp.float32
-        self.vectors = jax.device_put(jnp.asarray(arena, dtype=store_dtype))
+
+        extended = None
+        if not self.multi and self._can_extend(prev, store_dtype):
+            # incremental refresh: the previous index's rows are a prefix of
+            # ours (updates/deletes only APPEND segments and extend the
+            # deletion list — rows never mutate), so only the delta crosses
+            # the relay and the arena updates on device. Delta row counts
+            # pad to a small ladder to bound compiled shapes; an unfittable
+            # pad falls back to the full build (dynamic_update_slice CLAMPS
+            # out-of-range starts, which would silently corrupt tail rows).
+            delta = flat[prev.n_para :]
+            pad_rows = bucket(max(delta.shape[0], 1), minimum=64)
+            if prev.n_para + pad_rows <= self.p_pad:
+                delta_padded = np.zeros((pad_rows, dim), np.float32)
+                delta_padded[: delta.shape[0]] = delta
+                extended = _arena_append(
+                    prev.vectors,
+                    jnp.asarray(delta_padded, dtype=store_dtype),
+                    jnp.int32(prev.n_para),
+                )
+        if extended is not None:
+            self.vectors = extended
+        else:
+            if not self.multi:
+                arena = np.zeros((self.p_pad, dim), np.float32)
+                arena[: self.n_para] = flat
+            self.vectors = jax.device_put(jnp.asarray(arena, dtype=store_dtype))
         self._base_mask_dev: jax.Array | None = None
 
         self.codes: quant.Int8Codes | quant.BinaryCodes | None = None
@@ -222,6 +257,25 @@ class DeviceVectorIndex:
                 seg_of=seg_of,
                 n_segments=n_components,
             )
+
+    def _can_extend(self, prev: "DeviceVectorIndex | None", store_dtype) -> bool:
+        """True when ``prev``'s device arena is reusable as a prefix of this
+        one: same shape/dtype/padding and identical leading keys (segments
+        only ever append — updates add a new segment plus deletions, so
+        existing rows never change content, only aliveness)."""
+        if prev is None or prev.multi or self.multi:
+            return False
+        if prev.config.dimension != self.config.dimension:
+            return False
+        if set(prev.config.flags) != set(self.config.flags):
+            return False
+        if "ivf" in self.config.flags or "hnsw" in self.config.flags:
+            return False  # those strategies hold derived per-arena state
+        if prev.p_pad != self.p_pad or prev.n_para > self.n_para:
+            return False
+        if prev.vectors.dtype != store_dtype:
+            return False
+        return self.keys[: prev.n_para] == prev.keys
 
     @staticmethod
     def _stitch_segment_graphs(

@@ -156,7 +156,9 @@ class SyncedSearcher:
             open_indexes[index.full_name] = self._open_index_meta(index.id)
             self._index_state[index.id] = index.updated_at
         config = ShardConfig(shard_id=shard_id, kbid=shard.kbid, vectorsets=vectorsets)
-        searcher = ShardSearcher(config, open_indexes)
+        with self._mu:
+            prev = self._shards.get(shard_id)
+        searcher = ShardSearcher(config, open_indexes, prev=prev)
         with self._mu:
             self._shards[shard_id] = searcher
             self._shards.move_to_end(shard_id)

@@ -114,9 +114,13 @@ class ShardSearcher:
         self,
         config: ShardConfig,
         open_indexes: dict[str, OpenIndexMetadata],
+        prev: "ShardSearcher | None" = None,
     ):
         """``open_indexes`` maps index name ('text', 'paragraph', 'relation',
-        'json', 'vector/{vs}') to its OpenIndexMetadata."""
+        'json', 'vector/{vs}') to its OpenIndexMetadata. ``prev`` is the
+        searcher being replaced on a refresh — its device arenas extend
+        in place when the new segment list is a superset (the delta-upload
+        path in DeviceVectorIndex)."""
         self.config = config
         self.text = TextSearcher(open_indexes["text"]) if "text" in open_indexes else None
         self.paragraph = (
@@ -135,7 +139,10 @@ class ShardSearcher:
             if name.startswith("vector/"):
                 vs = name.split("/", 1)[1]
                 vs_config = config.vectorsets[vs]
-                self.vectors[vs] = VectorSearcher(vs_config, oi)
+                self.vectors[vs] = VectorSearcher(
+                    vs_config, oi,
+                    prev=prev.vectors.get(vs) if prev is not None else None,
+                )
 
     # ------------------------------------------------------------------
 

@@ -95,3 +95,58 @@ def test_merge_preserves_tags(rng, tmp_path):
     open_index = SimpleOpenIndex(segment_list=[(m1, Seq(1)), (m2, Seq(2))])
     merged = merge_segments(str(tmp_path / "m"), open_index, cfg)
     assert "hidden" in merged.tags
+
+
+def test_incremental_arena_extend_matches_full_build(tmp_path, rng):
+    """A refresh that appends segments must produce byte-identical search
+    behavior whether the arena was extended on device (delta upload) or
+    rebuilt from scratch — and content changes must force the full path."""
+    import numpy as np
+
+    from nucliadb_tpu.index.vector import Elem, VectorSearchRequest, VectorSearcher
+    from nucliadb_tpu.index.vector.config import VectorConfig
+    from nucliadb_tpu.index.vector.device import DeviceVectorIndex
+    from nucliadb_tpu.index.vector.segment import create_segment, open_segment
+    from nucliadb_tpu.types import Seq, SimpleOpenIndex
+
+    cfg = VectorConfig(dimension=16)
+
+    def seg(n, name, base):
+        elems = [
+            Elem(
+                key=f"r{base + i}/t/t/0/0-10",
+                vectors=rng.standard_normal((1, 16)).astype(np.float32),
+                labels=[],
+                metadata={},
+            )
+            for i in range(n)
+        ]
+        meta = create_segment(str(tmp_path / name), elems, cfg)
+        return (open_segment(meta.path), Seq(base))
+
+    s1, s2, s3 = seg(40, "s1", 100), seg(30, "s2", 200), seg(25, "s3", 300)
+
+    prev = DeviceVectorIndex(cfg, [s1, s2])
+    incr = DeviceVectorIndex(cfg, [s1, s2, s3], prev=prev)
+    full = DeviceVectorIndex(cfg, [s1, s2, s3])
+    assert incr.n_para == full.n_para == 95
+    np.testing.assert_array_equal(
+        np.asarray(incr.vectors), np.asarray(full.vectors)
+    )
+
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    si, ii = incr.search(q, 7)
+    sf, if_ = full.search(q, 7)
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(if_))
+    np.testing.assert_allclose(np.asarray(si), np.asarray(sf), rtol=1e-6)
+
+    # prev still serves its own (shorter) corpus untouched
+    sp, ip = prev.search(q, 7)
+    assert int(np.asarray(ip).max()) < 70
+
+    # a reordered/merged segment list breaks the prefix -> full rebuild path
+    reordered = DeviceVectorIndex(cfg, [s2, s1, s3], prev=prev)
+    sr, ir = reordered.search(q, 7)
+    fresh = DeviceVectorIndex(cfg, [s2, s1, s3])
+    s2_, i2_ = fresh.search(q, 7)
+    np.testing.assert_array_equal(np.asarray(ir), np.asarray(i2_))
