@@ -166,6 +166,9 @@ class CreateResourcePayload(BaseModel):
     usermetadata: UserMetadata = Field(default_factory=UserMetadata)
     usergenerated_relations: list[RelationPayload] = Field(default_factory=list)
     origin: Optional[Origin] = None
+    # free-form user metadata blob, stored and served back verbatim
+    # (parity: nucliadb_models/metadata.py Extra)
+    extra: Optional[dict] = None
     security: Optional[ResourceSecurity] = None
     hidden: bool = False
     # standalone extension: vectorset -> field id -> sentence embeddings

@@ -445,6 +445,8 @@ class StandaloneApp:
                 out.pop("usergenerated_relations", None)
             if "security" not in show and "values" not in show:
                 out.pop("security", None)
+            if "extra" not in show and "values" not in show:
+                out.pop("extra", None)
             out.pop("embeddings", None)
             return out
 

@@ -1753,3 +1753,20 @@ def test_find_show_options(server):
     assert data["texts"]["t"]["body"] == "showable body text"
     assert data["usergenerated_relations"][0]["label"] == "l"
     assert data["created"] is not None
+
+
+def test_resource_extra_metadata(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "extra-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "x", "extra": {"metadata": {"pipeline": 7, "tags": ["a"]}}},
+    ).json()["uuid"]
+    base = f"/api/v1/kb/{kbid}/resource/{rid}"
+    assert "extra" not in client.get(base, params={"show": "basic"}).json()
+    got = client.get(base, params={"show": "basic,extra"}).json()
+    assert got["extra"] == {"metadata": {"pipeline": 7, "tags": ["a"]}}
+    # PATCH preserves/replaces it
+    client.patch(base, json={"extra": {"metadata": {"pipeline": 8}}})
+    got = client.get(base, params={"show": "values"}).json()
+    assert got["extra"]["metadata"]["pipeline"] == 8
