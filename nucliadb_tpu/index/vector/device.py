@@ -79,6 +79,12 @@ def _arena_append(arena, delta, start):
     return jax.lax.dynamic_update_slice(arena, delta, (start, 0))
 
 
+@jax.jit
+def _scale_append(arr, delta, start):
+    """1-D companion of _arena_append (per-row quantization scales)."""
+    return jax.lax.dynamic_update_slice(arr, delta, (start,))
+
+
 class DeviceVectorIndex:
     """All open segments of one vector index, resident on device."""
 
@@ -187,10 +193,9 @@ class DeviceVectorIndex:
             if prev.n_para + pad_rows <= self.p_pad:
                 delta_padded = np.zeros((pad_rows, dim), np.float32)
                 delta_padded[: delta.shape[0]] = delta
+                delta_dev = jnp.asarray(delta_padded, dtype=store_dtype)
                 extended = _arena_append(
-                    prev.vectors,
-                    jnp.asarray(delta_padded, dtype=store_dtype),
-                    jnp.int32(prev.n_para),
+                    prev.vectors, delta_dev, jnp.int32(prev.n_para)
                 )
         if extended is not None:
             self.vectors = extended
@@ -204,7 +209,24 @@ class DeviceVectorIndex:
         self.codes: quant.Int8Codes | quant.BinaryCodes | None = None
         if not self.multi and self.n_para > EXACT_SCAN_THRESHOLD:
             if config.quantization == Quantization.INT8:
-                self.codes = quant.Int8Codes.encode(self.vectors)
+                if (
+                    extended is not None
+                    and isinstance(prev.codes, quant.Int8Codes)
+                ):
+                    # int8 encoding is per-row independent: encode only the
+                    # delta and splice, instead of re-reading the whole
+                    # arena every refresh
+                    dcodes = quant.Int8Codes.encode(delta_dev)
+                    self.codes = quant.Int8Codes(
+                        codes=_arena_append(
+                            prev.codes.codes, dcodes.codes, jnp.int32(prev.n_para)
+                        ),
+                        scale=_scale_append(
+                            prev.codes.scale, dcodes.scale, jnp.int32(prev.n_para)
+                        ),
+                    )
+                else:
+                    self.codes = quant.Int8Codes.encode(self.vectors)
             elif config.quantization == Quantization.BINARY:
                 self.codes = quant.BinaryCodes.encode(self.vectors)
 

@@ -150,3 +150,48 @@ def test_incremental_arena_extend_matches_full_build(tmp_path, rng):
     fresh = DeviceVectorIndex(cfg, [s2, s1, s3])
     s2_, i2_ = fresh.search(q, 7)
     np.testing.assert_array_equal(np.asarray(ir), np.asarray(i2_))
+
+
+def test_incremental_codes_extend_matches_full_encode(tmp_path, rng, monkeypatch):
+    """Int8 codes extended row-by-row must equal a full re-encode."""
+    import numpy as np
+
+    from nucliadb_tpu.index.vector import Elem
+    from nucliadb_tpu.index.vector import device as device_mod
+    from nucliadb_tpu.index.vector.config import VectorConfig
+    from nucliadb_tpu.index.vector.device import DeviceVectorIndex
+    from nucliadb_tpu.index.vector.segment import create_segment, open_segment
+    from nucliadb_tpu.types import Seq
+
+    monkeypatch.setattr(device_mod, "EXACT_SCAN_THRESHOLD", 10)
+    cfg = VectorConfig(dimension=16)
+
+    def seg(n, name, base):
+        elems = [
+            Elem(
+                key=f"r{base + i}/t/t/0/0-10",
+                vectors=rng.standard_normal((1, 16)).astype(np.float32),
+                labels=[],
+                metadata={},
+            )
+            for i in range(n)
+        ]
+        meta = create_segment(str(tmp_path / name), elems, cfg)
+        return (open_segment(meta.path), Seq(base))
+
+    s1, s2 = seg(50, "c1", 100), seg(30, "c2", 200)
+    prev = DeviceVectorIndex(cfg, [s1])
+    assert prev.codes is not None  # threshold lowered -> codes exist
+    incr = DeviceVectorIndex(cfg, [s1, s2], prev=prev)
+    full = DeviceVectorIndex(cfg, [s1, s2])
+    assert incr.codes is not None and full.codes is not None
+    np.testing.assert_array_equal(
+        np.asarray(incr.codes.codes), np.asarray(full.codes.codes)
+    )
+    np.testing.assert_allclose(
+        np.asarray(incr.codes.scale), np.asarray(full.codes.scale), rtol=1e-6
+    )
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(incr.search(q, 5)[1]), np.asarray(full.search(q, 5)[1])
+    )
