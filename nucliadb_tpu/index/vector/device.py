@@ -134,6 +134,11 @@ class DeviceVectorIndex:
             para_offset += seg.n_paragraphs
 
         self.keys = keys
+        # per-segment identity for the incremental-refresh prefix check
+        # (comparing key lists would be O(corpus) strings per refresh)
+        self._seg_sig = tuple(
+            (seg.path, int(seq), seg.n_paragraphs) for seg, seq in segments
+        )
         self.para_meta = para_meta
         self.seg_tags = seg_tags
         self.labels = {
@@ -297,7 +302,7 @@ class DeviceVectorIndex:
             return False
         if prev.vectors.dtype != store_dtype:
             return False
-        return self.keys[: prev.n_para] == prev.keys
+        return self._seg_sig[: len(prev._seg_sig)] == prev._seg_sig
 
     @staticmethod
     def _stitch_segment_graphs(
