@@ -1258,11 +1258,40 @@ class StandaloneApp:
 
         @r.get("/api/v1/kb/{kbid}/find")
         def find_get(request: Request):
+            # query-param spelling of the POST body (parity: the reference
+            # registers GET variants with fastapi_query params; repeated
+            # params arrive comma-joined from the router)
             kbid = self._kbid(request)
-            req = FindRequest(
-                query=request.query.get("query", ""),
-                top_k=int(request.query.get("top_k", 20)),
-            )
+            q = request.query
+
+            def _list(name):
+                raw = q.get(name, "")
+                return [v for v in raw.split(",") if v] if raw else []
+
+            body: dict = {"query": q.get("query", "")}
+            for name in ("top_k", "offset"):
+                if name in q:
+                    body[name] = int(q[name])
+            for name in ("highlight", "autofilter", "show_hidden", "with_synonyms"):
+                if name in q:
+                    body[name] = q[name].lower() in ("1", "true", "yes")
+            for name in ("min_score_semantic", "min_score_bm25"):
+                if name in q:
+                    body[name] = float(q[name])
+            if "min_score" in q:
+                body["min_score"] = float(q["min_score"])
+            for name in ("features", "filters", "fields", "resource_filters",
+                         "faceted", "show"):
+                vals = _list(name)
+                if vals:
+                    body[name] = vals
+            for name in ("vectorset", "rank_fusion", "reranker", "sort_field",
+                         "sort_order", "search_after",
+                         "range_creation_start", "range_creation_end",
+                         "range_modification_start", "range_modification_end"):
+                if name in q:
+                    body[name] = q[name]
+            req = _validate(FindRequest, body)
             self._sync()
             return self.search.find(kbid, req)
 

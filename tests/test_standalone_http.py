@@ -1770,3 +1770,32 @@ def test_resource_extra_metadata(server):
     client.patch(base, json={"extra": {"metadata": {"pipeline": 8}}})
     got = client.get(base, params={"show": "values"}).json()
     assert got["extra"]["metadata"]["pipeline"] == 8
+
+
+def test_find_get_query_params(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "getparams-kb"}).json()["uuid"]
+    r1 = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "s", "texts": {"t": {"body": "getparam body sports"}},
+              "usermetadata": {"classifications": [{"labelset": "topic", "label": "sports"}]}},
+    ).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "n", "texts": {"t": {"body": "getparam body news"}},
+              "usermetadata": {"classifications": [{"labelset": "topic", "label": "news"}]}},
+    )
+    out = client.get(
+        f"/api/v1/kb/{kbid}/find",
+        params=[("query", "getparam body"), ("features", "keyword"),
+                ("filters", "/l/topic/sports"), ("top_k", "5"),
+                ("highlight", "true")],
+    )
+    assert out.status_code == 200, out.text
+    assert list(out.json()["resources"]) == [r1]
+    # pagination params
+    page = client.get(
+        f"/api/v1/kb/{kbid}/find",
+        params={"query": "getparam body", "top_k": 1, "offset": 1},
+    ).json()
+    assert len(page["best_matches"]) == 1
