@@ -1322,7 +1322,15 @@ class StandaloneApp:
         @r.get("/api/v1/kb/{kbid}/suggest")
         def suggest_get(request: Request):
             kbid = self._kbid(request)
-            req = SuggestRequest(query=request.query.get("query", ""))
+            q = request.query
+            body: dict = {"query": q.get("query", "")}
+            if "top_k" in q:
+                body["top_k"] = int(q["top_k"])
+            for name in ("features", "filters"):
+                raw = q.get(name, "")
+                if raw:
+                    body[name] = [v for v in raw.split(",") if v]
+            req = _validate(SuggestRequest, body)
             self._sync()
             return self.search.suggest(kbid, req)
 
