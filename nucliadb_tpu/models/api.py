@@ -313,6 +313,8 @@ class FindRequest(BaseModel):
     # "basic" adds timestamps/labels/icon, "values" full field values,
     # "relations" usergenerated relations)
     show: list[str] = Field(default_factory=list)
+    # return per-phase timings on the response (parity: debug mode)
+    debug: bool = False
 
 
 class FindResourceData(BaseModel):
@@ -372,6 +374,9 @@ class KnowledgeboxFindResults(BaseModel):
     next_cursor: Optional[str] = None  # pass back as search_after
     autofilters: list[str] = Field(default_factory=list)  # applied entity filters
     fulltext: Optional["FulltextResults"] = None  # feature "fulltext"
+    # per-phase seconds, present when the request set debug=true (parity:
+    # the reference's debug/audit request metrics, search/search/metrics.py)
+    timings: Optional[dict[str, float]] = None
 
 
 class FulltextHit(BaseModel):

@@ -663,6 +663,8 @@ class SearchService:
                     total=fulltext_total,
                     facets=fulltext_facets,
                 )
+        if request.debug:
+            results.timings = dict(metrics.phases)
         return results
 
     def _query_relations(self, kbid: str, query: str) -> list[Relation]:

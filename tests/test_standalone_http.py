@@ -1799,3 +1799,21 @@ def test_find_get_query_params(server):
         params={"query": "getparam body", "top_k": 1, "offset": 1},
     ).json()
     assert len(page["best_matches"]) == 1
+
+
+def test_find_debug_timings(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "dbg-kb"}).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "d", "texts": {"t": {"body": "debug timing body"}}},
+    )
+    out = client.post(
+        f"/api/v1/kb/{kbid}/find", json={"query": "debug timing", "debug": True}
+    ).json()
+    assert out["timings"] is not None
+    assert {"retrieval", "fusion", "hydration"} <= set(out["timings"])
+    plain = client.post(
+        f"/api/v1/kb/{kbid}/find", json={"query": "debug timing"}
+    ).json()
+    assert plain["timings"] is None
