@@ -1341,6 +1341,29 @@ class StandaloneApp:
             self._sync()
             return self.search.catalog(kbid, req)
 
+        @r.get("/api/v1/kb/{kbid}/catalog")
+        def catalog_get(request: Request):
+            # parity: catalog.py registers GET alongside POST
+            kbid = self._kbid(request)
+            q = request.query
+            body: dict = {"query": q.get("query", "")}
+            for name in ("page_number", "page_size"):
+                if name in q:
+                    body[name] = int(q[name])
+            for name in ("faceted", "filters"):
+                raw = q.get(name, "")
+                if raw:
+                    body[name] = [v for v in raw.split(",") if v]
+            for name in ("order_by", "range_creation_start", "range_creation_end",
+                         "range_modification_start", "range_modification_end"):
+                if name in q:
+                    body[name] = q[name]
+            if "hidden" in q:
+                body["hidden"] = q["hidden"].lower() in ("1", "true", "yes")
+            req = _validate(CatalogRequest, body)
+            self._sync()
+            return self.search.catalog(kbid, req)
+
         @r.post("/api/v1/kb/{kbid}/catalog/facets")
         def catalog_facets(request: Request):
             """Facet distribution only (parity: /catalog/facets)."""

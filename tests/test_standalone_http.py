@@ -1817,3 +1817,21 @@ def test_find_debug_timings(server):
         f"/api/v1/kb/{kbid}/find", json={"query": "debug timing"}
     ).json()
     assert plain["timings"] is None
+
+
+def test_catalog_get_variant(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "catget-kb"}).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "list me",
+              "usermetadata": {"classifications": [{"labelset": "t", "label": "x"}]}},
+    )
+    out = client.get(
+        f"/api/v1/kb/{kbid}/catalog",
+        params={"page_size": 10, "faceted": "/l/t"},
+    )
+    assert out.status_code == 200, out.text
+    body = out.json()
+    assert body["total"] == 1 and body["resources"][0]["title"] == "list me"
+    assert body["facets"]
