@@ -1544,25 +1544,14 @@ class StandaloneApp:
                 seen.setdefault((p.relation, p.label), {"relation": p.relation, "label": p.label})
             return {"relations": list(seen.values())}
 
-        @r.post("/api/v1/kb/{kbid}/ask")
-        def ask(request: Request):
-            kbid = self._kbid(request)
-            req = _validate(AskRequest, _apply_search_config(kbid, request.json()))
-            self._sync()
-            t0 = time.monotonic()
-            result = self.search.ask(kbid, req)
-            user, client = _audit_ctx(request)
-            self.audit.chat(
-                kbid, req.query, result.answer, status=result.status,
-                user=user, client_type=client,
-                duration_ms=(time.monotonic() - t0) * 1e3,
-            )
+        def _ask_response(request: Request, result):
+            """Shared /ask response shaping: synchronous JSON or the chunked
+            ndjson item stream (parity: AskResponseItems — retrieval, answer
+            chunks, citations, status; reference search/api/v1/ask.py)."""
             accept = request.headers.get("x-synchronous", "")
             if request.query.get("stream") != "ndjson" and accept != "false":
                 return result
-            # chunked ndjson item stream (parity: /ask's default ndjson
-            # response — AskResponseItems: retrieval, answer chunks,
-            # citations, status; reference search/api/v1/ask.py)
+
             def ndjson_items():
                 if result.retrieval is not None:
                     yield json.dumps(
@@ -1580,6 +1569,21 @@ class StandaloneApp:
                 yield json.dumps({"item": {"type": "status", "status": result.status}}) + "\n"
 
             return StreamingResponse(ndjson_items(), content_type="application/x-ndjson")
+
+        @r.post("/api/v1/kb/{kbid}/ask")
+        def ask(request: Request):
+            kbid = self._kbid(request)
+            req = _validate(AskRequest, _apply_search_config(kbid, request.json()))
+            self._sync()
+            t0 = time.monotonic()
+            result = self.search.ask(kbid, req)
+            user, client = _audit_ctx(request)
+            self.audit.chat(
+                kbid, req.query, result.answer, status=result.status,
+                user=user, client_type=client,
+                duration_ms=(time.monotonic() - t0) * 1e3,
+            )
+            return _ask_response(request, result)
 
         # ---- vocabulary services (writer/api/v1/services.py parity) -----
 
@@ -1960,7 +1964,7 @@ class StandaloneApp:
                 user=user, client_type=client,
                 duration_ms=(time.monotonic() - t0) * 1e3,
             )
-            return result
+            return _ask_response(request, result)
 
         @r.post("/api/v1/kb/{kbid}/resource/{rid}/run-agents")
         def run_agents(request: Request):

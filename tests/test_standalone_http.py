@@ -1,5 +1,6 @@
 import asyncio
 import threading
+import json
 
 import httpx
 import numpy as np
@@ -1835,3 +1836,21 @@ def test_catalog_get_variant(server):
     body = out.json()
     assert body["total"] == 1 and body["resources"][0]["title"] == "list me"
     assert body["facets"]
+
+
+def test_resource_ask_ndjson_stream(server):
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "rask-stream-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "s", "texts": {"t": {"body": "streamable resource answer"}}},
+    ).json()["uuid"]
+    out = client.post(
+        f"/api/v1/kb/{kbid}/resource/{rid}/ask",
+        params={"stream": "ndjson"},
+        json={"query": "streamable"},
+    )
+    assert out.status_code == 200, out.text
+    items = [json.loads(l) for l in out.text.splitlines() if l]
+    kinds = [i["item"]["type"] for i in items]
+    assert kinds[0] == "retrieval" and kinds[-1] == "status"
