@@ -202,6 +202,21 @@ class NucliaDBClient:
         self._raise(resp)
         return resp.json()
 
+    def versions(self) -> dict:
+        resp = self._client.get("/api/v1/versions")
+        self._raise(resp)
+        return resp.json()
+
+    def config_check(self) -> dict:
+        resp = self._client.get("/api/v1/config-check")
+        self._raise(resp)
+        return resp.json()
+
+    def temp_access_token(self) -> str:
+        resp = self._client.get("/api/v1/temp-access-token")
+        self._raise(resp)
+        return resp.json()["token"]
+
     def trainset_partitions(self, kbid: str, prefix: str = "") -> list[str]:
         path = f"/api/v1/kb/{kbid}/trainset" + (f"/{prefix}" if prefix else "")
         resp = self._client.get(path)

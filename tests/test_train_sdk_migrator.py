@@ -261,6 +261,11 @@ def test_sdk_against_server(tmp_path):
     assert client.admin_shards(kb.uuid)["shards"]
     assert client.set_log_level("nucliadb_tpu.sdk", "INFO")["level"] == "INFO"
 
+    # standalone introspection
+    assert "nucliadb_tpu" in client.versions()
+    assert client.config_check()["user"]["roles"]
+    assert client.temp_access_token()
+
     # raw retrieval + resource-scoped calls + train REST
     matches = client.retrieve(kb.uuid, {"query": {"keyword": "sdk"}}).matches
     assert matches and matches[0].score.type == "rrf"
