@@ -130,11 +130,16 @@ class ParagraphSearchResponse:
 
 
 class ParagraphSearcher:
-    def __init__(self, open_index: OpenIndexMetadata):
+    def __init__(
+        self, open_index: OpenIndexMetadata, prev: "ParagraphSearcher | None" = None
+    ):
         segments = [
             (open_text_segment(m.path), seq) for m, seq in open_index.segments()
         ]
-        self.engine = DeviceTextEngine(segments, open_index.deletions())
+        self.engine = DeviceTextEngine(
+            segments, open_index.deletions(),
+            prev=prev.engine if prev is not None else None,
+        )
 
     def search(self, request: ParagraphSearchRequest) -> ParagraphSearchResponse:
         rest, phrases = split_phrases(request.query)
@@ -252,14 +257,9 @@ class ParagraphSearcher:
         if not toks:
             return []
         last = toks[-1]
-        import bisect
-
-        terms = self.engine.terms_sorted
-        lo = bisect.bisect_left(terms, last)
-        hi = bisect.bisect_left(terms, last + "￿")
-        expansions = terms[lo : min(hi, lo + 10)]
+        expansions = self.engine.prefix_terms(last, 10)
         if not expansions:
-            expansions = self.engine.fuzzy_index.expand(last, 1)
+            expansions = self.engine.fuzzy_expand(last, 1)
         best: dict[str, ParagraphHit] = {}
         for exp in expansions[:5]:
             text = " ".join(toks[:-1] + [exp])

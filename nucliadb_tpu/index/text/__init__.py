@@ -145,11 +145,16 @@ def _date_range_mask(engine, range_creation, range_modification) -> "Optional[np
 
 
 class TextSearcher:
-    def __init__(self, open_index: OpenIndexMetadata):
+    def __init__(
+        self, open_index: OpenIndexMetadata, prev: "TextSearcher | None" = None
+    ):
         segments = [
             (open_text_segment(m.path), seq) for m, seq in open_index.segments()
         ]
-        self.engine = DeviceTextEngine(segments, open_index.deletions())
+        self.engine = DeviceTextEngine(
+            segments, open_index.deletions(),
+            prev=prev.engine if prev is not None else None,
+        )
 
     def _security_mask(self, groups: Optional[list[str]]) -> Optional[np.ndarray]:
         """Docs visible to the given access groups (public always visible).

@@ -179,7 +179,35 @@ def build_segment(
     )
 
 
+# Open-segment cache: segments are immutable once written (meta.json is the
+# last file build_segment writes), so re-opens on every searcher refresh —
+# msgpack-unpacking O(corpus) keys/attrs each sync — are pure waste. Keyed
+# by (path, meta.json stat) so a rewritten directory is never served stale.
+_OPEN_CACHE: "dict[tuple, TextSegmentData]" = {}
+_OPEN_CACHE_MAX = 1024
+
+import threading as _threading
+
+_OPEN_CACHE_LOCK = _threading.Lock()
+
+
 def open_text_segment(path: str) -> TextSegmentData:
+    meta_path = os.path.join(path, "meta.json")
+    st = os.stat(meta_path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    with _OPEN_CACHE_LOCK:
+        hit = _OPEN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    seg = _open_text_segment_uncached(path)
+    with _OPEN_CACHE_LOCK:
+        while len(_OPEN_CACHE) >= _OPEN_CACHE_MAX:
+            _OPEN_CACHE.pop(next(iter(_OPEN_CACHE)))
+        _OPEN_CACHE[key] = seg
+    return seg
+
+
+def _open_text_segment_uncached(path: str) -> TextSegmentData:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     with open(os.path.join(path, "keys.msgpack"), "rb") as f:

@@ -12,9 +12,22 @@ vector index, device.py): a global term dictionary plus **tiered postings**:
   This is the TPU counterpart of WAND skipping: the expensive terms are
   restructured, not skipped.
 
-Per-tier query capacity is fixed (static shapes, one compiled kernel per
-top_k); when a query exceeds a tier's capacity the lowest-idf terms of that
-tier are dropped — exactly the terms WAND would skip first.
+Per-tier query capacity is **adaptive**: capacities start at a small default
+and double (a bounded set of compiled shapes) until every planned term of
+the query is scheduled — long queries score ALL their terms, matching
+tantivy's scoring-all-terms behavior (the reference scores every term via
+nidx_paragraph, nidx_paragraph/src/lib.rs:48-).
+
+**Incremental refresh** (the searcher-sync fast path, parity with the
+reference's incremental segment sync, nidx/src/searcher/sync.rs:57-219):
+when the previous engine's segments are a prefix of the new list, the
+consolidated base arenas are reused as-is and only the NEW segments
+consolidate into a small **overlay** (its own posting tiers + a local dense
+block), so a refresh under continuous ingest uploads O(new docs' postings)
+over the host<->device relay instead of O(corpus). Base and overlay
+postings are disjoint by construction (overlay postings only reference
+overlay docs), so scores/counts add without interaction; a merge that
+rewrites base segments falls back to the full build.
 
 Scoring is Lucene/tantivy-compatible BM25 (k1=1.2, b=0.75,
 idf = ln(1 + (N - df + 0.5)/(df + 0.5))) so scores are comparable with the
@@ -44,12 +57,37 @@ B = 0.75
 FUZZY_WEIGHT = 0.7  # score discount for fuzzy-expanded terms
 
 TIER_WIDTHS = (32, 256, 2048, 16384)  # postings padded length per tier
-TIER_QUERY_CAP = (32, 32, 8, 8)  # query terms per tier per query
+TIER_QUERY_CAP = (32, 32, 8, 8)  # default query terms per tier per query
 DENSE_QUERY_CAP = 4
+# overlay (incremental-refresh delta) tiers: the delta corpus is small —
+# narrow tiers keep the per-refresh upload proportional to the delta's
+# postings; df beyond the last width goes to a local dense block
+OVERLAY_TIER_WIDTHS = (4, 64, 1024, 8192)
+OVERLAY_QUERY_CAP = (16, 8, 4, 4)
+OVERLAY_DENSE_CAP = 4
+# refreshes consolidate all segments since the last full build; past this
+# many delta docs a full rebuild is cheaper than hauling the overlay around
+OVERLAY_MAX_DOCS = 131072
 IMPOSSIBLE_REQUIRED = 1_000_000  # AND queries with unknown terms match nothing
 
 
 from ...utils.buckets import bucket as _bucket  # shared {2^k, 1.5*2^k} ladder
+
+# host->device bytes shipped by engine builds (tests assert the incremental
+# path's uploads scale with the delta, not the corpus)
+UPLOAD_BYTES = 0
+
+
+def _dput(arr) -> jax.Array:
+    global UPLOAD_BYTES
+    a = np.asarray(arr)
+    UPLOAD_BYTES += a.nbytes
+    return jax.device_put(jnp.asarray(a))
+
+
+@jax.jit
+def _splice_1d(arr, delta, start):
+    return jax.lax.dynamic_update_slice(arr, delta, (start,))
 
 
 @dataclass
@@ -95,79 +133,343 @@ class _CountOnly:
         return self._n
 
 
+class _Consolidated:
+    """Host-side consolidation of a segment run (pure numpy)."""
+
+    __slots__ = (
+        "keys", "attrs", "facet_chunks", "column_chunks", "alive", "dlen",
+        "total_len", "terms_sorted", "group_offsets", "pdocs", "ptfs",
+        "doc_seg", "n_docs",
+    )
+
+
+def _consolidate(
+    segments: Sequence[tuple[TextSegmentData, Seq]],
+    deletions: Sequence[tuple[str, Seq]],
+    doc_offset0: int,
+    seg_idx0: int,
+) -> _Consolidated:
+    """Remap a run of segments to global term/doc ids. Doc ids start at
+    ``doc_offset0``; ``doc_seg`` records (segment idx, doc offset) with
+    segment indices starting at ``seg_idx0``.
+
+    Consolidation is pure numpy: per-posting Python loops are a cliff
+    (a 1M-doc segment has ~1e8 postings). Per segment we remap its term
+    ids to the run dictionary and offset its doc ids; a stable sort by
+    term id then groups every term's postings."""
+    out = _Consolidated()
+    keys: list[str] = []
+    attrs: list[dict] = []
+    facet_chunks: dict[str, list[np.ndarray]] = {}
+    column_chunks: dict[str, list[np.ndarray]] = {}
+    alive_chunks: list[np.ndarray] = []
+    dlen_chunks: list[np.ndarray] = []
+    doc_seg: list[tuple[int, int]] = []
+    total_len = 0
+
+    all_terms: set[str] = set()
+    for seg, _ in segments:
+        all_terms.update(seg.terms)
+    terms_sorted = sorted(all_terms)
+    term_to_gid = {t: i for i, t in enumerate(terms_sorted)}
+
+    gid_chunks: list[np.ndarray] = []
+    doc_chunks: list[np.ndarray] = []
+    tf_chunks: list[np.ndarray] = []
+
+    offset = doc_offset0
+    for seg_idx, (seg, seq) in enumerate(segments, start=seg_idx0):
+        keys.extend(seg.keys)
+        attrs.extend(seg.attrs)
+        alive_chunks.append(alive_mask_text(seg, seq, deletions))
+        dlen_chunks.append(np.asarray(seg.dlen, dtype=np.int32))
+        total_len += int(seg.meta.get("total_len", int(np.sum(seg.dlen))))
+        for facet, dids in seg.facets.items():
+            facet_chunks.setdefault(facet, []).append(dids + offset)
+        for name, col in seg.columns.items():
+            column_chunks.setdefault(name, []).append(np.asarray(col))
+        doc_seg.extend((seg_idx, offset) for _ in range(seg.n_docs))
+        po = np.asarray(seg.postings_offsets)
+        counts = np.diff(po).astype(np.int64)
+        local_gids = np.fromiter(
+            (term_to_gid[t] for t in seg.terms), dtype=np.int64, count=len(seg.terms)
+        )
+        gid_chunks.append(np.repeat(local_gids, counts))
+        doc_chunks.append(np.asarray(seg.postings_docs, np.int64) + offset)
+        tf_chunks.append(np.asarray(seg.postings_tfs, np.float32))
+        offset += seg.n_docs
+
+    if gid_chunks:
+        gids = np.concatenate(gid_chunks)
+        pdocs = np.concatenate(doc_chunks)
+        ptfs = np.concatenate(tf_chunks)
+        order = np.argsort(gids, kind="stable")
+        gids, pdocs, ptfs = gids[order], pdocs[order], ptfs[order]
+        group_counts = np.bincount(gids, minlength=len(terms_sorted))
+        group_offsets = np.zeros(len(terms_sorted) + 1, np.int64)
+        np.cumsum(group_counts, out=group_offsets[1:])
+    else:
+        pdocs = np.zeros(0, np.int64)
+        ptfs = np.zeros(0, np.float32)
+        group_offsets = np.zeros(len(terms_sorted) + 1, np.int64)
+
+    out.keys = keys
+    out.attrs = attrs
+    out.facet_chunks = facet_chunks
+    out.column_chunks = column_chunks
+    out.alive = (
+        np.concatenate(alive_chunks) if alive_chunks else np.zeros(0, bool)
+    )
+    out.dlen = (
+        np.concatenate(dlen_chunks) if dlen_chunks else np.zeros(0, np.int32)
+    )
+    out.total_len = total_len
+    out.terms_sorted = terms_sorted
+    out.group_offsets = group_offsets
+    out.pdocs = pdocs
+    out.ptfs = ptfs
+    out.doc_seg = doc_seg
+    out.n_docs = offset - doc_offset0
+    return out
+
+
 class DeviceTextEngine:
-    """Consolidated segments of one text index + BM25 device kernels."""
+    """Consolidated segments of one text index + BM25 device kernels.
+
+    ``prev`` (the engine being replaced on a searcher refresh) enables the
+    incremental overlay build — see the module docstring."""
 
     def __init__(
         self,
         segments: Sequence[tuple[TextSegmentData, Seq]],
         deletions: Sequence[tuple[str, Seq]] = (),
+        prev: "DeviceTextEngine | None" = None,
     ):
         configure_jax()
         self.segments = [s for s, _ in segments]
+        self._seg_sig = tuple(
+            (s.path, int(seq), s.n_docs) for s, seq in segments
+        )
+        self._base_mask_dev: jax.Array | None = None
+        self._mask_tail_span = 0
+        self._fuzzy: FuzzyIndex | None = None
+        self._overlay_fuzzy: FuzzyIndex | None = None
+        self._host_postings_cache: dict = {}
 
-        keys: list[str] = []
-        attrs: list[dict] = []
-        facet_chunks: dict[str, list[np.ndarray]] = {}
-        column_chunks: dict[str, list[np.ndarray]] = {}
-        alive_chunks: list[np.ndarray] = []
-        dlen_chunks: list[np.ndarray] = []
-        self.doc_seg: list[tuple[int, int]] = []  # global doc -> (segment idx, offset)
-        total_len = 0
+        if prev is not None and self._try_extend(segments, deletions, prev):
+            return
+        self._full_build(segments, deletions)
 
-        # Consolidation is pure numpy: per-posting Python loops are a cliff
-        # (a 1M-doc segment has ~1e8 postings). Per segment we remap its term
-        # ids to the global dictionary and offset its doc ids; a stable sort
-        # by global term id then groups every term's postings.
-        all_terms: set[str] = set()
-        for seg, _ in segments:
-            all_terms.update(seg.terms)
-        self.terms_sorted = sorted(all_terms)
-        term_to_gid = {t: i for i, t in enumerate(self.terms_sorted)}
+    # ------------------------------------------------------------------
+    # build
+    # ------------------------------------------------------------------
 
-        gid_chunks: list[np.ndarray] = []
-        doc_chunks: list[np.ndarray] = []
-        tf_chunks: list[np.ndarray] = []
+    def _full_build(self, segments, deletions) -> None:
+        c = _consolidate(segments, deletions, 0, 0)
 
-        offset = 0
-        for seg_idx, (seg, seq) in enumerate(segments):
-            keys.extend(seg.keys)
-            attrs.extend(seg.attrs)
-            alive_chunks.append(alive_mask_text(seg, seq, deletions))
-            dlen_chunks.append(np.asarray(seg.dlen, dtype=np.int32))
-            total_len += int(seg.meta.get("total_len", int(np.sum(seg.dlen))))
-            for facet, dids in seg.facets.items():
-                facet_chunks.setdefault(facet, []).append(dids + offset)
-            for name, col in seg.columns.items():
-                column_chunks.setdefault(name, []).append(np.asarray(col))
-            self.doc_seg.extend((seg_idx, offset) for _ in range(seg.n_docs))
-            po = np.asarray(seg.postings_offsets)
-            counts = np.diff(po).astype(np.int64)
-            local_gids = np.fromiter(
-                (term_to_gid[t] for t in seg.terms), dtype=np.int64, count=len(seg.terms)
+        self.keys = c.keys
+        self.attrs = c.attrs
+        self.n_docs = c.n_docs
+        self.doc_seg = c.doc_seg
+        self.alive = c.alive
+        self.facets = {
+            f: np.sort(np.concatenate(ch)) for f, ch in c.facet_chunks.items()
+        }
+        self.columns = {n: np.concatenate(ch) for n, ch in c.column_chunks.items()}
+        self.total_len = c.total_len
+        self.terms_sorted = c.terms_sorted
+        self._rebuild_seg_bounds(segments)
+
+        self.n_pad = _bucket(max(self.n_docs, 1))
+        dlen_p = np.ones(self.n_pad, np.float32)
+        dlen_p[: self.n_docs] = np.maximum(c.dlen, 1)
+        self.dlen = _dput(dlen_p)
+
+        tiers_np, term_info, dense_rows = _build_tier_matrices(
+            c.terms_sorted, c.group_offsets, c.pdocs, c.ptfs,
+            TIER_WIDTHS,
+        )
+        self.term_info: dict[str, tuple[int, int, int]] = term_info
+        self.tiers: list[tuple[jax.Array, jax.Array]] = [
+            (_dput(d), _dput(t)) for d, t in tiers_np
+        ]
+        self.tier_caps: tuple[int, ...] = TIER_QUERY_CAP
+
+        dense_m = np.zeros((1, self.n_pad), np.uint8)
+        if dense_rows:
+            dense_m = np.zeros((len(dense_rows), self.n_pad), np.uint8)
+            for row, (term, lo, hi, df) in enumerate(dense_rows):
+                dense_m[row, c.pdocs[lo:hi]] = np.minimum(
+                    c.ptfs[lo:hi], 255
+                ).astype(np.uint8)
+                self.term_info[term] = (-1, row, df)
+        self.dense_tf = _dput(dense_m)
+
+        # base snapshot (shared by-reference with incremental successors)
+        self.base_sig = self._seg_sig
+        self.base_n_segs = len(self.segments)
+        self.base_n_docs = self.n_docs
+        self.base_total_len = self.total_len
+        self.base_keys = self.keys
+        self.base_attrs = self.attrs
+        self.base_doc_seg = self.doc_seg
+        self.base_facets = self.facets
+        self.base_columns = self.columns
+        self.base_tiers = self.tiers
+
+        # empty overlay
+        self.overlay_term_info: dict[str, tuple[int, int, int]] = {}
+        self.overlay_terms_sorted: list[str] = []
+        self.odense_tf: jax.Array | None = None
+        self.odense_base = 0
+
+    def _try_extend(self, segments, deletions, prev) -> bool:
+        """Reuse ``prev``'s base arenas; consolidate only the delta segments
+        into an overlay. Returns False when the fast path doesn't apply
+        (base segments changed, padding exhausted, overlay too large)."""
+        base_sig = prev.base_sig
+        if (
+            len(self._seg_sig) < len(base_sig)
+            or self._seg_sig[: len(base_sig)] != base_sig
+        ):
+            return False
+        n_total = sum(s.n_docs for s, _ in segments)
+        overlay_docs = n_total - prev.base_n_docs
+        if overlay_docs < 0 or n_total > prev.n_pad or overlay_docs > OVERLAY_MAX_DOCS:
+            return False
+
+        base_n = prev.base_n_docs
+        ov_segments = list(segments[prev.base_n_segs :])
+        c = _consolidate(deletions=deletions, segments=ov_segments,
+                         doc_offset0=base_n, seg_idx0=prev.base_n_segs)
+
+        # shared base state (immutable after its full build)
+        self.n_pad = prev.n_pad
+        self.term_info = prev.term_info
+        self.tiers = list(prev.base_tiers)
+        self.tier_caps = TIER_QUERY_CAP
+        self.dense_tf = prev.dense_tf
+        self.terms_sorted = prev.terms_sorted
+        self.base_sig = prev.base_sig
+        self.base_n_segs = prev.base_n_segs
+        self.base_n_docs = prev.base_n_docs
+        self.base_total_len = prev.base_total_len
+        self.base_keys = prev.base_keys
+        self.base_attrs = prev.base_attrs
+        self.base_doc_seg = prev.base_doc_seg
+        self.base_facets = prev.base_facets
+        self.base_columns = prev.base_columns
+        self.base_tiers = prev.base_tiers
+        self._fuzzy = prev._fuzzy  # base vocabulary is identical
+        if prev._seg_sig == self._seg_sig[: len(prev._seg_sig)]:
+            # prev's opened segments are a prefix of ours -> its memoized
+            # host postings (keyed by segment idx) stay valid
+            self._host_postings_cache = dict(prev._host_postings_cache)
+
+        self.n_docs = n_total
+        self.keys = self.base_keys + c.keys
+        self.attrs = self.base_attrs + c.attrs
+        self.doc_seg = self.base_doc_seg + c.doc_seg
+        self.total_len = self.base_total_len + c.total_len
+        self._rebuild_seg_bounds(segments)
+        # base deletions may have grown: recompute base aliveness from the
+        # (cached-open) base segments — bisect cost, no postings touched
+        base_alive_chunks = [
+            alive_mask_text(seg, seq, deletions)
+            for seg, seq in segments[: self.base_n_segs]
+        ]
+        base_alive = (
+            np.concatenate(base_alive_chunks) if base_alive_chunks else np.zeros(0, bool)
+        )
+        self.alive = np.concatenate([base_alive, c.alive])
+
+        # overlay doc ids are all > base ids and base postings are sorted, so
+        # concatenation preserves facet/column order
+        self.facets = dict(self.base_facets)
+        for f, chunks in c.facet_chunks.items():
+            ov = np.sort(np.concatenate(chunks))
+            prev_ids = self.facets.get(f)
+            self.facets[f] = (
+                ov if prev_ids is None else np.concatenate([prev_ids, ov])
             )
-            gid_chunks.append(np.repeat(local_gids, counts))
-            doc_chunks.append(np.asarray(seg.postings_docs, np.int64) + offset)
-            tf_chunks.append(np.asarray(seg.postings_tfs, np.float32))
-            offset += seg.n_docs
+        self.columns = {}
+        pad_cols = None
+        for name, base_col in self.base_columns.items():
+            ov = c.column_chunks.get(name)
+            ov_col = (
+                np.concatenate(ov) if ov else np.zeros(overlay_docs, np.int64)
+            )
+            self.columns[name] = np.concatenate([base_col, ov_col])
+        for name, chunks in c.column_chunks.items():
+            if name not in self.columns:
+                if pad_cols is None:
+                    pad_cols = np.zeros(base_n, np.int64)
+                self.columns[name] = np.concatenate(
+                    [pad_cols, np.concatenate(chunks)]
+                )
 
-        if gid_chunks:
-            gids = np.concatenate(gid_chunks)
-            pdocs = np.concatenate(doc_chunks)
-            ptfs = np.concatenate(tf_chunks)
-            order = np.argsort(gids, kind="stable")
-            gids, pdocs, ptfs = gids[order], pdocs[order], ptfs[order]
-            group_counts = np.bincount(gids, minlength=len(self.terms_sorted))
-            group_offsets = np.zeros(len(self.terms_sorted) + 1, np.int64)
-            np.cumsum(group_counts, out=group_offsets[1:])
+        # ---- overlay device state --------------------------------------
+        opad = min(
+            _bucket(max(overlay_docs, 1), minimum=1024),
+            max(self.n_pad - base_n, 0),
+        )
+        self.odense_base = base_n
+
+        # dlen: splice the overlay rows into the previous device array
+        if opad > 0:
+            dlen_delta = np.ones(opad, np.float32)
+            dlen_delta[:overlay_docs] = np.maximum(c.dlen, 1)
+            self.dlen = _splice_1d(prev.dlen, _dput(dlen_delta), jnp.int32(base_n))
         else:
-            pdocs = np.zeros(0, np.int64)
-            ptfs = np.zeros(0, np.float32)
-            group_offsets = np.zeros(len(self.terms_sorted) + 1, np.int64)
+            self.dlen = prev.dlen  # base exactly fills the padding, no delta
 
-        self.keys = keys
-        self.attrs = attrs
-        self.n_docs = offset
+        # overlay posting tiers (term_info tiers are ABSOLUTE indices into
+        # self.tiers; dense stays -1 and is unambiguous per dict)
+        tiers_np, ov_info_local, dense_rows = _build_tier_matrices(
+            c.terms_sorted, c.group_offsets, c.pdocs, c.ptfs,
+            OVERLAY_TIER_WIDTHS,
+        )
+        n_base_tiers = len(self.base_tiers)
+        self.overlay_term_info = {
+            t: (n_base_tiers + tier, row, df)
+            for t, (tier, row, df) in ov_info_local.items()
+        }
+        self.tiers.extend((_dput(d), _dput(t)) for d, t in tiers_np)
+        self.tier_caps = TIER_QUERY_CAP + OVERLAY_QUERY_CAP
+        self.overlay_terms_sorted = c.terms_sorted
+
+        # overlay dense block: LOCAL columns [R, opad] for df > top width;
+        # doc j of column i is global doc base_n + i
+        self.odense_tf = None
+        if dense_rows:
+            odense = np.zeros((_bucket(len(dense_rows), minimum=1), opad), np.uint8)
+            for row, (term, lo, hi, df) in enumerate(dense_rows):
+                odense[row, c.pdocs[lo:hi] - base_n] = np.minimum(
+                    c.ptfs[lo:hi], 255
+                ).astype(np.uint8)
+                self.overlay_term_info[term] = (-1, row, df)
+            self.odense_tf = _dput(odense)
+
+        # base-alive unchanged -> splice only the overlay mask rows into the
+        # previous device mask; otherwise fall back to a lazy full upload
+        if (
+            prev._base_mask_dev is not None
+            and base_n <= len(prev.alive)
+            and np.array_equal(base_alive, prev.alive[:base_n])
+        ):
+            w = min(max(opad, prev._mask_tail_span), max(self.n_pad - base_n, 0))
+            if w > 0:
+                tail = np.zeros(w, bool)
+                tail[:overlay_docs] = c.alive
+                self._base_mask_dev = _splice_1d(
+                    prev._base_mask_dev, _dput(tail), jnp.int32(base_n)
+                )
+            else:
+                self._base_mask_dev = prev._base_mask_dev
+        self._mask_tail_span = opad
+        return True
+
+    def _rebuild_seg_bounds(self, segments) -> None:
         # per-segment sorted runs of self.keys (prefix bisects must stay
         # within a segment — the concatenation is NOT globally sorted)
         self.seg_bounds: list[tuple[int, int]] = []
@@ -175,68 +477,51 @@ class DeviceTextEngine:
         for seg, _ in segments:
             self.seg_bounds.append((run_lo, run_lo + seg.n_docs))
             run_lo += seg.n_docs
-        self.alive = np.concatenate(alive_chunks) if alive_chunks else np.zeros(0, bool)
-        self.facets = {
-            f: np.sort(np.concatenate(c)) for f, c in facet_chunks.items()
-        }
-        self.columns = {
-            n: np.concatenate(c) for n, c in column_chunks.items()
-        }
-        dlen = np.concatenate(dlen_chunks) if dlen_chunks else np.zeros(0, np.int32)
-        self.avgdl = float(total_len) / max(self.n_docs, 1) if self.n_docs else 1.0
 
-        self.n_pad = _bucket(max(self.n_docs, 1))
-        dlen_p = np.ones(self.n_pad, np.float32)
-        dlen_p[: self.n_docs] = np.maximum(dlen, 1)
-        self.dlen = jax.device_put(jnp.asarray(dlen_p))
-
-        # ---- tier the terms (vectorized: no per-posting python) -----------
-        dfs = np.diff(group_offsets)
-        # tier = first width >= df; beyond the last width -> dense
-        tier_idx = np.searchsorted(np.asarray(TIER_WIDTHS), dfs, side="left")
-
-        self.term_info: dict[str, tuple[int, int, int]] = {}  # term -> (tier, row, df)
-        self.tier_docs: list[jax.Array] = []
-        self.tier_tfs: list[jax.Array] = []
-        for tier, width in enumerate(TIER_WIDTHS):
-            gids_t = np.nonzero(tier_idx == tier)[0]
-            t = max(len(gids_t), 1)  # >=1 row so gathers are well-formed
-            docs_m = np.full((t, width), -1, np.int32)
-            tfs_m = np.zeros((t, width), np.float32)
-            if len(gids_t):
-                lengths = dfs[gids_t]
-                total = int(lengths.sum())
-                excl = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-                within = np.arange(total) - np.repeat(excl, lengths)
-                dst = np.repeat(np.arange(len(gids_t)) * width, lengths) + within
-                src = np.repeat(group_offsets[gids_t], lengths) + within
-                docs_m.reshape(-1)[dst] = pdocs[src]
-                tfs_m.reshape(-1)[dst] = ptfs[src]
-                for row, gid in enumerate(gids_t):
-                    self.term_info[self.terms_sorted[gid]] = (tier, row, int(dfs[gid]))
-            self.tier_docs.append(jax.device_put(jnp.asarray(docs_m)))
-            self.tier_tfs.append(jax.device_put(jnp.asarray(tfs_m)))
-
-        dense_rows: list[np.ndarray] = []  # each [n_pad] uint8
-        for row, gid in enumerate(np.nonzero(tier_idx == len(TIER_WIDTHS))[0]):
-            lo, hi = int(group_offsets[gid]), int(group_offsets[gid + 1])
-            dense = np.zeros(self.n_pad, np.uint8)
-            dense[pdocs[lo:hi]] = np.minimum(ptfs[lo:hi], 255).astype(np.uint8)
-            self.term_info[self.terms_sorted[gid]] = (-1, row, int(dfs[gid]))
-            dense_rows.append(dense)
-        dense_m = (
-            np.stack(dense_rows) if dense_rows else np.zeros((1, self.n_pad), np.uint8)
-        )
-        self.dense_tf = jax.device_put(jnp.asarray(dense_m))
-
-        self._base_mask_dev: jax.Array | None = None
-        self._fuzzy: FuzzyIndex | None = None
+    # ------------------------------------------------------------------
+    # vocabulary
+    # ------------------------------------------------------------------
 
     @property
     def fuzzy_index(self) -> FuzzyIndex:
+        """Fuzzy index over the BASE vocabulary (see ``fuzzy_expand`` for
+        the overlay-aware expansion)."""
         if self._fuzzy is None:
             self._fuzzy = FuzzyIndex(self.terms_sorted)
         return self._fuzzy
+
+    def fuzzy_expand(self, token: str, distance: int) -> list[str]:
+        """Vocabulary terms within edit distance, across base + overlay."""
+        out = self.fuzzy_index.expand(token, distance)
+        if self.overlay_terms_sorted:
+            if self._overlay_fuzzy is None:
+                self._overlay_fuzzy = FuzzyIndex(self.overlay_terms_sorted)
+            seen = set(out)
+            out = out + [
+                t
+                for t in self._overlay_fuzzy.expand(token, distance)
+                if t not in seen
+            ]
+        return out
+
+    def has_term(self, term: str) -> bool:
+        return term in self.term_info or term in self.overlay_term_info
+
+    def term_df(self, term: str) -> int:
+        bi = self.term_info.get(term)
+        oi = self.overlay_term_info.get(term)
+        return (bi[2] if bi else 0) + (oi[2] if oi else 0)
+
+    def prefix_terms(self, prefix: str, limit: int = 10) -> list[str]:
+        """Vocabulary terms starting with ``prefix`` (suggest expansion)."""
+        import bisect
+
+        out: list[str] = []
+        for terms in (self.terms_sorted, self.overlay_terms_sorted):
+            lo = bisect.bisect_left(terms, prefix)
+            hi = bisect.bisect_left(terms, prefix + "￿")
+            out.extend(terms[lo : min(hi, lo + limit)])
+        return sorted(set(out))[:limit]
 
     # ------------------------------------------------------------------
 
@@ -247,7 +532,7 @@ class DeviceTextEngine:
 
     def base_mask_device(self) -> jax.Array:
         if self._base_mask_dev is None:
-            self._base_mask_dev = jax.device_put(jnp.asarray(self.base_mask()))
+            self._base_mask_dev = _dput(self.base_mask())
         return self._base_mask_dev
 
     def idf(self, df: int) -> float:
@@ -295,6 +580,8 @@ class DeviceTextEngine:
         return mask
 
     # ------------------------------------------------------------------
+    # query planning
+    # ------------------------------------------------------------------
 
     def _plan_terms(self, query: TextQuery) -> tuple[list[tuple[str, float]], int]:
         """Resolve query text to weighted terms; returns (terms, n_required)."""
@@ -304,11 +591,11 @@ class DeviceTextEngine:
         seen: dict[str, float] = {}
         satisfiable: set[str] = set()
         for tok in tokens:
-            if tok in self.term_info:
+            if self.has_term(tok):
                 satisfiable.add(tok)
                 seen[tok] = max(seen.get(tok, 0.0), 1.0)
             if query.fuzzy:
-                for cand in self.fuzzy_index.expand(tok, query.fuzzy_distance):
+                for cand in self.fuzzy_expand(tok, query.fuzzy_distance):
                     if cand != tok:
                         satisfiable.add(tok)
                         seen.setdefault(cand, FUZZY_WEIGHT)
@@ -325,6 +612,124 @@ class DeviceTextEngine:
         else:
             required = min(1, len(seen))
         return sorted(seen.items()), required
+
+    def _plan_slots(
+        self, terms: list[tuple[str, float]]
+    ) -> list[list[tuple[int, float, str]]]:
+        """Assign weighted terms to kernel slot groups. Layout (matches the
+        caps tuple): one group per posting tier (base tiers then overlay
+        tiers), then base dense, then overlay dense. A term present in both
+        base and overlay schedules in both (their doc sets are disjoint)."""
+        n_t = len(self.tiers)
+        slots: list[list[tuple[int, float, str]]] = [[] for _ in range(n_t + 2)]
+        for term, weight in terms:
+            bi = self.term_info.get(term)
+            oi = self.overlay_term_info.get(term)
+            df = (bi[2] if bi else 0) + (oi[2] if oi else 0)
+            if df == 0:
+                continue
+            w = weight * self.idf(df)
+            if bi is not None:
+                tier, row, _ = bi
+                slots[n_t if tier < 0 else tier].append((row, w, term))
+            if oi is not None:
+                tier, row, _ = oi
+                slots[n_t + 1 if tier < 0 else tier].append((row, w, term))
+        return slots
+
+    def _default_caps(self) -> tuple[int, ...]:
+        return tuple(self.tier_caps) + (
+            DENSE_QUERY_CAP,
+            OVERLAY_DENSE_CAP if self.odense_tf is not None else 0,
+        )
+
+    def _caps_for(self, slots, adaptive: bool) -> tuple[int, ...]:
+        """Per-group query capacities. Adaptive mode doubles a group's
+        default until every planned term fits (bounded compiled shapes:
+        powers of two of the default), so long queries score every term."""
+        caps = list(self._default_caps())
+        if adaptive:
+            for i, entries in enumerate(slots):
+                c = caps[i]
+                if c <= 0:
+                    continue
+                while c < len(entries):
+                    c *= 2
+                caps[i] = c
+        return tuple(caps)
+
+    @staticmethod
+    def _pack_slots(slots, caps) -> tuple[np.ndarray, np.ndarray, set]:
+        """Lay slot groups into the flat rows/idfs arrays; overflowing terms
+        drop lowest-weight first (only possible in fixed-caps mode)."""
+        rows = np.full(sum(caps), -1, np.int32)
+        idfs = np.zeros(sum(caps), np.float32)
+        scheduled: set[str] = set()
+        off = 0
+        for entries, cap in zip(slots, caps):
+            kept = sorted(entries, key=lambda e: -e[1])[:cap]
+            for j, (row, w, term) in enumerate(kept):
+                rows[off + j] = row
+                idfs[off + j] = w
+                scheduled.add(term)
+            off += cap
+        return rows, idfs, scheduled
+
+    def _params_for(
+        self, required: int, scheduled: set, query: TextQuery
+    ) -> np.ndarray:
+        # all_terms queries clamp `required` to the terms actually scheduled:
+        # fixed caps can drop the lowest-idf terms, and an unclamped
+        # requirement could exceed the maximum achievable match count (zero
+        # results for documents that DO contain every term)
+        if required >= IMPOSSIBLE_REQUIRED:
+            required_eff = IMPOSSIBLE_REQUIRED  # unsatisfiable AND stays so
+        else:
+            required_eff = max(min(required, len(scheduled)), 1)
+        return np.array(
+            [
+                self.avgdl,
+                float(required_eff),
+                NEG_INF if query.min_score is None else query.min_score,
+            ],
+            dtype=np.float32,
+        )
+
+    @property
+    def avgdl(self) -> float:
+        return float(self.total_len) / max(self.n_docs, 1) if self.n_docs else 1.0
+
+    def _device_inputs_planned(
+        self,
+        terms: list[tuple[str, float]],
+        required: int,
+        query: TextQuery,
+        *,
+        adaptive: bool = True,
+    ):
+        """(rows, idfs, params, caps) numpy inputs for one scored query."""
+        slots = self._plan_slots(terms)
+        caps = self._caps_for(slots, adaptive)
+        rows, idfs, scheduled = self._pack_slots(slots, caps)
+        params = self._params_for(required, scheduled, query)
+        return rows, idfs, params, caps
+
+    def _device_inputs(self, query: TextQuery):
+        """(rows, idfs, params, mask) fixed-caps inputs for one scored query
+        (mesh-sharded callers need identical shapes across shards)."""
+        terms, required = self._plan_terms(query)
+        rows, idfs, params, _ = self._device_inputs_planned(
+            terms, required, query, adaptive=False
+        )
+        return rows, idfs, params, self.build_mask(query)
+
+    def fixed_caps(self) -> tuple[int, ...]:
+        """The caps tuple matching ``_device_inputs`` (non-adaptive)."""
+        return self._default_caps()
+
+    # ------------------------------------------------------------------
+    # search
+    # ------------------------------------------------------------------
 
     def search(
         self, query: TextQuery, *, need_matched: bool = True
@@ -352,11 +757,11 @@ class DeviceTextEngine:
         if not terms:
             return [], np.zeros(self.n_docs, dtype=bool)
 
-        all_rows_np, all_idfs_np, params_np = self._device_inputs_planned(
+        rows_np, idfs_np, params_np, caps = self._device_inputs_planned(
             terms, required, query
         )
-        all_rows = jnp.asarray(all_rows_np)
-        all_idfs = jnp.asarray(all_idfs_np)
+        all_rows = jnp.asarray(rows_np)
+        all_idfs = jnp.asarray(idfs_np)
         params = jnp.asarray(params_np)
         mask_j = (
             self.base_mask_device()
@@ -366,11 +771,8 @@ class DeviceTextEngine:
 
         k = min(query.top_k, self.n_pad)
         top_s, top_ic, matched = _bm25_search(
-            self.tier_docs[0], self.tier_tfs[0],
-            self.tier_docs[1], self.tier_tfs[1],
-            self.tier_docs[2], self.tier_tfs[2],
-            self.tier_docs[3], self.tier_tfs[3],
-            self.dense_tf, self.dlen, mask_j, all_rows, all_idfs, params, k,
+            tuple(self.tiers), self.dense_tf, self.odense_tf, self.dlen,
+            mask_j, all_rows, all_idfs, params, k, caps, self.odense_base,
         )
         top_s = np.asarray(top_s)
         top_ic = np.asarray(top_ic)
@@ -402,68 +804,14 @@ class DeviceTextEngine:
             hits = [h for h in hits if self.verify_all_terms(h.doc_id, query)]
         return hits, matched_np
 
-    def _device_inputs(self, query: TextQuery):
-        """(rows, idfs, params, mask) numpy inputs for one scored query."""
-        terms, required = self._plan_terms(query)
-        rows, idfs, params = self._device_inputs_planned(terms, required, query)
-        return rows, idfs, params, self.build_mask(query)
-
-    def _device_inputs_planned(
-        self, terms: list[tuple[str, float]], required: int, query: TextQuery
-    ):
-        tier_q: list[list[tuple[int, float]]] = [[] for _ in TIER_WIDTHS]
-        dense_q: list[tuple[int, float]] = []
-        for term, weight in terms:
-            tier, row, df = self.term_info[term]
-            w_idf = weight * self.idf(df)
-            if tier < 0:
-                dense_q.append((row, w_idf))
-            else:
-                tier_q[tier].append((row, w_idf))
-        rows_np, idfs_np = [], []
-        for tier, cap in enumerate(TIER_QUERY_CAP):
-            entries = sorted(tier_q[tier], key=lambda e: -e[1])[:cap]
-            rows = np.full(cap, -1, np.int32)
-            idfs = np.zeros(cap, np.float32)
-            for j, (row, w) in enumerate(entries):
-                rows[j] = row
-                idfs[j] = w
-            rows_np.append(rows)
-            idfs_np.append(idfs)
-        dense_entries = sorted(dense_q, key=lambda e: -e[1])[:DENSE_QUERY_CAP]
-        drows = np.full(DENSE_QUERY_CAP, -1, np.int32)
-        didfs = np.zeros(DENSE_QUERY_CAP, np.float32)
-        for j, (row, w) in enumerate(dense_entries):
-            drows[j] = row
-            didfs[j] = w
-        all_rows = np.concatenate(rows_np + [drows])
-        all_idfs = np.concatenate(idfs_np + [didfs])
-        # all_terms queries clamp `required` to the slots actually scheduled:
-        # tier caps drop the lowest-idf terms, and an unclamped requirement
-        # could exceed the maximum achievable match count (zero results for
-        # documents that DO contain every term)
-        scheduled = int((all_rows >= 0).sum())
-        if required >= IMPOSSIBLE_REQUIRED:
-            required_eff = IMPOSSIBLE_REQUIRED  # unsatisfiable AND stays so
-        else:
-            required_eff = max(min(required, scheduled), 1)
-        params = np.array(
-            [
-                self.avgdl,
-                float(required_eff),
-                NEG_INF if query.min_score is None else query.min_score,
-            ],
-            dtype=np.float32,
-        )
-        return all_rows, all_idfs, params
-
     def search_batch(
         self, queries: list[TextQuery], *, need_matched: bool = True
     ) -> list[tuple[list[TextHit], np.ndarray]]:
         """Score a batch of keyword queries in ONE device dispatch.
 
-        All queries share top_k (the max of the batch is used). Pure-filter
-        queries are not batchable (no scoring) and raise.
+        All queries share top_k (the max of the batch is used) and the
+        elementwise-max caps layout. Pure-filter queries are not batchable
+        (no scoring) and raise.
 
         When every query is unfiltered, ONE shared [n_pad] base mask feeds
         the whole batch (vmap in_axes=None) — no per-query mask upload.
@@ -479,25 +827,28 @@ class DeviceTextEngine:
             q.filter is None and q.key_prefixes is None and q.extra_mask is None
             for q in queries
         )
+        planned = [self._plan_terms(q) for q in queries]
+        slots_list = [self._plan_slots(terms) for terms, _ in planned]
+        caps_list = [self._caps_for(s, adaptive=True) for s in slots_list]
+        caps = tuple(
+            max(c[i] for c in caps_list) for i in range(len(caps_list[0]))
+        )
+        rows, idfs, params = [], [], []
+        for slots, (terms, required), q in zip(slots_list, planned, queries):
+            r, w, scheduled = self._pack_slots(slots, caps)
+            rows.append(r)
+            idfs.append(w)
+            params.append(self._params_for(required, scheduled, q))
         if unfiltered:
-            planned = [self._plan_terms(q) for q in queries]
-            rip = [
-                self._device_inputs_planned(terms, req, q)
-                for (terms, req), q in zip(planned, queries)
-            ]
-            rows, idfs, params = zip(*rip)
             masks_in = self.base_mask_device()
         else:
-            rows, idfs, params, masks = zip(*(self._device_inputs(q) for q in queries))
-            masks_in = jnp.asarray(np.stack(masks))
+            masks_in = jnp.asarray(np.stack([self.build_mask(q) for q in queries]))
         top_s, top_ic, matched = _bm25_search_batch(
-            self.tier_docs[0], self.tier_tfs[0],
-            self.tier_docs[1], self.tier_tfs[1],
-            self.tier_docs[2], self.tier_tfs[2],
-            self.tier_docs[3], self.tier_tfs[3],
-            self.dense_tf, self.dlen,
+            tuple(self.tiers), self.dense_tf, self.odense_tf, self.dlen,
             masks_in, jnp.asarray(np.stack(rows)),
-            jnp.asarray(np.stack(idfs)), jnp.asarray(np.stack(params)), k,
+            jnp.asarray(np.stack(idfs)),
+            jnp.asarray(np.stack(params).astype(np.float32)), k, caps,
+            self.odense_base,
             shared_mask=unfiltered, count_only=not need_matched,
         )
         top_s, top_ic = np.asarray(top_s), np.asarray(top_ic)
@@ -534,9 +885,7 @@ class DeviceTextEngine:
         memoized — ematch/phrase verification hits the same few query terms
         for every scored hit, and re-bisecting + re-slicing the memmap per
         hit was a top host cost in the keyword-find profile."""
-        cache = getattr(self, "_host_postings_cache", None)
-        if cache is None:
-            cache = self._host_postings_cache = {}
+        cache = self._host_postings_cache
         key = (seg_idx, term)
         entry = cache.get(key)
         if entry is None:
@@ -585,10 +934,10 @@ class DeviceTextEngine:
         for tok in tokenize(query.text):
             if tok in groups:
                 continue
-            variants = [tok] if tok in self.term_info else []
+            variants = [tok] if self.has_term(tok) else []
             if query.fuzzy:
                 variants.extend(
-                    c for c in self.fuzzy_index.expand(tok, query.fuzzy_distance)
+                    c for c in self.fuzzy_expand(tok, query.fuzzy_distance)
                     if c != tok
                 )
             groups[tok] = variants
@@ -666,14 +1015,76 @@ class DeviceTextEngine:
 
 
 # --------------------------------------------------------------------------
+# tier construction (host numpy)
+# --------------------------------------------------------------------------
+
+
+def _build_tier_matrices(terms_sorted, group_offsets, pdocs, ptfs, widths):
+    """Partition terms into df tiers and lay their postings into padded
+    [T, width] matrices (vectorized: no per-posting python).
+
+    Returns (tiers_np, term_info, dense_rows): ``tiers_np`` is a list of
+    (docs int32 [T,W], tfs float32 [T,W]); ``term_info`` maps term ->
+    (tier idx local to this set, row, df); ``dense_rows`` lists
+    (term, lo, hi, df) posting ranges for terms with df beyond the last
+    width — the caller materializes those as dense tf columns."""
+    dfs = np.diff(group_offsets)
+    tier_idx = np.searchsorted(np.asarray(widths), dfs, side="left")
+
+    term_info: dict[str, tuple[int, int, int]] = {}
+    tiers_np: list[tuple[np.ndarray, np.ndarray]] = []
+    for tier, width in enumerate(widths):
+        gids_t = np.nonzero(tier_idx == tier)[0]
+        if not len(gids_t):
+            # a [1,1] placeholder keeps gathers well-formed without
+            # uploading a full-width dummy row
+            tiers_np.append(
+                (np.full((1, 1), -1, np.int32), np.zeros((1, 1), np.float32))
+            )
+            continue
+        # bucket the row count so steady ingest doesn't compile a fresh
+        # program per refresh (shapes step the shared ladder instead); the
+        # minimum scales inversely with width so skipping the small rungs
+        # costs a bounded ~1 MB of padding per tier
+        t = _bucket(len(gids_t), minimum=max(1, 4096 // width))
+        docs_m = np.full((t, width), -1, np.int32)
+        tfs_m = np.zeros((t, width), np.float32)
+        if len(gids_t):
+            lengths = dfs[gids_t]
+            total = int(lengths.sum())
+            excl = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+            within = np.arange(total) - np.repeat(excl, lengths)
+            dst = np.repeat(np.arange(len(gids_t)) * width, lengths) + within
+            src = np.repeat(group_offsets[gids_t], lengths) + within
+            docs_m.reshape(-1)[dst] = pdocs[src]
+            tfs_m.reshape(-1)[dst] = ptfs[src]
+            for row, gid in enumerate(gids_t):
+                term_info[terms_sorted[gid]] = (tier, row, int(dfs[gid]))
+        tiers_np.append((docs_m, tfs_m))
+
+    dense_rows = [
+        (
+            terms_sorted[gid],
+            int(group_offsets[gid]),
+            int(group_offsets[gid + 1]),
+            int(dfs[gid]),
+        )
+        for gid in np.nonzero(tier_idx == len(widths))[0]
+    ]
+    return tiers_np, term_info, dense_rows
+
+
+# --------------------------------------------------------------------------
 # Kernel
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k", "shared_mask", "count_only"))
+@partial(
+    jax.jit, static_argnames=("k", "caps", "odense_base", "shared_mask", "count_only")
+)
 def _bm25_search_batch(
-    docs0, tfs0, docs1, tfs1, docs2, tfs2, docs3, tfs3,
-    dense_tf, dlen, masks, all_rows, all_idfs, params, k,
+    tiers, dense_tf, odense_tf, dlen, masks, all_rows, all_idfs, params, k,
+    caps, odense_base,
     shared_mask: bool = False, count_only: bool = False,
 ):
     """Batched variant: per-query rows/idfs/params (+masks) stacked on axis 0.
@@ -686,8 +1097,8 @@ def _bm25_search_batch(
 
     def core(mask, rows, idfs, p):
         return _bm25_search.__wrapped__(
-            docs0, tfs0, docs1, tfs1, docs2, tfs2, docs3, tfs3,
-            dense_tf, dlen, mask, rows, idfs, p, k,
+            tiers, dense_tf, odense_tf, dlen, mask, rows, idfs, p, k, caps,
+            odense_base,
         )
 
     mask_axis = None if shared_mask else 0
@@ -712,50 +1123,87 @@ def _tier_contrib(docs_m, tfs_m, rows, idfs, dlen, avgdl):
     return d.reshape(-1), w.reshape(-1), hit.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "caps", "odense_base"))
 def _bm25_search(
-    docs0, tfs0, docs1, tfs1, docs2, tfs2, docs3, tfs3,
-    dense_tf, dlen, mask, all_rows, all_idfs, params, k,
+    tiers, dense_tf, odense_tf, dlen, mask, all_rows, all_idfs, params, k,
+    caps, odense_base=0,
 ):
+    """One query over tiered postings + dense columns.
+
+    ``tiers``: tuple of (docs [T,W] int32, tfs [T,W] f32) posting tiers —
+    the base tiers followed by any incremental-overlay tiers. ``caps`` is
+    the per-group query-slot layout of ``all_rows``/``all_idfs``: one entry
+    per posting tier, then the base dense cap, then the overlay dense cap.
+    ``odense_tf`` is the overlay's local dense block [R, opad] whose column
+    j is global doc ``odense_base + j`` (None without an overlay)."""
     avgdl = params[0]
     required = params[1]
     min_score = params[2]
     n_pad = dlen.shape[0]
+    n_tiers = len(tiers)
+    assert len(caps) == n_tiers + 2, (len(caps), n_tiers)
 
-    caps = list(TIER_QUERY_CAP)
-    splits = np.cumsum(caps).tolist()
-    r0, r1, r2, r3, rd = jnp.split(all_rows, splits)
-    i0, i1, i2, i3, idn = jnp.split(all_idfs, splits)
+    splits = np.cumsum(caps[:-1]).tolist()
+    rows_parts = jnp.split(all_rows, splits)
+    idfs_parts = jnp.split(all_idfs, splits)
 
     ds, ws, hs = [], [], []
-    for docs_m, tfs_m, rows, idfs in (
-        (docs0, tfs0, r0, i0),
-        (docs1, tfs1, r1, i1),
-        (docs2, tfs2, r2, i2),
-        (docs3, tfs3, r3, i3),
-    ):
+    for (docs_m, tfs_m), rows, idfs in zip(tiers, rows_parts, idfs_parts):
+        if rows.shape[0] == 0:
+            continue
         d, w, h = _tier_contrib(docs_m, tfs_m, rows, idfs, dlen, avgdl)
         ds.append(d)
         ws.append(w)
         hs.append(h)
-    d_all = jnp.concatenate(ds)
-    d_all = jnp.where(d_all >= 0, d_all, n_pad)  # out-of-range -> dropped
-    w_all = jnp.concatenate(ws)
-    h_all = jnp.concatenate(hs)
+    if ds:
+        d_all = jnp.concatenate(ds)
+        d_all = jnp.where(d_all >= 0, d_all, n_pad)  # out-of-range -> dropped
+        w_all = jnp.concatenate(ws)
+        h_all = jnp.concatenate(hs)
+        acc = jnp.zeros((2, n_pad), jnp.float32)
+        acc = acc.at[:, d_all].add(jnp.stack([w_all, h_all]), mode="drop")
+        scores, counts = acc[0], acc[1]
+    else:
+        scores = jnp.zeros(n_pad, jnp.float32)
+        counts = jnp.zeros(n_pad, jnp.float32)
 
-    acc = jnp.zeros((2, n_pad), jnp.float32)
-    acc = acc.at[:, d_all].add(jnp.stack([w_all, h_all]), mode="drop")
-    scores, counts = acc[0], acc[1]
-
-    # dense (stopword-grade) terms: elementwise
-    for j in range(DENSE_QUERY_CAP):
-        row = rd[j]
-        idf_w = idn[j]
+    # dense (stopword-grade) terms: elementwise over the whole corpus
+    drows, didfs = rows_parts[n_tiers], idfs_parts[n_tiers]
+    for j in range(caps[-2]):
+        row = drows[j]
+        idf_w = didfs[j]
         tf = dense_tf[jnp.maximum(row, 0)].astype(jnp.float32)
         norm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dlen / avgdl))
         active = (row >= 0) & (tf > 0)
         scores = scores + jnp.where(active, idf_w * norm, 0.0)
         counts = counts + jnp.where(active, 1.0, 0.0)
+
+    # overlay dense terms: elementwise over the overlay's local columns,
+    # added into the [odense_base, odense_base+opad) score window
+    if odense_tf is not None and caps[-1] > 0:
+        orows, oidfs = rows_parts[n_tiers + 1], idfs_parts[n_tiers + 1]
+        opad = odense_tf.shape[1]
+        dl_o = jax.lax.dynamic_slice(dlen, (odense_base,), (opad,))
+        oscores = jnp.zeros(opad, jnp.float32)
+        ocounts = jnp.zeros(opad, jnp.float32)
+        for j in range(caps[-1]):
+            row = orows[j]
+            idf_w = oidfs[j]
+            tf = odense_tf[jnp.maximum(row, 0)].astype(jnp.float32)
+            norm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl_o / avgdl))
+            active = (row >= 0) & (tf > 0)
+            oscores = oscores + jnp.where(active, idf_w * norm, 0.0)
+            ocounts = ocounts + jnp.where(active, 1.0, 0.0)
+        scores = jax.lax.dynamic_update_slice(
+            scores,
+            jax.lax.dynamic_slice(scores, (odense_base,), (opad,)) + oscores,
+            (odense_base,),
+        )
+        counts = jax.lax.dynamic_update_slice(
+            counts,
+            jax.lax.dynamic_slice(counts, (odense_base,), (opad,)) + ocounts,
+            (odense_base,),
+        )
 
     matched = (counts >= jnp.maximum(required, 1.0)) & mask
     final = jnp.where(matched, scores, NEG_INF)

@@ -116,27 +116,24 @@ class MeshHybridIndex:
         params_j = jax.device_put(np.stack(params).astype(np.float32), sharding)
         tmask_j = jax.device_put(np.stack(masks), sharding)
 
-        flat = []
-        for docs, tfs in self.text._stack:
-            flat.extend((docs, tfs))
         ts, ti = _mesh_hybrid(
-            self.mesh, k, self.per_shard, self.similarity,
+            self.mesh, k, self.per_shard, self.similarity, self.text.caps,
             self.codes.codes, self.codes.scale, self.vectors, self.valid,
-            *flat, self.text.dense_tf, self.text.dlen, tmask_j,
-            rows_j, idfs_j, params_j, self._offsets_dev, qj,
+            tuple(self.text._stack), self.text.dense_tf, self.text.dlen,
+            tmask_j, rows_j, idfs_j, params_j, self._offsets_dev, qj,
         )
         return np.asarray(ts)[:b], np.asarray(ti)[:b]
 
 
-@partial(jax.jit, static_argnames=("mesh", "k", "per_shard", "similarity"))
+@partial(jax.jit, static_argnames=("mesh", "k", "per_shard", "similarity", "caps"))
 def _mesh_hybrid(
-    mesh, k, per_shard, similarity,
+    mesh, k, per_shard, similarity, caps,
     codes, scale, vectors, valid,
-    d0, f0, d1, f1, d2, f2, d3, f3, dense_tf, dlen, tmask,
+    tiers, dense_tf, dlen, tmask,
     rows, idfs, params, offsets, queries,
 ):
-    def local(codes, scale, vecs, val, d0, f0, d1, f1, d2, f2, d3, f3,
-              dense_tf, dlen, tmask, rows, idfs, params, offset, q):
+    def local(codes, scale, vecs, val, tiers, dense_tf, dlen, tmask,
+              rows, idfs, params, offset, q):
         shard = jax.lax.axis_index("shard")
         base = shard * per_shard
 
@@ -163,8 +160,9 @@ def _mesh_hybrid(
 
         # ---- keyword leg: local BM25 -> merged cut ----
         bs, bic, _ = _bm25_search.__wrapped__(
-            d0[0], f0[0], d1[0], f1[0], d2[0], f2[0], d3[0], f3[0],
-            dense_tf[0], dlen[0], tmask[0], rows[0], idfs[0], params[0], k,
+            tuple((d[0], f[0]) for d, f in tiers),
+            dense_tf[0], None, dlen[0], tmask[0], rows[0], idfs[0], params[0],
+            k, caps, 0,
         )
         bi = bic[:k]  # ids lead the packed [ids | term counts] array
         bi = jnp.where(bi >= 0, bi + offset[0, 0], -1)
@@ -174,20 +172,20 @@ def _mesh_hybrid(
         bi_b = jnp.broadcast_to(bg_i, (vg_i.shape[0], bg_i.shape[-1]))
         return rrf_merge(vg_i, bi_b, k)
 
+    spec = P("shard")
     return shard_map(
         local, mesh=mesh,
         in_specs=(
-            P("shard"), P("shard"), P("shard"), P("shard"),
-            P("shard"), P("shard"), P("shard"), P("shard"),
-            P("shard"), P("shard"), P("shard"), P("shard"),
-            P("shard"), P("shard"), P("shard"),
-            P("shard"), P("shard"), P("shard"), P("shard"),
+            spec, spec, spec, spec,
+            tuple((spec, spec) for _ in range(len(tiers))),
+            spec, spec, spec,
+            spec, spec, spec, spec,
             P("query", None),
         ),
         out_specs=(P("query", None), P("query", None)),
         check_vma=False,
     )(
         codes, scale, vectors, valid,
-        d0, f0, d1, f1, d2, f2, d3, f3, dense_tf, dlen, tmask,
+        tiers, dense_tf, dlen, tmask,
         rows, idfs, params, offsets, queries,
     )

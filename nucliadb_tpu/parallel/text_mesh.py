@@ -43,13 +43,20 @@ class MeshShardedTextEngine:
         self.mesh = mesh
         s = len(engines)
 
+        # mesh engines are freshly built (no incremental overlay), so every
+        # shard shares the base 4-tier + dense layout and fixed query caps
+        assert all(not e.overlay_term_info for e in engines), (
+            "mesh sharding expects full-built engines (no overlay)"
+        )
+        self.caps = engines[0].fixed_caps()
+
         # common padded shapes across shards (per tier)
-        n_tiers = len(engines[0].tier_docs)
+        n_tiers = len(engines[0].tiers)
         self._stack = []
         sharding = NamedSharding(mesh, P("shard"))
         for t in range(n_tiers):
-            td = [np.asarray(e.tier_docs[t]) for e in engines]
-            tf = [np.asarray(e.tier_tfs[t]) for e in engines]
+            td = [np.asarray(e.tiers[t][0]) for e in engines]
+            tf = [np.asarray(e.tiers[t][1]) for e in engines]
             shape = (
                 max(a.shape[0] for a in td),
                 max(a.shape[1] for a in td),
@@ -109,13 +116,10 @@ class MeshShardedTextEngine:
         mask_j = jax.device_put(np.stack(masks), sharding)
         k = min(query.top_k, self.n_pad)
 
-        flat = []
-        for docs, tfs in self._stack:
-            flat.extend((docs, tfs))
         top_s, top_i = _mesh_bm25(
-            self.mesh, k,
-            *flat, self.dense_tf, self.dlen, mask_j, rows_j, idfs_j, params_j,
-            self._offsets_dev,
+            self.mesh, k, self.caps,
+            tuple(self._stack), self.dense_tf, self.dlen, mask_j, rows_j,
+            idfs_j, params_j, self._offsets_dev,
         )
         out_s = np.asarray(top_s)[0]
         out_i = np.asarray(top_i)[0]
@@ -123,20 +127,19 @@ class MeshShardedTextEngine:
         return out_s[keep], out_i[keep]
 
 
-@partial(jax.jit, static_argnames=("mesh", "k"))
+@partial(jax.jit, static_argnames=("mesh", "k", "caps"))
 def _mesh_bm25(
-    mesh, k,
-    d0, f0, d1, f1, d2, f2, d3, f3, dense_tf, dlen, mask, rows, idfs, params,
-    offsets,
+    mesh, k, caps,
+    tiers, dense_tf, dlen, mask, rows, idfs, params, offsets,
 ):
     spec = P("shard")
 
-    def local(d0, f0, d1, f1, d2, f2, d3, f3, dense_tf, dlen, mask, rows,
-              idfs, params, offset):
+    def local(tiers, dense_tf, dlen, mask, rows, idfs, params, offset):
         # leading per-shard axis of size 1 inside shard_map
         top_s, top_ic, _ = _bm25_search.__wrapped__(
-            d0[0], f0[0], d1[0], f1[0], d2[0], f2[0], d3[0], f3[0],
-            dense_tf[0], dlen[0], mask[0], rows[0], idfs[0], params[0], k,
+            tuple((d[0], f[0]) for d, f in tiers),
+            dense_tf[0], None, dlen[0], mask[0], rows[0], idfs[0], params[0],
+            k, caps, 0,
         )
         top_i = top_ic[:k]  # ids lead the packed [ids | term counts] array
         top_i = jnp.where(top_i >= 0, top_i + offset[0, 0], -1)
@@ -145,10 +148,13 @@ def _mesh_bm25(
         )
         return ms, mi
 
+    n_tiers = len(tiers)
     return shard_map(
         local, mesh=mesh,
-        in_specs=(spec,) * 15,
+        in_specs=(
+            tuple((spec, spec) for _ in range(n_tiers)),
+            spec, spec, spec, spec, spec, spec, spec,
+        ),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
-    )(d0, f0, d1, f1, d2, f2, d3, f3, dense_tf, dlen, mask, rows, idfs,
-      params, offsets)
+    )(tiers, dense_tf, dlen, mask, rows, idfs, params, offsets)

@@ -122,9 +122,19 @@ class ShardSearcher:
         in place when the new segment list is a superset (the delta-upload
         path in DeviceVectorIndex)."""
         self.config = config
-        self.text = TextSearcher(open_indexes["text"]) if "text" in open_indexes else None
+        self.text = (
+            TextSearcher(
+                open_indexes["text"],
+                prev=prev.text if prev is not None else None,
+            )
+            if "text" in open_indexes
+            else None
+        )
         self.paragraph = (
-            ParagraphSearcher(open_indexes["paragraph"])
+            ParagraphSearcher(
+                open_indexes["paragraph"],
+                prev=prev.paragraph if prev is not None else None,
+            )
             if "paragraph" in open_indexes
             else None
         )

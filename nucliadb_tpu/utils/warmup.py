@@ -38,22 +38,29 @@ def warmup_kernels(dims: tuple[int, ...] = (), batch: int = 1) -> float:
         mask = jnp.zeros((n_pad,), bool)
         _search_exact(vecs, q, mask, jnp.float32(-3.0e38), 10, "dot")
 
-    # BM25 over the smallest tier shapes (all-empty postings)
+    # BM25 at the shapes a fresh small KB actually builds: tier 0 at its
+    # minimum row bucket, higher tiers empty -> [1,1] placeholders
     from ..index.text_engine.engine import TIER_WIDTHS, _bucket
 
     n_pad = _bucket(1)
-    tiers = []
-    for width in TIER_WIDTHS:
-        tiers.append(jnp.full((1, width), -1, jnp.int32))
-        tiers.append(jnp.zeros((1, width), jnp.float32))
-    dense = jnp.zeros((1, n_pad), jnp.float32)
+    w0 = TIER_WIDTHS[0]
+    tiers = (
+        (
+            jnp.full((max(1, 4096 // w0), w0), -1, jnp.int32),
+            jnp.zeros((max(1, 4096 // w0), w0), jnp.float32),
+        ),
+    ) + tuple(
+        (jnp.full((1, 1), -1, jnp.int32), jnp.zeros((1, 1), jnp.float32))
+        for _ in TIER_WIDTHS[1:]
+    )
+    dense = jnp.zeros((1, n_pad), jnp.uint8)
     dlen = jnp.ones((n_pad,), jnp.float32)
     mask = jnp.zeros((n_pad,), bool)
-    caps = sum(TIER_QUERY_CAP) + DENSE_QUERY_CAP
-    rows = jnp.full((caps,), -1, jnp.int32)
-    idfs = jnp.zeros((caps,), jnp.float32)
+    caps = TIER_QUERY_CAP + (DENSE_QUERY_CAP, 0)
+    rows = jnp.full((sum(caps),), -1, jnp.int32)
+    idfs = jnp.zeros((sum(caps),), jnp.float32)
     params = jnp.asarray(np.array([1.0, 1.0, -3.0e38], np.float32))
-    _bm25_search(*tiers, dense, dlen, mask, rows, idfs, params, 10)
+    _bm25_search(tiers, dense, None, dlen, mask, rows, idfs, params, 10, caps, 0)
 
     dt = time.monotonic() - t0
     logger.info("kernel warmup done in %.1fs", dt)
