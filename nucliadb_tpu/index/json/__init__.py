@@ -144,6 +144,71 @@ def _pred_matches(pred: JsonPredicate, values: list[Any]) -> bool:
     return False
 
 
+class _PathColumns:
+    """Typed postings of one flattened path, evaluated vectorized.
+
+    Parity: the reference indexes flattened JSON paths with typed tantivy
+    fields and evaluates predicates as index queries (nidx_json/src/search.rs,
+    schema.rs); the round-1 per-doc python loop was O(docs) host time per
+    filtered query. Here each path holds value-sorted numeric postings
+    (range ops = searchsorted), per-string doc postings (eq = dict hit),
+    null postings, and the with-duplicates doc list (exists/ne counting).
+    """
+
+    __slots__ = ("num_vals", "num_docs", "strs", "nulls", "all_docs")
+
+    def __init__(self):
+        self.num_vals: list[float] = []
+        self.num_docs: list[int] = []
+        self.strs: dict[str, list[int]] = {}
+        self.nulls: list[int] = []
+        self.all_docs: list[int] = []
+
+    def freeze(self):
+        nv = np.asarray(self.num_vals, np.float64)
+        nd = np.asarray(self.num_docs, np.int32)
+        order = np.argsort(nv, kind="stable")
+        self.num_vals, self.num_docs = nv[order], nd[order]
+        self.strs = {s: np.asarray(d, np.int32) for s, d in self.strs.items()}
+        self.nulls = np.asarray(self.nulls, np.int32)
+        self.all_docs = np.asarray(self.all_docs, np.int32)
+        return self
+
+    # -- predicate evaluation (doc arrays may contain duplicates) ---------
+
+    def eq_docs(self, value: Any) -> np.ndarray:
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            return self._num_eq(float(value))
+        if isinstance(value, bool):
+            # python bool compares numerically (True == 1), matching the
+            # scalar oracle's `v == pred.value`
+            return self._num_eq(float(value))
+        if isinstance(value, str):
+            return self.strs.get(value, np.zeros(0, np.int32))
+        if value is None:
+            return self.nulls
+        return np.zeros(0, np.int32)
+
+    def _num_eq(self, v: float) -> np.ndarray:
+        lo = np.searchsorted(self.num_vals, v, side="left")
+        hi = np.searchsorted(self.num_vals, v, side="right")
+        return self.num_docs[lo:hi]
+
+    def range_docs(self, op: str, value: Any) -> np.ndarray:
+        if not isinstance(value, (int, float)):
+            return np.zeros(0, np.int32)
+        v = float(value)
+        if op == "gt":
+            return self.num_docs[np.searchsorted(self.num_vals, v, "right"):]
+        if op == "gte":
+            return self.num_docs[np.searchsorted(self.num_vals, v, "left"):]
+        if op == "lt":
+            return self.num_docs[: np.searchsorted(self.num_vals, v, "left")]
+        if op == "lte":
+            return self.num_docs[: np.searchsorted(self.num_vals, v, "right")]
+        raise ValueError(op)
+
+
 class JsonSearcher:
     def __init__(self, open_index: OpenIndexMetadata):
         deletions = list(open_index.deletions())
@@ -154,17 +219,79 @@ class JsonSearcher:
                 if any(key_matches_prefix(d["key"], p) for p in applicable):
                     continue
                 self.docs.append(d)
-        # doc id -> {path -> [values]}
-        self.doc_paths: list[dict[str, list[Any]]] = []
+        self.n_docs = len(self.docs)
+        self._fields: list[FieldId] = []
         for d in self.docs:
-            paths: dict[str, list[Any]] = {}
+            rid, fid = d["key"].split("/", 1)
+            self._fields.append(FieldId(resource_id=rid, field_id=fid))
+
+        # consolidate typed columns per path
+        cols: dict[str, _PathColumns] = {}
+        for i, d in enumerate(self.docs):
             for p, v in d["paths"]:
-                paths.setdefault(p, []).append(v)
-            self.doc_paths.append(paths)
+                c = cols.get(p)
+                if c is None:
+                    c = cols[p] = _PathColumns()
+                c.all_docs.append(i)
+                if isinstance(v, (bool, int, float)):
+                    c.num_vals.append(float(v))
+                    c.num_docs.append(i)
+                elif isinstance(v, str):
+                    c.strs.setdefault(v, []).append(i)
+                elif v is None:
+                    c.nulls.append(i)
+        self.columns = {p: c.freeze() for p, c in cols.items()}
+        # per-path total value counts per doc (ne needs "has a value that
+        # is not X", i.e. total > matching)
+        self._path_counts: dict[str, np.ndarray] = {}
+
+    def _counts(self, path: str, col: _PathColumns) -> np.ndarray:
+        counts = self._path_counts.get(path)
+        if counts is None:
+            counts = np.bincount(col.all_docs, minlength=self.n_docs)
+            self._path_counts[path] = counts
+        return counts
+
+    def _eval(self, expr: JsonExpression) -> np.ndarray:
+        """Boolean [n_docs] mask, fully vectorized."""
+        if isinstance(expr, JsonPredicate):
+            mask = np.zeros(self.n_docs, dtype=bool)
+            col = self.columns.get(expr.path)
+            if col is None:
+                return mask
+            if expr.op == "exists":
+                mask[col.all_docs] = True
+            elif expr.op == "eq":
+                mask[col.eq_docs(expr.value)] = True
+            elif expr.op == "ne":
+                # any value != pred.value: total per-doc values exceed the
+                # per-doc count of values equal to it
+                eq = np.bincount(col.eq_docs(expr.value), minlength=self.n_docs)
+                mask = self._counts(expr.path, col) > eq
+            elif expr.op in ("gt", "gte", "lt", "lte"):
+                mask[col.range_docs(expr.op, expr.value)] = True
+            else:
+                raise ValueError(f"bad json op: {expr.op}")
+            return mask
+        if isinstance(expr, JsonAnd):
+            mask = np.ones(self.n_docs, dtype=bool)
+            for op in expr.operands:
+                mask &= self._eval(op)
+            return mask
+        if isinstance(expr, JsonOr):
+            mask = np.zeros(self.n_docs, dtype=bool)
+            for op in expr.operands:
+                mask |= self._eval(op)
+            return mask
+        if isinstance(expr, JsonNot):
+            return ~self._eval(expr.operand)
+        raise TypeError(f"bad json expression: {expr!r}")
 
     def _matches(self, expr: JsonExpression, doc_idx: int) -> bool:
+        """Scalar reference semantics (kept as the differential oracle)."""
         if isinstance(expr, JsonPredicate):
-            return _pred_matches(expr, self.doc_paths[doc_idx].get(expr.path, []))
+            values = [v for p, v in self.docs[doc_idx]["paths"] if p == expr.path]
+            return _pred_matches(expr, values)
         if isinstance(expr, JsonAnd):
             return all(self._matches(op, doc_idx) for op in expr.operands)
         if isinstance(expr, JsonOr):
@@ -178,11 +305,8 @@ class JsonSearcher:
         (combined with the text prefilter by the planner)."""
         if expr is None:
             return PrefilterResult.all()
-        fields = []
-        for i, d in enumerate(self.docs):
-            if self._matches(expr, i):
-                rid, fid = d["key"].split("/", 1)
-                fields.append(FieldId(resource_id=rid, field_id=fid))
-        if not fields:
+        mask = self._eval(expr)
+        idxs = np.nonzero(mask)[0]
+        if not len(idxs):
             return PrefilterResult.none()
-        return PrefilterResult.some(fields)
+        return PrefilterResult.some([self._fields[i] for i in idxs])
