@@ -64,7 +64,11 @@ M = 30
 M_MAX_0 = 60
 EF_CONSTRUCTION = 100
 EF_SEARCH = 50
-SEARCH_TRIPS = 6  # fixed beam iterations (see module docstring)
+SEARCH_TRIPS = 6  # minimum beam iterations (see module docstring)
+# filtered searches keep expanding past SEARCH_TRIPS until every query has
+# k mask-passing results (parity: closest_up_nodes expands until k filtered
+# results, nidx_vector/src/hnsw/search.rs:188-240); this caps the loop
+SEARCH_TRIPS_MAX = 24
 
 
 @dataclass
@@ -280,7 +284,10 @@ def _dedup_scores(scores: jax.Array, ids: jax.Array) -> jax.Array:
     return jnp.where(dup, NEG_INF, scores)
 
 
-@partial(jax.jit, static_argnames=("k", "ef", "trips", "similarity", "n_segments"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "ef", "trips", "max_trips", "similarity", "n_segments"),
+)
 def hnsw_search(
     vectors: jax.Array,  # [N_pad, D] arena (padding rows masked out)
     adj: jax.Array,  # [N_pad, m_max0] int32 (-1 pad)
@@ -291,11 +298,21 @@ def hnsw_search(
     k: int,
     ef: int = EF_SEARCH,
     trips: int = SEARCH_TRIPS,
+    max_trips: int = SEARCH_TRIPS_MAX,
     similarity: str = "dot",
     seg_of: jax.Array | None = None,  # [N_pad] int32 component per node
     n_segments: int = 1,
 ):
-    """Masked fixed-trip beam search; returns ([B, k] scores, [B, k] ids).
+    """Masked adaptive beam search; returns ([B, k] scores, [B, k] ids).
+
+    Runs at least ``trips`` beam iterations, then keeps iterating (up to
+    ``max_trips``) while any query still has fewer than k mask-passing
+    results — the fixed-shape counterpart of the reference's "expand until
+    k FILTERED results" guarantee (closest_up_nodes,
+    nidx_vector/src/hnsw/search.rs:188-240). Each iteration also expands
+    from the best filtered results found so far (not just the unfiltered
+    beam), steering the walk into the filtered region the way the
+    reference's BFS walks up from filtered nodes.
 
     With ``n_segments > 1`` (graph stitched from disconnected per-segment
     subgraphs) the beam reserves ``max(ef, k)`` slots PER component —
@@ -348,12 +365,17 @@ def hnsw_search(
     # results).
     use_table = b * n_pad <= 64 * 1024 * 1024
 
-    def body(state, _):
-        beam_s, beam_i, best_s, best_i, visited = state
-        safe = jnp.maximum(beam_i, 0)
-        neigh = adj[safe]  # [B, beam, m_max]
-        neigh = jnp.where(beam_i[:, :, None] >= 0, neigh, -1)
-        flat = neigh.reshape(b, -1)  # [B, beam*m_max]
+    def body(state):
+        beam_s, beam_i, best_s, best_i, visited, trip = state
+        # expand from the unfiltered beam AND the best filtered results so
+        # far — under a selective mask the pure best-first beam converges to
+        # the unfiltered neighborhood and never walks toward the filtered
+        # region; the filtered frontier is what closest_up_nodes walks
+        exp_i = jnp.concatenate([beam_i, best_i], axis=1)
+        safe = jnp.maximum(exp_i, 0)
+        neigh = adj[safe]  # [B, beam+best_k, m_max]
+        neigh = jnp.where(exp_i[:, :, None] >= 0, neigh, -1)
+        flat = neigh.reshape(b, -1)  # [B, (beam+best_k)*m_max]
         safe_f = jnp.maximum(flat, 0)
         nv = vectors[safe_f]  # [B, beam*m_max, D]
         ns = jnp.einsum("bd,bnd->bn", q, nv, preferred_element_type=jnp.float32)
@@ -388,7 +410,12 @@ def hnsw_search(
         cat_s = _dedup_scores(cat_s, cat_i)
         bs, bpos = jax.lax.top_k(cat_s, best_s.shape[1])
         bi = jnp.take_along_axis(cat_i, bpos, axis=1)
-        return (top_s, top_i, bs, bi, visited), None
+        return (top_s, top_i, bs, bi, visited, trip + 1)
+
+    def cond(state):
+        _, _, best_s, _, _, trip = state
+        have_k = jnp.sum(best_s > NEG_INF / 2, axis=1) >= min(k, best_s.shape[1])
+        return (trip < trips) | ((trip < max_trips) & ~jnp.all(have_k))
 
     best_k = max(k, ef)
     init_best_s = jnp.where(
@@ -410,9 +437,9 @@ def hnsw_search(
         ids0_safe = jnp.where(ids0 >= 0, ids0, n_pad)
         visited = visited.at[jnp.arange(b)[:, None], ids0_safe].set(True, mode="drop")
 
-    state = (s0, ids0, best_s, best_i, visited)
-    state, _ = jax.lax.scan(body, state, None, length=trips)
-    _, _, best_s, best_i, _ = state
+    state = (s0, ids0, best_s, best_i, visited, jnp.int32(0))
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, best_s, best_i, _, _ = state
 
     final_s = _dedup_scores(best_s, best_i)
     final_s = jnp.where(final_s >= min_score, final_s, NEG_INF)
