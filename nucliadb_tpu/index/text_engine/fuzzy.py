@@ -1,17 +1,24 @@
 """Fuzzy term expansion via deletion neighborhoods (SymSpell scheme).
 
-The reference matches query terms fuzzily with Levenshtein distance 1
-(nidx_paragraph/src/fuzzy_query.rs, nidx_relation FUZZY_DISTANCE=1) using
-tantivy's Levenshtein automata over its FST term dictionary. Without an FST,
-the equivalent constant-time scheme is the deletion neighborhood: two terms
-are within edit distance 1 iff they share a member of each other's
-{self} ∪ {single-char deletions} sets. We precompute the deletion variants
-of every vocabulary term once at consolidation; a query term then expands
-with pure dict lookups (verified with a real edit-distance check to kill
-false positives like transposition-adjacent collisions).
+The reference matches query terms fuzzily with Levenshtein distance 1 and
+transpositions costing 1 (nidx_paragraph/src/query_parser/fuzzy_parser.rs:72
+``transposition_cost_one = true``; nidx_relation FUZZY_DISTANCE=1) using
+tantivy's Levenshtein automata over its FST term dictionary, and only for
+tokens of >= MIN_FUZZY_LEN chars (fuzzy_parser.rs:35,76 — shorter tokens
+match exactly "to avoid noise"). Without an FST, the equivalent
+constant-time scheme is the deletion neighborhood: two terms within OSA
+distance 1 always share a member of each other's {self} ∪ {single-char
+deletions} sets (a transposition's two one-char deletions overlap both
+sides). We precompute the deletion variants of every vocabulary term once
+at consolidation; a query term then expands with pure dict lookups, each
+candidate verified with a real OSA edit-distance check.
 """
 
 from __future__ import annotations
+
+# tokens shorter than this match exactly, never fuzzily (parity:
+# nidx_paragraph/src/query_parser/fuzzy_parser.rs:35 MIN_FUZZY_LEN)
+MIN_FUZZY_LEN = 3
 
 
 def _deletes(term: str) -> set[str]:
@@ -42,12 +49,42 @@ def levenshtein_leq(a: str, b: str, d: int) -> bool:
     return prev[len(b)] <= d
 
 
+def osa_leq(a: str, b: str, d: int) -> bool:
+    """Restricted-Damerau (OSA) check: distance(a, b) <= d with adjacent
+    transpositions costing 1 — tantivy's ``transposition_cost_one = true``
+    semantics (nidx_paragraph/src/query_parser/fuzzy_parser.rs:73)."""
+    if abs(len(a) - len(b)) > d:
+        return False
+    if a == b:
+        return True
+    # full DP: only runs on deletion-neighborhood candidates (short strings)
+    la, lb = len(a), len(b)
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            best = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                best = min(best, prev2[j - 2] + 1)
+            cur[j] = best
+        prev2, prev = prev, cur
+    return prev[lb] <= d
+
+
 class FuzzyIndex:
     """Deletion-neighborhood index over a vocabulary (distance 1 native;
     distance 2 by chaining)."""
 
     def __init__(self, terms: list[str]):
         self.terms = terms
+        self._term_set = set(terms)
         self.variant_map: dict[str, list[int]] = {}
         for idx, term in enumerate(terms):
             for variant in _deletes(term) | {term}:
@@ -56,7 +93,10 @@ class FuzzyIndex:
     def expand(self, token: str, distance: int = 1) -> list[str]:
         """Vocabulary terms within edit distance of the token."""
         if distance <= 0:
-            return [token] if token in self.variant_map else []
+            return [token] if token in self._term_set else []
+        if len(token) < MIN_FUZZY_LEN:
+            # short tokens match exactly only (fuzzy_parser.rs:76)
+            return [token] if token in self._term_set else []
         probes = _deletes(token) | {token}
         if distance >= 2:
             probes |= {v for p in list(probes) for v in _deletes(p)}
@@ -66,7 +106,7 @@ class FuzzyIndex:
         out = []
         for idx in cand_ids:
             term = self.terms[idx]
-            if levenshtein_leq(token, term, distance):
+            if osa_leq(token, term, distance):
                 out.append(term)
         return sorted(out)
 

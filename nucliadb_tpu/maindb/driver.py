@@ -26,7 +26,20 @@ class Transaction:
         return row[0] if row else None
 
     def batch_get(self, keys: list[str]) -> list[Optional[bytes]]:
-        return [self.get(k) for k in keys]
+        if not keys:
+            return []
+        found: dict[str, bytes] = {}
+        # one IN query per chunk (sqlite caps bound parameters at ~32k;
+        # hydration batches are far smaller but stay safe)
+        for lo in range(0, len(keys), 512):
+            chunk = keys[lo : lo + 512]
+            rows = self._driver._conn.execute(
+                "SELECT key, value FROM resources WHERE key IN (%s)"
+                % ",".join("?" * len(chunk)),
+                chunk,
+            )
+            found.update(rows)
+        return [found.get(k) for k in keys]
 
     def set(self, key: str, value: bytes) -> None:
         self._driver._conn.execute(
