@@ -55,6 +55,18 @@ def main() -> None:
     parser.add_argument("--writer-address", default="127.0.0.1:10002")
     parser.add_argument("--interval", type=float, default=15.0)
     parser.add_argument(
+        "--substrate", default="",
+        help="host:port of a substrate server — metadata/bus/KV/blobs are"
+        " consumed over the network instead of local files (the PG+NATS+"
+        "object-store roles; parity: nidx/src/metadata.rs, indexer.rs NATS)",
+    )
+    parser.add_argument(
+        "--serve-substrate", default="",
+        help="address to SERVE the substrate on from this process (it owns"
+        " the backing files under --data-dir); other hosts point their"
+        " --substrate here",
+    )
+    parser.add_argument(
         "--control-socket", default="",
         help="unix socket answering alive/ready probes (parity: nidx ctl)",
     )
@@ -71,7 +83,50 @@ def main() -> None:
 
     import os
 
-    node = EmbeddedNode(data_dir=os.path.join(args.data_dir, "node"))
+    substrate_server = None
+    if args.serve_substrate:
+        from ..substrate import SubstrateServer
+
+        substrate_server = SubstrateServer(
+            os.path.join(args.data_dir, "substrate"), address=args.serve_substrate
+        )
+        substrate_server.start()
+        print(f"substrate served on port {substrate_server.port}")
+
+    def make_driver():
+        if substrate_server is not None:
+            return substrate_server.driver
+        if args.substrate:
+            from ..substrate import RemoteDriver
+
+            return RemoteDriver(args.substrate)
+        return Driver(os.path.join(args.data_dir, "maindb.db"))
+
+    def make_bus():
+        if substrate_server is not None:
+            return substrate_server.bus
+        if args.substrate:
+            from ..substrate import RemoteBus
+
+            return RemoteBus(args.substrate)
+        return EmbeddedBus(os.path.join(args.data_dir, "bus.db"))
+
+    if substrate_server is not None:
+        node = EmbeddedNode(
+            data_dir=os.path.join(args.data_dir, "node"),
+            metadata=substrate_server.metadata,
+            storage=substrate_server.storage,
+        )
+    elif args.substrate:
+        from ..substrate import RemoteMetadataStore, RemoteStorage
+
+        node = EmbeddedNode(
+            data_dir=os.path.join(args.data_dir, "node"),
+            metadata=RemoteMetadataStore(args.substrate),
+            storage=RemoteStorage(args.substrate),
+        )
+    else:
+        node = EmbeddedNode(data_dir=os.path.join(args.data_dir, "node"))
     threads: list[threading.Thread] = []
     stop = threading.Event()
 
@@ -96,8 +151,8 @@ def main() -> None:
 
     components = set(args.components)
     if "ingest" in components:
-        driver = Driver(os.path.join(args.data_dir, "maindb.db"))
-        bus = EmbeddedBus(os.path.join(args.data_dir, "bus.db"))
+        driver = make_driver()
+        bus = make_bus()
         kbs = KnowledgeBoxManager(driver, node)
         processor = Processor(driver, node, kbs)
         consumer = IngestConsumer(bus, processor)
@@ -132,7 +187,7 @@ def main() -> None:
     if "train" in components:
         from ..grpc_plane import TrainGrpcServer
 
-        driver_t = Driver(os.path.join(args.data_dir, "maindb.db"))
+        driver_t = make_driver()
         kbs_t = KnowledgeBoxManager(driver_t, node)
         train_server = TrainGrpcServer(
             Processor(driver_t, node, kbs_t), address=args.train_address
@@ -143,7 +198,7 @@ def main() -> None:
     if "writer" in components:
         from ..grpc_plane import WriterGrpcServer
 
-        driver_w = Driver(os.path.join(args.data_dir, "maindb.db"))
+        driver_w = make_driver()
         kbs_w = KnowledgeBoxManager(driver_w, node)
         writer_server = WriterGrpcServer(
             kbs_w, Processor(driver_w, node, kbs_w), address=args.writer_address

@@ -28,10 +28,24 @@ from .worker import WorkerService
 
 
 class EmbeddedNode:
-    def __init__(self, data_dir: str | None = None, storage: Storage | None = None):
+    def __init__(
+        self,
+        data_dir: str | None = None,
+        storage: Storage | None = None,
+        metadata: MetadataStore | None = None,
+    ):
+        """``metadata``/``storage`` default to sqlite/file backends under
+        ``data_dir``; component mode passes Remote* substrate clients
+        instead (substrate/__init__.py) — the service composition is
+        identical either way. ``data_dir`` stays the node's LOCAL scratch
+        (segment build dirs, searcher cache) in both modes."""
         self.data_dir = data_dir or tempfile.mkdtemp(prefix="ndbtpu_node_")
         os.makedirs(self.data_dir, exist_ok=True)
-        self.metadata = MetadataStore(os.path.join(self.data_dir, "metadata.db"))
+        self.metadata = (
+            metadata
+            if metadata is not None
+            else MetadataStore(os.path.join(self.data_dir, "metadata.db"))
+        )
         self.storage = storage if storage is not None else LocalStorage(
             os.path.join(self.data_dir, "blobs")
         )

@@ -1,0 +1,419 @@
+"""Network substrate: the PG + NATS + object-store roles over one gRPC plane.
+
+The reference deploys indexer / scheduler / worker / searcher on separate
+hosts against network services — PostgreSQL metadata
+(nidx/src/metadata.rs:37-100), a NATS JetStream ingestion bus
+(nidx/src/indexer.rs:121-149), and an object store (segment_store.rs).
+This build's equivalents (MetadataStore, EmbeddedBus, maindb Driver,
+LocalStorage) are sqlite/file-backed, which scales out only over a shared
+filesystem. This module makes them network services:
+
+- ``SubstrateServer`` owns the backing files (run it on ONE host — usually
+  next to the api/writer component) and serves every public method of the
+  four backends over a single reflective gRPC method
+  (``/ndbtpu.Substrate/Call``), msgpack-framed like the rest of the plane.
+- ``RemoteMetadataStore`` / ``RemoteBus`` / ``RemoteDriver`` /
+  ``RemoteStorage`` are drop-in clients with the same method surface, so
+  every component boots unchanged against ``--substrate host:port``.
+
+KV transactions: ``RemoteDriver.transaction()`` buffers writes client-side
+and applies them in ONE atomic ``kv_apply`` RPC at commit (reads merge the
+buffer over remote state, giving read-your-writes). This matches the
+documented Driver contract — plain transactions were never cross-process
+atomic; cross-process coordination uses ``compare_and_swap``/``delete_if``,
+which forward as single RPCs and keep their atomicity on the server.
+
+The standalone/sqlite fast path is untouched: these classes only engage in
+component mode when a substrate address is configured.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent import futures
+from dataclasses import fields, is_dataclass
+from typing import Any, Iterator, Optional
+
+import grpc
+import msgpack
+
+from ..bus.stream import BusMessage, EmbeddedBus
+from ..maindb.driver import Driver
+from ..metadata.store import (
+    IndexMeta,
+    MergeJob,
+    MetadataStore,
+    SegmentRow,
+    ShardMeta,
+)
+from ..storage import LocalStorage
+from ..types import Seq
+
+_SERVICE = "/ndbtpu.Substrate/"
+_MAX_MSG = 512 * 1024 * 1024  # segments stream through put/get blobs
+
+_DATACLASSES = {
+    c.__name__: c for c in (ShardMeta, IndexMeta, SegmentRow, MergeJob, BusMessage)
+}
+
+
+def _enc(v: Any) -> Any:
+    if isinstance(v, Seq):
+        return {"__seq__": int(v)}
+    if is_dataclass(v) and type(v).__name__ in _DATACLASSES:
+        return {
+            "__dc__": type(v).__name__,
+            "f": {f.name: _enc(getattr(v, f.name)) for f in fields(v)},
+        }
+    if isinstance(v, tuple):
+        return {"__tup__": [_enc(x) for x in v]}
+    if isinstance(v, list):
+        return [_enc(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _enc(x) for k, x in v.items()}
+    return v
+
+
+def _dec(v: Any) -> Any:
+    if isinstance(v, dict):
+        if "__seq__" in v and len(v) == 1:
+            return Seq(v["__seq__"])
+        if "__tup__" in v and len(v) == 1:
+            return tuple(_dec(x) for x in v["__tup__"])
+        if "__dc__" in v and len(v) == 2:
+            cls = _DATACLASSES[v["__dc__"]]
+            return cls(**{k: _dec(x) for k, x in v["f"].items()})
+        return {k: _dec(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_dec(x) for x in v]
+    return v
+
+
+class _KvFacade:
+    """Server-side KV target: one-shot reads + an atomic write batch."""
+
+    def __init__(self, driver: Driver):
+        self._driver = driver
+
+    def get(self, key: str) -> Optional[bytes]:
+        with self._driver as txn:
+            return txn.get(key)
+
+    def batch_get(self, keys: list[str]) -> list[Optional[bytes]]:
+        with self._driver as txn:
+            return txn.batch_get(keys)
+
+    def keys(self, prefix: str, count: int = -1) -> list[str]:
+        with self._driver as txn:
+            return list(txn.keys(prefix, count))
+
+    def count(self, prefix: str) -> int:
+        with self._driver as txn:
+            return txn.count(prefix)
+
+    def apply(self, ops: list) -> None:
+        """One atomic transaction of buffered writes."""
+        with self._driver as txn:
+            for op in ops:
+                kind = op[0]
+                if kind == "set":
+                    txn.set(op[1], op[2])
+                elif kind == "delete":
+                    txn.delete(op[1])
+                elif kind == "delete_by_prefix":
+                    txn.delete_by_prefix(op[1])
+                else:
+                    raise ValueError(f"bad kv op: {kind}")
+
+    def compare_and_swap(self, key, expected, new) -> bool:
+        return self._driver.compare_and_swap(key, expected, new)
+
+    def delete_if(self, key, expected) -> bool:
+        return self._driver.delete_if(key, expected)
+
+
+class SubstrateServer:
+    """Serves the metadata / bus / KV / blob backends over gRPC."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        address: str = "127.0.0.1:0",
+        workers: int = 16,
+    ):
+        import os
+
+        os.makedirs(data_dir, exist_ok=True)
+        self.metadata = MetadataStore(os.path.join(data_dir, "metadata.db"))
+        self.bus = EmbeddedBus(os.path.join(data_dir, "bus.db"))
+        self.driver = Driver(os.path.join(data_dir, "maindb.db"))
+        self.storage = LocalStorage(os.path.join(data_dir, "blobs"))
+        self._targets = {
+            "meta": self.metadata,
+            "bus": self.bus,
+            "kv": _KvFacade(self.driver),
+            "blob": self.storage,
+        }
+        self.server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=workers),
+            options=[
+                ("grpc.max_send_message_length", _MAX_MSG),
+                ("grpc.max_receive_message_length", _MAX_MSG),
+            ],
+        )
+        handler = grpc.unary_unary_rpc_method_handler(
+            self._call,
+            request_deserializer=msgpack.unpackb,
+            response_serializer=msgpack.packb,
+        )
+        self.server.add_generic_rpc_handlers(
+            (grpc.method_handlers_generic_handler(
+                "ndbtpu.Substrate", {"Call": handler}
+            ),)
+        )
+        self.port = self.server.add_insecure_port(address)
+
+    def start(self) -> None:
+        self.server.start()
+
+    def stop(self, grace: float = 1.0) -> None:
+        self.server.stop(grace)
+
+    def _call(self, request, context):
+        target = self._targets.get(request["t"])
+        method = request["m"]
+        if target is None or method.startswith("_"):
+            return {"err": f"bad target/method {request['t']}.{method}",
+                    "err_type": "ValueError"}
+        fn = getattr(target, method, None)
+        if fn is None or not callable(fn):
+            return {"err": f"no method {request['t']}.{method}",
+                    "err_type": "AttributeError"}
+        try:
+            args = [_dec(a) for a in request.get("a", [])]
+            kwargs = {k: _dec(v) for k, v in request.get("k", {}).items()}
+            out = fn(*args, **kwargs)
+            if isinstance(out, Iterator):
+                out = list(out)
+            return {"v": _enc(out)}
+        except Exception as e:  # propagate typed errors to the client
+            return {"err": str(e), "err_type": type(e).__name__}
+
+
+_ERR_TYPES = {
+    "KeyError": KeyError,
+    "FileNotFoundError": FileNotFoundError,
+    "ValueError": ValueError,
+    "AttributeError": AttributeError,
+}
+
+
+class _Remote:
+    """Base client: forwards method calls as Call RPCs."""
+
+    _target = ""
+
+    def __init__(self, address: str, timeout: float = 30.0):
+        self._channel = grpc.insecure_channel(
+            address,
+            options=[
+                ("grpc.max_send_message_length", _MAX_MSG),
+                ("grpc.max_receive_message_length", _MAX_MSG),
+            ],
+        )
+        self._timeout = timeout
+        self._fn = self._channel.unary_unary(
+            _SERVICE + "Call",
+            request_serializer=msgpack.packb,
+            response_deserializer=msgpack.unpackb,
+        )
+
+    def _call(self, method: str, *args, **kwargs):
+        out = self._fn(
+            {
+                "t": self._target,
+                "m": method,
+                "a": [_enc(a) for a in args],
+                "k": {k: _enc(v) for k, v in kwargs.items()},
+            },
+            timeout=self._timeout,
+        )
+        if "err" in out:
+            exc = _ERR_TYPES.get(out.get("err_type", ""), RuntimeError)
+            raise exc(out["err"])
+        return _dec(out.get("v"))
+
+    def close(self) -> None:
+        self._channel.close()
+
+
+def _forward(name):
+    def method(self, *args, **kwargs):
+        return self._call(name, *args, **kwargs)
+
+    method.__name__ = name
+    return method
+
+
+class RemoteMetadataStore(_Remote):
+    _target = "meta"
+
+
+for _m in (
+    "next_seq", "last_seq", "create_shard", "get_shard", "list_shards",
+    "delete_shard", "create_index", "get_indexes", "delete_index",
+    "retire_index_segments", "touch_index", "indexes_updated_since",
+    "create_segment", "commit_operation", "set_segment_size",
+    "ready_segments", "deletions_for_index", "purgeable_segments",
+    "drop_segment", "purge_deletions_below", "enqueue_merge",
+    "take_merge_job", "heartbeat_merge_job", "merge_job_segments",
+    "finish_merge_job", "pending_merge_jobs", "record_index_request",
+    "ack_index_request", "ack_floor", "prune_acked_requests",
+    "expire_stale_requests",
+):
+    setattr(RemoteMetadataStore, _m, _forward(_m))
+
+
+class RemoteBus(_Remote):
+    _target = "bus"
+
+    def watch(self, stream, callback) -> None:
+        """Push notification via background polling (the embedded bus pushes
+        in-process; over the network the watcher polls the scan cursor)."""
+        def poll():
+            import time as _t
+
+            cursor = self.last_seq(stream)
+            while True:
+                try:
+                    for msg in self.scan(stream, after_seq=cursor, limit=100):
+                        cursor = max(cursor, msg.seq)
+                        callback(msg)
+                except Exception:
+                    pass
+                _t.sleep(0.2)
+
+        threading.Thread(target=poll, daemon=True).start()
+
+
+for _m in (
+    "publish", "scan", "next", "ack", "nak", "in_progress", "last_seq",
+    "ack_floor", "pending", "purge_older_than", "purge_acked",
+):
+    setattr(RemoteBus, _m, _forward(_m))
+
+
+class RemoteStorage(_Remote):
+    _target = "blob"
+
+
+for _m in ("put", "get", "exists", "delete", "list"):
+    setattr(RemoteStorage, _m, _forward(_m))
+
+
+class RemoteTransaction:
+    """Client-side buffered transaction (see module docstring)."""
+
+    def __init__(self, driver: "RemoteDriver"):
+        self._driver = driver
+        self._ops: list[tuple] = []
+        self._sets: dict[str, bytes] = {}
+        self._deleted: set[str] = set()
+        self._deleted_prefixes: list[str] = []
+
+    # -- reads (buffer overlays remote state) ---------------------------
+
+    def _local_state(self, key: str):
+        """(handled, value) against the write buffer."""
+        if key in self._sets:
+            return True, self._sets[key]
+        if key in self._deleted:
+            return True, None
+        for p in self._deleted_prefixes:
+            if key.startswith(p):
+                return True, None
+        return False, None
+
+    def get(self, key: str) -> Optional[bytes]:
+        handled, v = self._local_state(key)
+        return v if handled else self._driver._call("get", key)
+
+    def batch_get(self, keys: list[str]) -> list[Optional[bytes]]:
+        out: list[Optional[bytes]] = [None] * len(keys)
+        remote_idx = []
+        for i, k in enumerate(keys):
+            handled, v = self._local_state(k)
+            if handled:
+                out[i] = v
+            else:
+                remote_idx.append(i)
+        if remote_idx:
+            vals = self._driver._call("batch_get", [keys[i] for i in remote_idx])
+            for i, v in zip(remote_idx, vals):
+                out[i] = v
+        return out
+
+    def keys(self, prefix: str, count: int = -1) -> Iterator[str]:
+        remote = self._driver._call("keys", prefix, -1)
+        merged = set(remote)
+        for k in self._sets:
+            if k.startswith(prefix):
+                merged.add(k)
+        merged -= self._deleted
+        for p in self._deleted_prefixes:
+            merged = {k for k in merged if not (k.startswith(p) and k not in self._sets)}
+        out = sorted(merged)
+        if count >= 0:
+            out = out[:count]
+        return iter(out)
+
+    def count(self, prefix: str) -> int:
+        return len(list(self.keys(prefix)))
+
+    # -- writes (buffered) ----------------------------------------------
+
+    def set(self, key: str, value: bytes) -> None:
+        self._ops.append(("set", key, value))
+        self._sets[key] = value
+        self._deleted.discard(key)
+
+    def delete(self, key: str) -> None:
+        self._ops.append(("delete", key))
+        self._sets.pop(key, None)
+        self._deleted.add(key)
+
+    def delete_by_prefix(self, prefix: str) -> None:
+        self._ops.append(("delete_by_prefix", prefix))
+        self._sets = {k: v for k, v in self._sets.items() if not k.startswith(prefix)}
+        self._deleted_prefixes.append(prefix)
+
+    def commit(self) -> None:
+        if self._ops:
+            self._driver._call("apply", self._ops)
+        self._ops = []
+
+    def abort(self) -> None:
+        self._ops = []
+
+
+class RemoteDriver(_Remote):
+    _target = "kv"
+
+    def transaction(self) -> RemoteTransaction:
+        return RemoteTransaction(self)
+
+    def compare_and_swap(self, key, expected, new) -> bool:
+        return self._call("compare_and_swap", key, expected, new)
+
+    def delete_if(self, key, expected) -> bool:
+        return self._call("delete_if", key, expected)
+
+    def __enter__(self) -> RemoteTransaction:
+        self._txn = self.transaction()
+        return self._txn
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self._txn.commit()
+        else:
+            self._txn.abort()
