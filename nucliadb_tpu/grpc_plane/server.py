@@ -59,6 +59,11 @@ class NodeGrpcServer:
         self.server.add_generic_rpc_handlers(
             (grpc.method_handlers_generic_handler("nidx.Node", handlers),)
         )
+        # protobuf-wire NidxApi/NidxSearcher for reference clients
+        # (nidx_protos/nidx.proto service names, real proto bytes)
+        from .proto_compat import register_proto_services
+
+        register_proto_services(self.server, node)
         self.port = self.server.add_insecure_port(address)
 
     def start(self) -> None:
