@@ -19,5 +19,11 @@ Within a TPU slice, shards are mesh partitions merged by ICI collectives
 
 from .selector import ShardSelector
 from .distributed import DistributedSearcher, merge_shard_responses
+from .topology import TopologyWatcher
 
-__all__ = ["ShardSelector", "DistributedSearcher", "merge_shard_responses"]
+__all__ = [
+    "ShardSelector",
+    "DistributedSearcher",
+    "merge_shard_responses",
+    "TopologyWatcher",
+]

@@ -23,6 +23,16 @@ class ShardSelector:
         self.nodes = list(dict.fromkeys(nodes))
         self.replication = replication
 
+    def set_nodes(self, nodes: Sequence[str]) -> bool:
+        """Replace the node set in place (topology change); holders of this
+        selector — searchers gating shard ownership, scatter routers — see
+        the new placement on their next call. Returns True if it changed."""
+        new = list(dict.fromkeys(nodes))
+        if new == self.nodes:
+            return False
+        self.nodes = new
+        return True
+
     def nodes_for_shard(self, shard_id: str) -> list[str]:
         ranked = sorted(self.nodes, key=lambda n: _score(n, shard_id), reverse=True)
         return ranked[: max(self.replication, 1)]

@@ -67,6 +67,13 @@ def main() -> None:
         " --substrate here",
     )
     parser.add_argument(
+        "--topology", default="",
+        help="JSON node-list file watched for changes; with --node-name this"
+        " searcher only syncs shards it owns per rendezvous placement and"
+        " re-places on change (parity: K8s pod watch, shard_selector.rs)",
+    )
+    parser.add_argument("--node-name", default="")
+    parser.add_argument(
         "--control-socket", default="",
         help="unix socket answering alive/ready probes (parity: nidx ctl)",
     )
@@ -111,11 +118,22 @@ def main() -> None:
             return RemoteBus(args.substrate)
         return EmbeddedBus(os.path.join(args.data_dir, "bus.db"))
 
+    topology = None
+    if args.topology:
+        from ..cluster import TopologyWatcher
+
+        topology = TopologyWatcher(args.topology)
+        topology.start()
+    node_kwargs = dict(
+        selector=topology.selector if topology is not None else None,
+        node_name=args.node_name or None,
+    )
     if substrate_server is not None:
         node = EmbeddedNode(
             data_dir=os.path.join(args.data_dir, "node"),
             metadata=substrate_server.metadata,
             storage=substrate_server.storage,
+            **node_kwargs,
         )
     elif args.substrate:
         from ..substrate import RemoteMetadataStore, RemoteStorage
@@ -124,9 +142,12 @@ def main() -> None:
             data_dir=os.path.join(args.data_dir, "node"),
             metadata=RemoteMetadataStore(args.substrate),
             storage=RemoteStorage(args.substrate),
+            **node_kwargs,
         )
     else:
-        node = EmbeddedNode(data_dir=os.path.join(args.data_dir, "node"))
+        node = EmbeddedNode(
+            data_dir=os.path.join(args.data_dir, "node"), **node_kwargs
+        )
     threads: list[threading.Thread] = []
     stop = threading.Event()
 

@@ -33,6 +33,8 @@ class EmbeddedNode:
         data_dir: str | None = None,
         storage: Storage | None = None,
         metadata: MetadataStore | None = None,
+        selector=None,
+        node_name: str | None = None,
     ):
         """``metadata``/``storage`` default to sqlite/file backends under
         ``data_dir``; component mode passes Remote* substrate clients
@@ -57,7 +59,8 @@ class EmbeddedNode:
             self.metadata, self.storage, os.path.join(self.data_dir, "worker")
         )
         self.searcher = SyncedSearcher(
-            self.metadata, self.storage, os.path.join(self.data_dir, "segments")
+            self.metadata, self.storage, os.path.join(self.data_dir, "segments"),
+            selector=selector, node_name=node_name,
         )
 
     # ---- shard/index lifecycle (parity: NidxApi NewShard/vectorsets) ------
