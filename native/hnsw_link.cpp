@@ -26,12 +26,20 @@ struct BufGuard {
     ~BufGuard() {
         if (ok) PyBuffer_Release(&view);
     }
-    bool get(PyObject* obj, int flags, const char* name, int ndim) {
+    bool get(PyObject* obj, int flags, const char* name, int ndim,
+             Py_ssize_t itemsize) {
         if (PyObject_GetBuffer(obj, &view, flags | PyBUF_ND) != 0) return false;
         ok = true;
         if (view.ndim != ndim) {
             PyErr_Format(PyExc_ValueError, "%s: expected %d dims, got %d", name,
                          ndim, view.ndim);
+            return false;
+        }
+        // wrong-width buffers (e.g. int64 adjacency) would be reinterpreted
+        // and written out of bounds — reject instead of corrupting the heap
+        if (view.itemsize != itemsize) {
+            PyErr_Format(PyExc_ValueError, "%s: expected itemsize %zd, got %zd",
+                         name, itemsize, view.itemsize);
             return false;
         }
         return true;
@@ -61,13 +69,13 @@ extern "C" PyObject* hnsw_link_wave(PyObject*, PyObject* args) {
         return nullptr;
 
     BufGuard adj, count, vec, nodes, cand, kept;
-    if (!adj.get(adj_o, PyBUF_WRITABLE | PyBUF_FORMAT, "adj", 2)) return nullptr;
-    if (!count.get(count_o, PyBUF_WRITABLE | PyBUF_FORMAT, "adj_count", 1))
+    if (!adj.get(adj_o, PyBUF_WRITABLE | PyBUF_FORMAT, "adj", 2, 4)) return nullptr;
+    if (!count.get(count_o, PyBUF_WRITABLE | PyBUF_FORMAT, "adj_count", 1, 4))
         return nullptr;
-    if (!vec.get(vec_o, PyBUF_FORMAT, "vectors", 2)) return nullptr;
-    if (!nodes.get(nodes_o, PyBUF_FORMAT, "wave_nodes", 1)) return nullptr;
-    if (!cand.get(cand_o, PyBUF_FORMAT, "cand_ids", 2)) return nullptr;
-    if (!kept.get(kept_o, PyBUF_FORMAT, "kept", 2)) return nullptr;
+    if (!vec.get(vec_o, PyBUF_FORMAT, "vectors", 2, 4)) return nullptr;
+    if (!nodes.get(nodes_o, PyBUF_FORMAT, "wave_nodes", 1, 4)) return nullptr;
+    if (!cand.get(cand_o, PyBUF_FORMAT, "cand_ids", 2, 4)) return nullptr;
+    if (!kept.get(kept_o, PyBUF_FORMAT, "kept", 2, 1)) return nullptr;
 
     const Py_ssize_t n = adj.view.shape[0];
     const Py_ssize_t m_max = adj.view.shape[1];

@@ -53,6 +53,12 @@ PyObject* phrase_match_batch(PyObject*, PyObject* args) {
     Buf poff(poff_obj, "positions_offsets");
     Buf pos(pos_obj, "positions");
     if (!doc_ids.ok || !poff.ok || !pos.ok) return nullptr;
+    if (doc_ids.view.itemsize != 8 || poff.view.itemsize != 8 ||
+        pos.view.itemsize != 4) {
+        PyErr_SetString(PyExc_ValueError,
+                        "doc_ids/positions_offsets must be int64, positions int32");
+        return nullptr;
+    }
 
     if (!PySequence_Check(term_docs_obj) || !PySequence_Check(term_lo_obj)) {
         PyErr_SetString(PyExc_TypeError, "term_docs/term_lo must be sequences");
@@ -121,11 +127,17 @@ PyObject* phrase_match_batch(PyObject*, PyObject* args) {
                 break;
             }
             int64_t row = term_lo[size_t(t)] + (it - docs);
-            if (row + 1 >= n_offs) {
+            if (row < 0 || row + 1 >= n_offs) {
                 match = false;
                 break;
             }
             int64_t plo = offs[row], phi = offs[row + 1];
+            // inconsistent CSR inputs must not read outside the pool
+            const int64_t n_pos = pos.nbytes() / int64_t(sizeof(int32_t));
+            if (plo < 0 || phi < plo || phi > n_pos) {
+                match = false;
+                break;
+            }
             if (t == 0) {
                 cur.assign(positions + plo, positions + phi);
             } else {

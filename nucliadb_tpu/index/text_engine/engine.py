@@ -994,7 +994,7 @@ class DeviceTextEngine:
             flags = _native.phrase_match_batch(
                 locals_i64, term_docs, term_lo,
                 np.ascontiguousarray(seg.positions_offsets, np.int64),
-                seg.positions,
+                np.ascontiguousarray(seg.positions, np.int32),
             )
             for pos, i in enumerate(idxs):
                 out[i] = flags[pos] == 1

@@ -23,6 +23,14 @@ from .generators import TrainSet
 
 GENERATORS: dict[str, Callable] = {}
 
+# Arrow encode/write calls run under one process-wide lock: exports fire from
+# HTTP server worker threads, and concurrent pyarrow conversions have produced
+# a rare interpreter segfault under the full-suite thread mix. Export
+# throughput is disk-bound anyway, so serializing costs nothing measurable.
+import threading as _threading
+
+_ARROW_LOCK = _threading.Lock()
+
 
 def _register():
     from . import generators as g
@@ -95,16 +103,17 @@ def export_trainset(
             import pyarrow as pa
 
             name = f"part-{len(partitions):05d}.arrow"
-            schema = _arrow_schema(current[0])
-            with pa.OSFile(os.path.join(output_dir, name), "wb") as sink:
-                with pa.ipc.new_stream(sink, schema) as writer:
-                    for d in current:
-                        writer.write_batch(
-                            pa.record_batch(
-                                [pa.array(col, type=schema.field(k).type) for k, col in d.items()],
-                                schema=schema,
+            with _ARROW_LOCK:
+                schema = _arrow_schema(current[0])
+                with pa.OSFile(os.path.join(output_dir, name), "wb") as sink:
+                    with pa.ipc.new_stream(sink, schema) as writer:
+                        for d in current:
+                            writer.write_batch(
+                                pa.record_batch(
+                                    [pa.array(col, type=schema.field(k).type) for k, col in d.items()],
+                                    schema=schema,
+                                )
                             )
-                        )
         else:
             name = f"part-{len(partitions):05d}.msgpack"
             with open(os.path.join(output_dir, name), "wb") as f:
@@ -150,15 +159,16 @@ def stream_trainset(
     schema = None
     for batch in GENERATORS[task](processor, trainset):
         d = asdict(batch)
-        if writer is None:
-            schema = _arrow_schema(d)
-            writer = pa.ipc.new_stream(sink, schema)
-        writer.write_batch(
-            pa.record_batch(
-                [pa.array(col, type=schema.field(k).type) for k, col in d.items()],
-                schema=schema,
+        with _ARROW_LOCK:
+            if writer is None:
+                schema = _arrow_schema(d)
+                writer = pa.ipc.new_stream(sink, schema)
+            writer.write_batch(
+                pa.record_batch(
+                    [pa.array(col, type=schema.field(k).type) for k, col in d.items()],
+                    schema=schema,
+                )
             )
-        )
         if sink.tell():
             yield sink.getvalue()
             sink.seek(0)
