@@ -170,25 +170,39 @@ class ResourceBrain:
                         VectorSentence(vector=np.asarray(emb.vector, np.float32))
                     )
 
-        # relations
+        # relations — user relations carry the /g/u generator facet,
+        # data-augmentation relations /g/da/<task>, plain processor
+        # relations no /g facet (parity: brain_v2.py:454-461, 766-769)
         rels: list[IndexRelation] = []
-        for rel in payload.usergenerated_relations:
+
+        def _rel(rel, facets: list[str]) -> Optional[IndexRelation]:
             if rel.from_ is None or rel.to is None:
-                continue
-            rels.append(
-                IndexRelation(
-                    source=RelationNode(
-                        value=rel.from_.value,
-                        ntype=rel.from_.type.upper(),
-                        subtype=rel.from_.group,
-                    ),
-                    target=RelationNode(
-                        value=rel.to.value, ntype=rel.to.type.upper(), subtype=rel.to.group
-                    ),
-                    relation=rel.relation,
-                    label=rel.label,
-                )
+                return None
+            return IndexRelation(
+                source=RelationNode(
+                    value=rel.from_.value,
+                    ntype=rel.from_.type.upper(),
+                    subtype=rel.from_.group,
+                ),
+                target=RelationNode(
+                    value=rel.to.value, ntype=rel.to.type.upper(), subtype=rel.to.group
+                ),
+                relation=rel.relation,
+                label=rel.label,
+                facets=facets,
             )
+
+        for rel in payload.usergenerated_relations:
+            ir = _rel(rel, ["/g/u"])
+            if ir is not None:
+                rels.append(ir)
+        for rel in getattr(payload, "computed_relations", []):
+            task = getattr(rel, "data_augmentation_task_id", None)
+            ir = _rel(rel, [f"/g/da/{task}"] if task else [])
+            if ir is not None:
+                if task:
+                    ir.metadata = {"data_augmentation_task_id": task}
+                rels.append(ir)
         if rels:
             doc.relations["a/metadata"] = rels
 

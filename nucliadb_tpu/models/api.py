@@ -140,6 +140,15 @@ class RelationPayload(BaseModel):
     model_config = {"populate_by_name": True}
 
 
+class ComputedRelationPayload(RelationPayload):
+    """A processor/data-augmentation-sourced relation (parity: processor
+    broker messages' field_computed_metadata.relations, brain_v2.py:454-461
+    — DA relations carry their task id and index the /g/da/<task> facet;
+    plain processor relations index no /g facet)."""
+
+    data_augmentation_task_id: Optional[str] = None
+
+
 class ResourceSecurity(BaseModel):
     access_groups: list[str] = Field(default_factory=list)
 
@@ -165,6 +174,9 @@ class CreateResourcePayload(BaseModel):
     key_values: dict[str, dict] = Field(default_factory=dict)
     usermetadata: UserMetadata = Field(default_factory=UserMetadata)
     usergenerated_relations: list[RelationPayload] = Field(default_factory=list)
+    # processor/DA-sourced relations (indexed with /g/da facets; the
+    # reference receives these on processor broker messages)
+    computed_relations: list[ComputedRelationPayload] = Field(default_factory=list)
     origin: Optional[Origin] = None
     # free-form user metadata blob, stored and served back verbatim
     # (parity: nucliadb_models/metadata.py Extra)
@@ -471,14 +483,45 @@ class GraphSearchPayload(BaseModel):
 class GraphPathResult(BaseModel):
     source: str
     source_type: str = ""
+    source_group: str = ""
     relation: str = ""
     label: str = ""
     target: str = ""
     target_type: str = ""
+    target_group: str = ""
+    score: Optional[float] = None
+    # {rid}/{field_type}/{field_id} the path was extracted from
+    # (parity: graph responses PathMetadata.field_id)
+    field_id: Optional[str] = None
 
 
 class GraphSearchResponse(BaseModel):
     paths: list[GraphPathResult] = Field(default_factory=list)
+
+
+class GraphNodeResult(BaseModel):
+    """Distinct node from /graph/nodes (parity: responses.GraphNode)."""
+
+    value: str
+    type: str = ""
+    group: str = ""
+    score: Optional[float] = None
+
+
+class GraphNodesResponse(BaseModel):
+    nodes: list[GraphNodeResult] = Field(default_factory=list)
+
+
+class GraphRelationResult(BaseModel):
+    """Distinct relation from /graph/relations (responses.GraphRelation)."""
+
+    label: str
+    type: str = ""
+    score: Optional[float] = None
+
+
+class GraphRelationsResponse(BaseModel):
+    relations: list[GraphRelationResult] = Field(default_factory=list)
 
 
 class ChatContextMessage(BaseModel):

@@ -818,29 +818,104 @@ class SearchService:
             facets=facet_totals,
         )
 
-    def _semantic_graph_nodes(self, kbid: str, searcher, query: str, top_n: int) -> list[str]:
-        """Node values ranked by embedding similarity to the query (parity:
-        the reference's relation-node vector entities, config.rs:94-100 —
-        here embedded through the predict seam and cached per searcher)."""
-        if self.predict is None or not searcher.relation.node_values:
-            return []
-        fingerprint = hash(tuple(searcher.relation.node_values))
-        cached = getattr(searcher.relation, "_semantic_vecs", None)
+    def _semantic_value_scores(
+        self, kbid: str, searcher, values: list[str], query: str, top_n: int,
+        cache_attr: str,
+    ) -> dict[str, float]:
+        """Embedding-similarity scores for a value list vs a query text:
+        {normalized value: cosine score} for the top-N positive matches
+        (parity: the reference's relation node/edge vectors resolved into
+        VectorQueryResults, nidx_relation config.rs:94-100 +
+        graph_query_parser.rs FromVectorQuery; embedded through the predict
+        seam and cached per searcher)."""
+        if self.predict is None or not values:
+            return {}
+        from ..index.text_engine.tokenizer import strip_diacritics
+
+        fingerprint = hash(tuple(values))
+        cached = getattr(searcher.relation, cache_attr, None)
         if cached is None or cached[0] != fingerprint:
-            vecs = [
-                self.predict.embed(kbid, "", value)
-                for value in searcher.relation.node_values
-            ]
+            vecs = [self.predict.embed(kbid, "", value) for value in values]
             mat = np.stack([np.asarray(v, np.float32) for v in vecs])
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             mat = mat / np.maximum(norms, 1e-12)
-            searcher.relation._semantic_vecs = cached = (fingerprint, mat)
+            cached = (fingerprint, mat)
+            setattr(searcher.relation, cache_attr, cached)
         cache = cached[1]
         qv = np.asarray(self.predict.embed(kbid, "", query), np.float32)
         qv = qv / max(float(np.linalg.norm(qv)), 1e-12)
         sims = cache @ qv
         order = np.argsort(-sims)[:top_n]
-        return [searcher.relation.node_values[i] for i in order if sims[i] > 0]
+        return {
+            strip_diacritics(values[i].lower()): float(sims[i])
+            for i in order
+            if sims[i] > 0
+        }
+
+    def _semantic_graph_nodes(self, kbid: str, searcher, query: str, top_n: int) -> list[str]:
+        """Node values ranked by embedding similarity to the query."""
+        scores = self._semantic_value_scores(
+            kbid, searcher, searcher.relation.node_values, query, top_n,
+            "_semantic_vecs",
+        )
+        norm_to_value = {}
+        from ..index.text_engine.tokenizer import strip_diacritics
+
+        for v in searcher.relation.node_values:
+            norm_to_value.setdefault(strip_diacritics(v.lower()), v)
+        ranked = sorted(scores.items(), key=lambda kv: -kv[1])
+        return [norm_to_value[n] for n, _ in ranked if n in norm_to_value]
+
+    def _resolve_semantic_leaves(self, kbid: str, searcher, query: dict) -> dict:
+        """Inject ``semantic_matches`` into match="semantic" node/relation
+        leaves (per shard: each searcher has its own node/label sets)."""
+
+        def node_leaf(d: dict) -> dict:
+            if d.get("match") != "semantic" or not d.get("value"):
+                return d
+            out = dict(d)
+            out["semantic_matches"] = self._semantic_value_scores(
+                kbid, searcher, searcher.relation.node_values, d["value"], 20,
+                "_semantic_vecs",
+            )
+            return out
+
+        def rel_leaf(d: dict) -> dict:
+            if d.get("match") != "semantic" or not d.get("label"):
+                return d
+            labels = sorted({e["label"] for e in searcher.relation.edges if e["label"]})
+            out = dict(d)
+            out["semantic_matches"] = self._semantic_value_scores(
+                kbid, searcher, labels, d["label"], 20, "_semantic_label_vecs"
+            )
+            return out
+
+        def walk(q):
+            if not isinstance(q, dict):
+                return q
+            if "and" in q:
+                return {"and": [walk(x) for x in q["and"]]}
+            if "or" in q:
+                return {"or": [walk(x) for x in q["or"]]}
+            if "not" in q:
+                return {"not": walk(q["not"])}
+            prop = q.get("prop")
+            if prop == "path":
+                out = dict(q)
+                if q.get("source"):
+                    out["source"] = node_leaf(q["source"])
+                if q.get("destination"):
+                    out["destination"] = node_leaf(q["destination"])
+                if q.get("relation"):
+                    out["relation"] = rel_leaf(q["relation"])
+                return out
+            if prop in ("source_node", "destination_node", "node"):
+                return node_leaf(q)
+            if prop == "relation":
+                return rel_leaf(q)
+            return q
+
+        return walk(query)
 
     def graph(self, kbid: str, request: GraphSearchPayload) -> GraphSearchResponse:
         greq = GraphSearchRequest(
@@ -909,6 +984,49 @@ class SearchService:
         expression trees — and/or/not over path/node/relation leaves, plus
         the BaseGraphSearchRequest resource constraints: filter_expression,
         security and show_hidden)."""
+        edge_ok = self._graph_edge_filter(
+            kbid, filter_expression=filter_expression,
+            security_groups=security_groups, show_hidden=show_hidden,
+        )
+
+        resp = GraphSearchResponse()
+        for shard_id in self._shard_ids(kbid):
+            searcher = self.node.searcher.shard(shard_id)
+            if searcher.relation is None:
+                continue
+            q = self._resolve_semantic_leaves(kbid, searcher, query)
+            for p in searcher.relation.graph_search_expr(q, top_k):
+                if edge_ok is not None and not edge_ok({"key": p.resource_field}):
+                    continue
+                resp.paths.append(
+                    GraphPathResult(
+                        source=p.source.value,
+                        source_type=p.source.ntype,
+                        source_group=p.source.subtype,
+                        relation=p.relation,
+                        label=p.label,
+                        target=p.target.value,
+                        target_type=p.target.ntype,
+                        target_group=p.target.subtype,
+                        score=p.score,
+                        field_id=p.resource_field,
+                    )
+                )
+        resp.paths.sort(key=lambda p: -(p.score or 0.0))
+        resp.paths = resp.paths[:top_k]
+        return resp
+
+    def _graph_edge_filter(
+        self,
+        kbid: str,
+        *,
+        filter_expression: "Optional[FilterExpression]" = None,
+        security_groups: Optional[list[str]] = None,
+        show_hidden: bool = False,
+    ):
+        """Edge predicate applying the BaseGraphSearchRequest resource
+        constraints (filter_expression/security/show_hidden), or None when
+        unconstrained."""
         from ..query_language import evaluate_one
 
         expr = filter_to_expression(filter_expression)
@@ -916,9 +1034,12 @@ class SearchService:
         hide = (
             kb_cfg is not None and kb_cfg.hidden_resources_enabled and not show_hidden
         )
-        allowed: dict[str, bool] = {}  # rid -> passes resource constraints
+        if not hide and expr is None and security_groups is None:
+            return None
+        allowed: dict[str, bool] = {}
 
-        def rid_ok(rid: str) -> bool:
+        def edge_ok(e: dict) -> bool:
+            rid = e["key"].split("/", 1)[0]
             cached = allowed.get(rid)
             if cached is not None:
                 return cached
@@ -946,28 +1067,83 @@ class SearchService:
             allowed[rid] = ok
             return ok
 
-        resp = GraphSearchResponse()
+        return edge_ok
+
+    def graph_nodes_expr(
+        self,
+        kbid: str,
+        query: dict,
+        top_k: int = 50,
+        *,
+        filter_expression: "Optional[FilterExpression]" = None,
+        security_groups: Optional[list[str]] = None,
+        show_hidden: bool = False,
+    ) -> "GraphNodesResponse":
+        """/graph/nodes — distinct nodes with best scores (parity:
+        nodes_graph_search + TopUniqueN, nidx_relation/src/reader.rs:181)."""
+        from ..models.api import GraphNodeResult, GraphNodesResponse
+
+        edge_ok = self._graph_edge_filter(
+            kbid, filter_expression=filter_expression,
+            security_groups=security_groups, show_hidden=show_hidden,
+        )
+        best: dict[tuple[str, str, str], float] = {}
         for shard_id in self._shard_ids(kbid):
             searcher = self.node.searcher.shard(shard_id)
             if searcher.relation is None:
                 continue
-            for p in searcher.relation.graph_search_expr(query, top_k):
-                if (hide or expr is not None or security_groups is not None) and not rid_ok(
-                    p.resource_field.split("/", 1)[0]
-                ):
-                    continue
-                resp.paths.append(
-                    GraphPathResult(
-                        source=p.source.value,
-                        source_type=p.source.ntype,
-                        relation=p.relation,
-                        label=p.label,
-                        target=p.target.value,
-                        target_type=p.target.ntype,
-                    )
-                )
-        resp.paths = resp.paths[:top_k]
-        return resp
+            q = self._resolve_semantic_leaves(kbid, searcher, query)
+            for node, score in searcher.relation.nodes_search(
+                q, top_k, edge_ok=edge_ok
+            ):
+                key = (node.value, node.ntype, node.subtype)
+                if score > best.get(key, -1.0):
+                    best[key] = score
+        ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        return GraphNodesResponse(
+            nodes=[
+                GraphNodeResult(value=v, type=t, group=g, score=s)
+                for (v, t, g), s in ranked
+            ]
+        )
+
+    def graph_relations_expr(
+        self,
+        kbid: str,
+        query: dict,
+        top_k: int = 50,
+        *,
+        filter_expression: "Optional[FilterExpression]" = None,
+        security_groups: Optional[list[str]] = None,
+        show_hidden: bool = False,
+    ) -> "GraphRelationsResponse":
+        """/graph/relations — distinct relations with best scores (parity:
+        relations_graph_search + TopUniqueN)."""
+        from ..models.api import GraphRelationResult, GraphRelationsResponse
+
+        edge_ok = self._graph_edge_filter(
+            kbid, filter_expression=filter_expression,
+            security_groups=security_groups, show_hidden=show_hidden,
+        )
+        best: dict[tuple[str, str], float] = {}
+        for shard_id in self._shard_ids(kbid):
+            searcher = self.node.searcher.shard(shard_id)
+            if searcher.relation is None:
+                continue
+            q = self._resolve_semantic_leaves(kbid, searcher, query)
+            for rel, label, score in searcher.relation.relations_search(
+                q, top_k, edge_ok=edge_ok
+            ):
+                key = (rel, label)
+                if score > best.get(key, -1.0):
+                    best[key] = score
+        ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        return GraphRelationsResponse(
+            relations=[
+                GraphRelationResult(type=rel, label=label, score=s)
+                for (rel, label), s in ranked
+            ]
+        )
 
     def ask(self, kbid: str, request: AskRequest) -> AskResponse:
         """Retrieval-grounded answering (parity: /ask, chat/ask.py). The

@@ -1521,24 +1521,58 @@ class StandaloneApp:
 
         @r.post("/api/v1/kb/{kbid}/graph/nodes")
         def graph_nodes(request: Request):
-            """Distinct node search (parity: /graph/nodes — node-only results
-            from the same path query)."""
+            """Distinct node search (parity: /graph/nodes — the node query
+            evaluated at source AND destination positions, unique nodes with
+            best score; nidx_relation/src/reader.rs nodes_graph_search)."""
             kbid = self._kbid(request)
             self._sync()
-            out = _graph_paths(kbid, request.json() or {})
+            body = request.json() or {}
+            if isinstance(body.get("query"), dict):
+                try:
+                    return self.search.graph_nodes_expr(
+                        kbid,
+                        body["query"],
+                        int(body.get("top_k", 50)),
+                        filter_expression=_graph_filter(body),
+                        security_groups=_graph_security(body),
+                        show_hidden=bool(body.get("show_hidden", False)),
+                    )
+                except ValueError as e:
+                    raise HTTPError(422, str(e))
+            out = _graph_paths(kbid, body)
             seen = {}
             for p in out.paths:
-                for value, ntype in ((p.source, p.source_type), (p.target, p.target_type)):
+                for value, ntype, group in (
+                    (p.source, p.source_type, p.source_group),
+                    (p.target, p.target_type, p.target_group),
+                ):
                     if value:
-                        seen.setdefault((value, ntype), {"value": value, "type": ntype})
+                        seen.setdefault(
+                            (value, ntype),
+                            {"value": value, "type": ntype, "group": group},
+                        )
             return {"nodes": list(seen.values())}
 
         @r.post("/api/v1/kb/{kbid}/graph/relations")
         def graph_relations(request: Request):
-            """Distinct relation search (parity: /graph/relations)."""
+            """Distinct relation search (parity: /graph/relations — unique
+            (type, label) pairs with best score; relations_graph_search)."""
             kbid = self._kbid(request)
             self._sync()
-            out = _graph_paths(kbid, request.json() or {})
+            body = request.json() or {}
+            if isinstance(body.get("query"), dict):
+                try:
+                    return self.search.graph_relations_expr(
+                        kbid,
+                        body["query"],
+                        int(body.get("top_k", 50)),
+                        filter_expression=_graph_filter(body),
+                        security_groups=_graph_security(body),
+                        show_hidden=bool(body.get("show_hidden", False)),
+                    )
+                except ValueError as e:
+                    raise HTTPError(422, str(e))
+            out = _graph_paths(kbid, body)
             seen = {}
             for p in out.paths:
                 seen.setdefault((p.relation, p.label), {"relation": p.relation, "label": p.label})

@@ -582,6 +582,23 @@ def test_graph_semantic_nodes(stack):
     base = search.graph(kbid, GraphSearchPayload(top_k=10))
     assert len(res.paths) >= len(base.paths) or base.paths
 
+    # match="semantic" leaf inside a boolean path query (Term::FromVectorQuery
+    # — const-score union of the vector-nearest node values)
+    expr = search.graph_expr(
+        kbid,
+        {"prop": "node", "value": "vulpine animal", "match": "semantic"},
+        top_k=10,
+    )
+    assert any(p.source == "fox" for p in expr.paths)
+    assert all(p.score is not None and p.score > 0 for p in expr.paths)
+    # ...and through the distinct-nodes projection, score = cosine sim
+    nodes = search.graph_nodes_expr(
+        kbid,
+        {"prop": "node", "value": "vulpine animal", "match": "semantic"},
+        top_k=10,
+    )
+    assert nodes.nodes and nodes.nodes[0].value == "fox"
+
 
 def test_ask_strategies_hierarchy_metadata_graph_prequeries(stack):
     from nucliadb_tpu.models.api import PreQuery

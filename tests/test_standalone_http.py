@@ -1664,6 +1664,11 @@ def test_graph_boolean_path_expressions(server):
 
 
 def test_graph_nodes_relations_expressions(server):
+    """/graph/nodes takes GraphNodesQuery (node/generated leaves only,
+    evaluated at source AND destination positions — reference
+    nucliadb_models/graph/requests.py GraphNodesQuery +
+    nidx_relation/src/reader.rs nodes_graph_search); /graph/relations
+    accepts the full path query (reader.rs relations_graph_search)."""
     client, app = server
     kbid = client.post("/api/v1/kbs", json={"slug": "gexpr2-kb"}).json()["uuid"]
     client.post(
@@ -1677,16 +1682,103 @@ def test_graph_nodes_relations_expressions(server):
              "to": {"value": "bob", "group": "people"}},
         ]},
     )
+    # node query by group, matched at either path position
     nodes = client.post(
         f"/api/v1/kb/{kbid}/graph/nodes",
-        json={"query": {"prop": "relation", "label": "works_at"}},
+        json={"query": {"prop": "node", "group": "people"}},
     ).json()["nodes"]
-    assert {n["value"] for n in nodes} == {"alice", "acme"}
+    assert {n["value"] for n in nodes} == {"alice", "bob"}
+    assert all(n["score"] is not None for n in nodes)
+    # nodes are unique even when they appear in many paths
+    nodes = client.post(
+        f"/api/v1/kb/{kbid}/graph/nodes",
+        json={"query": {"prop": "node", "value": "alice"}},
+    ).json()["nodes"]
+    assert [n["value"] for n in nodes] == ["alice"]
+    # relation leaves are not valid node queries (GraphNodesQuery)
+    bad = client.post(
+        f"/api/v1/kb/{kbid}/graph/nodes",
+        json={"query": {"prop": "relation", "label": "works_at"}},
+    )
+    assert bad.status_code == 422
     rels = client.post(
         f"/api/v1/kb/{kbid}/graph/relations",
         json={"query": {"prop": "source_node", "value": "alice"}},
     ).json()["relations"]
     assert {r["label"] for r in rels} == {"works_at", "knows"}
+    # distinct relations collapse duplicate (type, label) pairs
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "g2", "usergenerated_relations": [
+            {"relation": "ENTITY", "label": "works_at",
+             "from": {"value": "carol", "group": "people"},
+             "to": {"value": "initech", "group": "org"}},
+        ]},
+    )
+    rels = client.post(
+        f"/api/v1/kb/{kbid}/graph/relations",
+        json={"query": {"prop": "relation", "label": "works_at"}},
+    ).json()["relations"]
+    assert [r["label"] for r in rels] == ["works_at"]
+
+
+def test_graph_fuzzy_words_and_generated(server):
+    """Word-level fuzzy node matching (Term::FuzzyWord — every query word
+    fuzzy-matches some word of the node value) and the generated-by
+    predicate over /g facets (requests.py Generated ->
+    query_parser/parsers/graph.py:319-331)."""
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "gfw-kb"}).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "title": "g",
+            "usergenerated_relations": [
+                {"relation": "ENTITY", "label": "rules",
+                 "from": {"value": "Princess Anastasia Romanov", "group": "people"},
+                 "to": {"value": "Russia", "group": "place"}},
+            ],
+            "computed_relations": [
+                {"relation": "ENTITY", "label": "born_in",
+                 "from": {"value": "Anastasia", "group": "people"},
+                 "to": {"value": "Peterhof", "group": "place"}},
+                {"relation": "ENTITY", "label": "synonym",
+                 "data_augmentation_task_id": "labeler-1",
+                 "from": {"value": "Anastasia", "group": "people"},
+                 "to": {"value": "Nastya", "group": "people"}},
+            ],
+        },
+    )
+
+    def paths(query):
+        out = client.post(f"/api/v1/kb/{kbid}/graph", json={"query": query})
+        assert out.status_code == 200, out.text
+        return {(p["source"], p["label"], p["target"]) for p in out.json()["paths"]}
+
+    # whole-value fuzzy does NOT match a multi-word value...
+    assert paths({"prop": "node", "value": "anastascia", "match": "fuzzy"}) == {
+        ("Anastasia", "born_in", "Peterhof"), ("Anastasia", "synonym", "Nastya")}
+    # ...fuzzy_words does (each query word matches some value word, d<=1)
+    assert ("Princess Anastasia Romanov", "rules", "Russia") in paths(
+        {"prop": "node", "value": "princess anastascia", "match": "fuzzy_words"})
+    # generated-by: user relations carry /g/u
+    assert paths({"prop": "generated", "by": "user"}) == {
+        ("Princess Anastasia Romanov", "rules", "Russia")}
+    # processor = no /g facet at all
+    assert paths({"prop": "generated", "by": "processor"}) == {
+        ("Anastasia", "born_in", "Peterhof")}
+    # data-augmentation, optionally narrowed by task prefix
+    assert paths({"prop": "generated", "by": "data-augmentation"}) == {
+        ("Anastasia", "synonym", "Nastya")}
+    assert paths({"prop": "generated", "by": "data-augmentation",
+                  "da_task": "labeler"}) == {("Anastasia", "synonym", "Nastya")}
+    assert paths({"prop": "generated", "by": "data-augmentation",
+                  "da_task": "other"}) == set()
+    # combinator: DA-generated AND touching anastasia
+    assert paths({"and": [
+        {"prop": "generated", "by": "data-augmentation"},
+        {"prop": "node", "value": "anastasia"},
+    ]}) == {("Anastasia", "synonym", "Nastya")}
 
 
 def test_graph_resource_constraints(server):
