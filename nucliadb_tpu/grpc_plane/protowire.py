@@ -76,6 +76,8 @@ def _encode_scalar(out: bytearray, kind: str, value: Any) -> None:
         out += struct.pack("<f", float(value))
     elif kind == "double":
         out += struct.pack("<d", float(value))
+    elif kind == "fixed64":
+        out += struct.pack("<Q", int(value))
     elif kind == "string":
         b = value.encode("utf-8")
         _write_varint(out, len(b))
@@ -90,7 +92,7 @@ def _encode_scalar(out: bytearray, kind: str, value: Any) -> None:
 def _scalar_wire_type(kind: str) -> int:
     if kind in _VARINT_KINDS:
         return 0
-    if kind == "double":
+    if kind in ("double", "fixed64"):
         return 1
     if kind == "float":
         return 5
@@ -101,7 +103,7 @@ def _is_default(kind, value) -> bool:
     """proto3 implicit presence: default-valued singular fields are omitted."""
     if isinstance(kind, tuple):
         return False  # messages/repeated handled by caller
-    if kind in _VARINT_KINDS:
+    if kind in _VARINT_KINDS or kind == "fixed64":
         return int(value) == 0
     if kind in ("float", "double"):
         return float(value) == 0.0
@@ -168,6 +170,8 @@ def _decode_scalar(kind: str, data: bytes, pos: int, wire_type: int):
         return struct.unpack_from("<f", data, pos)[0], pos + 4
     if kind == "double":
         return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if kind == "fixed64":
+        return struct.unpack_from("<Q", data, pos)[0], pos + 8
     # length-delimited
     n, pos = _read_varint(data, pos)
     raw = data[pos : pos + n]

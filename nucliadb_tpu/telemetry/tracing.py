@@ -79,14 +79,19 @@ _current: contextvars.ContextVar[Optional[_SpanContext]] = contextvars.ContextVa
 
 
 class _MiniTracer:
-    """W3C-traceparent tracer: records spans to a bounded ring buffer."""
+    """W3C-traceparent tracer: records spans to a bounded ring buffer and,
+    when an exporter is attached, ships them OTLP/HTTP (telemetry/otlp.py)."""
 
-    def __init__(self, service_name: str, console: bool = False, keep: int = 2048):
+    def __init__(
+        self, service_name: str, console: bool = False, keep: int = 2048,
+        exporter=None,
+    ):
         self.service_name = service_name
         self.console = console
         self.spans: deque[SpanRecord] = deque(maxlen=keep)
         self._lock = threading.Lock()
         self._rng = random.Random()
+        self.exporter = exporter
 
     def _id(self, nbytes: int) -> str:
         return self._rng.getrandbits(nbytes * 8).to_bytes(nbytes, "big").hex()
@@ -112,6 +117,11 @@ class _MiniTracer:
             rec.end = time.time()
             with self._lock:
                 self.spans.append(rec)
+            if self.exporter is not None:
+                try:
+                    self.exporter.on_span_end(rec)
+                except Exception:
+                    pass
             if self.console:
                 print(
                     f"[trace {rec.trace_id[:8]}] {self.service_name} {rec.name}"
@@ -123,7 +133,13 @@ def setup_tracing(service_name: str = "nucliadb_tpu") -> None:
     global _tracer
     console = bool(os.environ.get("NDBTPU_TELEMETRY__CONSOLE_TRACES"))
     if not _OTEL:
-        _tracer = _MiniTracer(service_name, console=console)
+        exporter = None
+        endpoint = os.environ.get("NDBTPU_TELEMETRY__OTLP")
+        if endpoint:
+            from .otlp import OTLPHttpExporter
+
+            exporter = OTLPHttpExporter(endpoint, service_name)
+        _tracer = _MiniTracer(service_name, console=console, exporter=exporter)
         return
     provider = TracerProvider(resource=Resource.create({"service.name": service_name}))
     if console:
@@ -145,8 +161,13 @@ def setup_tracing(service_name: str = "nucliadb_tpu") -> None:
 
 
 def teardown_tracing() -> None:
-    """Reset to no-op (tests)."""
+    """Reset to no-op (tests); flushes and stops any attached exporter."""
     global _tracer
+    if isinstance(_tracer, _MiniTracer) and _tracer.exporter is not None:
+        try:
+            _tracer.exporter.shutdown()
+        except Exception:
+            pass
     _tracer = None
 
 
