@@ -28,6 +28,7 @@ from ..text_engine.builder import DocEntry, build_segment, merge_text_segments, 
 from ..text_engine.tokenizer import tokenize
 
 _PHRASE_RE = re.compile(r'"([^"]*)"')
+_EXCLUDE_RE = re.compile(r'(?:(?<=\s)|^)-(\S+)')
 
 
 def split_phrases(query: str) -> tuple[str, list[str]]:
@@ -35,6 +36,18 @@ def split_phrases(query: str) -> tuple[str, list[str]]:
     phrases = [p for p in _PHRASE_RE.findall(query) if p.strip()]
     rest = _PHRASE_RE.sub(" ", query)
     return rest, phrases
+
+
+def parse_query(query: str) -> tuple[str, list[str], list[str]]:
+    """The nidx keyword query grammar (query_parser/tokenizer.rs): literal
+    terms, quoted phrases ("..."), excluded terms (-word). Lenient: unclosed
+    quotes are dropped. Returns (literal text, phrases, excluded terms)."""
+    rest, phrases = split_phrases(query)
+    excluded: list[str] = []
+    for raw in _EXCLUDE_RE.findall(rest):
+        excluded.extend(tokenize(raw))
+    rest = _EXCLUDE_RE.sub(" ", rest)
+    return rest, phrases, excluded
 
 
 class ParagraphIndexer:
@@ -142,7 +155,7 @@ class ParagraphSearcher:
         )
 
     def search(self, request: ParagraphSearchRequest) -> ParagraphSearchResponse:
-        rest, phrases = split_phrases(request.query)
+        rest, phrases, excluded = parse_query(request.query)
         if request.field_filter.is_none:
             return ParagraphSearchResponse(hits=[], total=0, ematches=[], query_terms=[])
 
@@ -168,6 +181,7 @@ class ParagraphSearcher:
         q = TextQuery(
             text=rest,
             phrases=phrases,
+            excluded=excluded,
             top_k=fetch_k,
             fuzzy=request.fuzzy,
             filter=request.filter,
@@ -185,7 +199,10 @@ class ParagraphSearcher:
             hits, matched = self.engine.search(q, need_matched=False)
 
         phrase_terms = [tokenize(p) for p in phrases]
-        query_tokens = tokenize(request.query)
+        # ematch verification runs on the positive query terms only (in
+        # their original order) — excluded (-term) tokens are not part of
+        # the exact-match phrase
+        query_tokens = tokenize(_EXCLUDE_RE.sub(" ", request.query))
 
         out: list[ParagraphHit] = []
         ematches: list[str] = []

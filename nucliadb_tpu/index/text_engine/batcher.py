@@ -54,6 +54,7 @@ class TextQueryCoalescer:
             and query.filter is None
             and query.key_prefixes is None
             and query.extra_mask is None
+            and not query.excluded
         )
 
     def search_one(self, engine: "DeviceTextEngine", query: "TextQuery"):

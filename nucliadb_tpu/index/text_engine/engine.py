@@ -59,6 +59,10 @@ FUZZY_WEIGHT = 0.7  # score discount for fuzzy-expanded terms
 TIER_WIDTHS = (32, 256, 2048, 16384)  # postings padded length per tier
 TIER_QUERY_CAP = (32, 32, 8, 8)  # default query terms per tier per query
 DENSE_QUERY_CAP = 4
+# corpus-adaptive stopword removal: drop non-final query terms present in
+# this fraction of documents (min corpus size guards tiny KBs)
+STOPWORD_DF_FRACTION = 0.4
+STOPWORD_MIN_DOCS = 100
 # overlay (incremental-refresh delta) tiers: the delta corpus is small —
 # narrow tiers keep the per-refresh upload proportional to the delta's
 # postings; df beyond the last width goes to a local dense block
@@ -100,6 +104,7 @@ class TextQuery:
     fuzzy: bool = False
     fuzzy_distance: int = 1
     phrases: list[str] = dc_field(default_factory=list)  # quoted phrases (must appear)
+    excluded: list[str] = dc_field(default_factory=list)  # -term exclusions
     all_terms: bool = False  # AND semantics (default OR)
     filter: Optional[BooleanExpression] = None
     key_prefixes: Optional[list[str]] = None  # extra doc-key prefix filter
@@ -565,6 +570,15 @@ class DeviceTextEngine:
             return self.key_prefix_postings(atom.prefixes)
         raise TypeError(f"unsupported filter atom for text index: {atom!r}")
 
+    def term_doc_ids(self, term: str) -> np.ndarray:
+        """Global doc ids containing the exact term (all segments)."""
+        out = []
+        for seg_idx, (lo, _) in enumerate(self.seg_bounds):
+            docs, _base = self._term_postings_host(seg_idx, term)
+            if docs is not None and len(docs):
+                out.append(np.asarray(docs, np.int64) + lo)
+        return np.concatenate(out) if out else np.zeros(0, np.int64)
+
     def build_mask(self, query: TextQuery) -> np.ndarray:
         mask = self.base_mask()
         if query.filter is not None:
@@ -577,6 +591,15 @@ class DeviceTextEngine:
             mask[: self.n_docs] &= m
         if query.extra_mask is not None:
             mask[: self.n_docs] &= query.extra_mask
+        # -term exclusions drop matching docs before scoring (the query
+        # grammar's Excluded token, nidx_paragraph query_parser/tokenizer.rs;
+        # implemented as a hard filter rather than the reference's
+        # Should(MustNot) clause — the documented "exclude documents
+        # containing the term" semantics)
+        for term in query.excluded:
+            ids = self.term_doc_ids(term)
+            if len(ids):
+                mask[ids] = False
         return mask
 
     # ------------------------------------------------------------------
@@ -586,6 +609,20 @@ class DeviceTextEngine:
     def _plan_terms(self, query: TextQuery) -> tuple[list[tuple[str, float]], int]:
         """Resolve query text to weighted terms; returns (terms, n_required)."""
         tokens = tokenize(query.text)
+        # stopword-grade term removal (the reference drops static-list stop
+        # words from queries, preserving the LAST term for suggest prefixing
+        # — query_parser/stop_words.rs:94-110; here the corpus-adaptive
+        # analogue: terms in nearly every document carry ~zero idf and only
+        # cost capacity). AND queries keep everything: a dropped term would
+        # change which documents satisfy "all terms".
+        if (
+            tokens
+            and not query.all_terms
+            and self.n_docs >= STOPWORD_MIN_DOCS
+        ):
+            cutoff = STOPWORD_DF_FRACTION * self.n_docs
+            kept = [t for t in tokens[:-1] if self.term_df(t) < cutoff]
+            tokens = kept + [tokens[-1]]
         for phrase in query.phrases:
             tokens.extend(tokenize(phrase))
         seen: dict[str, float] = {}
@@ -765,7 +802,8 @@ class DeviceTextEngine:
         params = jnp.asarray(params_np)
         mask_j = (
             self.base_mask_device()
-            if (query.filter is None and query.key_prefixes is None and query.extra_mask is None)
+            if (query.filter is None and query.key_prefixes is None
+                and query.extra_mask is None and not query.excluded)
             else jnp.asarray(mask)
         )
 

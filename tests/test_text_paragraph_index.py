@@ -165,6 +165,66 @@ def test_split_phrases():
     assert "hello" in rest and "world" in rest
 
 
+def test_parse_query_grammar():
+    """The nidx keyword grammar: literals, quotes, -exclusions, lenient on
+    unclosed quotes (query_parser/tokenizer.rs)."""
+    from nucliadb_tpu.index.paragraph import parse_query
+
+    rest, phrases, excluded = parse_query('hello "brown fox" -noise world')
+    assert phrases == ["brown fox"]
+    assert excluded == ["noise"]
+    assert "hello" in rest and "world" in rest and "-noise" not in rest
+    # mid-word hyphens are NOT exclusions
+    rest, _, excluded = parse_query("state-of-the-art search")
+    assert excluded == [] and "state-of-the-art" in rest
+    # unclosed quote: lenient, terms survive as literals
+    rest, phrases, _ = parse_query('broken "quote here')
+    assert phrases == [] and "quote" in rest
+
+
+def test_paragraph_excluded_terms(tmp_path):
+    """-term drops documents containing the term before scoring."""
+    s = build_para_searcher(tmp_path)
+    base = s.search(ParagraphSearchRequest(query="quick", top_k=10))
+    assert {h.rid for h in base.hits} == {"r1", "r2", "r3"}
+    resp = s.search(ParagraphSearchRequest(query="quick -cat", top_k=10))
+    assert {h.rid for h in resp.hits} == {"r1", "r3"}  # r2 contains "cat"
+    resp = s.search(ParagraphSearchRequest(query="quick -cat -secret", top_k=10))
+    assert {h.rid for h in resp.hits} == {"r1"}
+    # exclusion of an absent term changes nothing
+    resp = s.search(ParagraphSearchRequest(query="quick -zebra", top_k=10))
+    assert {h.rid for h in resp.hits} == {"r1", "r2", "r3"}
+
+
+def test_stopword_grade_query_terms(tmp_path):
+    """Query terms present in nearly every document are dropped from OR
+    queries (corpus-adaptive analogue of the reference's stop-word removal,
+    stop_words.rs:94-110) — except the final term, preserved for suggest
+    prefixing, and except under all_terms (AND) semantics."""
+    from nucliadb_tpu.index.text_engine import engine as eng_mod
+
+    resources = [
+        make_resource(f"s{i}", f"the common filler words surround topic{i} here")
+        for i in range(120)
+    ]
+    s = build_para_searcher(tmp_path, resources=resources)
+    engine = s.engine
+    tokens_of = lambda q: [t for t, _ in engine._plan_terms(q)[0]]
+
+    # "the" appears in every doc -> dropped when not final
+    q = eng_mod.TextQuery(text="the topic5")
+    assert "the" not in tokens_of(q) and "topic5" in tokens_of(q)
+    # final term is always preserved (suggest prefix role)
+    q = eng_mod.TextQuery(text="topic5 the")
+    assert "the" in tokens_of(q)
+    # AND queries keep every term (dropping one changes the match set)
+    q = eng_mod.TextQuery(text="the topic5", all_terms=True)
+    assert "the" in tokens_of(q)
+    # search still returns the right doc
+    resp = s.search(ParagraphSearchRequest(query="the topic7", top_k=5))
+    assert resp.hits and resp.hits[0].rid == "s7"
+
+
 def test_suggest(tmp_path):
     s = build_para_searcher(tmp_path)
     hits = s.suggest("qui", top_k=5)
