@@ -559,11 +559,14 @@ class AskRequest(BaseModel):
     citations: bool = True
     generative_model: str = ""
     # context-building strategies (parity: rag_strategies; names follow the
-    # reference: full_resource widens hits to whole fields,
-    # neighbouring_paragraphs adds adjacent paragraphs, hierarchy prefixes
-    # title/summary, metadata_extension appends origin/labels, graph adds
-    # entity triples from the relation index)
-    rag_strategies: list[str] = Field(default_factory=list)
+    # reference: full_resource widens hits to whole fields (count param),
+    # neighbouring_paragraphs adds adjacent paragraphs (before/after),
+    # field_extension attaches named fields, conversation surrounds message
+    # hits with neighbours (max_messages/full), hierarchy prefixes
+    # title/summary, metadata_extension appends origin/labels, graph[_beta]
+    # adds entity triples from the relation index. Entries are either bare
+    # names or the reference's parameterized objects {"name": ..., params}.
+    rag_strategies: list[Union[str, dict]] = Field(default_factory=list)
     # extra retrievals whose contexts prepend the main one, strongest weight
     # first (parity: ask prequeries, chat/ask.py parse_prequeries)
     prequeries: list["PreQuery"] = Field(default_factory=list)

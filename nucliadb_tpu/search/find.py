@@ -1179,10 +1179,27 @@ class SearchService:
         retrieval = self.find(kbid, find_req)
         context: list[str] = []
         citations: dict[str, list[str]] = {}
-        full_resource = "full_resource" in request.rag_strategies
-        neighbours = "neighbouring_paragraphs" in request.rag_strategies
-        hierarchy = "hierarchy" in request.rag_strategies
-        metadata_ext = "metadata_extension" in request.rag_strategies
+        # rag_strategies accept the reference's parameterized objects
+        # ({"name": ..., params}) and bare-name strings (search.py
+        # RagStrategy subclasses: full_resource count, neighbouring
+        # before/after, field_extension fields, conversation max_messages/
+        # full, metadata_extension, hierarchy, graph_beta, prequeries)
+        strategies: dict[str, dict] = {}
+        for s in request.rag_strategies:
+            if isinstance(s, str):
+                strategies[s] = {}
+            elif isinstance(s, dict) and s.get("name"):
+                strategies[str(s["name"])] = {k: v for k, v in s.items() if k != "name"}
+        full_resource = "full_resource" in strategies
+        neighbours = "neighbouring_paragraphs" in strategies
+        hierarchy = "hierarchy" in strategies
+        metadata_ext = "metadata_extension" in strategies
+        field_ext = strategies.get("field_extension")
+        conversation = strategies.get("conversation")
+        n_before = int(strategies.get("neighbouring_paragraphs", {}).get("before", 1))
+        n_after = int(strategies.get("neighbouring_paragraphs", {}).get("after", 1))
+        full_resource_count = strategies.get("full_resource", {}).get("count")
+        resources_widened = 0
 
         # prequeries: their contexts lead, strongest weight first (parity:
         # chat/ask.py prequeries)
@@ -1202,23 +1219,49 @@ class SearchService:
                 # strategy, chat/prompt.py)
                 parts = [p for p in (resource.title, resource.summary) if p]
                 prefix = " > ".join(parts) + (" > " if parts else "")
+            widen = full_resource and (
+                full_resource_count is None
+                or resources_widened < int(full_resource_count)
+            )
             for fid, field in resource.fields.items():
                 for pid, para in field.paragraphs.items():
                     hit_fields.add(fid)
-                    if not full_resource:
-                        if neighbours:
+                    if not widen:
+                        if conversation is not None and fid.strip("/").startswith("c/"):
                             context.append(
                                 prefix
-                                + self._with_neighbours(kbid, rid, fid, pid, para.text)
+                                + self._conversation_context(
+                                    kbid, rid, fid, pid, para.text, conversation
+                                )
+                            )
+                        elif neighbours:
+                            context.append(
+                                prefix
+                                + self._with_neighbours(
+                                    kbid, rid, fid, pid, para.text,
+                                    before=n_before, after=n_after,
+                                )
                             )
                         else:
                             context.append(prefix + para.text)
                     citations.setdefault(rid, []).append(pid)
-            if full_resource:
+            if widen:
                 # widen each hit to the whole field text (parity:
-                # rag_strategies full_resource, search/search/chat/prompt.py)
+                # rag_strategies full_resource, search/search/chat/prompt.py;
+                # the count param bounds how many resources widen)
+                resources_widened += 1
                 for fid in hit_fields:
                     text = self.processor.field_text(kbid, rid, fid.strip("/"))
+                    if text:
+                        context.append(prefix + text)
+            if field_ext is not None:
+                # attach the named fields of every matched resource (parity:
+                # FieldExtensionStrategy, search.py:1193-1235)
+                for fxid in field_ext.get("fields", []):
+                    fxid = str(fxid).strip("/")
+                    if fxid in {f.strip("/") for f in hit_fields}:
+                        continue  # already in context via the hit itself
+                    text = self.processor.field_text(kbid, rid, fxid)
                     if text:
                         context.append(prefix + text)
             if metadata_ext:
@@ -1240,7 +1283,7 @@ class SearchService:
                     if lines:
                         context.append(f"[{resource.title}] " + "; ".join(lines))
 
-        if "graph" in request.rag_strategies:
+        if "graph" in strategies or "graph_beta" in strategies:
             # entity triples around the query join the context (parity: the
             # graph_strategy beta in ask)
             for rel in self._query_relations(kbid, retrieval_query):
@@ -1296,10 +1339,11 @@ class SearchService:
         )
 
     def _with_neighbours(
-        self, kbid: str, rid: str, fid: str, pid: str, fallback: str
+        self, kbid: str, rid: str, fid: str, pid: str, fallback: str,
+        *, before: int = 1, after: int = 1,
     ) -> str:
         """Extend a paragraph hit with its adjacent paragraphs (parity:
-        rag_strategies neighbouring_paragraphs)."""
+        rag_strategies neighbouring_paragraphs with before/after counts)."""
         from ..ingest.brain import split_paragraphs
 
         text = self.processor.field_text(kbid, rid, fid.strip("/"))
@@ -1310,7 +1354,40 @@ class SearchService:
         spans = list(split_paragraphs(text))
         for i, (s, e) in enumerate(spans):
             if s == start and e == end:
-                lo = spans[max(i - 1, 0)][0]
-                hi = spans[min(i + 1, len(spans) - 1)][1]
+                lo = spans[max(i - before, 0)][0]
+                hi = spans[min(i + after, len(spans) - 1)][1]
                 return text[lo:hi]
         return fallback
+
+    def _conversation_context(
+        self, kbid: str, rid: str, fid: str, pid: str, fallback: str,
+        params: dict,
+    ) -> str:
+        """Surround a conversation-message hit with neighbouring messages
+        (parity: ConversationalStrategy — ``full`` attaches the whole
+        transcript, else up to ``max_messages`` around the hit;
+        search.py:1316-1376)."""
+        payload = self.processor.get_payload(kbid, rid)
+        name = fid.strip("/").split("/", 1)[-1]
+        conv = (payload.conversations or {}).get(name) if payload else None
+        if conv is None:
+            return fallback
+        lines = conv.transcript_lines()
+        if params.get("full"):
+            return "\n".join(lines)
+        max_messages = int(params.get("max_messages", 15))
+        # locate the hit message by its offset in the joined transcript
+        # (the brain computes paragraph spans over the same join)
+        parsed = parse_paragraph_id(pid)
+        hit_idx = 0
+        if parsed is not None:
+            _, _, start, _ = parsed
+            off = 0
+            for i, line in enumerate(lines):
+                if off <= start < off + len(line) + 1:
+                    hit_idx = i
+                    break
+                off += len(line) + 1
+        half = max(max_messages // 2, 1)
+        lo = max(hit_idx - half, 0)
+        return "\n".join(lines[lo : lo + max_messages]) or fallback

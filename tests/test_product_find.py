@@ -646,6 +646,94 @@ def test_ask_strategies_hierarchy_metadata_graph_prequeries(stack):
     assert "fox —jumps over→ meadow" in out.answer  # graph triple
 
 
+def test_ask_strategies_field_extension_and_conversation(stack):
+    """Parameterized rag_strategies objects (parity: search.py RagStrategy
+    subclasses): field_extension attaches named fields of matched
+    resources; conversation surrounds a message hit with its neighbours
+    (or the full transcript)."""
+    from nucliadb_tpu.models.api import (
+        ConversationFieldPayload,
+        ConversationMessage,
+    )
+    from nucliadb_tpu.search import SearchService
+    from nucliadb_tpu.search.predict import HashingEncoder, LocalPredictEngine
+
+    node, kbs, processor, _, kbid, rids = stack
+    p = payload("Conv doc", "unrelated body text")
+    p.conversations = {
+        "chat": ConversationFieldPayload(
+            messages=[
+                ConversationMessage(who=f"u{i}", text=f"message number {i} zebra" if i == 6 else f"message number {i}")
+                for i in range(12)
+            ]
+        )
+    }
+    processor.create_resource(kbid, p)
+    node.wait_for_sync()
+
+    echo = SearchService(
+        node, kbs, processor,
+        predict=LocalPredictEngine(
+            encoder=HashingEncoder(dimension=DIM),
+            generator=lambda prompt, ctx: "||".join(ctx),
+        ),
+    )
+    # field_extension: matching the fox doc attaches its title field
+    out = echo.ask(
+        kbid,
+        AskRequest(
+            query="quick fox",
+            features=[SearchFeature.KEYWORD],
+            rag_strategies=[{"name": "field_extension", "fields": ["a/title"]}],
+        ),
+    )
+    assert "Fox doc" in out.answer
+    # conversation: the zebra hit is a message; neighbours ride along
+    out = echo.ask(
+        kbid,
+        AskRequest(
+            query="zebra",
+            features=[SearchFeature.KEYWORD],
+            rag_strategies=[{"name": "conversation", "max_messages": 4}],
+        ),
+    )
+    assert "message number 6 zebra" in out.answer
+    assert "message number 5" in out.answer  # neighbour included
+    assert "message number 0" not in out.answer  # bounded window
+    out = echo.ask(
+        kbid,
+        AskRequest(
+            query="zebra",
+            features=[SearchFeature.KEYWORD],
+            rag_strategies=[{"name": "conversation", "full": True}],
+        ),
+    )
+    assert "message number 0" in out.answer and "message number 11" in out.answer
+    # parameterized neighbouring_paragraphs and full_resource count
+    out = echo.ask(
+        kbid,
+        AskRequest(
+            query="quick fox",
+            features=[SearchFeature.KEYWORD],
+            rag_strategies=[
+                {"name": "neighbouring_paragraphs", "before": 0, "after": 0}
+            ],
+        ),
+    )
+    assert "quick brown fox" in out.answer
+    out = echo.ask(
+        kbid,
+        AskRequest(
+            query="quick",
+            features=[SearchFeature.KEYWORD],
+            rag_strategies=[{"name": "full_resource", "count": 1}],
+        ),
+    )
+    # only one resource widens to full field text; the others keep
+    # paragraph-level blocks
+    assert "||" in out.answer
+
+
 def test_fulltext_offset_and_global_sort(tmp_path):
     """fulltext pagination honors offset and date sort stays global across
     shards (review regressions)."""
