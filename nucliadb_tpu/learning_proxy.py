@@ -67,3 +67,68 @@ class LearningProxy:
     def delete_configuration(self, kbid: str) -> None:
         with self.driver as txn:
             txn.delete(LEARNING_KEY.format(kbid=kbid))
+
+    def get_schema(self, kbid: str) -> dict[str, Any]:
+        """JSON schema of the configuration fields (parity: GET /schema —
+        the reference proxies the learning API's schema; embedded serves
+        the known-field schema below)."""
+        if self.base_url:
+            resp = httpx.get(f"{self.base_url}/schema/{kbid}", timeout=10)
+            resp.raise_for_status()
+            return resp.json()
+        return {
+            "title": "LearningConfiguration",
+            "type": "object",
+            "properties": dict(KNOWN_FIELDS),
+            "additionalProperties": False,
+        }
+
+    def validate_fields(self, config: dict[str, Any]) -> None:
+        """Reject unknown configuration fields (the reference's POST
+        /configuration 422s on fields the schema doesn't know)."""
+        unknown = sorted(set(config) - set(KNOWN_FIELDS))
+        if unknown:
+            raise ValueError(f"unknown configuration fields: {', '.join(unknown)}")
+
+    def generative_providers(self, kbid: str) -> dict[str, Any]:
+        """Provider → generative-model listing (parity: GET
+        /generative_providers). Embedded deployments report the locally
+        configured generative model under the 'local' provider."""
+        if self.base_url:
+            resp = httpx.get(
+                f"{self.base_url}/generative_providers/{kbid}", timeout=10
+            )
+            resp.raise_for_status()
+            return resp.json()
+        config = self.get_configuration(kbid)
+        model = config.get("generative_model") or ""
+        return {
+            "providers": {
+                "local": {"models": [model] if model else [], "default": model}
+            }
+        }
+
+
+# Configuration fields mirroring the reference's LearningConfiguration
+# (learning_proxy.py:87-107) + the generation/NER/summary settings its
+# learning API schema exposes; secret fields encrypt at rest.
+KNOWN_FIELDS: dict[str, dict] = {
+    "semantic_model": {"type": "string"},
+    "semantic_models": {"type": "array", "items": {"type": "string"}},
+    "semantic_vector_similarity": {"type": "string"},
+    "semantic_vector_size": {"type": ["integer", "null"]},
+    "semantic_threshold": {"type": ["number", "null"]},
+    "semantic_matryoshka_dims": {"type": "array", "items": {"type": "integer"}},
+    "generative_model": {"type": "string"},
+    "anonymization_model": {"type": "string"},
+    "ner_model": {"type": "string"},
+    "relation_model": {"type": "string"},
+    "summary": {"type": "string"},
+    "summary_model": {"type": "string"},
+    "summary_prompt": {"type": "object"},
+    "resource_labelers_models": {"type": "array", "items": {"type": "string"}},
+    "user_keys": {"type": "object"},
+    "user_prompts": {"type": "object"},
+    "visual_labeling": {"type": "string"},
+    **{name: {"type": "string"} for name in sorted(SECRET_FIELDS)},
+}

@@ -78,6 +78,23 @@ class ConversationAttachment(BaseModel):
     size: int = 0
 
 
+class FilePayload(BaseModel):
+    """Inline file content on a resource write (parity: the reference's
+    FileField.file — models/file.py — with base64 ``payload``; the e2e
+    flow creates resources as {"files": {"image": {"file": {...}}}})."""
+
+    filename: str = ""
+    content_type: str = "application/octet-stream"
+    payload: Optional[str] = None  # b64, write-only; stripped once stored
+    language: str = ""
+    key: str = ""  # blob-storage key, set server-side
+    size: int = 0
+
+
+class FileFieldPayload(BaseModel):
+    file: FilePayload = Field(default_factory=FilePayload)
+
+
 class ConversationMessage(BaseModel):
     """One message of a conversation field (parity: reference conversation
     fields, writer/api/v1 conversation routes + models.ConversationField)."""
@@ -169,6 +186,9 @@ class CreateResourcePayload(BaseModel):
     texts: dict[str, TextFieldPayload] = Field(default_factory=dict)
     conversations: dict[str, ConversationFieldPayload] = Field(default_factory=dict)
     links: dict[str, LinkFieldPayload] = Field(default_factory=dict)
+    # inline b64 file fields; blobs are stored (and extracted/indexed when
+    # the format is supported) at create time
+    files: dict[str, FileFieldPayload] = Field(default_factory=dict)
     # arbitrary JSON documents per field, indexed into the json filter index
     # (parity: reference key_value fields / kv-schemas)
     key_values: dict[str, dict] = Field(default_factory=dict)

@@ -260,6 +260,10 @@ class StandaloneApp:
             network egress and stays null in embedded deployments)."""
             return {
                 "nucliadb_tpu": {"installed": __version__, "latest": None},
+                # compatibility aliases: reference clients check these keys
+                # (e2e/test_e2e.py:54-63)
+                "nucliadb": {"installed": __version__, "latest": None},
+                "nucliadb-admin-assets": {"installed": __version__, "latest": None},
             }
 
         @r.get("/api/v1/config-check")
@@ -404,10 +408,46 @@ class StandaloneApp:
                 payload.hidden = True
             for field, value in payload.key_values.items():
                 self._check_kv_schema(kbid, field, value)
+            # inline b64 file fields: decode before creating (bad base64
+            # must 422 without side effects), store blobs after
+            # (parity: the reference's push-payload file fields; e2e
+            # test_b64_file_upload creates {"files": {...}} resources)
+            import base64
+
+            inline_files: list[tuple[str, str, str, bytes]] = []
+            for field, ff in payload.files.items():
+                if not ff.file.payload:
+                    continue
+                try:
+                    data = base64.b64decode(ff.file.payload, validate=True)
+                except Exception:
+                    raise HTTPError(422, f"file field {field!r}: payload must be base64")
+                inline_files.append(
+                    (field, ff.file.filename or field, ff.file.content_type, data)
+                )
+                ff.file.payload = None  # blob stored separately, not in KV
+                ff.file.key = f"blobs/{kbid}/<rid>/{field}"
+                ff.file.size = len(data)
             try:
                 rid, seq = self.processor.create_resource(kbid, payload)
             except KeyError as e:
                 raise HTTPError(409, str(e))
+            for field, filename, content_type, data in inline_files:
+                key = f"blobs/{kbid}/{rid}/{field}"
+                self.node.storage.put(key, data)
+                with self.driver as txn:
+                    txn.set(
+                        f"/kbs/{kbid}/r/{rid}/files/{field}",
+                        json.dumps(
+                            {
+                                "key": key,
+                                "filename": filename,
+                                "content_type": content_type,
+                                "size": len(data),
+                            }
+                        ).encode(),
+                    )
+                _extract_and_index(kbid, rid, field, filename, content_type, data)
             from ..common.audit import AuditType
 
             self.audit.report(kbid=kbid, audit_type=AuditType.NEW, rid=rid)
@@ -433,6 +473,9 @@ class StandaloneApp:
             if meta:
                 out["created"] = meta.created
                 out["modified"] = meta.modified
+                # parity: reader serialization's metadata block — clients
+                # (and the reference e2e) poll metadata.status == PROCESSED
+                out["metadata"] = {"status": meta.status}
             if "values" not in show:
                 out.pop("texts", None)
             elif "extracted" not in show and "texts" in out:
@@ -1705,6 +1748,30 @@ class StandaloneApp:
         def set_learning(request: Request):
             kbid = self._kbid(request)
             return self.learning.set_configuration(kbid, request.json())
+
+        @r.post("/api/v1/kb/{kbid}/configuration")
+        def post_learning(request: Request):
+            """Strict create/replace: unknown fields 422 (parity: the
+            reference's POST /configuration schema validation)."""
+            kbid = self._kbid(request)
+            body = request.json() or {}
+            try:
+                self.learning.validate_fields(body)
+            except ValueError as e:
+                raise HTTPError(422, str(e))
+            return self.learning.set_configuration(kbid, body)
+
+        @r.get("/api/v1/kb/{kbid}/schema")
+        def learning_schema(request: Request):
+            """Configuration JSON schema (parity: GET /schema)."""
+            kbid = self._kbid(request)
+            return self.learning.get_schema(kbid)
+
+        @r.get("/api/v1/kb/{kbid}/generative_providers")
+        def generative_providers(request: Request):
+            """Provider -> generative models (parity: /generative_providers)."""
+            kbid = self._kbid(request)
+            return self.learning.generative_providers(kbid)
 
         # ---- export / import / backups -------------------------------------
 
