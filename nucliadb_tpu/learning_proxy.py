@@ -90,6 +90,65 @@ class LearningProxy:
         if unknown:
             raise ValueError(f"unknown configuration fields: {', '.join(unknown)}")
 
+    # ---- extract / split strategies (parity: writer/api/v1/
+    # learning_config.py add_strategy/delete_strategy — proxied CRUD on the
+    # learning backend; embedded deployments keep them in KV) -------------
+
+    STRATEGY_KEY = "/kbs/{kbid}/learning/{kind}_strategies"
+
+    def _strategies(self, kbid: str, kind: str) -> dict[str, Any]:
+        with self.driver as txn:
+            raw = txn.get(self.STRATEGY_KEY.format(kbid=kbid, kind=kind))
+        return json.loads(raw) if raw else {}
+
+    def add_strategy(self, kbid: str, kind: str, config: dict[str, Any]) -> str:
+        if self.base_url:
+            resp = httpx.post(
+                f"{self.base_url}/{kind}_strategies/{kbid}", json=config, timeout=10
+            )
+            resp.raise_for_status()
+            return resp.json()
+        import uuid
+
+        sid = uuid.uuid4().hex[:8]
+        strategies = self._strategies(kbid, kind)
+        strategies[sid] = config
+        with self.driver as txn:
+            txn.set(
+                self.STRATEGY_KEY.format(kbid=kbid, kind=kind),
+                json.dumps(strategies).encode(),
+            )
+        return sid
+
+    def list_strategies(self, kbid: str, kind: str) -> dict[str, Any]:
+        if self.base_url:
+            resp = httpx.get(f"{self.base_url}/{kind}_strategies/{kbid}", timeout=10)
+            resp.raise_for_status()
+            return resp.json()
+        return self._strategies(kbid, kind)
+
+    def get_strategy(self, kbid: str, kind: str, sid: str) -> Optional[dict]:
+        return self._strategies(kbid, kind).get(sid)
+
+    def delete_strategy(self, kbid: str, kind: str, sid: str) -> bool:
+        if self.base_url:
+            resp = httpx.delete(
+                f"{self.base_url}/{kind}_strategies/{kbid}/strategies/{sid}",
+                timeout=10,
+            )
+            resp.raise_for_status()
+            return True
+        strategies = self._strategies(kbid, kind)
+        if sid not in strategies:
+            return False
+        del strategies[sid]
+        with self.driver as txn:
+            txn.set(
+                self.STRATEGY_KEY.format(kbid=kbid, kind=kind),
+                json.dumps(strategies).encode(),
+            )
+        return True
+
     def generative_providers(self, kbid: str) -> dict[str, Any]:
         """Provider → generative-model listing (parity: GET
         /generative_providers). Embedded deployments report the locally

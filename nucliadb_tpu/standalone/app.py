@@ -1773,6 +1773,79 @@ class StandaloneApp:
             kbid = self._kbid(request)
             return self.learning.generative_providers(kbid)
 
+        @r.get("/api/v1/nua/schema")
+        def nua_schema(request: Request):
+            """Global learning configuration schema (parity: GET
+            /nua/schema — the per-KB schema without a KB)."""
+            return self.learning.get_schema("")
+
+        def _strategy_routes(kind: str):
+            """extract_strategies / split_strategies CRUD (parity:
+            writer/api/v1/learning_config.py:66-140 + the reader GETs)."""
+
+            def add(request: Request, kind=kind):
+                kbid = self._kbid(request)
+                body = request.json() or {}
+                if not isinstance(body, dict):
+                    raise HTTPError(422, "strategy config must be an object")
+                return self.learning.add_strategy(kbid, kind, body)
+
+            def list_(request: Request, kind=kind):
+                kbid = self._kbid(request)
+                return self.learning.list_strategies(kbid, kind)
+
+            def get_one(request: Request, kind=kind):
+                kbid = self._kbid(request)
+                out = self.learning.get_strategy(
+                    kbid, kind, request.params["strategy_id"]
+                )
+                if out is None:
+                    raise HTTPError(404, "unknown strategy")
+                return out
+
+            def delete(request: Request, kind=kind):
+                kbid = self._kbid(request)
+                if not self.learning.delete_strategy(
+                    kbid, kind, request.params["strategy_id"]
+                ):
+                    raise HTTPError(404, "unknown strategy")
+                return Response(status=204)
+
+            base = f"/api/v1/kb/{{kbid}}/{kind}_strategies"
+            r.add("POST", base, add)
+            r.add("GET", base, list_)
+            r.add("GET", base + "/strategy/{strategy_id}", get_one)
+            r.add("DELETE", base + "/strategy/{strategy_id}", delete)
+
+        _strategy_routes("extract")
+        _strategy_routes("split")
+
+        @r.get("/api/v1/kb/{kbid}/model/{model_id}")
+        def get_model(request: Request):
+            """Single-model metadata (parity: reader /model/{model_id} —
+            proxied to learning; embedded reports the configured models)."""
+            kbid = self._kbid(request)
+            model_id = request.params["model_id"]
+            config = self.learning.get_configuration(kbid)
+            known = {config.get("generative_model"), config.get("semantic_model")}
+            known |= set(config.get("semantic_models") or [])
+            known |= set(self.kbs.get_config(kbid).vectorsets or {})
+            if model_id not in known:
+                raise HTTPError(404, f"unknown model {model_id}")
+            return {"model_id": model_id, "location": "local"}
+
+        @r.get("/api/v1/kb/{kbid}/models/{model_id}/{filename}")
+        def download_model_file(request: Request):
+            """Model file download (parity: reader /models/{id}/{filename} —
+            a learning-backend proxy; embedded deployments hold no model
+            artifacts, so this 404s unless a proxy base_url is set)."""
+            self._kbid(request)
+            raise HTTPError(
+                404,
+                "model files are served by the learning backend; none is"
+                " configured in this embedded deployment",
+            )
+
         # ---- export / import / backups -------------------------------------
 
         @r.get("/api/v1/kb/{kbid}/export")

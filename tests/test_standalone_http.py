@@ -1946,3 +1946,103 @@ def test_resource_ask_ndjson_stream(server):
     items = [json.loads(l) for l in out.text.splitlines() if l]
     kinds = [i["item"]["type"] for i in items]
     assert kinds[0] == "retrieval" and kinds[-1] == "status"
+
+
+def test_field_crud_routes(server):
+    """Per-field CRUD (parity: writer/api/v1/field.py): PUT a single
+    text/link/key_value field 201, GET its value, DELETE {field_type}/
+    {field_id} 204 — with the change visible in search immediately."""
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "fieldcrud-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "f", "texts": {"t1": {"body": "original body"}}},
+    ).json()["uuid"]
+
+    out = client.put(
+        f"/api/v1/kb/{kbid}/resource/{rid}/text/t2",
+        json={"body": "pluto is a dwarf planet"},
+    )
+    assert out.status_code == 201, out.text
+    got = client.get(f"/api/v1/kb/{kbid}/resource/{rid}/text/t2").json()
+    assert got["body"] == "pluto is a dwarf planet"
+    # the new field is searchable
+    app._sync(force=True)
+    found = client.post(
+        f"/api/v1/kb/{kbid}/find", json={"query": "dwarf planet", "top_k": 5}
+    ).json()
+    assert rid in found["resources"]
+
+    out = client.put(
+        f"/api/v1/kb/{kbid}/resource/{rid}/link/l1",
+        json={"uri": "https://example.com"},
+    )
+    assert out.status_code == 201, out.text
+    assert client.get(
+        f"/api/v1/kb/{kbid}/resource/{rid}/link/l1"
+    ).json()["uri"] == "https://example.com"
+
+    out = client.put(
+        f"/api/v1/kb/{kbid}/resource/{rid}/key_value/meta",
+        json={"answer": 42},
+    )
+    assert out.status_code == 201, out.text
+    assert client.get(
+        f"/api/v1/kb/{kbid}/resource/{rid}/key_value/meta"
+    ).json() == {"answer": 42}
+
+    # delete a field; it disappears from the payload and from search
+    out = client.delete(f"/api/v1/kb/{kbid}/resource/{rid}/text/t2")
+    assert out.status_code == 204
+    assert client.get(
+        f"/api/v1/kb/{kbid}/resource/{rid}/text/t2"
+    ).status_code == 404
+    app._sync(force=True)
+    found = client.post(
+        f"/api/v1/kb/{kbid}/find", json={"query": "dwarf planet", "top_k": 5}
+    ).json()
+    assert rid not in found["resources"]
+    # slug twin works too
+    client.patch(f"/api/v1/kb/{kbid}/resource/{rid}", json={"slug": "fslug"})
+    assert client.get(
+        f"/api/v1/kb/{kbid}/slug/fslug/text/t1"
+    ).json()["body"] == "original body"
+    assert client.delete(
+        f"/api/v1/kb/{kbid}/resource/{rid}/text/missing"
+    ).status_code == 404
+
+
+def test_learning_strategies_and_nua_schema(server):
+    """extract/split strategies CRUD + /nua/schema (parity:
+    writer/api/v1/learning_config.py:66-140)."""
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "strat-kb"}).json()["uuid"]
+    for kind in ("extract", "split"):
+        sid = client.post(
+            f"/api/v1/kb/{kbid}/{kind}_strategies",
+            json={"name": f"{kind}-s1", "vllm_config": {"x": 1}},
+        ).json()
+        listing = client.get(f"/api/v1/kb/{kbid}/{kind}_strategies").json()
+        assert listing[sid]["name"] == f"{kind}-s1"
+        one = client.get(
+            f"/api/v1/kb/{kbid}/{kind}_strategies/strategy/{sid}"
+        ).json()
+        assert one["vllm_config"] == {"x": 1}
+        assert client.delete(
+            f"/api/v1/kb/{kbid}/{kind}_strategies/strategy/{sid}"
+        ).status_code == 204
+        assert client.get(
+            f"/api/v1/kb/{kbid}/{kind}_strategies/strategy/{sid}"
+        ).status_code == 404
+    schema = client.get("/api/v1/nua/schema").json()
+    assert "semantic_model" in schema["properties"]
+    # model metadata: vectorset models resolve, unknown 404s
+    client.post(f"/api/v1/kb/{kbid}/configuration",
+                json={"generative_model": "gen-1"})
+    assert client.get(
+        f"/api/v1/kb/{kbid}/model/gen-1"
+    ).json()["model_id"] == "gen-1"
+    assert client.get(f"/api/v1/kb/{kbid}/model/nope").status_code == 404
+    assert client.get(
+        f"/api/v1/kb/{kbid}/models/gen-1/pytorch_model.bin"
+    ).status_code == 404
