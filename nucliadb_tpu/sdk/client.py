@@ -485,6 +485,47 @@ class NucliaDBClient:
         self._raise(resp)
         return resp.json()
 
+    def set_configuration(self, kbid: str, payload: dict) -> dict:
+        """Strict create/replace (POST; unknown fields 422)."""
+        resp = self._client.post(f"/api/v1/kb/{kbid}/configuration", json=payload)
+        self._raise(resp)
+        return resp.json()
+
+    def configuration_schema(self, kbid: str) -> dict:
+        resp = self._client.get(f"/api/v1/kb/{kbid}/schema")
+        self._raise(resp)
+        return resp.json()
+
+    def nua_schema(self) -> dict:
+        resp = self._client.get("/api/v1/nua/schema")
+        self._raise(resp)
+        return resp.json()
+
+    def generative_providers(self, kbid: str) -> dict:
+        resp = self._client.get(f"/api/v1/kb/{kbid}/generative_providers")
+        self._raise(resp)
+        return resp.json()
+
+    def add_strategy(self, kbid: str, kind: str, config: dict) -> str:
+        """kind: 'extract' | 'split' (parity: extract/split_strategies)."""
+        resp = self._client.post(
+            f"/api/v1/kb/{kbid}/{kind}_strategies", json=config
+        )
+        self._raise(resp)
+        return resp.json()
+
+    def list_strategies(self, kbid: str, kind: str) -> dict:
+        resp = self._client.get(f"/api/v1/kb/{kbid}/{kind}_strategies")
+        self._raise(resp)
+        return resp.json()
+
+    def delete_strategy(self, kbid: str, kind: str, strategy_id: str) -> None:
+        self._raise(
+            self._client.delete(
+                f"/api/v1/kb/{kbid}/{kind}_strategies/strategy/{strategy_id}"
+            )
+        )
+
     def list_search_configurations(self, kbid: str) -> dict:
         resp = self._client.get(f"/api/v1/kb/{kbid}/search_configurations")
         self._raise(resp)

@@ -249,6 +249,16 @@ def test_sdk_against_server(tmp_path):
     client.patch_configuration(kb.uuid, {"generative_model": "g"})
     assert client.get_configuration(kb.uuid)["generative_model"] == "g"
     assert client.list_search_configurations(kb.uuid) == {}
+    # learning extras: strict POST, schemas, providers, strategies
+    client.set_configuration(kb.uuid, {"generative_model": "g2"})
+    assert client.get_configuration(kb.uuid)["generative_model"] == "g2"
+    assert "semantic_model" in client.configuration_schema(kb.uuid)["properties"]
+    assert "semantic_model" in client.nua_schema()["properties"]
+    assert client.generative_providers(kb.uuid)["providers"]["local"]["default"] == "g2"
+    sid = client.add_strategy(kb.uuid, "extract", {"name": "s1"})
+    assert sid in client.list_strategies(kb.uuid, "extract")
+    client.delete_strategy(kb.uuid, "extract", sid)
+    assert client.list_strategies(kb.uuid, "extract") == {}
     manifest = client.export_trainset(kb.uuid, "sentences", batch_size=8)
     assert manifest["format"] == "arrow"
     backup_id = client.backup_kb(kb.uuid)
