@@ -135,6 +135,9 @@ class VectorSearchRequest:
     key_prefixes: Optional[list[str]] = None
     min_score: Optional[float] = None
     include_hidden: bool = False
+    # False (the reference default) drops results whose vector repeats a
+    # higher-ranked result's (Fssc dedup, nidx_vector/src/searcher.rs:150-199)
+    with_duplicates: bool = False
 
 
 class VectorSearcher:
@@ -211,6 +214,7 @@ class VectorSearcher:
             raise ValueError("multivector query against a single-vector index")
         mask = self._build_mask(request)
         scores, ids = self.index.search(
-            q, request.top_k, para_mask=mask, min_score=request.min_score
+            q, request.top_k, para_mask=mask, min_score=request.min_score,
+            with_duplicates=request.with_duplicates,
         )
         return [self.index.hits(scores[b], ids[b]) for b in range(scores.shape[0])]

@@ -87,6 +87,7 @@ class QueryCoalescer:
             request.top_k,
             request.min_score,
             request.include_hidden,
+            request.with_duplicates,
         )
         with self._lock:
             self._pending.setdefault(key, []).append(entry)
@@ -137,6 +138,7 @@ class QueryCoalescer:
                         top_k=template.top_k,
                         min_score=template.min_score,
                         include_hidden=template.include_hidden,
+                        with_duplicates=template.with_duplicates,
                     )
                 )
                 for e, hits in zip(batch, out):

@@ -382,13 +382,17 @@ class DeviceVectorIndex:
         *,
         para_mask: np.ndarray | None = None,
         min_score: float | None = None,
+        with_duplicates: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k paragraphs per query.
 
         queries: [B, D] (single) or [B, M, D] (multivector MaxSim query).
         para_mask: [p_pad] or [n_para] bool (combined with base mask).
+        ``with_duplicates=False`` drops results repeating an identical
+        vector (the reference's Fssc dedup, searcher.rs:150-199).
         Returns ([B, k] scores, [B, k] paragraph ids, -1 = empty).
         """
+        dedup = not with_duplicates
         if para_mask is None:
             mask_j = self.base_mask_device()
             matching = int(self.alive.sum())
@@ -419,7 +423,8 @@ class DeviceVectorIndex:
         elif self.multi:
             # single query vector against a multivector index: MaxSim with M=1
             return self.search(
-                q[:, None, :], top_k, para_mask=para_mask, min_score=min_score
+                q[:, None, :], top_k, para_mask=para_mask, min_score=min_score,
+                with_duplicates=with_duplicates,
             )
         else:
             b_pad = bucket(q.shape[0], minimum=8)
@@ -451,11 +456,12 @@ class DeviceVectorIndex:
                         self.codes, self.vectors, qj, mask_j, ms, top_k,
                         self.config.similarity.value,
                         interpret=jax.default_backend() == "cpu",
+                        dedup=dedup,
                     )
                 else:
                     s, i = _search_int8(
                         self.codes, self.vectors, qj, mask_j, ms, top_k,
-                        self.config.similarity.value,
+                        self.config.similarity.value, dedup=dedup,
                     )
             elif isinstance(self.codes, quant.BinaryCodes):
                 from ...ops import pallas_scan
@@ -477,16 +483,17 @@ class DeviceVectorIndex:
                         self.codes, self.vectors, qj, mask_j, ms, top_k,
                         self.config.similarity.value,
                         interpret=jax.default_backend() == "cpu",
+                        dedup=dedup,
                     )
                 else:
                     s, i = _search_binary(
                         self.codes, self.vectors, qj, mask_j, ms, top_k,
-                        self.config.similarity.value,
+                        self.config.similarity.value, dedup=dedup,
                     )
             else:
                 s, i = _search_exact(
                     self.vectors, qj, mask_j, ms, top_k,
-                    self.config.similarity.value,
+                    self.config.similarity.value, dedup=dedup,
                 )
         b = q.shape[0] if q.ndim == 2 else queries.shape[0]
         return np.asarray(s)[:b], np.asarray(i)[:b]
@@ -544,14 +551,41 @@ class DeviceVectorIndex:
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k", "similarity"))
-def _search_exact(vectors, queries, para_mask, min_score, k, similarity):
+@partial(jax.jit, static_argnames=("k", "similarity", "dedup"))
+def _search_exact(vectors, queries, para_mask, min_score, k, similarity, dedup=False):
     q = prepare_query(queries, similarity)
     scores = scores_matmul(q, vectors)  # [B, P]
-    return masked_topk(scores, k, mask=para_mask, min_score=min_score)
+    if not dedup:
+        return masked_topk(scores, k, mask=para_mask, min_score=min_score)
+    # over-fetch, drop identical-vector duplicates, cut back to k
+    k2 = min(2 * k + 8, scores.shape[-1])
+    _, cand = masked_topk(scores, k2, mask=para_mask, min_score=min_score)
+    return _rerank_and_cut(vectors, q, cand, min_score, k, dedup=True)
 
 
-def _rerank_and_cut(vectors, q, cand_ids, min_score, k):
+def _duplicate_mask(cand_vecs: jax.Array, valid: jax.Array) -> jax.Array:
+    """[B, C] bool — True where a candidate repeats an EARLIER candidate's
+    vector (parity: the reference's Fssc vector dedup, searcher.rs:150-199;
+    default result semantics exclude identical-vector duplicates).
+
+    Comparing [B, C, C] vector pairs directly would materialize a huge
+    intermediate, so equality is detected through two deterministic
+    projections: equal vectors collide on both hashes; distinct f32 vectors
+    collide on BOTH with probability ~2^-48 — below any practical concern.
+    """
+    d = cand_vecs.shape[-1]
+    idx = jnp.arange(d, dtype=jnp.float32)
+    w1 = jnp.sin(idx * 0.7310585) + 1.0
+    w2 = jnp.cos(idx * 0.4142135) - 0.5
+    h1 = cand_vecs @ w1  # [B, C]
+    h2 = cand_vecs @ w2
+    same = (h1[:, :, None] == h1[:, None, :]) & (h2[:, :, None] == h2[:, None, :])
+    c = cand_vecs.shape[1]
+    earlier = jnp.tril(jnp.ones((c, c), bool), k=-1)[None]
+    return jnp.any(same & earlier & valid[:, None, :], axis=-1)
+
+
+def _rerank_and_cut(vectors, q, cand_ids, min_score, k, dedup=False):
     """Exact rescoring of candidates; candidate ids are paragraph ids."""
     safe = jnp.maximum(cand_ids, 0)
     cand_vecs = vectors[safe]  # [B, C, D]
@@ -560,24 +594,27 @@ def _rerank_and_cut(vectors, q, cand_ids, min_score, k):
         precision=jax.lax.Precision.HIGHEST,
     )
     valid = cand_ids >= 0
+    if dedup:
+        valid = valid & ~_duplicate_mask(cand_vecs, valid)
     top_s, pos = masked_topk(exact, k, mask=valid, min_score=min_score)
     safe_pos = jnp.maximum(pos, 0)
     top_ids = jnp.where(pos >= 0, jnp.take_along_axis(cand_ids, safe_pos, axis=-1), -1)
     return top_s, top_ids
 
 
-@partial(jax.jit, static_argnames=("k", "similarity"))
-def _search_int8(codes, vectors, queries, para_mask, min_score, k, similarity):
+@partial(jax.jit, static_argnames=("k", "similarity", "dedup"))
+def _search_int8(codes, vectors, queries, para_mask, min_score, k, similarity, dedup=False):
     q = prepare_query(queries, similarity)
     est = quant.int8_estimate_scores(codes, q)
     c = min(quant.int8_rerank_budget(k), est.shape[-1])
     _, cand = quant.approx_candidates(est, c, mask=para_mask)
-    return _rerank_and_cut(vectors, q, cand, min_score, k)
+    return _rerank_and_cut(vectors, q, cand, min_score, k, dedup=dedup)
 
 
-@partial(jax.jit, static_argnames=("k", "similarity", "interpret"))
+@partial(jax.jit, static_argnames=("k", "similarity", "interpret", "dedup"))
 def _search_int8_pallas(
-    codes, vectors, queries, para_mask, min_score, k, similarity, interpret=False
+    codes, vectors, queries, para_mask, min_score, k, similarity, interpret=False,
+    dedup=False,
 ):
     """Int8 candidates via the fused Pallas scan (config flag "pallas").
 
@@ -604,11 +641,12 @@ def _search_int8_pallas(
         jnp.take_along_axis(slot_i, pos, axis=-1),
         -1,
     )
-    return _rerank_and_cut(vectors, q, cand, min_score, k)
+    return _rerank_and_cut(vectors, q, cand, min_score, k, dedup=dedup)
 
 
 def _search_binary_pallas(
-    codes, vectors, queries, para_mask, min_score, k, similarity, interpret=False
+    codes, vectors, queries, para_mask, min_score, k, similarity, interpret=False,
+    dedup=False,
 ):
     """Binary candidates via the fused Pallas popcount scan (config flag
     "pallas"): the [B, N] estimate/bound matrices never reach HBM — only
@@ -634,16 +672,16 @@ def _search_binary_pallas(
         jnp.take_along_axis(slot_i, pos, axis=-1),
         -1,
     )
-    return _rerank_and_cut(vectors, q, cand, min_score, k)
+    return _rerank_and_cut(vectors, q, cand, min_score, k, dedup=dedup)
 
 
-@partial(jax.jit, static_argnames=("k", "similarity"))
-def _search_binary(codes, vectors, queries, para_mask, min_score, k, similarity):
+@partial(jax.jit, static_argnames=("k", "similarity", "dedup"))
+def _search_binary(codes, vectors, queries, para_mask, min_score, k, similarity, dedup=False):
     q = prepare_query(queries, similarity)
     est, bound = quant.binary_estimate_scores(codes, q)
     c = min(quant.binary_rerank_budget(k), est.shape[-1])
     _, cand = quant.approx_candidates(est + bound, c, mask=para_mask)
-    return _rerank_and_cut(vectors, q, cand, min_score, k)
+    return _rerank_and_cut(vectors, q, cand, min_score, k, dedup=dedup)
 
 
 @partial(jax.jit, static_argnames=("k", "m_max", "similarity"))

@@ -335,6 +335,9 @@ class FindRequest(BaseModel):
     with_synonyms: bool = False  # expand the keyword query with KB synonyms
     offset: int = 0  # pagination offset over the fused ranking
     search_after: Optional[str] = None  # opaque cursor from a previous page
+    # True returns identical-vector duplicates; False (the reference
+    # default) collapses them (Fssc dedup, nidx_vector searcher.rs:150-199)
+    with_duplicates: bool = False
     # date windows (unix seconds or ISO-8601 strings; parity:
     # range_creation_* / range_modification_* search params)
     range_creation_start: Optional[Union[float, str]] = None

@@ -384,6 +384,7 @@ class SearchService:
             vectorset=request.vectorset,
             min_score_semantic=request.min_score_semantic,
             min_score_bm25=request.min_score_bm25,
+            with_duplicates=request.with_duplicates,
             filter=expr,
             security_groups=request.security_groups,
             include_hidden=request.show_hidden,

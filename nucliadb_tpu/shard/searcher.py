@@ -88,6 +88,10 @@ class ShardSearchRequest:
     # exclusion on text legs rides the /q/h label filter)
     include_hidden: bool = False
 
+    # vector dedup (nodereader SearchRequest.with_duplicates; proto default
+    # false = identical-vector results collapse)
+    with_duplicates: bool = False
+
     # graph
     graph: Optional[GraphSearchRequest] = None
 
@@ -250,6 +254,7 @@ class ShardSearcher:
                 key_prefixes=key_prefixes,
                 min_score=request.min_score_semantic,
                 include_hidden=request.include_hidden,
+                with_duplicates=request.with_duplicates,
             )
             from ..index.vector.batcher import coalescer
 

@@ -1315,7 +1315,8 @@ class StandaloneApp:
             for name in ("top_k", "offset"):
                 if name in q:
                     body[name] = int(q[name])
-            for name in ("highlight", "autofilter", "show_hidden", "with_synonyms"):
+            for name in ("highlight", "autofilter", "show_hidden", "with_synonyms",
+                         "with_duplicates"):
                 if name in q:
                     body[name] = q[name].lower() in ("1", "true", "yes")
             for name in ("min_score_semantic", "min_score_bm25"):

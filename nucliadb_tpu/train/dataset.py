@@ -3,10 +3,15 @@
 Parity with the reference's nucliadb_dataset package
 (nucliadb_dataset/src/nucliadb_dataset/dataset.py — export of Train gRPC
 streams to one Arrow IPC file per partition plus a manifest): partitions
-are Arrow streaming-format files (``pyarrow.ipc.new_stream``) with a
-schema derived from the task's batch type, so any Arrow/HuggingFace loader
-consumes them directly. A msgpack format is kept as a dependency-free
-fallback (``format="msgpack"``).
+are Arrow streaming-format files with a schema derived from the task's
+batch type, so any Arrow/HuggingFace loader consumes them directly. A
+msgpack format is kept as a dependency-free fallback (``format="msgpack"``).
+
+The WRITE path uses the repo's pure-Python Arrow IPC writer
+(train/arrow_ipc.py) — pyarrow's write machinery segfaulted rarely under
+this process's thread/allocator mix (see arrow_ipc.py for the forensic
+trail). pyarrow remains the READ path (load_partition), which doubles as
+a continuous two-implementation differential check of the emitted bytes.
 """
 
 from __future__ import annotations
@@ -19,17 +24,10 @@ from typing import Callable, Iterator
 import msgpack
 
 from ..ingest.processor import Processor
+from . import arrow_ipc
 from .generators import TrainSet
 
 GENERATORS: dict[str, Callable] = {}
-
-# Arrow encode/write calls run under one process-wide lock: exports fire from
-# HTTP server worker threads, and concurrent pyarrow conversions have produced
-# a rare interpreter segfault under the full-suite thread mix. Export
-# throughput is disk-bound anyway, so serializing costs nothing measurable.
-import threading as _threading
-
-_ARROW_LOCK = _threading.Lock()
 
 
 def _register():
@@ -53,22 +51,8 @@ def _register():
 _register()
 
 
-def _arrow_type(value):
-    """Arrow type for one column's sample value (str | list[str] |
-    list[list[str]] columns are what the batch dataclasses contain)."""
-    import pyarrow as pa
-
-    if value and isinstance(value[0], list):
-        if value[0] and isinstance(value[0][0], list):
-            return pa.list_(pa.list_(pa.string()))
-        return pa.list_(pa.string())
-    return pa.string()
-
-
-def _arrow_schema(columns: dict):
-    import pyarrow as pa
-
-    return pa.schema([(name, _arrow_type(col)) for name, col in columns.items()])
+def _fields_for(columns: dict) -> list:
+    return [(name, arrow_ipc.infer_type(col)) for name, col in columns.items()]
 
 
 def export_trainset(
@@ -100,20 +84,9 @@ def export_trainset(
         if not current:
             return
         if format == "arrow":
-            import pyarrow as pa
-
             name = f"part-{len(partitions):05d}.arrow"
-            with _ARROW_LOCK:
-                schema = _arrow_schema(current[0])
-                with pa.OSFile(os.path.join(output_dir, name), "wb") as sink:
-                    with pa.ipc.new_stream(sink, schema) as writer:
-                        for d in current:
-                            writer.write_batch(
-                                pa.record_batch(
-                                    [pa.array(col, type=schema.field(k).type) for k, col in d.items()],
-                                    schema=schema,
-                                )
-                            )
+            with open(os.path.join(output_dir, name), "wb") as sink:
+                arrow_ipc.write_stream(sink, _fields_for(current[0]), current)
         else:
             name = f"part-{len(partitions):05d}.msgpack"
             with open(os.path.join(output_dir, name), "wb") as f:
@@ -148,40 +121,25 @@ def stream_trainset(
     chunks — the HTTP body of the reference's train-data endpoint
     (nucliadb/src/nucliadb/train/api/v1/shards.py object_get_response
     streams generate_train_data as application/octet-stream)."""
-    import io
-
-    import pyarrow as pa
-
     if task not in GENERATORS:
         raise ValueError(f"unknown train task {task!r}; options: {sorted(GENERATORS)}")
-    sink = io.BytesIO()
     writer = None
-    schema = None
+    fields = None
     for batch in GENERATORS[task](processor, trainset):
         d = asdict(batch)
-        with _ARROW_LOCK:
-            if writer is None:
-                schema = _arrow_schema(d)
-                writer = pa.ipc.new_stream(sink, schema)
-            writer.write_batch(
-                pa.record_batch(
-                    [pa.array(col, type=schema.field(k).type) for k, col in d.items()],
-                    schema=schema,
-                )
-            )
-        if sink.tell():
-            yield sink.getvalue()
-            sink.seek(0)
-            sink.truncate()
+        if fields is None:
+            fields = _fields_for(d)
+            yield arrow_ipc.schema_message(fields)
+        yield arrow_ipc.record_batch_message([(d[name], t) for name, t in fields])
+        writer = True
     if writer is not None:
-        writer.close()
-        if sink.tell():
-            yield sink.getvalue()
+        yield arrow_ipc.EOS
 
 
 def load_partition(path: str) -> list[dict]:
     """Read one partition back as a list of column-dict batches (both
-    formats)."""
+    formats). Arrow partitions are parsed by PYARROW — an independent
+    implementation validating every byte the writer emitted."""
     if path.endswith(".arrow"):
         import pyarrow as pa
 

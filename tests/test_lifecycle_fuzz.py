@@ -77,7 +77,13 @@ def test_random_lifecycle_matches_oracle(tmp_path, seed):
             q = np.ones(DIM, np.float32)
             vresp = node.search(
                 shard,
-                ShardSearchRequest(body="", vector=q, top_k=50, paragraph=False),
+                # with_duplicates=True: one-hot vectors collide across rids
+                # and would collapse under the default Fssc-style dedup —
+                # this test checks ALIVENESS, not dedup semantics
+                ShardSearchRequest(
+                    body="", vector=q, top_k=50, paragraph=False,
+                    with_duplicates=True,
+                ),
             )
             vrids = {h.key.split("/")[0] for h in vresp.vector}
             assert vrids == set(alive), (step, sorted(vrids), sorted(alive))

@@ -134,8 +134,12 @@ def test_hidden_segments_excluded(rng, tmp_path):
     q = np.ones(16, np.float32)
     hits = searcher.search(VectorSearchRequest(vectors=q, top_k=10))[0]
     assert [h.key for h in hits] == ["r2/f1/0/0-1"]
+    # with_duplicates=True: the two resources share an identical vector and
+    # would otherwise collapse under the default Fssc-style dedup
     hits_all = searcher.search(
-        VectorSearchRequest(vectors=q, top_k=10, include_hidden=True)
+        VectorSearchRequest(
+            vectors=q, top_k=10, include_hidden=True, with_duplicates=True
+        )
     )[0]
     assert {h.key for h in hits_all} == {"r1/f1/0/0-1", "r2/f1/0/0-1"}
 
@@ -285,3 +289,39 @@ def test_coalescer_propagates_errors(rng):
 
     with pytest.raises((ValueError, RuntimeError)):
         co.search_one(Boom(), VectorSearchRequest(vectors=rng.standard_normal(8).astype(np.float32)))
+
+
+def test_with_duplicates_dedup(rng, tmp_path):
+    """Identical-vector results collapse by default and survive with
+    with_duplicates=True (parity: the reference's Fssc vector dedup,
+    nidx_vector/src/searcher.rs:150-199; nodereader SearchRequest
+    with_duplicates, proto default false)."""
+    d = 32
+    cfg = VectorConfig(dimension=d)
+    base = rng.standard_normal((20, d)).astype(np.float32)
+    dup = base[0].copy()
+    elems = [
+        Elem(key=f"r{i}/f1/{i}/0-10", vectors=base[i][None], labels=[])
+        for i in range(20)
+    ]
+    # three more paragraphs carrying the EXACT same vector as r0
+    for j in range(3):
+        elems.append(Elem(key=f"dup{j}/f1/{j}/0-10", vectors=dup[None], labels=[]))
+    meta = create_segment(str(tmp_path / "s"), elems, cfg)
+    searcher = VectorSearcher(cfg, SimpleOpenIndex(segment_list=[(meta, Seq(1))]))
+
+    q = dup + 0.01 * rng.standard_normal(d).astype(np.float32)
+
+    # default: duplicates collapse to one result
+    hits = searcher.search(VectorSearchRequest(vectors=q, top_k=6))[0]
+    keys = [h.key for h in hits]
+    dup_like = [k for k in keys if k.startswith(("r0/", "dup"))]
+    assert len(dup_like) == 1, keys
+
+    # with_duplicates=True returns every copy
+    hits = searcher.search(
+        VectorSearchRequest(vectors=q, top_k=6, with_duplicates=True)
+    )[0]
+    keys = [h.key for h in hits]
+    dup_like = [k for k in keys if k.startswith(("r0/", "dup"))]
+    assert len(dup_like) == 4, keys
