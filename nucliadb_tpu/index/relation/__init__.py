@@ -8,10 +8,17 @@ single-hop graph path patterns (source/relation/target constraints, fuzzy
 node matching with distance 1, undirected option), entity-prefix suggest,
 and top-unique-N node collection.
 
-Scale note: relation data is metadata-sized (thousands of edges per shard,
-not millions of vectors), so this index is host-resident numpy; the semantic
-graph search (node/edge *vectors*) runs through the vector index like the
-reference's field_node_vectors/field_edge_vectors do.
+Evaluation is columnar: edges are interned into unique-node and
+unique-(relation,label) tables at open time, patterns are evaluated ONCE
+per unique value (so fuzzy/semantic matching scales with vocabulary size,
+not edge count — the same role tantivy's term dictionary plays in the
+reference), and boolean expressions compose as NaN-masked numpy score
+arrays over the edge columns. The scalar per-edge evaluator is kept as the
+differential oracle (see ``_compile_expr``), mirroring how the reference's
+semantics are a per-document tantivy BooleanQuery.
+
+The semantic graph search (node/edge *vectors*) runs through the vector
+index like the reference's field_node_vectors/field_edge_vectors do.
 """
 
 from __future__ import annotations
@@ -19,7 +26,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field as dc_field
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import msgpack
 import numpy as np
@@ -27,8 +34,8 @@ import numpy as np
 from ...models.internal import IndexRelation, ResourceDoc
 from ...types import OpenIndexMetadata, SegmentMetadata, Seq
 from ...utils.keys import key_matches_prefix
-from ..text_engine.fuzzy import FuzzyIndex
-from ..text_engine.tokenizer import strip_diacritics
+from ..text_engine.fuzzy import FuzzyIndex, osa_leq
+from ..text_engine.tokenizer import strip_diacritics, tokenize
 
 FUZZY_DISTANCE = 1  # parity: nidx_relation/src/reader.rs:33
 
@@ -166,6 +173,12 @@ class GraphPath:
     facets: list[str] = dc_field(default_factory=list)
 
 
+def _str_array(values: list[str]) -> np.ndarray:
+    if not values:
+        return np.zeros(0, dtype="<U1")
+    return np.array(values, dtype=np.str_)
+
+
 class RelationSearcher:
     def __init__(self, open_index: OpenIndexMetadata):
         deletions = list(open_index.deletions())
@@ -188,6 +201,77 @@ class RelationSearcher:
         self.node_values = [v for _, v in pairs]
         self._norm_values = [n for n, _ in pairs]
         self._fuzzy: FuzzyIndex | None = None
+        self._build_columns()
+
+    # ---- columnar build -------------------------------------------------
+
+    def _build_columns(self) -> None:
+        """Intern edges into unique node / relation tables + edge columns.
+
+        The node table is keyed by the full (value, type, subtype) triple —
+        pattern evaluation happens once per unique triple, edge evaluation
+        is then pure integer indexing (the tantivy term-dictionary role,
+        nidx_relation/src/schema.rs:65-94 fields)."""
+        E = len(self.edges)
+        node_ids: dict[tuple[str, str, str], int] = {}
+        node_rows: list[tuple[str, str, str]] = []
+        rel_ids: dict[tuple[str, str], int] = {}
+        rel_rows: list[tuple[str, str]] = []
+        src = np.zeros(E, np.int32)
+        dst = np.zeros(E, np.int32)
+        rel = np.zeros(E, np.int32)
+        keys: list[str] = []
+        facet_strs: list[str] = []
+        facet_edge: list[int] = []
+        for i, e in enumerate(self.edges):
+            skey = (e["source_value"], e["source_type"], e["source_subtype"])
+            tkey = (e["target_value"], e["target_type"], e["target_subtype"])
+            rkey = (e["relation"], e["label"])
+            for key, arr in ((skey, src), (tkey, dst)):
+                nid = node_ids.get(key)
+                if nid is None:
+                    nid = node_ids[key] = len(node_rows)
+                    node_rows.append(key)
+                arr[i] = nid
+            rid = rel_ids.get(rkey)
+            if rid is None:
+                rid = rel_ids[rkey] = len(rel_rows)
+                rel_rows.append(rkey)
+            rel[i] = rid
+            keys.append(e["key"])
+            for fct in e.get("facets") or []:
+                facet_strs.append(fct)
+                facet_edge.append(i)
+        self._src_id, self._dst_id, self._rel_id = src, dst, rel
+        self._n_values = [r[0] for r in node_rows]
+        self._n_norm_list = [strip_diacritics(r[0].lower()) for r in node_rows]
+        self._n_norm = _str_array(self._n_norm_list)
+        self._n_types = _str_array([r[1] for r in node_rows])
+        self._n_subtypes = _str_array([r[2] for r in node_rows])
+        self._node_rows = node_rows
+        self._r_types = _str_array([r[0] for r in rel_rows])
+        self._r_labels = _str_array([r[1] for r in rel_rows])
+        self._r_norm_labels = [strip_diacritics(r[1].lower()) for r in rel_rows]
+        self._rel_rows = rel_rows
+        # stable rank by key for the score tie-break (reference orders ties
+        # by document, which follows the key-sorted segment layout)
+        order = np.argsort(np.array(keys, dtype=np.str_), kind="stable") if keys else np.zeros(0, np.int64)
+        self._key_rank = np.zeros(E, np.int64)
+        self._key_rank[order] = np.arange(E)
+        self._facet_strs = _str_array(facet_strs)
+        self._facet_edge = np.array(facet_edge, np.int64) if facet_edge else np.zeros(0, np.int64)
+        self._node_words: list[list[str]] | None = None  # lazy (fuzzy_words)
+        # value -> (type, subtype): source occurrences take priority over
+        # target ones (matches the original first-source-then-target scan)
+        self._value_ts: dict[str, tuple[str, str]] = {}
+        for e in self.edges:
+            self._value_ts.setdefault(
+                e["source_value"], (e["source_type"], e["source_subtype"])
+            )
+        for e in self.edges:
+            self._value_ts.setdefault(
+                e["target_value"], (e["target_type"], e["target_subtype"])
+            )
 
     @property
     def fuzzy_index(self) -> FuzzyIndex:
@@ -195,13 +279,266 @@ class RelationSearcher:
             self._fuzzy = FuzzyIndex(self._norm_values)
         return self._fuzzy
 
+    # ---- vectorized pattern evaluation ----------------------------------
+    # Score arrays use NaN for "no match"; matched clause scores sum
+    # (tantivy's BooleanQuery sums matching Must/Should clause scores);
+    # semantic matches contribute the vector score (ConstScoreQuery,
+    # graph_query_parser.rs:497-505).
+
+    def _node_pattern_scores(self, pattern: NodePattern) -> np.ndarray:
+        """Score every unique node triple against a pattern → [U] float32,
+        NaN = no match."""
+        U = len(self._node_rows)
+        score = np.zeros(U, np.float32)
+        if pattern.ntype is not None:
+            ok = self._n_types == pattern.ntype
+            score = np.where(ok, score + 1.0, np.nan)
+        if pattern.subtype is not None and pattern.subtype != "":
+            ok = self._n_subtypes == pattern.subtype
+            score = np.where(ok, score + 1.0, np.nan)
+        if pattern.value is None:
+            return score
+        match = pattern.match
+        if pattern.fuzzy and match == "exact":
+            match = "fuzzy"
+        norm_q = strip_diacritics(pattern.value.lower())
+        if match == "semantic":
+            sem = pattern.semantic_matches or {}
+            add = np.array(
+                [sem.get(n, np.nan) for n in self._n_norm_list], np.float32
+            ) if U else np.zeros(0, np.float32)
+            return score + add
+        if match == "fuzzy_words":
+            # Term::FuzzyWord — every query word must fuzzy-match (OSA d≤1,
+            # transpositions) some word of the tokenized node value
+            if self._node_words is None:
+                self._node_words = [tokenize(n) for n in self._n_norm_list]
+            q_words = tokenize(norm_q)
+            add = np.full(U, np.nan, np.float32)
+            if q_words:
+                for i in np.flatnonzero(~np.isnan(score)):
+                    node_words = self._node_words[i]
+                    if not node_words:
+                        continue
+                    hit = True
+                    for j, qw in enumerate(q_words):
+                        last = pattern.prefix and j == len(q_words) - 1
+                        if not any(
+                            self._word_matches(qw, nw, prefix=last)
+                            for nw in node_words
+                        ):
+                            hit = False
+                            break
+                    if hit:
+                        add[i] = 1.0
+            return score + add
+        if match == "fuzzy":
+            add = np.full(U, np.nan, np.float32)
+            for i in np.flatnonzero(~np.isnan(score)):
+                norm_v = self._n_norm_list[i]
+                if pattern.prefix:
+                    # FuzzyTermQuery::new_prefix — the query matches within
+                    # the value's leading len(q)±d window
+                    lq = len(norm_q)
+                    for cut in range(
+                        max(lq - FUZZY_DISTANCE, 0), lq + FUZZY_DISTANCE + 1
+                    ):
+                        if osa_leq(norm_q, norm_v[:cut], FUZZY_DISTANCE):
+                            add[i] = 1.0
+                            break
+                elif osa_leq(norm_q, norm_v, FUZZY_DISTANCE):
+                    add[i] = 1.0
+            return score + add
+        # exact
+        if pattern.prefix:
+            ok = np.char.startswith(self._n_norm, norm_q) if U else np.zeros(0, bool)
+        else:
+            ok = self._n_norm == norm_q
+        return np.where(ok, score + 1.0, np.nan)
+
+    def _rel_pattern_scores(self, pattern: RelationPattern) -> np.ndarray:
+        """Score every unique (relation, label) pair → [R] float32, NaN = no
+        match. ``match="semantic"`` resolves the label through the upstream
+        vector results (RelationTerm::FromVectorQuery)."""
+        R = len(self._rel_rows)
+        score = np.zeros(R, np.float32)
+        if pattern.relation is not None:
+            ok = self._r_types == pattern.relation
+            score = np.where(ok, score + 1.0, np.nan)
+        if pattern.label is not None:
+            if pattern.match == "semantic":
+                sem = pattern.semantic_matches or {}
+                add = np.array(
+                    [sem.get(n, np.nan) for n in self._r_norm_labels], np.float32
+                ) if R else np.zeros(0, np.float32)
+                score = score + add
+            else:
+                ok = self._r_labels == pattern.label
+                score = np.where(ok, score + 1.0, np.nan)
+        return score
+
+    @staticmethod
+    def _or_scores(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Sum where both match, the matching one where one does, NaN where
+        neither (tantivy Should-clause union)."""
+        both = ~np.isnan(a) & ~np.isnan(b)
+        return np.where(both, a + b, np.fmax(a, b))
+
+    def _path_scores(
+        self,
+        src_pat: NodePattern,
+        rel_pat: RelationPattern,
+        dst_pat: NodePattern,
+        undirected: bool,
+    ) -> np.ndarray:
+        """Edge-level scores for a single-hop path pattern → [E]."""
+        rel_s = self._rel_pattern_scores(rel_pat)[self._rel_id]
+        s_src = self._node_pattern_scores(src_pat)
+        s_dst = self._node_pattern_scores(dst_pat)
+        fwd = rel_s + s_src[self._src_id] + s_dst[self._dst_id]
+        if not undirected:
+            return fwd
+        bwd = rel_s + s_src[self._dst_id] + s_dst[self._src_id]
+        # max of the matching directions (other direction NaN → fmax keeps
+        # the matching one)
+        return np.fmax(fwd, bwd)
+
+    def _facet_edge_mask(self, hit: np.ndarray) -> np.ndarray:
+        mask = np.zeros(len(self.edges), bool)
+        if hit.size:
+            mask[self._facet_edge[hit]] = True
+        return mask
+
+    def _generated_scores(self, q: dict) -> np.ndarray:
+        """``generated`` leaf (requests.py Generated → /g facets,
+        query_parser/parsers/graph.py:319-331): user → /g/u facet;
+        processor → NOT any /g facet; data-augmentation → /g/da[/task]."""
+        E = len(self.edges)
+        strs = self._facet_strs
+        by = q.get("by")
+        if by == "user":
+            mask = self._facet_edge_mask(np.flatnonzero(strs == "/g/u"))
+            return np.where(mask, np.float32(0.0), np.nan).astype(np.float32)
+        if by == "processor":
+            hit = (strs == "/g") | np.char.startswith(strs, "/g/") if strs.size else np.zeros(0, bool)
+            mask = self._facet_edge_mask(np.flatnonzero(hit))
+            return np.where(mask, np.nan, np.float32(0.0)).astype(np.float32)
+        if by == "data-augmentation":
+            prefix = "/g/da"
+            if q.get("da_task"):
+                prefix = f"/g/da/{q['da_task']}"
+            hit = np.char.startswith(strs, prefix) if strs.size else np.zeros(0, bool)
+            mask = self._facet_edge_mask(np.flatnonzero(hit))
+            return np.where(mask, np.float32(0.0), np.nan).astype(np.float32)
+        raise ValueError(f"unsupported generated.by: {by!r}")
+
+    def _leaf_node_pattern(self, d: dict) -> NodePattern:
+        return NodePattern(
+            value=d.get("value"),
+            ntype=d.get("type"),
+            subtype=d.get("group"),
+            match=d.get("match", "exact"),
+            prefix=bool(d.get("prefix", False)),
+            semantic_matches=d.get("semantic_matches"),
+        )
+
+    def _eval_expr(self, q: dict) -> np.ndarray:
+        """Evaluate a boolean path-query tree over the edge columns →
+        [E] float32 NaN-masked scores (the tantivy BooleanQuery analogue,
+        graph_query_parser.rs:153-237)."""
+        if not isinstance(q, dict):
+            raise ValueError(f"graph query node must be an object, got {q!r}")
+        if "and" in q:
+            parts = [self._eval_expr(x) for x in q["and"]]
+            total = parts[0]
+            for p in parts[1:]:
+                total = total + p  # NaN propagates = any-miss kills the AND
+            return total
+        if "or" in q:
+            parts = [self._eval_expr(x) for x in q["or"]]
+            stack = np.stack(parts)
+            valid = ~np.isnan(stack)
+            any_valid = valid.any(axis=0)
+            with np.errstate(invalid="ignore"):
+                summed = np.nansum(stack, axis=0)
+            return np.where(any_valid, summed, np.nan).astype(np.float32)
+        if "not" in q:
+            s = self._eval_expr(q["not"])
+            return np.where(np.isnan(s), np.float32(0.0), np.nan).astype(np.float32)
+        prop = q.get("prop")
+        if prop == "path":
+            src = self._leaf_node_pattern(q.get("source") or {})
+            dst = self._leaf_node_pattern(q.get("destination") or {})
+            rel_d = q.get("relation") or {}
+            rel = RelationPattern(
+                label=rel_d.get("label"),
+                relation=rel_d.get("type"),
+                match=rel_d.get("match", "exact"),
+                semantic_matches=rel_d.get("semantic_matches"),
+            )
+            return self._path_scores(src, rel, dst, bool(q.get("undirected", False)))
+        if prop in ("source_node", "destination_node", "node"):
+            sc = self._node_pattern_scores(self._leaf_node_pattern(q))
+            at_src = sc[self._src_id]
+            at_dst = sc[self._dst_id]
+            if prop == "source_node":
+                return at_src
+            if prop == "destination_node":
+                return at_dst
+            return self._or_scores(at_src, at_dst)
+        if prop == "relation":
+            rel = RelationPattern(
+                label=q.get("label"),
+                relation=q.get("type"),
+                match=q.get("match", "exact"),
+                semantic_matches=q.get("semantic_matches"),
+            )
+            return self._rel_pattern_scores(rel)[self._rel_id]
+        if prop == "generated":
+            return self._generated_scores(q)
+        raise ValueError(f"unsupported graph query node: {q!r}")
+
+    def _eval_node_expr(self, q: dict, position: str) -> np.ndarray:
+        """Node-position-scoped evaluation (parity: BoolNodeQuery evaluated
+        per NodePosition, graph_query_parser.rs:194-234) → [E] scores of the
+        node at ``position`` on each edge."""
+        if not isinstance(q, dict):
+            raise ValueError(f"graph query node must be an object, got {q!r}")
+        if "and" in q:
+            parts = [self._eval_node_expr(x, position) for x in q["and"]]
+            total = parts[0]
+            for p in parts[1:]:
+                total = total + p
+            return total
+        if "or" in q:
+            parts = [self._eval_node_expr(x, position) for x in q["or"]]
+            stack = np.stack(parts)
+            valid = ~np.isnan(stack)
+            any_valid = valid.any(axis=0)
+            with np.errstate(invalid="ignore"):
+                summed = np.nansum(stack, axis=0)
+            return np.where(any_valid, summed, np.nan).astype(np.float32)
+        if "not" in q:
+            s = self._eval_node_expr(q["not"], position)
+            return np.where(np.isnan(s), np.float32(0.0), np.nan).astype(np.float32)
+        prop = q.get("prop")
+        if prop == "node":
+            sc = self._node_pattern_scores(self._leaf_node_pattern(q))
+            ids = self._src_id if position == "source" else self._dst_id
+            return sc[ids]
+        if prop == "generated":
+            return self._generated_scores(q)
+        raise ValueError(f"unsupported graph nodes query leaf: {q!r}")
+
+    # ---- scalar oracle --------------------------------------------------
+    # Per-edge reference semantics, kept as the differential oracle for the
+    # vectorized path (tests/test_relation_vectorized.py) — the same split
+    # the JSON index uses (index/json/__init__.py _matches).
+
     def _node_score(
         self, pattern: NodePattern, value: str, ntype: str, subtype: str
     ) -> Optional[float]:
-        """Score a node against a pattern; None = no match. Matched clauses
-        sum (tantivy's BooleanQuery sums matching Must/Should clause
-        scores); semantic matches contribute the vector score
-        (ConstScoreQuery, graph_query_parser.rs:497-505)."""
+        """Score a node against a pattern; None = no match (scalar oracle)."""
         score = 0.0
         if pattern.ntype is not None:
             if ntype != pattern.ntype:
@@ -224,12 +561,7 @@ class RelationSearcher:
                 return None
             return score + float(s)
         norm_q = strip_diacritics(pattern.value.lower())
-        from ..text_engine.fuzzy import osa_leq
-        from ..text_engine.tokenizer import tokenize
-
         if match == "fuzzy_words":
-            # Term::FuzzyWord — every query word must fuzzy-match (OSA d≤1,
-            # transpositions) some word of the tokenized node value
             node_words = tokenize(norm_v)
             q_words = tokenize(norm_q)
             if not q_words or not node_words:
@@ -243,8 +575,6 @@ class RelationSearcher:
             return score + 1.0
         if match == "fuzzy":
             if pattern.prefix:
-                # FuzzyTermQuery::new_prefix — the query matches within the
-                # value's leading len(q)±d window
                 lq = len(norm_q)
                 for cut in range(max(lq - FUZZY_DISTANCE, 0), lq + FUZZY_DISTANCE + 1):
                     if osa_leq(norm_q, norm_v[:cut], FUZZY_DISTANCE):
@@ -264,8 +594,6 @@ class RelationSearcher:
 
     @staticmethod
     def _word_matches(q: str, w: str, *, prefix: bool = False) -> bool:
-        from ..text_engine.fuzzy import osa_leq
-
         if prefix:
             lq = len(q)
             return any(
@@ -278,9 +606,8 @@ class RelationSearcher:
         return self._node_score(pattern, value, ntype, subtype) is not None
 
     def _rel_score(self, pattern: RelationPattern, edge: dict) -> Optional[float]:
-        """Score an edge's relation against a pattern; None = no match.
-        ``match="semantic"`` resolves the label through the upstream vector
-        results (RelationTerm::FromVectorQuery, graph_query_parser.rs)."""
+        """Score an edge's relation against a pattern; None = no match
+        (scalar oracle)."""
         score = 0.0
         if pattern.relation is not None:
             if edge["relation"] != pattern.relation:
@@ -301,62 +628,9 @@ class RelationSearcher:
     def _rel_matches(self, pattern: RelationPattern, edge: dict) -> bool:
         return self._rel_score(pattern, edge) is not None
 
-    def graph_search(self, request: GraphSearchRequest) -> list[GraphPath]:
-        """Single-hop path matching (parity: RelationSearcher::graph_search)."""
-        out: list[GraphPath] = []
-        for e in self.edges:
-            if not self._rel_matches(request.relation, e):
-                continue
-            forward = self._node_matches(
-                request.source, e["source_value"], e["source_type"], e["source_subtype"]
-            ) and self._node_matches(
-                request.target, e["target_value"], e["target_type"], e["target_subtype"]
-            )
-            backward = request.undirected and (
-                self._node_matches(
-                    request.source, e["target_value"], e["target_type"], e["target_subtype"]
-                )
-                and self._node_matches(
-                    request.target, e["source_value"], e["source_type"], e["source_subtype"]
-                )
-            )
-            if not (forward or backward):
-                continue
-            out.append(
-                GraphPath(
-                    source=GraphNode(e["source_value"], e["source_type"], e["source_subtype"]),
-                    relation=e["relation"],
-                    label=e["label"],
-                    target=GraphNode(e["target_value"], e["target_type"], e["target_subtype"]),
-                    metadata=e.get("metadata") or {},
-                    resource_field=e["key"],
-                )
-            )
-            if len(out) >= request.top_k:
-                break
-        return out
-
-    # ---- boolean path-query expressions --------------------------------
-    # (parity: nucliadb_models/graph/requests.py GraphPathQuery — and/or/not
-    # combinators over path / source_node / destination_node / node /
-    # relation leaves, evaluated by nidx_relation's tantivy boolean query,
-    # graph_query_parser.rs:153-237; here a compiled per-edge predicate)
-
-    def _leaf_node_pattern(self, d: dict) -> NodePattern:
-        return NodePattern(
-            value=d.get("value"),
-            ntype=d.get("type"),
-            subtype=d.get("group"),
-            match=d.get("match", "exact"),
-            prefix=bool(d.get("prefix", False)),
-            semantic_matches=d.get("semantic_matches"),
-        )
-
     @staticmethod
     def _generated_score(q: dict, e: dict) -> Optional[float]:
-        """``generated`` leaf (requests.py Generated → /g facets,
-        query_parser/parsers/graph.py:319-331): user → /g/u facet;
-        processor → NOT any /g facet; data-augmentation → /g/da[/task]."""
+        """Scalar-oracle twin of ``_generated_scores``."""
         facets = e.get("facets") or []
         by = q.get("by")
         if by == "user":
@@ -370,10 +644,9 @@ class RelationSearcher:
             return 0.0 if any(f.startswith(prefix) for f in facets) else None
         raise ValueError(f"unsupported generated.by: {by!r}")
 
-    def _compile_expr(self, q: dict):
+    def _compile_expr(self, q: dict) -> Callable[[dict], Optional[float]]:
         """Compile a boolean path-query tree into ``edge -> Optional[float]``
-        (None = no match; otherwise the summed clause score, the tantivy
-        BooleanQuery analogue)."""
+        — the scalar oracle for ``_eval_expr``."""
         if not isinstance(q, dict):
             raise ValueError(f"graph query node must be an object, got {q!r}")
         if "and" in q:
@@ -477,64 +750,8 @@ class RelationSearcher:
             return lambda e, q=q: self._generated_score(q, e)
         raise ValueError(f"unsupported graph query node: {q!r}")
 
-    def graph_search_expr(self, query: dict, top_k: int = 50) -> list[GraphPath]:
-        """Boolean path-query evaluation over the open edges, best-scored
-        first (parity: reader.rs paths_graph_search with
-        TopDocs::order_by_score)."""
-        pred = self._compile_expr(query)
-        scored: list[tuple[float, dict]] = []
-        for e in self.edges:
-            s = pred(e)
-            if s is None:
-                continue
-            scored.append((s, e))
-        scored.sort(key=lambda t: (-t[0], t[1]["key"]))
-        return [
-            GraphPath(
-                source=GraphNode(e["source_value"], e["source_type"], e["source_subtype"]),
-                relation=e["relation"],
-                label=e["label"],
-                target=GraphNode(e["target_value"], e["target_type"], e["target_subtype"]),
-                metadata=e.get("metadata") or {},
-                resource_field=e["key"],
-                score=s,
-                facets=list(e.get("facets") or []),
-            )
-            for s, e in scored[:top_k]
-        ]
-
-    def nodes_search(
-        self, query: dict, top_k: int = 50, *, edge_ok=None
-    ) -> list[tuple[GraphNode, float]]:
-        """Distinct-node projection (parity: reader.rs nodes_graph_search —
-        the node expression is evaluated once with nodes AS SOURCE and once
-        AS DESTINATION, unique nodes keep their best score, top-N by score).
-
-        The query tree may contain ``node`` / ``generated`` leaves and
-        and/or/not combinators (GraphNodesQuery). ``edge_ok`` optionally
-        prefilters edges (resource constraints)."""
-        best: dict[tuple[str, str, str], float] = {}
-        for position in ("source", "destination"):
-            pred = self._compile_node_expr(query, position)
-            for e in self.edges:
-                if edge_ok is not None and not edge_ok(e):
-                    continue
-                s = pred(e)
-                if s is None:
-                    continue
-                key = (
-                    (e["source_value"], e["source_type"], e["source_subtype"])
-                    if position == "source"
-                    else (e["target_value"], e["target_type"], e["target_subtype"])
-                )
-                if s > best.get(key, -1.0):
-                    best[key] = s
-        ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
-        return [(GraphNode(*key), score) for key, score in ranked]
-
-    def _compile_node_expr(self, q: dict, position: str):
-        """Node-position-scoped compile (parity: BoolNodeQuery evaluated per
-        NodePosition, graph_query_parser.rs:194-234)."""
+    def _compile_node_expr(self, q: dict, position: str) -> Callable[[dict], Optional[float]]:
+        """Scalar oracle for ``_eval_node_expr``."""
         if not isinstance(q, dict):
             raise ValueError(f"graph query node must be an object, got {q!r}")
         if "and" in q:
@@ -579,47 +796,139 @@ class RelationSearcher:
             return lambda e, q=q: self._generated_score(q, e)
         raise ValueError(f"unsupported graph nodes query leaf: {q!r}")
 
+    # ---- public query surface (vectorized) ------------------------------
+
+    def _path_from_edge(self, e: dict, score: float = 1.0) -> GraphPath:
+        return GraphPath(
+            source=GraphNode(e["source_value"], e["source_type"], e["source_subtype"]),
+            relation=e["relation"],
+            label=e["label"],
+            target=GraphNode(e["target_value"], e["target_type"], e["target_subtype"]),
+            metadata=e.get("metadata") or {},
+            resource_field=e["key"],
+            score=score,
+            facets=list(e.get("facets") or []),
+        )
+
+    def graph_search(self, request: GraphSearchRequest) -> list[GraphPath]:
+        """Single-hop path matching (parity: RelationSearcher::graph_search):
+        first top_k matching edges in segment order, unscored."""
+        if not self.edges:
+            return []
+        scores = self._path_scores(
+            request.source, request.relation, request.target, request.undirected
+        )
+        idx = np.flatnonzero(~np.isnan(scores))[: request.top_k]
+        out = []
+        for i in idx:
+            e = self.edges[int(i)]
+            out.append(
+                GraphPath(
+                    source=GraphNode(e["source_value"], e["source_type"], e["source_subtype"]),
+                    relation=e["relation"],
+                    label=e["label"],
+                    target=GraphNode(e["target_value"], e["target_type"], e["target_subtype"]),
+                    metadata=e.get("metadata") or {},
+                    resource_field=e["key"],
+                )
+            )
+        return out
+
+    def graph_search_expr(self, query: dict, top_k: int = 50) -> list[GraphPath]:
+        """Boolean path-query evaluation over the open edges, best-scored
+        first (parity: reader.rs paths_graph_search with
+        TopDocs::order_by_score)."""
+        scores = self._eval_expr(query)
+        valid = np.flatnonzero(~np.isnan(scores))
+        if valid.size == 0:
+            return []
+        order = np.lexsort(
+            (self._key_rank[valid], -scores[valid].astype(np.float64))
+        )
+        return [
+            self._path_from_edge(self.edges[int(i)], score=float(scores[i]))
+            for i in valid[order[:top_k]]
+        ]
+
+    def _edge_ok_indices(self, indices: np.ndarray, edge_ok) -> np.ndarray:
+        """Filter matched edge indices through the caller's edge predicate
+        (resource constraints) — applied post-match so the callable only
+        runs on candidates."""
+        if edge_ok is None:
+            return indices
+        keep = [i for i in indices if edge_ok(self.edges[int(i)])]
+        return np.array(keep, dtype=np.int64)
+
+    def nodes_search(
+        self, query: dict, top_k: int = 50, *, edge_ok=None
+    ) -> list[tuple[GraphNode, float]]:
+        """Distinct-node projection (parity: reader.rs nodes_graph_search —
+        the node expression is evaluated once with nodes AS SOURCE and once
+        AS DESTINATION, unique nodes keep their best score, top-N by score).
+
+        The query tree may contain ``node`` / ``generated`` leaves and
+        and/or/not combinators (GraphNodesQuery). ``edge_ok`` optionally
+        prefilters edges (resource constraints)."""
+        U = len(self._node_rows)
+        best: dict[tuple[str, str, str], float] = {}
+        for position in ("source", "destination"):
+            sc = self._eval_node_expr(query, position)
+            valid = self._edge_ok_indices(np.flatnonzero(~np.isnan(sc)), edge_ok)
+            if valid.size == 0:
+                continue
+            ids = (self._src_id if position == "source" else self._dst_id)[valid]
+            acc = np.full(U, -np.inf, np.float64)
+            np.maximum.at(acc, ids, sc[valid].astype(np.float64))
+            for nid in np.flatnonzero(acc > -np.inf):
+                key = self._node_rows[int(nid)]
+                s = float(acc[nid])
+                if s > best.get(key, -1.0):
+                    best[key] = s
+        ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        return [(GraphNode(*key), score) for key, score in ranked]
+
     def relations_search(
         self, query: dict, top_k: int = 50, *, edge_ok=None
     ) -> list[tuple[str, str, float]]:
         """Distinct-relation projection (parity: reader.rs
         relations_graph_search + TopUniqueN): unique (type, label) pairs
         from edges matching the path query, best score kept."""
-        pred = self._compile_expr(query)
+        sc = self._eval_expr(query)
+        valid = self._edge_ok_indices(np.flatnonzero(~np.isnan(sc)), edge_ok)
+        if valid.size == 0:
+            return []
+        R = len(self._rel_rows)
+        acc = np.full(R, -np.inf, np.float64)
+        np.maximum.at(acc, self._rel_id[valid], sc[valid].astype(np.float64))
         best: dict[tuple[str, str], float] = {}
-        for e in self.edges:
-            if edge_ok is not None and not edge_ok(e):
-                continue
-            s = pred(e)
-            if s is None:
-                continue
-            key = (e["relation"], e["label"])
-            if s > best.get(key, -1.0):
-                best[key] = s
+        for rid in np.flatnonzero(acc > -np.inf):
+            s = float(acc[rid])
+            if s > -1.0:
+                best[self._rel_rows[int(rid)]] = s
         ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
         return [(rel, label, score) for (rel, label), score in ranked]
 
     def neighbours(self, entry_values: Sequence[str], top_k: int = 50) -> list[GraphPath]:
         """All paths touching any entry node (the /find relations feature)."""
+        if not self.edges:
+            return []
         entry = {strip_diacritics(v.lower()) for v in entry_values}
+        node_in = np.array([n in entry for n in self._n_norm_list], bool)
+        mask = node_in[self._src_id] | node_in[self._dst_id]
+        idx = np.flatnonzero(mask)[:top_k]
         out = []
-        for e in self.edges:
-            if (
-                strip_diacritics(e["source_value"].lower()) in entry
-                or strip_diacritics(e["target_value"].lower()) in entry
-            ):
-                out.append(
-                    GraphPath(
-                        source=GraphNode(e["source_value"], e["source_type"], e["source_subtype"]),
-                        relation=e["relation"],
-                        label=e["label"],
-                        target=GraphNode(e["target_value"], e["target_type"], e["target_subtype"]),
-                        metadata=e.get("metadata") or {},
-                        resource_field=e["key"],
-                    )
+        for i in idx:
+            e = self.edges[int(i)]
+            out.append(
+                GraphPath(
+                    source=GraphNode(e["source_value"], e["source_type"], e["source_subtype"]),
+                    relation=e["relation"],
+                    label=e["label"],
+                    target=GraphNode(e["target_value"], e["target_type"], e["target_subtype"]),
+                    metadata=e.get("metadata") or {},
+                    resource_field=e["key"],
                 )
-                if len(out) >= top_k:
-                    break
+            )
         return out
 
     def suggest_nodes(self, prefix: str, top_k: int = 10) -> list[GraphNode]:
@@ -644,9 +953,7 @@ class RelationSearcher:
         return list(seen.values())[:top_k]
 
     def _make_node(self, value: str) -> GraphNode:
-        for e in self.edges:
-            if e["source_value"] == value:
-                return GraphNode(value, e["source_type"], e["source_subtype"])
-            if e["target_value"] == value:
-                return GraphNode(value, e["target_type"], e["target_subtype"])
+        ts = self._value_ts.get(value)
+        if ts is not None:
+            return GraphNode(value, ts[0], ts[1])
         return GraphNode(value, "ENTITY", "")

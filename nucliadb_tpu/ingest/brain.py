@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..models.api import CreateResourcePayload
+from ..models.api import CreateResourcePayload, user_relations
 from ..models.internal import (
     IndexParagraph,
     IndexRelation,
@@ -74,7 +74,7 @@ class ResourceBrain:
             labels.extend(f"/t/{t}" for t in payload.origin.tags)
             if payload.origin.source_id:
                 labels.append(f"/u/s/{payload.origin.source_id}")
-        for rel in payload.usergenerated_relations:
+        for rel in user_relations(payload):
             for node in (rel.from_, rel.to):
                 if node is not None and node.type == "entity":
                     labels.append(f"/e/{node.group}/{node.value}")
@@ -192,7 +192,7 @@ class ResourceBrain:
                 facets=facets,
             )
 
-        for rel in payload.usergenerated_relations:
+        for rel in user_relations(payload):
             ir = _rel(rel, ["/g/u"])
             if ir is not None:
                 rels.append(ir)

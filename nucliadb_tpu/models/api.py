@@ -138,10 +138,6 @@ class Classification(BaseModel):
     label: str
 
 
-class UserMetadata(BaseModel):
-    classifications: list[Classification] = Field(default_factory=list)
-
-
 class RelationNodePayload(BaseModel):
     value: str
     type: str = "entity"
@@ -155,6 +151,26 @@ class RelationPayload(BaseModel):
     to: Optional[RelationNodePayload] = None
 
     model_config = {"populate_by_name": True}
+
+
+class UserMetadata(BaseModel):
+    """Parity: nucliadb_models/metadata.py:135-137 — user relations live
+    under usermetadata.relations on the wire; they are merged with the
+    legacy top-level usergenerated_relations field by user_relations()."""
+
+    classifications: list[Classification] = Field(default_factory=list)
+    relations: list[RelationPayload] = Field(default_factory=list)
+
+
+def user_relations(payload) -> list[RelationPayload]:
+    """All user-authored relations on a resource payload, whichever of the
+    two wire locations they arrived through (usermetadata.relations is the
+    reference's shape; usergenerated_relations predates it here)."""
+    rels = list(getattr(payload, "usergenerated_relations", []) or [])
+    um = getattr(payload, "usermetadata", None)
+    if um is not None:
+        rels.extend(um.relations)
+    return rels
 
 
 class ComputedRelationPayload(RelationPayload):

@@ -38,6 +38,7 @@ from ..models.api import (
     KnowledgeboxFindResults,
     Relation,
     SearchFeature,
+    user_relations,
     SuggestedParagraph,
     SuggestRequest,
     SuggestResponse,
@@ -614,9 +615,7 @@ class SearchService:
                             data.texts = payload.texts
                             data.links = payload.links
                         if "relations" in request.show or "values" in request.show:
-                            data.usergenerated_relations = (
-                                payload.usergenerated_relations
-                            )
+                            data.usergenerated_relations = user_relations(payload)
                         resource.data = data
                     results.resources[block.rid] = resource
                 field = resource.fields.setdefault(f"/{block.field}", FindField())

@@ -18,6 +18,7 @@ from typing import Iterator, Optional
 
 from ..ingest.brain import split_paragraphs
 from ..ingest.processor import Processor
+from ..models.api import user_relations
 from ..index.text_engine.tokenizer import tokenize
 
 
@@ -141,7 +142,7 @@ def token_classification_batches(
     batch = TokenClassificationBatch()
     for rid, fid, text, payload in _iter_fields(processor, trainset.kbid):
         entities: dict[str, str] = {}
-        for rel in payload.usergenerated_relations:
+        for rel in user_relations(payload):
             for node in (rel.from_, rel.to):
                 if node is not None and node.type == "entity":
                     entities[node.value.lower()] = node.group or "ENTITY"

@@ -1722,6 +1722,40 @@ def test_graph_nodes_relations_expressions(server):
     assert [r["label"] for r in rels] == ["works_at"]
 
 
+def test_usermetadata_relations_wire_shape(server):
+    """User relations arrive under usermetadata.relations on the reference
+    wire (nucliadb_models/metadata.py:135-137); they index into the graph
+    and round-trip on GET alongside the legacy top-level field."""
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "umrel-kb"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "title": "um",
+            "usermetadata": {"relations": [
+                {"relation": "ENTITY", "label": "works_at",
+                 "from": {"value": "dave", "type": "entity", "group": "people"},
+                 "to": {"value": "hooli", "type": "entity", "group": "org"}},
+            ]},
+        },
+    ).json()["uuid"]
+    out = client.post(
+        f"/api/v1/kb/{kbid}/graph",
+        json={"query": {"prop": "path", "destination": {"value": "hooli"}}},
+    ).json()
+    assert {(p["source"], p["label"], p["target"]) for p in out["paths"]} == {
+        ("dave", "works_at", "hooli")
+    }
+    got = client.get(f"/api/v1/kb/{kbid}/resource/{rid}?show=basic").json()
+    assert [r["label"] for r in got["usermetadata"]["relations"]] == ["works_at"]
+    # entity label facet derives from usermetadata relations too
+    catalog = client.post(
+        f"/api/v1/kb/{kbid}/catalog",
+        json={"filters": ["/e/people/dave"]},
+    ).json()
+    assert rid in {r["id"] for r in catalog["resources"]}
+
+
 def test_graph_fuzzy_words_and_generated(server):
     """Word-level fuzzy node matching (Term::FuzzyWord — every query word
     fuzzy-matches some word of the node value) and the generated-by
