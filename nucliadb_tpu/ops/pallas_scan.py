@@ -165,6 +165,153 @@ def eligible(n: int, d: int, multi: bool, block_n: int | None = None) -> bool:
 
 
 # --------------------------------------------------------------------------
+# Resident-accumulator int8 scan: codes streamed exactly ONCE for the whole
+# query batch
+# --------------------------------------------------------------------------
+#
+# The first int8 kernel above tiles queries on the OUTER grid axis, so every
+# query block re-streams the full code matrix from HBM: at 1M x 768 batch
+# 1024 (block_b 128) that is 8 full 0.8 GB passes — measured 14.0 ms/batch
+# vs 9.6 for XLA's fused matmul + approx_max_k. This variant flips the grid
+# to (n_blocks, q_blocks) with queries INNERMOST and keeps the entire
+# [B, S] slot table resident in VMEM as constant-index output blocks:
+#
+# - the codes block index depends only on the outer n step, so the Pallas
+#   pipeline DMAs each block once and reuses it across the q steps under it
+#   (codes cross HBM exactly once per call);
+# - the slot accumulators are the OUTPUTS with index_map (0, 0): Pallas
+#   keeps a constant-index output block in VMEM for the whole grid and
+#   copies it to HBM once at the end — no scratch, no per-step writeback;
+# - each (ni, qi) step merges its [Bb, Nb] score tile into rows
+#   [qi*Bb, (qi+1)*Bb) of the table via a dynamic sublane slice.
+#
+# VMEM budget at Bb=512, Nb=2048, S=512, D=768, B<=1024: outputs 4 MB
+# (f32 + i32 table) + double-buffered codes 3 MB + tiles ~8 MB ~= 15 MB.
+# The B axis is capped at RESIDENT_MAX_B so the table always fits.
+#
+# Measured (tunneled TPU, 1M x 768 batch 1024, device-chained): 9.64
+# ms/batch at (Nb=2048, S=512, Bb=512) — exact PARITY with the XLA
+# matmul + approx_max_k path (9.6), vs 14.0 for the q-outer kernel above.
+# Parity is the floor, not a failure to tune: the MXU on this stack runs
+# int8 x int8 -> i32 contractions at the same ~230 TOPS as bf16/f32 (no
+# int8 double-rate), so the 1.65e12-op estimate pass is compute-bound at
+# ~7.2 ms and both implementations sit ~30% above it (epilogue + stream).
+# XLA stays the default; this kernel documents the floor and serves chips
+# where int8 MXU throughput or HBM score traffic actually bind.
+
+RESIDENT_BLOCK_N = 2048
+RESIDENT_BLOCK_B = 512
+RESIDENT_SLOTS = 512
+RESIDENT_MAX_B = 1024
+
+
+def _resident_kernel(
+    q_ref,  # [Bb, D] int8 (block qi of queries)
+    codes_ref,  # [Nb, D] int8 (block ni)
+    scale_ref,  # [1, Nb] f32
+    bias_ref,  # [1, Nb] f32 (0 eligible / NEG_INF masked)
+    out_s_ref,  # [B, S] f32 resident slot scores
+    out_i_ref,  # [B, S] i32 resident slot ids
+    *,
+    block_n: int,
+    slots: int,
+    block_b: int,
+):
+    ni = pl.program_id(0)
+    qi = pl.program_id(1)
+
+    @pl.when((ni == 0) & (qi == 0))
+    def _init():
+        out_s_ref[:] = jnp.full(out_s_ref.shape, NEG_INF, jnp.float32)
+        out_i_ref[:] = jnp.full(out_i_ref.shape, -1, jnp.int32)
+
+    raw = jax.lax.dot_general(
+        q_ref[:],
+        codes_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [Bb, Nb] on the MXU
+    # mask folds in as an additive bias so the whole epilogue is one FMA-ish
+    # pass (cvt * scale + bias) instead of a separate select
+    scores = raw.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+
+    rows = pl.ds(qi * block_b, block_b)
+    acc_s = out_s_ref[rows, :]
+    acc_i = out_i_ref[rows, :]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (block_b, slots), 1)
+    for t in range(block_n // slots):
+        sub = scores[:, t * slots : (t + 1) * slots]
+        take = sub > acc_s
+        acc_s = jnp.where(take, sub, acc_s)
+        acc_i = jnp.where(take, ni * block_n + t * slots + slot_iota, acc_i)
+    out_s_ref[rows, :] = acc_s
+    out_i_ref[rows, :] = acc_i
+
+
+@partial(jax.jit, static_argnames=("block_n", "slots", "block_b", "interpret"))
+def int8_scan_slots_resident(
+    q_codes: jax.Array,  # [B, D] int8 quantized queries (B mult of block_b)
+    codes: jax.Array,  # [N, D] int8 (N mult of block_n)
+    scale: jax.Array,  # [N] f32 per-vector scales
+    mask: jax.Array,  # [N] bool eligibility
+    *,
+    block_n: int = RESIDENT_BLOCK_N,
+    slots: int = RESIDENT_SLOTS,
+    block_b: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-pass fused scan -> ([B, S] slot scores, [B, S] slot ids)."""
+    n, d = codes.shape
+    b = q_codes.shape[0]
+    if block_b is None:
+        block_b = min(b, RESIDENT_BLOCK_B)
+    assert n % block_n == 0, (n, block_n)
+    assert b % block_b == 0 and b <= RESIDENT_MAX_B, (b, block_b)
+    assert block_n % slots == 0 and block_n >= slots, (block_n, slots)
+    grid = (n // block_n, b // block_b)
+
+    scale2 = scale.reshape(1, n)
+    bias2 = jnp.where(mask, jnp.float32(0), NEG_INF).reshape(1, n)
+
+    kernel = partial(
+        _resident_kernel, block_n=block_n, slots=slots, block_b=block_b
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda ni, qi: (qi, 0)),
+            pl.BlockSpec((block_n, d), lambda ni, qi: (ni, 0)),
+            pl.BlockSpec((1, block_n), lambda ni, qi: (0, ni)),
+            pl.BlockSpec((1, block_n), lambda ni, qi: (0, ni)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, slots), lambda ni, qi: (0, 0)),
+            pl.BlockSpec((b, slots), lambda ni, qi: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, slots), jnp.float32),
+            jax.ShapeDtypeStruct((b, slots), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_codes, codes, scale2, bias2)
+    return out_s, out_i
+
+
+def resident_eligible(
+    n: int, d: int, b: int, multi: bool, block_n: int | None = None
+) -> bool:
+    block_n = block_n or RESIDENT_BLOCK_N
+    return (
+        (not multi)
+        and n >= 2 * block_n
+        and n % block_n == 0
+        and d % 128 == 0
+        and b <= RESIDENT_MAX_B
+    )
+
+
+# --------------------------------------------------------------------------
 # Fused binary (sign-code) scan: AND + popcount bit-plane dots -> slot top-k
 # --------------------------------------------------------------------------
 #

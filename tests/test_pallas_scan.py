@@ -53,6 +53,57 @@ def test_slot_scan_matches_oracle(rng):
     assert recall >= 0.9, recall
 
 
+def test_resident_slot_scan_matches_oracle(rng):
+    """The single-pass resident-accumulator kernel produces the same exact
+    per-slot maxima as the q-outer kernel (slot = residue class of the
+    column id), across multiple query blocks sharing the VMEM table."""
+    from nucliadb_tpu.ops.pallas_scan import int8_scan_slots_resident
+
+    n, d, b, k = 4096, 128, 64, 10
+    block, slots, block_b = 1024, 256, 16
+    codes = jnp.asarray(rng.integers(-127, 128, (n, d)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+    mask = jnp.ones((n,), bool).at[::5].set(False)
+    q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    qc = _quantize(q)
+
+    ss, ii = int8_scan_slots_resident(
+        qc, codes, scale, mask,
+        block_n=block, slots=slots, block_b=block_b, interpret=True,
+    )
+    assert ss.shape == (b, slots) and ii.shape == (b, slots)
+
+    est = np.array(
+        (qc.astype(jnp.int32) @ codes.T.astype(jnp.int32)).astype(jnp.float32)
+        * scale[None, :]
+    )
+    est[:, ::5] = -np.inf
+
+    ss_np, ii_np = np.asarray(ss), np.asarray(ii)
+    for row in range(0, b, 7):  # rows from every query block
+        for s in range(0, slots, 29):
+            cols = np.arange(s, n, slots)
+            expect = est[row, cols].max()
+            assert np.isclose(ss_np[row, s], expect, rtol=1e-6), (row, s)
+            assert ii_np[row, s] in cols
+    assert not np.isin(ii_np, np.arange(0, n, 5)).any()
+
+    ks, kpos = jax.lax.top_k(ss, k)
+    ki = np.take_along_axis(ii_np, np.asarray(kpos), axis=1)
+    true_i = np.argsort(-est, axis=1)[:, :k]
+    recall = np.mean([len(set(true_i[r]) & set(ki[r])) / k for r in range(b)])
+    assert recall >= 0.9, recall
+
+
+def test_resident_eligibility_gate():
+    from nucliadb_tpu.ops.pallas_scan import resident_eligible
+
+    assert resident_eligible(1048576, 768, 1024, multi=False)
+    assert not resident_eligible(1048576, 768, 2048, multi=False)  # B cap
+    assert not resident_eligible(2048, 768, 64, multi=False)  # too small
+    assert not resident_eligible(1048576, 100, 64, multi=False)
+
+
 def test_all_masked_block():
     n, d, b = 1024, 128, 8
     codes = jnp.ones((n, d), jnp.int8)
