@@ -53,7 +53,11 @@ class _Entry:
 class QueryCoalescer:
     """Merges concurrent unfiltered vector queries into shared batches."""
 
-    def __init__(self, max_batch: int = 256, concurrency: int = 4):
+    def __init__(self, max_batch: int = 2048, concurrency: int = 4):
+        # 2048: measured MORE efficient per query than smaller batches at
+        # 1M x 768 (8.0 vs 11.5 ms/1024 queries — the estimate matmul fuses
+        # with approx_max_k so big batches never materialize [B, N]); the
+        # cap only binds past 2048 queued queries on one key
         self.max_batch = max_batch
         self.concurrency = concurrency
         self._lock = threading.Lock()
