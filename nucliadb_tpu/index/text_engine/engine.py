@@ -55,6 +55,7 @@ from .tokenizer import tokenize
 K1 = 1.2
 B = 0.75
 FUZZY_WEIGHT = 0.7  # score discount for fuzzy-expanded terms
+MAX_EXPANSIONS = 50  # fuzzy variants kept per token (Lucene maxExpansions)
 
 TIER_WIDTHS = (32, 256, 2048, 16384)  # postings padded length per tier
 TIER_QUERY_CAP = (32, 32, 8, 8)  # default query terms per tier per query
@@ -292,11 +293,11 @@ class DeviceTextEngine:
 
         tiers_np, term_info, dense_rows = _build_tier_matrices(
             c.terms_sorted, c.group_offsets, c.pdocs, c.ptfs,
-            TIER_WIDTHS,
+            TIER_WIDTHS, dlen_p,
         )
         self.term_info: dict[str, tuple[int, int, int]] = term_info
-        self.tiers: list[tuple[jax.Array, jax.Array]] = [
-            (_dput(d), _dput(t)) for d, t in tiers_np
+        self.tiers: list[tuple[jax.Array, jax.Array, jax.Array]] = [
+            (_dput(d), _dput(t), _dput(l)) for d, t, l in tiers_np
         ]
         self.tier_caps: tuple[int, ...] = TIER_QUERY_CAP
 
@@ -429,17 +430,21 @@ class DeviceTextEngine:
             self.dlen = prev.dlen  # base exactly fills the padding, no delta
 
         # overlay posting tiers (term_info tiers are ABSOLUTE indices into
-        # self.tiers; dense stays -1 and is unambiguous per dict)
+        # self.tiers; dense stays -1 and is unambiguous per dict). Overlay
+        # postings only reference overlay docs (global ids >= base_n), so
+        # the global dl lookup only needs real values there.
+        dl_glob = np.ones(base_n + overlay_docs, np.float32)
+        dl_glob[base_n:] = np.maximum(c.dlen, 1)
         tiers_np, ov_info_local, dense_rows = _build_tier_matrices(
             c.terms_sorted, c.group_offsets, c.pdocs, c.ptfs,
-            OVERLAY_TIER_WIDTHS,
+            OVERLAY_TIER_WIDTHS, dl_glob,
         )
         n_base_tiers = len(self.base_tiers)
         self.overlay_term_info = {
             t: (n_base_tiers + tier, row, df)
             for t, (tier, row, df) in ov_info_local.items()
         }
-        self.tiers.extend((_dput(d), _dput(t)) for d, t in tiers_np)
+        self.tiers.extend((_dput(d), _dput(t), _dput(l)) for d, t, l in tiers_np)
         self.tier_caps = TIER_QUERY_CAP + OVERLAY_QUERY_CAP
         self.overlay_terms_sorted = c.terms_sorted
 
@@ -496,7 +501,15 @@ class DeviceTextEngine:
         return self._fuzzy
 
     def fuzzy_expand(self, token: str, distance: int) -> list[str]:
-        """Vocabulary terms within edit distance, across base + overlay."""
+        """Vocabulary terms within edit distance, across base + overlay.
+
+        Expansion is capped at ``MAX_EXPANSIONS`` variants, keeping the
+        highest-df neighbors (the intended word behind a typo is almost
+        always a common term). Lucene's FuzzyQuery applies the same bound
+        (maxExpansions=50); without it an adversarial vocabulary — e.g.
+        serial identifiers where every digit substitution is a real term —
+        schedules O(neighbors) posting rows per query token and the scored
+        posting volume, not the matmul, becomes the kernel cost."""
         out = self.fuzzy_index.expand(token, distance)
         if self.overlay_terms_sorted:
             if self._overlay_fuzzy is None:
@@ -507,6 +520,13 @@ class DeviceTextEngine:
                 for t in self._overlay_fuzzy.expand(token, distance)
                 if t not in seen
             ]
+        if len(out) > MAX_EXPANSIONS:
+            exact = [t for t in out if t == token]
+            rest = sorted(
+                (t for t in out if t != token),
+                key=lambda t: -self.term_df(t),
+            )
+            out = exact + rest[: MAX_EXPANSIONS - len(exact)]
         return out
 
     def has_term(self, term: str) -> bool:
@@ -681,18 +701,27 @@ class DeviceTextEngine:
         )
 
     def _caps_for(self, slots, adaptive: bool) -> tuple[int, ...]:
-        """Per-group query capacities. Adaptive mode doubles a group's
-        default until every planned term fits (bounded compiled shapes:
-        powers of two of the default), so long queries score every term."""
-        caps = list(self._default_caps())
-        if adaptive:
-            for i, entries in enumerate(slots):
-                c = caps[i]
-                if c <= 0:
-                    continue
-                while c < len(entries):
-                    c *= 2
-                caps[i] = c
+        """Per-group query capacities.
+
+        Adaptive mode sizes each group to the query's actual need, rounded
+        to a power of two (min 2) — so long queries score every term AND
+        short queries don't pay for the static defaults. That sizing is the
+        hot-kernel lever: every slot costs ``width`` gathered/scattered
+        elements at the platform's ~37ns/element random-access floor, and
+        a 2-term query under the old (32,32,8,8) defaults paid ~6x its real
+        posting volume. Power-of-two rounding bounds the compiled-shape
+        ladder; the per-group default remains the fixed (non-adaptive)
+        layout for mesh-sharded callers that need identical shapes."""
+        defaults = self._default_caps()
+        if not adaptive:
+            return defaults
+        caps = []
+        for entries, dflt in zip(slots, defaults):
+            n = len(entries)
+            if dflt <= 0 or n == 0:
+                caps.append(0)
+            else:
+                caps.append(max(2, 1 << (n - 1).bit_length()))
         return tuple(caps)
 
     @staticmethod
@@ -1057,27 +1086,37 @@ class DeviceTextEngine:
 # --------------------------------------------------------------------------
 
 
-def _build_tier_matrices(terms_sorted, group_offsets, pdocs, ptfs, widths):
+def _build_tier_matrices(terms_sorted, group_offsets, pdocs, ptfs, widths, dl):
     """Partition terms into df tiers and lay their postings into padded
     [T, width] matrices (vectorized: no per-posting python).
 
+    ``dl`` is the per-GLOBAL-doc length array (min 1): each posting's doc
+    length is materialized alongside its tf so the kernel's BM25 norm reads
+    it with the same contiguous row gather as the tf — a per-posting
+    ``dlen[doc]`` random gather costs ~37ns/element on this platform
+    (latency-bound, like scatters), which dominated the batched kernel.
+
     Returns (tiers_np, term_info, dense_rows): ``tiers_np`` is a list of
-    (docs int32 [T,W], tfs float32 [T,W]); ``term_info`` maps term ->
-    (tier idx local to this set, row, df); ``dense_rows`` lists
-    (term, lo, hi, df) posting ranges for terms with df beyond the last
-    width — the caller materializes those as dense tf columns."""
+    (docs int32 [T,W], tfs float32 [T,W], dls float32 [T,W]); ``term_info``
+    maps term -> (tier idx local to this set, row, df); ``dense_rows``
+    lists (term, lo, hi, df) posting ranges for terms with df beyond the
+    last width — the caller materializes those as dense tf columns."""
     dfs = np.diff(group_offsets)
     tier_idx = np.searchsorted(np.asarray(widths), dfs, side="left")
 
     term_info: dict[str, tuple[int, int, int]] = {}
-    tiers_np: list[tuple[np.ndarray, np.ndarray]] = []
+    tiers_np: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for tier, width in enumerate(widths):
         gids_t = np.nonzero(tier_idx == tier)[0]
         if not len(gids_t):
             # a [1,1] placeholder keeps gathers well-formed without
             # uploading a full-width dummy row
             tiers_np.append(
-                (np.full((1, 1), -1, np.int32), np.zeros((1, 1), np.float32))
+                (
+                    np.full((1, 1), -1, np.int32),
+                    np.zeros((1, 1), np.float32),
+                    np.ones((1, 1), np.float32),
+                )
             )
             continue
         # bucket the row count so steady ingest doesn't compile a fresh
@@ -1087,6 +1126,7 @@ def _build_tier_matrices(terms_sorted, group_offsets, pdocs, ptfs, widths):
         t = _bucket(len(gids_t), minimum=max(1, 4096 // width))
         docs_m = np.full((t, width), -1, np.int32)
         tfs_m = np.zeros((t, width), np.float32)
+        dls_m = np.ones((t, width), np.float32)
         if len(gids_t):
             lengths = dfs[gids_t]
             total = int(lengths.sum())
@@ -1096,9 +1136,10 @@ def _build_tier_matrices(terms_sorted, group_offsets, pdocs, ptfs, widths):
             src = np.repeat(group_offsets[gids_t], lengths) + within
             docs_m.reshape(-1)[dst] = pdocs[src]
             tfs_m.reshape(-1)[dst] = ptfs[src]
+            dls_m.reshape(-1)[dst] = dl[pdocs[src]]
             for row, gid in enumerate(gids_t):
                 term_info[terms_sorted[gid]] = (tier, row, int(dfs[gid]))
-        tiers_np.append((docs_m, tfs_m))
+        tiers_np.append((docs_m, tfs_m, dls_m))
 
     dense_rows = [
         (
@@ -1148,12 +1189,17 @@ def _bm25_search_batch(
     return top_s, top_ic, matched
 
 
-def _tier_contrib(docs_m, tfs_m, rows, idfs, dlen, avgdl):
-    """Gather one tier's query postings; returns (doc ids, weights, hits)."""
+def _tier_contrib(docs_m, tfs_m, dls_m, rows, idfs, avgdl):
+    """Gather one tier's query postings; returns (doc ids, weights, hits).
+
+    The per-posting doc length rides in ``dls_m`` (same contiguous row
+    gather as the tf) — a ``dlen[doc]`` lookup here would be a random
+    gather at ~37ns/element, the measured latency floor of this platform's
+    scatter/gather, and dominated the batched kernel."""
     safe_rows = jnp.maximum(rows, 0)
     d = docs_m[safe_rows]  # [Q, L]
     tf = tfs_m[safe_rows]
-    dl = dlen[jnp.maximum(d, 0)]
+    dl = dls_m[safe_rows]
     norm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
     valid = (d >= 0) & (rows >= 0)[:, None]
     w = jnp.where(valid, idfs[:, None] * norm, 0.0)
@@ -1186,10 +1232,10 @@ def _bm25_search(
     idfs_parts = jnp.split(all_idfs, splits)
 
     ds, ws, hs = [], [], []
-    for (docs_m, tfs_m), rows, idfs in zip(tiers, rows_parts, idfs_parts):
+    for (docs_m, tfs_m, dls_m), rows, idfs in zip(tiers, rows_parts, idfs_parts):
         if rows.shape[0] == 0:
             continue
-        d, w, h = _tier_contrib(docs_m, tfs_m, rows, idfs, dlen, avgdl)
+        d, w, h = _tier_contrib(docs_m, tfs_m, dls_m, rows, idfs, avgdl)
         ds.append(d)
         ws.append(w)
         hs.append(h)

@@ -160,7 +160,7 @@ def _mesh_hybrid(
 
         # ---- keyword leg: local BM25 -> merged cut ----
         bs, bic, _ = _bm25_search.__wrapped__(
-            tuple((d[0], f[0]) for d, f in tiers),
+            tuple((d[0], f[0], l[0]) for d, f, l in tiers),
             dense_tf[0], None, dlen[0], tmask[0], rows[0], idfs[0], params[0],
             k, caps, 0,
         )
@@ -177,7 +177,7 @@ def _mesh_hybrid(
         local, mesh=mesh,
         in_specs=(
             spec, spec, spec, spec,
-            tuple((spec, spec) for _ in range(len(tiers))),
+            tuple((spec, spec, spec) for _ in range(len(tiers))),
             spec, spec, spec,
             spec, spec, spec, spec,
             P("query", None),

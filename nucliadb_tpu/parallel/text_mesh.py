@@ -57,16 +57,19 @@ class MeshShardedTextEngine:
         for t in range(n_tiers):
             td = [np.asarray(e.tiers[t][0]) for e in engines]
             tf = [np.asarray(e.tiers[t][1]) for e in engines]
+            tl = [np.asarray(e.tiers[t][2]) for e in engines]
             shape = (
                 max(a.shape[0] for a in td),
                 max(a.shape[1] for a in td),
             )
             docs = np.stack([_pad2(a, shape, -1) for a in td])
             tfs = np.stack([_pad2(a, shape, 0) for a in tf])
+            dls = np.stack([_pad2(a, shape, 1) for a in tl])
             self._stack.append(
                 (
                     jax.device_put(docs, sharding),
                     jax.device_put(tfs, sharding),
+                    jax.device_put(dls, sharding),
                 )
             )
         dn = [np.asarray(e.dense_tf) for e in engines]
@@ -137,7 +140,7 @@ def _mesh_bm25(
     def local(tiers, dense_tf, dlen, mask, rows, idfs, params, offset):
         # leading per-shard axis of size 1 inside shard_map
         top_s, top_ic, _ = _bm25_search.__wrapped__(
-            tuple((d[0], f[0]) for d, f in tiers),
+            tuple((d[0], f[0], l[0]) for d, f, l in tiers),
             dense_tf[0], None, dlen[0], mask[0], rows[0], idfs[0], params[0],
             k, caps, 0,
         )
@@ -152,7 +155,7 @@ def _mesh_bm25(
     return shard_map(
         local, mesh=mesh,
         in_specs=(
-            tuple((spec, spec) for _ in range(n_tiers)),
+            tuple((spec, spec, spec) for _ in range(n_tiers)),
             spec, spec, spec, spec, spec, spec, spec,
         ),
         out_specs=(P(None, None), P(None, None)),

@@ -48,9 +48,14 @@ def warmup_kernels(dims: tuple[int, ...] = (), batch: int = 1) -> float:
         (
             jnp.full((max(1, 4096 // w0), w0), -1, jnp.int32),
             jnp.zeros((max(1, 4096 // w0), w0), jnp.float32),
+            jnp.ones((max(1, 4096 // w0), w0), jnp.float32),
         ),
     ) + tuple(
-        (jnp.full((1, 1), -1, jnp.int32), jnp.zeros((1, 1), jnp.float32))
+        (
+            jnp.full((1, 1), -1, jnp.int32),
+            jnp.zeros((1, 1), jnp.float32),
+            jnp.ones((1, 1), jnp.float32),
+        )
         for _ in TIER_WIDTHS[1:]
     )
     dense = jnp.zeros((1, n_pad), jnp.uint8)

@@ -153,6 +153,24 @@ def test_fuzzy_index():
     assert not levenshtein_leq("kitten", "sitting", 2)
 
 
+def test_fuzzy_expansion_cap(tmp_path):
+    """An adversarial vocabulary (serial ids: every digit substitution is a
+    real term) must not schedule unbounded posting rows: expansion is capped
+    at MAX_EXPANSIONS keeping the highest-df neighbors (Lucene
+    maxExpansions=50 behavior), and the exact token always survives."""
+    from nucliadb_tpu.index.text_engine.engine import MAX_EXPANSIONS
+
+    docs = [(f"r{i}/f", " ".join(f"w{j:04d}" for j in range(i, i + 5)), ["/t/t"])
+            for i in range(400)]
+    # make w0042 the dominant neighbor of w0041's d=1 ball
+    docs += [(f"hot{i}/f", "w0042 filler", ["/t/t"]) for i in range(50)]
+    engine = make_engine(tmp_path, docs=docs)
+    out = engine.fuzzy_expand("w0041", 1)
+    assert len(out) <= MAX_EXPANSIONS
+    assert "w0041" in out  # exact token survives the cap
+    assert "w0042" in out  # highest-df neighbor kept
+
+
 def test_phrase_match(tmp_path):
     engine = make_engine(tmp_path)
     # "lazy dog" consecutive in r1/f1 and r2/f1
