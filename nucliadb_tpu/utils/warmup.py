@@ -65,7 +65,9 @@ def warmup_kernels(dims: tuple[int, ...] = (), batch: int = 1) -> float:
     rows = jnp.full((sum(caps),), -1, jnp.int32)
     idfs = jnp.zeros((sum(caps),), jnp.float32)
     params = jnp.asarray(np.array([1.0, 1.0, -3.0e38], np.float32))
-    _bm25_search(tiers, dense, None, dlen, mask, rows, idfs, params, 10, caps, 0)
+    # warm both count variants: OR queries run the counts-free fast path
+    _bm25_search(tiers, dense, None, dlen, mask, rows, idfs, params, 10, caps, 0, False)
+    _bm25_search(tiers, dense, None, dlen, mask, rows, idfs, params, 10, caps, 0, True)
 
     dt = time.monotonic() - t0
     logger.info("kernel warmup done in %.1fs", dt)
