@@ -32,7 +32,37 @@ import time
 import numpy as np
 
 
+def _probe_device(timeout_s: float = 240.0) -> None:
+    """Fail fast (JSON error line + exit 1) when the chip is unreachable.
+
+    Backend init dials the TPU tunnel and has NO timeout of its own — a
+    down relay turns the bench into an indefinite hang. Probing in a
+    subprocess (init is per-process and uncancellable) bounds the wait.
+    """
+    import subprocess
+    import sys
+
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(len(d))"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        ok = res.returncode == 0
+        detail = (res.stderr or "")[-400:]
+    except subprocess.TimeoutExpired:
+        ok, detail = False, f"device init exceeded {timeout_s:.0f}s"
+    if not ok:
+        print(json.dumps({
+            "metric": "qps_at_recall", "value": 0, "unit": "qps",
+            "vs_baseline": 0, "error": f"tpu unreachable: {detail}",
+        }))
+        raise SystemExit(1)
+
+
 def main() -> None:
+    _probe_device()
+
     import jax
     import jax.numpy as jnp
 
