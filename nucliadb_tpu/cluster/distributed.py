@@ -92,28 +92,52 @@ class DistributedSearcher:
         self.selector = selector or ShardSelector(list(backends))
         self.strict = strict
 
+    def _search_one(
+        self, shard_id: str, request: ShardSearchRequest
+    ) -> tuple[Optional[ShardSearchResponse], Optional[ShardError]]:
+        replicas = self.selector.nodes_for_shard(shard_id)
+        attempts = []
+        last_error = "no replicas"
+        for node in replicas:
+            backend = self.backends.get(node)
+            if backend is None:
+                continue
+            attempts.append(node)
+            try:
+                return backend.search(shard_id, request), None
+            except Exception as e:  # failover to next replica
+                last_error = f"{type(e).__name__}: {e}"
+        return None, ShardError(
+            shard_id=shard_id, attempts=attempts, error=last_error
+        )
+
     def search(
         self, shard_ids: Sequence[str], request: ShardSearchRequest
     ) -> tuple[ShardSearchResponse, list[ShardError]]:
+        # concurrent scatter: latency is the slowest shard (plus its own
+        # failover chain), not the sum of per-shard round trips — the
+        # reference fans out with one tokio task per shard
+        # (shards_query.rs:29-72)
         responses: list[ShardSearchResponse] = []
         errors: list[ShardError] = []
-        for shard_id in shard_ids:
-            replicas = self.selector.nodes_for_shard(shard_id)
-            attempts = []
-            last_error = "no replicas"
-            for node in replicas:
-                backend = self.backends.get(node)
-                if backend is None:
-                    continue
-                attempts.append(node)
-                try:
-                    responses.append(backend.search(shard_id, request))
-                    break
-                except Exception as e:  # failover to next replica
-                    last_error = f"{type(e).__name__}: {e}"
+        if len(shard_ids) <= 1:
+            results = [self._search_one(s, request) for s in shard_ids]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(shard_ids), 16)
+            ) as pool:
+                results = list(
+                    pool.map(lambda s: self._search_one(s, request), shard_ids)
+                )
+        for resp, err in results:
+            if resp is not None:
+                responses.append(resp)
             else:
-                err = ShardError(shard_id=shard_id, attempts=attempts, error=last_error)
                 if self.strict:
-                    raise RuntimeError(f"shard {shard_id} unreachable: {err}")
+                    raise RuntimeError(
+                        f"shard {err.shard_id} unreachable: {err}"
+                    )
                 errors.append(err)
         return merge_shard_responses(responses, request.top_k), errors

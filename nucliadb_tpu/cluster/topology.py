@@ -22,6 +22,7 @@ file when set, for env-driven deployments.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
 from typing import Callable, Optional
@@ -122,19 +123,26 @@ class TopologyWatcher:
             mtime = None
         if mtime == self._mtime:
             return False
+        # record the mtime only after a SUCCESSFUL refresh — a raising
+        # refresh (backend dial failure, on_change error) must stay
+        # retryable at the next poll rather than skipping the change until
+        # the file is touched again
+        changed = self.refresh()
         self._mtime = mtime
-        return self.refresh()
+        return changed
 
     def start(self, interval_s: float = 2.0) -> None:
         """Background mtime poll (parity cadence: the reference's pod
         reflector pushes; a small poll interval is the file equivalent)."""
 
         def loop():
+            log = logging.getLogger(__name__)
             while not self._stop.wait(interval_s):
                 try:
                     self._poll_once()
                 except Exception:
-                    pass
+                    log.warning("topology poll failed; will retry",
+                                exc_info=True)
 
         threading.Thread(target=loop, daemon=True).start()
 

@@ -882,7 +882,7 @@ class RelationSearcher:
             for nid in np.flatnonzero(acc > -np.inf):
                 key = self._node_rows[int(nid)]
                 s = float(acc[nid])
-                if s > best.get(key, -1.0):
+                if s > best.get(key, -np.inf):
                     best[key] = s
         ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
         return [(GraphNode(*key), score) for key, score in ranked]
@@ -902,9 +902,10 @@ class RelationSearcher:
         np.maximum.at(acc, self._rel_id[valid], sc[valid].astype(np.float64))
         best: dict[tuple[str, str], float] = {}
         for rid in np.flatnonzero(acc > -np.inf):
-            s = float(acc[rid])
-            if s > -1.0:
-                best[self._rel_rows[int(rid)]] = s
+            # matched edges keep whatever score they carry — semantic legs
+            # can legitimately score below -1 (cosine/dot), and a match is
+            # signalled by non-NaN, not by sign
+            best[self._rel_rows[int(rid)]] = float(acc[rid])
         ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
         return [(rel, label, score) for (rel, label), score in ranked]
 

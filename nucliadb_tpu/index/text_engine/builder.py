@@ -144,7 +144,20 @@ def build_segment(
         pos_offsets_np = np.asarray(pos_offsets, np.int64)
         pos_np = np.asarray(pos_arr, np.int32)
 
-    total_len = int(dlen.sum())
+    return _write_segment(
+        path, keys, list(terms), offsets, docs_np, tfs_np, pos_offsets_np,
+        pos_np, dlen, facets, attrs, columns, kind=kind, tags=tags,
+        extra_meta=extra_meta,
+    )
+
+
+def _write_segment(
+    path, keys, terms, offsets, docs_np, tfs_np, pos_offsets_np, pos_np,
+    dlen, facets, attrs, columns, *, kind, tags=(), extra_meta=None,
+) -> SegmentMetadata:
+    """Write the on-disk segment layout from final arrays (meta.json last —
+    its presence marks the directory complete/immutable)."""
+    total_len = int(dlen.sum()) if len(dlen) else 0
     os.makedirs(path, exist_ok=True)
     np.save(os.path.join(path, "postings_offsets.npy"), offsets)
     np.save(os.path.join(path, "postings_docs.npy"), docs_np)
@@ -253,50 +266,142 @@ def alive_mask_text(
 
 
 def merge_text_segments(out_path, open_index, *, kind: str):
-    """Merge text segments: re-tokenization-free concatenation of postings
-    would need global term remap anyway, so we rebuild from stored postings.
+    """Merge text segments at the postings level, fully vectorized.
 
     Replaces nidx_tantivy's merge (index_reader.rs merge) — same semantics:
-    alive docs of all operants, deletions applied by seq.
-
-    Known divergence: documents are reconstructed from their token streams,
-    so position gaps left by dropped over-long tokens (>40 chars) collapse —
-    a phrase spanning such a gap can start matching after a merge. Bounded
-    to documents containing 40+ character tokens.
+    alive docs of all operants, deletions applied by seq, merged doc rows
+    re-sorted by key (the prefix-range invariant). No per-posting Python
+    loop: a 1M-doc run has ~1e8 postings, which must move as numpy slices,
+    not via doc-text reconstruction + re-tokenization (the old path; it
+    also collapsed position gaps left by dropped over-long tokens — the
+    array merge preserves positions exactly).
     """
-    # Rebuild DocEntries from postings (text is not stored; reconstruct a
-    # positional token stream per doc).
-    out_docs: list[DocEntry] = []
-    tags: set[str] = set()
     deletions = list(open_index.deletions())
+    segs: list[tuple[TextSegmentData, np.ndarray]] = []
+    tags: set[str] = set()
     for seg_meta, seq in open_index.segments():
         seg = open_text_segment(seg_meta.path)
         tags |= set(seg.tags)
-        keep = alive_mask_text(seg, seq, deletions)
-        doc_tokens: dict[int, list[tuple[int, str]]] = {}
-        for ti, term in enumerate(seg.terms):
-            lo, hi = seg.postings_offsets[ti], seg.postings_offsets[ti + 1]
-            for pi in range(lo, hi):
-                did = int(seg.postings_docs[pi])
-                if not keep[did]:
-                    continue
-                plo, phi = seg.positions_offsets[pi], seg.positions_offsets[pi + 1]
-                for p in np.asarray(seg.positions[plo:phi]):
-                    doc_tokens.setdefault(did, []).append((int(p), term))
-        inv_facets: dict[int, list[str]] = {}
+        segs.append((seg, alive_mask_text(seg, seq, deletions)))
+
+    # ---- global doc order: concat kept docs, then stable-sort by key ----
+    all_keys: list[str] = []
+    kept_ids_per_seg: list[np.ndarray] = []
+    for seg, keep in segs:
+        kept = np.flatnonzero(keep)
+        kept_ids_per_seg.append(kept)
+        all_keys.extend(seg.keys[i] for i in kept)
+    n = len(all_keys)
+    if n == 0:
+        empty_i64 = np.zeros(1, np.int64)
+        return _write_segment(
+            out_path, [], [], empty_i64, np.zeros(0, np.int32),
+            np.zeros(0, np.uint16), empty_i64, np.zeros(0, np.int32),
+            np.zeros(0, np.int32), {}, [], {}, kind=kind, tags=tags,
+        )
+    order = np.argsort(np.asarray(all_keys, dtype=object), kind="stable")
+    final_of_concat = np.empty(n, np.int64)
+    final_of_concat[order] = np.arange(n)
+
+    # per-segment old-doc-id -> final row
+    doc_maps: list[np.ndarray] = []
+    base = 0
+    for (seg, _), kept in zip(segs, kept_ids_per_seg):
+        m = np.full(seg.n_docs, -1, np.int64)
+        m[kept] = final_of_concat[base : base + kept.size]
+        doc_maps.append(m)
+        base += kept.size
+
+    # ---- global term dictionary ----
+    term_set: set[str] = set()
+    for seg, _ in segs:
+        term_set.update(seg.terms)
+    terms = sorted(term_set)
+    terms_arr = np.asarray(terms, dtype=object)
+
+    # ---- postings: per-segment vector filter/remap, then one lexsort ----
+    gterm_parts, gdoc_parts, gtf_parts, glen_parts, gpos_parts = [], [], [], [], []
+    for (seg, keep), doc_map in zip(segs, doc_maps):
+        if not len(seg.terms):
+            continue
+        counts = np.diff(seg.postings_offsets)
+        term_of_post = np.repeat(np.arange(len(seg.terms)), counts)
+        pdocs = np.asarray(seg.postings_docs)
+        keep_post = keep[pdocs]
+        plens = np.diff(seg.positions_offsets)
+        gpos_parts.append(
+            np.asarray(seg.positions)[np.repeat(keep_post, plens)]
+        )
+        remap = np.searchsorted(
+            terms_arr, np.asarray(seg.terms, dtype=object)
+        )
+        gterm_parts.append(remap[term_of_post[keep_post]])
+        gdoc_parts.append(doc_map[pdocs[keep_post]])
+        gtf_parts.append(np.asarray(seg.postings_tfs)[keep_post])
+        glen_parts.append(plens[keep_post])
+
+    if gterm_parts:
+        gterm = np.concatenate(gterm_parts)
+        gdoc = np.concatenate(gdoc_parts)
+        gtf = np.concatenate(gtf_parts)
+        glen = np.concatenate(glen_parts).astype(np.int64)
+        gpos = np.concatenate(gpos_parts)
+        starts = np.concatenate(([0], np.cumsum(glen)[:-1]))
+        # (term, doc) pairs are unique (docs disjoint across segments),
+        # so the lexsorted stream is the final CSR body
+        perm = np.lexsort((gdoc, gterm))
+        docs_np = gdoc[perm].astype(np.int32)
+        tfs_np = gtf[perm].astype(np.uint16)
+        lens_sorted = glen[perm]
+        pos_offsets_np = np.concatenate(([0], np.cumsum(lens_sorted)))
+        # ragged gather: reorder each posting's position run to sorted order
+        total = int(pos_offsets_np[-1])
+        gather = (
+            np.repeat(starts[perm], lens_sorted)
+            + np.arange(total)
+            - np.repeat(pos_offsets_np[:-1], lens_sorted)
+        )
+        pos_np = gpos[gather].astype(np.int32)
+        offsets = np.concatenate(
+            ([0], np.cumsum(np.bincount(gterm, minlength=len(terms))))
+        ).astype(np.int64)
+    else:
+        docs_np = np.zeros(0, np.int32)
+        tfs_np = np.zeros(0, np.uint16)
+        pos_offsets_np = np.zeros(1, np.int64)
+        pos_np = np.zeros(0, np.int32)
+        offsets = np.zeros(len(terms) + 1, np.int64)
+
+    # ---- per-doc payloads, reordered to the final key order ----
+    keys_final = [all_keys[i] for i in order]
+    dlen = np.concatenate(
+        [np.asarray(seg.dlen)[kept] for (seg, _), kept in zip(segs, kept_ids_per_seg)]
+    )[order].astype(np.int32) if n else np.zeros(0, np.int32)
+    attrs_concat: list[dict] = []
+    for (seg, _), kept in zip(segs, kept_ids_per_seg):
+        attrs_concat.extend(seg.attrs[i] for i in kept)
+    attrs_final = [attrs_concat[i] for i in order]
+
+    facets: dict[str, list[int]] = {}
+    for (seg, _), doc_map in zip(segs, doc_maps):
         for facet, dids in seg.facets.items():
-            for did in dids:
-                inv_facets.setdefault(int(did), []).append(facet)
-        for did in np.nonzero(keep)[0]:
-            did = int(did)
-            toks = [t for _, t in sorted(doc_tokens.get(did, []))]
-            out_docs.append(
-                DocEntry(
-                    key=seg.keys[did],
-                    text=" ".join(toks),
-                    facets=inv_facets.get(did, []),
-                    attrs=seg.attrs[did],
-                    columns={name: int(col[did]) for name, col in seg.columns.items()},
-                )
-            )
-    return build_segment(out_path, out_docs, kind=kind, tags=tags)
+            mapped = doc_map[np.asarray(dids, np.int64)]
+            mapped = mapped[mapped >= 0]
+            if mapped.size:
+                facets.setdefault(facet, []).extend(int(x) for x in mapped)
+    facets = {k: sorted(v) for k, v in facets.items()}
+
+    col_names = sorted({name for seg, _ in segs for name in seg.columns})
+    columns = {name: np.zeros(n, np.int64) for name in col_names}
+    for (seg, _), doc_map, kept in zip(segs, doc_maps, kept_ids_per_seg):
+        rows = doc_map[kept]
+        for name in col_names:
+            col = seg.columns.get(name)
+            if col is not None:
+                columns[name][rows] = np.asarray(col)[kept]
+
+    return _write_segment(
+        out_path, keys_final, terms, offsets, docs_np, tfs_np,
+        pos_offsets_np, pos_np, dlen, facets, attrs_final, columns,
+        kind=kind, tags=tags,
+    )

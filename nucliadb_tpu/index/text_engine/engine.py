@@ -893,6 +893,7 @@ class DeviceTextEngine:
         k = min(max(q.top_k for q in queries), self.n_pad)
         unfiltered = all(
             q.filter is None and q.key_prefixes is None and q.extra_mask is None
+            and not q.excluded
             for q in queries
         )
         planned = [self._plan_terms(q) for q in queries]
@@ -936,7 +937,14 @@ class DeviceTextEngine:
                 )
                 for s, d, c in zip(
                     top_s[b][: query.top_k], top_i[b][: query.top_k],
-                    top_counts[b][: query.top_k],
+                    # kernel counts tally SCHEDULED term rows; OR queries may
+                    # have stopword-dropped tokens, so a real count can sit
+                    # below the caller's distinct-token bar on a true exact
+                    # match — only all_terms queries (which schedule every
+                    # token) may trust counts as an ematch pruner; OR hits
+                    # carry the -1 "unknown, verify" sentinel
+                    top_counts[b][: query.top_k] if query.all_terms
+                    else [-1] * query.top_k,
                 )
                 if d >= 0
             ]

@@ -79,27 +79,44 @@ def osa_leq(a: str, b: str, d: int) -> bool:
 
 
 class FuzzyIndex:
-    """Deletion-neighborhood index over a vocabulary (distance 1 native;
-    distance 2 by chaining)."""
+    """Deletion-neighborhood index over a vocabulary.
 
-    def __init__(self, terms: list[str]):
+    The symmetric-delete scheme is complete for distance d only when BOTH
+    sides contribute deletion variants to depth d (a term 2 chars longer
+    than the token needs two deletions to reach their common ancestor), so
+    the stored depth bounds the answerable distance: ``expand`` clamps to
+    ``max_distance`` rather than returning a silently incomplete
+    neighborhood. The product path is d=1 (reference FUZZY_DISTANCE=1);
+    depth 2 is opt-in because it stores ~len(term)^2/2 variants per term.
+    """
+
+    def __init__(self, terms: list[str], max_distance: int = 1):
         self.terms = terms
+        self.max_distance = max_distance
         self._term_set = set(terms)
         self.variant_map: dict[str, list[int]] = {}
         for idx, term in enumerate(terms):
-            for variant in _deletes(term) | {term}:
+            variants = {term}
+            frontier = {term}
+            for _ in range(max_distance):
+                frontier = {v for f in frontier for v in _deletes(f)}
+                variants |= frontier
+            for variant in variants:
                 self.variant_map.setdefault(variant, []).append(idx)
 
     def expand(self, token: str, distance: int = 1) -> list[str]:
         """Vocabulary terms within edit distance of the token."""
+        distance = min(distance, self.max_distance)
         if distance <= 0:
             return [token] if token in self._term_set else []
         if len(token) < MIN_FUZZY_LEN:
             # short tokens match exactly only (fuzzy_parser.rs:76)
             return [token] if token in self._term_set else []
-        probes = _deletes(token) | {token}
-        if distance >= 2:
-            probes |= {v for p in list(probes) for v in _deletes(p)}
+        probes = {token}
+        frontier = {token}
+        for _ in range(distance):
+            frontier = {v for f in frontier for v in _deletes(f)}
+            probes |= frontier
         cand_ids: set[int] = set()
         for probe in probes:
             cand_ids.update(self.variant_map.get(probe, ()))

@@ -280,17 +280,31 @@ class RemoteBus(_Remote):
     def watch(self, stream, callback) -> None:
         """Push notification via background polling (the embedded bus pushes
         in-process; over the network the watcher polls the scan cursor)."""
+        # snapshot the cursor BEFORE returning: messages published after
+        # watch() returns are guaranteed delivered (snapshotting inside the
+        # thread raced the caller's first publish)
+        start_cursor = self.last_seq(stream)
+
         def poll():
+            import logging
             import time as _t
 
-            cursor = self.last_seq(stream)
+            log = logging.getLogger(__name__)
+            cursor = start_cursor
             while True:
                 try:
                     for msg in self.scan(stream, after_seq=cursor, limit=100):
-                        cursor = max(cursor, msg.seq)
+                        # advance only AFTER the callback: a raising
+                        # callback leaves the cursor behind so the message
+                        # is redelivered next scan (at-least-once, like the
+                        # embedded bus's push path)
                         callback(msg)
+                        cursor = max(cursor, msg.seq)
                 except Exception:
-                    pass
+                    log.warning(
+                        "substrate bus watch poll failed (stream=%s)",
+                        stream, exc_info=True,
+                    )
                 _t.sleep(0.2)
 
         threading.Thread(target=poll, daemon=True).start()
@@ -368,6 +382,10 @@ class RemoteTransaction:
         return iter(out)
 
     def count(self, prefix: str) -> int:
+        # with a clean buffer the server's O(1) SQL count answers directly
+        # (keys() would download the whole key list just to len() it)
+        if not self._sets and not self._deleted and not self._deleted_prefixes:
+            return self._driver._call("count", prefix)
         return len(list(self.keys(prefix)))
 
     # -- writes (buffered) ----------------------------------------------
@@ -408,12 +426,25 @@ class RemoteDriver(_Remote):
     def delete_if(self, key, expected) -> bool:
         return self._call("delete_if", key, expected)
 
+    # ``with driver`` from concurrent threads: each thread gets its own
+    # buffered transaction (they are independent until the atomic apply
+    # RPC), tracked on a thread-local stack — a shared attribute would let
+    # one thread's __exit__ commit another thread's half-built buffer.
+    @property
+    def _txn_stack(self) -> list:
+        local = self.__dict__.setdefault("_txn_local", threading.local())
+        if not hasattr(local, "stack"):
+            local.stack = []
+        return local.stack
+
     def __enter__(self) -> RemoteTransaction:
-        self._txn = self.transaction()
-        return self._txn
+        txn = self.transaction()
+        self._txn_stack.append(txn)
+        return txn
 
     def __exit__(self, exc_type, exc, tb) -> None:
+        txn = self._txn_stack.pop()
         if exc_type is None:
-            self._txn.commit()
+            txn.commit()
         else:
-            self._txn.abort()
+            txn.abort()

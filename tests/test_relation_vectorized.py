@@ -347,3 +347,37 @@ def test_neighbours_and_empty_index(searcher, tmp_path):
     assert empty.neighbours(["x"]) == []
     with pytest.raises(ValueError):
         empty.graph_search_expr({"prop": "wat"})
+
+
+def test_projections_keep_negative_semantic_scores(searcher):
+    """Regression: matched edges whose semantic score is <= -1 (dot/cosine
+    legs can be negative) must still rank, not be dropped by an implicit
+    score floor."""
+    q = {
+        "prop": "path",
+        "source": {
+            "value": "apple",
+            "match": "semantic",
+            "semantic_matches": {"apple": -1.7},
+        },
+        "destination": {},
+        "relation": {},
+    }
+    nq = {
+        "prop": "node",
+        "value": "apple",
+        "match": "semantic",
+        "semantic_matches": {"apple": -1.7},
+    }
+    nodes = searcher.nodes_search(nq, top_k=10)
+    assert any(n.value == "apple" and s == pytest.approx(-1.7) for n, s in nodes)
+    rels = searcher.relations_search(q, top_k=50)
+    # every edge sourced at 'apple' matches with the negative score
+    expected = {
+        (e["relation"], e["label"])
+        for e in searcher.edges
+        if e["source_value"] == "apple"
+    }
+    got = {(r, l) for r, l, s in rels}
+    assert expected <= got
+    assert all(s == pytest.approx(-1.7) for _, _, s in rels)

@@ -256,3 +256,61 @@ def test_multi_host_component_mode(tmp_path):
         for p in procs:
             out = p.stdout.read().decode(errors="replace") if p.stdout else ""
             sys.stderr.write(f"--- component output ---\n{out[-3000:]}\n")
+
+
+def test_remote_kv_concurrent_with_blocks(substrate):
+    """Regression: concurrent ``with driver`` blocks from different threads
+    must each commit their OWN buffer (a shared txn attribute let one
+    thread's exit commit another thread's half-built transaction)."""
+    import threading
+
+    _, addr = substrate
+    kv = RemoteDriver(addr)
+    n_threads, n_keys = 8, 25
+    barrier = threading.Barrier(n_threads)
+    errors = []
+
+    def worker(t):
+        try:
+            barrier.wait()
+            with kv as txn:
+                for i in range(n_keys):
+                    txn.set(f"w{t}/{i:02d}", f"{t}:{i}".encode())
+                # interleave: reads see only this thread's buffer
+                assert txn.count(f"w{t}/") == n_keys
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    with kv as txn:
+        for t in range(n_threads):
+            assert txn.count(f"w{t}/") == n_keys, f"thread {t} writes lost"
+            assert txn.get(f"w{t}/00") == f"{t}:0".encode()
+    kv.close()
+
+
+def test_remote_bus_watch_redelivers_on_callback_error(substrate):
+    _, addr = substrate
+    bus = RemoteBus(addr)
+    seen = []
+    fail_once = {"armed": True}
+
+    def callback(msg):
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            raise RuntimeError("transient consumer error")
+        seen.append(bytes(msg.payload))
+
+    bus.watch("wt", callback)
+    bus.publish("wt", "subj", b"m1")
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and b"m1" not in seen:
+        time.sleep(0.05)
+    # the failed delivery must be retried (cursor not advanced past it)
+    assert seen == [b"m1"]
+    bus.close()

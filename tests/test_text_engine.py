@@ -257,3 +257,77 @@ def test_all_terms_fuzzy_does_not_cross_satisfy(tmp_path):
         TextQuery(text="helo world", top_k=10, all_terms=True, fuzzy=True)
     )
     assert {h.key for h in hits} == {"r2/f"}
+
+
+def test_merge_equals_fresh_build(tmp_path):
+    """The vectorized postings-level merge must produce the SAME segment a
+    fresh build from the alive docs' original texts would (keys, terms,
+    CSR postings, positions, dlen, facets, columns)."""
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(60)]
+    docs = []
+    for i in range(80):
+        text = " ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+        docs.append(
+            DocEntry(
+                key=f"r{i:03d}/f{i % 3}",
+                text=text,
+                facets=[f"/l/{i % 4}"] + (["/t/t"] if i % 2 else []),
+                columns={"created": 100 + i},
+            )
+        )
+    splits = [docs[:30], docs[30:55], docs[55:]]
+    segs = []
+    for s, chunk in enumerate(splits):
+        m = build_segment(str(tmp_path / f"s{s}"), chunk, kind="text")
+        segs.append((m, Seq(s + 1)))
+    deletions = [("r000", Seq(4)), ("r060", Seq(4)), ("r007/f1", Seq(4))]
+    open_index = SimpleOpenIndex(segment_list=segs, deletion_list=deletions)
+    merged = merge_text_segments(str(tmp_path / "m"), open_index, kind="text")
+
+    from nucliadb_tpu.utils.keys import key_matches_prefix
+
+    alive = [
+        d for d in docs
+        if not any(key_matches_prefix(d.key, p) for p, _ in deletions)
+    ]
+    fresh = build_segment(str(tmp_path / "fresh"), alive, kind="text")
+    a = open_text_segment(merged.path)
+    b = open_text_segment(fresh.path)
+    assert a.keys == b.keys
+    assert a.terms == b.terms
+    np.testing.assert_array_equal(a.postings_offsets, b.postings_offsets)
+    np.testing.assert_array_equal(a.postings_docs, b.postings_docs)
+    np.testing.assert_array_equal(a.postings_tfs, b.postings_tfs)
+    np.testing.assert_array_equal(a.positions_offsets, b.positions_offsets)
+    np.testing.assert_array_equal(a.positions, b.positions)
+    np.testing.assert_array_equal(a.dlen, b.dlen)
+    assert set(a.facets) == set(b.facets)
+    for f in a.facets:
+        np.testing.assert_array_equal(np.sort(a.facets[f]), np.sort(b.facets[f]))
+    assert set(a.columns) == set(b.columns)
+    for c in a.columns:
+        np.testing.assert_array_equal(a.columns[c], b.columns[c])
+
+
+def test_search_batch_applies_exclusions(tmp_path):
+    """Regression: -term exclusions must apply on the batched path too (the
+    unfiltered fast path used to skip build_mask for excluded-only queries)."""
+    engine = make_engine(tmp_path)
+    q = TextQuery(text="quick", excluded=["brown"], top_k=10)
+    (bhits, _), = engine.search_batch([q])
+    shits, _ = engine.search(q)
+    assert {h.key for h in bhits} == {h.key for h in shits}
+    assert all("brown" not in DOCS[h.doc_id][1] for h in bhits)
+
+
+def test_fuzzy_depth2_index_complete(tmp_path):
+    from nucliadb_tpu.index.text_engine.fuzzy import FuzzyIndex
+
+    # +2-length neighbour: only reachable when the index stores depth-2
+    # deletion variants; a depth-1 index must CLAMP to d=1 (complete set),
+    # not return a silently incomplete d=2 neighborhood
+    fi2 = FuzzyIndex(["abcde", "abc", "xbc"], max_distance=2)
+    assert fi2.expand("abc", 2) == ["abc", "abcde", "xbc"]
+    fi1 = FuzzyIndex(["abcde", "abc", "xbc"], max_distance=1)
+    assert fi1.expand("abc", 2) == fi1.expand("abc", 1)
