@@ -11,9 +11,33 @@ prefix deletions so replays are idempotent.
 from __future__ import annotations
 
 from ..ingest.brain import ResourceBrain
-from ..ingest.processor import Processor
+from ..ingest.processor import RESOURCE_META, Processor
 from ..services import EmbeddedNode
 from .kb import KBShards, KnowledgeBoxManager, vector_config_from_spec
+
+
+def _move_resource(
+    processor: Processor, node: EmbeddedNode, kbid: str, rid: str,
+    target: str, *, delete_from: str | None = None,
+) -> bool:
+    """Reindex one resource into ``target`` and write its meta back, under
+    the processor's per-resource lock: without it a concurrent delete (which
+    holds the lock) could be resurrected as a ghost — delete removes the KV
+    subtree, then the mover writes the stale meta back and the new shard
+    keeps an index copy of a deleted resource forever."""
+    with processor.resource_lock(kbid, rid):
+        payload = processor.get_payload(kbid, rid)
+        meta = processor.get_meta(kbid, rid)
+        if payload is None or meta is None:
+            return False
+        doc = ResourceBrain(rid).build(payload, created=meta.created)
+        node.index(target, doc, hidden=payload.hidden)
+        if delete_from is not None and delete_from != target:
+            node.delete_resource(delete_from, rid)
+        meta.shard = target
+        with processor.driver as txn:
+            txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
+        return True
 
 
 def rollover_kb(
@@ -40,19 +64,9 @@ def rollover_kb(
     rids = processor.list_resources(kbid)
     counts = {s: 0 for s in new_shards}
     for i, rid in enumerate(rids):
-        payload = processor.get_payload(kbid, rid)
-        meta = processor.get_meta(kbid, rid)
-        if payload is None or meta is None:
-            continue
         target = new_shards[i % count]
-        doc = ResourceBrain(rid).build(payload, created=meta.created)
-        node.index(target, doc, hidden=payload.hidden)
-        counts[target] += 1
-        meta.shard = target
-        with processor.driver as txn:
-            from ..ingest.processor import RESOURCE_META
-
-            txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
+        if _move_resource(processor, node, kbid, rid, target):
+            counts[target] += 1
 
     # swap the shard record...
     kbs.swap_shards(kbid, KBShards(shards=new_shards, writable=0, counts=counts))
@@ -63,25 +77,18 @@ def rollover_kb(
     # rid list — deleting its shard would silently lose its index data and
     # leave meta.shard dead. After the swap no NEW writes can target old
     # shards, so a bounded number of passes converges.
-    from ..ingest.processor import RESOURCE_META
-
     repaired_any = False
     for _ in range(3):
         strays = 0
         for i, rid in enumerate(processor.list_resources(kbid)):
             meta = processor.get_meta(kbid, rid)
-            payload = processor.get_payload(kbid, rid)
-            if meta is None or payload is None or meta.shard in new_shards:
+            if meta is None or meta.shard in new_shards:
                 continue
             strays += 1
             repaired_any = True
             target = new_shards[i % count]
-            doc = ResourceBrain(rid).build(payload, created=meta.created)
-            node.index(target, doc, hidden=payload.hidden)
-            counts[target] += 1
-            meta.shard = target
-            with processor.driver as txn:
-                txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
+            if _move_resource(processor, node, kbid, rid, target):
+                counts[target] += 1
         if not strays:
             break
     if repaired_any:
@@ -125,18 +132,10 @@ def rebalance_kb(
             if dst == src:
                 break
             rid = rids.pop()
-            payload = processor.get_payload(kbid, rid)
-            meta = processor.get_meta(kbid, rid)
-            if payload is None or meta is None:
+            if not _move_resource(
+                processor, node, kbid, rid, dst, delete_from=src
+            ):
                 continue
-            doc = ResourceBrain(rid).build(payload, created=meta.created)
-            node.index(dst, doc, hidden=payload.hidden)
-            node.delete_resource(src, rid)
-            meta.shard = dst
-            with processor.driver as txn:
-                from ..ingest.processor import RESOURCE_META
-
-                txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
             rid_by_shard[dst].append(rid)
             moved += 1
     counts = {s: len(v) for s, v in rid_by_shard.items()}

@@ -106,6 +106,7 @@ class DocumentSearchRequest:
     count_resources: bool = False  # totals/facets at resource (not field) level
     range_creation: Optional[tuple] = None  # (lo, hi) unix seconds
     range_modification: Optional[tuple] = None
+    key_prefixes: Optional[list[str]] = None  # fields/resource_filters scope
 
 
 @dataclass
@@ -185,6 +186,7 @@ class TextSearcher:
             extra_mask=extra_mask,
             min_score=request.min_score,
             all_terms=request.all_terms,
+            key_prefixes=request.key_prefixes,
         )
         hits, matched = self.engine.search(q)
         if request.order_by in ("created", "modified"):

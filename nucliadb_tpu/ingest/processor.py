@@ -10,8 +10,10 @@ counter provides the total order the reference gets from NATS.
 from __future__ import annotations
 
 import json
+import threading
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Optional
 
@@ -56,6 +58,7 @@ class Processor:
         # the reference's distributed resource lock, processor.py:221-223 —
         # two concurrent PATCHes would otherwise lose one side's fields)
         self._resource_locks = KeyedLock()
+        self._payload_cache_local = threading.local()
 
     # ---- writes ------------------------------------------------------------
 
@@ -64,13 +67,32 @@ class Processor:
         *, created: float | None = None,
     ) -> tuple[str, int]:
         rid = rid or uuid.uuid4().hex
-        shard_id = self.kbs.writable_shard(kbid)
+        with self._resource_locks.hold(f"{kbid}/{rid}"):
+            return self._create_resource(kbid, payload, rid, created=created)
+
+    def _create_resource(
+        self, kbid: str, payload: CreateResourcePayload, rid: str,
+        *, created: float | None = None,
+    ) -> tuple[str, int]:
+        # a meta row for this rid means a redelivered create (at-least-once
+        # bus, commit stamps the rid): idempotent replay must reuse the
+        # original shard (a rollover in between would otherwise strand an
+        # un-deletable copy in the old shard), keep the original creation
+        # time, and not inflate the shard's resource count
+        prev = self.get_meta(kbid, rid)
+        shard_id = prev.shard if prev is not None else self.kbs.writable_shard(kbid)
         now = time.time()
         # imports/restores carry the original creation time — stamping
         # import time would break date-range filters and ordering
+        if prev is not None:
+            created_at = prev.created
+        elif created is not None:
+            created_at = created
+        else:
+            created_at = now
         meta = ResourceMeta(
             rid=rid, shard=shard_id, slug=payload.slug,
-            created=created if created is not None else now, modified=now,
+            created=created_at, modified=now,
         )
         with self.driver as txn:
             if payload.slug:
@@ -88,7 +110,8 @@ class Processor:
         doc = ResourceBrain(rid).build(payload, created=meta.created)
         self._route_external_index(kbid, doc)
         seq = self.node.index(shard_id, doc, hidden=payload.hidden)
-        self.kbs.record_resource(kbid, shard_id, +1)
+        if prev is None:
+            self.kbs.record_resource(kbid, shard_id, +1)
         return rid, int(seq)
 
     def _route_external_index(self, kbid: str, doc) -> None:
@@ -114,6 +137,11 @@ class Processor:
         for paragraphs in doc.paragraphs.values():
             for para in paragraphs.values():
                 para.vectorsets_sentences = {}
+
+    def resource_lock(self, kbid: str, rid: str):
+        """Per-resource exclusion context — shared with rollover/rebalance
+        so a concurrent delete can't be resurrected by a meta write-back."""
+        return self._resource_locks.hold(f"{kbid}/{rid}")
 
     def update_resource(
         self, kbid: str, rid: str, payload: UpdateResourcePayload
@@ -180,10 +208,34 @@ class Processor:
 
     # ---- reads ---------------------------------------------------------------
 
+    @contextmanager
+    def payload_cache(self):
+        """Request-scoped payload memoization (thread-local): hydration
+        parses the SAME multi-MB resource payload dozens of times per /find
+        (one per result block + per rerank passage) without it. Reentrant —
+        nested scopes share the outermost cache; writes are outside any
+        scope (ingest) so staleness is bounded to one request."""
+        local = self._payload_cache_local
+        outer = getattr(local, "cache", None)
+        if outer is None:
+            local.cache = {}
+        try:
+            yield
+        finally:
+            if outer is None:
+                local.cache = None
+
     def get_payload(self, kbid: str, rid: str) -> Optional[CreateResourcePayload]:
+        cache = getattr(self._payload_cache_local, "cache", None)
+        key = (kbid, rid)
+        if cache is not None and key in cache:
+            return cache[key]
         with self.driver as txn:
             raw = txn.get(RESOURCE_PAYLOAD.format(kbid=kbid, rid=rid))
-        return CreateResourcePayload.model_validate_json(raw) if raw else None
+        payload = CreateResourcePayload.model_validate_json(raw) if raw else None
+        if cache is not None:
+            cache[key] = payload
+        return payload
 
     def get_meta(self, kbid: str, rid: str) -> Optional[ResourceMeta]:
         with self.driver as txn:

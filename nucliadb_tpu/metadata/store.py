@@ -14,6 +14,7 @@ from ..types import Seq
 SEGMENT_GRACE_S = 300.0  # new segments are purgeable until marked ready
 MERGE_JOB_STALE_S = 60.0  # requeue jobs without heartbeat for this long
 MERGE_JOB_MAX_RETRIES = 4
+MERGE_JOB_POISON_RETRY_S = 3600.0  # poisoned-job cooldown between attempts
 
 _SCHEMA = """
 CREATE TABLE IF NOT EXISTS shards (
@@ -225,6 +226,19 @@ class MetadataStore:
             IndexMeta(r[0], r[1], r[2], r[3], json.loads(r[4]), r[5]) for r in rows
         ]
 
+    def get_index(self, index_id: int) -> "IndexMeta | None":
+        """Primary-key lookup (merge workers resolve one index per job — a
+        scan over every shard's indexes was O(shards) SQL round-trips)."""
+        with self._lock:
+            r = self._conn.execute(
+                "SELECT id, shard_id, kind, name, configuration, updated_at"
+                " FROM indexes WHERE id=? AND deleted_at IS NULL",
+                (index_id,),
+            ).fetchone()
+        if r is None:
+            return None
+        return IndexMeta(r[0], r[1], r[2], r[3], json.loads(r[4]), r[5])
+
     def delete_index(self, index_id: int) -> None:
         with self._lock, self._conn:
             self._conn.execute(
@@ -408,22 +422,31 @@ class MetadataStore:
         return job_id
 
     def take_merge_job(self) -> Optional[MergeJob]:
-        """Lease the oldest runnable job (parity: MergeJob::take SKIP LOCKED)."""
+        """Lease the oldest runnable job (parity: MergeJob::take SKIP LOCKED).
+
+        Jobs past MERGE_JOB_MAX_RETRIES are POISONED, not deleted: deleting
+        released the operant segments back to the planner, which re-planned
+        the identical merge with retries=0 — a deterministic failure looped
+        forever at full speed. A poisoned job keeps its segments pinned
+        (enqueue_merge skips segments with a merge_job_id) and only becomes
+        runnable again after a long cooldown, so a transient cause can still
+        recover while a deterministic one burns one attempt per cooldown."""
         now = time.time()
         with self._lock, self._conn:
             row = self._conn.execute(
                 "SELECT id, index_id, seq, retries FROM merge_jobs"
-                " WHERE running_at IS NULL OR running_at < ?"
+                " WHERE (running_at IS NULL OR running_at < ?)"
+                " AND (retries < ? OR COALESCE(running_at, 0) < ?)"
                 " ORDER BY enqueued_at LIMIT 1",
-                (now - MERGE_JOB_STALE_S,),
+                (
+                    now - MERGE_JOB_STALE_S,
+                    MERGE_JOB_MAX_RETRIES,
+                    now - MERGE_JOB_POISON_RETRY_S,
+                ),
             ).fetchone()
             if row is None:
                 return None
             job_id, index_id, seq, retries = row
-            if retries >= MERGE_JOB_MAX_RETRIES:
-                self._release_job(job_id)
-                self._conn.execute("DELETE FROM merge_jobs WHERE id=?", (job_id,))
-                return None
             self._conn.execute(
                 "UPDATE merge_jobs SET running_at=?, started_at=COALESCE(started_at,?),"
                 " retries=retries+1 WHERE id=?",
@@ -458,8 +481,15 @@ class MetadataStore:
             self._conn.execute("DELETE FROM merge_jobs WHERE id=?", (job_id,))
 
     def pending_merge_jobs(self) -> int:
+        """Runnable jobs only — poisoned jobs (in cooldown) are not pending
+        work for drains/back-pressure purposes."""
+        now = time.time()
         with self._lock:
-            return self._conn.execute("SELECT COUNT(*) FROM merge_jobs").fetchone()[0]
+            return self._conn.execute(
+                "SELECT COUNT(*) FROM merge_jobs"
+                " WHERE retries < ? OR COALESCE(running_at, 0) < ?",
+                (MERGE_JOB_MAX_RETRIES, now - MERGE_JOB_POISON_RETRY_S),
+            ).fetchone()[0]
 
     # ---- ack floor (merge scheduling safety) -------------------------------
 

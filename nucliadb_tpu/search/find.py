@@ -250,7 +250,9 @@ class SearchService:
 
         metrics = Metrics()
         try:
-            with span("search.find", kbid=kbid), search_observer({"endpoint": "find"}):
+            with span("search.find", kbid=kbid), search_observer(
+                {"endpoint": "find"}
+            ), self.processor.payload_cache():
                 return self._find(kbid, request, metrics)
         finally:
             metrics.log_if_slow("find", f"kbid={kbid} q={request.query[:80]!r}")
@@ -291,9 +293,28 @@ class SearchService:
             reranker=request.reranker or "noop",
         )
         blocks: list[TextBlock] = []
-        self._find(kbid, find_req, Metrics(), collect_blocks=blocks)
+        find_metrics = Metrics()
+        with self.processor.payload_cache():
+            self._find(kbid, find_req, find_metrics, collect_blocks=blocks)
+            return self._retrieval_matches(
+                kbid, request, blocks, find_metrics
+            )
+
+    def _retrieval_matches(self, kbid, request, blocks, find_metrics):
+        from ..models.api import (
+            RetrievalMatch,
+            RetrievalMatchMetadata,
+            RetrievalResponse,
+            RetrievalScore,
+            RetrievalScores,
+        )
+
         fusion_type = "wCombSUM" if request.rank_fusion == "weighted" else "rrf"
-        reranked = request.reranker == "predict" and self.predict is not None
+        # trust what _find actually did (the rerank branch also requires a
+        # rerank-capable predict engine and a non-empty keyword query) —
+        # not just what was requested, or the score history would claim a
+        # rerank that never ran
+        reranked = "rerank" in find_metrics.phases
         matches = []
         for b in blocks:
             history = [
@@ -1146,6 +1167,10 @@ class SearchService:
         )
 
     def ask(self, kbid: str, request: AskRequest) -> AskResponse:
+        with self.processor.payload_cache():
+            return self._ask_impl(kbid, request)
+
+    def _ask_impl(self, kbid: str, request: AskRequest) -> AskResponse:
         """Retrieval-grounded answering (parity: /ask, chat/ask.py). The
         generative step goes through the PredictEngine seam; without one the
         endpoint returns the retrieved context with citations (the

@@ -149,10 +149,14 @@ class SchedulerService:
             for index in self.metadata.get_indexes(shard.id):
                 segs = self.metadata.ready_segments(index.id)
                 if segs:
-                    oldest = min(int(s.seq) for s in segs)
-                    self.metadata.purge_deletions_below(
-                        index.id, Seq(min(oldest, floor))
-                    )
+                    bound = min(min(int(s.seq) for s in segs), floor)
+                else:
+                    # zero segments: any future segment gets a seq above the
+                    # ack floor, so deletions at/below it are dead — without
+                    # this, an all-deleted index's deletion list grows with
+                    # every delete ever issued
+                    bound = floor
+                self.metadata.purge_deletions_below(index.id, Seq(bound))
 
     def audit_storage(self) -> dict[str, dict]:
         """Per-KB storage report to the audit stream (parity: the scheduler

@@ -48,6 +48,7 @@ class SyncedSearcher:
         self._loads: dict[str, threading.Lock] = {}
         self.max_open_shards = max_open_shards
         self._index_state: dict[int, float] = {}  # index id -> updated_at seen
+        self._shard_indexes: dict[str, set[int]] = {}  # shard -> loaded index ids
         # multi-node deployments: only sync shards this node owns per the
         # rendezvous selector (parity: searcher syncs its assigned shards,
         # nidx/src/searcher/sync.rs + shard_selector)
@@ -76,10 +77,18 @@ class SyncedSearcher:
                 with self._mu:
                     self._shards.pop(shard.id, None)  # dropped on topology change
                 continue
-            for index in self.metadata.get_indexes(shard.id):
+            indexes = self.metadata.get_indexes(shard.id)
+            for index in indexes:
                 seen = self._index_state.get(index.id)
                 if seen is None or index.updated_at > seen:
                     dirty.add(shard.id)
+            # a DELETED index (e.g. delete_vectorset) leaves no live row to
+            # report a newer updated_at — diff the live index-id set against
+            # what the open searcher was built from, or it serves the
+            # dropped vectorset forever
+            loaded = self._shard_indexes.get(shard.id)
+            if loaded is not None and {i.id for i in indexes} != loaded:
+                dirty.add(shard.id)
         # evict deleted shards (parity: sync.rs processes deletions too —
         # a cached searcher for a deleted shard would serve stale data forever)
         with self._mu:
@@ -150,11 +159,14 @@ class SyncedSearcher:
             return
         vectorsets: dict[str, VectorConfig] = {}
         open_indexes: dict[str, SimpleOpenIndex] = {}
+        loaded_ids: set[int] = set()
         for index in self.metadata.get_indexes(shard_id):
             if index.kind == "vector":
                 vectorsets[index.name] = VectorConfig.from_dict(index.configuration)
             open_indexes[index.full_name] = self._open_index_meta(index.id)
             self._index_state[index.id] = index.updated_at
+            loaded_ids.add(index.id)
+        self._shard_indexes[shard_id] = loaded_ids
         config = ShardConfig(shard_id=shard_id, kbid=shard.kbid, vectorsets=vectorsets)
         with self._mu:
             prev = self._shards.get(shard_id)
@@ -164,7 +176,10 @@ class SyncedSearcher:
             self._shards.move_to_end(shard_id)
             while len(self._shards) > self.max_open_shards:
                 evicted, _ = self._shards.popitem(last=False)
-                self._loads.pop(evicted, None)
+                # the load lock is NOT popped: a thread may hold it
+                # mid-reload, and a fresh lock would let a second reload
+                # race the first on the same segment cache directory (the
+                # dict only ever holds shards this node serves — bounded)
 
     # ------------------------------------------------------------------
 

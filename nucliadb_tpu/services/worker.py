@@ -57,11 +57,10 @@ class WorkerService:
         return True
 
     def _index_kind_and_config(self, index_id: int):
-        for shard in self.metadata.list_shards():
-            for index in self.metadata.get_indexes(shard.id):
-                if index.id == index_id:
-                    return index
-        raise KeyError(f"unknown index {index_id}")
+        index = self.metadata.get_index(index_id)
+        if index is None:
+            raise KeyError(f"unknown index {index_id}")
+        return index
 
     def _run_job(self, job: MergeJob) -> None:
         import threading

@@ -221,6 +221,9 @@ class ShardSearcher:
                     order_desc=request.order_desc,
                     min_score=request.min_score_bm25,
                     all_terms=request.all_terms,
+                    range_creation=request.range_creation,
+                    range_modification=request.range_modification,
+                    key_prefixes=key_prefixes,
                 )
             )
 

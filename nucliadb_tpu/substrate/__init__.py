@@ -261,7 +261,7 @@ class RemoteMetadataStore(_Remote):
 
 for _m in (
     "next_seq", "last_seq", "create_shard", "get_shard", "list_shards",
-    "delete_shard", "create_index", "get_indexes", "delete_index",
+    "delete_shard", "create_index", "get_indexes", "get_index", "delete_index",
     "retire_index_segments", "touch_index", "indexes_updated_since",
     "create_segment", "commit_operation", "set_segment_size",
     "ready_segments", "deletions_for_index", "purgeable_segments",
@@ -284,14 +284,16 @@ class RemoteBus(_Remote):
         # watch() returns are guaranteed delivered (snapshotting inside the
         # thread raced the caller's first publish)
         start_cursor = self.last_seq(stream)
+        stop = self._watch_stop = getattr(
+            self, "_watch_stop", threading.Event()
+        )
 
         def poll():
             import logging
-            import time as _t
 
             log = logging.getLogger(__name__)
             cursor = start_cursor
-            while True:
+            while not stop.is_set():
                 try:
                     for msg in self.scan(stream, after_seq=cursor, limit=100):
                         # advance only AFTER the callback: a raising
@@ -301,13 +303,21 @@ class RemoteBus(_Remote):
                         callback(msg)
                         cursor = max(cursor, msg.seq)
                 except Exception:
+                    if stop.is_set():  # channel closed underneath us
+                        break
                     log.warning(
                         "substrate bus watch poll failed (stream=%s)",
                         stream, exc_info=True,
                     )
-                _t.sleep(0.2)
+                stop.wait(0.2)
 
         threading.Thread(target=poll, daemon=True).start()
+
+    def close(self) -> None:
+        stop = getattr(self, "_watch_stop", None)
+        if stop is not None:
+            stop.set()
+        super().close()
 
 
 for _m in (

@@ -192,3 +192,26 @@ def test_tracing_noop_when_unconfigured():
         assert s is None
     assert tracing.inject_context({}) == {}
     assert tracing.extract_context({}) is None
+
+
+def test_create_resource_redelivery_idempotent(stack):
+    """At-least-once bus: a redelivered create with the same rid must reuse
+    the original shard/created time and not double-count the resource."""
+    node, driver, kbs, processor = stack
+    kbid = kbs.create(KnowledgeBoxConfig(slug="redeliver"))
+    p = CreateResourcePayload(
+        title="Doc", slug="s1",
+        texts={"t": TextFieldPayload(body="redelivered create")},
+    )
+    rid, _ = processor.create_resource(kbid, p, created=123.0)
+    shards1 = kbs.get_shards(kbid)
+    count1 = sum(shards1.counts.values())
+    meta1 = processor.get_meta(kbid, rid)
+    # redelivery: same rid, same payload
+    rid2, _ = processor.create_resource(kbid, p, rid=rid)
+    assert rid2 == rid
+    shards2 = kbs.get_shards(kbid)
+    assert sum(shards2.counts.values()) == count1  # not inflated
+    meta2 = processor.get_meta(kbid, rid)
+    assert meta2.shard == meta1.shard
+    assert meta2.created == 123.0  # original creation time preserved

@@ -211,11 +211,15 @@ def test_failing_merge_job_respects_retry_cap(tmp_path, monkeypatch):
     monkeypatch.setattr(node.worker, "_merge", boom)
     monkeypatch.setattr(mstore, "MERGE_JOB_STALE_S", 0.0)
     # each run_one leases the SAME job with retries accumulating; after the
-    # cap every job is dropped instead of looping forever (one job per index
-    # kind was enqueued, so allow the budget per job)
+    # cap every job POISONS (segments stay pinned so the planner can't
+    # re-plan the identical merge; a long cooldown allows eventual retry)
     n_jobs = node.metadata.pending_merge_jobs()
     for _ in range(n_jobs * (mstore.MERGE_JOB_MAX_RETRIES + 2)):
         node.worker.run_one()
+    assert node.metadata.pending_merge_jobs() == 0
+    # poisoned segments stay pinned: the planner must not re-enqueue the
+    # same merge (the old delete-on-poison released them into a hot loop)
+    assert node.scheduler.schedule_merges() == 0
     assert node.metadata.pending_merge_jobs() == 0
 
 
@@ -524,3 +528,19 @@ def test_merge_job_for_deleted_shard_is_dropped_cleanly(tmp_path):
     for _ in range(node.metadata.pending_merge_jobs() + 1):
         node.worker.run_one()
     assert node.metadata.pending_merge_jobs() == 0
+
+
+def test_delete_vectorset_drops_from_open_searcher(node):
+    """Regression: a deleted vector index leaves no live row to bump
+    updated_at — sync must diff the live index-id set against what the open
+    searcher loaded, or it serves the dropped vectorset forever."""
+    shard_id = node.create_shard("kb1", {"m1": VectorConfig(dimension=DIM)})
+    node.index(shard_id, make_resource("r1", "the quick brown fox"))
+    node.wait_for_sync()
+    req = ShardSearchRequest(
+        body="", vector=embed("the quick brown fox"), paragraph=False, top_k=5
+    )
+    assert node.search(shard_id, req).vector  # searcher open + serving m1
+    node.delete_vectorset(shard_id, "m1")
+    node.wait_for_sync()
+    assert node.search(shard_id, req).vector == []

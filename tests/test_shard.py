@@ -221,3 +221,39 @@ def test_key_filters(shard):
         ShardSearchRequest(body="quick", key_filters=["r2/"], top_k=5)
     )
     assert all(h.rid == "r2" for h in resp.paragraph.hits)
+
+
+def test_document_search_date_range_and_key_filters(tmp_path):
+    """Regression: the fulltext/document leg must honor range_creation /
+    range_modification and key_filters (the shard executor used to drop
+    them, returning out-of-window documents)."""
+    config = ShardConfig(shard_id="s2", kbid="kb1", vectorsets={})
+    indexer = ShardIndexer(config)
+    open_indexes: dict[str, SimpleOpenIndex] = {}
+    docs = [
+        ("old", "quick update about markets", 1000),
+        ("new", "another quick update indeed", 5000),
+    ]
+    for i, (rid, text, created) in enumerate(docs):
+        rd = ResourceDoc(resource_id=rid, created=created, modified=created)
+        rd.texts["t/text1"] = TextInformation(text=text)
+        ops = indexer.index_resource(rd, str(tmp_path / f"dop{i}"))
+        for op in ops:
+            oi = open_indexes.setdefault(op.index_name, SimpleOpenIndex())
+            if op.segment is not None:
+                oi.segment_list.append((op.segment, Seq(i + 1)))
+    shard = ShardSearcher(config, open_indexes)
+    resp = shard.search(
+        ShardSearchRequest(
+            body="quick", document=True, paragraph=False, top_k=5,
+            range_creation=(2000, None),
+        )
+    )
+    assert {h.rid for h in resp.document.hits} == {"new"}
+    resp = shard.search(
+        ShardSearchRequest(
+            body="quick", document=True, paragraph=False, top_k=5,
+            key_filters=["old/"],
+        )
+    )
+    assert {h.rid for h in resp.document.hits} == {"old"}
