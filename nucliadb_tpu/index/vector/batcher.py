@@ -158,7 +158,16 @@ class QueryCoalescer:
                     self._release(key)
                 for e in batch:
                     e.done.set()
-                raise
+                # do NOT re-raise: the dispatcher may be draining OTHER
+                # callers' batches after its own entry already succeeded —
+                # every affected caller sees the failure through its entry,
+                # and the dispatcher's own result must not be discarded
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "coalesced vector dispatch failed", exc_info=True
+                )
+                return
             for e in batch:
                 e.done.set()
 

@@ -419,6 +419,7 @@ class DeviceVectorIndex:
             s, i = _search_maxsim(
                 self.vectors, self.m_count, jnp.asarray(qp), jnp.asarray(qmask),
                 mask_j, ms, top_k, self.m_max, self.config.similarity.value,
+                dedup=dedup,
             )
         elif self.multi:
             # single query vector against a multivector index: MaxSim with M=1
@@ -431,21 +432,35 @@ class DeviceVectorIndex:
             qp = np.zeros((b_pad, q.shape[1]), np.float32)
             qp[: q.shape[0]] = q
             qj = jnp.asarray(qp)
+            # ivf/hnsw honor dedup by over-fetching candidates and running
+            # the shared exact-rescore + duplicate-mask cut (the walk/probe
+            # kernels themselves don't know about Fssc semantics)
+            k1 = min(2 * top_k + 8, self.p_pad) if dedup else top_k
             if self.ivf is not None:
                 from ...ops import ivf as ivf_ops
 
                 pq = prepare_query(qj, self.config.similarity.value)
                 s, i = ivf_ops.ivf_search(
-                    self.ivf, self.vectors, pq, mask_j, ms, top_k
+                    self.ivf, self.vectors, pq, mask_j, ms, k1
                 )
+                if dedup:
+                    s, i = _exact_dedup_cut(
+                        self.vectors, qj, i, ms, top_k,
+                        self.config.similarity.value,
+                    )
             elif self.graph is not None and self._use_graph(matching, top_k):
                 from ...ops import hnsw as hnsw_ops
 
                 s, i = hnsw_ops.hnsw_search(
                     self.vectors, self.graph.adj, self.graph.entry_ids, qj,
-                    mask_j, ms, top_k, similarity=self.config.similarity.value,
+                    mask_j, ms, k1, similarity=self.config.similarity.value,
                     seg_of=self.graph.seg_of, n_segments=self.graph.n_segments,
                 )
+                if dedup:
+                    s, i = _exact_dedup_cut(
+                        self.vectors, qj, i, ms, top_k,
+                        self.config.similarity.value,
+                    )
             elif isinstance(self.codes, quant.Int8Codes):
                 from ...ops import pallas_scan
 
@@ -602,6 +617,14 @@ def _rerank_and_cut(vectors, q, cand_ids, min_score, k, dedup=False):
     return top_s, top_ids
 
 
+@partial(jax.jit, static_argnames=("k", "similarity"))
+def _exact_dedup_cut(vectors, queries, cand_ids, min_score, k, similarity):
+    """Exact rescore + Fssc duplicate cut over externally-found candidates
+    (the ivf/hnsw dedup leg)."""
+    q = prepare_query(queries, similarity)
+    return _rerank_and_cut(vectors, q, cand_ids, min_score, k, dedup=True)
+
+
 @partial(jax.jit, static_argnames=("k", "similarity", "dedup"))
 def _search_int8(codes, vectors, queries, para_mask, min_score, k, similarity, dedup=False):
     q = prepare_query(queries, similarity)
@@ -684,8 +707,8 @@ def _search_binary(codes, vectors, queries, para_mask, min_score, k, similarity,
     return _rerank_and_cut(vectors, q, cand, min_score, k, dedup=dedup)
 
 
-@partial(jax.jit, static_argnames=("k", "m_max", "similarity"))
-def _search_maxsim(vectors, m_count, queries, qmask, para_mask, min_score, k, m_max, similarity):
+@partial(jax.jit, static_argnames=("k", "m_max", "similarity", "dedup"))
+def _search_maxsim(vectors, m_count, queries, qmask, para_mask, min_score, k, m_max, similarity, dedup=False):
     """Multivector MaxSim: sum over query sub-vectors of the per-paragraph max.
 
     Parity with nidx_vector/src/multivector.rs:33-46 (maxsim_similarity),
@@ -708,4 +731,21 @@ def _search_maxsim(vectors, m_count, queries, qmask, para_mask, min_score, k, m_
         qmask[:, :, None] & (para_scores > NEG_INF / 2), para_scores, 0.0
     )
     maxsim = contrib.sum(axis=1)  # [B, P]
-    return masked_topk(maxsim, k, mask=para_mask, min_score=min_score)
+    if not dedup:
+        return masked_topk(maxsim, k, mask=para_mask, min_score=min_score)
+    # Fssc dedup for multivectors: a paragraph duplicates another when its
+    # whole uniform slot block matches (slots are zero-padded at build, so
+    # block equality <=> same m_count AND same vectors)
+    k2 = min(2 * k + 8, maxsim.shape[-1])
+    top_s, cand = masked_topk(maxsim, k2, mask=para_mask, min_score=min_score)
+    flat = vectors.reshape(p_pad, m_max * d)
+    cand_vecs = flat[jnp.maximum(cand, 0)]
+    valid = cand >= 0
+    valid = valid & ~_duplicate_mask(cand_vecs, valid)
+    s2, pos = masked_topk(
+        jnp.where(valid, top_s, NEG_INF), k, min_score=min_score
+    )
+    ids = jnp.where(
+        pos >= 0, jnp.take_along_axis(cand, jnp.maximum(pos, 0), -1), -1
+    )
+    return s2, ids

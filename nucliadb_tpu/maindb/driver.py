@@ -69,15 +69,27 @@ class Transaction:
         ).fetchone()[0]
 
     def commit(self) -> None:
-        self._driver._conn.commit()
+        try:
+            self._driver._conn.commit()
+        except BaseException:
+            # roll back AND release — a raising commit must not leak the
+            # held driver lock (every later transaction would block forever)
+            try:
+                self._driver._conn.rollback()
+            finally:
+                self._driver._lock.release()
+                self._open = False
+            raise
         self._driver._lock.release()
         self._open = False
 
     def abort(self) -> None:
         if self._open:
-            self._driver._conn.rollback()
-            self._driver._lock.release()
-            self._open = False
+            try:
+                self._driver._conn.rollback()
+            finally:
+                self._driver._lock.release()
+                self._open = False
 
 
 class Driver:

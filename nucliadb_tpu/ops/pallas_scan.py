@@ -121,7 +121,12 @@ def int8_scan_slots(
     n, d = codes.shape
     b = q_codes.shape[0]
     if block_b is None:
+        # largest divisor of b not exceeding BLOCK_B: the bucket ladder
+        # produces 1.5*2^k batches (e.g. 192), which BLOCK_B=128 does not
+        # divide — 96 does
         block_b = min(b, BLOCK_B)
+        while b % block_b:
+            block_b -= 1
     assert n % block_n == 0, (n, block_n)
     assert b % block_b == 0, (b, block_b)
     assert block_n % slots == 0 and block_n >= slots, (block_n, slots)

@@ -159,8 +159,11 @@ class NucliaDBClient:
         return GraphSearchResponse.model_validate(resp.json())
 
     def ask(self, kbid: str, request: AskRequest) -> AskResponse:
+        # server default is the ndjson stream (reference parity); the SDK's
+        # object API opts into the synchronous JSON body
         resp = self._client.post(
-            f"/api/v1/kb/{kbid}/ask", json=request.model_dump(exclude_none=True)
+            f"/api/v1/kb/{kbid}/ask", json=request.model_dump(exclude_none=True),
+            headers={"x-synchronous": "true"},
         )
         self._raise(resp)
         return AskResponse.model_validate(resp.json())

@@ -1626,8 +1626,10 @@ class StandaloneApp:
             """Shared /ask response shaping: synchronous JSON or the chunked
             ndjson item stream (parity: AskResponseItems — retrieval, answer
             chunks, citations, status; reference search/api/v1/ask.py)."""
-            accept = request.headers.get("x-synchronous", "")
-            if request.query.get("stream") != "ndjson" and accept != "false":
+            # reference default (search/api/v1/ask.py x_synchronous=False):
+            # the ndjson item stream UNLESS the caller opts into sync JSON
+            sync_hdr = request.headers.get("x-synchronous", "").lower()
+            if sync_hdr in ("true", "1", "yes"):
                 return result
 
             def ndjson_items():
@@ -2087,7 +2089,12 @@ class StandaloneApp:
                 top_k=int(body.get("top_k", 20)),
                 features=[SearchFeature.KEYWORD],
                 fields=[rid],  # key-prefix scope: every paragraph key leads with rid
-                highlight=bool(body.get("highlight", False)),
+                # GET passes the raw query string ('false' must not enable)
+                highlight=(
+                    h.lower() in ("1", "true", "yes")
+                    if isinstance(h := body.get("highlight", False), str)
+                    else bool(h)
+                ),
             )
             self._sync()
             results = self.search.find(kbid, req)

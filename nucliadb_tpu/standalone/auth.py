@@ -30,7 +30,9 @@ import re as _re
 _READER_POST_RE = _re.compile(
     r"^/api/v1/kb/[^/]+/"
     r"(find|search|suggest|catalog(/facets)?|graph(/nodes|/relations)?|ask"
-    r"|summarize|hydrate|augment|feedback|retrieve|predict/[^/]+)$"
+    r"|summarize|hydrate|augment|feedback|retrieve|predict/[^/]+"
+    # resource-scoped retrieval (rid and slug twins) is a read surface too
+    r"|(resource/[^/]+|slug/[^/]+)/(find|search|ask))$"
 )
 
 # management-only read surfaces: KB enumeration, full-data exports, backups,

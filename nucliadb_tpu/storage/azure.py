@@ -21,6 +21,13 @@ from urllib.parse import quote
 
 import httpx
 
+from xml.sax.saxutils import unescape as _sax_unescape
+
+
+def _xml_unescape(s: str) -> str:
+    return _sax_unescape(s, {"&quot;": '"', "&apos;": "'"})
+
+
 _API_VERSION = "2023-11-03"
 
 
@@ -156,7 +163,8 @@ class AzureStorage:
                 query["marker"] = marker
             text = self._request("GET", "", query=query).text
             out.extend(
-                m[len(self.prefix):] for m in re.findall(r"<Name>(.*?)</Name>", text)
+                _xml_unescape(m)[len(self.prefix):]
+                for m in re.findall(r"<Name>(.*?)</Name>", text)
             )
             nxt = re.search(r"<NextMarker>(.+?)</NextMarker>", text)
             if nxt:

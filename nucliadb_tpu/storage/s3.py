@@ -21,6 +21,13 @@ from urllib.parse import quote
 
 import httpx
 
+from xml.sax.saxutils import unescape as _sax_unescape
+
+
+def _xml_unescape(s: str) -> str:
+    return _sax_unescape(s, {"&quot;": '"', "&apos;": "'"})
+
+
 _EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
 
 
@@ -188,7 +195,9 @@ class S3Storage:
                 query["continuation-token"] = token
             text = self._request("GET", "", query=query).text
             out.extend(
-                m[len(self.prefix):]
+                # keys with &/</> come back XML-escaped; unescape or the
+                # listed name misses the real object on get/delete
+                _xml_unescape(m)[len(self.prefix):]
                 for m in re.findall(r"<Key>(.*?)</Key>", text)
             )
             truncated = re.search(r"<IsTruncated>true</IsTruncated>", text)

@@ -57,7 +57,10 @@ class LocalStorage:
 
     def _path(self, key: str) -> str:
         path = os.path.normpath(os.path.join(self.root, key))
-        if not path.startswith(os.path.normpath(self.root)):
+        root = os.path.normpath(self.root)
+        # separator-aware containment: a bare startswith lets '../store-evil'
+        # pass for root '/data/store' (sibling sharing the name as a prefix)
+        if path != root and not path.startswith(root + os.sep):
             raise ValueError(f"key escapes storage root: {key}")
         return path
 

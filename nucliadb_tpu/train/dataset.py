@@ -28,6 +28,7 @@ from . import arrow_ipc
 from .generators import TrainSet
 
 GENERATORS: dict[str, Callable] = {}
+BATCH_CLASSES: dict[str, type] = {}
 
 
 def _register():
@@ -46,6 +47,19 @@ def _register():
             "image_classification": g.image_classification_batches,
         }
     )
+    BATCH_CLASSES.update(
+        {
+            "paragraph_classification": g.ParagraphClassificationBatch,
+            "field_classification": g.FieldClassificationBatch,
+            "sentences": g.SentenceBatch,
+            "token_classification": g.TokenClassificationBatch,
+            "question_answers": g.QABatch,
+            "sentence_classification": g.SentenceClassificationBatch,
+            "field_streaming": g.FieldStreamingBatch,
+            "paragraph_streaming": g.ParagraphStreamingBatch,
+            "image_classification": g.ImageClassificationBatch,
+        }
+    )
 
 
 _register()
@@ -53,6 +67,26 @@ _register()
 
 def _fields_for(columns: dict) -> list:
     return [(name, arrow_ipc.infer_type(col)) for name, col in columns.items()]
+
+
+def _fields_for_class(cls: type) -> list:
+    """Schema from the batch dataclass annotations (needed when zero
+    batches were produced and there is no sample value to infer from).
+    Columns are list[T]: strip one list level, then map nesting to Arrow
+    List depth (str -> Utf8, list[str] -> List(Utf8), ...)."""
+    import typing
+
+    fields = []
+    for name, hint in typing.get_type_hints(cls).items():
+        depth = -1  # the column list itself doesn't count
+        while typing.get_origin(hint) is list:
+            depth += 1
+            hint = typing.get_args(hint)[0]
+        t: object = arrow_ipc.Utf8()
+        for _ in range(max(depth, 0)):
+            t = arrow_ipc.List(t)
+        fields.append((name, t))
+    return fields
 
 
 def export_trainset(
@@ -123,7 +157,6 @@ def stream_trainset(
     streams generate_train_data as application/octet-stream)."""
     if task not in GENERATORS:
         raise ValueError(f"unknown train task {task!r}; options: {sorted(GENERATORS)}")
-    writer = None
     fields = None
     for batch in GENERATORS[task](processor, trainset):
         d = asdict(batch)
@@ -131,9 +164,11 @@ def stream_trainset(
             fields = _fields_for(d)
             yield arrow_ipc.schema_message(fields)
         yield arrow_ipc.record_batch_message([(d[name], t) for name, t in fields])
-        writer = True
-    if writer is not None:
-        yield arrow_ipc.EOS
+    if fields is None:
+        # zero batches: still a VALID (empty) stream — schema + EOS, or
+        # pyarrow raises 'stream is empty' on the client
+        yield arrow_ipc.schema_message(_fields_for_class(BATCH_CLASSES[task]))
+    yield arrow_ipc.EOS
 
 
 def load_partition(path: str) -> list[dict]:

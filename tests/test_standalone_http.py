@@ -126,7 +126,8 @@ def test_http_full_flow(server):
     ).json()
     assert graph["paths"][0]["target"] == "dog"
     ask = client.post(
-        f"/api/v1/kb/{kbid}/ask", json={"query": "quick fox", "vector": embed(body)}
+        f"/api/v1/kb/{kbid}/ask", json={"query": "quick fox", "vector": embed(body)},
+        headers={"x-synchronous": "true"},
     ).json()
     assert ask["status"] in ("success", "no_generative_model")
     assert "fox" in ask["answer"]
@@ -246,6 +247,12 @@ def test_file_fields_and_ask_ndjson(server):
     types = [i["type"] for i in items]
     assert types[0] == "retrieval" and types[-1] == "status"
     assert any(t == "answer" for t in types)
+
+    # the DEFAULT (no X-Synchronous header) is the ndjson stream, matching
+    # the reference's x_synchronous=False default (search/api/v1/ask.py)
+    resp = client.post(f"/api/v1/kb/{kbid}/ask", json={"query": "foxes"})
+    assert resp.headers.get("content-type", "").startswith("application/x-ndjson")
+    assert all(_json.loads(line)["item"] for line in resp.text.strip().split("\n"))
 
     # ndjson is delivered chunked (a real stream, not one buffered body)
     assert resp.headers.get("transfer-encoding") == "chunked"
@@ -956,7 +963,10 @@ def test_predict_proxy_and_models(tmp_path_factory):
             json={"title": "T", "texts": {"t": {"body": "some grounding text"}}},
         )
         app._sync(force=True)
-        ask = client.post(f"/api/v1/kb/{kbid}/ask", json={"query": "grounding"}).json()
+        ask = client.post(
+            f"/api/v1/kb/{kbid}/ask", json={"query": "grounding"},
+            headers={"x-synchronous": "true"},
+        ).json()
         assert ask["status"] == "success" and ask["answer"].startswith("answer to")
     finally:
         client.close()
@@ -2080,3 +2090,26 @@ def test_learning_strategies_and_nua_schema(server):
     assert client.get(
         f"/api/v1/kb/{kbid}/models/gen-1/pytorch_model.bin"
     ).status_code == 404
+
+
+def test_required_role_reader_posts():
+    """Regression: resource-scoped retrieval POSTs are READER surface (they
+    used to fall through to WRITER, 403ing reader tokens)."""
+    from nucliadb_tpu.standalone.auth import required_role
+
+    for path in (
+        "/api/v1/kb/k1/resource/r1/search",
+        "/api/v1/kb/k1/resource/r1/ask",
+        "/api/v1/kb/k1/slug/my-doc/search",
+        "/api/v1/kb/k1/slug/my-doc/ask",
+        "/api/v1/kb/k1/find",
+        "/api/v1/kb/k1/ask",
+    ):
+        assert required_role("POST", path) == "READER", path
+    # writes and forged suffixes stay WRITER
+    for path in (
+        "/api/v1/kb/k1/resources",
+        "/api/v1/kb/k1/labelset/ask",
+        "/api/v1/kb/k1/resource/r1/reindex",
+    ):
+        assert required_role("POST", path) == "WRITER", path

@@ -139,13 +139,21 @@ def test_searcher_replacement_on_topology_change(tmp_path):
 
     from nucliadb_tpu.models.internal import ResourceDoc, TextInformation
 
+    # keep creating shards until BOTH nodes own at least one: rendezvous
+    # placement over random shard ids puts all N on one node with
+    # probability 2^(1-N) — at 6 shards that's a ~3% test flake
     shard_ids = []
-    for i in range(6):
+    for i in range(24):
         sid = node.create_shard("kb1", {})
         shard_ids.append(sid)
         doc = ResourceDoc(resource_id=f"r{i}")
         doc.texts["t/body"] = TextInformation(text=f"topology doc {i}")
         node.index(sid, doc)
+        if i >= 5 and (
+            w.selector.owned_shards("n1", shard_ids)
+            and w.selector.owned_shards("n2", shard_ids)
+        ):
+            break
 
     s1 = SyncedSearcher(
         node.metadata, storage, str(tmp_path / "n1"),

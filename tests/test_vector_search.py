@@ -325,3 +325,35 @@ def test_with_duplicates_dedup(rng, tmp_path):
     keys = [h.key for h in hits]
     dup_like = [k for k in keys if k.startswith(("r0/", "dup"))]
     assert len(dup_like) == 4, keys
+
+
+@pytest.mark.parametrize("flag", ["ivf", "hnsw"])
+def test_with_duplicates_dedup_ivf_hnsw(rng, tmp_path, flag):
+    """Regression: the ivf/hnsw strategies silently ignored the default
+    Fssc dedup (with_duplicates=False); they now over-fetch and run the
+    shared exact-rescore + duplicate-mask cut."""
+    d = 32
+    cfg = VectorConfig(dimension=d, flags=frozenset({flag}))
+    base = rng.standard_normal((64, d)).astype(np.float32)
+    dup = base[0].copy()
+    elems = [
+        Elem(key=f"r{i}/f1/{i}/0-10", vectors=base[i][None], labels=[])
+        for i in range(64)
+    ]
+    for j in range(3):
+        elems.append(Elem(key=f"dup{j}/f1/{j}/0-10", vectors=dup[None], labels=[]))
+    meta = create_segment(str(tmp_path / "s"), elems, cfg)
+    searcher = VectorSearcher(cfg, SimpleOpenIndex(segment_list=[(meta, Seq(1))]))
+    q = dup + 0.001 * rng.standard_normal(d).astype(np.float32)
+
+    hits = searcher.search(VectorSearchRequest(vectors=q, top_k=6))[0]
+    keys = [h.key for h in hits]
+    dup_like = [k for k in keys if k.startswith(("r0/", "dup"))]
+    assert len(dup_like) == 1, keys
+
+    hits = searcher.search(
+        VectorSearchRequest(vectors=q, top_k=6, with_duplicates=True)
+    )[0]
+    keys = [h.key for h in hits]
+    dup_like = [k for k in keys if k.startswith(("r0/", "dup"))]
+    assert len(dup_like) == 4, keys
