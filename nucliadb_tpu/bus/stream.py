@@ -45,6 +45,14 @@ class BusMessage:
     deliveries: int
 
 
+def _subject_clause(subject: str, subject_prefix: str) -> tuple[str, str]:
+    """(SQL clause, bind value) — exact match when ``subject`` is given,
+    else the prefix GLOB (empty prefix = everything)."""
+    if subject:
+        return "subject = ?", subject
+    return "subject GLOB ?", subject_prefix + "*"
+
+
 class EmbeddedBus:
     def __init__(self, path: str = ":memory:", ack_wait: float = DEFAULT_ACK_WAIT):
         self._conn = sqlite3.connect(path, check_same_thread=False)
@@ -85,25 +93,31 @@ class EmbeddedBus:
         stream: str,
         *,
         subject_prefix: str = "",
+        subject: str = "",
         after_seq: int = 0,
         limit: int = 100,
     ) -> list[BusMessage]:
         """Read-only cursor scan: no consumer state, repeatable (parity:
         JetStream DeliverByStartSequence ephemeral consumers). Used by the
-        notifications API so repeated polls with the same cursor re-deliver."""
+        notifications API so repeated polls with the same cursor re-deliver.
+
+        ``subject`` matches exactly (a prefix GLOB would cross-match
+        'task.export' onto 'task.export-kb' subjects)."""
+        clause, pat = _subject_clause(subject, subject_prefix)
         with self._lock, self._conn:
             rows = self._conn.execute(
                 "SELECT seq, subject, payload FROM messages"
-                " WHERE stream = ? AND subject GLOB ? AND seq > ?"
+                f" WHERE stream = ? AND {clause} AND seq > ?"
                 " ORDER BY seq LIMIT ?",
-                (stream, subject_prefix + "*", after_seq, limit),
+                (stream, pat, after_seq, limit),
             ).fetchall()
         return [BusMessage(stream, seq, subject, payload, 0) for seq, subject, payload in rows]
 
     # ---- consume ---------------------------------------------------------
 
     def next(
-        self, stream: str, consumer: str, *, subject_prefix: str = ""
+        self, stream: str, consumer: str, *, subject_prefix: str = "",
+        subject: str = "",
     ) -> Optional[BusMessage]:
         """Lease the next deliverable message (strictly ordered; at-least-once).
 
@@ -113,16 +127,17 @@ class EmbeddedBus:
         would apply writes out of order.
         """
         now = time.time()
+        clause, pat = _subject_clause(subject, subject_prefix)
         with self._lock, self._conn:
             row = self._conn.execute(
                 "SELECT m.seq, m.subject, m.payload,"
                 " COALESCE(c.deliveries, 0), c.leased_until, COALESCE(c.acked, 0)"
                 " FROM messages m LEFT JOIN consumers c"
                 "   ON c.stream = m.stream AND c.seq = m.seq AND c.name = ?"
-                " WHERE m.stream = ? AND m.subject GLOB ?"
+                f" WHERE m.stream = ? AND {clause}"
                 "   AND COALESCE(c.acked, 0) = 0"
                 " ORDER BY m.seq LIMIT 1",
-                (consumer, stream, subject_prefix + "*"),
+                (consumer, stream, pat),
             ).fetchone()
             if row is None:
                 return None

@@ -30,12 +30,6 @@ from ..services import EmbeddedNode
 def main() -> None:
     import os as _os
 
-    from ..utils.platform import configure_jax
-
-    # fail-fast, single-threaded backend init before any component thread
-    # touches jax (see standalone/app.py)
-    configure_jax(init_backend=True)
-
     if any(
         _os.environ.get(k)
         for k in ("NDBTPU_TELEMETRY__TRACING", "NDBTPU_TELEMETRY__CONSOLE_TRACES",
@@ -85,8 +79,17 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.supervise:
+        # the supervisor must NOT init the backend: the TPU is
+        # process-exclusive, and a parent holding it would make every
+        # spawned child fail device init in a restart loop
         _supervise()
         return
+
+    from ..utils.platform import configure_jax
+
+    # fail-fast, single-threaded backend init before any component thread
+    # touches jax (see standalone/app.py)
+    configure_jax(init_backend=True)
 
     import os
 

@@ -278,6 +278,7 @@ def pack_search_request(r: ShardSearchRequest) -> bytes:
             "security_groups": r.security_groups,
             "key_filters": r.key_filters,
             "include_hidden": r.include_hidden,
+            "with_duplicates": r.with_duplicates,
             "range_creation": list(r.range_creation) if r.range_creation else None,
             "range_modification": (
                 list(r.range_modification) if r.range_modification else None
@@ -318,6 +319,7 @@ def unpack_search_request(data: bytes) -> ShardSearchRequest:
         security_groups=d["security_groups"],
         key_filters=d["key_filters"],
         include_hidden=d.get("include_hidden", False),
+        with_duplicates=d.get("with_duplicates", False),
         range_creation=(
             tuple(d["range_creation"]) if d.get("range_creation") else None
         ),

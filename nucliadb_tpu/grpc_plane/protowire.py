@@ -50,6 +50,8 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     result = 0
     shift = 0
     while True:
+        if pos >= len(data):
+            raise ValueError("truncated varint")
         b = data[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -158,6 +160,13 @@ def encode(schema: dict, msg: dict) -> bytes:
     return bytes(out)
 
 
+def _check_len(data: bytes, pos: int, n: int) -> None:
+    # a short slice past the end must be a codec error, not silently
+    # truncated bytes/strings handed to the caller
+    if pos + n > len(data):
+        raise ValueError("truncated message (field extends past end)")
+
+
 def _decode_scalar(kind: str, data: bytes, pos: int, wire_type: int):
     if kind in _VARINT_KINDS:
         v, pos = _read_varint(data, pos)
@@ -167,13 +176,17 @@ def _decode_scalar(kind: str, data: bytes, pos: int, wire_type: int):
             v -= 1 << 64
         return v, pos
     if kind == "float":
+        _check_len(data, pos, 4)
         return struct.unpack_from("<f", data, pos)[0], pos + 4
     if kind == "double":
+        _check_len(data, pos, 8)
         return struct.unpack_from("<d", data, pos)[0], pos + 8
     if kind == "fixed64":
+        _check_len(data, pos, 8)
         return struct.unpack_from("<Q", data, pos)[0], pos + 8
     # length-delimited
     n, pos = _read_varint(data, pos)
+    _check_len(data, pos, n)
     raw = data[pos : pos + n]
     pos += n
     return (raw.decode("utf-8") if kind == "string" else bytes(raw)), pos
@@ -184,11 +197,14 @@ def _skip(data: bytes, pos: int, wire_type: int) -> int:
         _, pos = _read_varint(data, pos)
         return pos
     if wire_type == 1:
+        _check_len(data, pos, 8)
         return pos + 8
     if wire_type == 5:
+        _check_len(data, pos, 4)
         return pos + 4
     if wire_type == 2:
         n, pos = _read_varint(data, pos)
+        _check_len(data, pos, n)
         return pos + n
     raise ValueError(f"unsupported wire type {wire_type}")
 
@@ -210,6 +226,7 @@ def decode(schema: dict, data: bytes) -> dict:
             target = msg.setdefault(name, [])
             if isinstance(inner, tuple) and inner[0] == "msg":
                 n, pos = _read_varint(data, pos)
+                _check_len(data, pos, n)
                 target.append(decode(inner[1], data[pos : pos + n]))
                 pos += n
             elif inner in ("string", "bytes"):
@@ -227,6 +244,7 @@ def decode(schema: dict, data: bytes) -> dict:
         elif isinstance(kind, tuple) and kind[0] == "map":
             _, kk, vk = kind
             n, pos = _read_varint(data, pos)
+            _check_len(data, pos, n)
             entry_schema = {"key": (1, kk), "value": (2, vk)}
             item = decode(entry_schema, data[pos : pos + n])
             pos += n
@@ -234,6 +252,7 @@ def decode(schema: dict, data: bytes) -> dict:
             msg.setdefault(name, {})[item.get("key", default_key)] = item.get("value")
         elif isinstance(kind, tuple) and kind[0] == "msg":
             n, pos = _read_varint(data, pos)
+            _check_len(data, pos, n)
             msg[name] = decode(kind[1], data[pos : pos + n])
             pos += n
         else:

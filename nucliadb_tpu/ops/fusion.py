@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .topk import NEG_INF
+from .topk import NEG_INF, duplicate_id_mask
 
 RRF_K = 60.0  # parity: rank_fusion.py:128
 
@@ -44,14 +44,10 @@ def rrf_merge(
 
     # dedup: a candidate appearing in both lists shows up twice with equal
     # fused score — invalidate all but its first occurrence
-    same = cand[:, :, None] == cand[:, None, :]  # [B, C, C]
-    c = cand.shape[-1]
-    earlier = jnp.tril(jnp.ones((c, c), bool), k=-1)
-    dup = jnp.any(same & earlier[None], axis=-1)
-    valid = (cand >= 0) & ~dup
+    valid = (cand >= 0) & ~duplicate_id_mask(cand)
 
     score = jnp.where(valid, score, NEG_INF)
-    k_eff = min(k, c)
+    k_eff = min(k, cand.shape[-1])
     top_s, pos = jax.lax.top_k(score, k_eff)
     top_i = jnp.take_along_axis(cand, pos, axis=-1)
     top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)

@@ -320,11 +320,9 @@ def build_graph(
 
 def _dedup_scores(scores: jax.Array, ids: jax.Array) -> jax.Array:
     """NEG_INF-out all but the first occurrence of each id per row."""
-    same = ids[:, :, None] == ids[:, None, :]
-    c = ids.shape[1]
-    earlier = jnp.tril(jnp.ones((c, c), bool), k=-1)
-    dup = jnp.any(same & earlier[None], axis=-1) & (ids >= 0)
-    return jnp.where(dup, NEG_INF, scores)
+    from .topk import duplicate_id_mask
+
+    return jnp.where(duplicate_id_mask(ids), NEG_INF, scores)
 
 
 @partial(
@@ -446,10 +444,18 @@ def hnsw_search(
             top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
         # accumulate best FILTERED results seen so far; the same id re-enters
         # every trip (beam entries persist), so dedup before the cut or the
-        # accumulator fills with copies of the top hit
+        # accumulator fills with copies of the top hit. Dedup AFTER cutting
+        # the wide frontier to 2*best_k: the pairwise id-match is O(C^2), and
+        # running it on the full ~(beam + beam*m_max) concatenation cost ~37M
+        # comparisons per query per trip vs ~90k on the cut (duplicate copies
+        # inside the cut waste at most their own slots; the accumulator
+        # re-sees survivors every trip, and the walk is approximate anyway)
         f_s = jnp.where(node_mask[jnp.maximum(all_i, 0)] & (all_i >= 0), all_s, NEG_INF)
-        cat_s = jnp.concatenate([best_s, f_s], axis=1)
-        cat_i = jnp.concatenate([best_i, all_i], axis=1)
+        cut = min(2 * best_s.shape[1], f_s.shape[1])
+        c_s, c_pos = jax.lax.top_k(f_s, cut)
+        c_i = jnp.take_along_axis(all_i, c_pos, axis=1)
+        cat_s = jnp.concatenate([best_s, c_s], axis=1)
+        cat_i = jnp.concatenate([best_i, c_i], axis=1)
         cat_s = _dedup_scores(cat_s, cat_i)
         bs, bpos = jax.lax.top_k(cat_s, best_s.shape[1])
         bi = jnp.take_along_axis(cat_i, bpos, axis=1)

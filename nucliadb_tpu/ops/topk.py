@@ -55,6 +55,16 @@ def masked_topk(
     return top_s, top_i
 
 
+def duplicate_id_mask(ids):
+    """[B, C] -> bool [B, C]: True where an id repeats an EARLIER slot in
+    the same row (first occurrence stays False; -1 pads never count).
+    Shared by rank fusion and the HNSW accumulator — O(C^2), keep C cut."""
+    same = ids[:, :, None] == ids[:, None, :]
+    c = ids.shape[-1]
+    earlier = jnp.tril(jnp.ones((c, c), bool), k=-1)
+    return jnp.any(same & earlier[None], axis=-1) & (ids >= 0)
+
+
 def merge_topk(
     scores_list: list[jax.Array],
     ids_list: list[jax.Array],

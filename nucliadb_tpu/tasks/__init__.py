@@ -80,7 +80,9 @@ class TaskConsumer:
         self.consumer = f"task_consumer_{name}"
 
     def work_once(self) -> bool:
-        msg = self.bus.next(TASK_STREAM, self.consumer, subject_prefix=f"task.{self.name}")
+        # exact subject: a prefix GLOB would leak task 'export-kb' messages
+        # into the 'export' consumer (wrong handler, silently acked)
+        msg = self.bus.next(TASK_STREAM, self.consumer, subject=f"task.{self.name}")
         if msg is None:
             return False
         try:
@@ -112,7 +114,7 @@ class TaskConsumer:
     def dead_letters(self) -> list[TaskMessage]:
         """Read this task's dead-letter records (newest last)."""
         out = []
-        for m in self.bus.scan(TASK_STREAM, subject_prefix=f"{DLQ_PREFIX}{self.name}"):
+        for m in self.bus.scan(TASK_STREAM, subject=f"{DLQ_PREFIX}{self.name}"):
             data = json.loads(m.payload)
             out.append(self.message_type(kbid=data["kbid"], payload=data["payload"]))
         return out

@@ -124,15 +124,17 @@ class UtilizationTracker:
 
     @contextmanager
     def work(self):
-        # thread-safe accounting: a gap counts as idle only while NO worker
-        # is active (unguarded, concurrent workers double-count idle and
-        # rewind _last, breaking busy+idle == wall time)
+        # WALL-CLOCK accounting on interval transitions: idle accrues only
+        # while NO worker is active, busy accrues the union of active
+        # intervals (summing each worker's own duration counted N
+        # overlapping workers N times, pushing utilization past 1.0)
         start = time.monotonic()
         with self._lock:
             if self._active == 0:
                 gap = max(start - self._last, 0.0)
                 self.idle.inc(gap)
                 self._idle_total += gap
+                self._busy_start = start
             self._active += 1
         try:
             yield
@@ -140,9 +142,11 @@ class UtilizationTracker:
             end = time.monotonic()
             with self._lock:
                 self._active -= 1
-                self.busy.inc(end - start)
-                self._busy_total += end - start
-                self._last = max(self._last, end)
+                if self._active == 0:
+                    span = max(end - self._busy_start, 0.0)
+                    self.busy.inc(span)
+                    self._busy_total += span
+                    self._last = max(self._last, end)
 
     def totals(self) -> tuple[float, float]:
         return self._busy_total, self._idle_total

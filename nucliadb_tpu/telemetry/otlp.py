@@ -158,22 +158,28 @@ class OTLPHttpExporter:
         self._pending: list["SpanRecord"] = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
+        self._kick = threading.Event()  # batch-full signal to the flusher
         self._thread = threading.Thread(
             target=self._loop, args=(flush_interval_s,), daemon=True
         )
         self._thread.start()
 
     def on_span_end(self, rec: "SpanRecord") -> None:
-        flush_now = False
         with self._lock:
             self._pending.append(rec)
-            if len(self._pending) >= self.max_batch:
-                flush_now = True
-        if flush_now:
-            self.flush()
+            full = len(self._pending) >= self.max_batch
+        if full:
+            # wake the background flusher — flushing INLINE here would block
+            # the serving thread for up to retries x timeout when the
+            # collector is down (the 'never back-pressure serving' contract)
+            self._kick.set()
 
     def _loop(self, interval: float) -> None:
-        while not self._stop.wait(interval):
+        while True:
+            self._kick.wait(interval)
+            self._kick.clear()
+            if self._stop.is_set():
+                return
             try:
                 self.flush()
             except Exception:
@@ -202,4 +208,5 @@ class OTLPHttpExporter:
 
     def shutdown(self) -> None:
         self._stop.set()
+        self._kick.set()  # wake the flusher so it observes stop promptly
         self.flush()

@@ -308,6 +308,8 @@ def test_search_request_codec_roundtrip():
         security_groups=["g1"],
         key_filters=["rid1/"],
         include_hidden=True,
+        with_duplicates=True,  # default-False fields MUST flip here, or a
+        # codec drop is invisible to the field loop below
         range_creation=(1.0, 2.0),
         range_modification=(None, 9.0),
         graph=GraphSearchRequest(

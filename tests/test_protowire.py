@@ -401,3 +401,24 @@ def test_proto_grpc_end_to_end(tmp_path):
         assert shard.fields >= 1 and shard.paragraphs >= 1 and shard.sentences >= 1
     finally:
         server.stop()
+
+
+def test_decode_rejects_truncated_messages():
+    """Regression: a short length-delimited field silently yielded a
+    truncated string; a truncated varint raised a bare IndexError."""
+    import pytest
+
+    from nucliadb_tpu.grpc_plane import protowire as pw
+
+    schema = {"id": (1, "string"), "n": (2, "int32")}
+    good = pw.encode(schema, {"id": "shard-abc", "n": 7})
+    assert pw.decode(schema, good) == {"id": "shard-abc", "n": 7}
+    for cut in range(1, len(good)):
+        if cut in (len(good),):
+            continue
+        try:
+            out = pw.decode(schema, good[:cut])
+        except ValueError:
+            continue  # rejected: correct
+        # any successful decode of a prefix must NOT contain a truncated id
+        assert out.get("id") in (None, "shard-abc"), (cut, out)
