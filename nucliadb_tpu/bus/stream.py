@@ -141,7 +141,7 @@ class EmbeddedBus:
             ).fetchone()
             if row is None:
                 return None
-            seq, subject, payload, deliveries, leased_until, _ = row
+            seq, msg_subject, payload, deliveries, leased_until, _ = row
             if leased_until is not None and leased_until >= now:
                 return None  # earliest message in flight: hold ordering
             if deliveries >= MAX_DELIVERIES:
@@ -152,18 +152,20 @@ class EmbeddedBus:
                     " DO UPDATE SET acked=1",
                     (stream, consumer, seq, deliveries),
                 )
-                return self._next_unlocked_retry(stream, consumer, subject_prefix)
+                # re-enter with the ORIGINAL filters — dropping the exact
+                # subject here handed a subject-filtered consumer the next
+                # unacked message of ANY subject on the stream
+                return self.next(
+                    stream, consumer,
+                    subject_prefix=subject_prefix, subject=subject,
+                )
             self._conn.execute(
                 "INSERT INTO consumers(stream, name, seq, deliveries, leased_until)"
                 " VALUES(?,?,?,?,?) ON CONFLICT(stream, name, seq)"
                 " DO UPDATE SET deliveries = deliveries + 1, leased_until = excluded.leased_until",
                 (stream, consumer, seq, deliveries + 1, now + self.ack_wait),
             )
-            return BusMessage(stream, seq, subject, payload, deliveries + 1)
-
-    def _next_unlocked_retry(self, stream, consumer, subject_prefix):
-        # re-enter after skipping a poison message (lock is already held)
-        return self.next(stream, consumer, subject_prefix=subject_prefix)
+            return BusMessage(stream, seq, msg_subject, payload, deliveries + 1)
 
     def ack(self, stream: str, consumer: str, seq: int) -> None:
         with self._lock, self._conn:

@@ -94,22 +94,29 @@ class KnowledgeBoxManager:
         shard_ids = [
             self.node.create_shard(kbid, vectorsets) for _ in range(max(config.shards, 1))
         ]
-        with self.driver as txn:
-            if config.slug:
-                existing = txn.get(KB_SLUG.format(slug=config.slug))
-                if existing is not None:
-                    raise KeyError(f"kb slug already exists: {config.slug}")
-                txn.set(KB_SLUG.format(slug=config.slug), kbid.encode())
-            txn.set(
-                KB_CONFIG.format(kbid=kbid),
-                config.model_dump_json().encode(),
-            )
-            txn.set(
-                KB_SHARDS.format(kbid=kbid),
-                json.dumps(
-                    {"shards": shard_ids, "writable": 0, "counts": {s: 0 for s in shard_ids}}
-                ).encode(),
-            )
+        try:
+            with self.driver as txn:
+                if config.slug:
+                    existing = txn.get(KB_SLUG.format(slug=config.slug))
+                    if existing is not None:
+                        raise KeyError(f"kb slug already exists: {config.slug}")
+                    txn.set(KB_SLUG.format(slug=config.slug), kbid.encode())
+                txn.set(
+                    KB_CONFIG.format(kbid=kbid),
+                    config.model_dump_json().encode(),
+                )
+                txn.set(
+                    KB_SHARDS.format(kbid=kbid),
+                    json.dumps(
+                        {"shards": shard_ids, "writable": 0, "counts": {s: 0 for s in shard_ids}}
+                    ).encode(),
+                )
+        except KeyError:
+            # the pre-check raced another create with the same slug: the
+            # node shards made above would otherwise leak forever
+            for sid in shard_ids:
+                self.node.delete_shard(sid)
+            raise
         return kbid
 
     def get_config(self, kbid: str) -> Optional[KnowledgeBoxConfig]:

@@ -806,11 +806,20 @@ class DeviceTextEngine:
         that only need the match count pass ``need_matched=False`` and get a
         sum-only proxy (avoids downloading n_pad bytes per search).
         """
-        mask = self.build_mask(query)
+        unfiltered = (
+            query.filter is None and query.key_prefixes is None
+            and query.extra_mask is None and not query.excluded
+        )
+        # build the host mask only when a filter needs it: for the common
+        # unfiltered scored query the kernel takes the cached device base
+        # mask, and an eager build here wasted O(n_docs) host work per query
+        mask = None if unfiltered else self.build_mask(query)
         scored = bool(query.text.strip() or query.phrases)
 
         if not scored:
             # pure filter query: matched = mask; order by key
+            if mask is None:
+                mask = self.build_mask(query)
             matched = mask[: self.n_docs].copy()
             dids = np.nonzero(matched)[0][: query.top_k]
             hits = [
@@ -829,12 +838,7 @@ class DeviceTextEngine:
         all_rows = jnp.asarray(rows_np)
         all_idfs = jnp.asarray(idfs_np)
         params = jnp.asarray(params_np)
-        mask_j = (
-            self.base_mask_device()
-            if (query.filter is None and query.key_prefixes is None
-                and query.extra_mask is None and not query.excluded)
-            else jnp.asarray(mask)
-        )
+        mask_j = self.base_mask_device() if unfiltered else jnp.asarray(mask)
 
         k = min(query.top_k, self.n_pad)
         top_s, top_ic, matched = _bm25_search(

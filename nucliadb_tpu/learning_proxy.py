@@ -65,6 +65,12 @@ class LearningProxy:
         return current
 
     def delete_configuration(self, kbid: str) -> None:
+        if self.base_url:
+            # get/set proxy to the backend — delete must too, or the
+            # "deleted" config reappears on the next GET
+            resp = httpx.delete(f"{self.base_url}/config/{kbid}", timeout=10)
+            resp.raise_for_status()
+            return
         with self.driver as txn:
             txn.delete(LEARNING_KEY.format(kbid=kbid))
 
@@ -128,10 +134,16 @@ class LearningProxy:
         return self._strategies(kbid, kind)
 
     def get_strategy(self, kbid: str, kind: str, sid: str) -> Optional[dict]:
+        if self.base_url:
+            # list/add proxy to the backend — reads must too (local KV is
+            # empty when a backend owns the strategies)
+            return self.list_strategies(kbid, kind).get(sid)
         return self._strategies(kbid, kind).get(sid)
 
     def delete_strategy(self, kbid: str, kind: str, sid: str) -> bool:
         if self.base_url:
+            # reference parity: the learning API's delete path nests a
+            # '/strategies/' segment (writer/api/v1/learning_config.py:99)
             resp = httpx.delete(
                 f"{self.base_url}/{kind}_strategies/{kbid}/strategies/{sid}",
                 timeout=10,

@@ -526,6 +526,7 @@ class SearchService:
                         "semantic": request.semantic_boost,
                     },
                 )
+            full_total = len(fused)
             if request.search_after:
                 # cursor pagination, stable under concurrent writes for items
                 # that keep their fused ordering (parity: search_after.py's
@@ -585,7 +586,9 @@ class SearchService:
                 highlight_terms = tokenize(query_text)
 
             results = KnowledgeboxFindResults(
-                total=len(fused),
+                # full match count, NOT the post-cursor remainder — clients
+                # size pagination off total, which must not shrink per page
+                total=full_total,
                 page_size=request.top_k,
                 next_page=len(fused) > request.offset + request.top_k,
                 autofilters=autofilters,

@@ -76,10 +76,12 @@ def weighted_comb_sum(
         if not blocks:
             continue
         w = weights.get(source, 1.0)
-        max_score = max(b.score for b in blocks) or 1.0
+        # normalize by |max|: dividing by a NEGATIVE max (possible on
+        # unfloored dot-product legs) would flip the source's ordering
+        denom = abs(max(b.score for b in blocks)) or 1.0
         for block in blocks:
             entry = merged.get(block.block_id)
-            contribution = w * (block.score / max_score)
+            contribution = w * (block.score / denom)
             if entry is None:
                 entry = block
                 entry.fused_score = 0.0

@@ -9,6 +9,7 @@ metrics.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
 import time
@@ -22,6 +23,8 @@ from ..http import (
     HTTPError, HTTPServer, Pace, Request, Response, Router, StreamingResponse,
 )
 from .tus import TUS_HEADERS, TusError, TusManager, parse_upload_metadata
+
+logger = logging.getLogger(__name__)
 from ..ingest.processor import Processor
 from ..maindb import Driver
 from ..models.api import (
@@ -168,7 +171,10 @@ class StandaloneApp:
                 self.bus.purge_older_than("ndb_audit", 30 * 24 * 3600)
                 self._sync(force=True)
             except Exception:
-                pass
+                # the loop owns searcher sync — a silent persistent failure
+                # here would serve stale indexes with zero diagnostics
+                logger.warning("background maintenance tick failed",
+                               exc_info=True)
 
     def start_background(self, interval: float = 15.0) -> None:
         self._bg_thread = threading.Thread(
@@ -413,7 +419,12 @@ class StandaloneApp:
             # (parity: the reference's push-payload file fields; e2e
             # test_b64_file_upload creates {"files": {...}} resources)
             import base64
+            import uuid as _uuid
 
+            # rid is generated HERE so inline file fields can carry their
+            # REAL blob key in the persisted payload (a '<rid>' placeholder
+            # used to leak to clients and exports as a dangling key)
+            rid = _uuid.uuid4().hex
             inline_files: list[tuple[str, str, str, bytes]] = []
             for field, ff in payload.files.items():
                 if not ff.file.payload:
@@ -426,10 +437,10 @@ class StandaloneApp:
                     (field, ff.file.filename or field, ff.file.content_type, data)
                 )
                 ff.file.payload = None  # blob stored separately, not in KV
-                ff.file.key = f"blobs/{kbid}/<rid>/{field}"
+                ff.file.key = f"blobs/{kbid}/{rid}/{field}"
                 ff.file.size = len(data)
             try:
-                rid, seq = self.processor.create_resource(kbid, payload)
+                rid, seq = self.processor.create_resource(kbid, payload, rid=rid)
             except KeyError as e:
                 raise HTTPError(409, str(e))
             for field, filename, content_type, data in inline_files:
@@ -664,11 +675,15 @@ class StandaloneApp:
         ):
             r.add("OPTIONS", pattern, _tus_options)
 
-        def _tus_create(request: Request, kbid: str, rid: str, field: str,
-                        deterministic: bool) -> Response:
+        def _tus_validate(request: Request) -> tuple[int, dict]:
+            """TUS header validation, side-effect free — callers that create
+            state first (KB-level implicit resource) validate BEFORE it."""
             size = -1
             if "upload-length" in request.headers:
-                size = int(request.headers["upload-length"])
+                try:
+                    size = int(request.headers["upload-length"])
+                except ValueError:
+                    raise HTTPError(400, "invalid Upload-Length")
             elif request.headers.get("upload-defer-length") != "1":
                 raise HTTPError(400, "Upload-Length or Upload-Defer-Length: 1 required")
             try:
@@ -677,6 +692,11 @@ class StandaloneApp:
                 )
             except TusError as e:
                 raise HTTPError(e.status, e.detail)
+            return size, metadata
+
+        def _tus_create(request: Request, kbid: str, rid: str, field: str,
+                        deterministic: bool) -> Response:
+            size, metadata = _tus_validate(request)
             session = self.tus.create(
                 kbid, rid, field, size=size, metadata=metadata,
                 deterministic=deterministic,
@@ -714,6 +734,7 @@ class StandaloneApp:
             """KB-level TUS: implicitly creates the resource the upload
             lands on (parity: upload.py tus_post → store_file_on_nuclia_db)."""
             kbid = self._kbid(request)
+            _tus_validate(request)  # bad TUS headers must not orphan a resource
             item = request.json() if request.body else {}
             payload = _validate(CreateResourcePayload, item or {})
             if not payload.title:
@@ -1856,7 +1877,9 @@ class StandaloneApp:
             from ..common.export_import import export_kb
 
             kbid = self._kbid(request)
-            return 200, export_kb(self.kbs, self.processor, kbid)
+            return 200, export_kb(
+                self.kbs, self.processor, kbid, self.node.storage
+            )
 
         @r.post("/api/v1/kbs/import")
         def import_(request: Request):
@@ -1864,7 +1887,7 @@ class StandaloneApp:
 
             kbid = import_kb(
                 self.kbs, self.processor, request.body,
-                slug=request.query.get("slug"),
+                slug=request.query.get("slug"), storage=self.node.storage,
             )
             return 201, {"uuid": kbid}
 
@@ -1880,7 +1903,7 @@ class StandaloneApp:
             export_id = uuid.uuid4().hex
             self.node.storage.put(
                 f"exports/{kbid}/{export_id}",
-                export_kb(self.kbs, self.processor, kbid),
+                export_kb(self.kbs, self.processor, kbid, self.node.storage),
             )
             return 201, {"export_id": export_id}
 
@@ -1905,7 +1928,10 @@ class StandaloneApp:
             from ..common.export_import import import_kb
 
             kbid = self._kbid(request)
-            import_kb(self.kbs, self.processor, request.body, kbid=kbid)
+            import_kb(
+                self.kbs, self.processor, request.body, kbid=kbid,
+                storage=self.node.storage,
+            )
             import_id = uuid.uuid4().hex
             self._imports_done.add(import_id)
             return 200, {"import_id": import_id}

@@ -59,7 +59,7 @@ def main(argv=None) -> int:
     if args.command == "export-kb":
         from .common.export_import import export_kb
 
-        blob = export_kb(kbs, processor, args.kbid)
+        blob = export_kb(kbs, processor, args.kbid, node.storage)
         with open(args.out, "wb") as f:
             f.write(blob)
         print(f"exported {args.kbid}: {len(blob)} bytes -> {args.out}")
@@ -68,7 +68,7 @@ def main(argv=None) -> int:
 
         with open(args.path, "rb") as f:
             blob = f.read()
-        kbid = import_kb(kbs, processor, blob, slug=args.slug)
+        kbid = import_kb(kbs, processor, blob, slug=args.slug, storage=node.storage)
         node.wait_for_sync()
         print(f"imported -> {kbid}")
     elif args.command == "list-kbs":

@@ -2113,3 +2113,65 @@ def test_required_role_reader_posts():
         "/api/v1/kb/k1/resource/r1/reindex",
     ):
         assert required_role("POST", path) == "WRITER", path
+
+
+def test_export_roundtrips_vocab_and_blobs(server):
+    """Regression: export used to serialize only config + resources —
+    labelsets, entity groups, synonyms, learning config and file BLOBS were
+    silently dropped (permanent data loss on the advertised backup path)."""
+    import base64 as _b64
+
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "exportfull"}).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/labelset/ls1",
+        json={"title": "LS", "labels": [{"title": "a"}]},
+    )
+    client.post(
+        f"/api/v1/kb/{kbid}/entitiesgroup/PEOPLE",
+        json={"title": "People", "entities": {"ada": {"value": "ada"}}},
+    )
+    client.post(
+        f"/api/v1/kb/{kbid}/custom-synonyms",
+        json={"car": ["auto"]},
+    )
+    data = b"PDF-BYTES-HERE"
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "title": "withfile",
+            "files": {
+                "f1": {
+                    "file": {
+                        "filename": "doc.bin",
+                        "content_type": "application/octet-stream",
+                        "payload": _b64.b64encode(data).decode(),
+                    }
+                }
+            },
+        },
+    ).json()["uuid"]
+    # the persisted payload must carry the REAL blob key (no '<rid>')
+    shown = client.get(
+        f"/api/v1/kb/{kbid}/resource/{rid}", params={"show": "values"}
+    ).json()
+    key = shown["files"]["f1"]["file"]["key"]
+    assert "<rid>" not in key and rid in key
+
+    blob = client.get(f"/api/v1/kb/{kbid}/export").content
+    imported = client.post("/api/v1/kbs/import?slug=exportfull-copy", content=blob)
+    new_kbid = imported.json()["uuid"]
+
+    assert client.get(
+        f"/api/v1/kb/{new_kbid}/labelset/ls1"
+    ).json()["labels"][0]["title"] == "a"
+    assert "PEOPLE" in client.get(
+        f"/api/v1/kb/{new_kbid}/entitiesgroups"
+    ).json()["groups"]
+    syn = client.get(f"/api/v1/kb/{new_kbid}/custom-synonyms").json()
+    assert (syn.get("synonyms") or syn)["car"] == ["auto"]
+    # the blob came across and is downloadable from the NEW kb
+    dl = client.get(
+        f"/api/v1/kb/{new_kbid}/resource/{rid}/file/f1/download/field"
+    )
+    assert dl.status_code == 200 and dl.content == data
