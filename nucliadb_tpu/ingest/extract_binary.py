@@ -120,6 +120,7 @@ def rtf_text(data: bytes) -> Optional[str]:
         out: list[str] = []
         skip_depth = 0  # depth of the group being skipped (0 = not skipping)
         depth = 0
+        uc_skip = 1  # \ucN: ANSI fallback chars following each \uN (default 1)
         i = 0
         n = len(s)
         while i < n:
@@ -144,9 +145,22 @@ def rtf_text(data: bytes) -> Optional[str]:
                     elif word == "tab":
                         if not skip_depth:
                             out.append("\t")
+                    elif word == "uc" and m.group(2) is not None:
+                        uc_skip = max(0, int(m.group(2)))
                     elif word == "u" and m.group(2) is not None:
                         if not skip_depth:
                             out.append(chr(int(m.group(2)) & 0xFFFF))
+                        i += m.end()
+                        # the \uN scalar is followed by \ucN ANSI fallback
+                        # chars (plain or \'xx) that must NOT be emitted too
+                        for _ in range(uc_skip):
+                            if s[i : i + 2] == "\\'":
+                                i += 4
+                            elif i < n and s[i] not in "{}\\":
+                                i += 1
+                            else:
+                                break
+                        continue
                     i += m.end()
                 elif s[i + 1 : i + 2] == "'":
                     if not skip_depth:

@@ -287,7 +287,10 @@ class NucliaDBClient:
         self._raise(resp)
         location = resp.headers["location"]
         offset = 0
-        while offset < len(data):
+        stalled = 0  # consecutive attempts without progress
+        # at least one PATCH always goes out: the server only finalizes the
+        # upload (blob + file-field record) inside PATCH, including size 0
+        while True:
             chunk = data[offset : offset + chunk_size]
             try:
                 resp = self._client.patch(
@@ -300,11 +303,20 @@ class NucliaDBClient:
                     },
                 )
                 self._raise(resp)
-                offset = int(resp.headers["upload-offset"])
+                new_offset = int(resp.headers["upload-offset"])
             except (httpx.TransportError,):
                 head = self._client.request("HEAD", location)
                 self._raise(head)
-                offset = int(head.headers["upload-offset"])
+                new_offset = int(head.headers["upload-offset"])
+            stalled = 0 if new_offset > offset else stalled + 1
+            if stalled >= 5:
+                raise RuntimeError(
+                    f"tus upload stalled at offset {new_offset}/{len(data)} "
+                    "after 5 attempts without progress"
+                )
+            offset = new_offset
+            if offset >= len(data):
+                break
 
     def download_file(self, kbid: str, rid: str, field: str) -> bytes:
         resp = self._client.get(

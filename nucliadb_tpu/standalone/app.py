@@ -54,6 +54,9 @@ from ..version import __version__
 
 _CO_GAUGES = None
 
+# local text extraction reads the whole blob; larger uploads skip it
+_EXTRACT_MAX_BYTES = 64 << 20
+
 
 def _coalescer_gauges():
     """Process-wide gauges (created once: prometheus_client raises on
@@ -672,6 +675,7 @@ class StandaloneApp:
             "/api/v1/kb/{kbid}/resource/{rid}/file/{field}/tusupload",
             "/api/v1/kb/{kbid}/resource/{rid}/file/{field}/tusupload/{upload_id}",
             "/api/v1/kb/{kbid}/slug/{rslug}/file/{field}/tusupload",
+            "/api/v1/kb/{kbid}/slug/{rslug}/file/{field}/tusupload/{upload_id}",
         ):
             r.add("OPTIONS", pattern, _tus_options)
 
@@ -791,19 +795,25 @@ class StandaloneApp:
             }
             if finished:
                 headers["Tus-Upload-Finished"] = "1"
-                blob = self.node.storage.get(
-                    f"blobs/{kbid}/{session.rid}/{session.field}"
-                )
-                _extract_and_index(
-                    kbid, session.rid, session.field, session.filename,
-                    session.content_type, blob,
-                )
+                # extraction loads the blob into memory — skip huge uploads
+                # (text-bearing documents are small; multi-GB blobs are media)
+                if session.offset <= _EXTRACT_MAX_BYTES:
+                    blob = self.node.storage.get(
+                        f"blobs/{kbid}/{session.rid}/{session.field}"
+                    )
+                    _extract_and_index(
+                        kbid, session.rid, session.field, session.filename,
+                        session.content_type, blob,
+                    )
                 self._notify(kbid, session.rid, "modified", None)
             return Response(status=204, headers=headers)
 
         for pattern in (
             "/api/v1/kb/{kbid}/tusupload/{upload_id}",
             "/api/v1/kb/{kbid}/resource/{rid}/file/{field}/tusupload/{upload_id}",
+            # slug-form creation returns a slug-form Location; PATCH/HEAD
+            # must resolve against it or the upload can never proceed
+            "/api/v1/kb/{kbid}/slug/{rslug}/file/{field}/tusupload/{upload_id}",
         ):
             r.add("HEAD", pattern, _tus_head)
             r.add("PATCH", pattern, _tus_patch)

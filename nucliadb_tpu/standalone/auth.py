@@ -123,7 +123,12 @@ def required_role(method: str, path: str) -> Optional[str]:
         or path.startswith("/health")
     ):
         return None
-    if method in ("GET", "HEAD", "OPTIONS"):
+    if method == "OPTIONS":
+        # CORS preflights carry no credentials (browsers strip them) and
+        # trigger no action; requiring a role here locks out every
+        # cross-origin client regardless of its keys
+        return None
+    if method in ("GET", "HEAD"):
         return MANAGER if _MANAGER_GET_RE.match(path) else READER
     if method == "POST" and _READER_POST_RE.match(path):
         return READER

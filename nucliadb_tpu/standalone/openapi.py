@@ -92,10 +92,7 @@ def _ref_schema(model: type[BaseModel], components: dict[str, Any]) -> dict[str,
 def build_openapi(router: Router, title: str = "nucliadb_tpu") -> dict[str, Any]:
     components: dict[str, Any] = {}
     paths: dict[str, dict[str, Any]] = {}
-    for method, regex, handler in router.routes:
-        # recover the template from the compiled regex
-        template = regex.pattern[1:-1]
-        template = re.sub(r"\(\?P<(\w+)>\[\^/\]\+\)", r"{\1}", template)
+    for (method, _regex, handler), template in zip(router.routes, router.templates):
         op: dict[str, Any] = {
             "operationId": f"{method.lower()}_{handler.__name__}",
             "tags": [_tag_for(template)],

@@ -17,9 +17,11 @@ from __future__ import annotations
 import base64
 import hashlib
 import json
+import re
 import threading
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 from typing import Optional
 
@@ -39,6 +41,8 @@ BLOB_KEY = "blobs/{kbid}/{rid}/{field}"
 
 # stale sessions are garbage-collected after this many seconds
 SESSION_TTL = 24 * 3600
+
+_TUS_SESSION_KEY_RE = re.compile(r"^/kbs/[^/]+/tus/[^/]+$")
 
 
 class TusError(Exception):
@@ -101,12 +105,25 @@ class TusManager:
         self.storage = storage
         self._mutex = threading.Lock()  # guards the session-lock map only
         # per-upload locks: chunk PUTs can take seconds on cloud backends;
-        # one global lock would serialize unrelated uploads
-        self._session_locks: dict[str, threading.Lock] = {}
+        # one global lock would serialize unrelated uploads. Entries are
+        # refcounted so the map can shrink without ever letting two threads
+        # hold DIFFERENT locks for the same upload id (popping the lock while
+        # another thread is still blocked on it would allow exactly that).
+        self._session_locks: dict[str, list] = {}  # id -> [Lock, refcount]
 
-    def _session_lock(self, upload_id: str) -> threading.Lock:
+    @contextmanager
+    def _session_lock(self, upload_id: str):
         with self._mutex:
-            return self._session_locks.setdefault(upload_id, threading.Lock())
+            entry = self._session_locks.setdefault(upload_id, [threading.Lock(), 0])
+            entry[1] += 1
+        try:
+            with entry[0]:
+                yield
+        finally:
+            with self._mutex:
+                entry[1] -= 1
+                if entry[1] <= 0:
+                    self._session_locks.pop(upload_id, None)
 
     # ---- session lifecycle ------------------------------------------------
 
@@ -192,22 +209,33 @@ class TusManager:
         blob_key = BLOB_KEY.format(
             kbid=session.kbid, rid=session.rid, field=session.field
         )
-        data = b"".join(
-            self.storage.get(
-                CHUNK_KEY.format(
-                    kbid=session.kbid, upload_id=session.upload_id, index=i
+        # stream chunk-by-chunk (md5 computed incrementally): a multi-GB
+        # upload must never be materialized as one bytes object here
+        digest = hashlib.md5()
+
+        def chunk_iter():
+            for i in range(session.chunks):
+                chunk = self.storage.get(
+                    CHUNK_KEY.format(
+                        kbid=session.kbid, upload_id=session.upload_id, index=i
+                    )
                 )
-            )
-            for i in range(session.chunks)
-        )
-        if session.md5 and hashlib.md5(data).hexdigest() != session.md5:
+                digest.update(chunk)
+                yield chunk
+
+        put_stream = getattr(self.storage, "put_stream", None)
+        if put_stream is not None:
+            put_stream(blob_key, chunk_iter())
+        else:
+            self.storage.put(blob_key, b"".join(chunk_iter()))
+        if session.md5 and digest.hexdigest() != session.md5:
+            self.storage.delete(blob_key)
             self._purge_chunks(session)
             with self.driver as txn:
                 txn.delete(
                     TUS_KEY.format(kbid=session.kbid, upload_id=session.upload_id)
                 )
             raise TusError(412, "md5 checksum mismatch")
-        self.storage.put(blob_key, data)
         with self.driver as txn:
             txn.set(
                 FILE_FIELD_KEY.format(
@@ -218,15 +246,13 @@ class TusManager:
                         "key": blob_key,
                         "filename": session.filename,
                         "content_type": session.content_type,
-                        "size": len(data),
+                        "size": session.offset,
                         "language": session.language,
                     }
                 ).encode(),
             )
             txn.delete(TUS_KEY.format(kbid=session.kbid, upload_id=session.upload_id))
         self._purge_chunks(session)
-        with self._mutex:
-            self._session_locks.pop(session.upload_id, None)
 
     def _purge_chunks(self, session: TusSession) -> None:
         prefix = f"tus/{session.kbid}/{session.upload_id}/"
@@ -242,12 +268,18 @@ class TusManager:
         purged = 0
         with self.driver as txn:
             for key in list(txn.keys("/kbs/")):
-                if "/tus/" not in key:
+                # exact session-key shape only: other /kbs/ keys (e.g. a
+                # resource slug containing '/tus/') must not be parsed as
+                # sessions — a raising parse would abort the whole gc tick
+                if not _TUS_SESSION_KEY_RE.match(key):
                     continue
                 raw = txn.get(key)
                 if raw is None:
                     continue
-                session = TusSession.from_json(raw)
+                try:
+                    session = TusSession.from_json(raw)
+                except Exception:
+                    continue
                 if now - session.created > SESSION_TTL:
                     self._purge_chunks(session)
                     txn.delete(key)

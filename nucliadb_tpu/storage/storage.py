@@ -72,6 +72,17 @@ class LocalStorage:
             f.write(data)
         os.replace(tmp, path)
 
+    def put_stream(self, key: str, chunks: Iterable[bytes]) -> None:
+        """Write an object from an iterator without materializing it
+        (TUS finalize concatenates multi-GB uploads through this)."""
+        path = self._path(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            for chunk in chunks:
+                f.write(chunk)
+        os.replace(tmp, path)
+
     def get(self, key: str) -> bytes:
         try:
             with open(self._path(key), "rb") as f:

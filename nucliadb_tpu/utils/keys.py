@@ -16,7 +16,14 @@ from __future__ import annotations
 import bisect
 from typing import Iterable, Sequence
 
-_SENTINEL = "￿"
+def _subtree_hi(prefix_slash: str) -> str:
+    """Exclusive upper bound for all keys starting with ``prefix + '/'``.
+
+    Incrementing the trailing '/' (0x2F) to '0' (0x30) bounds the subtree
+    exactly for every following code point — a U+FFFF sentinel would exclude
+    keys whose next character is an astral-plane code point (> U+FFFF).
+    """
+    return prefix_slash[:-1] + "0"
 
 
 def key_matches_prefix(key: str, prefix: str) -> bool:
@@ -41,11 +48,11 @@ def key_prefix_ranges(
     runs = bounds if bounds is not None else [(0, len(sorted_keys))]
     for prefix in prefixes:
         if prefix.endswith("/"):
-            spans = [(prefix, prefix + _SENTINEL)]
+            spans = [(prefix, _subtree_hi(prefix))]
         else:
             # exact key, then the '/' subtree (keys sorting between them,
             # like 'rid/f1!', are correctly excluded)
-            spans = [(prefix, prefix + "\x00"), (prefix + "/", prefix + "/" + _SENTINEL)]
+            spans = [(prefix, prefix + "\x00"), (prefix + "/", _subtree_hi(prefix + "/"))]
         for run_lo, run_hi in runs:
             for lo_key, hi_key in spans:
                 lo = bisect.bisect_left(sorted_keys, lo_key, run_lo, run_hi)

@@ -164,3 +164,20 @@ def test_upload_docx_becomes_searchable(tmp_path):
     search = SearchService(node, kbs, processor)
     out = search.find(kbid, FindRequest(query="findable docx", features=[SearchFeature.KEYWORD]))
     assert rid in out.resources
+
+
+def test_rtf_unicode_fallback_skipped():
+    """Regression: \\uN emitted the Unicode scalar AND the \\ucN ANSI
+    fallback that follows it ('?' after every non-Latin char)."""
+    from nucliadb_tpu.ingest.extract_binary import rtf_text
+
+    rtf = rb"{\rtf1\ansi\uc1 day \u26085? and \u-3913\'3f end}"
+    out = rtf_text(rtf)
+    assert chr(26085) in out  # U+65E5
+    assert chr((-3913) & 0xFFFF) in out  # signed 16-bit wrap
+    assert "?" not in out  # fallback chars not duplicated into the text
+    assert "day" in out and "and" in out and "end" in out
+
+    # \uc0 declares no fallback chars: nothing may be skipped
+    out0 = rtf_text(rb"{\rtf1\ansi\uc0\u26085 x}")
+    assert chr(26085) in out0 and "x" in out0

@@ -433,3 +433,27 @@ def test_rollover_with_concurrent_writes(tmp_path):
     assert not missing, f"lost {len(missing)}/{len(written)} racing writes"
     for rid in processor.list_resources(kbid):
         assert processor.get_meta(kbid, rid).shard in new_shards
+
+
+def test_key_prefix_ranges_astral_plane():
+    """Regression: the U+FFFF sentinel upper bound excluded keys whose first
+    character after the prefix is an astral-plane code point (> U+FFFF), so
+    deletion masks / prefilters missed e.g. emoji-named fields."""
+    from nucliadb_tpu.utils.keys import key_matches_prefix, key_prefix_ranges
+
+    emoji_key = "rid/t/\U0001f600notes/0-10"
+    keys = sorted([emoji_key, "rid/t/plain/0-5", "rid/t", "rid/t0/x", "rid/tz"])
+
+    def matched(prefixes):
+        got = set()
+        for lo, hi in key_prefix_ranges(keys, prefixes):
+            got.update(keys[lo:hi])
+        return got
+
+    got = matched(["rid/t"])
+    assert got == {k for k in keys if key_matches_prefix(k, "rid/t")}
+    assert emoji_key in got and "rid/t0/x" not in got and "rid/tz" not in got
+
+    got_slash = matched(["rid/t/"])
+    assert emoji_key in got_slash and "rid/t" not in got_slash
+    assert "rid/t0/x" not in got_slash

@@ -2115,6 +2115,75 @@ def test_required_role_reader_posts():
         assert required_role("POST", path) == "WRITER", path
 
 
+def test_required_role_options_open():
+    """Regression: OPTIONS required READER, which broke credential-less CORS
+    preflights under every authenticated policy (browsers never attach
+    credentials to preflights)."""
+    from nucliadb_tpu.standalone.auth import required_role
+
+    for path in (
+        "/api/v1/kb/k1/resource/r1/file/f1/tusupload",
+        "/api/v1/kb/k1/find",
+        "/api/v1/kbs",
+    ):
+        assert required_role("OPTIONS", path) is None, path
+    # non-preflight methods keep their roles
+    assert required_role("GET", "/api/v1/kb/k1/resource/r1") == "READER"
+    assert required_role("POST", "/api/v1/kbs") == "MANAGER"
+
+
+def test_tus_slug_upload_and_purge_robustness(server):
+    """Regressions: (1) slug-form TUS creation returned a Location with no
+    PATCH/HEAD route registered, so the upload could never proceed;
+    (2) purge_stale parsed ANY /kbs/ key containing '/tus/' as a session and
+    crashed the whole gc tick on e.g. a resource slug 'a/tus/b'."""
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "tus-slug-kb"}).json()["uuid"]
+    # poisoned slug: writes /kbs/{kbid}/rslugs/a/tus/b with non-JSON value
+    client.post(
+        f"/api/v1/kb/{kbid}/resources", json={"title": "p", "slug": "a/tus/b"}
+    )
+    client.post(
+        f"/api/v1/kb/{kbid}/resources", json={"title": "s", "slug": "slugres"}
+    ).json()["uuid"]
+
+    base = f"/api/v1/kb/{kbid}/slug/slugres/file/doc/tusupload"
+    data = b"slug-routed tus payload"
+    created = client.post(
+        base,
+        headers={"tus-resumable": "1.0.0", "upload-length": str(len(data))},
+    )
+    assert created.status_code == 201, created.text
+    loc = created.headers["location"]
+    assert "/slug/slugres/" in loc
+
+    head = client.request("HEAD", loc)
+    assert head.status_code == 200 and head.headers["upload-offset"] == "0"
+
+    patched = client.patch(
+        loc,
+        content=data,
+        headers={
+            "tus-resumable": "1.0.0",
+            "upload-offset": "0",
+            "content-type": "application/offset+octet-stream",
+        },
+    )
+    assert patched.status_code == 204, patched.text
+    assert patched.headers.get("tus-upload-finished") == "1"
+
+    rid = client.get(f"/api/v1/kb/{kbid}/slug/slugres").json()["id"]
+    got = client.get(
+        f"/api/v1/kb/{kbid}/resource/{rid}/file/doc/download"
+    )
+    assert got.status_code == 200 and got.content == data
+
+    # the gc tick must survive the poisoned key and purge nothing fresh
+    assert app.tus.purge_stale() == 0
+    # refcounted session locks drain once uploads settle
+    assert app.tus._session_locks == {}
+
+
 def test_export_roundtrips_vocab_and_blobs(server):
     """Regression: export used to serialize only config + resources —
     labelsets, entity groups, synonyms, learning config and file BLOBS were

@@ -205,6 +205,9 @@ def test_sdk_against_server(tmp_path):
         kb.uuid, created.uuid, "big", big, filename="big.bin", chunk_size=1024
     )
     assert client.download_file(kb.uuid, created.uuid, "big") == big
+    # regression: zero-byte uploads must still send the finalizing PATCH
+    client.tus_upload(kb.uuid, created.uuid, "empty", b"", filename="e.bin")
+    assert client.download_file(kb.uuid, created.uuid, "empty") == b""
 
     # notifications: cursor + live SSE stream
     notes = client.notifications(kb.uuid)
