@@ -4,8 +4,8 @@ from __future__ import annotations
 
 import asyncio
 import json
+import logging
 import re
-import traceback
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Awaitable, Callable, Optional
@@ -88,10 +88,16 @@ def _compile(pattern: str) -> re.Pattern:
 
 _STATUS_TEXT = {
     200: "OK", 201: "Created", 204: "No Content",
-    401: "Unauthorized", 403: "Forbidden", 404: "Not Found",
-    409: "Conflict", 412: "Precondition Failed", 422: "Unprocessable Entity",
+    400: "Bad Request", 401: "Unauthorized", 403: "Forbidden",
+    404: "Not Found", 409: "Conflict", 412: "Precondition Failed",
+    413: "Payload Too Large", 422: "Unprocessable Entity",
     429: "Too Many Requests", 500: "Internal Server Error",
 }
+
+logger = logging.getLogger("nucliadb_tpu.http")
+
+# distinct from None so a generator yielding None isn't misread as EOF
+_STREAM_END = object()
 
 
 class Router:
@@ -179,13 +185,27 @@ class HTTPServer:
                     request = await self._read_request(reader)
                 except (asyncio.IncompleteReadError, ConnectionError):
                     break
+                except HTTPError as e:
+                    # malformed request line / oversized body: answer, then
+                    # close (the stream position can no longer be trusted)
+                    await self._write_response(
+                        writer, e.status,
+                        json.dumps({"detail": e.detail}).encode(), False,
+                    )
+                    break
+                except ValueError:
+                    await self._write_response(
+                        writer, 400,
+                        json.dumps({"detail": "malformed request"}).encode(), False,
+                    )
+                    break
                 if request is None:
                     break
                 status, payload = await self._dispatch(request)
                 keep_alive = request.headers.get("connection", "keep-alive") != "close"
                 if isinstance(payload, StreamingResponse):
-                    await self._write_streaming(writer, payload, keep_alive)
-                    if not keep_alive:
+                    completed = await self._write_streaming(writer, payload, keep_alive)
+                    if not keep_alive or not completed:
                         break
                     continue
                 is_head = request.method == "HEAD"
@@ -225,7 +245,10 @@ class HTTPServer:
                 break
             name, _, value = hline.decode("latin1").partition(":")
             headers[name.strip().lower()] = value.strip()
-        length = int(headers.get("content-length", 0))
+        try:
+            length = int(headers.get("content-length", 0))
+        except ValueError:
+            raise HTTPError(400, "invalid Content-Length")
         if length > MAX_BODY:
             raise HTTPError(413, "body too large")
         body = await reader.readexactly(length) if length else b""
@@ -275,13 +298,16 @@ class HTTPServer:
         except ValueError as e:
             return 422, json.dumps({"detail": str(e)}).encode()
         except Exception:
-            return 500, json.dumps(
-                {"detail": "internal error", "traceback": traceback.format_exc()}
-            ).encode()
+            # log server-side; never leak tracebacks/paths to remote callers
+            logger.exception(
+                "unhandled error serving %s %s", request.method, request.path
+            )
+            return 500, json.dumps({"detail": "internal error"}).encode()
 
     async def _write_streaming(
         self, writer: asyncio.StreamWriter, resp: StreamingResponse, keep_alive: bool
-    ) -> None:
+    ) -> bool:
+        """Returns True iff the stream completed (terminator written)."""
         text = _STATUS_TEXT.get(resp.status, "Unknown")
         head = (
             f"HTTP/1.1 {resp.status} {text}\r\n"
@@ -296,11 +322,16 @@ class HTTPServer:
         loop = asyncio.get_running_loop()
         while True:
             try:
-                chunk = await loop.run_in_executor(self._pool, next, resp.chunks, None)
+                chunk = await loop.run_in_executor(self._pool, next, resp.chunks, _STREAM_END)
             except Exception:
-                chunk = None
-            if chunk is None:
+                # abort WITHOUT the chunked terminator: the client must see
+                # truncation, not a cleanly completed response
+                logger.exception("streaming response producer failed")
+                return False
+            if chunk is _STREAM_END:
                 break
+            if chunk is None:
+                continue
             if isinstance(chunk, Pace):
                 await asyncio.sleep(chunk.seconds)
                 continue
@@ -311,9 +342,10 @@ class HTTPServer:
             try:
                 await writer.drain()
             except ConnectionError:
-                return
+                return False
         writer.write(b"0\r\n\r\n")
         await writer.drain()
+        return True
 
     async def _write_response(
         self, writer: asyncio.StreamWriter, status: int, payload: bytes, keep_alive: bool,

@@ -178,27 +178,49 @@ class ParagraphSearcher:
         fetch_k = request.top_k + request.offset
         if phrases:
             fetch_k = max(fetch_k * 4, 50)
-        q = TextQuery(
-            text=rest,
-            phrases=phrases,
-            excluded=excluded,
-            top_k=fetch_k,
-            fuzzy=request.fuzzy,
-            filter=request.filter,
-            extra_mask=extra_mask,
-            min_score=request.min_score,
-            all_terms=request.all_terms,
-        )
-        from ..text_engine.batcher import coalescer
-
-        if coalescer.eligible(q):
-            # concurrent unfiltered keyword queries share one device
-            # dispatch (each dispatch costs a full relay round trip)
-            hits, matched = coalescer.search_one(self.engine, q)
-        else:
-            hits, matched = self.engine.search(q, need_matched=False)
-
         phrase_terms = [tokenize(p) for p in phrases]
+
+        def _run(k: int):
+            q = TextQuery(
+                text=rest,
+                phrases=phrases,
+                excluded=excluded,
+                top_k=k,
+                fuzzy=request.fuzzy,
+                filter=request.filter,
+                extra_mask=extra_mask,
+                min_score=request.min_score,
+                all_terms=request.all_terms,
+            )
+            from ..text_engine.batcher import coalescer
+
+            if phrases:
+                # the exact corpus-wide total needs the matched bitmap,
+                # which the coalescer's count-only path cannot return
+                return self.engine.search(q, need_matched=True)
+            if coalescer.eligible(q):
+                # concurrent unfiltered keyword queries share one device
+                # dispatch (each dispatch costs a full relay round trip)
+                return coalescer.search_one(self.engine, q)
+            return self.engine.search(q, need_matched=False)
+
+        # grow the fetch window until the requested page is filled with
+        # phrase-verified hits (or the candidate set is exhausted) — a fixed
+        # 4x over-fetch silently truncated deep pagination
+        while True:
+            hits, matched = _run(fetch_k)
+            hit_docs = [h.doc_id for h in hits]
+            phrase_ok = [True] * len(hits)
+            for pt in phrase_terms:
+                for i, ok in enumerate(self.engine.phrase_match_many(hit_docs, pt)):
+                    phrase_ok[i] = phrase_ok[i] and ok
+            if not phrases:
+                break
+            if sum(phrase_ok) >= request.offset + request.top_k:
+                break
+            if len(hits) < fetch_k or fetch_k >= self.engine.n_docs:
+                break  # every kernel-matched candidate already fetched
+            fetch_k = min(fetch_k * 2, self.engine.n_docs)
         # ematch verification runs on the positive query terms only (in
         # their original order) — excluded (-term) tokens are not part of
         # the exact-match phrase
@@ -207,13 +229,6 @@ class ParagraphSearcher:
         out: list[ParagraphHit] = []
         ematches: list[str] = []
         n_groups = len(set(query_tokens))
-        hit_docs = [h.doc_id for h in hits]
-        # quoted phrases: batch-verify each phrase over all hits (native
-        # GIL-free path when built)
-        phrase_ok = [True] * len(hits)
-        for pt in phrase_terms:
-            for i, ok in enumerate(self.engine.phrase_match_many(hit_docs, pt)):
-                phrase_ok[i] = phrase_ok[i] and ok
         # ematch: the full query appears as a consecutive phrase (parity
         # intent: nidx_paragraph exact-match detection). The kernel's
         # per-hit matched-term count prunes the verification: a doc counting
@@ -257,7 +272,22 @@ class ParagraphSearcher:
             )
             if ematch:
                 ematches.append(h.key)
-        total = len(out) if phrases else int(matched.sum())
+        if phrases and isinstance(matched, np.ndarray):
+            # exact corpus-wide total: phrase-verify every kernel-matched
+            # candidate, not just the fetched window (the window-capped
+            # count collapsed pagination as soon as a phrase was added)
+            cand_docs = np.nonzero(matched)[0].tolist()
+            n_cand = len(cand_docs)
+            ok = np.ones(n_cand, dtype=bool)
+            for pt in phrase_terms:
+                ok &= np.fromiter(
+                    self.engine.phrase_match_many(cand_docs, pt), bool, n_cand
+                )
+            total = int(ok.sum())
+        elif phrases:
+            total = len(out)
+        else:
+            total = int(matched.sum())
         out = out[request.offset : request.offset + request.top_k]
         return ParagraphSearchResponse(
             hits=out, total=total, ematches=ematches, query_terms=query_tokens

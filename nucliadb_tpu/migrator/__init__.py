@@ -80,8 +80,11 @@ def migration_lock(driver: Driver, *, timeout: float = 30.0):
         return json.dumps({"owner": owner, "expires": expires}).encode()
 
     deadline = time.time() + timeout
-    current = lease(time.time() + LOCK_TTL)
     while True:
+        # the lease expiry must be stamped at ACQUISITION time — stamping it
+        # once before a contended wait would install an already-(nearly-)
+        # expired lease that a third process could immediately steal
+        current = lease(time.time() + LOCK_TTL)
         with driver as txn:
             raw = txn.get(LOCK_KEY)
         if raw is None:

@@ -44,7 +44,9 @@ def _reindex_stale_vector_formats(ctx: MigrationContext, kbid: str) -> None:
             if idx.kind != "vector":
                 continue
             for seg in ctx.node.metadata.ready_segments(idx.id):
-                fmt = seg.index_metadata.get("format_version", FORMAT_VERSION)
+                # unversioned (pre-versioning) segments are exactly the
+                # stale population — default must be 0, not current
+                fmt = seg.index_metadata.get("format_version", 0)
                 if fmt < FORMAT_VERSION:
                     rollover_kb(ctx.kbs, ctx.processor, ctx.node, kbid)
                     return

@@ -302,8 +302,17 @@ class FindRequest(BaseModel):
         if isinstance(ms, dict):
             data.setdefault("min_score_bm25", ms.get("bm25"))
             data.setdefault("min_score_semantic", ms.get("semantic"))
+        elif isinstance(ms, str):
+            # pydantic-style numeric coercion: honor "0.5" rather than
+            # silently discarding the threshold
+            try:
+                data.setdefault("min_score_semantic", float(ms))
+            except ValueError:
+                raise ValueError(f"invalid min_score: {ms!r}")
         elif isinstance(ms, (int, float)):
             data.setdefault("min_score_semantic", ms)
+        elif ms is not None:
+            raise ValueError(f"invalid min_score: {ms!r}")
         if "page_size" in data:
             data.setdefault("top_k", data.pop("page_size"))
         if "page_number" in data:
@@ -314,6 +323,10 @@ class FindRequest(BaseModel):
         if isinstance(sort, dict):  # reference SortOptions {field, order}
             data.setdefault("sort_field", sort.get("field"))
             data.setdefault("sort_order", sort.get("order", "desc"))
+        elif isinstance(sort, str):  # bare field name spelling
+            data.setdefault("sort_field", sort)
+        elif sort is not None:
+            raise ValueError(f"invalid sort: {sort!r}")
         return data
 
     query: str = ""

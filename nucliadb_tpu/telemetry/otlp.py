@@ -20,7 +20,7 @@ from __future__ import annotations
 import threading
 import time
 import urllib.request
-from typing import TYPE_CHECKING, Iterable
+from typing import TYPE_CHECKING, Iterable, Optional
 
 from ..grpc_plane.protowire import encode
 
@@ -107,6 +107,13 @@ def span_to_proto(rec: "SpanRecord") -> dict:
     }
 
 
+def _maybe_span_proto(rec: "SpanRecord") -> Optional[dict]:
+    try:
+        return span_to_proto(rec)
+    except (ValueError, TypeError):
+        return None
+
+
 def encode_export_request(
     service_name: str, spans: Iterable["SpanRecord"]
 ) -> bytes:
@@ -125,7 +132,9 @@ def encode_export_request(
                 "scope_spans": [
                     {
                         "scope": {"name": "nucliadb_tpu.telemetry"},
-                        "spans": [span_to_proto(rec) for rec in spans],
+                        # one malformed span (bad hex id from a hostile
+                        # traceparent) must not drop the whole batch
+                        "spans": [p for p in map(_maybe_span_proto, spans) if p],
                     }
                 ],
             }

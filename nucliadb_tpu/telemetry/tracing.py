@@ -23,6 +23,7 @@ from __future__ import annotations
 import contextvars
 import os
 import random
+import re
 import threading
 import time
 from collections import deque
@@ -71,6 +72,10 @@ class SpanRecord:
 class _SpanContext:
     trace_id: str
     span_id: str
+
+
+_HEX32 = re.compile(r"[0-9a-fA-F]{32}")
+_HEX16 = re.compile(r"[0-9a-fA-F]{16}")
 
 
 _current: contextvars.ContextVar[Optional[_SpanContext]] = contextvars.ContextVar(
@@ -219,8 +224,10 @@ def extract_context(headers: dict):
     raw = (headers or {}).get("traceparent", "")
     if isinstance(_tracer, _MiniTracer):
         parts = raw.split("-")
-        if len(parts) == 4 and len(parts[1]) == 32 and len(parts[2]) == 16:
-            return _SpanContext(trace_id=parts[1], span_id=parts[2])
+        if len(parts) == 4 and _HEX32.fullmatch(parts[1]) and _HEX16.fullmatch(parts[2]):
+            # hex-validated: a malformed id would otherwise poison the OTLP
+            # exporter (bytes.fromhex at flush time drops the whole batch)
+            return _SpanContext(trace_id=parts[1].lower(), span_id=parts[2].lower())
         return None
     if _OTEL and _tracer is not None:
         from opentelemetry.propagate import extract

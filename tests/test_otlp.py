@@ -221,3 +221,36 @@ def test_end_to_end_http_sink(monkeypatch):
         assert attrs["kbid"].string_value == "kb1"
     finally:
         httpd.shutdown()
+
+
+def test_extract_context_rejects_non_hex():
+    """Regression: traceparent ids were length-validated only; a non-hex id
+    poisoned the OTLP exporter at flush time (whole batch dropped)."""
+    from nucliadb_tpu.telemetry import tracing
+
+    tracing.setup_tracing("hex-test")
+    try:
+        bad = {"traceparent": "00-" + "g" * 32 + "-" + "h" * 16 + "-01"}
+        assert tracing.extract_context(bad) is None
+        good = {"traceparent": "00-" + "ab" * 16 + "-" + "cd" * 8 + "-01"}
+        ctx = tracing.extract_context(good)
+        assert ctx is not None and ctx.trace_id == "ab" * 16
+    finally:
+        tracing.teardown_tracing()
+
+
+def test_bad_span_does_not_drop_batch():
+    """One malformed span (non-hex ids) must not discard sibling spans."""
+    from nucliadb_tpu.telemetry.otlp import encode_export_request
+    from nucliadb_tpu.telemetry.tracing import SpanRecord
+
+    good = SpanRecord(
+        name="ok", trace_id="ab" * 16, span_id="cd" * 8, parent_id="",
+        start=1.0, end=2.0, attributes={},
+    )
+    bad = SpanRecord(
+        name="poison", trace_id="g" * 32, span_id="h" * 16, parent_id="",
+        start=1.0, end=2.0, attributes={},
+    )
+    payload = encode_export_request("t", [good, bad])
+    assert b"ok" in payload and b"poison" not in payload

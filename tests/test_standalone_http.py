@@ -2244,3 +2244,90 @@ def test_export_roundtrips_vocab_and_blobs(server):
         f"/api/v1/kb/{new_kbid}/resource/{rid}/file/f1/download/field"
     )
     assert dl.status_code == 200 and dl.content == data
+
+
+def test_find_request_alias_coercion():
+    """Regression: string spellings of min_score/sort were silently popped
+    and discarded instead of coerced or rejected."""
+    from nucliadb_tpu.models.api import FindRequest
+
+    r = FindRequest.model_validate({"query": "q", "min_score": "0.5"})
+    assert r.min_score_semantic == 0.5
+    r2 = FindRequest.model_validate({"query": "q", "sort": "created"})
+    assert r2.sort_field == "created"
+    with pytest.raises(Exception):
+        FindRequest.model_validate({"query": "q", "min_score": "abc"})
+    with pytest.raises(Exception):
+        FindRequest.model_validate({"query": "q", "sort": 17})
+
+
+def test_http_malformed_requests_get_responses(server):
+    """Regression: parse errors (bad request line, bad Content-Length,
+    oversized body) escaped the handler and the client got NO response."""
+    import socket
+
+    client, app = server
+    port = app.server.port
+
+    def raw(data: bytes) -> bytes:
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        try:
+            s.sendall(data)
+            out = b""
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                out += chunk
+            return out
+        finally:
+            s.close()
+
+    assert b"400" in raw(b"GARBAGE\r\n\r\n").split(b"\r\n", 1)[0]
+    assert b"400" in raw(
+        b"GET / HTTP/1.1\r\ncontent-length: abc\r\n\r\n"
+    ).split(b"\r\n", 1)[0]
+    assert b"413" in raw(
+        b"POST /api/v1/kbs HTTP/1.1\r\ncontent-length: 999999999999\r\n\r\n"
+    ).split(b"\r\n", 1)[0]
+    # server still alive afterwards
+    assert client.get("/health/ready").status_code == 200
+
+
+def test_http_500_does_not_leak_traceback(server):
+    """Regression: unhandled errors returned the full Python traceback to
+    the client."""
+    from nucliadb_tpu.http.server import Request
+
+    client, app = server
+
+    def boom(request: Request):
+        raise RuntimeError("kaboom secret-internal-state")
+
+    app.server.router.add("GET", "/__test_boom", boom)
+    resp = client.get("/__test_boom")
+    assert resp.status_code == 500
+    assert resp.json() == {"detail": "internal error"}
+    assert "kaboom" not in resp.text and "Traceback" not in resp.text
+
+
+def test_streaming_producer_failure_truncates(server):
+    """Regression: a producer raising mid-stream was treated as clean EOF
+    and the chunked terminator was written — clients saw a complete 200."""
+    import httpx as _httpx
+
+    from nucliadb_tpu.http.server import Request, StreamingResponse
+
+    client, app = server
+
+    def stream(request: Request):
+        def gen():
+            yield "first chunk\n"
+            raise RuntimeError("producer died")
+
+        return StreamingResponse(gen(), content_type="application/x-ndjson")
+
+    app.server.router.add("GET", "/__test_stream_fail", stream)
+    with pytest.raises(_httpx.HTTPError):
+        with client.stream("GET", "/__test_stream_fail") as resp:
+            resp.read()

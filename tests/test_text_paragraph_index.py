@@ -346,3 +346,39 @@ def test_vector_key_prefix_across_unsorted_segments(rng, tmp_path):
     )
     pids = searcher.index.key_prefix_postings(["aaa1/"])
     assert [searcher.index.keys[p] for p in pids] == ["aaa1/f/0/0-1"]
+
+
+def test_phrase_total_and_deep_pagination(tmp_path):
+    """Regression: with quoted phrases, total was capped at the 4x over-fetch
+    window (so ~1000 matches reported as <=80) and deep pages came up empty."""
+    n = 120
+    resources = [
+        make_resource(f"p{i:03d}", f"machine learning topic {i} trains models")
+        for i in range(n)
+    ] + [
+        make_resource(f"q{i:03d}", f"unrelated document {i} about learning only")
+        for i in range(10)
+    ]
+    s = build_para_searcher(tmp_path, resources)
+    # every matching resource has 2 paragraphs; the phrase lands in the first
+    expected = sum(
+        1
+        for r in resources
+        for key, p in r.paragraphs["t/text1"].items()
+        if "machine learning" in r.texts["t/text1"].text[p.start : p.end]
+    )
+    assert expected >= n  # sanity: the corpus really contains > window matches
+
+    resp = s.search(ParagraphSearchRequest(query='"machine learning"', top_k=5))
+    assert resp.total == expected, (resp.total, expected)
+    assert len(resp.hits) == 5
+
+    # a page past the old 4x window must still be full
+    deep = s.search(
+        ParagraphSearchRequest(query='"machine learning"', top_k=5, offset=100)
+    )
+    assert deep.total == expected
+    assert len(deep.hits) == 5
+    assert not {h.paragraph_id for h in deep.hits} & {
+        h.paragraph_id for h in resp.hits
+    }

@@ -562,3 +562,75 @@ def test_stale_text_format_migration(tmp_path):
                     filters=["/field/t"]),
     )
     assert out.resources, "reindexed segments must carry the /f facets"
+
+
+def test_migration_lock_lease_stamped_at_acquisition(tmp_path):
+    """Regression: the lease payload (with its expiry) was built once BEFORE
+    the contended wait loop, so a long wait installed an already-stale lease
+    a third process could immediately steal."""
+    import json as _json
+    import time as _time
+
+    from nucliadb_tpu.maindb import Driver
+    from nucliadb_tpu.migrator import LOCK_KEY, LOCK_TTL, migration_lock
+
+    driver = Driver(str(tmp_path / "kv.db"))
+    holder = _json.dumps({"owner": "other", "expires": _time.time() + 0.6}).encode()
+    with driver as txn:
+        txn.set(LOCK_KEY, holder)
+    t0 = _time.time()
+    with migration_lock(driver, timeout=10):
+        waited = _time.time() - t0
+        assert waited >= 0.5  # the lock was actually contended
+        with driver as txn:
+            lease = _json.loads(txn.get(LOCK_KEY))
+        assert lease["expires"] >= t0 + waited + LOCK_TTL * 0.9
+
+
+def test_stale_vector_format_migration_sees_unversioned(tmp_path, monkeypatch):
+    """Regression: segments lacking format_version defaulted to the CURRENT
+    version, so the exact population the migration targets was skipped."""
+    from nucliadb_tpu.common.kb import KnowledgeBoxManager
+    from nucliadb_tpu.ingest.processor import Processor
+    from nucliadb_tpu.maindb import Driver
+    from nucliadb_tpu.migrator import MigrationContext
+    from nucliadb_tpu.migrator import migrations as mig
+    from nucliadb_tpu.models.api import (
+        CreateResourcePayload,
+        KnowledgeBoxConfig,
+        SentenceEmbedding,
+        TextFieldPayload,
+        VectorSetSpec,
+    )
+    from nucliadb_tpu.services import EmbeddedNode
+    from nucliadb_tpu.storage import MemoryStorage
+
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"), storage=MemoryStorage())
+    driver = Driver(str(tmp_path / "kv.db"))
+    kbs = KnowledgeBoxManager(driver, node)
+    processor = Processor(driver, node, kbs)
+    kbid = kbs.create(
+        KnowledgeBoxConfig(slug="fmt", vectorsets={"m": VectorSetSpec(dimension=8)})
+    )
+    body = "format test"
+    processor.create_resource(
+        kbid,
+        CreateResourcePayload(
+            title="t",
+            texts={"t": TextFieldPayload(body=body)},
+            embeddings={
+                "m": {"t": [SentenceEmbedding(start=0, end=len(body), vector=[0.1] * 8)]}
+            },
+        ),
+    )
+    node.wait_for_sync()
+    # simulate pre-versioning segments: strip format_version everywhere
+    with node.metadata._lock, node.metadata._conn:
+        node.metadata._conn.execute("UPDATE segments SET index_metadata = '{}'")
+    calls = []
+    import nucliadb_tpu.common.rollover as ro
+
+    monkeypatch.setattr(ro, "rollover_kb", lambda *a, **k: calls.append(a))
+    ctx = MigrationContext(driver=driver, node=node, kbs=kbs, processor=processor)
+    mig._reindex_stale_vector_formats(ctx, kbid)
+    assert calls, "unversioned vector segments must trigger the reindex"
