@@ -11,12 +11,21 @@ from ..models.internal import ResourceDoc
 from ..shard import ShardSearchRequest, ShardSearchResponse
 from . import codec
 
+# index/search payloads (vectors, text blocks) routinely exceed gRPC's 4 MB
+# default; match the substrate plane's limits (substrate/__init__.py _MAX_MSG)
+_MAX_MSG = 512 * 1024 * 1024
+_MSG_OPTS = [
+    ("grpc.max_send_message_length", _MAX_MSG),
+    ("grpc.max_receive_message_length", _MAX_MSG),
+]
+
+
 _SERVICE = "/nidx.Node/"
 
 
 class NodeClient:
     def __init__(self, address: str, timeout: float = 30.0):
-        self.channel = grpc.insecure_channel(address)
+        self.channel = grpc.insecure_channel(address, options=_MSG_OPTS)
         self.timeout = timeout
 
     def close(self) -> None:

@@ -21,6 +21,15 @@ from ..index.vector.config import VectorConfig
 from ..services import EmbeddedNode
 from . import codec
 
+# index/search payloads (vectors, text blocks) routinely exceed gRPC's 4 MB
+# default; match the substrate plane's limits (substrate/__init__.py _MAX_MSG)
+_MAX_MSG = 512 * 1024 * 1024
+_MSG_OPTS = [
+    ("grpc.max_send_message_length", _MAX_MSG),
+    ("grpc.max_receive_message_length", _MAX_MSG),
+]
+
+
 
 def _unary(fn, req_deser, resp_ser):
     return grpc.unary_unary_rpc_method_handler(
@@ -31,7 +40,9 @@ def _unary(fn, req_deser, resp_ser):
 class NodeGrpcServer:
     def __init__(self, node: EmbeddedNode, address: str = "127.0.0.1:0", workers: int = 8):
         self.node = node
-        self.server = grpc.server(futures.ThreadPoolExecutor(max_workers=workers))
+        self.server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=workers), options=_MSG_OPTS
+        )
         handlers = {
             # ---- NidxApi ----
             "NewShard": _unary(self._new_shard, msgpack.unpackb, msgpack.packb),

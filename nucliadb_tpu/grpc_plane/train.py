@@ -20,6 +20,15 @@ from ..ingest.processor import Processor
 from ..train.dataset import GENERATORS
 from ..train.generators import TrainSet
 
+# index/search payloads (vectors, text blocks) routinely exceed gRPC's 4 MB
+# default; match the substrate plane's limits (substrate/__init__.py _MAX_MSG)
+_MAX_MSG = 512 * 1024 * 1024
+_MSG_OPTS = [
+    ("grpc.max_send_message_length", _MAX_MSG),
+    ("grpc.max_receive_message_length", _MAX_MSG),
+]
+
+
 _SERVICE = "/ndbtpu.Train/"
 
 
@@ -33,7 +42,9 @@ class TrainGrpcServer:
 
     def __init__(self, processor: Processor, address: str = "127.0.0.1:0", workers: int = 4):
         self.processor = processor
-        self.server = grpc.server(futures.ThreadPoolExecutor(max_workers=workers))
+        self.server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=workers), options=_MSG_OPTS
+        )
         handlers = {
             task: grpc.unary_stream_rpc_method_handler(
                 self._stream_for(task),
@@ -70,7 +81,7 @@ class TrainGrpcServer:
 
 class TrainClient:
     def __init__(self, address: str, timeout: float = 60.0):
-        self.channel = grpc.insecure_channel(address)
+        self.channel = grpc.insecure_channel(address, options=_MSG_OPTS)
         self.timeout = timeout
 
     def close(self) -> None:

@@ -24,6 +24,14 @@ from ..models.api import (
     VectorSetSpec,
 )
 
+# index/search payloads (vectors, text blocks) routinely exceed gRPC's 4 MB
+# default; match the substrate plane's limits (substrate/__init__.py _MAX_MSG)
+_MAX_MSG = 512 * 1024 * 1024
+_MSG_OPTS = [
+    ("grpc.max_send_message_length", _MAX_MSG),
+    ("grpc.max_receive_message_length", _MAX_MSG),
+]
+
 _SERVICE = "/ndbtpu.Writer/"
 
 
@@ -38,7 +46,9 @@ class WriterGrpcServer:
                  address: str = "127.0.0.1:0", workers: int = 4):
         self.kbs = kbs
         self.processor = processor
-        self.server = grpc.server(futures.ThreadPoolExecutor(max_workers=workers))
+        self.server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=workers), options=_MSG_OPTS
+        )
         handlers = {
             "NewKnowledgeBox": _unary(self._new_kb),
             "DeleteKnowledgeBox": _unary(self._delete_kb),
@@ -132,7 +142,7 @@ class WriterGrpcServer:
 
 class WriterClient:
     def __init__(self, address: str, timeout: float = 60.0):
-        self.channel = grpc.insecure_channel(address)
+        self.channel = grpc.insecure_channel(address, options=_MSG_OPTS)
         self.timeout = timeout
 
     def close(self) -> None:

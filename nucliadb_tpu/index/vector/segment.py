@@ -170,11 +170,12 @@ def create_segment(
         n_pad = -(-n // 8) * 8
         padded = np.zeros((n_pad, dim), np.float32)
         padded[:n] = vectors
+        k_clusters = max(16, 1 << int(np.ceil(np.log2(np.sqrt(max(n, 1))))))
         centroids, _ = ivf_ops.kmeans(
             jnp.asarray(padded),
             jnp.arange(n_pad) < n,
-            max(16, 1 << int(np.ceil(np.log2(np.sqrt(max(n, 1)))))),
-            n_valid=n,
+            k_clusters,
+            seed_idx=jnp.asarray(ivf_ops.ivf_seed_indices(n, k_clusters)),
         )
         np.save(os.path.join(path, "ivf_centroids.npy"), np.asarray(centroids))
         has_ivf = True

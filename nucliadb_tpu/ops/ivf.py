@@ -39,19 +39,36 @@ KMEANS_ITERS = 8
 DEFAULT_NPROBE = 16
 
 
-@partial(jax.jit, static_argnames=("k_clusters", "iters", "block", "n_valid"))
+def ivf_seed_indices(n_valid: int, k_clusters: int) -> np.ndarray:
+    """Seed strictly from VALID rows: striding the padded arena would make
+    zero padding rows into seeds that collapse to dead duplicate clusters.
+    Modulo indexing guarantees exactly k_clusters seeds even when the
+    corpus is smaller than k (a plain strided slice yielded < k rows and
+    crashed the update broadcast; tiny ivf-flagged segments hit this).
+
+    Host-side on purpose: passing seeds as an ARRAY keeps the corpus size
+    out of the jit cache key — n_valid-as-static retraced the 8-iteration
+    Lloyd program on every searcher refresh (each adds docs)."""
+    span = max(n_valid, 1)
+    stride = max(span // k_clusters, 1)
+    return ((np.arange(k_clusters) * stride) % span).astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("k_clusters", "iters", "block"))
 def kmeans(
     vectors: jax.Array,
     valid: jax.Array,
     k_clusters: int,
     iters: int = KMEANS_ITERS,
     block: int = 65536,
-    n_valid: int | None = None,
+    seed_idx: jax.Array | None = None,
 ):
     """Lloyd's k-means with matmul-only updates.
 
     vectors [N_pad, D] (padding rows must have valid=False; valid rows come
-    first). Returns (centroids [K, D], assign [N_pad] int32).
+    first). ``seed_idx`` [k_clusters] int32 picks the seed rows (see
+    ivf_seed_indices); defaults to striding the padded arena.
+    Returns (centroids [K, D], assign [N_pad] int32).
     """
     n_pad, d = vectors.shape
     blk = n_pad
@@ -60,14 +77,8 @@ def kmeans(
     nb = n_pad // blk
     assert nb * blk == n_pad, (n_pad, blk)
 
-    # seed strictly from VALID rows: striding the padded arena would make
-    # zero padding rows into seeds that collapse to dead duplicate clusters.
-    # Modulo indexing guarantees exactly k_clusters seeds even when the
-    # corpus is smaller than k (a plain strided slice yielded < k rows and
-    # crashed the update broadcast; tiny ivf-flagged segments hit this).
-    seed_span = max(n_valid if n_valid is not None else n_pad, 1)
-    stride = max(seed_span // k_clusters, 1)
-    seed_idx = (np.arange(k_clusters) * stride) % seed_span
+    if seed_idx is None:
+        seed_idx = jnp.asarray(ivf_seed_indices(n_pad, k_clusters))
     centroids = vectors[seed_idx]
 
     vblocks = vectors.reshape(nb, blk, d)
@@ -169,6 +180,16 @@ class DeviceIVF:
 jax.tree_util.register_pytree_node(DeviceIVF, DeviceIVF.tree_flatten, DeviceIVF.tree_unflatten)
 
 
+@jax.jit
+def _gather_blocks(codes_codes, codes_scale, ids):
+    # module-level jit: a per-build closure recompiled on every searcher
+    # refresh (jit caches key on function identity)
+    safe = jnp.maximum(ids, 0)
+    bc = jnp.where((ids >= 0)[:, :, None], codes_codes[safe], 0)
+    bs = jnp.where(ids >= 0, codes_scale[safe], 0.0)
+    return bc, bs
+
+
 def build_ivf(
     vectors: jax.Array,
     n_valid: int,
@@ -198,7 +219,10 @@ def build_ivf(
                 16, 1 << int(math.ceil(math.log2(math.sqrt(max(n_valid, 1)))))
             )
         valid = jnp.arange(n_pad) < n_valid
-        centroids, assign = kmeans(vectors, valid, k_clusters, iters, n_valid=n_valid)
+        centroids, assign = kmeans(
+            vectors, valid, k_clusters, iters,
+            seed_idx=jnp.asarray(ivf_seed_indices(n_valid, k_clusters)),
+        )
     k_clusters = centroids.shape[0]
 
     assign_np = np.asarray(assign)[:n_valid]
@@ -231,15 +255,7 @@ def build_ivf(
 
     ids_j = jax.device_put(jnp.asarray(np.stack(block_rows)))  # [NB, blk]
     codes = Int8Codes.encode(vectors)
-
-    @jax.jit
-    def gather_blocks(codes_codes, codes_scale, ids):
-        safe = jnp.maximum(ids, 0)
-        bc = jnp.where((ids >= 0)[:, :, None], codes_codes[safe], 0)
-        bs = jnp.where(ids >= 0, codes_scale[safe], 0.0)
-        return bc, bs
-
-    block_codes, block_scale = gather_blocks(codes.codes, codes.scale, ids_j)
+    block_codes, block_scale = _gather_blocks(codes.codes, codes.scale, ids_j)
     return DeviceIVF(
         centroids=centroids,
         block_codes=block_codes,
@@ -311,7 +327,10 @@ def ivf_search(
             jnp.take_along_axis(flat_i, pos, axis=-1), -1,
         )  # [c, C]
         cv = vectors[jnp.maximum(cand, 0)].astype(jnp.float32)  # [c, C, D]
-        exact = jnp.einsum("cd,cnd->cn", qf, cv, preferred_element_type=jnp.float32)
+        exact = jnp.einsum(
+            "cd,cnd->cn", qf, cv, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # match every other rerank
+        )
         tks, tpos = masked_topk(exact, k, mask=cand >= 0, min_score=min_score)
         tki = jnp.where(
             tpos >= 0, jnp.take_along_axis(cand, jnp.maximum(tpos, 0), axis=-1), -1

@@ -41,7 +41,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .topk import NEG_INF, masked_topk
+from .topk import NEG_INF
 
 EPSILON = 1.9  # error-bound multiplier (parity: rabitq.rs:30)
 BINARY_RERANK_FACTOR = 100  # candidates = factor * top_k (parity: rabitq.rs:33)

@@ -65,56 +65,6 @@ def duplicate_id_mask(ids):
     return jnp.any(same & earlier[None], axis=-1) & (ids >= 0)
 
 
-def merge_topk(
-    scores_list: list[jax.Array],
-    ids_list: list[jax.Array],
-    k: int,
-) -> tuple[jax.Array, jax.Array]:
-    """Merge several already-cut top-k lists (e.g. per-segment results).
-
-    Each entry is ([..., k_i] scores, [..., k_i] ids). Ids are assumed to be
-    globally meaningful already (callers offset per-segment ids beforehand).
-    """
-    s = jnp.concatenate(scores_list, axis=-1)
-    i = jnp.concatenate(ids_list, axis=-1)
-    k_eff = min(k, s.shape[-1])
-    top_s, pos = jax.lax.top_k(s, k_eff)
-    top_i = jnp.take_along_axis(i, pos, axis=-1)
-    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
-    return top_s, top_i
-
-
-def blockwise_topk(scores: jax.Array, k: int, block: int) -> tuple[jax.Array, jax.Array]:
-    """Two-level top-k for very long score rows.
-
-    Splits [..., N] into N/block blocks, takes top-k per block, then top-k of
-    the concatenation — same results as a flat top-k but with better TPU
-    vector-unit utilisation for N in the millions.
-    """
-    *lead, n = scores.shape
-    if n <= block or n % block != 0:
-        return masked_topk(scores, k)
-    nb = n // block
-    kb = min(k, block)
-    blocked = scores.reshape(*lead, nb, block)
-    s, i = jax.lax.top_k(blocked, kb)  # [..., nb, kb]
-    base = (jnp.arange(nb, dtype=jnp.int32) * block)[:, None]
-    i = i + base
-    s = s.reshape(*lead, nb * kb)
-    i = i.reshape(*lead, nb * kb)
-    k_eff = min(k, nb * kb)
-    top_s, pos = jax.lax.top_k(s, k_eff)
-    top_i = jnp.take_along_axis(i, pos, axis=-1)
-    # same invalid-slot contract as masked_topk: NEG_INF winners -> id -1,
-    # output padded to exactly k columns
-    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
-    if k_eff < k:
-        pad = [(0, 0)] * (len(lead)) + [(0, k - k_eff)]
-        top_s = jnp.pad(top_s, pad, constant_values=NEG_INF)
-        top_i = jnp.pad(top_i, pad, constant_values=-1)
-    return top_s, top_i
-
-
 def sharded_topk_allgather(scores: jax.Array, ids: jax.Array, k: int, axis_name: str):
     """Merge per-shard top-k across a mesh axis via all-gather.
 

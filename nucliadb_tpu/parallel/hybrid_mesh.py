@@ -27,9 +27,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.text_engine.engine import DeviceTextEngine, TextQuery, _bm25_search
 from ..ops import quant
-from ..ops.distance import prepare_query
+from ..ops.distance import exact_rerank, prepare_query
 from ..ops.fusion import rrf_merge
-from ..ops.topk import NEG_INF, masked_topk, sharded_topk_allgather
+from ..ops.topk import sharded_topk_allgather
 from .text_mesh import MeshShardedTextEngine
 
 
@@ -146,15 +146,7 @@ def _mesh_hybrid(
         est = quant.int8_estimate_scores(ic, qs)
         c = min(quant.int8_rerank_budget(k), est.shape[-1])
         _, cand = quant.approx_candidates(est, c, mask=val[0])
-        cand_vecs = vecs[0][jnp.maximum(cand, 0)]
-        exact = jnp.einsum(
-            "bd,bcd->bc", qs, cand_vecs, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        vs, pos = masked_topk(exact, k, mask=cand >= 0)
-        vi = jnp.where(
-            pos >= 0, jnp.take_along_axis(cand, jnp.maximum(pos, 0), axis=-1), -1
-        )
+        vs, vi = exact_rerank(q, vecs[0], cand, k, similarity=similarity)
         vi = jnp.where(vi >= 0, vi + base, -1)
         vg_s, vg_i = sharded_topk_allgather(vs, vi, k, "shard")
 

@@ -23,8 +23,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import quant
-from ..ops.distance import prepare_query, scores_matmul
-from ..ops.topk import NEG_INF, masked_topk, sharded_topk_allgather
+from ..ops.distance import exact_rerank, prepare_query, scores_matmul
+from ..ops.topk import masked_topk, sharded_topk_allgather
 from ..utils.platform import configure_jax
 
 
@@ -132,16 +132,7 @@ def _sharded_search_quant(mesh, per_shard, k, similarity, codes, vectors, valid,
         est = quant.int8_estimate_scores(ic, qs)
         c = min(quant.int8_rerank_budget(k), est.shape[-1])
         _, cand = quant.approx_candidates(est, c, mask=val)
-        safe = jnp.maximum(cand, 0)
-        cand_vecs = vecs[safe]
-        exact = jnp.einsum(
-            "bd,bcd->bc", qs, cand_vecs, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # match the single-chip rerank
-        )
-        ls, pos = masked_topk(exact, k, mask=cand >= 0)
-        li = jnp.where(
-            pos >= 0, jnp.take_along_axis(cand, jnp.maximum(pos, 0), axis=-1), -1
-        )
+        ls, li = exact_rerank(q, vecs, cand, k, similarity=similarity)
         li = jnp.where(li >= 0, li + shard * per_shard, -1)
         return sharded_topk_allgather(ls, li, k, "shard")
 

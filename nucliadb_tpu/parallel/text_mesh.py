@@ -24,7 +24,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.text_engine.engine import DeviceTextEngine, TextQuery, _bm25_search
-from ..ops.topk import NEG_INF, sharded_topk_allgather
+from ..ops.topk import sharded_topk_allgather
+from ..utils.platform import configure_jax
 
 
 def _pad2(a: np.ndarray, shape: tuple[int, int], fill) -> np.ndarray:
@@ -39,6 +40,7 @@ class MeshShardedTextEngine:
 
     def __init__(self, engines: list[DeviceTextEngine], mesh: Mesh):
         assert len(engines) == mesh.shape["shard"], (len(engines), mesh.shape)
+        configure_jax()  # persistent compile cache before the first jit
         self.engines = engines
         self.mesh = mesh
         s = len(engines)
@@ -79,14 +81,10 @@ class MeshShardedTextEngine:
         )
         self.n_pad = dshape[1]
         dlen = np.zeros((s, self.n_pad), np.float32)
-        base = np.zeros((s, self.n_pad), bool)
         for i, e in enumerate(engines):
             dl = np.asarray(e.dlen)
             dlen[i, : dl.shape[0]] = dl
-            bm = e.base_mask()
-            base[i, : bm.shape[0]] = bm
         self.dlen = jax.device_put(dlen, sharding)
-        self.base = jax.device_put(base, sharding)
         self.offsets = np.cumsum([0] + [e.n_docs for e in engines])  # [S+1]
         self._offsets_dev = jax.device_put(
             self.offsets[:-1].astype(np.int32).reshape(s, 1), sharding
@@ -117,7 +115,10 @@ class MeshShardedTextEngine:
         idfs_j = jax.device_put(np.stack(idfs), sharding)
         params_j = jax.device_put(np.stack(params).astype(np.float32), sharding)
         mask_j = jax.device_put(np.stack(masks), sharding)
-        k = min(query.top_k, self.n_pad)
+        # cap at the MESH-wide doc capacity: the per-shard n_pad clamp
+        # (right for a single engine) silently truncated multi-shard
+        # results; _bm25_search's masked_topk pads when k > local corpus
+        k = min(query.top_k, s * self.n_pad)
 
         top_s, top_i = _mesh_bm25(
             self.mesh, k, self.caps,

@@ -29,24 +29,6 @@ def test_masked_topk_k_larger_than_n():
     assert all(x == -1 for x in i.tolist()[0][2:])
 
 
-def test_merge_topk_offsets():
-    s1 = jnp.array([[9.0, 4.0]])
-    i1 = jnp.array([[0, 1]])
-    s2 = jnp.array([[7.0, 5.0]])
-    i2 = jnp.array([[100, 101]])
-    s, i = topk.merge_topk([s1, s2], [i1, i2], 3)
-    assert i.tolist() == [[0, 100, 101]]
-    assert s.tolist() == [[9.0, 7.0, 5.0]]
-
-
-def test_blockwise_topk_matches_flat(rng):
-    scores = jnp.asarray(rng.standard_normal((3, 4096), dtype=np.float32))
-    s_flat, i_flat = topk.masked_topk(scores, 10)
-    s_blk, i_blk = topk.blockwise_topk(scores, 10, block=512)
-    np.testing.assert_allclose(np.asarray(s_flat), np.asarray(s_blk), rtol=1e-6)
-    assert np.array_equal(np.asarray(i_flat), np.asarray(i_blk))
-
-
 def test_sharded_topk_allgather():
     from jax.sharding import Mesh, PartitionSpec as P
     from jax import shard_map

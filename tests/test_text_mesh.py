@@ -67,3 +67,22 @@ def test_mesh_bm25_filters_apply_per_shard(rng, tmp_path):
     ms, mi = sharded.search(TextQuery(text="fox", top_k=20, key_prefixes=["r00/", "r01/"]))
     keys = {sharded.key(int(i)) for i in mi}
     assert keys == {"r00/f", "r01/f"}
+
+
+def test_mesh_topk_exceeds_per_shard_capacity(rng, tmp_path):
+    """Regression: k was clamped to the PER-SHARD padded doc count, so a
+    multi-shard query with top_k > n_pad silently truncated its results."""
+    n_shards = 2
+    per = 4200  # above the 4096 padding floor, so top_k can exceed n_pad
+    docs = [(f"r{i:05d}/f", "fox") for i in range(n_shards * per)]
+    shards = [docs[i::n_shards] for i in range(n_shards)]
+    engines = [_engine(tmp_path, sh, f"cap{i}") for i, sh in enumerate(shards)]
+    mesh = make_mesh(8, query_axis=4)
+    sharded = MeshShardedTextEngine(engines, mesh)
+    total = n_shards * per
+    want = sharded.n_pad + 64  # beyond the old clamp, within the corpus
+    assert sharded.n_pad < want <= total
+
+    ms, mi = sharded.search(TextQuery(text="fox", top_k=want))
+    assert len(mi) == want  # the old per-shard clamp returned only n_pad
+    assert len({int(i) for i in mi}) == want
