@@ -11,13 +11,7 @@ from ..models.internal import ResourceDoc
 from ..shard import ShardSearchRequest, ShardSearchResponse
 from . import codec
 
-# index/search payloads (vectors, text blocks) routinely exceed gRPC's 4 MB
-# default; match the substrate plane's limits (substrate/__init__.py _MAX_MSG)
-_MAX_MSG = 512 * 1024 * 1024
-_MSG_OPTS = [
-    ("grpc.max_send_message_length", _MAX_MSG),
-    ("grpc.max_receive_message_length", _MAX_MSG),
-]
+from .limits import MSG_OPTS as _MSG_OPTS
 
 
 _SERVICE = "/nidx.Node/"

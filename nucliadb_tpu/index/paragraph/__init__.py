@@ -276,14 +276,22 @@ class ParagraphSearcher:
             # exact corpus-wide total: phrase-verify every kernel-matched
             # candidate, not just the fetched window (the window-capped
             # count collapsed pagination as soon as a phrase was added)
-            cand_docs = np.nonzero(matched)[0].tolist()
-            n_cand = len(cand_docs)
-            ok = np.ones(n_cand, dtype=bool)
-            for pt in phrase_terms:
-                ok &= np.fromiter(
-                    self.engine.phrase_match_many(cand_docs, pt), bool, n_cand
-                )
-            total = int(ok.sum())
+            n_matched = int(matched.sum())
+            if n_matched <= len(hit_docs):
+                # the fetched window already contains every candidate —
+                # reuse its verification instead of re-running the matcher
+                total = sum(phrase_ok)
+            else:
+                window = dict(zip(hit_docs, phrase_ok))
+                rest = [
+                    int(d) for d in np.nonzero(matched)[0] if int(d) not in window
+                ]
+                ok = np.ones(len(rest), dtype=bool)
+                for pt in phrase_terms:
+                    ok &= np.fromiter(
+                        self.engine.phrase_match_many(rest, pt), bool, len(rest)
+                    )
+                total = sum(phrase_ok) + int(ok.sum())
         elif phrases:
             total = len(out)
         else:

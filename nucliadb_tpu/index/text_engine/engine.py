@@ -541,11 +541,20 @@ class DeviceTextEngine:
         """Vocabulary terms starting with ``prefix`` (suggest expansion)."""
         import bisect
 
+        # exclusive bound via last-char increment: a U+FFFF sentinel would
+        # exclude terms whose next char is astral-plane (> U+FFFF)
+        hi_key = (
+            prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            if prefix and ord(prefix[-1]) < 0x10FFFF
+            else None
+        )
         out: list[str] = []
         for terms in (self.terms_sorted, self.overlay_terms_sorted):
             lo = bisect.bisect_left(terms, prefix)
-            hi = bisect.bisect_left(terms, prefix + "￿")
-            out.extend(terms[lo : min(hi, lo + limit)])
+            hi = bisect.bisect_left(terms, hi_key) if hi_key else len(terms)
+            out.extend(
+                t for t in terms[lo : min(hi, lo + limit)] if t.startswith(prefix)
+            )
         return sorted(set(out))[:limit]
 
     # ------------------------------------------------------------------

@@ -121,17 +121,21 @@ def rtf_text(data: bytes) -> Optional[str]:
         skip_depth = 0  # depth of the group being skipped (0 = not skipping)
         depth = 0
         uc_skip = 1  # \ucN: ANSI fallback chars following each \uN (default 1)
+        uc_stack: list[int] = []  # \uc is GROUP-scoped: restored at "}"
         i = 0
         n = len(s)
         while i < n:
             ch = s[i]
             if ch == "{":
                 depth += 1
+                uc_stack.append(uc_skip)
                 i += 1
             elif ch == "}":
                 if skip_depth and depth == skip_depth:
                     skip_depth = 0
                 depth -= 1
+                if uc_stack:
+                    uc_skip = uc_stack.pop()
                 i += 1
             elif ch == "\\":
                 m = re.match(r"\\([a-zA-Z]+)(-?\d+)? ?", s[i:])
@@ -152,10 +156,16 @@ def rtf_text(data: bytes) -> Optional[str]:
                             out.append(chr(int(m.group(2)) & 0xFFFF))
                         i += m.end()
                         # the \uN scalar is followed by \ucN ANSI fallback
-                        # chars (plain or \'xx) that must NOT be emitted too
+                        # chars (plain, \'xx hex, or escaped literals) that
+                        # must NOT be emitted too; CR/LF line wraps between
+                        # them are not characters and don't count
                         for _ in range(uc_skip):
+                            while s[i : i + 1] in ("\r", "\n"):
+                                i += 1
                             if s[i : i + 2] == "\\'":
                                 i += 4
+                            elif s[i : i + 1] == "\\" and s[i + 1 : i + 2] in "{}\\":
+                                i += 2  # escaped-literal fallback
                             elif i < n and s[i] not in "{}\\":
                                 i += 1
                             else:

@@ -309,7 +309,7 @@ class FindRequest(BaseModel):
                 data.setdefault("min_score_semantic", float(ms))
             except ValueError:
                 raise ValueError(f"invalid min_score: {ms!r}")
-        elif isinstance(ms, (int, float)):
+        elif isinstance(ms, (int, float)) and not isinstance(ms, bool):
             data.setdefault("min_score_semantic", ms)
         elif ms is not None:
             raise ValueError(f"invalid min_score: {ms!r}")

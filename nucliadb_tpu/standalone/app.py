@@ -54,8 +54,10 @@ from ..version import __version__
 
 _CO_GAUGES = None
 
-# local text extraction reads the whole blob; larger uploads skip it
-_EXTRACT_MAX_BYTES = 64 << 20
+# local text extraction reads the whole blob; TUS uploads beyond this skip
+# it (with a warning). Matches the HTTP MAX_BODY so any file uploadable
+# through the non-resumable path extracts identically through TUS.
+_EXTRACT_MAX_BYTES = 256 << 20
 
 
 def _coalescer_gauges():
@@ -804,6 +806,13 @@ class StandaloneApp:
                     _extract_and_index(
                         kbid, session.rid, session.field, session.filename,
                         session.content_type, blob,
+                    )
+                else:
+                    logger.warning(
+                        "tus upload %s/%s/%s (%d bytes) exceeds the %d-byte "
+                        "extraction cap; stored but not text-indexed",
+                        kbid, session.rid, session.field, session.offset,
+                        _EXTRACT_MAX_BYTES,
                     )
                 self._notify(kbid, session.rid, "modified", None)
             return Response(status=204, headers=headers)

@@ -50,7 +50,7 @@ from ..storage import LocalStorage
 from ..types import Seq
 
 _SERVICE = "/ndbtpu.Substrate/"
-_MAX_MSG = 512 * 1024 * 1024  # segments stream through put/get blobs
+from ..grpc_plane.limits import MAX_MSG as _MAX_MSG  # segments stream through put/get blobs
 
 _DATACLASSES = {
     c.__name__: c for c in (ShardMeta, IndexMeta, SegmentRow, MergeJob, BusMessage)

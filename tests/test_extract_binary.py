@@ -181,3 +181,12 @@ def test_rtf_unicode_fallback_skipped():
     # \uc0 declares no fallback chars: nothing may be skipped
     out0 = rtf_text(rb"{\rtf1\ansi\uc0\u26085 x}")
     assert chr(26085) in out0 and "x" in out0
+
+    # \uc is GROUP-scoped: a \uc2 inside a closed group must not keep
+    # eating real text after later \uN outside it
+    outg = rtf_text(rb"{\rtf1\ansi{\uc2\u26085?? inner}\u26085?abc}")
+    assert "inner" in outg and "abc" in outg and "?" not in outg
+
+    # CR/LF line wraps between \uN and its fallback are not characters
+    outw = rtf_text(b"{\\rtf1\\ansi\\uc1 x \\u26085\r\n? y}")
+    assert chr(26085) in outw and "?" not in outw and "y" in outw
