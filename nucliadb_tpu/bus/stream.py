@@ -263,4 +263,9 @@ class EmbeddedBus:
             cur = self._conn.execute(
                 "DELETE FROM messages WHERE stream=? AND seq<=?", (stream, floor)
             )
+            # matching consumer rows must go too or the table grows without
+            # bound on long-running components
+            self._conn.execute(
+                "DELETE FROM consumers WHERE stream=? AND seq<=?", (stream, floor)
+            )
         return cur.rowcount

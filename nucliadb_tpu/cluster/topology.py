@@ -91,9 +91,26 @@ class TopologyWatcher:
         nodes = self._read()
         names = [n for n, _ in nodes]
         old = list(self.selector.nodes)
-        if not self.selector.set_nodes(names):
+        membership_changed = self.selector.set_nodes(names)
+        # address-only changes (a node restarting elsewhere) must redial
+        # even when the member set is identical
+        address_changed = dict(nodes) != self.addresses
+        if not membership_changed and not address_changed:
             return False
+        moved = {
+            name
+            for name, addr in nodes
+            if name in self.addresses and self.addresses.get(name) != addr
+        }
         self.addresses = dict(nodes)
+        for name in moved & set(self.backends):
+            stale = self.backends.pop(name)
+            close = getattr(stale, "close", None)
+            if callable(close):
+                try:
+                    close()
+                except Exception:
+                    pass
         if self.make_backend is not None:
             for gone in set(self.backends) - set(names):
                 backend = self.backends.pop(gone)

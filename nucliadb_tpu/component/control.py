@@ -37,6 +37,10 @@ class ControlSocket:
                 return
             with conn:
                 try:
+                    # accept() returns a BLOCKING socket even when the
+                    # listener has a timeout; a client that connects and
+                    # sends nothing must not wedge the probe loop forever
+                    conn.settimeout(2.0)
                     cmd = conn.recv(64).decode().strip().lower()
                     if cmd == "alive":
                         conn.sendall(b"ok\n")

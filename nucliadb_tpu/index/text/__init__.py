@@ -107,6 +107,7 @@ class DocumentSearchRequest:
     range_creation: Optional[tuple] = None  # (lo, hi) unix seconds
     range_modification: Optional[tuple] = None
     key_prefixes: Optional[list[str]] = None  # fields/resource_filters scope
+    field_filter: Optional[PrefilterResult] = None  # prefilter handoff
 
 
 @dataclass
@@ -178,6 +179,18 @@ class TextSearcher:
         )
         if dmask is not None:
             extra_mask = dmask if extra_mask is None else (extra_mask & dmask)
+        ff = request.field_filter
+        if ff is not None and not ff.is_all:
+            # prefilter handoff (field/json filters) restricts the document
+            # leg too, like the paragraph/vector legs
+            fmask = np.zeros(self.engine.n_docs, dtype=bool)
+            if not ff.is_none:
+                fmask[
+                    self.engine.key_prefix_postings(
+                        [f.as_key_prefix() for f in ff.fields]
+                    )
+                ] = True
+            extra_mask = fmask if extra_mask is None else (extra_mask & fmask)
         q = TextQuery(
             text=request.query,
             top_k=max(request.top_k, 1),
@@ -269,10 +282,13 @@ class TextSearcher:
         sec = self._security_mask(security_groups)
         if sec is not None:
             mask &= sec
-        if mask.all():
-            return PrefilterResult.all()
+        # emptiness check FIRST: numpy's all() on a zero-doc index is
+        # vacuously True, which returned All and bypassed security/field
+        # filters for the other index legs
         if not mask.any():
             return PrefilterResult.none()
+        if mask.all():
+            return PrefilterResult.all()
         fields = []
         for did in np.nonzero(mask)[0]:
             attrs = self.engine.attrs[did]

@@ -12,6 +12,7 @@ publishes an "indexed" notification for writers waiting on commit
 from __future__ import annotations
 
 import json
+import logging
 from dataclasses import dataclass
 from typing import Optional
 
@@ -124,8 +125,20 @@ class IngestConsumer:
                 else:
                     raise ValueError(f"unknown op {bm.op!r}")
         except Exception:
+            # per-message failure: nak for redelivery (<= MAX_DELIVERIES,
+            # then the bus poison-skips it) and KEEP CONSUMING — raising
+            # here killed the whole component process and crash-looped it
+            # on every redelivery of one malformed message (parity: the
+            # reference indexer naks and continues, indexer.rs:170-174)
+            logging.getLogger(__name__).exception(
+                "ingest message seq=%s kbid=%s op=%s failed; nak'd",
+                msg.seq, bm.kbid, bm.op,
+            )
             self.bus.nak(INGEST_STREAM, self.consumer, msg.seq)
-            raise
+            # False ends this drain: the component loop retries after its
+            # interval, pacing redeliveries instead of burning all
+            # MAX_DELIVERIES instantly
+            return False
         self.bus.ack(INGEST_STREAM, self.consumer, msg.seq)
         self._last_seq = msg.seq
         # "indexed" notification (parity: notify.{kbid}, indexer.rs:239-248)

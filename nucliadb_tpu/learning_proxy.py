@@ -54,13 +54,21 @@ class LearningProxy:
             )
             resp.raise_for_status()
             return resp.json()
-        current = self.get_configuration(kbid)
-        current.update(config)
-        stored = {
-            k: self.endecryptor.encrypt(v) if k in SECRET_FIELDS and isinstance(v, str) else v
-            for k, v in current.items()
-        }
+        # read+merge+write in ONE transaction (the driver lock spans the
+        # with-block) — separate txns lost concurrent updates' fields
         with self.driver as txn:
+            raw = txn.get(LEARNING_KEY.format(kbid=kbid))
+            current = {
+                k: self.endecryptor.decrypt(v)
+                if k in SECRET_FIELDS and isinstance(v, str) else v
+                for k, v in (json.loads(raw) if raw else {}).items()
+            }
+            current.update(config)
+            stored = {
+                k: self.endecryptor.encrypt(v)
+                if k in SECRET_FIELDS and isinstance(v, str) else v
+                for k, v in current.items()
+            }
             txn.set(LEARNING_KEY.format(kbid=kbid), json.dumps(stored).encode())
         return current
 
@@ -117,9 +125,10 @@ class LearningProxy:
         import uuid
 
         sid = uuid.uuid4().hex[:8]
-        strategies = self._strategies(kbid, kind)
-        strategies[sid] = config
-        with self.driver as txn:
+        with self.driver as txn:  # RMW in one txn (no lost updates)
+            raw = txn.get(self.STRATEGY_KEY.format(kbid=kbid, kind=kind))
+            strategies = json.loads(raw) if raw else {}
+            strategies[sid] = config
             txn.set(
                 self.STRATEGY_KEY.format(kbid=kbid, kind=kind),
                 json.dumps(strategies).encode(),
@@ -150,11 +159,12 @@ class LearningProxy:
             )
             resp.raise_for_status()
             return True
-        strategies = self._strategies(kbid, kind)
-        if sid not in strategies:
-            return False
-        del strategies[sid]
-        with self.driver as txn:
+        with self.driver as txn:  # RMW in one txn (no lost updates)
+            raw = txn.get(self.STRATEGY_KEY.format(kbid=kbid, kind=kind))
+            strategies = json.loads(raw) if raw else {}
+            if sid not in strategies:
+                return False
+            del strategies[sid]
             txn.set(
                 self.STRATEGY_KEY.format(kbid=kbid, kind=kind),
                 json.dumps(strategies).encode(),

@@ -112,6 +112,7 @@ class Driver:
         )
         self._conn.commit()
         self._lock = threading.RLock()
+        self._local = threading.local()  # per-thread txn stack for `with`
 
     def compare_and_swap(self, key: str, expected: Optional[bytes], new: bytes) -> bool:
         """Atomically set ``key`` to ``new`` iff its current value is
@@ -143,11 +144,19 @@ class Driver:
         return Transaction(self)
 
     def __enter__(self) -> Transaction:
-        self._txn = self.transaction()
-        return self._txn
+        # per-thread STACK (mirrors substrate.RemoteDriver): a shared
+        # attribute let a reentrant or cross-thread `with` commit another
+        # block's transaction and leak the outer lock acquisition
+        stack = getattr(self._local, "stack", None)
+        if stack is None:
+            stack = self._local.stack = []
+        txn = self.transaction()
+        stack.append(txn)
+        return txn
 
     def __exit__(self, exc_type, exc, tb) -> None:
+        txn = self._local.stack.pop()
         if exc_type is None:
-            self._txn.commit()
+            txn.commit()
         else:
-            self._txn.abort()
+            txn.abort()

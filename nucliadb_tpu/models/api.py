@@ -319,6 +319,13 @@ class FindRequest(BaseModel):
             data.setdefault(
                 "offset", int(data.pop("page_number")) * int(data.get("top_k", 20))
             )
+        sec = data.pop("security", None)
+        if isinstance(sec, dict):  # reference RequestSecurity {groups}
+            data.setdefault("security_groups", sec.get("groups"))
+        elif sec is not None:
+            # silently ignoring a malformed security object would RETURN
+            # RESULTS THE CALLER SHOULD NOT SEE
+            raise ValueError(f"invalid security: {sec!r}")
         sort = data.pop("sort", None)
         if isinstance(sort, dict):  # reference SortOptions {field, order}
             data.setdefault("sort_field", sort.get("field"))
@@ -595,6 +602,11 @@ class AskRequest(BaseModel):
         if isinstance(p, dict):
             parts = [p.get("system", ""), p.get("user", "")]
             data["prompt"] = "\n".join(s for s in parts if s)
+        sec = data.pop("security", None)
+        if isinstance(sec, dict):  # reference RequestSecurity {groups}
+            data.setdefault("security_groups", sec.get("groups"))
+        elif sec is not None:
+            raise ValueError(f"invalid security: {sec!r}")
         return data
 
     query: str

@@ -687,6 +687,18 @@ class SearchService:
                     total=fulltext_total,
                     facets=fulltext_facets,
                 )
+                # fulltext-matched resources serialize into `resources` too
+                # (parity: merge.py resources.update(matched_resources) for
+                # the document leg, search/search/merge.py:496-505)
+                for h in window:
+                    if h.rid in results.resources:
+                        continue
+                    payload = self.processor.get_payload(kbid, h.rid)
+                    results.resources[h.rid] = FindResource(
+                        id=h.rid,
+                        title=payload.title if payload else "",
+                        summary=payload.summary if payload else "",
+                    )
         if request.debug:
             results.timings = dict(metrics.phases)
         return results

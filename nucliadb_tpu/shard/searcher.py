@@ -208,8 +208,8 @@ class ShardSearcher:
 
         key_prefixes = list(request.key_filters) or None
 
-        if request.document and self.text is not None:
-            response.document = self.text.search(
+        def run_document():
+            return self.text.search(
                 DocumentSearchRequest(
                     query=request.body,
                     top_k=request.top_k,
@@ -224,8 +224,19 @@ class ShardSearcher:
                     range_creation=request.range_creation,
                     range_modification=request.range_modification,
                     key_prefixes=key_prefixes,
+                    # field/json prefilter applies to the document leg too
+                    field_filter=prefilter,
                 )
             )
+
+        # the document leg overlaps the paragraph/vector dispatches below —
+        # the three device programs are independent and each crosses the
+        # host<->device relay
+        doc_fut = (
+            _INDEX_POOL.submit(run_document)
+            if request.document and self.text is not None
+            else None
+        )
 
         def run_paragraph():
             # key filters restrict BEFORE scoring via the engine's
@@ -288,5 +299,8 @@ class ShardSearcher:
 
         if request.graph is not None and self.relation is not None:
             response.graph = self.relation.graph_search(request.graph)
+
+        if doc_fut is not None:
+            response.document = doc_fut.result()
 
         return response

@@ -113,12 +113,15 @@ class AzureStorage:
             "x-ms-version": _API_VERSION,
             **(extra_headers or {}),
         }
+        # CanonicalizedResource is the ENCODED URI path (SharedKey spec):
+        # signing the raw path 403s for any key needing percent-encoding
+        enc_path = quote(path, safe="-._~/")
         headers["Authorization"] = sign_shared_key(
-            method, self.account, path, query, headers, self.account_key, len(body)
+            method, self.account, enc_path, query, headers, self.account_key, len(body)
         )
         resp = self._client.request(
             method,
-            self.endpoint + quote(path, safe="-._~/"),
+            self.endpoint + enc_path,
             params=query,
             content=body,
             headers=headers,

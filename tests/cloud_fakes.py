@@ -232,8 +232,12 @@ def make_fake_azure(account: str, account_key: str, container: str):
             parsed = urlparse(self.path)
             query = {k: v[0] for k, v in parse_qs(parsed.query, keep_blank_values=True).items()}
             path = unquote(parsed.path)
+            # SharedKey CanonicalizedResource uses the ENCODED URI path
+            # exactly as sent (Azure docs) — unquoting before verification
+            # would accept clients that sign the raw path (real Azure 403s)
             want = _azure_expected_signature(
-                self.command, account, path, query, self.headers, body, account_key
+                self.command, account, parsed.path, query, self.headers, body,
+                account_key,
             )
             auth = self.headers.get("Authorization", "")
             if auth != f"SharedKey {account}:{want}":

@@ -215,3 +215,45 @@ def test_create_resource_redelivery_idempotent(stack):
     meta2 = processor.get_meta(kbid, rid)
     assert meta2.shard == meta1.shard
     assert meta2.created == 123.0  # original creation time preserved
+
+
+def test_poison_broker_message_does_not_stop_consumer(stack, tmp_path):
+    """Regression: a malformed BrokerMessage raised out of work_once, which
+    component mode turned into os._exit(1) — one poison message crash-looped
+    the whole multi-component process. Now it naks (bounded redeliveries,
+    then the bus poison-skips) and consumption continues."""
+    from nucliadb_tpu.bus.stream import MAX_DELIVERIES
+
+    node, driver, kbs, processor = stack
+    kbid = kbs.create(KnowledgeBoxConfig(slug="poison"))
+    bus = EmbeddedBus(str(tmp_path / "bus_p.db"))
+    txn_util = TransactionUtility(bus)
+    consumer = IngestConsumer(bus, processor)
+
+    # malformed payload: title must be a string
+    txn_util.commit(
+        BrokerMessage(kbid=kbid, rid="bad", op="create", payload={"title": {"x": 1}})
+    )
+    good = CreateResourcePayload(title="Good", texts={})
+    txn_util.commit(
+        BrokerMessage(kbid=kbid, rid="good", op="create", payload=good.model_dump())
+    )
+
+    # drains never raise; the poison message burns its deliveries then skips
+    for _ in range(MAX_DELIVERIES + 2):
+        consumer.drain()
+    assert processor.get_payload(kbid, "good") is not None
+    assert processor.get_payload(kbid, "bad") is None
+
+
+def test_bus_purge_acked_cleans_consumer_rows(tmp_path):
+    """Regression: purge_acked deleted message rows but left the matching
+    consumers rows forever (unbounded table growth on long-lived buses)."""
+    bus = EmbeddedBus(str(tmp_path / "bus_c.db"))
+    for i in range(5):
+        bus.publish("s", "ingest.0.x", f"m{i}".encode())
+    while (m := bus.next("s", "c", subject_prefix="ingest.0.")) is not None:
+        bus.ack("s", "c", m.seq)
+    assert bus.purge_acked("s", [("c", "ingest.0.")]) == 5
+    rows = bus._conn.execute("SELECT COUNT(*) FROM consumers WHERE stream='s'").fetchone()[0]
+    assert rows == 0

@@ -457,3 +457,59 @@ def test_key_prefix_ranges_astral_plane():
     got_slash = matched(["rid/t/"])
     assert emoji_key in got_slash and "rid/t" not in got_slash
     assert "rid/t0/x" not in got_slash
+
+
+def test_driver_with_block_is_reentrant_and_threadsafe(tmp_path):
+    """Regression: Driver.__enter__ stored the txn on a shared attribute —
+    a nested or cross-thread `with driver` committed the other block's
+    buffer and could leak the outer lock acquisition."""
+    import threading
+
+    from nucliadb_tpu.maindb import Driver
+
+    driver = Driver(str(tmp_path / "kv.db"))
+    with driver as outer:
+        outer.set("/outer", b"1")
+        with driver as inner:
+            inner.set("/inner", b"2")
+        outer.set("/outer2", b"3")
+    with driver as txn:
+        assert txn.get("/outer") == b"1"
+        assert txn.get("/inner") == b"2"
+        assert txn.get("/outer2") == b"3"
+
+    # no lock leak: other threads still get transactions
+    ok = []
+
+    def worker():
+        with driver as t:
+            t.set("/t", b"4")
+        ok.append(True)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join(5)
+    assert ok == [True]
+
+
+def test_learning_config_concurrent_updates_not_lost(tmp_path):
+    """Regression: set_configuration did read-modify-write across two
+    transactions; concurrent PATCHes silently erased each other's fields."""
+    import threading
+
+    from nucliadb_tpu.learning_proxy import LearningProxy
+    from nucliadb_tpu.maindb import Driver
+
+    proxy = LearningProxy(Driver(str(tmp_path / "kv.db")))
+    barrier = threading.Barrier(2)
+
+    def patch(field):
+        barrier.wait()
+        for i in range(25):
+            proxy.set_configuration("kb1", {field: f"{field}-{i}"})
+
+    ts = [threading.Thread(target=patch, args=(f,)) for f in ("alpha", "beta")]
+    [t.start() for t in ts]
+    [t.join(30) for t in ts]
+    cfg = proxy.get_configuration("kb1")
+    assert cfg.get("alpha") == "alpha-24" and cfg.get("beta") == "beta-24", cfg

@@ -517,8 +517,10 @@ def test_find_fulltext_feature(stack):
     assert {rids["fox"], rids["fin"]} <= hit_rids
     assert all(h.score > 0 for h in res.fulltext.results)
     assert all("/" in h.field or h.field for h in res.fulltext.results)
-    # paragraphs section stays empty without the keyword feature
-    assert res.resources == {}
+    # fulltext matches serialize into resources (parity: reference merge.py
+    # resources.update for the document leg) — but with no paragraph fields
+    assert hit_rids <= set(res.resources)
+    assert all(r.fields == {} for r in res.resources.values())
 
     # combined keyword + fulltext: both blocks present
     both = search.find(

@@ -257,3 +257,31 @@ def test_document_search_date_range_and_key_filters(tmp_path):
         )
     )
     assert {h.rid for h in resp.document.hits} == {"old"}
+
+
+def test_document_leg_respects_json_prefilter(shard):
+    """Regression: the fulltext (document) leg ignored the computed
+    field/json prefilter — it returned fields the filter excluded while
+    the paragraph/vector legs of the same request were restricted."""
+    resp = shard.search(
+        ShardSearchRequest(
+            body="quick",
+            document=True,
+            json_filter=JsonPredicate(path="price", op="gt", value=40),
+            top_k=5,
+        )
+    )
+    assert resp.document is not None
+    rids = {h.rid for h in resp.document.hits}
+    assert rids and rids <= {"r2", "r3"}, rids
+
+
+def test_prefilter_on_empty_text_index_is_none(tmp_path):
+    """Regression: numpy's all() on a zero-doc index is vacuously True, so
+    an empty text index returned PrefilterResult.all() and BYPASSED
+    security/field filters for the other index legs."""
+    from nucliadb_tpu.index.text import TextSearcher
+
+    s = TextSearcher(SimpleOpenIndex())
+    assert s.prefilter(security_groups=["admins"]).is_none
+    assert s.prefilter(filter=LabelAtom("/l/x/y")).is_none

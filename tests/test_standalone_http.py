@@ -2331,3 +2331,55 @@ def test_streaming_producer_failure_truncates(server):
     with pytest.raises(_httpx.HTTPError):
         with client.stream("GET", "/__test_stream_fail") as resp:
             resp.read()
+
+
+def test_security_object_alias(server):
+    """Regression: the reference's `security: {groups: [...]}` spelling was
+    silently DROPPED (pydantic extra=ignore) — requests ran unrestricted and
+    returned resources the caller should not see."""
+    client, app = server
+    kbid = client.post(
+        "/api/v1/kbs", json={"slug": "sec-alias", "vectorsets": {"m": {"dimension": 8}}}
+    ).json()["uuid"]
+    body = "classified vector doc"
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "title": "secret",
+            "texts": {"t": {"body": body}},
+            "security": {"access_groups": ["staff"]},
+            "embeddings": {"m": {"t": [{"start": 0, "end": len(body), "vector": [0.3] * 8}]}},
+        },
+    )
+    app.node.wait_for_sync()
+    base = {"query": "classified", "vector": [0.3] * 8, "vectorset": "m",
+            "features": ["keyword", "semantic"]}
+    outsider = client.post(
+        f"/api/v1/kb/{kbid}/find", json={**base, "security": {"groups": ["outsiders"]}}
+    ).json()
+    staff = client.post(
+        f"/api/v1/kb/{kbid}/find", json={**base, "security": {"groups": ["staff"]}}
+    ).json()
+    assert outsider["resources"] == {}
+    assert len(staff["resources"]) == 1
+    # malformed security objects 422 instead of running unrestricted
+    bad = client.post(f"/api/v1/kb/{kbid}/find", json={**base, "security": "staff"})
+    assert bad.status_code == 422
+
+
+def test_fulltext_matches_serialize_resources(server):
+    """Parity: /search with fulltext includes matched rids in `resources`
+    (reference merge.py resources.update for the document leg)."""
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "ft-res"}).json()["uuid"]
+    rid = client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "ft doc", "texts": {"t": {"body": "searchable fulltext body"}}},
+    ).json()["uuid"]
+    app.node.wait_for_sync()
+    s = client.post(
+        f"/api/v1/kb/{kbid}/search",
+        json={"query": "searchable", "features": ["fulltext"]},
+    ).json()
+    assert [h["rid"] for h in s["fulltext"]["results"]] == [rid]
+    assert rid in s["resources"] and s["resources"][rid]["title"] == "ft doc"

@@ -108,6 +108,12 @@ def test_azure_contract_and_signing():
             )
         )
         _contract(storage)
+        # regression: the SharedKey signature must canonicalize the ENCODED
+        # path — keys needing percent-encoding 403'd against real Azure
+        for tricky in ("dir/a b.txt", "pct %25 plus +.bin", "uni-é日.dat"):
+            storage.put(tricky, b"enc")
+            assert storage.get(tricky) == b"enc"
+            storage.delete(tricky)
         wrong = base64.b64encode(b"ffffffffffffffffffffffffffffffff").decode()
         bad = make_storage(
             StorageSettings(

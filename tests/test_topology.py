@@ -193,3 +193,31 @@ def test_searcher_replacement_on_topology_change(tmp_path):
     for sid in shard_ids:
         resp = s1.search(sid, req())
         assert resp.document is not None and resp.document.hits
+
+
+def test_watcher_redials_on_address_change(tmp_path):
+    """Regression: refresh() compared node NAMES only — a node restarting
+    at a new address was never redialed and its backend stayed pointed at
+    the dead endpoint forever."""
+    topo = tmp_path / "nodes.json"
+    topo.write_text(json.dumps([{"name": "n1", "address": "10.0.0.5:10000"}]))
+    made, closed = [], []
+
+    class B:
+        def __init__(self, name, addr):
+            self.name, self.addr = name, addr
+
+        def close(self):
+            closed.append(self.name)
+
+    w = TopologyWatcher(
+        str(topo), make_backend=lambda name, addr: made.append((name, addr)) or B(name, addr)
+    )
+    assert made == [("n1", "10.0.0.5:10000")]
+
+    topo.write_text(json.dumps([{"name": "n1", "address": "10.0.0.9:10000"}]))
+    assert w.refresh()  # address-only change IS a change
+    assert closed == ["n1"]
+    assert made[-1] == ("n1", "10.0.0.9:10000")
+    assert w.backends["n1"].addr == "10.0.0.9:10000"
+    assert not w.refresh()  # stable afterwards
