@@ -176,12 +176,18 @@ class EmbeddedBus:
                 (stream, consumer, seq),
             )
 
-    def nak(self, stream: str, consumer: str, seq: int) -> None:
-        """Release the lease for immediate redelivery."""
+    def nak(
+        self, stream: str, consumer: str, seq: int, delay: float | None = None
+    ) -> None:
+        """Release the lease for redelivery after ``delay`` seconds
+        (default: the stream's ack_wait — immediate redelivery would let a
+        ~1s transient outage burn all MAX_DELIVERIES and silently
+        poison-skip real messages; parity: NATS redelivers after ack_wait)."""
+        until = time.time() + (self.ack_wait if delay is None else delay)
         with self._lock, self._conn:
             self._conn.execute(
-                "UPDATE consumers SET leased_until=NULL WHERE stream=? AND name=? AND seq=?",
-                (stream, consumer, seq),
+                "UPDATE consumers SET leased_until=? WHERE stream=? AND name=? AND seq=?",
+                (until, stream, consumer, seq),
             )
 
     def in_progress(self, stream: str, consumer: str, seq: int) -> None:

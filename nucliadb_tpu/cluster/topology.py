@@ -102,7 +102,6 @@ class TopologyWatcher:
             for name, addr in nodes
             if name in self.addresses and self.addresses.get(name) != addr
         }
-        self.addresses = dict(nodes)
         for name in moved & set(self.backends):
             stale = self.backends.pop(name)
             close = getattr(stale, "close", None)
@@ -123,6 +122,10 @@ class TopologyWatcher:
             for name, addr in nodes:
                 if name not in self.backends:
                     self.backends[name] = self.make_backend(name, addr)
+        # record the applied addresses only AFTER the backends rebuilt: a
+        # make_backend failure leaves address_changed true so the next
+        # refresh() retries instead of leaving the node backend-less
+        self.addresses = dict(nodes)
         if self.on_change is not None:
             self.on_change(old, names)
         return True

@@ -103,10 +103,13 @@ class IngestConsumer:
             return False
         if msg.seq <= self._last_seq and msg.deliveries == 1:
             raise SequenceOrderViolation(f"seq {msg.seq} <= {self._last_seq}")
-        bm = BrokerMessage.unpack(msg.payload)
         from ..telemetry.tracing import extract_context, span
 
+        bm = None
         try:
+            # unpack INSIDE the containment: an undecodable payload must
+            # nak like any other per-message failure, not kill the process
+            bm = BrokerMessage.unpack(msg.payload)
             with span(
                 "ingest.process",
                 context=extract_context(bm.headers or {}),
@@ -132,12 +135,14 @@ class IngestConsumer:
             # reference indexer naks and continues, indexer.rs:170-174)
             logging.getLogger(__name__).exception(
                 "ingest message seq=%s kbid=%s op=%s failed; nak'd",
-                msg.seq, bm.kbid, bm.op,
+                msg.seq,
+                bm.kbid if bm is not None else "?",
+                bm.op if bm is not None else "?",
             )
+            # redelivery is paced by the bus ack_wait (nak default), so a
+            # transient outage does not burn all MAX_DELIVERIES instantly
             self.bus.nak(INGEST_STREAM, self.consumer, msg.seq)
-            # False ends this drain: the component loop retries after its
-            # interval, pacing redeliveries instead of burning all
-            # MAX_DELIVERIES instantly
+            # False ends this drain so the component loop moves on
             return False
         self.bus.ack(INGEST_STREAM, self.consumer, msg.seq)
         self._last_seq = msg.seq

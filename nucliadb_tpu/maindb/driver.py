@@ -15,9 +15,16 @@ class Transaction:
     thread pool.
     """
 
-    def __init__(self, driver: "Driver"):
+    def __init__(self, driver: "Driver", savepoint: Optional[str] = None):
         self._driver = driver
         self._open = True
+        # nested `with driver` blocks become SAVEPOINTs: their commit
+        # releases the savepoint (still inside the outer transaction), so
+        # an outer abort rolls EVERYTHING back — a plain conn.commit() from
+        # the inner block would have committed the outer writes too
+        self._savepoint = savepoint
+        if savepoint is not None:
+            driver._conn.execute(f"SAVEPOINT {savepoint}")
 
     def get(self, key: str) -> Optional[bytes]:
         row = self._driver._conn.execute(
@@ -69,6 +76,15 @@ class Transaction:
         ).fetchone()[0]
 
     def commit(self) -> None:
+        if self._savepoint is not None:
+            try:
+                self._driver._conn.execute(
+                    f"RELEASE SAVEPOINT {self._savepoint}"
+                )
+            finally:
+                self._driver._lock.release()
+                self._open = False
+            return
         try:
             self._driver._conn.commit()
         except BaseException:
@@ -84,12 +100,25 @@ class Transaction:
         self._open = False
 
     def abort(self) -> None:
-        if self._open:
+        if not self._open:
+            return
+        if self._savepoint is not None:
             try:
-                self._driver._conn.rollback()
+                self._driver._conn.execute(
+                    f"ROLLBACK TO SAVEPOINT {self._savepoint}"
+                )
+                self._driver._conn.execute(
+                    f"RELEASE SAVEPOINT {self._savepoint}"
+                )
             finally:
                 self._driver._lock.release()
                 self._open = False
+            return
+        try:
+            self._driver._conn.rollback()
+        finally:
+            self._driver._lock.release()
+            self._open = False
 
 
 class Driver:
@@ -141,6 +170,11 @@ class Driver:
 
     def transaction(self) -> Transaction:
         self._lock.acquire()
+        # explicit BEGIN: pysqlite only auto-begins on DML, so a read-only
+        # outer block would otherwise leave a nested SAVEPOINT outermost
+        # (its RELEASE would commit instead of nest)
+        if not self._conn.in_transaction:
+            self._conn.execute("BEGIN")
         return Transaction(self)
 
     def __enter__(self) -> Transaction:
@@ -150,7 +184,12 @@ class Driver:
         stack = getattr(self._local, "stack", None)
         if stack is None:
             stack = self._local.stack = []
-        txn = self.transaction()
+        if stack:
+            # nested on the same thread: reentrant lock + savepoint
+            self._lock.acquire()
+            txn = Transaction(self, savepoint=f"ndb_nest_{len(stack)}")
+        else:
+            txn = self.transaction()
         stack.append(txn)
         return txn
 

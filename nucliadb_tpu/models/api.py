@@ -287,6 +287,24 @@ class FilterExpression(BaseModel):
     model_config = {"populate_by_name": True}
 
 
+def _apply_security_alias(data: dict) -> None:
+    """Reference RequestSecurity {groups: [...]} -> security_groups.
+
+    STRICT: silently ignoring a malformed security object would return
+    results the caller should not see, so anything but the documented
+    shape raises (-> 422)."""
+    sec = data.pop("security", None)
+    if sec is None:
+        return
+    if not isinstance(sec, dict) or set(sec) - {"groups"}:
+        raise ValueError(f"invalid security: {sec!r}")
+    groups = sec.get("groups", [])
+    if not isinstance(groups, list) or any(not isinstance(g, str) for g in groups):
+        raise ValueError(f"invalid security: {sec!r}")
+    if groups:
+        data.setdefault("security_groups", groups)
+
+
 class FindRequest(BaseModel):
     """Hybrid retrieval request. Accepts the reference's spellings too:
     ``min_score`` (float or {"bm25", "semantic"}) and ``page_number``/
@@ -319,13 +337,7 @@ class FindRequest(BaseModel):
             data.setdefault(
                 "offset", int(data.pop("page_number")) * int(data.get("top_k", 20))
             )
-        sec = data.pop("security", None)
-        if isinstance(sec, dict):  # reference RequestSecurity {groups}
-            data.setdefault("security_groups", sec.get("groups"))
-        elif sec is not None:
-            # silently ignoring a malformed security object would RETURN
-            # RESULTS THE CALLER SHOULD NOT SEE
-            raise ValueError(f"invalid security: {sec!r}")
+        _apply_security_alias(data)
         sort = data.pop("sort", None)
         if isinstance(sort, dict):  # reference SortOptions {field, order}
             data.setdefault("sort_field", sort.get("field"))
@@ -602,11 +614,7 @@ class AskRequest(BaseModel):
         if isinstance(p, dict):
             parts = [p.get("system", ""), p.get("user", "")]
             data["prompt"] = "\n".join(s for s in parts if s)
-        sec = data.pop("security", None)
-        if isinstance(sec, dict):  # reference RequestSecurity {groups}
-            data.setdefault("security_groups", sec.get("groups"))
-        elif sec is not None:
-            raise ValueError(f"invalid security: {sec!r}")
+        _apply_security_alias(data)
         return data
 
     query: str

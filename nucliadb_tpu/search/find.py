@@ -615,32 +615,7 @@ class SearchService:
                 )
                 resource = results.resources.get(block.rid)
                 if resource is None:
-                    payload = self.processor.get_payload(kbid, block.rid)
-                    resource = FindResource(
-                        id=block.rid,
-                        title=payload.title if payload else "",
-                        summary=payload.summary if payload else "",
-                    )
-                    if request.show and payload is not None:
-                        # per-result serialization (parity: `show=` options)
-                        from ..models.api import FindResourceData
-
-                        meta = self.processor.get_meta(kbid, block.rid)
-                        data = FindResourceData()
-                        if "basic" in request.show:
-                            data.created = meta.created if meta else None
-                            data.modified = meta.modified if meta else None
-                            data.icon = payload.icon
-                            data.labels = [
-                                f"/l/{c.labelset}/{c.label}"
-                                for c in payload.usermetadata.classifications
-                            ]
-                        if "values" in request.show:
-                            data.texts = payload.texts
-                            data.links = payload.links
-                        if "relations" in request.show or "values" in request.show:
-                            data.usergenerated_relations = user_relations(payload)
-                        resource.data = data
+                    resource = self._serialize_resource(kbid, block.rid, request)
                     results.resources[block.rid] = resource
                 field = resource.fields.setdefault(f"/{block.field}", FindField())
                 field.paragraphs[block.block_id] = FindParagraph(
@@ -691,17 +666,45 @@ class SearchService:
                 # (parity: merge.py resources.update(matched_resources) for
                 # the document leg, search/search/merge.py:496-505)
                 for h in window:
-                    if h.rid in results.resources:
-                        continue
-                    payload = self.processor.get_payload(kbid, h.rid)
-                    results.resources[h.rid] = FindResource(
-                        id=h.rid,
-                        title=payload.title if payload else "",
-                        summary=payload.summary if payload else "",
-                    )
+                    if h.rid not in results.resources:
+                        results.resources[h.rid] = self._serialize_resource(
+                            kbid, h.rid, request
+                        )
         if request.debug:
             results.timings = dict(metrics.phases)
         return results
+
+    def _serialize_resource(self, kbid: str, rid: str, request) -> FindResource:
+        """One matched resource -> FindResource honoring `show=` options
+        (shared by the paragraph and fulltext legs so hydration stays
+        uniform within a response — parity: merge.py serializes all matched
+        resources through one path)."""
+        payload = self.processor.get_payload(kbid, rid)
+        resource = FindResource(
+            id=rid,
+            title=payload.title if payload else "",
+            summary=payload.summary if payload else "",
+        )
+        if request.show and payload is not None:
+            from ..models.api import FindResourceData
+
+            meta = self.processor.get_meta(kbid, rid)
+            data = FindResourceData()
+            if "basic" in request.show:
+                data.created = meta.created if meta else None
+                data.modified = meta.modified if meta else None
+                data.icon = payload.icon
+                data.labels = [
+                    f"/l/{c.labelset}/{c.label}"
+                    for c in payload.usermetadata.classifications
+                ]
+            if "values" in request.show:
+                data.texts = payload.texts
+                data.links = payload.links
+            if "relations" in request.show or "values" in request.show:
+                data.usergenerated_relations = user_relations(payload)
+            resource.data = data
+        return resource
 
     def _query_relations(self, kbid: str, query: str) -> list[Relation]:
         """Entity neighbourhood for query terms (the reference detects

@@ -1365,7 +1365,7 @@ class StandaloneApp:
             if "min_score" in q:
                 body["min_score"] = float(q["min_score"])
             for name in ("features", "filters", "fields", "resource_filters",
-                         "faceted", "show"):
+                         "faceted", "show", "security_groups"):
                 vals = _list(name)
                 if vals:
                     body[name] = vals

@@ -226,10 +226,15 @@ def test_poison_broker_message_does_not_stop_consumer(stack, tmp_path):
 
     node, driver, kbs, processor = stack
     kbid = kbs.create(KnowledgeBoxConfig(slug="poison"))
-    bus = EmbeddedBus(str(tmp_path / "bus_p.db"))
+    # short ack_wait: naks pace redelivery by the lease (NATS parity)
+    bus = EmbeddedBus(str(tmp_path / "bus_p.db"), ack_wait=0.01)
     txn_util = TransactionUtility(bus)
     consumer = IngestConsumer(bus, processor)
 
+    # undecodable payload (not even msgpack) — must nak, not raise
+    from nucliadb_tpu.ingest.consumer import INGEST_STREAM
+
+    bus.publish(INGEST_STREAM, "ingest.0.garbage", b"\xc1 not msgpack")
     # malformed payload: title must be a string
     txn_util.commit(
         BrokerMessage(kbid=kbid, rid="bad", op="create", payload={"title": {"x": 1}})
@@ -239,9 +244,13 @@ def test_poison_broker_message_does_not_stop_consumer(stack, tmp_path):
         BrokerMessage(kbid=kbid, rid="good", op="create", payload=good.model_dump())
     )
 
-    # drains never raise; the poison message burns its deliveries then skips
-    for _ in range(MAX_DELIVERIES + 2):
+    # drains never raise; the poison message burns its deliveries (paced by
+    # the lease) then skips
+    import time as _time
+
+    for _ in range(2 * MAX_DELIVERIES + 4):  # two poison messages to skip
         consumer.drain()
+        _time.sleep(0.02)
     assert processor.get_payload(kbid, "good") is not None
     assert processor.get_payload(kbid, "bad") is None
 

@@ -478,6 +478,20 @@ def test_driver_with_block_is_reentrant_and_threadsafe(tmp_path):
         assert txn.get("/inner") == b"2"
         assert txn.get("/outer2") == b"3"
 
+    # outer abort rolls back INNER commits too (savepoint semantics): a
+    # plain conn.commit() from the inner block used to flush outer writes
+    try:
+        with driver as outer:
+            outer.set("/atomic-outer", b"1")
+            with driver as inner:
+                inner.set("/atomic-inner", b"2")
+            raise RuntimeError("outer fails after inner commit")
+    except RuntimeError:
+        pass
+    with driver as txn:
+        assert txn.get("/atomic-outer") is None
+        assert txn.get("/atomic-inner") is None
+
     # no lock leak: other threads still get transactions
     ok = []
 

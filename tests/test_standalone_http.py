@@ -2383,3 +2383,36 @@ def test_fulltext_matches_serialize_resources(server):
     ).json()
     assert [h["rid"] for h in s["fulltext"]["results"]] == [rid]
     assert rid in s["resources"] and s["resources"][rid]["title"] == "ft doc"
+
+
+def test_security_object_rejects_wrong_key_and_get_param(server):
+    """Regressions: (1) a dict security object with a wrong/missing 'groups'
+    key silently ran unrestricted; (2) GET /find dropped security_groups."""
+    client, app = server
+    kbid = client.post(
+        "/api/v1/kbs", json={"slug": "sec-keys"}
+    ).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={"title": "classified", "texts": {"t": {"body": "restricted body"}},
+              "security": {"access_groups": ["staff"]}},
+    )
+    app.node.wait_for_sync()
+    base = {"query": "restricted", "features": ["keyword"]}
+    # wrong key shape -> 422, not unrestricted
+    for bad_sec in ({"group": ["staff"]}, {"groups": "staff"}, {"Groups": ["x"]}):
+        resp = client.post(f"/api/v1/kb/{kbid}/find", json={**base, "security": bad_sec})
+        assert resp.status_code == 422, (bad_sec, resp.text)
+    # GET spelling filters too
+    got = client.get(
+        f"/api/v1/kb/{kbid}/find",
+        params={"query": "restricted", "features": "keyword",
+                "security_groups": "outsiders"},
+    ).json()
+    assert got["resources"] == {}
+    got2 = client.get(
+        f"/api/v1/kb/{kbid}/find",
+        params={"query": "restricted", "features": "keyword",
+                "security_groups": "staff"},
+    ).json()
+    assert len(got2["resources"]) == 1
