@@ -80,7 +80,59 @@ class ProtoCompatServices:
             "size_bytes": size_bytes,
         }
 
+    def configure_shards(self, request, context):
+        self.node.configure_shards([
+            {
+                "shard_id": cfg.get("shard_id", ""),
+                "prewarm_enabled": bool(cfg.get("prewarm_enabled", False)),
+            }
+            for cfg in request.get("configs") or []
+        ])
+        return {}
+
+    def add_vector_set(self, request, context):
+        vsid = request.get("id") or {}
+        cfg = request.get("config") or {}
+        self.node.add_vectorset(
+            (vsid.get("shard") or {}).get("id", ""),
+            vsid.get("vectorset", ""),
+            VectorConfig(
+                dimension=int(cfg.get("vector_dimension", 0) or 0),
+                similarity=_SIMILARITY_FROM_ENUM.get(
+                    int(cfg.get("similarity", 0)), Similarity.COSINE
+                ),
+                normalize_vectors=bool(cfg.get("normalize_vectors", False)),
+            ),
+        )
+        return {"status": 0}
+
+    def remove_vector_set(self, request, context):
+        self.node.delete_vectorset(
+            (request.get("shard") or {}).get("id", ""),
+            request.get("vectorset", ""),
+        )
+        return {"status": 0}
+
+    def list_vector_sets(self, request, context):
+        shard_id = request.get("id", "")
+        return {
+            "shard": {"id": shard_id},
+            "vectorsets": self.node.list_vectorsets(shard_id),
+        }
+
     # ---- NidxSearcher -----------------------------------------------------
+
+    def extracted_texts(self, request, context):
+        out = self.node.extracted_texts(
+            request.get("shard_id", ""),
+            request.get("field_ids") or [],
+            request.get("paragraph_ids") or [],
+        )
+        return {
+            "fields": out["fields"],
+            "splits": out["splits"],
+            "paragraphs": out["paragraphs"],
+        }
 
     def search(self, request, context):
         top_k = int(request.get("result_per_page", 20) or 20)
@@ -225,10 +277,17 @@ def register_proto_services(server: grpc.Server, node) -> None:
         "NewShard": handler(svc.new_shard, pw.NEW_SHARD_REQUEST, pw.SHARD_CREATED),
         "DeleteShard": handler(svc.delete_shard, pw.SHARD_ID, pw.SHARD_ID),
         "ListShards": handler(svc.list_shards, pw.EMPTY_QUERY, pw.SHARD_IDS),
+        "ConfigureShards": handler(svc.configure_shards, pw.SHARDS_CONFIG, pw.EMPTY_QUERY),
+        "AddVectorSet": handler(svc.add_vector_set, pw.NEW_VECTOR_SET_REQUEST, pw.OP_STATUS),
+        "RemoveVectorSet": handler(svc.remove_vector_set, pw.VECTOR_SET_ID, pw.OP_STATUS),
+        "ListVectorSets": handler(svc.list_vector_sets, pw.SHARD_ID, pw.VECTOR_SET_LIST),
     }
     searcher = {
         "Search": handler(svc.search, pw.SEARCH_REQUEST, pw.SEARCH_RESPONSE),
         "Suggest": handler(svc.suggest, pw.SUGGEST_REQUEST, pw.SUGGEST_RESPONSE),
+        "ExtractedTexts": handler(
+            svc.extracted_texts, pw.EXTRACTED_TEXTS_REQUEST, pw.EXTRACTED_TEXTS_RESPONSE
+        ),
     }
     server.add_generic_rpc_handlers((
         grpc.method_handlers_generic_handler("nidx.NidxApi", api),

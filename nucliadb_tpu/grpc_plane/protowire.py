@@ -390,3 +390,53 @@ SUGGEST_RESPONSE = {
     "ematches": (4, ("rep", "string")),
     "shard_ids": (7, ("rep", "string")),
 }
+
+
+# nidx.proto ConfigureShards (nidx.proto:13, ShardsConfig/ShardConfig)
+SHARD_CONFIG = {
+    "shard_id": (1, "string"),
+    "prewarm_enabled": (2, "bool"),
+}
+SHARDS_CONFIG = {"configs": (1, ("rep", ("msg", SHARD_CONFIG)))}
+
+# noderesources.proto VectorSetID/VectorSetList (noderesources.proto:108-116)
+VECTOR_SET_ID = {
+    "shard": (1, ("msg", SHARD_ID)),
+    "vectorset": (2, "string"),
+}
+VECTOR_SET_LIST = {
+    "shard": (1, ("msg", SHARD_ID)),
+    "vectorsets": (2, ("rep", "string")),
+}
+
+# nodewriter.proto NewVectorSetRequest (nodewriter.proto:73-78)
+NEW_VECTOR_SET_REQUEST = {
+    "id": (1, ("msg", VECTOR_SET_ID)),
+    "config": (4, ("msg", VECTOR_INDEX_CONFIG)),
+}
+
+# nidx.proto ExtractedTexts (nidx.proto:25, :64-94)
+ET_FIELD_ID = {
+    "rid": (1, "string"),
+    "field_type": (2, "string"),
+    "field_name": (3, "string"),
+    "split": (4, "string"),
+}
+ET_PARAGRAPH_ID = {
+    "rid": (1, "string"),
+    "field_type": (2, "string"),
+    "field_name": (3, "string"),
+    "split": (4, "string"),
+    "paragraph_start": (5, "uint32"),
+    "paragraph_end": (6, "uint32"),
+}
+EXTRACTED_TEXTS_REQUEST = {
+    "shard_id": (1, "string"),
+    "field_ids": (2, ("rep", ("msg", ET_FIELD_ID))),
+    "paragraph_ids": (3, ("rep", ("msg", ET_PARAGRAPH_ID))),
+}
+EXTRACTED_TEXTS_RESPONSE = {
+    "fields": (1, ("map", "string", "string")),
+    "splits": (2, ("map", "string", "string")),
+    "paragraphs": (3, ("map", "string", "string")),
+}

@@ -1,11 +1,12 @@
 """gRPC server exposing the node's three services.
 
 Method surface parity (nidx_protos/nidx.proto:8-34):
-- NidxApi:     NewShard, DeleteShard, ListShards, AddVectorSet, GetShard
+- NidxApi:     NewShard, DeleteShard, ListShards, ConfigureShards,
+  AddVectorSet, RemoveVectorSet, ListVectorSets, GetShard
 - NidxIndexer: Index, Delete
-- NidxSearcher: Search, Suggest, GraphSearch, Paragraphs (stream),
-  Documents (stream) — the stream pair feeds train/export consumers
-  (nodereader.proto StreamRequest).
+- NidxSearcher: Search, Suggest, GraphSearch, ExtractedTexts,
+  Paragraphs (stream), Documents (stream) — the stream pair feeds
+  train/export consumers (nodereader.proto StreamRequest).
 """
 
 from __future__ import annotations
@@ -43,6 +44,9 @@ class NodeGrpcServer:
             "DeleteShard": _unary(self._delete_shard, msgpack.unpackb, msgpack.packb),
             "ListShards": _unary(self._list_shards, msgpack.unpackb, msgpack.packb),
             "AddVectorSet": _unary(self._add_vectorset, msgpack.unpackb, msgpack.packb),
+            "RemoveVectorSet": _unary(self._remove_vectorset, msgpack.unpackb, msgpack.packb),
+            "ListVectorSets": _unary(self._list_vectorsets, msgpack.unpackb, msgpack.packb),
+            "ConfigureShards": _unary(self._configure_shards, msgpack.unpackb, msgpack.packb),
             "GetShard": _unary(self._get_shard, msgpack.unpackb, msgpack.packb),
             # ---- NidxIndexer ----
             "Index": _unary(self._index, lambda b: b, msgpack.packb),
@@ -51,6 +55,7 @@ class NodeGrpcServer:
             "Search": _unary(self._search, lambda b: b, lambda b: b),
             "Suggest": _unary(self._suggest, msgpack.unpackb, msgpack.packb),
             "GraphSearch": _unary(self._graph_search, msgpack.unpackb, msgpack.packb),
+            "ExtractedTexts": _unary(self._extracted_texts, msgpack.unpackb, msgpack.packb),
             "Paragraphs": grpc.unary_stream_rpc_method_handler(
                 self._paragraphs, request_deserializer=msgpack.unpackb,
                 response_serializer=msgpack.packb,
@@ -103,6 +108,17 @@ class NodeGrpcServer:
             request["name"],
             VectorConfig.from_dict(request["config"]),
         )
+        return {"ok": True}
+
+    def _remove_vectorset(self, request, context):
+        self.node.delete_vectorset(request["shard_id"], request["name"])
+        return {"ok": True}
+
+    def _list_vectorsets(self, request, context):
+        return {"vectorsets": self.node.list_vectorsets(request["shard_id"])}
+
+    def _configure_shards(self, request, context):
+        self.node.configure_shards(request.get("configs", []))
         return {"ok": True}
 
     def _get_shard(self, request, context):
@@ -207,6 +223,15 @@ class NodeGrpcServer:
                 for p in searcher.relation.graph_search(greq)
             ]
         }
+
+    def _extracted_texts(self, request, context):
+        """Extracted text from the index's stored field text (parity:
+        NidxSearcher.ExtractedTexts, nidx.proto:25)."""
+        return self.node.extracted_texts(
+            request["shard_id"],
+            request.get("field_ids"),
+            request.get("paragraph_ids"),
+        )
 
     def _paragraphs(self, request, context):
         """Stream every live paragraph id of a shard (parity:

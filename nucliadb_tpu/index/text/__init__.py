@@ -76,7 +76,10 @@ class TextIndexer:
             )
         if not docs:
             return None
-        return build_segment(output_dir, docs, kind="text")
+        # store_text: persist the extracted field text in the segment so the
+        # searcher can serve get_fields_text / ExtractedTexts without blob
+        # storage (parity: tantivy stored `text` field, nidx_text schema.rs)
+        return build_segment(output_dir, docs, kind="text", store_text=True)
 
     def deletions_for_resource(self, resource: ResourceDoc) -> list[str]:
         if resource.texts_to_delete:
@@ -254,6 +257,26 @@ class TextSearcher:
         return DocumentSearchResponse(
             hits=out, total=total, facet_counts=facet_counts
         )
+
+    def get_fields_text(self, keys: Sequence[str]) -> dict[str, Optional[str]]:
+        """Stored extracted text per field key ("rid/fid"). None for keys
+        absent, deleted, or indexed before stored text existed (parity:
+        TextSearcher::get_fields_text, nidx_text/src/lib.rs:130-240)."""
+        import bisect
+
+        out: dict[str, Optional[str]] = {}
+        eng = self.engine
+        for key in keys:
+            text: Optional[str] = None
+            # per-segment runs (the concatenated key list is only sorted
+            # within each segment); the LAST alive match wins — segment
+            # order is seq-ascending, so it is the freshest copy
+            for run_lo, run_hi in eng.seg_bounds:
+                gid = bisect.bisect_left(eng.keys, key, run_lo, run_hi)
+                if gid < run_hi and eng.keys[gid] == key and eng.alive[gid]:
+                    text = eng.stored_text(gid)
+            out[key] = text
+        return out
 
     def prefilter(
         self,

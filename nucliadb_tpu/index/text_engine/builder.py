@@ -17,6 +17,10 @@ Layout:
     facets.msgpack          {facet -> [doc ids]} postings
     attrs.msgpack           [N] small per-doc attribute dicts
     columns.npz             named int64 per-doc columns (created, modified, …)
+    stored.bin              optional: per-doc zlib blobs (extracted text,
+    stored_off.npy          text-index segments only — parity: tantivy's
+                            stored `text` field serving get_fields_text /
+                            ExtractedTexts, nidx_text/src/lib.rs:130-240)
 """
 
 from __future__ import annotations
@@ -71,10 +75,28 @@ class TextSegmentData:
     columns: dict[str, np.ndarray]
     tags: frozenset[str] = frozenset()
     meta: dict = field(default_factory=dict)
+    stored_off: "np.ndarray | None" = None  # [N+1] int64 into stored.bin
 
     @property
     def n_docs(self) -> int:
         return len(self.keys)
+
+    @property
+    def has_stored_text(self) -> bool:
+        return self.stored_off is not None
+
+    def stored_blob(self, doc_id: int) -> bytes:
+        """Raw compressed blob for one doc (merge carries these verbatim)."""
+        assert self.stored_off is not None
+        lo, hi = int(self.stored_off[doc_id]), int(self.stored_off[doc_id + 1])
+        with open(os.path.join(self.path, "stored.bin"), "rb") as f:
+            f.seek(lo)
+            return f.read(hi - lo)
+
+    def stored_text(self, doc_id: int) -> str:
+        import zlib
+
+        return zlib.decompress(self.stored_blob(doc_id)).decode("utf-8")
 
     def key_prefix_mask(self, prefixes: Sequence[str]) -> np.ndarray:
         from ...utils.keys import key_prefix_ranges
@@ -92,6 +114,7 @@ def build_segment(
     kind: str,
     tags: Sequence[str] = (),
     extra_meta: dict | None = None,
+    store_text: bool = False,
 ) -> SegmentMetadata:
     docs = sorted(docs, key=lambda d: d.key)
     keys = [d.key for d in docs]
@@ -144,16 +167,22 @@ def build_segment(
         pos_offsets_np = np.asarray(pos_offsets, np.int64)
         pos_np = np.asarray(pos_arr, np.int32)
 
+    stored = None
+    if store_text:
+        import zlib
+
+        stored = [zlib.compress(d.text.encode("utf-8"), 1) for d in docs]
     return _write_segment(
         path, keys, list(terms), offsets, docs_np, tfs_np, pos_offsets_np,
         pos_np, dlen, facets, attrs, columns, kind=kind, tags=tags,
-        extra_meta=extra_meta,
+        extra_meta=extra_meta, stored=stored,
     )
 
 
 def _write_segment(
     path, keys, terms, offsets, docs_np, tfs_np, pos_offsets_np, pos_np,
     dlen, facets, attrs, columns, *, kind, tags=(), extra_meta=None,
+    stored=None,
 ) -> SegmentMetadata:
     """Write the on-disk segment layout from final arrays (meta.json last —
     its presence marks the directory complete/immutable)."""
@@ -174,6 +203,13 @@ def _write_segment(
         f.write(msgpack.packb(facets))
     with open(os.path.join(path, "attrs.msgpack"), "wb") as f:
         f.write(msgpack.packb(attrs, default=str))
+    if stored is not None:
+        off = np.zeros(len(stored) + 1, dtype=np.int64)
+        with open(os.path.join(path, "stored.bin"), "wb") as f:
+            for i, blob in enumerate(stored):
+                f.write(blob)
+                off[i + 1] = off[i] + len(blob)
+        np.save(os.path.join(path, "stored_off.npy"), off)
     meta = {
         "records": len(keys),
         "total_len": int(total_len),
@@ -232,7 +268,12 @@ def _open_text_segment_uncached(path: str) -> TextSegmentData:
     with open(os.path.join(path, "attrs.msgpack"), "rb") as f:
         attrs = msgpack.unpackb(f.read())
     columns_npz = np.load(os.path.join(path, "columns.npz"))
+    stored_off_path = os.path.join(path, "stored_off.npy")
+    stored_off = (
+        np.load(stored_off_path) if os.path.exists(stored_off_path) else None
+    )
     return TextSegmentData(
+        stored_off=stored_off,
         path=path,
         keys=keys,
         terms=terms,
@@ -382,6 +423,23 @@ def merge_text_segments(out_path, open_index, *, kind: str):
         attrs_concat.extend(seg.attrs[i] for i in kept)
     attrs_final = [attrs_concat[i] for i in order]
 
+    # stored extracted text: carry the compressed blobs verbatim (only when
+    # every operant has them — mixed means pre-stored-text segments, and a
+    # partial map would serve wrong ExtractedTexts answers)
+    stored_final = None
+    if all(seg.has_stored_text for seg, _ in segs):
+        blob_concat: list[bytes] = []
+        for (seg, _), kept in zip(segs, kept_ids_per_seg):
+            if not kept.size:
+                continue
+            with open(os.path.join(seg.path, "stored.bin"), "rb") as f:
+                data = f.read()
+            off = seg.stored_off
+            blob_concat.extend(
+                data[int(off[i]) : int(off[i + 1])] for i in kept
+            )
+        stored_final = [blob_concat[i] for i in order]
+
     facets: dict[str, list[int]] = {}
     for (seg, _), doc_map in zip(segs, doc_maps):
         for facet, dids in seg.facets.items():
@@ -403,5 +461,5 @@ def merge_text_segments(out_path, open_index, *, kind: str):
     return _write_segment(
         out_path, keys_final, terms, offsets, docs_np, tfs_np,
         pos_offsets_np, pos_np, dlen, facets, attrs_final, columns,
-        kind=kind, tags=tags,
+        kind=kind, tags=tags, stored=stored_final,
     )

@@ -575,6 +575,16 @@ class DeviceTextEngine:
     def facet_postings(self, facet: str) -> np.ndarray:
         return self.facets.get(facet, np.zeros(0, np.int32))
 
+    def stored_text(self, gid: int) -> "str | None":
+        """Stored extracted text of one doc (text-index segments persist the
+        field text; parity: tantivy stored `text` field behind
+        TextSearcher::get_fields_text, nidx_text/src/lib.rs:130-240)."""
+        seg_idx, offset = self.doc_seg[gid]
+        seg = self.segments[seg_idx]
+        if not seg.has_stored_text:
+            return None
+        return seg.stored_text(gid - offset)
+
     def key_prefix_postings(self, prefixes: Sequence[str]) -> np.ndarray:
         from ...utils.keys import key_prefix_ranges
 

@@ -143,10 +143,14 @@ class ResourceBrain:
                 continue
             doc.texts[fid] = TextInformation(text=text, labels=[])
             paragraphs = {}
-            for start, end in spans:
+            for (start, end), msg in zip(spans, conv.messages):
                 pid = paragraph_id(self.rid, fid, start, end)
                 paragraphs[pid] = IndexParagraph(
-                    start=start, end=end, fieldname=fid, index=len(paragraphs)
+                    start=start, end=end, fieldname=fid, index=len(paragraphs),
+                    # split = message ident (parity: conversation splits —
+                    # ExtractedTexts serves per-split text by slicing the
+                    # transcript at this paragraph's offsets)
+                    split=msg.ident or str(len(paragraphs)),
                 )
             doc.paragraphs[fid] = paragraphs
 

@@ -183,6 +183,23 @@ class MetadataStore:
             rows = self._conn.execute(q, args).fetchall()
         return [ShardMeta(r[0], r[1], json.loads(r[2])) for r in rows]
 
+    def update_shard_config(self, shard_id: str, updates: dict) -> None:
+        """Merge keys into the shard's config JSON (parity: NidxApi
+        ConfigureShards — per-shard knobs like prewarm_enabled)."""
+        with self._lock, self._conn:
+            row = self._conn.execute(
+                "SELECT config FROM shards WHERE id=? AND deleted_at IS NULL",
+                (shard_id,),
+            ).fetchone()
+            if row is None:
+                raise KeyError(shard_id)
+            config = json.loads(row[0])
+            config.update(updates)
+            self._conn.execute(
+                "UPDATE shards SET config=? WHERE id=?",
+                (json.dumps(config), shard_id),
+            )
+
     def delete_shard(self, shard_id: str) -> None:
         with self._lock, self._conn:
             self._conn.execute(

@@ -90,6 +90,24 @@ class EmbeddedNode:
                 self.metadata.retire_index_segments(index.id)
                 self.metadata.delete_index(index.id)
 
+    def list_vectorsets(self, shard_id: str) -> list[str]:
+        """Parity: NidxApi.ListVectorSets (nidx.proto:17)."""
+        return sorted(
+            index.name
+            for index in self.metadata.get_indexes(shard_id)
+            if index.kind == "vector"
+        )
+
+    def configure_shards(self, configs: list[dict]) -> None:
+        """Parity: NidxApi.ConfigureShards (nidx.proto:13, ShardsConfig) —
+        per-shard knobs; prewarm_enabled makes searchers load the shard's
+        device arenas eagerly at sync instead of on first query."""
+        for cfg in configs:
+            self.metadata.update_shard_config(
+                cfg["shard_id"],
+                {"prewarm_enabled": bool(cfg.get("prewarm_enabled", False))},
+            )
+
     def delete_shard(self, shard_id: str) -> None:
         self.metadata.delete_shard(shard_id)
 
@@ -107,6 +125,18 @@ class EmbeddedNode:
 
     def search(self, shard_id: str, request: ShardSearchRequest) -> ShardSearchResponse:
         return self.searcher.search(shard_id, request)
+
+    def extracted_texts(
+        self,
+        shard_id: str,
+        field_ids: "list[dict] | None" = None,
+        paragraph_ids: "list[dict] | None" = None,
+    ) -> dict[str, dict[str, str]]:
+        """Parity: NidxSearcher.ExtractedTexts (nidx.proto:25) — extracted
+        text served from the index's stored field text."""
+        return self.searcher.shard(shard_id).extracted_texts(
+            field_ids, paragraph_ids
+        )
 
     # ---- background round ---------------------------------------------------
 

@@ -71,8 +71,11 @@ class SyncedSearcher:
         sync_start = _time.time()
         dirty: set[str] = set()
         live: set[str] = set()
+        prewarm: set[str] = set()
         for shard in self.metadata.list_shards():
             live.add(shard.id)
+            if shard.config.get("prewarm_enabled"):
+                prewarm.add(shard.id)
             if not self._owns(shard.id):
                 with self._mu:
                     self._shards.pop(shard.id, None)  # dropped on topology change
@@ -112,8 +115,11 @@ class SyncedSearcher:
         for shard_id in dirty:
             # only OPEN searchers reload eagerly; everything else loads
             # lazily on first search (parity: the reference's cache
-            # invalidates on change, loads on demand)
-            if shard_id in self._shards:
+            # invalidates on change, loads on demand). prewarm-enabled
+            # shards (ConfigureShards, nidx.proto ShardConfig) load eagerly
+            # even when closed — their device arenas must be hot before the
+            # first query
+            if shard_id in self._shards or shard_id in prewarm:
                 with self._mu:
                     load = self._loads.setdefault(shard_id, threading.Lock())
                 with load:  # same single-flight lock the lazy path takes

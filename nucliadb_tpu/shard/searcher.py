@@ -192,6 +192,69 @@ class ShardSearcher:
             result = result.intersect(self.json.prefilter(request.json_filter))
         return result
 
+    def extracted_texts(
+        self,
+        field_ids: "list[dict] | None" = None,
+        paragraph_ids: "list[dict] | None" = None,
+    ) -> dict[str, dict[str, str]]:
+        """Extracted text straight from the index's stored field text
+        (parity: NidxSearcher.ExtractedTexts, nidx.proto:25 +
+        searcher/grpc.rs:171-185 — prompt/summarize/augmentor consumers
+        hydrate from the searcher instead of blob storage).
+
+        ``field_ids``/``paragraph_ids`` entries: {rid, field_type,
+        field_name, split?} (+ paragraph_start/paragraph_end). Returns
+        {"fields": {...}, "splits": {...}, "paragraphs": {...}} keyed the
+        reference way (`rid/ftype/fname[/split][/start-end]`).
+        """
+        out: dict[str, dict[str, str]] = {"fields": {}, "splits": {}, "paragraphs": {}}
+        if self.text is None:
+            return out
+        entries = list(field_ids or []) + list(paragraph_ids or [])
+        keys = {
+            f"{e['rid']}/{e['field_type']}/{e['field_name']}" for e in entries
+        }
+        texts = self.text.get_fields_text(sorted(keys))
+        for e in field_ids or []:
+            fkey = f"{e['rid']}/{e['field_type']}/{e['field_name']}"
+            text = texts.get(fkey)
+            if text is None:
+                continue
+            split = e.get("split")
+            if not split:
+                out["fields"][fkey] = text
+                continue
+            span = self._split_span(e["rid"], f"{e['field_type']}/{e['field_name']}", split)
+            if span is not None:
+                out["splits"][f"{fkey}/{split}"] = text[span[0] : span[1]]
+        for e in paragraph_ids or []:
+            fkey = f"{e['rid']}/{e['field_type']}/{e['field_name']}"
+            text = texts.get(fkey)
+            if text is None:
+                continue
+            start, end = int(e["paragraph_start"]), int(e["paragraph_end"])
+            pkey = fkey + (f"/{e['split']}" if e.get("split") else "") + f"/{start}-{end}"
+            out["paragraphs"][pkey] = text[start:end]
+        return out
+
+    def _split_span(self, rid: str, fid: str, split: str) -> "tuple[int, int] | None":
+        """[start, end) covering every paragraph of one split (a conversation
+        message) — offsets into the field's joined transcript."""
+        if self.paragraph is None:
+            return None
+        eng = self.paragraph.engine
+        lo = hi = None
+        for did in eng.key_prefix_postings([f"{rid}/{fid}/"]):
+            if not eng.alive[did]:
+                continue
+            attrs = eng.attrs[did]
+            if attrs.get("split") != split:
+                continue
+            s, e = int(attrs.get("start", 0)), int(attrs.get("end", 0))
+            lo = s if lo is None else min(lo, s)
+            hi = e if hi is None else max(hi, e)
+        return None if lo is None else (lo, hi)
+
     def search(self, request: ShardSearchRequest) -> ShardSearchResponse:
         response = ShardSearchResponse()
 

@@ -261,6 +261,7 @@ class RemoteMetadataStore(_Remote):
 
 for _m in (
     "next_seq", "last_seq", "create_shard", "get_shard", "list_shards",
+    "update_shard_config",
     "delete_shard", "create_index", "get_indexes", "get_index", "delete_index",
     "retire_index_segments", "touch_index", "indexes_updated_since",
     "create_segment", "commit_operation", "set_segment_size",
