@@ -834,10 +834,13 @@ class RelationSearcher:
             )
         return out
 
-    def graph_search_expr(self, query: dict, top_k: int = 50) -> list[GraphPath]:
+    def graph_search_expr(
+        self, query: dict, top_k: int = 50, *, edge_ok=None
+    ) -> list[GraphPath]:
         """Boolean path-query evaluation over the open edges, best-scored
         first (parity: reader.rs paths_graph_search with
-        TopDocs::order_by_score)."""
+        TopDocs::order_by_score). ``edge_ok`` (resource constraints) filters
+        BEFORE the top_k cut so a constrained query still fills top_k."""
         scores = self._eval_expr(query)
         valid = np.flatnonzero(~np.isnan(scores))
         if valid.size == 0:
@@ -845,10 +848,16 @@ class RelationSearcher:
         order = np.lexsort(
             (self._key_rank[valid], -scores[valid].astype(np.float64))
         )
-        return [
-            self._path_from_edge(self.edges[int(i)], score=float(scores[i]))
-            for i in valid[order[:top_k]]
-        ]
+        ranked = valid[order]
+        out: list[GraphPath] = []
+        for i in ranked:
+            e = self.edges[int(i)]
+            if edge_ok is not None and not edge_ok(e):
+                continue
+            out.append(self._path_from_edge(e, score=float(scores[i])))
+            if len(out) >= top_k:
+                break
+        return out
 
     def _edge_ok_indices(self, indices: np.ndarray, edge_ok) -> np.ndarray:
         """Filter matched edge indices through the caller's edge predicate

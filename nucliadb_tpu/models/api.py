@@ -549,6 +549,11 @@ class GraphSearchPayload(BaseModel):
     # nidx_relation graph_query_parser.rs VectorQueryResults)
     query: Optional[str] = None
     semantic: bool = False
+    # resource constraints (parity: BaseGraphSearchRequest security +
+    # show_hidden — the boolean-expression mode already honors them; the
+    # flat payload must too or it becomes a security bypass)
+    security: Optional[dict] = None  # {"groups": [...]}
+    show_hidden: bool = False
 
 
 class GraphPathResult(BaseModel):

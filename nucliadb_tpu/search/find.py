@@ -972,12 +972,29 @@ class SearchService:
             undirected=request.undirected,
             top_k=request.top_k,
         )
+        # the flat payload honors the same resource constraints as the
+        # boolean-expression mode (parity: BaseGraphSearchRequest security /
+        # show_hidden, nodereader.proto:248) — without this the flat shape
+        # was a security bypass
+        edge_ok = self._graph_edge_filter(
+            kbid,
+            security_groups=(
+                list(request.security.get("groups", []) or [])
+                if request.security
+                else None
+            ),
+            show_hidden=request.show_hidden,
+        )
         out = GraphSearchResponse()
         for shard_id in self._shard_ids(kbid):
             searcher = self.node.searcher.shard(shard_id)
             if searcher.relation is None:
                 continue
             paths = list(searcher.relation.graph_search(greq))
+            if edge_ok is not None:
+                paths = [
+                    p for p in paths if edge_ok({"key": p.resource_field})
+                ]
             if request.semantic and request.query:
                 # widen the matched-node set with semantically close nodes
                 seen = {(p.source.value, p.relation, p.target.value) for p in paths}
@@ -994,6 +1011,10 @@ class SearchService:
                     for p in searcher.relation.graph_search(node_req):
                         key = (p.source.value, p.relation, p.target.value)
                         if key not in seen:
+                            if edge_ok is not None and not edge_ok(
+                                {"key": p.resource_field}
+                            ):
+                                continue
                             seen.add(key)
                             paths.append(p)
             for p in paths:
@@ -1034,9 +1055,11 @@ class SearchService:
             if searcher.relation is None:
                 continue
             q = self._resolve_semantic_leaves(kbid, searcher, query)
-            for p in searcher.relation.graph_search_expr(q, top_k):
-                if edge_ok is not None and not edge_ok({"key": p.resource_field}):
-                    continue
+            # edge_ok filters inside the index BEFORE the top_k cut — the
+            # old post-filtering under-filled top_k on constrained queries
+            for p in searcher.relation.graph_search_expr(
+                q, top_k, edge_ok=edge_ok
+            ):
                 resp.paths.append(
                     GraphPathResult(
                         source=p.source.value,

@@ -2416,3 +2416,82 @@ def test_security_object_rejects_wrong_key_and_get_param(server):
                 "security_groups": "staff"},
     ).json()
     assert len(got2["resources"]) == 1
+
+
+def test_graph_flat_payload_honors_security(server):
+    """Regression: the flat /graph payload (source_value/target_value shape)
+    ignored `security`/`show_hidden` — the boolean-expression mode applied
+    them, so the flat shape was a security bypass."""
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "graph-sec"}).json()["uuid"]
+    client.post(
+        f"/api/v1/kb/{kbid}/resources",
+        json={
+            "title": "secret rel",
+            "security": {"access_groups": ["staff"]},
+            "usergenerated_relations": [
+                {"relation": "ENTITY", "label": "works_at",
+                 "from": {"value": "alice", "type": "entity"},
+                 "to": {"value": "acme", "type": "entity"}},
+            ],
+        },
+    )
+    app.node.wait_for_sync()
+
+    flat = {"source_value": "alice"}
+    everyone = client.post(f"/api/v1/kb/{kbid}/graph", json=flat).json()
+    outsider = client.post(
+        f"/api/v1/kb/{kbid}/graph",
+        json={**flat, "security": {"groups": ["outsiders"]}},
+    ).json()
+    staff = client.post(
+        f"/api/v1/kb/{kbid}/graph",
+        json={**flat, "security": {"groups": ["staff"]}},
+    ).json()
+    assert len(everyone["paths"]) == 1  # unrestricted callers still see it
+    assert outsider["paths"] == []
+    assert len(staff["paths"]) == 1
+
+
+def test_graph_expr_security_fills_top_k(server):
+    """Constrained expression queries fill top_k from below the cut (the old
+    post-filtering dropped secured edges AFTER truncation and under-filled)."""
+    client, app = server
+    kbid = client.post("/api/v1/kbs", json={"slug": "graph-fill"}).json()["uuid"]
+    # 3 secret edges + 3 public edges, same pattern
+    for i in range(3):
+        client.post(
+            f"/api/v1/kb/{kbid}/resources",
+            json={
+                "title": f"secret{i}",
+                "security": {"access_groups": ["staff"]},
+                "usergenerated_relations": [
+                    {"relation": "ENTITY", "label": "knows",
+                     "from": {"value": "hub", "type": "entity"},
+                     "to": {"value": f"s{i}", "type": "entity"}},
+                ],
+            },
+        )
+    for i in range(3):
+        client.post(
+            f"/api/v1/kb/{kbid}/resources",
+            json={
+                "title": f"public{i}",
+                "usergenerated_relations": [
+                    {"relation": "ENTITY", "label": "knows",
+                     "from": {"value": "hub", "type": "entity"},
+                     "to": {"value": f"p{i}", "type": "entity"}},
+                ],
+            },
+        )
+    app.node.wait_for_sync()
+    out = client.post(
+        f"/api/v1/kb/{kbid}/graph",
+        json={
+            "query": {"prop": "source_node", "value": "hub"},
+            "top_k": 3,
+            "security": {"groups": ["outsiders"]},
+        },
+    ).json()
+    targets = {p["target"] for p in out["paths"]}
+    assert targets == {"p0", "p1", "p2"}, out
