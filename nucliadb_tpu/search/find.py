@@ -465,8 +465,16 @@ class SearchService:
             shard_req.vector = None
 
         with metrics.time("retrieval"):
-            for shard_id in self._shard_ids(kbid):
-                resp = self.node.search(shard_id, shard_req)
+            shard_ids = self._shard_ids(kbid)
+            search_multi = getattr(self.node, "search_multi", None)
+            if search_multi is not None:
+                # co-resident shards execute as one sharded device program
+                # when a mesh is available (parallel/group.py); otherwise
+                # this is the plain sequential fan-out
+                responses = search_multi(shard_ids, shard_req)
+            else:
+                responses = [self.node.search(s, shard_req) for s in shard_ids]
+            for resp in responses:
                 if resp.document is not None:
                     fulltext_hits.extend(resp.document.hits)
                     fulltext_total += resp.document.total

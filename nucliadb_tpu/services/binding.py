@@ -126,6 +126,13 @@ class EmbeddedNode:
     def search(self, shard_id: str, request: ShardSearchRequest) -> ShardSearchResponse:
         return self.searcher.search(shard_id, request)
 
+    def search_multi(
+        self, shard_ids: "list[str]", request: ShardSearchRequest
+    ) -> "list[ShardSearchResponse]":
+        """Search several co-resident shards; on a multi-device slice the
+        vector legs execute as one sharded program (parallel/group.py)."""
+        return self.searcher.search_multi(shard_ids, request)
+
     def extracted_texts(
         self,
         shard_id: str,

@@ -17,12 +17,21 @@ import threading
 from collections import OrderedDict
 from typing import Optional
 
+from concurrent.futures import ThreadPoolExecutor
+
 from ..index.vector.config import VectorConfig
 from ..metadata import MetadataStore
 from ..shard import ShardConfig, ShardSearcher, ShardSearchRequest, ShardSearchResponse
 from ..storage import Storage
 from ..storage.storage import download_segment
 from ..types import SegmentMetadata, SimpleOpenIndex
+
+# per-shard fan-out for the non-vector legs of a mesh search_multi. A
+# DEDICATED pool (not shard/searcher.py's _INDEX_POOL): tasks here submit
+# paragraph/document legs into that pool, and sharing one pool would let a
+# full set of outer tasks starve the inner ones (classic nested-submit
+# deadlock).
+_MESH_SHARD_POOL = ThreadPoolExecutor(max_workers=16, thread_name_prefix="meshshard")
 
 
 class SyncedSearcher:
@@ -54,6 +63,10 @@ class SyncedSearcher:
         # nidx/src/searcher/sync.rs + shard_selector)
         self.selector = selector
         self.node_name = node_name
+        # mesh serving: cached MeshVectorGroups keyed by (shard ids,
+        # vectorset); entries invalidate when any member shard reloads
+        # (the stored identity tuple no longer matches the live searchers)
+        self._mesh_groups: "OrderedDict[tuple, tuple[tuple, object]]" = OrderedDict()
 
     def _owns(self, shard_id: str) -> bool:
         if self.selector is None or self.node_name is None:
@@ -207,3 +220,114 @@ class SyncedSearcher:
 
     def search(self, shard_id: str, request: ShardSearchRequest) -> ShardSearchResponse:
         return self.shard(shard_id).search(request)
+
+    # ------------------------------------------------------------------
+    # Mesh serving path (parity: the reference's in-process multi-shard
+    # parallel query, nidx/src/searcher/shards_query.rs:29-72 — here the
+    # co-resident shards' vector legs execute as ONE sharded device program,
+    # see parallel/group.py)
+    # ------------------------------------------------------------------
+
+    def _mesh_group(self, shard_ids: tuple, vs_name: str, vsearchers: list):
+        from ..parallel.group import MeshVectorGroup
+
+        key = (shard_ids, vs_name)
+        ident = tuple((id(v.index), v.index._seg_sig) for v in vsearchers)
+        cached = self._mesh_groups.get(key)
+        if cached is not None and cached[0] == ident:
+            self._mesh_groups.move_to_end(key)
+            return cached[1]
+        if not MeshVectorGroup.eligible(vsearchers):
+            return None
+        group = MeshVectorGroup(vsearchers)
+        self._mesh_groups[key] = (ident, group)
+        self._mesh_groups.move_to_end(key)
+        while len(self._mesh_groups) > 8:
+            self._mesh_groups.popitem(last=False)
+        return group
+
+    def search_multi(
+        self, shard_ids: "list[str]", request: ShardSearchRequest
+    ) -> "list[ShardSearchResponse]":
+        """Search several shards; when >1 device is visible, co-resident
+        shards' vector legs run as one sharded program. Falls back to the
+        sequential per-shard path whenever the group is not eligible
+        (multivector, mixed configs, ivf/hnsw/pallas flags, missing
+        vectorset) — results are identical either way."""
+        from ..parallel.group import mesh_serving_active
+
+        if (
+            len(shard_ids) <= 1
+            or request.vector is None
+            or not mesh_serving_active()
+        ):
+            return [self.search(s, request) for s in shard_ids]
+        import numpy as np
+
+        from ..index.vector import VectorSearchRequest
+        from ..types import PrefilterResult
+
+        searchers = [self.shard(s) for s in shard_ids]
+        vs_name = request.vectorset or next(iter(searchers[0].vectors), "")
+        vsearchers = [sh.vectors.get(vs_name) for sh in searchers]
+        if any(v is None for v in vsearchers):
+            return [self.search(s, request) for s in shard_ids]
+        group = self._mesh_group(tuple(shard_ids), vs_name, vsearchers)
+        if group is None:
+            return [self.search(s, request) for s in shard_ids]
+
+        # per-shard prefilters (host: text ∧ json engines), then the same
+        # filter-to-mask pipeline VectorSearcher.search runs
+        prefilters = [
+            sh.compute_prefilter(request)
+            if sh._needs_prefilter(request)
+            else PrefilterResult.all()
+            for sh in searchers
+        ]
+        q = np.asarray(request.vector, np.float32).reshape(1, -1)
+        masks = []
+        for sh, vs, pf in zip(searchers, vsearchers, prefilters):
+            combined = vs.index.base_mask()
+            if pf.is_none:
+                combined[:] = False
+            else:
+                vreq = VectorSearchRequest(
+                    vectors=q,
+                    top_k=request.top_k,
+                    filter=request.filter,
+                    field_filter=pf,
+                    key_prefixes=list(request.key_filters) or None,
+                    min_score=request.min_score_semantic,
+                    include_hidden=request.include_hidden,
+                    with_duplicates=request.with_duplicates,
+                )
+                m = vs._build_mask(vreq)
+                if m is not None:
+                    full = np.zeros(vs.index.p_pad, bool)
+                    full[: m.shape[0]] = m[: vs.index.p_pad]
+                    combined &= full
+            masks.append(combined)
+
+        scores, ids = group.search(
+            q,
+            request.top_k,
+            masks,
+            min_score=request.min_score_semantic,
+            with_duplicates=request.with_duplicates,
+        )
+
+        futures = []
+        for i, (sh, vs, pf) in enumerate(zip(searchers, vsearchers, prefilters)):
+            if pf.is_none:
+                # parity with the per-shard path: an empty prefilter clears
+                # every downstream leg of that shard
+                resp = ShardSearchResponse(prefilter=pf)
+                futures.append(resp)
+                continue
+            vhits = vs.index.hits(scores[i, 0], ids[i, 0])
+            futures.append(
+                _MESH_SHARD_POOL.submit(
+                    sh.search, request, prefilter=pf, vector_hits=vhits
+                )
+            )
+        return [f if isinstance(f, ShardSearchResponse) else f.result() for f in futures]

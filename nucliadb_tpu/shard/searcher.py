@@ -255,14 +255,26 @@ class ShardSearcher:
             hi = e if hi is None else max(hi, e)
         return None if lo is None else (lo, hi)
 
-    def search(self, request: ShardSearchRequest) -> ShardSearchResponse:
+    def search(
+        self,
+        request: ShardSearchRequest,
+        *,
+        prefilter: "PrefilterResult | None" = None,
+        vector_hits: "list[VectorHit] | None" = None,
+    ) -> ShardSearchResponse:
+        """``prefilter``/``vector_hits`` are the mesh serving path's
+        precomputed pieces (services/searcher.py search_multi): the group
+        program already ran the vector leg for every co-resident shard, so
+        this call only executes the remaining legs against the SAME
+        prefilter it used for the vector masks."""
         response = ShardSearchResponse()
 
-        prefilter = (
-            self.compute_prefilter(request)
-            if self._needs_prefilter(request)
-            else PrefilterResult.all()
-        )
+        if prefilter is None:
+            prefilter = (
+                self.compute_prefilter(request)
+                if self._needs_prefilter(request)
+                else PrefilterResult.all()
+            )
         response.prefilter = prefilter
         if prefilter.is_none:
             # empty prefilter clears every downstream query
@@ -346,7 +358,13 @@ class ShardSearcher:
             request.paragraph and request.body.strip() and self.paragraph is not None
         )
         want_vector = request.vector is not None
-        if want_paragraph and want_vector:
+        if vector_hits is not None and want_vector:
+            # the vector leg already ran (group program) — no device
+            # dispatch left to overlap, so the paragraph leg runs inline
+            response.vector = vector_hits
+            if want_paragraph:
+                response.paragraph = run_paragraph()
+        elif want_paragraph and want_vector:
             # hybrid: the two device programs dispatch from parallel threads
             # so their host<->device round trips overlap (parity: the
             # reference's scoped-thread per-index fan-out,

@@ -1,0 +1,357 @@
+"""Mesh serving path: co-resident shards' vector legs as ONE sharded program.
+
+Two layers of differential validation on the 8-device virtual CPU mesh
+(conftest.py):
+
+1. group-level: MeshVectorGroup.search vs S sequential
+   DeviceVectorIndex.search calls — uneven shards, deletions, label /
+   key-prefix / security-style masks, min_score, Fssc dedup — must return
+   IDENTICAL (score, id) cuts, because the group program runs the same
+   kernel sequence per shard (parallel/group.py parity contract).
+2. product-level: SearchService.find over a multi-shard KB with
+   NDBTPU_MESH_SERVING on vs off must return identical responses, while an
+   independent Python oracle checks the result SETS (the multi-shard
+   analogue of test_find_differential_fuzz; counterpart of the reference's
+   simulated-cluster tests, nidx/tests/common/cluster.rs:27-76).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import nucliadb_tpu.common.kb as kbmod
+from nucliadb_tpu.common.kb import KnowledgeBoxManager
+from nucliadb_tpu.index.vector import (
+    Elem,
+    VectorConfig,
+    VectorSearcher,
+    VectorSearchRequest,
+)
+from nucliadb_tpu.index.vector.segment import create_segment
+from nucliadb_tpu.ingest.processor import Processor
+from nucliadb_tpu.maindb import Driver
+from nucliadb_tpu.models.api import (
+    Classification,
+    CreateResourcePayload,
+    FilterExpression,
+    FindRequest,
+    KnowledgeBoxConfig,
+    ResourceSecurity,
+    SearchFeature,
+    SentenceEmbedding,
+    TextFieldPayload,
+    UpdateResourcePayload,
+    UserMetadata,
+    VectorSetSpec,
+)
+from nucliadb_tpu.parallel.group import MeshVectorGroup, mesh_serving_active
+from nucliadb_tpu.query_language import LabelAtom
+from nucliadb_tpu.search import SearchService
+from nucliadb_tpu.services import EmbeddedNode
+from nucliadb_tpu.index.text_engine.tokenizer import tokenize
+from nucliadb_tpu.types import Seq, SimpleOpenIndex
+
+VOCAB = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+LABELSETS = [("topic", "sports"), ("topic", "news"), ("lang", "en")]
+GROUPS = ["g1", "g2"]
+
+
+def _build_shard(tmp_path, rng, name, n, d, with_deletions):
+    """One shard's vector searcher: 1-3 segments, optional deletions."""
+    cfg = VectorConfig(dimension=d, similarity="dot")
+    n_segments = int(rng.integers(1, 4))
+    bounds = np.sort(rng.choice(max(n - 1, 1), size=n_segments - 1, replace=False)) + 1 if n_segments > 1 else np.array([], int)
+    sizes = np.diff(np.concatenate([[0], bounds, [n]])).astype(int)
+    segs = []
+    gid = 0
+    for s, size in enumerate(sizes):
+        elems = []
+        for _ in range(size):
+            v = rng.standard_normal((1, d)).astype(np.float32)
+            lab = ["/l/ls/even"] if gid % 2 == 0 else ["/l/ls/odd"]
+            elems.append(
+                Elem(key=f"{name}-r{gid % 7}/f1/{gid}/0-10", vectors=v, labels=lab)
+            )
+            gid += 1
+        meta = create_segment(str(tmp_path / f"{name}-s{s}"), elems, cfg)
+        segs.append((meta, Seq(s + 1)))
+    deletions = []
+    if with_deletions:
+        # delete one resource prefix at a seq AFTER every segment
+        deletions.append((f"{name}-r3/", Seq(len(sizes) + 1)))
+    oi = SimpleOpenIndex(segment_list=segs, deletion_list=deletions)
+    return VectorSearcher(cfg, oi)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_group_matches_sequential_exact(tmp_path, rng, seed):
+    """Uneven shards + deletions + random masks + min_score + dedup: the
+    group program's per-shard cuts equal the sequential per-shard cuts."""
+    rng = np.random.default_rng(seed)
+    d = 32
+    sizes = [int(rng.integers(5, 120)) for _ in range(5)]
+    searchers = [
+        _build_shard(tmp_path, rng, f"sh{i}", n, d, with_deletions=(i % 2 == 0))
+        for i, n in enumerate(sizes)
+    ]
+    assert MeshVectorGroup.eligible(searchers)
+    group = MeshVectorGroup(searchers)
+
+    for trial in range(6):
+        k = int(rng.integers(1, 20))
+        b = int(rng.integers(1, 5))
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        min_score = float(rng.standard_normal()) if rng.random() < 0.4 else None
+        dedup = bool(rng.random() < 0.5)
+        use_label = rng.random() < 0.5
+        vreq_kwargs = dict(
+            top_k=k,
+            filter=LabelAtom("/l/ls/even") if use_label else None,
+            min_score=min_score,
+            with_duplicates=not dedup,
+        )
+        masks = []
+        expected = []
+        for vs in searchers:
+            vreq = VectorSearchRequest(vectors=q, **vreq_kwargs)
+            m = vs._build_mask(vreq)
+            combined = vs.index.base_mask()
+            if m is not None:
+                full = np.zeros(vs.index.p_pad, bool)
+                full[: m.shape[0]] = m
+                combined &= full
+            masks.append(combined)
+            s, i = vs.index.search(
+                q, k, para_mask=m, min_score=min_score,
+                with_duplicates=not dedup,
+            )
+            expected.append((s, i))
+        gs, gi = group.search(
+            q, k, masks, min_score=min_score, with_duplicates=not dedup
+        )
+        for si, (es, ei) in enumerate(expected):
+            np.testing.assert_array_equal(
+                gi[si], ei, err_msg=f"trial {trial} shard {si} ids"
+            )
+            np.testing.assert_allclose(
+                gs[si], es, rtol=1e-5, atol=1e-5,
+                err_msg=f"trial {trial} shard {si} scores",
+            )
+
+
+def test_group_scale_uneven_shards(tmp_path):
+    """~50k vectors over 8 uneven shards (VERDICT r2 task 6 scale): group
+    cuts == sequential cuts, with deletions and a selective label filter."""
+    rng = np.random.default_rng(7)
+    d = 64
+    sizes = [12000, 9000, 7500, 6000, 5000, 4500, 3500, 2500]
+    searchers = [
+        _build_shard(tmp_path, rng, f"big{i}", n, d, with_deletions=(i < 4))
+        for i, n in enumerate(sizes)
+    ]
+    group = MeshVectorGroup(searchers)
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    k = 10
+    masks, expected = [], []
+    for vs in searchers:
+        vreq = VectorSearchRequest(
+            vectors=q, top_k=k, filter=LabelAtom("/l/ls/even")
+        )
+        m = vs._build_mask(vreq)
+        combined = vs.index.base_mask()
+        full = np.zeros(vs.index.p_pad, bool)
+        full[: m.shape[0]] = m
+        combined &= full
+        masks.append(combined)
+        expected.append(vs.index.search(q, k, para_mask=m, with_duplicates=False))
+    gs, gi = group.search(q, k, masks, with_duplicates=False)
+    for si, (es, ei) in enumerate(expected):
+        np.testing.assert_array_equal(gi[si], ei)
+        np.testing.assert_allclose(gs[si], es, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Product-level: mesh on vs off + oracle, over an evolving multi-shard KB
+# ---------------------------------------------------------------------------
+
+
+class Oracle:
+    def __init__(self):
+        self.docs = {}
+
+    def put(self, rid, body, labels, groups, hidden):
+        self.docs[rid] = {
+            "tokens": set(tokenize(body)),
+            "labels": set(labels),
+            "groups": set(groups or []),
+            "hidden": hidden,
+        }
+
+    def delete(self, rid):
+        self.docs.pop(rid, None)
+
+    def filtered(self, label, security, show_hidden):
+        return {
+            rid
+            for rid, d in self.docs.items()
+            if (label is None or f"/l/{label[0]}/{label[1]}" in d["labels"])
+            and (security is None or not d["groups"] or (d["groups"] & set(security)))
+            and (show_hidden or not d["hidden"])
+        }
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_find_mesh_vs_sequential_fuzz(tmp_path, monkeypatch, seed):
+    """Random CRUD over a multi-shard KB; every few steps a random hybrid
+    query runs through BOTH serving paths — they must agree exactly, and
+    the semantic result set must equal the oracle's filtered set."""
+    assert mesh_serving_active(), "conftest must provide a multi-device mesh"
+    monkeypatch.setattr(kbmod, "MAX_RESOURCES_PER_SHARD", 6)
+    rng = np.random.default_rng(seed)
+    driver = Driver(str(tmp_path / "db.sqlite"))
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"))
+    kbs = KnowledgeBoxManager(driver, node)
+    kbid = kbs.create(
+        KnowledgeBoxConfig(
+            slug="fuzz",
+            hidden_resources_enabled=True,
+            vectorsets={"m": VectorSetSpec(dimension=8)},
+        )
+    )
+    processor = Processor(driver, node, kbs)
+    search = SearchService(node, kbs, processor)
+    oracle = Oracle()
+    live = []
+
+    def random_payload(cls):
+        body = " ".join(rng.choice(VOCAB, size=rng.integers(2, 6)))
+        labels = [
+            LABELSETS[i]
+            for i in rng.choice(len(LABELSETS), size=rng.integers(0, 3), replace=False)
+        ]
+        groups = list(rng.choice(GROUPS, size=rng.integers(0, 3), replace=False))
+        hidden = bool(rng.random() < 0.2)
+        vec = rng.standard_normal(8).astype(np.float32)
+        vec /= np.linalg.norm(vec)
+        payload = cls(
+            title="t",
+            texts={"t": TextFieldPayload(body=body)},
+            usermetadata=UserMetadata(
+                classifications=[Classification(labelset=s, label=l) for s, l in labels]
+            ),
+            security=ResourceSecurity(access_groups=groups) if groups else None,
+            hidden=hidden,
+            embeddings={
+                "m": {"t": [SentenceEmbedding(start=0, end=len(body), vector=vec.tolist())]}
+            },
+        )
+        return payload, body, [f"/l/{s}/{l}" for s, l in labels], groups, hidden
+
+    mesh_used = 0
+    for step in range(36):
+        op = rng.random()
+        if op < 0.6 or not live:
+            payload, body, labels, groups, hidden = random_payload(CreateResourcePayload)
+            rid, _ = processor.create_resource(kbid, payload)
+            live.append(rid)
+            oracle.put(rid, body, labels, groups, hidden)
+        elif op < 0.8:
+            rid = live[int(rng.integers(len(live)))]
+            payload, body, labels, groups, hidden = random_payload(UpdateResourcePayload)
+            processor.update_resource(kbid, rid, payload)
+            oracle.put(rid, body, labels, groups, hidden)
+        else:
+            rid = live.pop(int(rng.integers(len(live))))
+            processor.delete_resource(kbid, rid)
+            oracle.delete(rid)
+        if rng.random() < 0.25:
+            node.tick_background()
+
+        if step % 4 != 3:
+            continue
+        node.wait_for_sync()
+        label = LABELSETS[int(rng.integers(len(LABELSETS)))] if rng.random() < 0.4 else None
+        security = list(rng.choice(GROUPS, size=1)) if rng.random() < 0.4 else None
+        show_hidden = bool(rng.random() < 0.3)
+        qv = rng.standard_normal(8).astype(np.float32)
+        qv /= np.linalg.norm(qv)
+        req = FindRequest(
+            query=" ".join(rng.choice(VOCAB, size=2, replace=False)),
+            vector=qv.tolist(),
+            features=[SearchFeature.KEYWORD, SearchFeature.SEMANTIC],
+            top_k=100,
+            filter_expression=(
+                FilterExpression(literal=f"/l/{label[0]}/{label[1]}") if label else None
+            ),
+            security_groups=security,
+            show_hidden=show_hidden,
+        )
+        monkeypatch.setenv("NDBTPU_MESH_SERVING", "0")
+        r_seq = search.find(kbid, req)
+        monkeypatch.setenv("NDBTPU_MESH_SERVING", "1")
+        r_mesh = search.find(kbid, req)
+        assert set(r_seq.resources) == set(r_mesh.resources), (
+            step, set(r_seq.resources) ^ set(r_mesh.resources)
+        )
+        assert r_seq.best_matches == r_mesh.best_matches, step
+        if len(kbs.get_shards(kbid).shards) > 1:
+            mesh_used += 1
+        # semantic result set == oracle's filtered doc set (top_k >= corpus,
+        # so ranking can drop nothing — set equality is exact)
+        sem_req = FindRequest(
+            query="",
+            vector=qv.tolist(),
+            features=[SearchFeature.SEMANTIC],
+            top_k=200,
+            filter_expression=req.filter_expression,
+            security_groups=security,
+            show_hidden=show_hidden,
+        )
+        got_sem = set(search.find(kbid, sem_req).resources)
+        assert got_sem == oracle.filtered(label, security, show_hidden), (
+            step, label, security, show_hidden,
+            got_sem ^ oracle.filtered(label, security, show_hidden),
+        )
+    assert mesh_used > 0 and len(kbs.get_shards(kbid).shards) > 1
+    assert len(node.searcher._mesh_groups) >= 1, "mesh path never taken"
+
+
+def test_group_quantized_regime(tmp_path, monkeypatch):
+    """Shards above EXACT_SCAN_THRESHOLD run the int8 candidate path; the
+    group program must mirror it. approx_max_k bin layout depends on the
+    padded arena shape (group capacity = max shard capacity), so candidate
+    SETS can differ on near-ties between the two paths — the assertion is
+    therefore oracle-based: both paths' cuts reach recall@k >= 0.95 vs the
+    exact oracle, and their scores agree wherever ids agree."""
+    import nucliadb_tpu.index.vector.device as devmod
+
+    monkeypatch.setattr(devmod, "EXACT_SCAN_THRESHOLD", 256)
+    rng = np.random.default_rng(3)
+    d = 64
+    sizes = [2000, 900, 1500]
+    searchers = [
+        _build_shard(tmp_path, rng, f"q{i}", n, d, with_deletions=(i == 0))
+        for i, n in enumerate(sizes)
+    ]
+    assert all(vs.index.codes is not None for vs in searchers)
+    group = MeshVectorGroup(searchers)
+    assert group.use_codes
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    k = 10
+    masks, seq_results, oracles = [], [], []
+    for vs in searchers:
+        combined = vs.index.base_mask()
+        masks.append(combined)
+        seq_results.append(vs.index.search(q, k, with_duplicates=True))
+        vecs = np.asarray(vs.index.vectors)[: vs.index.n_para]
+        scores = q @ vecs.T
+        scores[:, ~vs.index.alive] = -np.inf
+        oracles.append(np.argsort(-scores, axis=1)[:, :k])
+    gs, gi = group.search(q, k, masks, with_duplicates=True)
+    for si in range(len(searchers)):
+        for b in range(q.shape[0]):
+            oracle_ids = set(oracles[si][b].tolist())
+            for ids in (set(seq_results[si][1][b].tolist()), set(gi[si, b].tolist())):
+                ids.discard(-1)
+                assert len(ids & oracle_ids) >= int(0.95 * k), (si, b, ids, oracle_ids)
