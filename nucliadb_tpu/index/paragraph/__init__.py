@@ -50,6 +50,37 @@ def parse_query(query: str) -> tuple[str, list[str], list[str]]:
     return rest, phrases, excluded
 
 
+def advanced_query_mask(engine, advanced: str) -> np.ndarray:
+    """Boolean doc mask for an advanced (tantivy-grammar) query used as a
+    Must() filter (parity: nidx_paragraph search_query.rs:202-210 — the
+    lenient QueryParser output joins the main query with Occur::Must).
+    Tantivy default semantics: positive terms are Should (match >= 1),
+    quoted phrases must appear consecutively, -terms must not appear."""
+    rest, phrases, excluded = parse_query(advanced)
+    terms = tokenize(rest)
+    mask = np.zeros(engine.n_docs, dtype=bool)
+    if not terms and not phrases:
+        mask[:] = True  # nothing positive parsed -> every doc matches
+    for t in terms:
+        mask[engine.term_doc_ids(t)] = True
+    for p in phrases:  # each phrase is a Should peer of the loose terms
+        pt = tokenize(p)
+        if not pt:
+            continue
+        cand: "np.ndarray | None" = None
+        for t in pt:
+            ids = engine.term_doc_ids(t)
+            cand = ids if cand is None else np.intersect1d(cand, ids)
+            if cand.size == 0:
+                break
+        if cand is not None and cand.size:
+            flags = engine.phrase_match_many([int(d) for d in cand], pt)
+            mask[[int(d) for d, ok in zip(cand, flags) if ok]] = True
+    for t in excluded:
+        mask[engine.term_doc_ids(t)] = False
+    return mask
+
+
 class ParagraphIndexer:
     """Builds paragraph segments from resources (one doc per paragraph)."""
 
@@ -104,6 +135,19 @@ class ParagraphIndexer:
 
 
 @dataclass
+class SearchAfter:
+    """Deep-pagination cursor (parity: nodereader SearchAfter +
+    nidx_paragraph SearchAfterTieBreak): keep hits strictly after
+    (score desc, docaddr asc). ``tie`` handles hits at exactly
+    ``score``: "keep" (cursor shard sorts before this one), "drop"
+    (cursor shard sorts after), or an int docaddr (same shard — keep
+    docaddr > cursor)."""
+
+    score: float
+    tie: "str | int" = "keep"
+
+
+@dataclass
 class ParagraphSearchRequest:
     """Parity: nodereader ParagraphSearchRequest."""
 
@@ -118,6 +162,11 @@ class ParagraphSearchRequest:
     min_score: Optional[float] = None
     all_terms: bool = False
     offset: int = 0
+    # extra Must() query in tantivy grammar (nodereader
+    # SearchRequest.advanced_query; combined per nidx_paragraph
+    # search_query.rs:202-210 — the doc must match the parsed query)
+    advanced_query: Optional[str] = None
+    search_after: Optional[SearchAfter] = None
 
 
 @dataclass
@@ -132,6 +181,9 @@ class ParagraphHit:
     index: int
     ematch: bool
     labels: list[str] = dc_field(default_factory=list)
+    # engine doc id — the stable tiebreak address served as ResultScore.
+    # docaddr on the proto plane and compared by SearchAfter cursors
+    doc_id: int = 0
 
 
 @dataclass
@@ -173,11 +225,19 @@ class ParagraphSearcher:
             m = np.zeros(self.engine.n_docs, dtype=bool)
             m[self.engine.key_prefix_postings(list(request.key_prefixes))] = True
             extra_mask = m if extra_mask is None else (extra_mask & m)
+        if request.advanced_query:
+            m = advanced_query_mask(self.engine, request.advanced_query)
+            extra_mask = m if extra_mask is None else (extra_mask & m)
 
         # over-fetch when phrases must be verified host-side
         fetch_k = request.top_k + request.offset
         if phrases:
             fetch_k = max(fetch_k * 4, 50)
+        if request.search_after is not None:
+            # the cursor cut happens host-side after scoring, so every
+            # scored candidate must be fetched (the reference's collector
+            # applies SearchAfter inside tantivy; our kernel cut is top-k)
+            fetch_k = self.engine.n_docs
         phrase_terms = [tokenize(p) for p in phrases]
 
         def _run(k: int):
@@ -268,6 +328,7 @@ class ParagraphSearcher:
                     split=attrs.get("split", ""),
                     index=int(attrs.get("index", 0)),
                     ematch=ematch,
+                    doc_id=int(h.doc_id),
                 )
             )
             if ematch:
@@ -296,6 +357,22 @@ class ParagraphSearcher:
             total = len(out)
         else:
             total = int(matched.sum())
+        if request.search_after is not None:
+            # deterministic cursor ordering: score desc, docaddr asc
+            # (tantivy TopDocs order); then keep only hits strictly after
+            # the cursor position
+            out.sort(key=lambda h: (-h.score, h.doc_id))
+            sa = request.search_after
+            kept = []
+            for h in out:
+                if h.score < sa.score:
+                    kept.append(h)
+                elif h.score == sa.score:
+                    if sa.tie == "keep" or (
+                        isinstance(sa.tie, int) and h.doc_id > sa.tie
+                    ):
+                        kept.append(h)
+            out = kept
         out = out[request.offset : request.offset + request.top_k]
         return ParagraphSearchResponse(
             hits=out, total=total, ematches=ematches, query_terms=query_tokens

@@ -132,6 +132,9 @@ class NodePattern:
     fuzzy: bool = False  # legacy flag; same as match="fuzzy"
     prefix: bool = False
     match: str = "exact"
+    # edit-distance budget for fuzzy/fuzzy_words (proto FuzzyMatch.distance;
+    # 0 = exact words / exact prefix, the Exact{WORDS,PREFIX_WORDS} kinds)
+    distance: int = FUZZY_DISTANCE
     semantic_matches: Optional[dict[str, float]] = None  # normalized -> score
 
 
@@ -324,7 +327,9 @@ class RelationSearcher:
                     for j, qw in enumerate(q_words):
                         last = pattern.prefix and j == len(q_words) - 1
                         if not any(
-                            self._word_matches(qw, nw, prefix=last)
+                            self._word_matches(
+                                qw, nw, prefix=last, distance=pattern.distance
+                            )
                             for nw in node_words
                         ):
                             hit = False
@@ -333,6 +338,7 @@ class RelationSearcher:
                         add[i] = 1.0
             return score + add
         if match == "fuzzy":
+            d = pattern.distance
             add = np.full(U, np.nan, np.float32)
             for i in np.flatnonzero(~np.isnan(score)):
                 norm_v = self._n_norm_list[i]
@@ -340,13 +346,11 @@ class RelationSearcher:
                     # FuzzyTermQuery::new_prefix — the query matches within
                     # the value's leading len(q)±d window
                     lq = len(norm_q)
-                    for cut in range(
-                        max(lq - FUZZY_DISTANCE, 0), lq + FUZZY_DISTANCE + 1
-                    ):
-                        if osa_leq(norm_q, norm_v[:cut], FUZZY_DISTANCE):
+                    for cut in range(max(lq - d, 0), lq + d + 1):
+                        if osa_leq(norm_q, norm_v[:cut], d):
                             add[i] = 1.0
                             break
-                elif osa_leq(norm_q, norm_v, FUZZY_DISTANCE):
+                elif osa_leq(norm_q, norm_v, d):
                     add[i] = 1.0
             return score + add
         # exact
@@ -439,6 +443,7 @@ class RelationSearcher:
             subtype=d.get("group"),
             match=d.get("match", "exact"),
             prefix=bool(d.get("prefix", False)),
+            distance=int(d.get("distance", FUZZY_DISTANCE)),
             semantic_matches=d.get("semantic_matches"),
         )
 
@@ -496,7 +501,23 @@ class RelationSearcher:
             return self._rel_pattern_scores(rel)[self._rel_id]
         if prop == "generated":
             return self._generated_scores(q)
+        if prop == "facet":
+            # GraphQuery.PathQuery facet leaf (nodereader.proto:215-217):
+            # edges carrying the facet or any descendant path (tantivy
+            # facet-term semantics)
+            return self._facet_leaf_scores(q.get("facet", ""))
         raise ValueError(f"unsupported graph query node: {q!r}")
+
+    def _facet_leaf_scores(self, facet: str) -> np.ndarray:
+        prefix = facet.rstrip("/")
+        strs = self._facet_strs
+        hit = (
+            (strs == prefix) | np.char.startswith(strs, prefix + "/")
+            if strs.size
+            else np.zeros(0, bool)
+        )
+        mask = self._facet_edge_mask(np.flatnonzero(hit))
+        return np.where(mask, np.float32(0.0), np.nan).astype(np.float32)
 
     def _eval_node_expr(self, q: dict, position: str) -> np.ndarray:
         """Node-position-scoped evaluation (parity: BoolNodeQuery evaluated
@@ -569,18 +590,22 @@ class RelationSearcher:
             for i, qw in enumerate(q_words):
                 last = pattern.prefix and i == len(q_words) - 1
                 if not any(
-                    self._word_matches(qw, nw, prefix=last) for nw in node_words
+                    self._word_matches(
+                        qw, nw, prefix=last, distance=pattern.distance
+                    )
+                    for nw in node_words
                 ):
                     return None
             return score + 1.0
         if match == "fuzzy":
+            d = pattern.distance
             if pattern.prefix:
                 lq = len(norm_q)
-                for cut in range(max(lq - FUZZY_DISTANCE, 0), lq + FUZZY_DISTANCE + 1):
-                    if osa_leq(norm_q, norm_v[:cut], FUZZY_DISTANCE):
+                for cut in range(max(lq - d, 0), lq + d + 1):
+                    if osa_leq(norm_q, norm_v[:cut], d):
                         return score + 1.0
                 return None
-            if osa_leq(norm_q, norm_v, FUZZY_DISTANCE):
+            if osa_leq(norm_q, norm_v, d):
                 return score + 1.0
             return None
         # exact
@@ -593,14 +618,16 @@ class RelationSearcher:
         return None
 
     @staticmethod
-    def _word_matches(q: str, w: str, *, prefix: bool = False) -> bool:
+    def _word_matches(
+        q: str, w: str, *, prefix: bool = False, distance: int = FUZZY_DISTANCE
+    ) -> bool:
         if prefix:
             lq = len(q)
             return any(
-                osa_leq(q, w[:cut], FUZZY_DISTANCE)
-                for cut in range(max(lq - FUZZY_DISTANCE, 0), lq + FUZZY_DISTANCE + 1)
+                osa_leq(q, w[:cut], distance)
+                for cut in range(max(lq - distance, 0), lq + distance + 1)
             )
-        return osa_leq(q, w, FUZZY_DISTANCE)
+        return osa_leq(q, w, distance)
 
     def _node_matches(self, pattern: NodePattern, value: str, ntype: str, subtype: str) -> bool:
         return self._node_score(pattern, value, ntype, subtype) is not None
@@ -748,6 +775,18 @@ class RelationSearcher:
             return lambda e, rel=rel: self._rel_score(rel, e)
         if prop == "generated":
             return lambda e, q=q: self._generated_score(q, e)
+        if prop == "facet":
+            prefix = (q.get("facet", "") or "").rstrip("/")
+
+            def facet_pred(e, prefix=prefix):
+                facets = e.get("facets") or []
+                return (
+                    0.0
+                    if any(f == prefix or f.startswith(prefix + "/") for f in facets)
+                    else None
+                )
+
+            return facet_pred
         raise ValueError(f"unsupported graph query node: {q!r}")
 
     def _compile_node_expr(self, q: dict, position: str) -> Callable[[dict], Optional[float]]:

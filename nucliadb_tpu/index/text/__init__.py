@@ -107,6 +107,9 @@ class DocumentSearchRequest:
     min_score: Optional[float] = None
     all_terms: bool = False
     count_resources: bool = False  # totals/facets at resource (not field) level
+    # extra Must() query in tantivy grammar (nodereader
+    # SearchRequest.advanced_query on the document leg)
+    advanced_query: Optional[str] = None
     range_creation: Optional[tuple] = None  # (lo, hi) unix seconds
     range_modification: Optional[tuple] = None
     key_prefixes: Optional[list[str]] = None  # fields/resource_filters scope
@@ -194,6 +197,11 @@ class TextSearcher:
                     )
                 ] = True
             extra_mask = fmask if extra_mask is None else (extra_mask & fmask)
+        if request.advanced_query:
+            from ..paragraph import advanced_query_mask
+
+            amask = advanced_query_mask(self.engine, request.advanced_query)
+            extra_mask = amask if extra_mask is None else (extra_mask & amask)
         q = TextQuery(
             text=request.query,
             top_k=max(request.top_k, 1),

@@ -45,7 +45,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.topk import NEG_INF, masked_topk
-from ...query_language import BooleanExpression, FacetPrefixAtom, KeyPrefixAtom, LabelAtom, evaluate_bitset
+from ...query_language import (
+    BooleanExpression,
+    DateRangeAtom,
+    FacetPrefixAtom,
+    FieldAtom,
+    KeyPrefixAtom,
+    KeywordAtom,
+    LabelAtom,
+    evaluate_bitset,
+)
 from ...types import Seq
 from ...utils.platform import configure_jax
 from .builder import TextSegmentData, alive_mask_text
@@ -607,7 +616,70 @@ class DeviceTextEngine:
             return np.unique(np.concatenate(chunks)) if chunks else np.zeros(0, np.int32)
         if isinstance(atom, KeyPrefixAtom):
             return self.key_prefix_postings(atom.prefixes)
+        if isinstance(atom, FieldAtom):
+            return self._field_postings(atom.field_type, atom.field_name)
+        if isinstance(atom, KeywordAtom):
+            return self._keyword_postings(atom.keyword)
+        if isinstance(atom, DateRangeAtom):
+            col = self.columns.get(atom.column)
+            if col is None or (atom.since is None and atom.until is None):
+                # parity: nidx_text produce_date_range_query -> AllQuery
+                # when no bound constrains anything
+                return np.arange(self.n_docs, dtype=np.int32)
+            m = np.ones(self.n_docs, dtype=bool)
+            if atom.since is not None:
+                m &= col >= atom.since
+            if atom.until is not None:
+                m &= col <= atom.until
+            return np.flatnonzero(m).astype(np.int32)
         raise TypeError(f"unsupported filter atom for text index: {atom!r}")
+
+    def _field_postings(self, field_type: str, field_name: "str | None") -> np.ndarray:
+        """Docs whose field id is ``{type}/{name}`` (or any field of
+        ``type`` when name is None). Parity: the reference's `/type[/name]`
+        field facet term (nidx_text search_query.rs field_key). Built
+        lazily from the doc attrs and cached until the overlay refreshes
+        (attrs identity changes)."""
+        cache = getattr(self, "_field_postings_cache", None)
+        if cache is None or cache[0] is not self.attrs:
+            by_field: dict[str, list[int]] = {}
+            by_type: dict[str, list[int]] = {}
+            for i, a in enumerate(self.attrs):
+                fid = a.get("field") or (
+                    self.keys[i].split("/", 1)[1] if "/" in self.keys[i] else ""
+                )
+                by_field.setdefault(fid, []).append(i)
+                by_type.setdefault(fid.split("/", 1)[0], []).append(i)
+            cache = (
+                self.attrs,
+                {k: np.asarray(v, np.int32) for k, v in by_field.items()},
+                {k: np.asarray(v, np.int32) for k, v in by_type.items()},
+            )
+            self._field_postings_cache = cache
+        _, by_field, by_type = cache
+        if field_name is None:
+            return by_type.get(field_type, np.zeros(0, np.int32))
+        return by_field.get(f"{field_type}/{field_name}", np.zeros(0, np.int32))
+
+    def _keyword_postings(self, keyword: str) -> np.ndarray:
+        """Docs containing ``keyword`` (tokenized; multi-word = consecutive
+        phrase). Parity: nidx_text query_io.rs
+        translate_keyword_to_text_query (term / phrase query)."""
+        terms = tokenize(keyword)
+        if not terms:
+            return np.zeros(0, np.int32)
+        if len(terms) == 1:
+            return self.term_doc_ids(terms[0]).astype(np.int32)
+        cand: "np.ndarray | None" = None
+        for t in terms:
+            ids = self.term_doc_ids(t)
+            cand = ids if cand is None else np.intersect1d(cand, ids)
+            if cand.size == 0:
+                return np.zeros(0, np.int32)
+        flags = self.phrase_match_many([int(d) for d in cand], terms)
+        return np.asarray(
+            [int(d) for d, ok in zip(cand, flags) if ok], np.int32
+        )
 
     def term_doc_ids(self, term: str) -> np.ndarray:
         """Global doc ids containing the exact term (all segments)."""

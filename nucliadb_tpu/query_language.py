@@ -21,7 +21,11 @@ from typing import Callable, Sequence, Union
 
 import numpy as np
 
-BooleanExpression = Union["LabelAtom", "KeyPrefixAtom", "FacetPrefixAtom", "And", "Or", "Not"]
+BooleanExpression = Union[
+    "LabelAtom", "KeyPrefixAtom", "FacetPrefixAtom",
+    "FieldAtom", "KeywordAtom", "DateRangeAtom",
+    "And", "Or", "Not",
+]
 
 
 @dataclass(frozen=True)
@@ -48,6 +52,44 @@ class FacetPrefixAtom:
     """Matches records with a facet equal to or under a path (e.g. ``/l/labelset``)."""
 
     facet: str
+
+
+@dataclass(frozen=True)
+class FieldAtom:
+    """Matches documents of a field type, optionally a specific field name.
+
+    Reference: nidx_text search_query.rs filter_to_query Expr::Field —
+    a term query on the ``/{type}`` or ``/{type}/{name}`` field facet.
+    """
+
+    field_type: str
+    field_name: str | None = None
+
+
+@dataclass(frozen=True)
+class KeywordAtom:
+    """Matches documents containing a keyword (tokenized; multi-word
+    keywords must appear as a consecutive phrase).
+
+    Reference: nidx_text query_io.rs translate_keyword_to_text_query —
+    one term -> TermQuery, several -> PhraseQuery.
+    """
+
+    keyword: str
+
+
+@dataclass(frozen=True)
+class DateRangeAtom:
+    """Matches documents whose created/modified timestamp falls in
+    [since, until] (unix seconds, either bound optional).
+
+    Reference: nidx_text search_query.rs Expr::Date ->
+    produce_date_range_query over the created/modified date columns.
+    """
+
+    column: str  # "created" | "modified"
+    since: float | None = None
+    until: float | None = None
 
 
 @dataclass(frozen=True)

@@ -37,6 +37,7 @@ from ..index.paragraph import (
     ParagraphSearcher,
     ParagraphSearchRequest,
     ParagraphSearchResponse,
+    SearchAfter as ParagraphSearchAfter,
 )
 from ..index.relation import GraphSearchRequest, GraphPath, RelationSearcher
 from ..index.text import (
@@ -78,6 +79,15 @@ class ShardSearchRequest:
     filter: Optional[BooleanExpression] = None  # paragraph/label level
     field_filter: Optional[BooleanExpression] = None  # field level -> prefilter
     json_filter: Optional[JsonExpression] = None
+    # how the text and json prefilters combine (nodereader
+    # SearchRequest.filter_operator: AND=0, OR=1)
+    filter_operator: str = "and"
+    # extra Must() query in tantivy grammar applied to the paragraph and
+    # document legs (nodereader SearchRequest.advanced_query)
+    advanced_query: Optional[str] = None
+    # deep-pagination cursor for the paragraph leg (nodereader
+    # SearchRequest.search_after)
+    search_after: "Optional[ParagraphSearchAfter]" = None
     # date windows over resource created/modified (parity: find/catalog
     # range_creation_* / range_modification_* params) -> text prefilter
     range_creation: Optional[tuple[Optional[float], Optional[float]]] = None
@@ -189,7 +199,13 @@ class ShardSearcher:
                 )
             )
         if request.json_filter is not None and self.json is not None:
-            result = result.intersect(self.json.prefilter(request.json_filter))
+            json_result = self.json.prefilter(request.json_filter)
+            if request.filter_operator == "or":
+                # parity: nidx_types prefilter.rs PrefilterResult::combine
+                # with FilterOperator::Or (shard_search.rs:202)
+                result = result.union(json_result)
+            else:
+                result = result.intersect(json_result)
         return result
 
     def extracted_texts(
@@ -299,6 +315,7 @@ class ShardSearcher:
                     range_creation=request.range_creation,
                     range_modification=request.range_modification,
                     key_prefixes=key_prefixes,
+                    advanced_query=request.advanced_query,
                     # field/json prefilter applies to the document leg too
                     field_filter=prefilter,
                 )
@@ -327,6 +344,8 @@ class ShardSearcher:
                     key_prefixes=key_prefixes,
                     min_score=request.min_score_bm25,
                     all_terms=request.all_terms,
+                    advanced_query=request.advanced_query,
+                    search_after=request.search_after,
                 )
             )
 

@@ -122,6 +122,20 @@ class PrefilterResult:
             return PrefilterResult.none()
         return PrefilterResult.some(both)
 
+    def union(self, other: "PrefilterResult") -> "PrefilterResult":
+        """Combine two prefilters with OR (SearchRequest.filter_operator=OR;
+        parity: nidx_types/src/prefilter.rs PrefilterResult::combine with
+        FilterOperator::Or — both sides here are field-level sets)."""
+        if self.is_all or other.is_all:
+            return PrefilterResult.all()
+        if self.is_none:
+            return other
+        if other.is_none:
+            return self
+        seen = set(self.fields)
+        merged = list(self.fields) + [f for f in other.fields if f not in seen]
+        return PrefilterResult.some(merged)
+
 
 @dataclass
 class SegmentMetadata:

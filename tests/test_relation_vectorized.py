@@ -91,6 +91,9 @@ def rand_node_leaf(rng: random.Random) -> dict:
     d["match"] = match
     if rng.random() < 0.4:
         d["prefix"] = True
+    if match in ("fuzzy", "fuzzy_words") and rng.random() < 0.5:
+        # proto FuzzyMatch.distance / Exact{WORDS} (distance=0) parametrization
+        d["distance"] = rng.choice([0, 1, 2])
     if match == "semantic":
         d["semantic_matches"] = {
             "apple": 0.9,
@@ -145,13 +148,21 @@ def rand_expr(rng: random.Random, depth: int = 0) -> dict:
         if comb == "not":
             return {"not": rand_expr(rng, depth + 1)}
         return {comb: [rand_expr(rng, depth + 1) for _ in range(rng.randrange(1, 4))]}
-    leaf = rng.choice(["path", "node", "source_node", "destination_node", "relation", "generated"])
+    leaf = rng.choice(
+        ["path", "node", "source_node", "destination_node", "relation", "generated", "facet"]
+    )
     if leaf == "path":
         return rand_path_leaf(rng)
     if leaf == "relation":
         return rand_rel_leaf(rng)
     if leaf == "generated":
         return rand_generated_leaf(rng)
+    if leaf == "facet":
+        # GraphQuery.PathQuery facet leaf (proto plane) — exercise exact
+        # facets, ancestors (tantivy descendant semantics) and misses
+        return {"prop": "facet", "facet": rng.choice(
+            ["/g/u", "/g/da", "/g/da/labeler", "/g", "/other", "/nope"]
+        )}
     d = rand_node_leaf(rng)
     d["prop"] = leaf
     return d
