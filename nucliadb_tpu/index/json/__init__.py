@@ -104,6 +104,9 @@ class JsonPredicate:
     path: str
     op: str  # "eq" | "ne" | "gt" | "gte" | "lt" | "lte" | "exists"
     value: Any = None
+    # restrict the predicate to one NucliaDB field (parity: nodereader
+    # JsonFieldPathFilter.field_id, e.g. "t/title"); None = any field
+    field_id: Optional[str] = None
 
 
 @dataclass
@@ -132,7 +135,12 @@ def _pred_matches(pred: JsonPredicate, values: list[Any]) -> bool:
             return True
         if pred.op == "ne" and v != pred.value:
             return True
-        if isinstance(v, (int, float)) and isinstance(pred.value, (int, float)):
+        # ranges compare numerically, or lexicographically for strings
+        # (RFC3339 date strings — nodereader JsonFieldPathFilter date_range)
+        comparable = (
+            isinstance(v, (int, float)) and isinstance(pred.value, (int, float))
+        ) or (isinstance(v, str) and isinstance(pred.value, str))
+        if comparable:
             if pred.op == "gt" and v > pred.value:
                 return True
             if pred.op == "gte" and v >= pred.value:
@@ -155,7 +163,10 @@ class _PathColumns:
     null postings, and the with-duplicates doc list (exists/ne counting).
     """
 
-    __slots__ = ("num_vals", "num_docs", "strs", "nulls", "all_docs")
+    __slots__ = (
+        "num_vals", "num_docs", "strs", "nulls", "all_docs",
+        "str_vals", "str_docs",
+    )
 
     def __init__(self):
         self.num_vals: list[float] = []
@@ -170,6 +181,13 @@ class _PathColumns:
         order = np.argsort(nv, kind="stable")
         self.num_vals, self.num_docs = nv[order], nd[order]
         self.strs = {s: np.asarray(d, np.int32) for s, d in self.strs.items()}
+        # value-sorted string postings for lexicographic ranges (RFC3339
+        # date strings — the reference types such paths as tantivy dates)
+        pairs = sorted(
+            (s, doc) for s, docs in self.strs.items() for doc in docs
+        )
+        self.str_vals = np.array([p[0] for p in pairs], dtype=np.str_)
+        self.str_docs = np.array([p[1] for p in pairs], dtype=np.int32)
         self.nulls = np.asarray(self.nulls, np.int32)
         self.all_docs = np.asarray(self.all_docs, np.int32)
         return self
@@ -195,17 +213,24 @@ class _PathColumns:
         return self.num_docs[lo:hi]
 
     def range_docs(self, op: str, value: Any) -> np.ndarray:
-        if not isinstance(value, (int, float)):
+        if isinstance(value, str):
+            vals, docs = self.str_vals, self.str_docs
+            if not vals.size:
+                return np.zeros(0, np.int32)
+            v: Any = value
+        elif isinstance(value, (int, float)):
+            vals, docs = self.num_vals, self.num_docs
+            v = float(value)
+        else:
             return np.zeros(0, np.int32)
-        v = float(value)
         if op == "gt":
-            return self.num_docs[np.searchsorted(self.num_vals, v, "right"):]
+            return docs[np.searchsorted(vals, v, "right"):]
         if op == "gte":
-            return self.num_docs[np.searchsorted(self.num_vals, v, "left"):]
+            return docs[np.searchsorted(vals, v, "left"):]
         if op == "lt":
-            return self.num_docs[: np.searchsorted(self.num_vals, v, "left")]
+            return docs[: np.searchsorted(vals, v, "left")]
         if op == "lte":
-            return self.num_docs[: np.searchsorted(self.num_vals, v, "right")]
+            return docs[: np.searchsorted(vals, v, "right")]
         raise ValueError(op)
 
 
@@ -224,6 +249,10 @@ class JsonSearcher:
         for d in self.docs:
             rid, fid = d["key"].split("/", 1)
             self._fields.append(FieldId(resource_id=rid, field_id=fid))
+        self._field_id_arr = np.array(
+            [f.field_id for f in self._fields], dtype=np.str_
+        ) if self.n_docs else np.zeros(0, dtype="<U1")
+        self._field_masks: dict[str, np.ndarray] = {}
 
         # consolidate typed columns per path
         cols: dict[str, _PathColumns] = {}
@@ -272,6 +301,12 @@ class JsonSearcher:
                 mask[col.range_docs(expr.op, expr.value)] = True
             else:
                 raise ValueError(f"bad json op: {expr.op}")
+            if expr.field_id is not None:
+                fmask = self._field_masks.get(expr.field_id)
+                if fmask is None:
+                    fmask = self._field_id_arr == expr.field_id
+                    self._field_masks[expr.field_id] = fmask
+                mask = mask & fmask
             return mask
         if isinstance(expr, JsonAnd):
             mask = np.ones(self.n_docs, dtype=bool)
@@ -290,6 +325,11 @@ class JsonSearcher:
     def _matches(self, expr: JsonExpression, doc_idx: int) -> bool:
         """Scalar reference semantics (kept as the differential oracle)."""
         if isinstance(expr, JsonPredicate):
+            if (
+                expr.field_id is not None
+                and self._fields[doc_idx].field_id != expr.field_id
+            ):
+                return False
             values = [v for p, v in self.docs[doc_idx]["paths"] if p == expr.path]
             return _pred_matches(expr, values)
         if isinstance(expr, JsonAnd):

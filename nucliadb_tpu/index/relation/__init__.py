@@ -176,6 +176,22 @@ class GraphPath:
     facets: list[str] = dc_field(default_factory=list)
 
 
+def prefilter_edge_ok(prefilter) -> "Callable[[dict], bool] | None":
+    """Edge predicate from a FieldId prefilter, or None when unrestricted.
+
+    Parity: nidx_relation/src/reader.rs:261-271 apply_prefilter +
+    AddMetadataFieldIterator (:68-97) — the ``a/metadata`` field of every
+    listed resource is ALWAYS admitted (user relations index there even
+    though the prefiltering text index has no such field)."""
+    if prefilter.is_all:
+        return None
+    allowed: set[str] = set()
+    for f in prefilter.fields:
+        allowed.add(f"{f.resource_id}/{f.field_id}")
+        allowed.add(f"{f.resource_id}/a/metadata")
+    return lambda e: e["key"] in allowed
+
+
 def _str_array(values: list[str]) -> np.ndarray:
     if not values:
         return np.zeros(0, dtype="<U1")

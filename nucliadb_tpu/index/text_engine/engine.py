@@ -581,6 +581,26 @@ class DeviceTextEngine:
     def idf(self, df: int) -> float:
         return float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
 
+    def filter_doc_ids(self, expr) -> np.ndarray:
+        """Live doc ids matching a boolean filter expression (or all live
+        docs when ``expr`` is None) — the stream plane's full-scan
+        counterpart of the per-query filter mask (NidxSearcher Paragraphs/
+        Documents over StreamRequest, nodereader.proto:506-510)."""
+        m = self.alive[: self.n_docs]
+        if expr is not None:
+            m = m & evaluate_bitset(expr, self.n_docs, self._resolve_atom)
+        return np.flatnonzero(m)
+
+    def doc_facets(self) -> list[list[str]]:
+        """Inverse facet map (doc -> sorted facets), built per call — stream
+        consumers are full scans, so O(postings) once is the right cost."""
+        out: list[list[str]] = [[] for _ in range(self.n_docs)]
+        for facet in sorted(self.facets):
+            for d in self.facets[facet]:
+                if d < self.n_docs:
+                    out[int(d)].append(facet)
+        return out
+
     def facet_postings(self, facet: str) -> np.ndarray:
         return self.facets.get(facet, np.zeros(0, np.int32))
 

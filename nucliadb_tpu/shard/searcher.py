@@ -104,6 +104,10 @@ class ShardSearchRequest:
 
     # graph
     graph: Optional[GraphSearchRequest] = None
+    # boolean path-query tree (the relation engine's query dict) — the
+    # reduced graph leg of a search (nodereader SearchRequest.graph_search,
+    # proto plane); filters are inherited from the main request's prefilter
+    graph_expr: Optional[dict] = None
 
     # facets
     faceted: list[str] = dc_field(default_factory=list)
@@ -399,6 +403,17 @@ class ShardSearcher:
 
         if request.graph is not None and self.relation is not None:
             response.graph = self.relation.graph_search(request.graph)
+
+        if request.graph_expr is not None and self.relation is not None:
+            # SearchRequest.graph_search inherits the main request's filters
+            # (nodereader.proto:427-433): the prefilter's FieldId set
+            # restricts edges by their originating resource field key
+            from ..index.relation import prefilter_edge_ok
+
+            response.graph = self.relation.graph_search_expr(
+                request.graph_expr, request.top_k,
+                edge_ok=prefilter_edge_ok(prefilter),
+            )
 
         if doc_fut is not None:
             response.document = doc_fut.result()

@@ -93,10 +93,9 @@ def _any_value(value) -> dict:
 
 
 def span_to_proto(rec: "SpanRecord") -> dict:
-    return {
+    out = {
         "trace_id": bytes.fromhex(rec.trace_id),
         "span_id": bytes.fromhex(rec.span_id),
-        "parent_span_id": bytes.fromhex(rec.parent_id) if rec.parent_id else b"",
         "name": rec.name,
         "kind": SPAN_KIND_INTERNAL,
         "start_time_unix_nano": int(rec.start * 1e9),
@@ -105,6 +104,11 @@ def span_to_proto(rec: "SpanRecord") -> dict:
             {"key": k, "value": _any_value(v)} for k, v in rec.attributes.items()
         ],
     }
+    # protowire presence is dict-key presence: leave absent fields OUT so
+    # the canonical (implicit-presence) OTLP bytes stay minimal
+    if rec.parent_id:
+        out["parent_span_id"] = bytes.fromhex(rec.parent_id)
+    return out
 
 
 def _maybe_span_proto(rec: "SpanRecord") -> Optional[dict]:

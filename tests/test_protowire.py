@@ -302,8 +302,14 @@ def test_negative_int32_and_defaults():
     # negative int32 -> 10-byte varint per spec
     data = pw.encode(schema, {"a": -5})
     assert pw.decode(schema, data) == {"a": -5}
-    # proto3 implicit presence: defaults are omitted entirely
-    assert pw.encode(schema, {"a": 0, "b": ""}) == b""
+    # presence is dict-key presence: explicit defaults are EMITTED (the
+    # reference protos' `optional` scalars carry meaning at their default,
+    # e.g. GraphQuery.Node.node_type=ENTITY(0)); absent/None keys are not
+    assert pw.encode(schema, {}) == b""
+    assert pw.encode(schema, {"a": None, "b": None}) == b""
+    explicit = pw.encode(schema, {"a": 0, "b": ""})
+    assert explicit != b""
+    assert pw.decode(schema, explicit) == {"a": 0, "b": ""}
 
 
 def test_unknown_fields_skipped():
