@@ -1217,14 +1217,57 @@ class SearchService:
 
     def ask(self, kbid: str, request: AskRequest) -> AskResponse:
         with self.processor.payload_cache():
-            return self._ask_impl(kbid, request)
+            head, chunks = self._ask_impl(kbid, request)
+        if chunks is not None:
+            head.answer = "".join(self._budget_chunks(chunks, request.max_tokens))
+        return head
 
-    def _ask_impl(self, kbid: str, request: AskRequest) -> AskResponse:
+    def ask_stream(self, kbid: str, request: AskRequest):
+        """Streaming /ask: -> (head AskResponse with answer='', iterator of
+        answer chunks). Chunks yield AS the predict engine produces them —
+        the retrieval/citations/status live on ``head``; the caller streams
+        the chunks and owns assembling the final answer (parity: the
+        reference pipes Predict /chat tokens through the ndjson items,
+        chat/ask.py:210-370). Retrieval and prompt building complete before
+        this returns; iterating the chunks touches only the predict engine."""
+        with self.processor.payload_cache():
+            head, chunks = self._ask_impl(kbid, request)
+        if chunks is None:
+            only, head.answer = head.answer, ""
+            return head, iter([only] if only else [])
+        return head, self._budget_chunks(chunks, request.max_tokens)
+
+    @staticmethod
+    def _budget_chunks(chunks, max_tokens: int):
+        """max_tokens budget over a chunk stream (whitespace tokens, the
+        sync path's crude parity cut) — truncates mid-stream so a budgeted
+        ask stops consuming the model once the budget is spent."""
+        if max_tokens <= 0:
+            yield from chunks
+            return
+        used = 0
+        for c in chunks:
+            toks = c.split()
+            if used + len(toks) < max_tokens:
+                used += len(toks)
+                yield c
+                continue
+            keep = max_tokens - used
+            if keep > 0:
+                yield " ".join(toks[:keep])
+            return
+
+    def _ask_impl(self, kbid: str, request: AskRequest):
         """Retrieval-grounded answering (parity: /ask, chat/ask.py). The
         generative step goes through the PredictEngine seam; without one the
         endpoint returns the retrieved context with citations (the
         reference's predict-proxy role cannot be assumed in an embedded
-        deployment)."""
+        deployment).
+
+        Returns (AskResponse, chunk-iterator-or-None): when the answer can
+        stream, the response head has ``answer=""`` and the iterator carries
+        the chunks; short-circuit branches return the complete response and
+        None."""
         rephrased: Optional[str] = None
         retrieval_query = request.query
         if (
@@ -1370,7 +1413,7 @@ class SearchService:
         ]
         context = request.extra_context + context
         if not context and not history:
-            return AskResponse(answer="", status="no_context", retrieval=retrieval)
+            return AskResponse(answer="", status="no_context", retrieval=retrieval), None
         if not request.citations:
             citations = {}
         if self.predict is not None:
@@ -1388,21 +1431,22 @@ class SearchService:
                         answer=answer if isinstance(answer, str) else json.dumps(answer),
                         retrieval=retrieval, citations=citations,
                         rephrased_query=rephrased,
-                    )
+                    ), None
                 prompt += (
                     "\nAnswer as a single JSON object matching this schema: "
                     + json.dumps(request.answer_json_schema)
                 )
-            answer = self.predict.generate(kbid, prompt, history + context)
-            if request.max_tokens > 0:
-                # crude budget parity: cut on whitespace tokens
-                toks = answer.split()
-                if len(toks) > request.max_tokens:
-                    answer = " ".join(toks[: request.max_tokens])
-            return AskResponse(
-                answer=answer, retrieval=retrieval, citations=citations,
+            head = AskResponse(
+                answer="", retrieval=retrieval, citations=citations,
                 rephrased_query=rephrased,
             )
+            if hasattr(self.predict, "generate_stream"):
+                # the chunks flow to the caller AS the model produces them;
+                # the max_tokens budget is applied by the stream wrapper
+                return head, self.predict.generate_stream(
+                    kbid, prompt, history + context
+                )
+            return head, iter([self.predict.generate(kbid, prompt, history + context)])
         answer = "\n\n".join(context[:3])
         return AskResponse(
             answer=answer,
@@ -1410,7 +1454,7 @@ class SearchService:
             retrieval=retrieval,
             citations=citations,
             rephrased_query=rephrased,
-        )
+        ), None
 
     def _with_neighbours(
         self, kbid: str, rid: str, fid: str, pid: str, fallback: str,

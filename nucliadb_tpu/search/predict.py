@@ -17,7 +17,8 @@ Parity with the reference's Predict API client
 from __future__ import annotations
 
 import hashlib
-from typing import Callable, Optional
+import json
+from typing import Callable, Iterator, Optional
 
 import httpx
 import numpy as np
@@ -59,19 +60,35 @@ class LocalPredictEngine:
         encoder: Optional[Callable[[str], np.ndarray]] = None,
         generator: Optional[Callable[[str, list[str]], str]] = None,
         reranker: Optional[Callable[[str, list[str]], list[float]]] = None,
+        stream_generator: "Optional[Callable[[str, list[str]], Iterator[str]]]" = None,
     ):
         self.encoder = encoder or HashingEncoder()
         self.generator = generator
         self.reranker = reranker
+        self.stream_generator = stream_generator
 
     def embed(self, kbid: str, vectorset: str, text: str) -> Optional[np.ndarray]:
         return np.asarray(self.encoder(text), np.float32)
 
     def generate(self, kbid: str, prompt: str, context: list[str]) -> str:
+        if self.generator is None and self.stream_generator is not None:
+            return "".join(self.stream_generator(prompt, context))
         if self.generator is None:
             joined = "\n\n".join(context[:3])
             return f"[no generative model configured]\n{joined}"
         return self.generator(prompt, context)
+
+    def generate_stream(
+        self, kbid: str, prompt: str, context: list[str]
+    ) -> "Iterator[str]":
+        """Answer chunks AS the model produces them (parity: the reference
+        streams Predict /chat tokens through /ask's ndjson items,
+        chat/ask.py:210-370). A deployment plugs a token-streaming model via
+        ``stream_generator``; without one the blocking answer is one chunk."""
+        if self.stream_generator is not None:
+            yield from self.stream_generator(prompt, context)
+            return
+        yield self.generate(kbid, prompt, context)
 
     def rerank(self, kbid: str, query: str, passages: list[str]) -> list[float]:
         """Model scores per passage (higher = better). Default: cosine of
@@ -133,6 +150,34 @@ class HTTPPredictEngine:
         )
         resp.raise_for_status()
         return resp.json()["answer"]
+
+    def generate_stream(
+        self, kbid: str, prompt: str, context: list[str]
+    ) -> Iterator[str]:
+        """Token stream from the predict service: POST /generate with
+        ``stream: true`` and relay ndjson ``{"chunk": ...}`` lines as they
+        arrive (parity: the reference's Predict /chat streaming,
+        search/predict.py get_answer_generator). A service answering with a
+        plain JSON body (no streaming support) degrades to one chunk."""
+        with self.client.stream(
+            "POST",
+            "/generate",
+            json={"kbid": kbid, "prompt": prompt, "context": context,
+                  "stream": True},
+        ) as resp:
+            resp.raise_for_status()
+            ctype = resp.headers.get("content-type", "")
+            if "ndjson" not in ctype and "json-lines" not in ctype:
+                body = b"".join(resp.iter_bytes())
+                yield json.loads(body.decode("utf-8"))["answer"]
+                return
+            for line in resp.iter_lines():
+                if not line.strip():
+                    continue
+                item = json.loads(line)
+                chunk = item.get("chunk", item.get("answer", ""))
+                if chunk:
+                    yield chunk
 
     def rerank(self, kbid: str, query: str, passages: list[str]) -> list[float]:
         resp = self.client.post(

@@ -1662,31 +1662,55 @@ class StandaloneApp:
                 seen.setdefault((p.relation, p.label), {"relation": p.relation, "label": p.label})
             return {"relations": list(seen.values())}
 
-        def _ask_response(request: Request, result):
-            """Shared /ask response shaping: synchronous JSON or the chunked
-            ndjson item stream (parity: AskResponseItems — retrieval, answer
-            chunks, citations, status; reference search/api/v1/ask.py)."""
+        def _is_sync_ask(request: Request) -> bool:
             # reference default (search/api/v1/ask.py x_synchronous=False):
             # the ndjson item stream UNLESS the caller opts into sync JSON
-            sync_hdr = request.headers.get("x-synchronous", "").lower()
-            if sync_hdr in ("true", "1", "yes"):
+            return request.headers.get("x-synchronous", "").lower() in (
+                "true", "1", "yes",
+            )
+
+        def _run_ask(request: Request, kbid: str, req):
+            """Shared /ask execution + response shaping: synchronous JSON, or
+            the ndjson item stream with answer chunks flushed AS the predict
+            engine produces them (parity: AskResponseItems — retrieval,
+            answer chunks, citations, status; the reference streams Predict
+            /chat tokens, chat/ask.py:210-370). Audit fires once the answer
+            is complete (stream end)."""
+            t0 = time.monotonic()
+            user, client = _audit_ctx(request)
+
+            def audit(answer: str, status: str):
+                self.audit.chat(
+                    kbid, req.query, answer, status=status,
+                    user=user, client_type=client,
+                    duration_ms=(time.monotonic() - t0) * 1e3,
+                )
+
+            if _is_sync_ask(request):
+                result = self.search.ask(kbid, req)
+                audit(result.answer, result.status)
                 return result
 
+            head, chunks = self.search.ask_stream(kbid, req)
+
             def ndjson_items():
-                if result.retrieval is not None:
+                if head.retrieval is not None:
                     yield json.dumps(
                         {"item": {"type": "retrieval",
-                                  "results": json.loads(result.retrieval.model_dump_json())}}
+                                  "results": json.loads(head.retrieval.model_dump_json())}}
                     ) + "\n"
-                text = result.answer
-                for i in range(0, len(text), 80):
+                parts: list[str] = []
+                for chunk in chunks:  # flushed per chunk, as produced
+                    parts.append(chunk)
                     yield json.dumps(
-                        {"item": {"type": "answer", "text": text[i : i + 80]}}
+                        {"item": {"type": "answer", "text": chunk}}
                     ) + "\n"
+                head.answer = "".join(parts)
                 yield json.dumps(
-                    {"item": {"type": "citations", "citations": result.citations}}
+                    {"item": {"type": "citations", "citations": head.citations}}
                 ) + "\n"
-                yield json.dumps({"item": {"type": "status", "status": result.status}}) + "\n"
+                yield json.dumps({"item": {"type": "status", "status": head.status}}) + "\n"
+                audit(head.answer, head.status)
 
             return StreamingResponse(ndjson_items(), content_type="application/x-ndjson")
 
@@ -1695,15 +1719,7 @@ class StandaloneApp:
             kbid = self._kbid(request)
             req = _validate(AskRequest, _apply_search_config(kbid, request.json()))
             self._sync()
-            t0 = time.monotonic()
-            result = self.search.ask(kbid, req)
-            user, client = _audit_ctx(request)
-            self.audit.chat(
-                kbid, req.query, result.answer, status=result.status,
-                user=user, client_type=client,
-                duration_ms=(time.monotonic() - t0) * 1e3,
-            )
-            return _ask_response(request, result)
+            return _run_ask(request, kbid, req)
 
         # ---- vocabulary services (writer/api/v1/services.py parity) -----
 
@@ -2183,15 +2199,7 @@ class StandaloneApp:
             req = _validate(AskRequest, _apply_search_config(kbid, request.json()))
             req.fields = [rid]
             self._sync()
-            t0 = time.monotonic()
-            result = self.search.ask(kbid, req)
-            user, client = _audit_ctx(request)
-            self.audit.chat(
-                kbid, req.query, result.answer, status=result.status,
-                user=user, client_type=client,
-                duration_ms=(time.monotonic() - t0) * 1e3,
-            )
-            return _ask_response(request, result)
+            return _run_ask(request, kbid, req)
 
         @r.post("/api/v1/kb/{kbid}/resource/{rid}/run-agents")
         def run_agents(request: Request):
