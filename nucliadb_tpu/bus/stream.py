@@ -57,6 +57,9 @@ class EmbeddedBus:
     def __init__(self, path: str = ":memory:", ack_wait: float = DEFAULT_ACK_WAIT):
         self._conn = sqlite3.connect(path, check_same_thread=False)
         self._conn.execute("PRAGMA journal_mode=WAL")
+        # multi-worker standalone: replicas write audit events to the same
+        # file; queue on contention instead of erroring
+        self._conn.execute("PRAGMA busy_timeout=10000")
         self._lock = threading.RLock()
         self.ack_wait = ack_wait
         with self._lock, self._conn:
@@ -64,6 +67,43 @@ class EmbeddedBus:
         self._watchers: dict[str, list[Callable[[BusMessage], None]]] = {}
 
     # ---- publish ---------------------------------------------------------
+
+    def backup(self, dest_path: str) -> None:
+        """Consistent online snapshot (sqlite backup API)."""
+        import sqlite3 as _sq
+
+        dst = _sq.connect(dest_path)
+        try:
+            with self._lock:
+                self._conn.backup(dst)
+        finally:
+            dst.close()
+
+    def publish_many(self, stream: str, items: "list[tuple[str, bytes]]") -> int:
+        """Publish a batch of (subject, payload) in ONE transaction (the
+        buffered audit path); returns the last assigned seq."""
+        with self._lock, self._conn:
+            self._conn.execute(
+                "INSERT INTO stream_counters(stream, last_seq) VALUES(?, ?)"
+                " ON CONFLICT(stream) DO UPDATE SET last_seq = last_seq + ?",
+                (stream, len(items), len(items)),
+            )
+            last = self._conn.execute(
+                "SELECT last_seq FROM stream_counters WHERE stream=?", (stream,)
+            ).fetchone()[0]
+            now = time.time()
+            self._conn.executemany(
+                "INSERT INTO messages(stream, seq, subject, payload, created_at)"
+                " VALUES(?,?,?,?,?)",
+                [
+                    (stream, last - len(items) + 1 + i, subject, payload, now)
+                    for i, (subject, payload) in enumerate(items)
+                ],
+            )
+        for cb in self._watchers.get(stream, []):
+            for i, (subject, payload) in enumerate(items):
+                cb(BusMessage(stream, last - len(items) + 1 + i, subject, payload, 0))
+        return last
 
     def publish(self, stream: str, subject: str, payload: bytes) -> int:
         with self._lock, self._conn:

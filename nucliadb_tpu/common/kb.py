@@ -62,6 +62,8 @@ class KnowledgeBoxManager:
 
         self._shards_mutex = threading.Lock()
         self._external_indexes: dict = {}
+        # kbid -> (inserted_at, config); see get_config
+        self._config_cache: dict[str, tuple[float, object]] = {}
 
     def external_index(self, kbid: str):
         """The KB's ExternalIndexManager, or None (parity: the reference
@@ -119,10 +121,29 @@ class KnowledgeBoxManager:
             raise
         return kbid
 
+    # every request re-parses the KB config (auth, vectorset resolution,
+    # hidden-resources policy); a short-TTL memo cuts the per-query pydantic
+    # parse. Local writes invalidate; multi-worker replicas see at most TTL
+    # staleness (same bound as their searcher sync).
+    CONFIG_TTL = 2.0
+
+    def _config_invalidate(self, kbid: str) -> None:
+        self._config_cache.pop(kbid, None)
+
     def get_config(self, kbid: str) -> Optional[KnowledgeBoxConfig]:
+        import time as _time
+
+        now = _time.time()
+        hit = self._config_cache.get(kbid)
+        if hit is not None and now - hit[0] < self.CONFIG_TTL:
+            return hit[1]
         with self.driver as txn:
             raw = txn.get(KB_CONFIG.format(kbid=kbid))
-        return KnowledgeBoxConfig.model_validate_json(raw) if raw else None
+        config = KnowledgeBoxConfig.model_validate_json(raw) if raw else None
+        if len(self._config_cache) >= 256:
+            self._config_cache.pop(next(iter(self._config_cache)), None)
+        self._config_cache[kbid] = (now, config)
+        return config
 
     def update_config(self, kbid: str, patch: dict) -> "KnowledgeBoxConfig":
         """Patch title/description/slug (parity: writer PATCH /kb/{kbid}).
@@ -148,6 +169,7 @@ class KnowledgeBoxManager:
                 if config.slug:
                     txn.delete(KB_SLUG.format(slug=config.slug))
             txn.set(KB_CONFIG.format(kbid=kbid), updated.model_dump_json().encode())
+        self._config_invalidate(kbid)
         return updated
 
     def resolve_slug(self, slug: str) -> Optional[str]:
@@ -168,6 +190,7 @@ class KnowledgeBoxManager:
             if config and config.slug:
                 txn.delete(KB_SLUG.format(slug=config.slug))
             txn.delete_by_prefix(KB_PREFIX.format(kbid=kbid))
+        self._config_invalidate(kbid)
         for key in list(self.node.storage.list(f"blobs/{kbid}/")):
             self.node.storage.delete(key)
         if shards:
@@ -184,6 +207,7 @@ class KnowledgeBoxManager:
             self.node.add_vectorset(shard_id, name, vector_config_from_spec(spec))
         with self.driver as txn:
             txn.set(KB_CONFIG.format(kbid=kbid), config.model_dump_json().encode())
+        self._config_invalidate(kbid)
 
     def delete_vectorset(self, kbid: str, name: str) -> None:
         """Remove a vectorset and purge its per-shard indexes (parity:
@@ -197,6 +221,7 @@ class KnowledgeBoxManager:
             self.node.delete_vectorset(shard_id, name)
         with self.driver as txn:
             txn.set(KB_CONFIG.format(kbid=kbid), config.model_dump_json().encode())
+        self._config_invalidate(kbid)
 
     # ---- shards ----------------------------------------------------------
 

@@ -49,10 +49,43 @@ def levenshtein_leq(a: str, b: str, d: int) -> bool:
     return prev[len(b)] <= d
 
 
+def _osa_leq1(a: str, b: str) -> bool:
+    """OSA distance(a, b) <= 1, specialized: one substitution, insertion,
+    deletion or adjacent transposition. O(n) with C-level slice compares —
+    the d=1 verification is the hottest loop of fuzzy search (the product
+    path is always d=1, reference FUZZY_DISTANCE=1) and the full DP spent
+    ~2.5 ms/query on it."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        if a == b:
+            return True
+        i = 0
+        while a[i] == b[i]:
+            i += 1
+        if a[i + 1:] == b[i + 1:]:
+            return True  # one substitution
+        return (
+            i + 1 < la
+            and a[i] == b[i + 1]
+            and a[i + 1] == b[i]
+            and a[i + 2:] == b[i + 2:]
+        )  # one adjacent transposition
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return False
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]  # one insertion into the shorter
+
+
 def osa_leq(a: str, b: str, d: int) -> bool:
     """Restricted-Damerau (OSA) check: distance(a, b) <= d with adjacent
     transpositions costing 1 — tantivy's ``transposition_cost_one = true``
     semantics (nidx_paragraph/src/query_parser/fuzzy_parser.rs:73)."""
+    if d == 1:
+        return _osa_leq1(a, b)
     if abs(len(a) - len(b)) > d:
         return False
     if a == b:
@@ -103,9 +136,24 @@ class FuzzyIndex:
                 variants |= frontier
             for variant in variants:
                 self.variant_map.setdefault(variant, []).append(idx)
+        # expansion memo: term distributions are zipfian, so serving repeats
+        # the same probes constantly; the vocabulary is immutable per index
+        self._cache: dict[tuple[str, int], list[str]] = {}
+
+    _CACHE_MAX = 20_000
 
     def expand(self, token: str, distance: int = 1) -> list[str]:
         """Vocabulary terms within edit distance of the token."""
+        key = (token, distance)
+        cached = self._cache.get(key)
+        if cached is not None:
+            return cached
+        out = self._expand_uncached(token, distance)
+        if len(self._cache) < self._CACHE_MAX:
+            self._cache[key] = out
+        return out
+
+    def _expand_uncached(self, token: str, distance: int) -> list[str]:
         distance = min(distance, self.max_distance)
         if distance <= 0:
             return [token] if token in self._term_set else []

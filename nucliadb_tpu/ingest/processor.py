@@ -59,6 +59,8 @@ class Processor:
         # two concurrent PATCHes would otherwise lose one side's fields)
         self._resource_locks = KeyedLock()
         self._payload_cache_local = threading.local()
+        # (kbid, rid) -> (inserted_at, payload); see get_payload
+        self._payload_lru: dict[tuple[str, str], tuple[float, object]] = {}
 
     # ---- writes ------------------------------------------------------------
 
@@ -107,6 +109,7 @@ class Processor:
                 payload.model_dump_json().encode(),
             )
             txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
+        self._payload_invalidate(kbid, rid)
         doc = ResourceBrain(rid).build(payload, created=meta.created)
         self._route_external_index(kbid, doc)
         seq = self.node.index(shard_id, doc, hidden=payload.hidden)
@@ -175,6 +178,7 @@ class Processor:
                 merged.model_dump_json().encode(),
             )
             txn.set(RESOURCE_META.format(kbid=kbid, rid=rid), meta.to_json())
+        self._payload_invalidate(kbid, rid)
         doc = ResourceBrain(rid).build(merged, created=meta.created)
         self._route_external_index(kbid, doc)
         seq = self.node.index(meta.shard, doc, hidden=merged.hidden)
@@ -196,6 +200,7 @@ class Processor:
                 txn.delete(RESOURCE_SLUG.format(kbid=kbid, slug=payload.slug))
             # the whole subtree: payload, meta, file-field entries
             txn.delete_by_prefix(f"/kbs/{kbid}/r/{rid}/")
+        self._payload_invalidate(kbid, rid)
         # uploaded blobs go with the resource
         for key in list(self.node.storage.list(f"blobs/{kbid}/{rid}/")):
             self.node.storage.delete(key)
@@ -225,14 +230,36 @@ class Processor:
             if outer is None:
                 local.cache = None
 
+    # cross-request payload LRU: hydration parses ~top_k distinct multi-MB
+    # resource payloads per /find (measured ~0.25 ms/query of pure pydantic
+    # parse on hot corpora). Entries live PAYLOAD_TTL seconds — local writes
+    # invalidate immediately (read-your-writes in-process); multi-worker
+    # replicas see at most TTL staleness, matching their searcher sync lag.
+    PAYLOAD_TTL = 2.0
+    _PAYLOAD_LRU_MAX = 512
+
+    def _payload_invalidate(self, kbid: str, rid: str) -> None:
+        self._payload_lru.pop((kbid, rid), None)
+
     def get_payload(self, kbid: str, rid: str) -> Optional[CreateResourcePayload]:
         cache = getattr(self._payload_cache_local, "cache", None)
         key = (kbid, rid)
         if cache is not None and key in cache:
             return cache[key]
+        now = time.time()
+        hit = self._payload_lru.get(key)
+        if hit is not None and now - hit[0] < self.PAYLOAD_TTL:
+            payload = hit[1]
+            if cache is not None:
+                cache[key] = payload
+            return payload
         with self.driver as txn:
             raw = txn.get(RESOURCE_PAYLOAD.format(kbid=kbid, rid=rid))
         payload = CreateResourcePayload.model_validate_json(raw) if raw else None
+        if len(self._payload_lru) >= self._PAYLOAD_LRU_MAX:
+            # drop the oldest insertion (plain dict keeps insertion order)
+            self._payload_lru.pop(next(iter(self._payload_lru)), None)
+        self._payload_lru[key] = (now, payload)
         if cache is not None:
             cache[key] = payload
         return payload

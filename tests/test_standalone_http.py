@@ -1124,6 +1124,7 @@ def test_audit_events_and_loglevel(server):
 
     import json as _json
 
+    app.audit.flush()  # audit is buffered (fire-and-forget, reference parity)
     events = [
         _json.loads(m.payload)
         for m in app.bus.scan(AUDIT_STREAM, subject_prefix=f"audit.{kbid}")
