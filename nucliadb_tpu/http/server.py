@@ -142,11 +142,19 @@ class Router:
 
 class HTTPServer:
     def __init__(self, router: Router, host: str = "127.0.0.1", port: int = 8080,
-                 auth_hook=None):
+                 auth_hook=None, reuse_port: bool = False):
         self.router = router
         self.host = host
         self.port = port
         self.auth_hook = auth_hook  # callable(Request) raising HTTPError
+        # SO_REUSEPORT listener sharing: N worker processes bind the same
+        # port and the kernel balances connections across them (the
+        # multi-worker standalone mode — the reference's uvicorn-replicas
+        # deployment story, standalone/run.py:84-147)
+        self.reuse_port = reuse_port
+        # replica mode: called before local dispatch; returning a Response
+        # means the request was proxied (standalone/workers.py)
+        self.forward_hook = None
         self._server: Optional[asyncio.AbstractServer] = None
         # synchronous handlers run on this pool; wide enough that
         # concurrent searches actually ARRIVE concurrently — the vector
@@ -160,7 +168,9 @@ class HTTPServer:
         )
 
     async def start(self) -> None:
-        self._server = await asyncio.start_server(self._handle, self.host, self.port)
+        self._server = await asyncio.start_server(
+            self._handle, self.host, self.port, reuse_port=self.reuse_port or None
+        )
         addr = self._server.sockets[0].getsockname()
         self.port = addr[1]
 
@@ -271,12 +281,19 @@ class HTTPServer:
                 self.auth_hook(request)
             except HTTPError as e:
                 return e.status, json.dumps({"detail": e.detail}).encode()
+        loop = asyncio.get_running_loop()
+        if self.forward_hook is not None:
+            try:
+                fwd = await loop.run_in_executor(self._pool, self.forward_hook, request)
+            except HTTPError as e:
+                return e.status, json.dumps({"detail": e.detail}).encode()
+            if fwd is not None:
+                return fwd.status, fwd
         resolved = self.router.resolve(request.method, request.path)
         if resolved is None:
             return 404, json.dumps({"detail": "not found"}).encode()
         handler, params = resolved
         request.params = params
-        loop = asyncio.get_running_loop()
         try:
             result = await loop.run_in_executor(self._pool, handler, request)
             status = 200

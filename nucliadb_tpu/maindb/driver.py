@@ -136,12 +136,26 @@ class Driver:
         # top ingest cost (~10 txns/doc); this is the standard WAL serving
         # config and matches the durability most deployments run PG with.
         self._conn.execute("PRAGMA synchronous=NORMAL")
+        # multi-worker standalone shares these files across processes; a
+        # briefly-locked writer must queue, not error (sqlite default is 0)
+        self._conn.execute("PRAGMA busy_timeout=10000")
         self._conn.execute(
             "CREATE TABLE IF NOT EXISTS resources (key TEXT PRIMARY KEY, value BLOB)"
         )
         self._conn.commit()
         self._lock = threading.RLock()
         self._local = threading.local()  # per-thread txn stack for `with`
+
+    def backup(self, dest_path: str) -> None:
+        """Consistent online snapshot (sqlite backup API)."""
+        import sqlite3 as _sq
+
+        dst = _sq.connect(dest_path)
+        try:
+            with self._lock:
+                self._conn.backup(dst)
+        finally:
+            dst.close()
 
     def compare_and_swap(self, key: str, expected: Optional[bytes], new: bytes) -> bool:
         """Atomically set ``key`` to ``new`` iff its current value is

@@ -131,12 +131,25 @@ class MetadataStore:
         # top ingest cost (~10 txns/doc); this is the standard WAL serving
         # config and matches the durability most deployments run PG with.
         self._conn.execute("PRAGMA synchronous=NORMAL")
+        self._conn.execute("PRAGMA busy_timeout=10000")
         self._conn.execute("PRAGMA foreign_keys=ON")
         self._lock = threading.RLock()
         with self._lock, self._conn:
             self._conn.executescript(_SCHEMA)
 
     # ---- seq source (nidx_binding-style atomic counter) ------------------
+
+    def backup(self, dest_path: str) -> None:
+        """Consistent online snapshot to ``dest_path`` (sqlite backup API —
+        safe while writers run; the substrate snapshot hook uses this)."""
+        import sqlite3 as _sq
+
+        dst = _sq.connect(dest_path)
+        try:
+            with self._lock:
+                self._conn.backup(dst)
+        finally:
+            dst.close()
 
     def next_seq(self) -> Seq:
         with self._lock, self._conn:

@@ -84,7 +84,13 @@ def _validate(model, data):
 class StandaloneApp:
     def __init__(self, data_dir: str = "./data", host: str = "127.0.0.1",
                  port: int = 8080, auth: "AuthSettings | None" = None,
-                 predict=None):
+                 predict=None, replica_of: "Optional[str]" = None,
+                 reuse_port: bool = False):
+        """``replica_of`` (a primary's private URL) makes this process a
+        READ REPLICA over the same data dir: reads serve locally, writes
+        proxy to the primary, the background loop only syncs the searcher
+        (standalone/workers.py — the multi-worker SO_REUSEPORT mode).
+        ``reuse_port`` lets several workers bind one port."""
         from .auth import AuthSettings, make_auth_hook
         from ..utils.platform import configure_jax
 
@@ -98,10 +104,14 @@ class StandaloneApp:
         self.driver = Driver(os.path.join(data_dir, "maindb.db"))
         self.kbs = KnowledgeBoxManager(self.driver, self.node)
         self.processor = Processor(self.driver, self.node, self.kbs)
-        self._run_boot_migrations()
+        self.replica_of = replica_of
+        if replica_of is None:
+            self._run_boot_migrations()  # replicas: the primary owns these
         self.search = SearchService(self.node, self.kbs, self.processor, predict=predict)
         self.bus = EmbeddedBus(os.path.join(data_dir, "bus.db"))
-        self.audit = AuditStream(self.bus)
+        # buffered: one bus txn per ~0.2s batch instead of one per request
+        # (the per-event commit cost ~0.5 ms of the /find hot path)
+        self.audit = AuditStream(self.bus, buffered=True)
         # periodic KB storage reports ride the background scheduler tick
         self.node.scheduler.audit = self.audit
         self.back_pressure = BackPressureMaterializer(self.node.metadata, self.bus)
@@ -115,9 +125,15 @@ class StandaloneApp:
         self._imports_done: set[str] = set()
         self.router = Router()
         self.server = HTTPServer(
-            self.router, host, port, auth_hook=make_auth_hook(self.auth)
+            self.router, host, port, auth_hook=make_auth_hook(self.auth),
+            reuse_port=reuse_port,
         )
         self._register_routes()
+        if replica_of is not None:
+            from .workers import make_forward_hook
+
+            self.server.forward_hook = make_forward_hook(replica_of)
+        self._private_server: "Optional[HTTPServer]" = None
         self._last_sync = 0.0
         self._sync_lock = threading.Lock()
         self._bg_stop = threading.Event()
@@ -181,7 +197,37 @@ class StandaloneApp:
                 logger.warning("background maintenance tick failed",
                                exc_info=True)
 
+    async def start_private_listener(self) -> int:
+        """Second listener on an ephemeral localhost port (same router +
+        auth): the multi-worker primary's write target. Replicas must not
+        proxy to the shared SO_REUSEPORT port — the kernel could balance
+        the proxied request straight back to a replica."""
+        from ..http import HTTPServer as _HTTPServer
+
+        self._private_server = _HTTPServer(
+            self.router, "127.0.0.1", 0, auth_hook=self.server.auth_hook
+        )
+        await self._private_server.start()
+        return self._private_server.port
+
+    def _replica_loop(self, interval: float) -> None:
+        """Read replicas only sync the searcher (the reference searcher's
+        timer sync, nidx/src/searcher/sync.rs); scheduler/worker/purge run
+        on the primary alone."""
+        while not self._bg_stop.wait(interval):
+            try:
+                self.node.wait_for_sync()
+            except Exception:
+                logger.warning("replica searcher sync failed", exc_info=True)
+
     def start_background(self, interval: float = 15.0) -> None:
+        if self.replica_of is not None:
+            self._bg_thread = threading.Thread(
+                target=self._replica_loop, args=(min(interval, 1.0),), daemon=True
+            )
+            self._bg_thread.start()
+            threading.Thread(target=self._warmup, daemon=True).start()
+            return
         self._bg_thread = threading.Thread(
             target=self._background_loop, args=(interval,), daemon=True
         )
@@ -201,6 +247,7 @@ class StandaloneApp:
 
     def stop_background(self) -> None:
         self._bg_stop.set()
+        self.audit.close()  # flush buffered audit events
 
     def _kbid(self, request: Request) -> str:
         kbid = request.params["kbid"]

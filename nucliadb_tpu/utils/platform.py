@@ -35,6 +35,17 @@ def configure_jax(*, init_backend: bool = False) -> None:
     with _lock:
         if not _configured:
             _configured = True
+            # reliable platform override: the deployment image's
+            # sitecustomize preloads jax pointed at the TPU, so the
+            # JAX_PLATFORMS env var set by a parent process is ignored;
+            # jax.config.update works until the backend initializes
+            # (spawned worker/test processes use this)
+            platform = os.environ.get("NDBTPU_JAX_PLATFORM")
+            if platform:
+                try:
+                    jax.config.update("jax_platforms", platform)
+                except Exception:
+                    pass
             if not os.environ.get("NUCLIADB_TPU_NO_COMPILE_CACHE"):
                 cache_dir = os.environ.get(
                     "NUCLIADB_TPU_COMPILE_CACHE",
