@@ -184,6 +184,58 @@ class DeviceVectorIndex:
         # the bf16 rounding of inputs only (~1e-3 on normalized dots).
         store_dtype = jnp.bfloat16 if "bf16" in config.flags else jnp.float32
 
+        # ---- beyond-HBM paging -------------------------------------------
+        # NDBTPU_VECTOR_ARENA_BUDGET (bytes of device memory this index may
+        # hold) selects the residency tier when the corpus outgrows it
+        # (the counterpart of the reference's mmap'd stores + segment paging,
+        # nidx_vector/src/data_store.rs + nidx/src/searcher/sync.rs:57-219):
+        #
+        #   resident     codes + f32 arena in HBM (default; budget unset/fits)
+        #   host_rerank  int8 codes in HBM, f32 rows PAGE from host RAM —
+        #                the estimate pass stays an MXU scan; only the
+        #                ~rerank-budget candidate rows per query cross the
+        #                relay (int8 codes are 1/4 the f32 bytes, so this
+        #                tier serves ~5x the resident corpus per chip)
+        #   stream       nothing resident: chunked device scan over host
+        #                RAM (correct at any size; multi-chip mesh placement
+        #                is the production answer at this scale)
+        import os as _os
+
+        self.paging: "str | None" = None
+        self.vectors_host: "np.ndarray | None" = None
+        budget = int(_os.environ.get("NDBTPU_VECTOR_ARENA_BUDGET", "0") or 0)
+        if not self.multi and budget > 0:
+            itemsize = 2 if store_dtype == jnp.bfloat16 else 4
+            vec_bytes = self.p_pad * dim * itemsize
+            code_bytes = self.p_pad * (dim + 4)  # int8 codes + f32 scale
+            if vec_bytes + code_bytes > budget:
+                arena_np = np.zeros((self.p_pad, dim), np.float32)
+                arena_np[: self.n_para] = flat
+                self.vectors_host = arena_np
+                self.vectors = None
+                self._base_mask_dev = None
+                self.ivf = None
+                self.graph = None
+                self.m_count = None
+                if (
+                    config.quantization == Quantization.INT8
+                    and code_bytes <= budget
+                ):
+                    self.paging = "host_rerank"
+                    codes_np, scale_np = _host_int8_encode(arena_np)
+                    self.codes = quant.Int8Codes(
+                        codes=jax.device_put(jnp.asarray(codes_np)),
+                        scale=jax.device_put(jnp.asarray(scale_np)),
+                    )
+                else:
+                    self.paging = "stream"
+                    self.codes = None
+                    # largest power-of-two row chunk within budget (stable
+                    # compiled shapes across chunks and corpora)
+                    rows = max(budget // (dim * 4), 8)
+                    self.chunk_rows = 1 << (rows.bit_length() - 1)
+                return
+
         extended = None
         if not self.multi and self._can_extend(prev, store_dtype):
             # incremental refresh: the previous index's rows are a prefix of
@@ -286,6 +338,11 @@ class DeviceVectorIndex:
             )
 
     def _can_extend(self, prev: "DeviceVectorIndex | None", store_dtype) -> bool:
+        if prev is not None and getattr(prev, "paging", None) is not None:
+            return False  # paged arenas have no device prefix to extend
+        return self._can_extend_resident(prev, store_dtype)
+
+    def _can_extend_resident(self, prev, store_dtype) -> bool:
         """True when ``prev``'s device arena is reusable as a prefix of this
         one: same shape/dtype/padding and identical leading keys (segments
         only ever append — updates add a new segment plus deletions, so
@@ -427,6 +484,14 @@ class DeviceVectorIndex:
                 q[:, None, :], top_k, para_mask=para_mask, min_score=min_score,
                 with_duplicates=with_duplicates,
             )
+        elif self.paging is not None:
+            combined_np = (
+                self.base_mask()
+                if para_mask is None
+                else np.asarray(mask_j)
+            )
+            s, i = self._search_paged(q, top_k, combined_np, min_score, dedup)
+            return s[: q.shape[0]], i[: q.shape[0]]
         else:
             b_pad = bucket(q.shape[0], minimum=8)
             qp = np.zeros((b_pad, q.shape[1]), np.float32)
@@ -513,6 +578,86 @@ class DeviceVectorIndex:
         b = q.shape[0] if q.ndim == 2 else queries.shape[0]
         return np.asarray(s)[:b], np.asarray(i)[:b]
 
+    # ---- beyond-HBM search tiers ----------------------------------------
+
+    def _search_paged(
+        self, q: np.ndarray, k: int, mask_np: np.ndarray,
+        min_score: "float | None", dedup: bool,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Search when the f32 arena lives in host RAM (see __init__).
+
+        host_rerank: device int8 estimate scan -> candidate ids -> host
+        gather + exact f32 rescore/dedup/cut (only ~rerank-budget rows per
+        query ever leave host RAM).
+        stream: chunked exact device scans over the host arena -> merged
+        candidates -> the same host rescore."""
+        from ..vector.config import Similarity  # local: avoid cycle at import
+
+        sim = self.config.similarity.value
+        b_pad = bucket(q.shape[0], minimum=8)
+        qp = np.zeros((b_pad, q.shape[1]), np.float32)
+        qp[: q.shape[0]] = q
+        if self.paging == "host_rerank":
+            qj = prepare_query(jnp.asarray(qp), sim)
+            c = min(quant.int8_rerank_budget(k), self.p_pad)
+            est = quant.int8_estimate_scores(self.codes, qj)
+            _, cand = quant.approx_candidates(est, c, mask=jnp.asarray(mask_np))
+            return self._host_rerank_cut(
+                np.asarray(qj), np.asarray(cand), k, min_score, dedup
+            )
+        # stream: per-chunk exact top-k on device, host merge
+        qj = prepare_query(jnp.asarray(qp), sim)
+        k2 = min((2 * k + 8) if dedup else k, self.p_pad)
+        parts_s, parts_i = [], []
+        rows = self.chunk_rows
+        for start in range(0, self.p_pad, rows):
+            chunk = self.vectors_host[start : start + rows]
+            if chunk.shape[0] < rows:  # stable compiled shape for the tail
+                pad = np.zeros((rows, chunk.shape[1]), np.float32)
+                pad[: chunk.shape[0]] = chunk
+                chunk = pad
+            m = np.zeros(rows, dtype=bool)
+            m[: min(rows, self.p_pad - start)] = mask_np[start : start + rows]
+            s, i = _stream_chunk_topk(
+                jnp.asarray(chunk), qj, jnp.asarray(m), min(k2, rows)
+            )
+            s, i = np.asarray(s), np.asarray(i)
+            parts_s.append(s)
+            parts_i.append(np.where(i >= 0, i + start, -1))
+        all_s = np.concatenate(parts_s, axis=-1)
+        all_i = np.concatenate(parts_i, axis=-1)
+        order = np.argsort(-all_s, axis=-1, kind="stable")[:, :k2]
+        cand = np.take_along_axis(all_i, order, axis=-1)
+        return self._host_rerank_cut(
+            np.asarray(qj), cand, k, min_score, dedup
+        )
+
+    def _host_rerank_cut(
+        self, q: np.ndarray, cand: np.ndarray, k: int,
+        min_score: "float | None", dedup: bool,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact f32 rescore + Fssc dedup + top-k cut over host-gathered
+        candidate rows (the host mirror of _rerank_and_cut)."""
+        safe = np.maximum(cand, 0)
+        rows = self.vectors_host[safe]  # [B, C, D]
+        exact = np.einsum("bd,bcd->bc", q, rows, dtype=np.float32)
+        valid = cand >= 0
+        if dedup:
+            valid = valid & ~_host_duplicate_mask(rows, valid)
+        scored = np.where(valid, exact, np.float32(NEG_INF))
+        if min_score is not None:
+            scored = np.where(scored >= min_score, scored, np.float32(NEG_INF))
+        order = np.argsort(-scored, axis=-1, kind="stable")[:, :k]
+        top_s = np.take_along_axis(scored, order, axis=-1)
+        top_i = np.take_along_axis(cand, order, axis=-1)
+        top_i = np.where(top_s > np.float32(NEG_INF) / 2, top_i, -1)
+        if k > top_s.shape[1]:  # pad to the requested width
+            pad_s = np.full((top_s.shape[0], k - top_s.shape[1]), NEG_INF, np.float32)
+            pad_i = np.full((top_i.shape[0], k - top_i.shape[1]), -1, np.int64)
+            top_s = np.concatenate([top_s, pad_s], axis=-1)
+            top_i = np.concatenate([top_i, pad_i], axis=-1)
+        return top_s.astype(np.float32), top_i.astype(np.int64)
+
     def _use_graph(self, matching: int, top_k: int) -> bool:
         """Per-query graph-vs-scan choice (parity: the reference's analytic
         use_hnsw cost model, nidx_vector/src/segment.rs:626-660): a graph
@@ -564,6 +709,37 @@ class DeviceVectorIndex:
 # --------------------------------------------------------------------------
 # Fused kernels — paragraph ids == arena slots (single) or slots // m_max
 # --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _stream_chunk_topk(chunk, queries, mask, k):
+    """One streamed-scan chunk: exact scores + local top-k (HIGHEST
+    precision so the device chunk scores agree with the host rescore)."""
+    scores = scores_matmul(queries, chunk, precision=jax.lax.Precision.HIGHEST)
+    return masked_topk(scores, k, mask=mask)
+
+
+def _host_int8_encode(vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side mirror of quant.Int8Codes.encode — the paged tiers must
+    never upload the f32 arena just to quantize it on device."""
+    v = vectors.astype(np.float32)
+    s = np.maximum(np.abs(v).max(axis=-1), 1e-12) / 127.0
+    codes = np.clip(np.round(v / s[:, None]), -127, 127).astype(np.int8)
+    return codes, s.astype(np.float32)
+
+
+def _host_duplicate_mask(cand_vecs: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Host mirror of _duplicate_mask (same double-hash projections, f32)."""
+    d = cand_vecs.shape[-1]
+    idx = np.arange(d, dtype=np.float32)
+    w1 = np.sin(idx * 0.7310585) + 1.0
+    w2 = np.cos(idx * 0.4142135) - 0.5
+    h1 = (cand_vecs @ w1).astype(np.float32)
+    h2 = (cand_vecs @ w2).astype(np.float32)
+    same = (h1[:, :, None] == h1[:, None, :]) & (h2[:, :, None] == h2[:, None, :])
+    c = cand_vecs.shape[1]
+    earlier = np.tril(np.ones((c, c), bool), k=-1)[None]
+    return np.any(same & earlier & valid[:, None, :], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("k", "similarity", "dedup"))

@@ -81,6 +81,10 @@ class MeshVectorGroup:
             return False
         if any(isinstance(s.index.codes, quant.BinaryCodes) for s in searchers):
             return False
+        # beyond-HBM paged arenas keep f32 rows in host RAM; the group
+        # program stacks device arenas, so paged members disqualify
+        if any(getattr(s.index, "paging", None) is not None for s in searchers):
+            return False
         return True
 
     def __init__(self, searchers: Sequence, mesh: Mesh | None = None):
