@@ -179,6 +179,32 @@ class SubstrateServer:
     def stop(self, grace: float = 1.0) -> None:
         self.server.stop(grace)
 
+    def snapshot(self, dest_dir: str) -> dict:
+        """Online snapshot of the whole substrate (the single-process
+        deployment's backup story; matches the reference's reliance on PG
+        backups, nidx/src/metadata.rs). sqlite stores use the backup API
+        (consistent while serving); blobs hardlink (same fs) or copy.
+        Returns counts for observability."""
+        import os
+        import shutil
+
+        os.makedirs(dest_dir, exist_ok=True)
+        self.metadata.backup(os.path.join(dest_dir, "metadata.db"))
+        self.bus.backup(os.path.join(dest_dir, "bus.db"))
+        self.driver.backup(os.path.join(dest_dir, "maindb.db"))
+        blob_dst = os.path.join(dest_dir, "blobs")
+        n_blobs = 0
+        for key in self.storage.list():
+            src = self.storage._path(key)
+            dst = os.path.join(blob_dst, key)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+            n_blobs += 1
+        return {"blobs": n_blobs}
+
     def _call(self, request, context):
         target = self._targets.get(request["t"])
         method = request["m"]
@@ -228,16 +254,36 @@ class _Remote:
             response_deserializer=msgpack.unpackb,
         )
 
+    # UNAVAILABLE = the channel could not deliver the request (server down /
+    # restarting); the call was NOT processed, so retrying is safe. The
+    # window covers a substrate restart (the reference's components likewise
+    # ride out a PG/NATS bounce by reconnecting). DEADLINE/INTERNAL are NOT
+    # retried: those calls may have been applied server-side.
+    _RETRIES = 40
+    _RETRY_SLEEP = 0.25
+
     def _call(self, method: str, *args, **kwargs):
-        out = self._fn(
-            {
-                "t": self._target,
-                "m": method,
-                "a": [_enc(a) for a in args],
-                "k": {k: _enc(v) for k, v in kwargs.items()},
-            },
-            timeout=self._timeout,
-        )
+        request = {
+            "t": self._target,
+            "m": method,
+            "a": [_enc(a) for a in args],
+            "k": {k: _enc(v) for k, v in kwargs.items()},
+        }
+        attempt = 0
+        while True:
+            try:
+                out = self._fn(request, timeout=self._timeout)
+                break
+            except grpc.RpcError as e:
+                if (
+                    e.code() is not grpc.StatusCode.UNAVAILABLE
+                    or attempt >= self._RETRIES
+                ):
+                    raise
+                attempt += 1
+                import time as _time
+
+                _time.sleep(self._RETRY_SLEEP)
         if "err" in out:
             exc = _ERR_TYPES.get(out.get("err_type", ""), RuntimeError)
             raise exc(out["err"])
@@ -322,8 +368,8 @@ class RemoteBus(_Remote):
 
 
 for _m in (
-    "publish", "scan", "next", "ack", "nak", "in_progress", "last_seq",
-    "ack_floor", "pending", "purge_older_than", "purge_acked",
+    "publish", "publish_many", "scan", "next", "ack", "nak", "in_progress",
+    "last_seq", "ack_floor", "pending", "purge_older_than", "purge_acked",
 ):
     setattr(RemoteBus, _m, _forward(_m))
 
