@@ -256,9 +256,11 @@ def bench_bm25(tmp_dir: str) -> None:
     dt = (time.time() - t0) / reps
 
     # Production serving shape: concurrent queries coalesce into ONE device
-    # dispatch (text_engine/batcher.py -> engine.search_batch). 64 distinct
-    # fuzzy queries per dispatch; headline value is the batched QPS.
-    bq = 64
+    # dispatch (text_engine/batcher.py -> engine.search_batch), up to the
+    # coalescer's 512-query cap — the measured throughput peak on this chip
+    # (64 -> 494 QPS, 256 -> 944, 512 -> 1092, 1024 -> 1064). Headline value
+    # is the batched QPS at the cap.
+    bq = int(os.environ.get("BENCH_BM25_BATCH", 512))
     rng_q = np.random.default_rng(23)
     batch_queries = []
     for i in range(bq):

@@ -37,7 +37,11 @@ class _Entry:
 class TextQueryCoalescer:
     """Merges concurrent unfiltered BM25 queries into shared batches."""
 
-    def __init__(self, max_batch: int = 64, concurrency: int = 4):
+    # 512: the measured throughput peak on the tunneled v5e at 100k docs
+    # (64 -> 494 QPS, 256 -> 944, 512 -> 1092, 1024 -> 1064; fuzzy d=1 mixed
+    # queries, top-20). The batch only grows this large when that many
+    # queries are actually queued, so low-load latency is unaffected.
+    def __init__(self, max_batch: int = 512, concurrency: int = 4):
         self.max_batch = max_batch
         self.concurrency = concurrency
         self._lock = threading.Lock()
