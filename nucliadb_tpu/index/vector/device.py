@@ -591,8 +591,6 @@ class DeviceVectorIndex:
         query ever leave host RAM).
         stream: chunked exact device scans over the host arena -> merged
         candidates -> the same host rescore."""
-        from ..vector.config import Similarity  # local: avoid cycle at import
-
         sim = self.config.similarity.value
         b_pad = bucket(q.shape[0], minimum=8)
         qp = np.zeros((b_pad, q.shape[1]), np.float32)

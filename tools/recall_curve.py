@@ -1,0 +1,112 @@
+"""Recall-vs-QPS curve for the headline int8 scan + exact rerank path.
+
+Sweeps the rerank candidate budget (the quality/throughput knob — the
+reference's RERANKING_FACTOR, nidx_vector/src/vector_types/rabitq.rs:30-36)
+at 1M x 768, top-10, batch 2048, against the on-device exact HIGHEST-
+precision oracle. Output feeds the BASELINE.md curve (VERDICT r2 weak #7).
+
+Usage: python tools/recall_curve.py  (runs on the ambient device; same
+on-device corpus generation + download-forced timing discipline as
+bench.py — see .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nucliadb_tpu.ops import quant
+from nucliadb_tpu.ops.topk import NEG_INF, masked_topk
+from nucliadb_tpu.utils.platform import configure_jax
+
+N = int(os.environ.get("CURVE_N", 1_000_000))
+D = int(os.environ.get("CURVE_D", 768))
+B = int(os.environ.get("CURVE_B", 2048))
+K = int(os.environ.get("CURVE_K", 10))
+ORACLE_QUERIES = 64
+BUDGETS = [10, 20, 40, 100, 400, 2000]
+
+
+@partial(jax.jit, static_argnames=("k", "c"))
+def search_budget(codes, scale, vectors, queries, mask, k, c):
+    """_search_int8 with an explicit candidate budget c."""
+    cd = quant.Int8Codes(codes=codes, scale=scale)
+    est = quant.int8_estimate_scores(cd, queries)
+    _, cand = quant.approx_candidates(est, c, mask=mask)
+    safe = jnp.maximum(cand, 0)
+    cand_vecs = vectors[safe]
+    exact = jnp.einsum(
+        "bd,bcd->bc", queries, cand_vecs,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    valid = cand >= 0
+    top_s, pos = masked_topk(exact, k, mask=valid)
+    top_ids = jnp.where(pos >= 0, jnp.take_along_axis(cand, jnp.maximum(pos, 0), -1), -1)
+    return top_s, top_ids
+
+
+def main() -> None:
+    configure_jax(init_backend=True)
+    from bench_suite import _gen_device_corpus
+    from nucliadb_tpu.utils.buckets import bucket
+
+    n_pad = bucket(N)  # corpus generator wants the padded arena size
+    vectors, q_bufs = _gen_device_corpus(n_pad, D, B)
+    queries = q_bufs[0]
+    mask = np.zeros(vectors.shape[0], bool)
+    mask[:N] = True
+    mask_j = jax.device_put(jnp.asarray(mask))
+    codes = quant.Int8Codes.encode(vectors)
+    np.asarray(codes.scale[:2])
+
+    # exact oracle over the first ORACLE_QUERIES
+    @jax.jit
+    def oracle(vv, mm, qq):
+        scores = jax.lax.dot_general(
+            qq, vv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return masked_topk(scores, K, mask=mm)
+
+    _, oracle_ids = oracle(vectors, mask_j, queries[:ORACLE_QUERIES])
+    oracle_ids = np.asarray(oracle_ids)
+
+    rows = []
+    for c in BUDGETS:
+        s, i = search_budget(codes.codes, codes.scale, vectors, queries, mask_j, K, c)
+        got = np.asarray(i)  # compile + warm + download
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            _ = np.asarray(
+                search_budget(codes.codes, codes.scale, vectors, queries, mask_j, K, c)[1]
+            )
+            best = min(best, time.time() - t0)
+        recalls = [
+            len(set(got[j][got[j] >= 0]) & set(oracle_ids[j][oracle_ids[j] >= 0])) / K
+            for j in range(ORACLE_QUERIES)
+        ]
+        row = {
+            "rerank_budget": c,
+            "recall_at_10": round(float(np.mean(recalls)), 4),
+            "qps": round(B / best, 1),
+            "ms_per_batch": round(best * 1e3, 2),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"curve": rows, "n": N, "d": D, "batch": B, "k": K}))
+
+
+if __name__ == "__main__":
+    main()
