@@ -18,6 +18,7 @@ import msgpack
 import numpy as np
 
 from ..index.json import JsonAnd, JsonExpression, JsonNot, JsonOr, JsonPredicate
+from ..index.paragraph import SearchAfter as _SearchAfter
 from ..index.relation import GraphSearchRequest, NodePattern, RelationPattern
 from ..models.internal import (
     IndexParagraph,
@@ -281,6 +282,13 @@ def pack_search_request(r: ShardSearchRequest) -> bytes:
             "filter": pack_expr(r.filter),
             "field_filter": pack_expr(r.field_filter),
             "json_filter": pack_json_expr(r.json_filter),
+            "filter_operator": r.filter_operator,
+            "advanced_query": r.advanced_query,
+            "search_after": (
+                None if r.search_after is None
+                else {"score": r.search_after.score, "tie": r.search_after.tie}
+            ),
+            "graph_expr": r.graph_expr,
             "security_groups": r.security_groups,
             "key_filters": r.key_filters,
             "include_hidden": r.include_hidden,
@@ -322,6 +330,15 @@ def unpack_search_request(data: bytes) -> ShardSearchRequest:
         filter=unpack_expr(d["filter"]),
         field_filter=unpack_expr(d["field_filter"]),
         json_filter=unpack_json_expr(d["json_filter"]),
+        filter_operator=d.get("filter_operator", "and"),
+        advanced_query=d.get("advanced_query"),
+        search_after=(
+            None if d.get("search_after") is None
+            else _SearchAfter(
+                score=d["search_after"]["score"], tie=d["search_after"]["tie"]
+            )
+        ),
+        graph_expr=d.get("graph_expr"),
         security_groups=d["security_groups"],
         key_filters=d["key_filters"],
         include_hidden=d.get("include_hidden", False),

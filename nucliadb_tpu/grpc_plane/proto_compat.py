@@ -463,7 +463,8 @@ class ProtoCompatServices:
                     # prefix mask (the KeyPrefixSet handoff,
                     # nidx_vector/src/searcher.rs:300-312)
                     prefixes = tuple(
-                        f"{f.resource_id}/{f.field_id}/" for f in prefilter.fields
+                        f.as_key_prefix().rstrip("/") + "/"
+                        for f in prefilter.fields
                     )
                     atom = KeyPrefixAtom(prefixes)
                     shard_filter = (

@@ -341,12 +341,17 @@ class JsonSearcher:
         raise TypeError(f"bad json expression: {expr!r}")
 
     def prefilter(self, expr: Optional[JsonExpression]) -> PrefilterResult:
-        """Evaluate a JSON filter into a FieldId prefilter
-        (combined with the text prefilter by the planner)."""
+        """Evaluate a JSON filter into a RESOURCE-granular prefilter
+        (combined with the text prefilter by the planner). Resource
+        granularity is the reference's: the json side contributes resource
+        uuids (prefilter.rs combine takes a resource set; to_field_ids makes
+        field_id-less entries) — a match on any json field of a resource
+        admits every field of that resource downstream."""
         if expr is None:
             return PrefilterResult.all()
         mask = self._eval(expr)
         idxs = np.nonzero(mask)[0]
         if not len(idxs):
             return PrefilterResult.none()
-        return PrefilterResult.some([self._fields[i] for i in idxs])
+        rids = sorted({self._fields[i].resource_id for i in idxs})
+        return PrefilterResult.some([FieldId(rid, None) for rid in rids])

@@ -167,6 +167,10 @@ class ParagraphSearchRequest:
     # search_query.rs:202-210 — the doc must match the parsed query)
     advanced_query: Optional[str] = None
     search_after: Optional[SearchAfter] = None
+    # how ``filter`` combines with the ``field_filter`` prefilter: "or"
+    # matches EITHER side (FilterOperator::Or making both Should clauses,
+    # nidx_paragraph/src/search_query.rs:87-103)
+    filter_operator: str = "and"
 
 
 @dataclass
@@ -216,10 +220,20 @@ class ParagraphSearcher:
         # path boundaries and silently emptied pages when matches ranked
         # below top_k)
         extra_mask = None
+        para_filter = request.filter
         if not request.field_filter.is_all:
             prefixes = [f.as_key_prefix() for f in request.field_filter.fields]
             m = np.zeros(self.engine.n_docs, dtype=bool)
             m[self.engine.key_prefix_postings(prefixes)] = True
+            if para_filter is not None and request.filter_operator == "or":
+                # FilterOperator::Or — match EITHER the prefilter's fields
+                # or the paragraph filter (search_query.rs:87-103 Should)
+                from ...query_language import evaluate_bitset
+
+                m = m | evaluate_bitset(
+                    para_filter, self.engine.n_docs, self.engine._resolve_atom
+                )
+                para_filter = None
             extra_mask = m
         if request.key_prefixes:
             m = np.zeros(self.engine.n_docs, dtype=bool)
@@ -247,7 +261,7 @@ class ParagraphSearcher:
                 excluded=excluded,
                 top_k=k,
                 fuzzy=request.fuzzy,
-                filter=request.filter,
+                filter=para_filter,
                 extra_mask=extra_mask,
                 min_score=request.min_score,
                 all_terms=request.all_terms,

@@ -186,10 +186,17 @@ def prefilter_edge_ok(prefilter) -> "Callable[[dict], bool] | None":
     if prefilter.is_all:
         return None
     allowed: set[str] = set()
+    prefixes: list[str] = []
     for f in prefilter.fields:
+        if f.field_id is None:
+            # resource-granular entry: every field of the resource
+            prefixes.append(f"{f.resource_id}/")
+            continue
         allowed.add(f"{f.resource_id}/{f.field_id}")
         allowed.add(f"{f.resource_id}/a/metadata")
-    return lambda e: e["key"] in allowed
+    return lambda e: e["key"] in allowed or any(
+        e["key"].startswith(p) for p in prefixes
+    )
 
 
 def _str_array(values: list[str]) -> np.ndarray:

@@ -138,6 +138,11 @@ class VectorSearchRequest:
     # False (the reference default) drops results whose vector repeats a
     # higher-ranked result's (Fssc dedup, nidx_vector/src/searcher.rs:150-199)
     with_duplicates: bool = False
+    # how ``filter`` combines with the ``field_filter`` prefilter: "or"
+    # matches EITHER side (the reference's FilterOperator::Or turning the
+    # whole formula into Should clauses, nidx_vector/src/searcher.rs:320);
+    # only meaningful when both are present
+    filter_operator: str = "and"
 
 
 class VectorSearcher:
@@ -185,7 +190,12 @@ class VectorSearcher:
                 field_mask = np.zeros(idx.n_para, dtype=bool)
                 pids = idx.key_prefix_postings(prefixes)
                 field_mask[pids] = True
-            mask = field_mask if mask is None else (mask & field_mask)
+            if mask is not None and request.filter_operator == "or":
+                # FilterOperator::Or — a paragraph passes matching EITHER
+                # the prefilter's fields or the paragraph filter
+                mask = mask | field_mask
+            else:
+                mask = field_mask if mask is None else (mask & field_mask)
         if request.key_prefixes:
             kp_mask = np.zeros(idx.n_para, dtype=bool)
             kp_mask[idx.key_prefix_postings(list(request.key_prefixes))] = True

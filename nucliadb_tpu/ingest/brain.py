@@ -74,6 +74,20 @@ class ResourceBrain:
             labels.extend(f"/t/{t}" for t in payload.origin.tags)
             if payload.origin.source_id:
                 labels.append(f"/u/s/{payload.origin.source_id}")
+            # the remaining origin facet hierarchies the rich
+            # filter_expression atoms match (facet_from_filter parity,
+            # reference common/filter_expression.py:352-403)
+            for k, v in payload.origin.metadata.items():
+                labels.append(f"/m/{k}/{v}")
+            if payload.origin.path:
+                labels.append("/p/" + payload.origin.path.strip("/"))
+            labels.extend(f"/u/o/{c}" for c in payload.origin.collaborators)
+        meta = getattr(payload, "metadata", None)
+        if meta is not None:
+            if meta.language:
+                labels.append(f"/s/p/{meta.language}")
+                labels.append(f"/s/s/{meta.language}")
+            labels.extend(f"/s/s/{l}" for l in meta.languages)
         for rel in user_relations(payload):
             for node in (rel.from_, rel.to):
                 if node is not None and node.type == "entity":
@@ -101,13 +115,24 @@ class ResourceBrain:
             modified=now,
         )
 
+        # per-field mimetype facet (/mt — the field_mimetype filter; parity:
+        # the reference's FieldComputedMetadata mimetype facet)
+        _FORMAT_MT = {
+            "PLAIN": "text/plain", "HTML": "text/html",
+            "MARKDOWN": "text/markdown", "KEEP_MARKDOWN": "text/markdown",
+            "RST": "text/x-rst", "JSON": "application/json",
+        }
         fields: dict[str, str] = {}
+        field_labels: dict[str, list[str]] = {}
         if payload.title:
             fields["a/title"] = payload.title
         if payload.summary:
             fields["a/summary"] = payload.summary
         for name, tf in payload.texts.items():
             fields[f"t/{name}"] = tf.body
+            mt = getattr(tf, "mimetype", "") or _FORMAT_MT.get(tf.format, "")
+            if mt:
+                field_labels[f"t/{name}"] = [f"/mt/{mt}"]
         # link fields index their stored title/description/uri (u/ prefix,
         # parity: reference link fields — URI content extraction is the
         # processing service's job)
@@ -115,14 +140,22 @@ class ResourceBrain:
             fields[f"u/{name}"] = "\n".join(
                 part for part in (lf.title, lf.description, lf.uri) if part
             )
+            field_labels[f"u/{name}"] = ["/mt/text/html"]
 
         for fid, text in fields.items():
-            doc.texts[fid] = TextInformation(text=text, labels=[])
+            doc.texts[fid] = TextInformation(
+                text=text, labels=field_labels.get(fid, [])
+            )
+            # paragraph kind facet (/k — the Kind paragraph filter; title
+            # paragraphs are TITLE, the rest TEXT; richer kinds — OCR,
+            # TABLE, TRANSCRIPT — come from an external processing engine)
+            kind = "/k/title" if fid == "a/title" else "/k/text"
             paragraphs: dict[str, IndexParagraph] = {}
             for start, end in split_paragraphs(text):
                 pid = paragraph_id(self.rid, fid, start, end)
                 paragraphs[pid] = IndexParagraph(
-                    start=start, end=end, fieldname=fid, index=len(paragraphs)
+                    start=start, end=end, fieldname=fid, index=len(paragraphs),
+                    labels=[kind],
                 )
             if paragraphs:
                 doc.paragraphs[fid] = paragraphs

@@ -61,6 +61,9 @@ class SentenceEmbedding(BaseModel):
 class TextFieldPayload(BaseModel):
     body: str
     format: str = "PLAIN"
+    # explicit field mimetype (indexed as the /mt facet); when empty, the
+    # format maps to one. File extraction sets the source content type here.
+    mimetype: str = ""
 
 
 class ConversationAttachment(BaseModel):
@@ -192,6 +195,17 @@ class Origin(BaseModel):
     tags: list[str] = Field(default_factory=list)
     collaborators: list[str] = Field(default_factory=list)
     metadata: dict[str, str] = Field(default_factory=dict)
+    # origin path, indexed as the /p facet hierarchy (origin_path filters)
+    path: str = ""
+
+
+class ResourceMetadataPayload(BaseModel):
+    """User-settable resource metadata (parity: nucliadb_models metadata
+    InputMetadata — primary language + other languages, indexed as the
+    /s/p and /s/s facets the language filter matches)."""
+
+    language: str = ""
+    languages: list[str] = Field(default_factory=list)
 
 
 class CreateResourcePayload(BaseModel):
@@ -209,6 +223,7 @@ class CreateResourcePayload(BaseModel):
     # (parity: reference key_value fields / kv-schemas)
     key_values: dict[str, dict] = Field(default_factory=dict)
     usermetadata: UserMetadata = Field(default_factory=UserMetadata)
+    metadata: ResourceMetadataPayload = Field(default_factory=ResourceMetadataPayload)
     usergenerated_relations: list[RelationPayload] = Field(default_factory=list)
     # processor/DA-sourced relations (indexed with /g/da facets; the
     # reference receives these on processor broker messages)
@@ -273,11 +288,29 @@ def translate_alias_label(label: str) -> str:
 
 
 class FilterExpression(BaseModel):
-    """JSON filter expression tree (reference: filter_expression.py).
+    """Filter expression (reference: nucliadb_models/filters.py
+    FilterExpression). Two accepted shapes:
 
-    Exactly one of the fields is set per node.
+    - RICH (the reference's public model): ``field`` (typed atom tree —
+      and/or/not over {"prop": resource|field|keyword|created|modified|
+      label|resource_mimetype|field_mimetype|entity|language|origin_tag|
+      origin_metadata|origin_path|origin_source|origin_collaborator|
+      generated|status|resource_field_prefix}), ``paragraph`` (label/kind
+      tree), ``key_value`` (eq/gte/lte/contains against KV schemas) and
+      ``operator`` choosing how field and paragraph filters combine.
+      Subtrees validate strictly at translation (search/filter_expr.py).
+    - LEGACY (this build's earlier label tree): literal/all/any/none/not.
+
+    Mixing the two shapes in one expression is rejected.
     """
 
+    # rich form
+    field: Optional[dict] = None
+    paragraph: Optional[dict] = None
+    key_value: Optional[dict] = None
+    operator: Optional[str] = None  # "and" (default) | "or"
+
+    # legacy label-tree form
     literal: Optional[str] = None  # a facet/label like /l/set/label
     all_: Optional[list["FilterExpression"]] = Field(default=None, alias="all")
     any_: Optional[list["FilterExpression"]] = Field(default=None, alias="any")
@@ -285,6 +318,27 @@ class FilterExpression(BaseModel):
     not_: Optional["FilterExpression"] = Field(default=None, alias="not")
 
     model_config = {"populate_by_name": True}
+
+    @model_validator(mode="after")
+    def _one_shape(self) -> "FilterExpression":
+        rich = any(v is not None for v in (self.field, self.paragraph, self.key_value))
+        legacy = any(
+            v is not None for v in (self.literal, self.all_, self.any_, self.none, self.not_)
+        )
+        if rich and legacy:
+            raise ValueError(
+                "filter_expression: cannot mix field/paragraph/key_value with "
+                "the legacy literal/all/any/none/not tree"
+            )
+        if self.operator not in (None, "and", "or"):
+            raise ValueError(f"filter_expression: bad operator {self.operator!r}")
+        return self
+
+    @property
+    def is_rich(self) -> bool:
+        return any(
+            v is not None for v in (self.field, self.paragraph, self.key_value)
+        )
 
 
 def _apply_security_alias(data: dict) -> None:

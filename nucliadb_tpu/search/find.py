@@ -59,8 +59,14 @@ class PredictEngine(Protocol):
 
 
 def filter_to_expression(f: Optional[FilterExpression]) -> Optional[BooleanExpression]:
+    """LEGACY label-tree form only — rich expressions go through
+    parse_request_filters (the reference's structured filter_expression)."""
     if f is None:
         return None
+    if f.is_rich:
+        raise ValueError(
+            "rich filter_expression is not supported on this endpoint yet"
+        )
     if f.literal is not None:
         return LabelAtom(translate_alias_label(f.literal))
     if f.all_ is not None:
@@ -72,6 +78,24 @@ def filter_to_expression(f: Optional[FilterExpression]) -> Optional[BooleanExpre
     if f.not_ is not None:
         return not_(filter_to_expression(f.not_))
     raise ValueError("empty filter expression node")
+
+
+def parse_request_filters(
+    f: Optional[FilterExpression], resolve_slug
+) -> "tuple[Optional[BooleanExpression], Optional[BooleanExpression], object, str]":
+    """Either filter_expression shape ->
+    (field_expr, paragraph_expr, json_expr, operator).
+
+    Rich expressions (reference nucliadb_models/filters.py) lower through
+    search/filter_expr.py; the legacy label tree stays a paragraph-level
+    expression (its pre-rich behavior)."""
+    if f is None:
+        return None, None, None, "and"
+    if f.is_rich:
+        from .filter_expr import parse_filter_expression
+
+        return parse_filter_expression(f, resolve_slug)
+    return None, filter_to_expression(f), None, "and"
 
 
 
@@ -349,13 +373,19 @@ class SearchService:
         self, kbid: str, request: FindRequest, metrics,
         collect_blocks: "Optional[list[TextBlock]]" = None,
     ) -> KnowledgeboxFindResults:
-        expr = filter_to_expression(request.filter_expression)
+        field_expr, expr, json_expr, user_op = parse_request_filters(
+            request.filter_expression,
+            lambda slug: self.processor.resolve_slug(kbid, slug),
+        )
+        # system/extra constraints collect separately so operator=or keeps
+        # its reference semantics: (field OR paragraph) AND constraints —
+        # distributing the AND into both sides of the leg-level union
+        common: Optional[BooleanExpression] = None
         if request.filters:
             # legacy facet strings: AND of translated label atoms
-            legacy = and_(
+            common = and_(
                 *[LabelAtom(translate_alias_label(f)) for f in request.filters]
             )
-            expr = and_(expr, legacy) if expr is not None else legacy
         # hidden resources: when the KB has them enabled and the caller did
         # not ask to see them, AND a NOT /q/h filter into every index leg
         # (parity: search/search/utils.py filter_hidden_resources + the
@@ -367,7 +397,7 @@ class SearchService:
             and not request.show_hidden
         ):
             hidden_expr = not_(LabelAtom("/q/h"))
-            expr = and_(expr, hidden_expr) if expr is not None else hidden_expr
+            common = and_(common, hidden_expr) if common is not None else hidden_expr
         autofilters: list[str] = []
         if request.autofilter and request.query:
             # KB entities detected in the query become an OR label filter
@@ -378,7 +408,17 @@ class SearchService:
             autofilters = self._autofilter_labels(kbid, request.query)
             if autofilters:
                 auto_expr = or_(*[LabelAtom(l) for l in autofilters])
-                expr = and_(expr, auto_expr) if expr is not None else auto_expr
+                common = and_(common, auto_expr) if common is not None else auto_expr
+        # the leg-level union only engages when the caller supplied BOTH
+        # trees with operator=or (reference filter_query Should semantics,
+        # nidx_paragraph/src/search_query.rs:87-103)
+        leg_op = "or" if (
+            user_op == "or" and field_expr is not None and expr is not None
+        ) else "and"
+        if common is not None:
+            expr = and_(expr, common) if expr is not None else common
+            if leg_op == "or":
+                field_expr = and_(field_expr, common)
         with metrics.time("embed"):
             vector = (
                 self._query_vector(kbid, request)
@@ -408,6 +448,10 @@ class SearchService:
             min_score_bm25=request.min_score_bm25,
             with_duplicates=request.with_duplicates,
             filter=expr,
+            field_filter=field_expr,
+            json_filter=json_expr,
+            filter_operator=user_op,
+            leg_filter_operator=leg_op,
             security_groups=request.security_groups,
             include_hidden=request.show_hidden,
             # field ids and resource uuids both scope retrieval by key
@@ -435,6 +479,13 @@ class SearchService:
         # Provider hits are post-filtered host-side so filters, security,
         # date windows and min_score apply exactly as on the node leg.
         external = self.kbs.external_index(kbid) if vector is not None else None
+        if external is not None and (field_expr is not None or json_expr is not None):
+            # the provider post-filter evaluates label expressions only; a
+            # silently-unapplied field/key_value filter would widen results
+            raise ValueError(
+                "field/key_value filter expressions are not supported with an "
+                "external vector index provider"
+            )
         if external is not None:
             with metrics.time("external"):
                 for h in external.query(vector, fetch_k):
@@ -742,7 +793,10 @@ class SearchService:
 
     def suggest(self, kbid: str, request: SuggestRequest) -> SuggestResponse:
         resp = SuggestResponse()
-        expr = filter_to_expression(request.filter_expression)
+        field_expr, expr, json_expr, user_op = parse_request_filters(
+            request.filter_expression,
+            lambda slug: self.processor.resolve_slug(kbid, slug),
+        )
         if request.filters:
             legacy = and_(
                 *[LabelAtom(translate_alias_label(f)) for f in request.filters]
@@ -755,9 +809,36 @@ class SearchService:
         hidden_rids: set[str] = set()
         for shard_id in self._shard_ids(kbid):
             searcher = self.node.searcher.shard(shard_id)
+            shard_filter = expr
+            if field_expr is not None or json_expr is not None:
+                # field/key_value trees reach suggest through the shard's
+                # prefilter, handed to the paragraph engine as key prefixes
+                # (the KeyPrefixSet handoff); operator=or unions the two
+                # sides inside the one expression tree
+                pf = searcher.compute_prefilter(
+                    ShardSearchRequest(
+                        field_filter=field_expr,
+                        json_filter=json_expr,
+                        filter_operator=user_op,
+                    )
+                )
+                if pf.is_none:
+                    continue
+                if not pf.is_all:
+                    from ..query_language import KeyPrefixAtom
+
+                    atom = KeyPrefixAtom(tuple(
+                        f.as_key_prefix().rstrip("/") + "/" for f in pf.fields
+                    ))
+                    if shard_filter is None:
+                        shard_filter = atom
+                    elif user_op == "or" and request.filter_expression.paragraph is not None:
+                        shard_filter = or_(atom, shard_filter)
+                    else:
+                        shard_filter = and_(atom, shard_filter)
             if "paragraph" in request.features and searcher.paragraph is not None:
                 for hit in searcher.paragraph.suggest(
-                    request.query, request.top_k, filter=expr
+                    request.query, request.top_k, filter=shard_filter
                 ):
                     if hide:
                         if hit.rid not in hidden_rids:
@@ -789,7 +870,23 @@ class SearchService:
         search with facets + date ordering)."""
         from ..index.text import DocumentSearchRequest
 
-        expr = filter_to_expression(request.filter_expression)
+        f = request.filter_expression
+        if f is not None and f.is_rich:
+            # the catalog plane filters resources: the field tree lowers
+            # directly (the document engine resolves every atom kind);
+            # paragraph/key_value trees have no catalog meaning (parity:
+            # CatalogFilterExpression is resource-scoped)
+            if f.paragraph is not None or f.key_value is not None:
+                raise ValueError(
+                    "catalog filter_expression supports the field tree only"
+                )
+            from .filter_expr import parse_expr
+
+            expr = parse_expr(
+                f.field, lambda slug: self.processor.resolve_slug(kbid, slug)
+            )
+        else:
+            expr = filter_to_expression(f)
         if request.filters:
             legacy = and_(
                 *[LabelAtom(translate_alias_label(f)) for f in request.filters]
@@ -984,7 +1081,7 @@ class SearchService:
         # boolean-expression mode (parity: BaseGraphSearchRequest security /
         # show_hidden, nodereader.proto:248) — without this the flat shape
         # was a security bypass
-        edge_ok = self._graph_edge_filter(
+        edge_ok_factory = self._graph_edge_filter(
             kbid,
             security_groups=(
                 list(request.security.get("groups", []) or [])
@@ -997,6 +1094,9 @@ class SearchService:
         for shard_id in self._shard_ids(kbid):
             searcher = self.node.searcher.shard(shard_id)
             if searcher.relation is None:
+                continue
+            skip, edge_ok = edge_ok_factory(searcher)
+            if skip:
                 continue
             paths = list(searcher.relation.graph_search(greq))
             if edge_ok is not None:
@@ -1052,7 +1152,7 @@ class SearchService:
         expression trees — and/or/not over path/node/relation leaves, plus
         the BaseGraphSearchRequest resource constraints: filter_expression,
         security and show_hidden)."""
-        edge_ok = self._graph_edge_filter(
+        edge_ok_factory = self._graph_edge_filter(
             kbid, filter_expression=filter_expression,
             security_groups=security_groups, show_hidden=show_hidden,
         )
@@ -1061,6 +1161,9 @@ class SearchService:
         for shard_id in self._shard_ids(kbid):
             searcher = self.node.searcher.shard(shard_id)
             if searcher.relation is None:
+                continue
+            skip, edge_ok = edge_ok_factory(searcher)
+            if skip:
                 continue
             q = self._resolve_semantic_leaves(kbid, searcher, query)
             # edge_ok filters inside the index BEFORE the top_k cut — the
@@ -1096,16 +1199,35 @@ class SearchService:
     ):
         """Edge predicate applying the BaseGraphSearchRequest resource
         constraints (filter_expression/security/show_hidden), or None when
-        unconstrained."""
+        unconstrained. Rich field trees (reference filters.py) resolve
+        through each shard's text prefilter, so this returns a per-shard
+        FACTORY: ``factory(searcher) -> (skip_shard, edge_ok_or_None)``."""
         from ..query_language import evaluate_one
 
-        expr = filter_to_expression(filter_expression)
+        rich_field = None
+        if filter_expression is not None and filter_expression.is_rich:
+            if (
+                filter_expression.paragraph is not None
+                or filter_expression.key_value is not None
+            ):
+                raise ValueError(
+                    "graph filter_expression supports the field tree only"
+                )
+            from .filter_expr import parse_expr
+
+            rich_field = parse_expr(
+                filter_expression.field,
+                lambda slug: self.processor.resolve_slug(kbid, slug),
+            )
+            expr = None
+        else:
+            expr = filter_to_expression(filter_expression)
         kb_cfg = self.kbs.get_config(kbid)
         hide = (
             kb_cfg is not None and kb_cfg.hidden_resources_enabled and not show_hidden
         )
-        if not hide and expr is None and security_groups is None:
-            return None
+        if not hide and expr is None and rich_field is None and security_groups is None:
+            return lambda searcher: (False, None)
         allowed: dict[str, bool] = {}
 
         def edge_ok(e: dict) -> bool:
@@ -1137,7 +1259,25 @@ class SearchService:
             allowed[rid] = ok
             return ok
 
-        return edge_ok
+        def factory(searcher):
+            if rich_field is None:
+                return False, edge_ok
+            # rich field tree -> this shard's text prefilter -> edge
+            # predicate (the same a/metadata-admitting rule both gRPC
+            # planes use, index/relation prefilter_edge_ok)
+            from ..index.relation import prefilter_edge_ok
+
+            pf = searcher.compute_prefilter(
+                ShardSearchRequest(field_filter=rich_field)
+            )
+            if pf.is_none:
+                return True, None
+            pf_ok = prefilter_edge_ok(pf)
+            if pf_ok is None:
+                return False, edge_ok
+            return False, lambda e: pf_ok(e) and edge_ok(e)
+
+        return factory
 
     def graph_nodes_expr(
         self,
@@ -1153,7 +1293,7 @@ class SearchService:
         nodes_graph_search + TopUniqueN, nidx_relation/src/reader.rs:181)."""
         from ..models.api import GraphNodeResult, GraphNodesResponse
 
-        edge_ok = self._graph_edge_filter(
+        edge_ok_factory = self._graph_edge_filter(
             kbid, filter_expression=filter_expression,
             security_groups=security_groups, show_hidden=show_hidden,
         )
@@ -1161,6 +1301,9 @@ class SearchService:
         for shard_id in self._shard_ids(kbid):
             searcher = self.node.searcher.shard(shard_id)
             if searcher.relation is None:
+                continue
+            skip, edge_ok = edge_ok_factory(searcher)
+            if skip:
                 continue
             q = self._resolve_semantic_leaves(kbid, searcher, query)
             for node, score in searcher.relation.nodes_search(
@@ -1191,7 +1334,7 @@ class SearchService:
         relations_graph_search + TopUniqueN)."""
         from ..models.api import GraphRelationResult, GraphRelationsResponse
 
-        edge_ok = self._graph_edge_filter(
+        edge_ok_factory = self._graph_edge_filter(
             kbid, filter_expression=filter_expression,
             security_groups=security_groups, show_hidden=show_hidden,
         )
@@ -1199,6 +1342,9 @@ class SearchService:
         for shard_id in self._shard_ids(kbid):
             searcher = self.node.searcher.shard(shard_id)
             if searcher.relation is None:
+                continue
+            skip, edge_ok = edge_ok_factory(searcher)
+            if skip:
                 continue
             q = self._resolve_semantic_leaves(kbid, searcher, query)
             for rel, label, score in searcher.relation.relations_search(

@@ -300,6 +300,7 @@ class SyncedSearcher:
                     min_score=request.min_score_semantic,
                     include_hidden=request.include_hidden,
                     with_duplicates=request.with_duplicates,
+                    filter_operator=request.leg_filter_operator,
                 )
                 m = vs._build_mask(vreq)
                 if m is not None:

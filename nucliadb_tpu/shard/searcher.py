@@ -82,6 +82,11 @@ class ShardSearchRequest:
     # how the text and json prefilters combine (nodereader
     # SearchRequest.filter_operator: AND=0, OR=1)
     filter_operator: str = "and"
+    # how the legs combine the prefilter with the paragraph-level filter:
+    # "or" = match EITHER side (only set when the caller supplied BOTH a
+    # field and a paragraph filter with operator=or; system constraints
+    # like hidden-exclusion are pre-distributed into both sides)
+    leg_filter_operator: str = "and"
     # extra Must() query in tantivy grammar applied to the paragraph and
     # document legs (nodereader SearchRequest.advanced_query)
     advanced_query: Optional[str] = None
@@ -350,6 +355,7 @@ class ShardSearcher:
                     all_terms=request.all_terms,
                     advanced_query=request.advanced_query,
                     search_after=request.search_after,
+                    filter_operator=request.leg_filter_operator,
                 )
             )
 
@@ -367,6 +373,7 @@ class ShardSearcher:
                 min_score=request.min_score_semantic,
                 include_hidden=request.include_hidden,
                 with_duplicates=request.with_duplicates,
+                filter_operator=request.leg_filter_operator,
             )
             from ..index.vector.batcher import coalescer
 

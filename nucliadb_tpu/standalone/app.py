@@ -624,7 +624,12 @@ class StandaloneApp:
                 return False
             current = self.processor.get_payload(kbid, rid)
             texts = dict(current.texts) if current else {}
-            texts[field] = TextFieldPayload(body=text, format="EXTRACTED")
+            texts[field] = TextFieldPayload(
+                body=text, format="EXTRACTED",
+                # the source file's content type becomes the field's /mt
+                # facet (field_mimetype filters)
+                mimetype=content_type.partition(";")[0].strip(),
+            )
             self.processor.update_resource(
                 kbid, rid, UpdateResourcePayload(texts=texts)
             )
@@ -1601,8 +1606,15 @@ class StandaloneApp:
             fe = body.get("filter_expression")
             if not fe:
                 return None
-            # reference wraps field filters as {"field": {...}}
-            return _validate(FE, fe.get("field", fe))
+            # back-compat: a LEGACY label tree wrapped reference-style as
+            # {"field": {...}} unwraps; rich trees ({"field": {"prop"/and/
+            # or/not atoms}}) flow through whole (search/filter_expr.py)
+            fld = fe.get("field") if isinstance(fe, dict) else None
+            if isinstance(fld, dict) and (
+                {"literal", "all", "any", "none", "not"} & set(fld)
+            ):
+                return _validate(FE, fld)
+            return _validate(FE, fe)
 
         def _graph_security(body: dict):
             sec = body.get("security")

@@ -61,14 +61,20 @@ class IndexKind(str, Enum):
 class FieldId:
     """A (resource, field) pair, the unit the text prefilter selects.
 
-    Reference: nidx_types/src/prefilter.rs. Keys in the vector index are
-    prefixed by ``{rid}/{field}`` so a FieldId maps to a key prefix.
+    Reference: nidx_types/src/prefilter.rs — ``field_id=None`` is a
+    RESOURCE-granular entry matching every field of the resource (the json
+    prefilter's granularity; prefilter.rs to_field_ids + the uuid-direct
+    match in nidx_paragraph search_query.rs:106-121). Keys in the vector
+    index are prefixed by ``{rid}/{field}`` so a FieldId maps to a key
+    prefix.
     """
 
     resource_id: str
-    field_id: str
+    field_id: "str | None"
 
     def as_key_prefix(self) -> str:
+        if self.field_id is None:
+            return f"{self.resource_id}/"
         return f"{self.resource_id}/{self.field_id}"
 
 
@@ -109,15 +115,30 @@ class PrefilterResult:
         return self.kind is PrefilterKind.NONE
 
     def intersect(self, other: "PrefilterResult") -> "PrefilterResult":
-        """Combine two prefilters (text AND json)."""
+        """Combine two prefilters (text AND json). Granularities mix: a
+        field-granular entry survives when the other side has the exact
+        FieldId OR a resource-granular entry for its resource (parity:
+        prefilter.rs combine with FilterOperator::And — field sets retained
+        by resource membership)."""
         if self.is_none or other.is_none:
             return PrefilterResult.none()
         if self.is_all:
             return other
         if other.is_all:
             return self
-        mine = set(self.fields)
-        both = [f for f in other.fields if f in mine]
+        set_a, set_b = set(self.fields), set(other.fields)
+        res_a = {f.resource_id for f in self.fields if f.field_id is None}
+        res_b = {f.resource_id for f in other.fields if f.field_id is None}
+        both: list[FieldId] = []
+        for f in self.fields:
+            if f.field_id is None:
+                if f in set_b:
+                    both.append(f)  # resource-granular on both sides
+            elif f in set_b or f.resource_id in res_b:
+                both.append(f)
+        for f in other.fields:
+            if f.field_id is not None and f not in set_a and f.resource_id in res_a:
+                both.append(f)
         if not both:
             return PrefilterResult.none()
         return PrefilterResult.some(both)

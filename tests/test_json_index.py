@@ -48,11 +48,14 @@ PAYLOADS = [
 
 
 def _keys(searcher, result):
+    """Prefilter output is RESOURCE-granular (the reference's json side
+    contributes resource uuids, prefilter.rs combine) — compare by rid."""
     if result.is_all:
-        return {d["key"] for d in searcher.docs}
+        return {d["key"].split("/", 1)[0] for d in searcher.docs}
     if result.is_none:
         return set()
-    return {f"{f.resource_id}/{f.field_id}" for f in result.fields}
+    assert all(f.field_id is None for f in result.fields)
+    return {f.resource_id for f in result.fields}
 
 
 EXPRS = [
@@ -89,7 +92,9 @@ def test_vectorized_matches_scalar_oracle(tmp_path):
     for expr in EXPRS:
         got = _keys(s, s.prefilter(expr))
         want = {
-            s.docs[i]["key"] for i in range(s.n_docs) if s._matches(expr, i)
+            s.docs[i]["key"].split("/", 1)[0]
+            for i in range(s.n_docs)
+            if s._matches(expr, i)
         }
         assert got == want, expr
 
@@ -124,7 +129,9 @@ def test_random_expression_fuzz(tmp_path):
         expr = rand_expr()
         got = _keys(s, s.prefilter(expr))
         want = {
-            s.docs[i]["key"] for i in range(s.n_docs) if s._matches(expr, i)
+            s.docs[i]["key"].split("/", 1)[0]
+            for i in range(s.n_docs)
+            if s._matches(expr, i)
         }
         assert got == want, expr
 
