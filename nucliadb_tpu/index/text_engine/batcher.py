@@ -127,4 +127,13 @@ class TextQueryCoalescer:
 
 
 # process-wide coalescer shared by every text/paragraph searcher
-coalescer = TextQueryCoalescer()
+import os as _os
+
+# in-flight dispatch slots per key: lower values force BIGGER
+# coalesced batches under load (each dispatch pays a serialized
+# ~20 ms relay submission on the tunneled platform, so batch size
+# is the throughput lever); higher values pipeline better at low
+# load. Tunable for benches/deployments.
+coalescer = TextQueryCoalescer(
+    concurrency=int(_os.environ.get("NDBTPU_COALESCER_CONCURRENCY", 4))
+)
