@@ -801,9 +801,40 @@ def _exact_dedup_cut(vectors, queries, cand_ids, min_score, k, similarity):
 
 @partial(jax.jit, static_argnames=("k", "similarity", "dedup"))
 def _search_int8(codes, vectors, queries, para_mask, min_score, k, similarity, dedup=False):
+    """Int8 estimate scan -> candidates -> exact rerank.
+
+    Candidate selection routes to the top-2-per-slot resident Pallas kernel
+    on TPU backends when shapes and the rerank budget allow: it reaches
+    recall@10 1.0 where `approx_max_k`'s top-1-per-bin partial reduction
+    saturates at 0.970, at measured cost parity (ops/pallas_scan.py
+    resident2 notes). XLA amk remains the fallback (odd shapes, k > 2*S,
+    CPU runs where interpret-mode Pallas would crawl).
+    """
+    from ...ops import pallas_scan
+
     q = prepare_query(queries, similarity)
+    n, b = codes.codes.shape[0], queries.shape[0]
+    budget = quant.int8_rerank_budget(k)
+    if (
+        jax.default_backend() != "cpu"
+        and budget <= 2 * pallas_scan.RESIDENT2_SLOTS
+        and pallas_scan.resident2_eligible(n, codes.codes.shape[1], b, False)
+    ):
+        qs = jnp.maximum(jnp.max(jnp.abs(q), axis=-1), 1e-12) / 127.0
+        qc = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
+        slot_s, slot_i = pallas_scan.int8_scan_slots_resident2(
+            qc, codes.codes, codes.scale, para_mask
+        )
+        c = min(budget, slot_s.shape[-1])
+        top_s, pos = jax.lax.top_k(slot_s, c)
+        cand = jnp.where(
+            top_s > pallas_scan.NEG_INF / 2,
+            jnp.take_along_axis(slot_i, pos, axis=-1),
+            -1,
+        )
+        return _rerank_and_cut(vectors, q, cand, min_score, k, dedup=dedup)
     est = quant.int8_estimate_scores(codes, q)
-    c = min(quant.int8_rerank_budget(k), est.shape[-1])
+    c = min(budget, est.shape[-1])
     _, cand = quant.approx_candidates(est, c, mask=para_mask)
     return _rerank_and_cut(vectors, q, cand, min_score, k, dedup=dedup)
 

@@ -317,6 +317,175 @@ def resident_eligible(
 
 
 # --------------------------------------------------------------------------
+# Top-2-per-slot resident scan: the recall fix approx_max_k cannot express
+# --------------------------------------------------------------------------
+#
+# Both `lax.approx_max_k` and the top-1 slot kernels above lose a true
+# top-k item whenever ONE higher-estimate item lands in its slot (bin):
+# among the top ~40 estimates feeding a 512-slot table the expected number
+# of colliding pairs is ~40^2 / (2*512) ~= 1.6 — the measured 0.970 recall
+# saturation (BASELINE.md recall-vs-QPS curve; r2 swept every XLA-level
+# knob: recall_target, k, reduction_input_size_override, dual-direction
+# amk — none helps at acceptable cost because amk's partial reduction is
+# structurally top-1-per-bin). Keeping the TWO best per slot changes the
+# failure mode to THREE top items sharing a slot: at S=256 the expected
+# triple count among the top 40 is C(40,3)/256^2 ~= 0.15 — ~20x fewer
+# losses with the SAME 2*S-wide candidate table. The merge is the classic
+# two-register insertion: new best displaces old best into second place.
+#
+# Measured (tunneled v5e, 1M x 768 clustered corpus, 4x-k rerank budget,
+# single dispatch incl. ~25 ms relay): batch 1024 — amk 35.0 ms at
+# recall@10 0.9703, top-1 resident S=512 33.2 ms at 0.9938, THIS KERNEL
+# (S=256) 34.6 ms at recall@10 1.0000 on the 64-query exact oracle.
+# Batch 2048 (block_b 256): 49.4 ms vs the amk curve's 49.8 at the same
+# budget — cost parity, perfect recall. This kernel is the DEFAULT int8
+# candidate selector on TPU backends (device.py _search_int8 routes here
+# when shapes and the rerank budget allow); the XLA amk path remains the
+# fallback for odd shapes, k > 128, and CPU runs.
+
+RESIDENT2_SLOTS = 256
+RESIDENT2_MAX_B = 2048
+
+
+def _resident2_kernel(
+    q_ref,  # [Bb, D] int8 (block qi of queries)
+    codes_ref,  # [Nb, D] int8 (block ni)
+    scale_ref,  # [1, Nb] f32
+    bias_ref,  # [1, Nb] f32 (0 eligible / NEG_INF masked)
+    out_s1_ref,  # [B, S] f32 resident best-per-slot scores
+    out_i1_ref,  # [B, S] i32
+    out_s2_ref,  # [B, S] f32 resident second-best-per-slot scores
+    out_i2_ref,  # [B, S] i32
+    *,
+    block_n: int,
+    slots: int,
+    block_b: int,
+):
+    ni = pl.program_id(0)
+    qi = pl.program_id(1)
+
+    @pl.when((ni == 0) & (qi == 0))
+    def _init():
+        out_s1_ref[:] = jnp.full(out_s1_ref.shape, NEG_INF, jnp.float32)
+        out_i1_ref[:] = jnp.full(out_i1_ref.shape, -1, jnp.int32)
+        out_s2_ref[:] = jnp.full(out_s2_ref.shape, NEG_INF, jnp.float32)
+        out_i2_ref[:] = jnp.full(out_i2_ref.shape, -1, jnp.int32)
+
+    raw = jax.lax.dot_general(
+        q_ref[:],
+        codes_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [Bb, Nb] on the MXU
+    scores = raw.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+
+    rows = pl.ds(qi * block_b, block_b)
+    s1 = out_s1_ref[rows, :]
+    i1 = out_i1_ref[rows, :]
+    s2 = out_s2_ref[rows, :]
+    i2 = out_i2_ref[rows, :]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (block_b, slots), 1)
+    for t in range(block_n // slots):
+        sub = scores[:, t * slots : (t + 1) * slots]
+        idx = ni * block_n + t * slots + slot_iota
+        take1 = sub > s1
+        take2 = sub > s2  # only meaningful when not take1 (s1 >= s2)
+        s2 = jnp.where(take1, s1, jnp.where(take2, sub, s2))
+        i2 = jnp.where(take1, i1, jnp.where(take2, idx, i2))
+        s1 = jnp.where(take1, sub, s1)
+        i1 = jnp.where(take1, idx, i1)
+    out_s1_ref[rows, :] = s1
+    out_i1_ref[rows, :] = i1
+    out_s2_ref[rows, :] = s2
+    out_i2_ref[rows, :] = i2
+
+
+@partial(jax.jit, static_argnames=("block_n", "slots", "block_b", "interpret"))
+def int8_scan_slots_resident2(
+    q_codes: jax.Array,  # [B, D] int8 quantized queries (B mult of block_b)
+    codes: jax.Array,  # [N, D] int8 (N mult of block_n)
+    scale: jax.Array,  # [N] f32 per-vector scales
+    mask: jax.Array,  # [N] bool eligibility
+    *,
+    block_n: int = RESIDENT_BLOCK_N,
+    slots: int = RESIDENT2_SLOTS,
+    block_b: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-pass fused scan keeping the TOP-2 per slot.
+
+    Returns ([B, 2*S] slot scores, [B, 2*S] slot ids): the best-per-slot
+    table concatenated with the second-best-per-slot table. Feed into an
+    exact small top-k; a true top-k item is lost only when >= 3 items with
+    higher estimates share its slot.
+    """
+    n, d = codes.shape
+    b = q_codes.shape[0]
+    if block_b is None:
+        block_b = resident2_block_b(b)
+    assert n % block_n == 0, (n, block_n)
+    assert b % block_b == 0 and b <= RESIDENT2_MAX_B, (b, block_b)
+    assert block_n % slots == 0 and block_n >= slots, (block_n, slots)
+    grid = (n // block_n, b // block_b)
+
+    scale2 = scale.reshape(1, n)
+    bias2 = jnp.where(mask, jnp.float32(0), NEG_INF).reshape(1, n)
+
+    kernel = partial(
+        _resident2_kernel, block_n=block_n, slots=slots, block_b=block_b
+    )
+    table = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda ni, qi: (qi, 0)),
+            pl.BlockSpec((block_n, d), lambda ni, qi: (ni, 0)),
+            pl.BlockSpec((1, block_n), lambda ni, qi: (0, ni)),
+            pl.BlockSpec((1, block_n), lambda ni, qi: (0, ni)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, slots), lambda ni, qi: (0, 0)),
+            pl.BlockSpec((b, slots), lambda ni, qi: (0, 0)),
+            pl.BlockSpec((b, slots), lambda ni, qi: (0, 0)),
+            pl.BlockSpec((b, slots), lambda ni, qi: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, slots), jnp.float32),
+            jax.ShapeDtypeStruct((b, slots), jnp.int32),
+            jax.ShapeDtypeStruct((b, slots), jnp.float32),
+            jax.ShapeDtypeStruct((b, slots), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_codes, codes, scale2, bias2)
+    s1, i1, s2, i2 = table
+    return jnp.concatenate([s1, s2], axis=-1), jnp.concatenate([i1, i2], axis=-1)
+
+
+def resident2_block_b(b: int) -> int:
+    """Query rows per grid step: the four resident [B, S] tables plus the
+    [Bb, Nb] score tile must fit VMEM. At B > 1024 the tables alone take
+    8 MB, so the score tile shrinks to Bb=256 (measured at cost parity)."""
+    cap = 256 if b > 1024 else RESIDENT_BLOCK_B
+    block_b = min(b, cap)
+    while b % block_b:
+        block_b -= 1
+    return block_b
+
+
+def resident2_eligible(
+    n: int, d: int, b: int, multi: bool, block_n: int | None = None
+) -> bool:
+    block_n = block_n or RESIDENT_BLOCK_N
+    return (
+        (not multi)
+        and n >= 2 * block_n
+        and n % block_n == 0
+        and d % 128 == 0
+        and b <= RESIDENT2_MAX_B
+    )
+
+
+# --------------------------------------------------------------------------
 # Fused binary (sign-code) scan: AND + popcount bit-plane dots -> slot top-k
 # --------------------------------------------------------------------------
 #

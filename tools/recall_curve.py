@@ -34,14 +34,12 @@ B = int(os.environ.get("CURVE_B", 2048))
 K = int(os.environ.get("CURVE_K", 10))
 ORACLE_QUERIES = 64
 BUDGETS = [10, 20, 40, 100, 400, 2000]
+# the resident2 candidate table is 2*RESIDENT2_SLOTS = 512 wide: budgets
+# beyond it clamp (the kernel is the DEFAULT selector for k <= 128)
+SELECTORS = os.environ.get("CURVE_SELECTORS", "amk,res2").split(",")
 
 
-@partial(jax.jit, static_argnames=("k", "c"))
-def search_budget(codes, scale, vectors, queries, mask, k, c):
-    """_search_int8 with an explicit candidate budget c."""
-    cd = quant.Int8Codes(codes=codes, scale=scale)
-    est = quant.int8_estimate_scores(cd, queries)
-    _, cand = quant.approx_candidates(est, c, mask=mask)
+def _rerank(vectors, queries, cand, k):
     safe = jnp.maximum(cand, 0)
     cand_vecs = vectors[safe]
     exact = jnp.einsum(
@@ -53,6 +51,33 @@ def search_budget(codes, scale, vectors, queries, mask, k, c):
     top_s, pos = masked_topk(exact, k, mask=valid)
     top_ids = jnp.where(pos >= 0, jnp.take_along_axis(cand, jnp.maximum(pos, 0), -1), -1)
     return top_s, top_ids
+
+
+@partial(jax.jit, static_argnames=("k", "c"))
+def search_budget(codes, scale, vectors, queries, mask, k, c):
+    """XLA approx_max_k selection with an explicit candidate budget c."""
+    cd = quant.Int8Codes(codes=codes, scale=scale)
+    est = quant.int8_estimate_scores(cd, queries)
+    _, cand = quant.approx_candidates(est, c, mask=mask)
+    return _rerank(vectors, queries, cand, k)
+
+
+@partial(jax.jit, static_argnames=("k", "c"))
+def search_budget_res2(codes, scale, vectors, queries, mask, k, c):
+    """Top-2-per-slot resident Pallas selection (the default on TPU)."""
+    from nucliadb_tpu.ops import pallas_scan
+
+    qs = jnp.maximum(jnp.max(jnp.abs(queries), axis=-1), 1e-12) / 127.0
+    qc = jnp.clip(jnp.round(queries / qs[:, None]), -127, 127).astype(jnp.int8)
+    slot_s, slot_i = pallas_scan.int8_scan_slots_resident2(qc, codes, scale, mask)
+    c_eff = min(c, slot_s.shape[-1])
+    top_s, pos = jax.lax.top_k(slot_s, c_eff)
+    cand = jnp.where(
+        top_s > pallas_scan.NEG_INF / 2,
+        jnp.take_along_axis(slot_i, pos, axis=-1),
+        -1,
+    )
+    return _rerank(vectors, queries, cand, k)
 
 
 def main() -> None:
@@ -83,28 +108,34 @@ def main() -> None:
     oracle_ids = np.asarray(oracle_ids)
 
     rows = []
-    for c in BUDGETS:
-        s, i = search_budget(codes.codes, codes.scale, vectors, queries, mask_j, K, c)
-        got = np.asarray(i)  # compile + warm + download
-        best = 1e9
-        for _ in range(3):
-            t0 = time.time()
-            _ = np.asarray(
-                search_budget(codes.codes, codes.scale, vectors, queries, mask_j, K, c)[1]
-            )
-            best = min(best, time.time() - t0)
-        recalls = [
-            len(set(got[j][got[j] >= 0]) & set(oracle_ids[j][oracle_ids[j] >= 0])) / K
-            for j in range(ORACLE_QUERIES)
-        ]
-        row = {
-            "rerank_budget": c,
-            "recall_at_10": round(float(np.mean(recalls)), 4),
-            "qps": round(B / best, 1),
-            "ms_per_batch": round(best * 1e3, 2),
-        }
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+    fns = {"amk": search_budget, "res2": search_budget_res2}
+    for sel in SELECTORS:
+        fn = fns[sel]
+        for c in BUDGETS:
+            if sel == "res2" and c > 512:
+                continue  # beyond the 2*S candidate table
+            s, i = fn(codes.codes, codes.scale, vectors, queries, mask_j, K, c)
+            got = np.asarray(i)  # compile + warm + download
+            best = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                _ = np.asarray(
+                    fn(codes.codes, codes.scale, vectors, queries, mask_j, K, c)[1]
+                )
+                best = min(best, time.time() - t0)
+            recalls = [
+                len(set(got[j][got[j] >= 0]) & set(oracle_ids[j][oracle_ids[j] >= 0])) / K
+                for j in range(ORACLE_QUERIES)
+            ]
+            row = {
+                "selector": sel,
+                "rerank_budget": c,
+                "recall_at_10": round(float(np.mean(recalls)), 4),
+                "qps": round(B / best, 1),
+                "ms_per_batch": round(best * 1e3, 2),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
     print(json.dumps({"curve": rows, "n": N, "d": D, "batch": B, "k": K}))
 
 
