@@ -184,6 +184,16 @@ def pack_resource(doc: ResourceDoc) -> bytes:
             ]
             for fid, rels in doc.relations.items()
         },
+        "node_vectors": {
+            fid: {vs: {v: pack_array(np.asarray(vec, np.float32)) for v, vec in vecs.items()}
+                  for vs, vecs in per_vs.items()}
+            for fid, per_vs in doc.field_node_vectors.items()
+        },
+        "edge_vectors": {
+            fid: {vs: {v: pack_array(np.asarray(vec, np.float32)) for v, vec in vecs.items()}
+                  for vs, vecs in per_vs.items()}
+            for fid, per_vs in doc.field_edge_vectors.items()
+        },
         "json_fields": doc.json_fields,
         "security": dataclasses.asdict(doc.security) if doc.security else None,
         "deletions": {
@@ -249,6 +259,15 @@ def unpack_resource(data: bytes) -> ResourceDoc:
             )
             for r in rels
         ]
+    for attr, key in (
+        ("field_node_vectors", "node_vectors"),
+        ("field_edge_vectors", "edge_vectors"),
+    ):
+        for fid, per_vs in (d.get(key) or {}).items():
+            getattr(doc, attr)[fid] = {
+                vs: {v: unpack_array(vec) for v, vec in vecs.items()}
+                for vs, vecs in per_vs.items()
+            }
     doc.json_fields = d["json_fields"]
     if d["security"] is not None:
         doc.security = Security(**d["security"])
@@ -289,6 +308,10 @@ def pack_search_request(r: ShardSearchRequest) -> bytes:
                 else {"score": r.search_after.score, "tie": r.search_after.tie}
             ),
             "graph_expr": r.graph_expr,
+            "graph_node_vectorset": r.graph_node_vectorset,
+            "graph_edge_vectorset": r.graph_edge_vectorset,
+            "min_score_node_semantic": r.min_score_node_semantic,
+            "min_score_edge_semantic": r.min_score_edge_semantic,
             "security_groups": r.security_groups,
             "key_filters": r.key_filters,
             "include_hidden": r.include_hidden,
@@ -339,6 +362,10 @@ def unpack_search_request(data: bytes) -> ShardSearchRequest:
             )
         ),
         graph_expr=d.get("graph_expr"),
+        graph_node_vectorset=d.get("graph_node_vectorset"),
+        graph_edge_vectorset=d.get("graph_edge_vectorset"),
+        min_score_node_semantic=d.get("min_score_node_semantic", 0.0) or 0.0,
+        min_score_edge_semantic=d.get("min_score_edge_semantic", 0.0) or 0.0,
         security_groups=d["security_groups"],
         key_filters=d["key_filters"],
         include_hidden=d.get("include_hidden", False),

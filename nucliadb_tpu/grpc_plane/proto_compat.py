@@ -249,6 +249,14 @@ class ProtoCompatServices:
             filter_operator="or" if int(request.get("filter_operator", 0)) == 1 else "and",
             advanced_query=request.get("advanced_query") or None,
             graph_expr=graph_expr,
+            graph_node_vectorset=request.get("graph_node_vectorset"),
+            graph_edge_vectorset=request.get("graph_edge_vectorset"),
+            min_score_node_semantic=float(
+                request.get("min_score_node_semantic", 0.0) or 0.0
+            ),
+            min_score_edge_semantic=float(
+                request.get("min_score_edge_semantic", 0.0) or 0.0
+            ),
         )
         if order is not None:
             sreq_kwargs["order_by"] = pt.ORDER_FIELD.get(int(order.get("sort_by", 0)))
@@ -374,6 +382,25 @@ class ProtoCompatServices:
             served.append(shard_id)
             if searcher.relation is None:
                 continue
+            # VectorMatch leaves resolve against this shard's node/edge
+            # vector tables before evaluation (parity: shard_search.rs
+            # run_semantic_graph_queries; a missing vectorset answers
+            # NOT_FOUND like NidxError::NotFound)
+            try:
+                shard_query = searcher.relation.resolve_vector_leaves(
+                    query,
+                    top_k=top_k,
+                    node_vectorset=request.get("graph_node_vectorset"),
+                    edge_vectorset=request.get("graph_edge_vectorset"),
+                    node_min_score=float(
+                        request.get("min_score_node_semantic", 0.0) or 0.0
+                    ),
+                    edge_min_score=float(
+                        request.get("min_score_edge_semantic", 0.0) or 0.0
+                    ),
+                )
+            except LookupError as e:
+                context.abort(grpc.StatusCode.NOT_FOUND, str(e))
             edge_ok = None
             if field_filter is not None or security_groups is not None:
                 from ..index.relation import prefilter_edge_ok
@@ -389,21 +416,21 @@ class ProtoCompatServices:
                 edge_ok = prefilter_edge_ok(prefilter)
             if kind == 1:  # NODES
                 for node, score in searcher.relation.nodes_search(
-                    query, top_k, edge_ok=edge_ok
+                    shard_query, top_k, edge_ok=edge_ok
                 ):
                     key = (node.value, node.ntype, node.subtype)
                     if score > node_best.get(key, -np.inf):
                         node_best[key] = score
             elif kind == 2:  # RELATIONS
                 for rel, label, score in searcher.relation.relations_search(
-                    query, top_k, edge_ok=edge_ok
+                    shard_query, top_k, edge_ok=edge_ok
                 ):
                     key = (rel, label)
                     if score > rel_best.get(key, -np.inf):
                         rel_best[key] = score
             else:  # PATH
                 paths.extend(
-                    searcher.relation.graph_search_expr(query, top_k, edge_ok=edge_ok)
+                    searcher.relation.graph_search_expr(shard_query, top_k, edge_ok=edge_ok)
                 )
 
         if kind == 1:
@@ -576,6 +603,10 @@ def register_proto_services(server: grpc.Server, node) -> None:
                 return fn(request, context)
             except pt.ProtoTranslationError as e:
                 context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            except LookupError as e:
+                # graph VectorMatch against a missing/unindexed vectorset
+                # (parity: NidxError::NotFound, shard_search.rs:363-380)
+                context.abort(grpc.StatusCode.NOT_FOUND, str(e))
 
         def streaming(data: bytes, context):
             try:
@@ -588,6 +619,8 @@ def register_proto_services(server: grpc.Server, node) -> None:
                 yield from fn(request, context)
             except pt.ProtoTranslationError as e:
                 context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            except LookupError as e:
+                context.abort(grpc.StatusCode.NOT_FOUND, str(e))
 
         ser = lambda msg: pw.encode(resp_schema, msg)  # noqa: E731
         if stream:

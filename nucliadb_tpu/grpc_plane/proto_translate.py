@@ -233,14 +233,15 @@ def _graph_node_to_native(n: Optional[dict]) -> dict:
     if n.get("node_subtype"):
         out["group"] = n["node_subtype"]
     if "vector" in n:
-        # VectorMatch resolves node values through indexed node vectors in
-        # the reference (graph_query_parser.rs FromVectorQuery); this build
-        # resolves semantic leaves through value embeddings at the product
-        # layer (search/find.py _resolve_semantic_leaves) — a raw query
-        # vector cannot be honored at the node plane, so fail loud.
-        raise ProtoTranslationError(
-            "graph vector match is served by the product layer, not the node plane"
-        )
+        # VectorMatch: the leaf resolves to semantic_matches against the
+        # relation index's node-vector table at evaluation time (parity:
+        # graph_query_parser.rs FromVectorQuery + shard_search.rs
+        # run_semantic_graph_queries); the raw query vector rides along
+        out["match"] = "semantic"
+        out["vector"] = [float(x) for x in (n["vector"] or {}).get("vector") or []]
+        if not out["vector"]:
+            raise ProtoTranslationError("graph vector match with empty vector")
+        return out
     kind_map_exact = {0: ("exact", False), 1: ("exact", True),
                       2: ("fuzzy_words", False), 3: ("fuzzy_words", True)}
     kind_map_fuzzy = {0: ("fuzzy", False), 1: ("fuzzy", True),
@@ -275,9 +276,12 @@ def _graph_relation_to_native(r: Optional[dict]) -> dict:
             raise ProtoTranslationError(f"bad relation_type {r['relation_type']!r}")
         out["type"] = rtype
     if "vector" in r:
-        raise ProtoTranslationError(
-            "graph vector match is served by the product layer, not the node plane"
-        )
+        out["match"] = "semantic"
+        out["vector"] = [float(x) for x in (r["vector"] or {}).get("vector") or []]
+        if not out["vector"]:
+            raise ProtoTranslationError(
+                "graph relation vector match with empty vector"
+            )
     return out
 
 
@@ -478,6 +482,33 @@ def resource_to_native(res: dict):
             )
         if rels:
             doc.relations[fid] = rels
+
+    for fid, group in (res.get("field_node_vectors") or {}).items():
+        per_vs: dict = {}
+        for vs, nv in ((group or {}).get("node_vectors") or {}).items():
+            vecs = {}
+            for item in (nv or {}).get("vectors") or []:
+                item = item or {}
+                vecs[item.get("node_value", "")] = np.asarray(
+                    item.get("vector") or [], np.float32
+                )
+            if vecs:
+                per_vs[vs] = vecs
+        if per_vs:
+            doc.field_node_vectors[fid] = per_vs
+    for fid, group in (res.get("field_edge_vectors") or {}).items():
+        per_vs = {}
+        for vs, ev in ((group or {}).get("edge_vectors") or {}).items():
+            vecs = {}
+            for item in (ev or {}).get("vectors") or []:
+                item = item or {}
+                vecs[item.get("relation_label", "")] = np.asarray(
+                    item.get("vector") or [], np.float32
+                )
+            if vecs:
+                per_vs[vs] = vecs
+        if per_vs:
+            doc.field_edge_vectors[fid] = per_vs
 
     for fid, jv in (res.get("json_fields") or {}).items():
         doc.json_fields[fid] = (jv or {}).get("value", "")

@@ -56,6 +56,37 @@ def _edge_dict(rel: IndexRelation, key: str) -> dict:
     }
 
 
+def _vector_entries(per_field: dict, value_key: str, rid: str) -> list[dict]:
+    """Flatten field_{node,edge}_vectors into deletion-keyed rows."""
+    out: list[dict] = []
+    for fid, per_vs in per_field.items():
+        key = f"{rid}/{fid}"
+        for vs, vecs in per_vs.items():
+            for value, vec in vecs.items():
+                out.append({
+                    "key": key,
+                    "vs": vs,
+                    value_key: value,
+                    "vector": [float(x) for x in np.asarray(vec, np.float32)],
+                })
+    out.sort(key=lambda r: r["key"])
+    return out
+
+
+def _write_vectors(output_dir: str, name: str, rows: list[dict]) -> None:
+    if rows:
+        with open(os.path.join(output_dir, name), "wb") as f:
+            f.write(msgpack.packb(rows))
+
+
+def _load_vectors(path: str, name: str) -> list[dict]:
+    p = os.path.join(path, name)
+    if not os.path.exists(p):
+        return []
+    with open(p, "rb") as f:
+        return msgpack.unpackb(f.read())
+
+
 class RelationIndexer:
     def index_resource(
         self, resource: ResourceDoc, output_dir: str
@@ -65,16 +96,30 @@ class RelationIndexer:
             key = f"{resource.resource_id}/{fid}"
             for rel in relations:
                 edges.append(_edge_dict(rel, key))
-        if not edges:
+        # graph semantic embeddings ride the same segment, keyed {rid}/{fid}
+        # so relation_fields_to_delete prefixes apply to them too (parity:
+        # nidx_vector/src/indexer.rs index_relation_nodes/edges builds
+        # separate vector segments; here the relation segment is columnar
+        # host data and the vectors are just two more columns)
+        nvecs = _vector_entries(
+            resource.field_node_vectors, "value", resource.resource_id
+        )
+        evecs = _vector_entries(
+            resource.field_edge_vectors, "label", resource.resource_id
+        )
+        if not edges and not nvecs and not evecs:
             return None
         edges.sort(key=lambda e: e["key"])
         os.makedirs(output_dir, exist_ok=True)
         with open(os.path.join(output_dir, "edges.msgpack"), "wb") as f:
             f.write(msgpack.packb(edges))
-        meta = {"records": len(edges), "kind": "relation"}
+        _write_vectors(output_dir, "node_vectors.msgpack", nvecs)
+        _write_vectors(output_dir, "edge_vectors.msgpack", evecs)
+        records = len(edges) + len(nvecs) + len(evecs)
+        meta = {"records": records, "kind": "relation"}
         with open(os.path.join(output_dir, "meta.json"), "w") as f:
             json.dump(meta, f)
-        return SegmentMetadata(path=output_dir, records=len(edges), index_metadata=meta)
+        return SegmentMetadata(path=output_dir, records=records, index_metadata=meta)
 
     def deletions_for_resource(self, resource: ResourceDoc) -> list[str]:
         if resource.relation_fields_to_delete:
@@ -87,21 +132,36 @@ class RelationIndexer:
     def merge(self, open_index: OpenIndexMetadata, output_dir: str) -> SegmentMetadata:
         deletions = list(open_index.deletions())
         out: list[dict] = []
+        out_nv: list[dict] = []
+        out_ev: list[dict] = []
         for seg_meta, seq in open_index.segments():
-            edges = _load_edges(seg_meta.path)
             applicable = [k for k, dseq in deletions if dseq > seq]
-            for e in edges:
-                if any(key_matches_prefix(e["key"], p) for p in applicable):
-                    continue
-                out.append(e)
+
+            def alive(key: str) -> bool:
+                return not any(key_matches_prefix(key, p) for p in applicable)
+
+            out.extend(e for e in _load_edges(seg_meta.path) if alive(e["key"]))
+            out_nv.extend(
+                r for r in _load_vectors(seg_meta.path, "node_vectors.msgpack")
+                if alive(r["key"])
+            )
+            out_ev.extend(
+                r for r in _load_vectors(seg_meta.path, "edge_vectors.msgpack")
+                if alive(r["key"])
+            )
         out.sort(key=lambda e: e["key"])
+        out_nv.sort(key=lambda r: r["key"])
+        out_ev.sort(key=lambda r: r["key"])
         os.makedirs(output_dir, exist_ok=True)
         with open(os.path.join(output_dir, "edges.msgpack"), "wb") as f:
             f.write(msgpack.packb(out))
-        meta = {"records": len(out), "kind": "relation"}
+        _write_vectors(output_dir, "node_vectors.msgpack", out_nv)
+        _write_vectors(output_dir, "edge_vectors.msgpack", out_ev)
+        records = len(out) + len(out_nv) + len(out_ev)
+        meta = {"records": records, "kind": "relation"}
         with open(os.path.join(output_dir, "meta.json"), "w") as f:
             json.dump(meta, f)
-        return SegmentMetadata(path=output_dir, records=len(out), index_metadata=meta)
+        return SegmentMetadata(path=output_dir, records=records, index_metadata=meta)
 
 
 def _load_edges(path: str) -> list[dict]:
@@ -209,13 +269,27 @@ class RelationSearcher:
     def __init__(self, open_index: OpenIndexMetadata):
         deletions = list(open_index.deletions())
         self.edges: list[dict] = []
+        self._node_vec_rows: list[dict] = []
+        self._edge_vec_rows: list[dict] = []
         for seg_meta, seq in open_index.segments():
             edges = _load_edges(seg_meta.path)
             applicable = [k for k, dseq in deletions if dseq > seq]
+
+            def alive(key: str) -> bool:
+                return not any(key_matches_prefix(key, p) for p in applicable)
+
             for e in edges:
-                if any(key_matches_prefix(e["key"], p) for p in applicable):
-                    continue
-                self.edges.append(e)
+                if alive(e["key"]):
+                    self.edges.append(e)
+            self._node_vec_rows.extend(
+                r for r in _load_vectors(seg_meta.path, "node_vectors.msgpack")
+                if alive(r["key"])
+            )
+            self._edge_vec_rows.extend(
+                r for r in _load_vectors(seg_meta.path, "edge_vectors.msgpack")
+                if alive(r["key"])
+            )
+        self._vec_tables: dict[tuple[str, str], tuple[list[str], np.ndarray]] | None = None
         values = sorted(
             {e["source_value"] for e in self.edges}
             | {e["target_value"] for e in self.edges}
@@ -305,6 +379,148 @@ class RelationSearcher:
             self._fuzzy = FuzzyIndex(self._norm_values)
         return self._fuzzy
 
+    # ---- graph semantic vectors (VectorMatch at the node plane) ----------
+    # Parity: the reference stores relation node/edge embeddings in
+    # dedicated vector indexes (nidx_vector/src/indexer.rs
+    # index_relation_nodes/edges) and resolves GraphQuery VectorMatch
+    # leaves through them before the tantivy evaluation
+    # (shard_search.rs run_semantic_graph_queries -> FromVectorQuery).
+    # Here the embeddings are columns of the relation segment; a match is
+    # one [M, D] x [D] matmul over the (small, host-resident) node-value
+    # table — far below the device-dispatch threshold (the same cost-model
+    # posture as the vector index's EXACT_SCAN_THRESHOLD).
+
+    # over-request so duplicate values don't crowd out unique ones
+    # (parity: query_planner.rs GRAPH_VECTOR_OVERREQUEST_FACTOR/MIN/MAX)
+    VECTOR_OVERREQUEST_FACTOR = 10
+    VECTOR_REQUEST_MIN = 50
+    VECTOR_REQUEST_MAX = 200
+
+    def _vec_table(self, kind: str, vectorset: str):
+        if self._vec_tables is None:
+            tables: dict[tuple[str, str], tuple[list[str], np.ndarray]] = {}
+            for kind_, rows, value_key in (
+                ("node", self._node_vec_rows, "value"),
+                ("edge", self._edge_vec_rows, "label"),
+            ):
+                by_vs: dict[str, list[dict]] = {}
+                for r in rows:
+                    by_vs.setdefault(r["vs"], []).append(r)
+                for vs, group in by_vs.items():
+                    values = [
+                        strip_diacritics(str(r[value_key]).lower()) for r in group
+                    ]
+                    mat = np.asarray([r["vector"] for r in group], np.float32)
+                    tables[(kind_, vs)] = (values, mat)
+            self._vec_tables = tables
+        return self._vec_tables.get((kind, vectorset))
+
+    def _semantic_matches(
+        self, kind: str, vectorset: str, qvec, top_n: int, min_score: float
+    ) -> dict[str, float]:
+        table = self._vec_table(kind, vectorset)
+        if table is None:
+            raise LookupError(
+                f"no graph {kind} vectors indexed for vectorset {vectorset!r}"
+            )
+        values, mat = table
+        q = np.asarray(qvec, np.float32).reshape(-1)
+        if mat.shape[1] != q.shape[0]:
+            raise ValueError(
+                f"graph {kind} vector dimension {q.shape[0]} != indexed {mat.shape[1]}"
+            )
+        scores = mat @ q
+        best: dict[str, float] = {}
+        for i in np.argsort(-scores):
+            s = float(scores[i])
+            if s < min_score:
+                break
+            v = values[int(i)]
+            if v not in best:
+                best[v] = s
+                if len(best) >= top_n:
+                    break
+        return best
+
+    def semantic_node_matches(
+        self, vectorset: str, qvec, top_n: int, min_score: float = 0.0
+    ) -> dict[str, float]:
+        """Vector-nearest node values (normalized) -> score."""
+        return self._semantic_matches("node", vectorset, qvec, top_n, min_score)
+
+    def semantic_edge_matches(
+        self, vectorset: str, qvec, top_n: int, min_score: float = 0.0
+    ) -> dict[str, float]:
+        """Vector-nearest relation labels (normalized) -> score."""
+        return self._semantic_matches("edge", vectorset, qvec, top_n, min_score)
+
+    def resolve_vector_leaves(
+        self,
+        query: dict,
+        *,
+        top_k: int,
+        node_vectorset: Optional[str] = None,
+        edge_vectorset: Optional[str] = None,
+        node_min_score: float = 0.0,
+        edge_min_score: float = 0.0,
+    ) -> dict:
+        """Replace raw ``vector`` leaves in a native graph expr with
+        ``semantic_matches`` resolved against the indexed node/edge vector
+        tables. Raises LookupError when a leaf needs a vectorset that is
+        not given or not indexed (parity: shard_search.rs:363-380 answers
+        NidxError::NotFound)."""
+        top_n = max(
+            self.VECTOR_REQUEST_MIN,
+            min(top_k * self.VECTOR_OVERREQUEST_FACTOR, self.VECTOR_REQUEST_MAX),
+        )
+
+        def resolve_leaf(d: dict, kind: str) -> dict:
+            if not isinstance(d, dict) or "vector" not in d:
+                return d
+            vs = node_vectorset if kind == "node" else edge_vectorset
+            if not vs:
+                raise LookupError(
+                    f"graph query has a {kind} vector match but no "
+                    f"graph_{kind}_vectorset was given"
+                )
+            min_s = node_min_score if kind == "node" else edge_min_score
+            fn = (
+                self.semantic_node_matches
+                if kind == "node"
+                else self.semantic_edge_matches
+            )
+            out = {k: v for k, v in d.items() if k != "vector"}
+            out["match"] = "semantic"
+            out["semantic_matches"] = fn(vs, d["vector"], top_n, min_s)
+            return out
+
+        def walk(q):
+            if not isinstance(q, dict):
+                return q
+            if "and" in q:
+                return {**q, "and": [walk(x) for x in q["and"]]}
+            if "or" in q:
+                return {**q, "or": [walk(x) for x in q["or"]]}
+            if "not" in q:
+                return {**q, "not": walk(q["not"])}
+            prop = q.get("prop")
+            if prop == "path":
+                out = dict(q)
+                if q.get("source"):
+                    out["source"] = resolve_leaf(q["source"], "node")
+                if q.get("destination"):
+                    out["destination"] = resolve_leaf(q["destination"], "node")
+                if q.get("relation"):
+                    out["relation"] = resolve_leaf(q["relation"], "edge")
+                return out
+            if prop in ("node", "source_node", "destination_node"):
+                return resolve_leaf(q, "node")
+            if prop == "relation":
+                return resolve_leaf(q, "edge")
+            return q
+
+        return walk(query)
+
     # ---- vectorized pattern evaluation ----------------------------------
     # Score arrays use NaN for "no match"; matched clause scores sum
     # (tantivy's BooleanQuery sums matching Must/Should clause scores);
@@ -322,18 +538,20 @@ class RelationSearcher:
         if pattern.subtype is not None and pattern.subtype != "":
             ok = self._n_subtypes == pattern.subtype
             score = np.where(ok, score + 1.0, np.nan)
+        if pattern.match == "semantic":
+            # semantic leaves carry resolved matches, not a value (a raw
+            # VectorMatch has no value at all) — look up every node norm
+            sem = pattern.semantic_matches or {}
+            add = np.array(
+                [sem.get(n, np.nan) for n in self._n_norm_list], np.float32
+            ) if U else np.zeros(0, np.float32)
+            return score + add
         if pattern.value is None:
             return score
         match = pattern.match
         if pattern.fuzzy and match == "exact":
             match = "fuzzy"
         norm_q = strip_diacritics(pattern.value.lower())
-        if match == "semantic":
-            sem = pattern.semantic_matches or {}
-            add = np.array(
-                [sem.get(n, np.nan) for n in self._n_norm_list], np.float32
-            ) if U else np.zeros(0, np.float32)
-            return score + add
         if match == "fuzzy_words":
             # Term::FuzzyWord — every query word must fuzzy-match (OSA d≤1,
             # transpositions) some word of the tokenized node value
@@ -392,16 +610,17 @@ class RelationSearcher:
         if pattern.relation is not None:
             ok = self._r_types == pattern.relation
             score = np.where(ok, score + 1.0, np.nan)
-        if pattern.label is not None:
-            if pattern.match == "semantic":
-                sem = pattern.semantic_matches or {}
-                add = np.array(
-                    [sem.get(n, np.nan) for n in self._r_norm_labels], np.float32
-                ) if R else np.zeros(0, np.float32)
-                score = score + add
-            else:
-                ok = self._r_labels == pattern.label
-                score = np.where(ok, score + 1.0, np.nan)
+        if pattern.match == "semantic":
+            # semantic leaves carry resolved matches, not a label (a raw
+            # VectorMatch has no label at all)
+            sem = pattern.semantic_matches or {}
+            add = np.array(
+                [sem.get(n, np.nan) for n in self._r_norm_labels], np.float32
+            ) if R else np.zeros(0, np.float32)
+            score = score + add
+        elif pattern.label is not None:
+            ok = self._r_labels == pattern.label
+            score = np.where(ok, score + 1.0, np.nan)
         return score
 
     @staticmethod
@@ -592,18 +811,19 @@ class RelationSearcher:
             if subtype != pattern.subtype:
                 return None
             score += 1.0
+        if pattern.match == "semantic":
+            # semantic leaves may carry no value (raw VectorMatch)
+            sem = pattern.semantic_matches or {}
+            s = sem.get(strip_diacritics(value.lower()))
+            if s is None:
+                return None
+            return score + float(s)
         if pattern.value is None:
             return score
         norm_v = strip_diacritics(value.lower())
         match = pattern.match
         if pattern.fuzzy and match == "exact":
             match = "fuzzy"
-        if match == "semantic":
-            sem = pattern.semantic_matches or {}
-            s = sem.get(norm_v)
-            if s is None:
-                return None
-            return score + float(s)
         norm_q = strip_diacritics(pattern.value.lower())
         if match == "fuzzy_words":
             node_words = tokenize(norm_v)
@@ -663,13 +883,13 @@ class RelationSearcher:
             if edge["relation"] != pattern.relation:
                 return None
             score += 1.0
+        if pattern.match == "semantic":
+            sem = pattern.semantic_matches or {}
+            s = sem.get(strip_diacritics(edge["label"].lower()))
+            if s is None:
+                return None
+            return score + float(s)
         if pattern.label is not None:
-            if pattern.match == "semantic":
-                sem = pattern.semantic_matches or {}
-                s = sem.get(strip_diacritics(edge["label"].lower()))
-                if s is None:
-                    return None
-                return score + float(s)
             if edge["label"] != pattern.label:
                 return None
             score += 1.0

@@ -114,6 +114,17 @@ class ResourceDoc:
     paragraphs: dict[str, dict[str, IndexParagraph]] = field(default_factory=dict)
     # field id -> relations in that field
     relations: dict[str, list[IndexRelation]] = field(default_factory=dict)
+    # graph semantic embeddings (noderesources.proto field_node_vectors=20 /
+    # field_edge_vectors=21): field id -> vectorset -> node value (or
+    # relation label) -> embedding. Feed the relation index's node/edge
+    # vector tables, which serve GraphQuery VectorMatch at the node plane
+    # (parity: nidx_vector/src/indexer.rs index_relation_nodes/edges)
+    field_node_vectors: dict[str, dict[str, dict[str, np.ndarray]]] = field(
+        default_factory=dict
+    )
+    field_edge_vectors: dict[str, dict[str, dict[str, np.ndarray]]] = field(
+        default_factory=dict
+    )
     # field id -> JSON-encoded value
     json_fields: dict[str, str] = field(default_factory=dict)
 

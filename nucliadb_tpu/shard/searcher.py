@@ -113,6 +113,14 @@ class ShardSearchRequest:
     # reduced graph leg of a search (nodereader SearchRequest.graph_search,
     # proto plane); filters are inherited from the main request's prefilter
     graph_expr: Optional[dict] = None
+    # vectorsets resolving VectorMatch leaves in graph_expr against the
+    # relation index's node/edge vector tables (nodereader
+    # SearchRequest.graph_node_vectorset=30/graph_edge_vectorset=31,
+    # min scores 33/34)
+    graph_node_vectorset: Optional[str] = None
+    graph_edge_vectorset: Optional[str] = None
+    min_score_node_semantic: float = 0.0
+    min_score_edge_semantic: float = 0.0
 
     # facets
     faceted: list[str] = dc_field(default_factory=list)
@@ -417,8 +425,16 @@ class ShardSearcher:
             # restricts edges by their originating resource field key
             from ..index.relation import prefilter_edge_ok
 
+            graph_expr = self.relation.resolve_vector_leaves(
+                request.graph_expr,
+                top_k=request.top_k,
+                node_vectorset=request.graph_node_vectorset,
+                edge_vectorset=request.graph_edge_vectorset,
+                node_min_score=request.min_score_node_semantic,
+                edge_min_score=request.min_score_edge_semantic,
+            )
             response.graph = self.relation.graph_search_expr(
-                request.graph_expr, request.top_k,
+                graph_expr, request.top_k,
                 edge_ok=prefilter_edge_ok(prefilter),
             )
 

@@ -412,15 +412,17 @@ def test_unknown_field_fails_loud(plane):
     assert "90" in err.value.details()
 
 
-def test_vector_graph_match_fails_loud(plane):
-    resp_err = None
+def test_vector_graph_match_without_vectorset_is_not_found(plane):
+    # VectorMatch now resolves at the node plane (test_graph_vector_match.py);
+    # a query that names no graph_node_vectorset answers NOT_FOUND, the
+    # reference's NidxError::NotFound (shard_search.rs:363-380)
     req = MSGS["GraphSearchRequest"]()
     fill(req, {"shard_ids": [plane["shard"]], "top_k": 5, "query": {
         "path": {"path": {"destination": {"vector": {"vector": [0.1, 0.2]}}}}
     }})
     with pytest.raises(grpc.RpcError) as err:
         plane["call"]("NidxSearcher", "GraphSearch", req, "GraphSearchResponse")
-    assert err.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    assert err.value.code() == grpc.StatusCode.NOT_FOUND
 
 
 def test_deletion_index_message(plane):
