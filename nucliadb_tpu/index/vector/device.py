@@ -598,8 +598,7 @@ class DeviceVectorIndex:
         if self.paging == "host_rerank":
             qj = prepare_query(jnp.asarray(qp), sim)
             c = min(quant.int8_rerank_budget(k), self.p_pad)
-            est = quant.int8_estimate_scores(self.codes, qj)
-            _, cand = quant.approx_candidates(est, c, mask=jnp.asarray(mask_np))
+            cand = _int8_candidates_jit(self.codes, qj, c, jnp.asarray(mask_np))
             return self._host_rerank_cut(
                 np.asarray(qj), np.asarray(cand), k, min_score, dedup
             )
@@ -799,9 +798,8 @@ def _exact_dedup_cut(vectors, queries, cand_ids, min_score, k, similarity):
     return _rerank_and_cut(vectors, q, cand_ids, min_score, k, dedup=True)
 
 
-@partial(jax.jit, static_argnames=("k", "similarity", "dedup"))
-def _search_int8(codes, vectors, queries, para_mask, min_score, k, similarity, dedup=False):
-    """Int8 estimate scan -> candidates -> exact rerank.
+def _int8_candidates(codes, q, budget, para_mask):
+    """Int8 estimate scan -> [B, C] candidate ids (traced helper).
 
     Candidate selection routes to the top-2-per-slot resident Pallas kernel
     on TPU backends when shapes and the rerank budget allow: it reaches
@@ -812,9 +810,7 @@ def _search_int8(codes, vectors, queries, para_mask, min_score, k, similarity, d
     """
     from ...ops import pallas_scan
 
-    q = prepare_query(queries, similarity)
-    n, b = codes.codes.shape[0], queries.shape[0]
-    budget = quant.int8_rerank_budget(k)
+    n, b = codes.codes.shape[0], q.shape[0]
     if (
         jax.default_backend() != "cpu"
         and budget <= 2 * pallas_scan.RESIDENT2_SLOTS
@@ -827,15 +823,27 @@ def _search_int8(codes, vectors, queries, para_mask, min_score, k, similarity, d
         )
         c = min(budget, slot_s.shape[-1])
         top_s, pos = jax.lax.top_k(slot_s, c)
-        cand = jnp.where(
+        return jnp.where(
             top_s > pallas_scan.NEG_INF / 2,
             jnp.take_along_axis(slot_i, pos, axis=-1),
             -1,
         )
-        return _rerank_and_cut(vectors, q, cand, min_score, k, dedup=dedup)
     est = quant.int8_estimate_scores(codes, q)
     c = min(budget, est.shape[-1])
     _, cand = quant.approx_candidates(est, c, mask=para_mask)
+    return cand
+
+
+@partial(jax.jit, static_argnames=("budget",))
+def _int8_candidates_jit(codes, q, budget, para_mask):
+    return _int8_candidates(codes, q, budget, para_mask)
+
+
+@partial(jax.jit, static_argnames=("k", "similarity", "dedup"))
+def _search_int8(codes, vectors, queries, para_mask, min_score, k, similarity, dedup=False):
+    """Int8 estimate scan -> candidates -> exact rerank (see _int8_candidates)."""
+    q = prepare_query(queries, similarity)
+    cand = _int8_candidates(codes, q, quant.int8_rerank_budget(k), para_mask)
     return _rerank_and_cut(vectors, q, cand, min_score, k, dedup=dedup)
 
 
