@@ -79,9 +79,25 @@ STOPWORD_MIN_DOCS = 100
 OVERLAY_TIER_WIDTHS = (4, 64, 1024, 8192)
 OVERLAY_QUERY_CAP = (16, 8, 4, 4)
 OVERLAY_DENSE_CAP = 4
-# refreshes consolidate all segments since the last full build; past this
-# many delta docs a full rebuild is cheaper than hauling the overlay around
-OVERLAY_MAX_DOCS = 131072
+# group-arena structure (the r3 generalization of base+overlay): the open
+# segment list partitions into GROUPS — every big segment is its own group,
+# the trailing small segments share one "fresh" group (today's overlay
+# role). Each group's device arenas (posting tiers with LOCAL doc ids + a
+# local dense block) are immutable and REUSED across refreshes while the
+# group's segment set is unchanged, so a refresh uploads O(changed groups):
+# steady ingest rebuilds only the fresh group, a landed merge rebuilds only
+# the merged segment's group. This is the TPU analogue of the reference
+# searcher's incremental per-segment sync + mmap open
+# (nidx/src/searcher/sync.rs:57-219 downloads only changed segments).
+GROUP_MIN_DOCS = 65536  # a segment at least this big gets its own group
+# the fresh group freezes into a standalone group past this size (frozen =
+# its already-built arenas are reused as-is; freezing costs nothing). Below
+# it, the open small-segment pool re-consolidates per refresh — bounded
+# work that keeps the group count (and compiled kernel shapes) stable
+# between freezes instead of growing one group per appended segment
+FRESH_FREEZE_DOCS = 32768
+MAX_GROUPS = 24  # guard: beyond this, adjacent small groups re-consolidate
+OVERLAY_MAX_DOCS = FRESH_FREEZE_DOCS  # legacy alias (tests/docs reference it)
 IMPOSSIBLE_REQUIRED = 1_000_000  # AND queries with unknown terms match nothing
 
 
@@ -248,11 +264,195 @@ def _consolidate(
     return out
 
 
+class _ArenaGroup:
+    """One group's immutable device arenas + host-side column data.
+
+    Doc ids inside the arenas are LOCAL (0..n_docs); the kernel biases them
+    with the group's runtime offset, so group offsets may shift between
+    refreshes (a merge landing upstream) without touching device memory."""
+
+    __slots__ = (
+        "sig", "segments", "seg_idx0", "n_docs", "n_pad", "keys", "attrs",
+        "doc_seg_local", "facets_local", "columns_local", "dlen_np",
+        "total_len", "terms_sorted", "term_info", "tiers_dev", "dense_dev",
+        "dl_dev", "widths", "fuzzy",
+    )
+
+
+def _partition_segments(
+    segments: Sequence[tuple[TextSegmentData, Seq]],
+    prev_groups: "list[_ArenaGroup] | None",
+) -> list[list[tuple[TextSegmentData, Seq]]]:
+    """Split the open segment list into group runs.
+
+    Policy: reuse the longest in-order prefix-partition of ``prev_groups``
+    whose signatures still match; then every remaining big segment is its
+    own group; the remaining small segments form the trailing fresh group
+    (frozen into its own group once FRESH_FREEZE_DOCS is exceeded — the
+    next refresh starts a new fresh group for free)."""
+    def seg_sig(s, seq):
+        return (s.path, int(seq), s.n_docs)
+
+    # index prev runs by their first segment so an unchanged group is
+    # recognized ANYWHERE in the new list (a merge landing upstream shifts
+    # later groups' positions; their runs must still reuse)
+    prev_runs: dict[tuple, list[_ArenaGroup]] = {}
+    for g in prev_groups or []:
+        # only FROZEN runs (full-width layout or at/above the freeze bar)
+        # are matched for reuse: the open small pool must keep pooling, or
+        # every appended segment would become its own group and the kernel
+        # shape set would churn per refresh
+        if g.segments and (
+            g.widths == TIER_WIDTHS or g.n_docs >= FRESH_FREEZE_DOCS
+        ):
+            prev_runs.setdefault(g.sig[0], []).append(g)
+
+    runs: list[list[tuple[TextSegmentData, Seq]]] = []
+    rest = list(segments)
+    cur: list[tuple[TextSegmentData, Seq]] = []
+    cur_docs = 0
+
+    def close_cur():
+        nonlocal cur, cur_docs
+        if cur:
+            runs.append(cur)
+            cur, cur_docs = [], 0
+
+    i = 0
+    while i < len(rest):
+        s, seq = rest[i]
+        matched = 0
+        for g in prev_runs.get(seg_sig(s, seq), []):
+            k = len(g.segments)
+            if i + k <= len(rest) and g.sig == tuple(
+                seg_sig(x, q) for x, q in rest[i : i + k]
+            ):
+                matched = max(matched, k)
+        if matched:
+            close_cur()
+            runs.append(rest[i : i + matched])
+            i += matched
+            continue
+        # new segments, in order: big ones solo; small ones pool into runs
+        # that FREEZE once they reach FRESH_FREEZE_DOCS (boundaries are
+        # then stable, so later refreshes reuse them; only the trailing
+        # open run rebuilds under steady ingest)
+        if s.n_docs >= GROUP_MIN_DOCS:
+            close_cur()
+            runs.append([(s, seq)])
+        else:
+            cur.append((s, seq))
+            cur_docs += s.n_docs
+            if cur_docs >= FRESH_FREEZE_DOCS:
+                close_cur()
+        i += 1
+    if cur or not runs:
+        runs.append(cur)
+    if len(runs) > MAX_GROUPS:
+        # re-consolidate the smallest adjacent pair until under the guard
+        while len(runs) > MAX_GROUPS:
+            sizes = [sum(s.n_docs for s, _ in r) for r in runs]
+            j = min(
+                range(len(runs) - 1), key=lambda i: sizes[i] + sizes[i + 1]
+            )
+            runs[j : j + 2] = [runs[j] + runs[j + 1]]
+    return runs
+
+
+def _build_group(
+    run: Sequence[tuple[TextSegmentData, Seq]],
+    *,
+    solo: bool,
+) -> _ArenaGroup:
+    """Consolidate one segment run into an immutable arena group.
+
+    Small groups (below GROUP_MIN_DOCS) use the narrow overlay tier widths
+    — their per-refresh re-consolidation stays proportional to their size;
+    big groups and ``solo`` cold builds use the full widths (solo engines
+    must keep the fixed layout the mesh stacker expects). Everything
+    inside is LOCAL (doc ids, segment positions); ``seg_idx0`` is assigned
+    by the engine on every assembly because positions shift when an
+    upstream merge lands."""
+    g = _ArenaGroup()
+    g.segments = list(run)
+    g.sig = tuple((s.path, int(seq), s.n_docs) for s, seq in run)
+    g.seg_idx0 = 0
+    c = _consolidate(run, (), 0, 0)
+    g.n_docs = c.n_docs
+    g.keys = c.keys
+    g.attrs = c.attrs
+    g.doc_seg_local = c.doc_seg
+    g.facets_local = {
+        f: np.sort(np.concatenate(ch)) for f, ch in c.facet_chunks.items()
+    }
+    g.columns_local = {n: np.concatenate(ch) for n, ch in c.column_chunks.items()}
+    g.total_len = c.total_len
+    g.terms_sorted = c.terms_sorted
+    g.fuzzy = None
+
+    if g.n_docs < GROUP_MIN_DOCS and not solo:
+        g.widths = OVERLAY_TIER_WIDTHS
+        g.n_pad = _bucket(max(g.n_docs, 1), minimum=1024)
+    else:
+        g.widths = TIER_WIDTHS
+        g.n_pad = _bucket(max(g.n_docs, 1))
+    dlen_p = np.ones(g.n_pad, np.float32)
+    dlen_p[: g.n_docs] = np.maximum(c.dlen, 1)
+    g.dlen_np = dlen_p
+    g.dl_dev = _dput(dlen_p)
+
+    tiers_np, term_info, dense_rows = _build_tier_matrices(
+        c.terms_sorted, c.group_offsets, c.pdocs, c.ptfs, g.widths, dlen_p
+    )
+    g.term_info = term_info
+    g.tiers_dev = [(_dput(d), _dput(t), _dput(l)) for d, t, l in tiers_np]
+    g.dense_dev = None
+    if dense_rows:
+        dense_m = np.zeros(
+            (_bucket(len(dense_rows), minimum=1), g.n_pad), np.uint8
+        )
+        for row, (term, lo, hi, df) in enumerate(dense_rows):
+            dense_m[row, c.pdocs[lo:hi]] = np.minimum(c.ptfs[lo:hi], 255).astype(
+                np.uint8
+            )
+            g.term_info[term] = (-1, row, df)
+        g.dense_dev = _dput(dense_m)
+    elif solo:
+        # single-group engines keep a [1, n_pad] placeholder so the legacy
+        # fixed layout (mesh stacker) always has a dense operand
+        g.dense_dev = _dput(np.zeros((1, g.n_pad), np.uint8))
+    return g
+
+
+class _DocSegView:
+    """Lazy global-doc -> (segment idx, segment's global doc offset) map.
+
+    Replaces the materialized doc_seg list: groups bake LOCAL pairs once;
+    this view adds the group's current offsets at lookup time, so a group
+    shifting position (an upstream merge landed) costs nothing."""
+
+    __slots__ = ("_groups", "_offsets", "_n")
+
+    def __init__(self, groups: list[_ArenaGroup], offsets: np.ndarray):
+        self._groups = groups
+        self._offsets = offsets  # [G+1] int64 dense doc offsets
+        self._n = int(offsets[-1])
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, gid: int):
+        gi = int(np.searchsorted(self._offsets, gid, side="right")) - 1
+        g = self._groups[gi]
+        ls, lo = g.doc_seg_local[gid - int(self._offsets[gi])]
+        return (g.seg_idx0 + ls, lo + int(self._offsets[gi]))
+
+
 class DeviceTextEngine:
     """Consolidated segments of one text index + BM25 device kernels.
 
     ``prev`` (the engine being replaced on a searcher refresh) enables the
-    incremental overlay build — see the module docstring."""
+    incremental group reuse — see the module docstring."""
 
     def __init__(
         self,
@@ -261,256 +461,188 @@ class DeviceTextEngine:
         prev: "DeviceTextEngine | None" = None,
     ):
         configure_jax()
-        self.segments = [s for s, _ in segments]
         self._seg_sig = tuple(
             (s.path, int(seq), s.n_docs) for s, seq in segments
         )
         self._base_mask_dev: jax.Array | None = None
-        self._mask_tail_span = 0
-        self._fuzzy: FuzzyIndex | None = None
-        self._overlay_fuzzy: FuzzyIndex | None = None
-        self._host_postings_cache: dict = {}
-
-        if prev is not None and self._try_extend(segments, deletions, prev):
-            return
-        self._full_build(segments, deletions)
+        # memoized host postings, keyed by (segment path, term): immutable
+        # per segment, so the cache carries across refreshes unconditionally
+        self._host_postings_cache: dict = (
+            dict(prev._host_postings_cache) if prev is not None else {}
+        )
+        self._assemble(segments, deletions, prev)
 
     # ------------------------------------------------------------------
     # build
     # ------------------------------------------------------------------
 
-    def _full_build(self, segments, deletions) -> None:
-        c = _consolidate(segments, deletions, 0, 0)
+    # ------------------------------------------------------------------
+    # build (group assembly)
+    # ------------------------------------------------------------------
 
-        self.keys = c.keys
-        self.attrs = c.attrs
-        self.n_docs = c.n_docs
-        self.doc_seg = c.doc_seg
-        self.alive = c.alive
-        self.facets = {
-            f: np.sort(np.concatenate(ch)) for f, ch in c.facet_chunks.items()
-        }
-        self.columns = {n: np.concatenate(ch) for n, ch in c.column_chunks.items()}
-        self.total_len = c.total_len
-        self.terms_sorted = c.terms_sorted
-        self._rebuild_seg_bounds(segments)
-
-        self.n_pad = _bucket(max(self.n_docs, 1))
-        dlen_p = np.ones(self.n_pad, np.float32)
-        dlen_p[: self.n_docs] = np.maximum(c.dlen, 1)
-        self.dlen = _dput(dlen_p)
-
-        tiers_np, term_info, dense_rows = _build_tier_matrices(
-            c.terms_sorted, c.group_offsets, c.pdocs, c.ptfs,
-            TIER_WIDTHS, dlen_p,
-        )
-        self.term_info: dict[str, tuple[int, int, int]] = term_info
-        self.tiers: list[tuple[jax.Array, jax.Array, jax.Array]] = [
-            (_dput(d), _dput(t), _dput(l)) for d, t, l in tiers_np
-        ]
-        self.tier_caps: tuple[int, ...] = TIER_QUERY_CAP
-
-        dense_m = np.zeros((1, self.n_pad), np.uint8)
-        if dense_rows:
-            dense_m = np.zeros((len(dense_rows), self.n_pad), np.uint8)
-            for row, (term, lo, hi, df) in enumerate(dense_rows):
-                dense_m[row, c.pdocs[lo:hi]] = np.minimum(
-                    c.ptfs[lo:hi], 255
-                ).astype(np.uint8)
-                self.term_info[term] = (-1, row, df)
-        self.dense_tf = _dput(dense_m)
-
-        # base snapshot (shared by-reference with incremental successors)
-        self.base_sig = self._seg_sig
-        self.base_n_segs = len(self.segments)
-        self.base_n_docs = self.n_docs
-        self.base_total_len = self.total_len
-        self.base_keys = self.keys
-        self.base_attrs = self.attrs
-        self.base_doc_seg = self.doc_seg
-        self.base_facets = self.facets
-        self.base_columns = self.columns
-        self.base_tiers = self.tiers
-
-        # empty overlay
-        self.overlay_term_info: dict[str, tuple[int, int, int]] = {}
-        self.overlay_terms_sorted: list[str] = []
-        self.odense_tf: jax.Array | None = None
-        self.odense_base = 0
-
-    def _try_extend(self, segments, deletions, prev) -> bool:
-        """Reuse ``prev``'s base arenas; consolidate only the delta segments
-        into an overlay. Returns False when the fast path doesn't apply
-        (base segments changed, padding exhausted, overlay too large)."""
-        base_sig = prev.base_sig
-        if (
-            len(self._seg_sig) < len(base_sig)
-            or self._seg_sig[: len(base_sig)] != base_sig
-        ):
-            return False
-        n_total = sum(s.n_docs for s, _ in segments)
-        overlay_docs = n_total - prev.base_n_docs
-        if overlay_docs < 0 or n_total > prev.n_pad or overlay_docs > OVERLAY_MAX_DOCS:
-            return False
-
-        base_n = prev.base_n_docs
-        ov_segments = list(segments[prev.base_n_segs :])
-        c = _consolidate(deletions=deletions, segments=ov_segments,
-                         doc_offset0=base_n, seg_idx0=prev.base_n_segs)
-
-        # shared base state (immutable after its full build)
-        self.n_pad = prev.n_pad
-        self.term_info = prev.term_info
-        self.tiers = list(prev.base_tiers)
-        self.tier_caps = TIER_QUERY_CAP
-        self.dense_tf = prev.dense_tf
-        self.terms_sorted = prev.terms_sorted
-        self.base_sig = prev.base_sig
-        self.base_n_segs = prev.base_n_segs
-        self.base_n_docs = prev.base_n_docs
-        self.base_total_len = prev.base_total_len
-        self.base_keys = prev.base_keys
-        self.base_attrs = prev.base_attrs
-        self.base_doc_seg = prev.base_doc_seg
-        self.base_facets = prev.base_facets
-        self.base_columns = prev.base_columns
-        self.base_tiers = prev.base_tiers
-        self._fuzzy = prev._fuzzy  # base vocabulary is identical
-        if prev._seg_sig == self._seg_sig[: len(prev._seg_sig)]:
-            # prev's opened segments are a prefix of ours -> its memoized
-            # host postings (keyed by segment idx) stay valid
-            self._host_postings_cache = dict(prev._host_postings_cache)
-
-        self.n_docs = n_total
-        self.keys = self.base_keys + c.keys
-        self.attrs = self.base_attrs + c.attrs
-        self.doc_seg = self.base_doc_seg + c.doc_seg
-        self.total_len = self.base_total_len + c.total_len
-        self._rebuild_seg_bounds(segments)
-        # base deletions may have grown: recompute base aliveness from the
-        # (cached-open) base segments — bisect cost, no postings touched
-        base_alive_chunks = [
-            alive_mask_text(seg, seq, deletions)
-            for seg, seq in segments[: self.base_n_segs]
-        ]
-        base_alive = (
-            np.concatenate(base_alive_chunks) if base_alive_chunks else np.zeros(0, bool)
-        )
-        self.alive = np.concatenate([base_alive, c.alive])
-
-        # overlay doc ids are all > base ids and base postings are sorted, so
-        # concatenation preserves facet/column order
-        self.facets = dict(self.base_facets)
-        for f, chunks in c.facet_chunks.items():
-            ov = np.sort(np.concatenate(chunks))
-            prev_ids = self.facets.get(f)
-            self.facets[f] = (
-                ov if prev_ids is None else np.concatenate([prev_ids, ov])
-            )
-        self.columns = {}
-        pad_cols = None
-        for name, base_col in self.base_columns.items():
-            ov = c.column_chunks.get(name)
-            ov_col = (
-                np.concatenate(ov) if ov else np.zeros(overlay_docs, np.int64)
-            )
-            self.columns[name] = np.concatenate([base_col, ov_col])
-        for name, chunks in c.column_chunks.items():
-            if name not in self.columns:
-                if pad_cols is None:
-                    pad_cols = np.zeros(base_n, np.int64)
-                self.columns[name] = np.concatenate(
-                    [pad_cols, np.concatenate(chunks)]
-                )
-
-        # ---- overlay device state --------------------------------------
-        opad = min(
-            _bucket(max(overlay_docs, 1), minimum=1024),
-            max(self.n_pad - base_n, 0),
-        )
-        self.odense_base = base_n
-
-        # dlen: splice the overlay rows into the previous device array
-        if opad > 0:
-            dlen_delta = np.ones(opad, np.float32)
-            dlen_delta[:overlay_docs] = np.maximum(c.dlen, 1)
-            self.dlen = _splice_1d(prev.dlen, _dput(dlen_delta), jnp.int32(base_n))
-        else:
-            self.dlen = prev.dlen  # base exactly fills the padding, no delta
-
-        # overlay posting tiers (term_info tiers are ABSOLUTE indices into
-        # self.tiers; dense stays -1 and is unambiguous per dict). Overlay
-        # postings only reference overlay docs (global ids >= base_n), so
-        # the global dl lookup only needs real values there.
-        dl_glob = np.ones(base_n + overlay_docs, np.float32)
-        dl_glob[base_n:] = np.maximum(c.dlen, 1)
-        tiers_np, ov_info_local, dense_rows = _build_tier_matrices(
-            c.terms_sorted, c.group_offsets, c.pdocs, c.ptfs,
-            OVERLAY_TIER_WIDTHS, dl_glob,
-        )
-        n_base_tiers = len(self.base_tiers)
-        self.overlay_term_info = {
-            t: (n_base_tiers + tier, row, df)
-            for t, (tier, row, df) in ov_info_local.items()
-        }
-        self.tiers.extend((_dput(d), _dput(t), _dput(l)) for d, t, l in tiers_np)
-        self.tier_caps = TIER_QUERY_CAP + OVERLAY_QUERY_CAP
-        self.overlay_terms_sorted = c.terms_sorted
-
-        # overlay dense block: LOCAL columns [R, opad] for df > top width;
-        # doc j of column i is global doc base_n + i
-        self.odense_tf = None
-        if dense_rows:
-            odense = np.zeros((_bucket(len(dense_rows), minimum=1), opad), np.uint8)
-            for row, (term, lo, hi, df) in enumerate(dense_rows):
-                odense[row, c.pdocs[lo:hi] - base_n] = np.minimum(
-                    c.ptfs[lo:hi], 255
-                ).astype(np.uint8)
-                self.overlay_term_info[term] = (-1, row, df)
-            self.odense_tf = _dput(odense)
-
-        # base-alive unchanged -> splice only the overlay mask rows into the
-        # previous device mask; otherwise fall back to a lazy full upload
-        if (
-            prev._base_mask_dev is not None
-            and base_n <= len(prev.alive)
-            and np.array_equal(base_alive, prev.alive[:base_n])
-        ):
-            w = min(max(opad, prev._mask_tail_span), max(self.n_pad - base_n, 0))
-            if w > 0:
-                tail = np.zeros(w, bool)
-                tail[:overlay_docs] = c.alive
-                self._base_mask_dev = _splice_1d(
-                    prev._base_mask_dev, _dput(tail), jnp.int32(base_n)
-                )
+    def _assemble(self, segments, deletions, prev) -> None:
+        """Partition segments into arena groups, reusing every group of
+        ``prev`` whose segment run is unchanged (device uploads scale with
+        the CHANGED groups, not the corpus)."""
+        prev_groups = prev.groups if prev is not None else None
+        runs = _partition_segments(segments, prev_groups)
+        prev_by_sig = {g.sig: g for g in (prev_groups or [])}
+        solo = len(runs) == 1
+        groups: list[_ArenaGroup] = []
+        self.reused_groups = 0
+        for run in runs:
+            sig = tuple((s.path, int(seq), s.n_docs) for s, seq in run)
+            g = prev_by_sig.get(sig)
+            # any matched group reuses as-is; the only exception is a
+            # narrow-layout group becoming SOLO (the legacy single-arena
+            # views need the full tier layout)
+            if g is not None and not (solo and g.widths != TIER_WIDTHS):
+                groups.append(g)
+                self.reused_groups += 1
             else:
-                self._base_mask_dev = prev._base_mask_dev
-        self._mask_tail_span = opad
-        return True
+                groups.append(_build_group(run, solo=solo))
+        self.groups = groups
 
-    def _rebuild_seg_bounds(self, segments) -> None:
+        # positions + dense doc-id offsets (runtime values, never baked
+        # into device arenas)
+        seg_idx0 = 0
+        offsets = np.zeros(len(groups) + 1, np.int64)
+        for gi, g in enumerate(groups):
+            g.seg_idx0 = seg_idx0
+            seg_idx0 += len(g.segments)
+            offsets[gi + 1] = offsets[gi] + g.n_docs
+        self.group_offsets = offsets
+        self.n_docs = int(offsets[-1])
+        self.total_len = sum(g.total_len for g in groups)
+        # flat segment order follows the GROUP runs (groups may reorder the
+        # input: big segments extracted, small ones pooled at the end);
+        # doc ids, seg_bounds and doc_seg all live in this order
+        self.segments = [seg for g in groups for seg, _ in g.segments]
+
+        # score-space length: bucketed, and every group's dense window
+        # [off, off + n_pad) must fit (the window may overlap the NEXT
+        # group's docs with zero contributions — harmless — but must not
+        # run past the buffer)
+        need = max(
+            [max(self.n_docs, 1)]
+            + [int(offsets[gi]) + g.n_pad for gi, g in enumerate(groups)]
+        )
+        self.n_pad = _bucket(need)
+        self._offsets_dev = jnp.asarray(offsets[:-1].astype(np.int32))
+
+        # host-side composed columns (O(n_docs) pointer/array concats per
+        # refresh, same budget as the old base+overlay concat)
+        self.keys = []
+        self.attrs = []
+        for g in groups:
+            self.keys.extend(g.keys)
+            self.attrs.extend(g.attrs)
+        self.doc_seg = _DocSegView(groups, offsets)
+        facets: dict[str, list[np.ndarray]] = {}
+        columns: dict[str, list[tuple[int, np.ndarray]]] = {}
+        for gi, g in enumerate(groups):
+            off = int(offsets[gi])
+            for f, ids in g.facets_local.items():
+                facets.setdefault(f, []).append(ids + off)
+            for name, col in g.columns_local.items():
+                columns.setdefault(name, []).append((gi, col))
+        self.facets = {f: np.concatenate(ch) for f, ch in facets.items()}
+        self.columns = {}
+        for name, parts in columns.items():
+            by_gi = dict(parts)
+            full = [
+                by_gi.get(gi, np.zeros(g.n_docs, np.int64))
+                for gi, g in enumerate(groups)
+            ]
+            self.columns[name] = (
+                np.concatenate(full) if full else np.zeros(0, np.int64)
+            )
+
+        # aliveness: per-segment bisects against the CURRENT deletion list
+        # (never baked into the reusable groups)
+        alive_chunks = [
+            alive_mask_text(seg, seq, deletions)
+            for g in groups
+            for seg, seq in g.segments
+        ]
+        self.alive = (
+            np.concatenate(alive_chunks) if alive_chunks else np.zeros(0, bool)
+        )
+        self._rebuild_seg_bounds()
+
+        # cached device base mask: splice from the first changed doc when
+        # the previous engine's mask is compatible (same score length)
+        if (
+            prev is not None
+            and prev._base_mask_dev is not None
+            and prev.n_pad == self.n_pad
+        ):
+            prev_mask = prev.base_mask()
+            new_mask = self.base_mask()
+            diff = np.nonzero(prev_mask != new_mask)[0]
+            if diff.size == 0:
+                self._base_mask_dev = prev._base_mask_dev
+            else:
+                lo = int(diff[0])
+                self._base_mask_dev = _splice_1d(
+                    prev._base_mask_dev,
+                    _dput(new_mask[lo:]),
+                    jnp.int32(lo),
+                )
+    def _rebuild_seg_bounds(self) -> None:
         # per-segment sorted runs of self.keys (prefix bisects must stay
         # within a segment — the concatenation is NOT globally sorted)
         self.seg_bounds: list[tuple[int, int]] = []
         run_lo = 0
-        for seg, _ in segments:
+        for seg in self.segments:
             self.seg_bounds.append((run_lo, run_lo + seg.n_docs))
             run_lo += seg.n_docs
+
+    # ------------------------------------------------------------------
+    # legacy single-group views (the mesh stacker consumes a full-built
+    # engine's arenas directly; those engines are exactly one solo group)
+    # ------------------------------------------------------------------
+
+    def _solo(self) -> _ArenaGroup:
+        assert len(self.groups) == 1, (
+            "single-group view on a multi-group engine"
+        )
+        return self.groups[0]
+
+    @property
+    def tiers(self):
+        return self._solo().tiers_dev
+
+    @property
+    def dense_tf(self):
+        return self._solo().dense_dev
+
+    @property
+    def dlen(self):
+        return self._solo().dl_dev
+
+    @property
+    def term_info(self):
+        return self._solo().term_info
+
+    @property
+    def terms_sorted(self):
+        return self._solo().terms_sorted
+
+    @property
+    def overlay_term_info(self):
+        # legacy probe ("does this engine carry an incremental overlay?"):
+        # multi-group engines answer truthy via a sentinel
+        if len(self.groups) == 1:
+            return {}
+        return {"__groups__": (0, 0, 0)}
 
     # ------------------------------------------------------------------
     # vocabulary
     # ------------------------------------------------------------------
 
-    @property
-    def fuzzy_index(self) -> FuzzyIndex:
-        """Fuzzy index over the BASE vocabulary (see ``fuzzy_expand`` for
-        the overlay-aware expansion)."""
-        if self._fuzzy is None:
-            self._fuzzy = FuzzyIndex(self.terms_sorted)
-        return self._fuzzy
-
     def fuzzy_expand(self, token: str, distance: int) -> list[str]:
-        """Vocabulary terms within edit distance, across base + overlay.
+        """Vocabulary terms within edit distance, across every group.
 
         Expansion is capped at ``MAX_EXPANSIONS`` variants, keeping the
         highest-df neighbors (the intended word behind a typo is almost
@@ -519,16 +651,15 @@ class DeviceTextEngine:
         serial identifiers where every digit substitution is a real term —
         schedules O(neighbors) posting rows per query token and the scored
         posting volume, not the matmul, becomes the kernel cost."""
-        out = self.fuzzy_index.expand(token, distance)
-        if self.overlay_terms_sorted:
-            if self._overlay_fuzzy is None:
-                self._overlay_fuzzy = FuzzyIndex(self.overlay_terms_sorted)
-            seen = set(out)
-            out = out + [
-                t
-                for t in self._overlay_fuzzy.expand(token, distance)
-                if t not in seen
-            ]
+        out: list[str] = []
+        seen: set[str] = set()
+        for g in self.groups:
+            if g.fuzzy is None:
+                g.fuzzy = FuzzyIndex(g.terms_sorted)
+            for t in g.fuzzy.expand(token, distance):
+                if t not in seen:
+                    seen.add(t)
+                    out.append(t)
         if len(out) > MAX_EXPANSIONS:
             exact = [t for t in out if t == token]
             rest = sorted(
@@ -539,12 +670,15 @@ class DeviceTextEngine:
         return out
 
     def has_term(self, term: str) -> bool:
-        return term in self.term_info or term in self.overlay_term_info
+        return any(term in g.term_info for g in self.groups)
 
     def term_df(self, term: str) -> int:
-        bi = self.term_info.get(term)
-        oi = self.overlay_term_info.get(term)
-        return (bi[2] if bi else 0) + (oi[2] if oi else 0)
+        total = 0
+        for g in self.groups:
+            info = g.term_info.get(term)
+            if info is not None:
+                total += info[2]
+        return total
 
     def prefix_terms(self, prefix: str, limit: int = 10) -> list[str]:
         """Vocabulary terms starting with ``prefix`` (suggest expansion)."""
@@ -558,7 +692,8 @@ class DeviceTextEngine:
             else None
         )
         out: list[str] = []
-        for terms in (self.terms_sorted, self.overlay_terms_sorted):
+        for g in self.groups:
+            terms = g.terms_sorted
             lo = bisect.bisect_left(terms, prefix)
             hi = bisect.bisect_left(terms, hi_key) if hi_key else len(terms)
             out.extend(
@@ -781,35 +916,52 @@ class DeviceTextEngine:
             required = min(1, len(seen))
         return sorted(seen.items()), required
 
+    def _tier_group_counts(self) -> list[int]:
+        return [len(g.tiers_dev) for g in self.groups]
+
     def _plan_slots(
         self, terms: list[tuple[str, float]]
     ) -> list[list[tuple[int, float, str]]]:
         """Assign weighted terms to kernel slot groups. Layout (matches the
-        caps tuple): one group per posting tier (base tiers then overlay
-        tiers), then base dense, then overlay dense. A term present in both
-        base and overlay schedules in both (their doc sets are disjoint)."""
-        n_t = len(self.tiers)
-        slots: list[list[tuple[int, float, str]]] = [[] for _ in range(n_t + 2)]
+        caps tuple): every arena group's posting tiers in group order, then
+        one dense slot-group per arena group. A term present in several
+        groups schedules in each (their doc sets are disjoint); the weight
+        carries the GLOBAL idf, so scores add exactly."""
+        tier_counts = self._tier_group_counts()
+        n_t = sum(tier_counts)
+        tier_base = np.concatenate([[0], np.cumsum(tier_counts)])
+        slots: list[list[tuple[int, float, str]]] = [
+            [] for _ in range(n_t + len(self.groups))
+        ]
         for term, weight in terms:
-            bi = self.term_info.get(term)
-            oi = self.overlay_term_info.get(term)
-            df = (bi[2] if bi else 0) + (oi[2] if oi else 0)
+            df = self.term_df(term)
             if df == 0:
                 continue
             w = weight * self.idf(df)
-            if bi is not None:
-                tier, row, _ = bi
-                slots[n_t if tier < 0 else tier].append((row, w, term))
-            if oi is not None:
-                tier, row, _ = oi
-                slots[n_t + 1 if tier < 0 else tier].append((row, w, term))
+            for gi, g in enumerate(self.groups):
+                info = g.term_info.get(term)
+                if info is None:
+                    continue
+                tier, row, _ = info
+                if tier < 0:
+                    slots[n_t + gi].append((row, w, term))
+                else:
+                    slots[int(tier_base[gi]) + tier].append((row, w, term))
         return slots
 
     def _default_caps(self) -> tuple[int, ...]:
-        return tuple(self.tier_caps) + (
-            DENSE_QUERY_CAP,
-            OVERLAY_DENSE_CAP if self.odense_tf is not None else 0,
-        )
+        caps: list[int] = []
+        for g in self.groups:
+            caps.extend(
+                TIER_QUERY_CAP if g.widths == TIER_WIDTHS else OVERLAY_QUERY_CAP
+            )
+        for g in self.groups:
+            caps.append(
+                (DENSE_QUERY_CAP if g.widths == TIER_WIDTHS else OVERLAY_DENSE_CAP)
+                if g.dense_dev is not None
+                else 0
+            )
+        return tuple(caps)
 
     def _caps_for(self, slots, adaptive: bool) -> tuple[int, ...]:
         """Per-group query capacities.
@@ -893,16 +1045,27 @@ class DeviceTextEngine:
 
     def _device_inputs(self, query: TextQuery):
         """(rows, idfs, params, mask) fixed-caps inputs for one scored query
-        (mesh-sharded callers need identical shapes across shards)."""
+        in the LEGACY single-arena kernel layout (mesh-sharded callers stack
+        solo-group engines and need identical shapes across shards)."""
         terms, required = self._plan_terms(query)
-        rows, idfs, params, _ = self._device_inputs_planned(
-            terms, required, query, adaptive=False
-        )
+        slots = self._plan_slots(terms)
+        caps = self.fixed_caps()
+        rows, idfs, scheduled = self._pack_slots(slots, caps)
+        params = self._params_for(required, scheduled, query)
         return rows, idfs, params, self.build_mask(query)
 
     def fixed_caps(self) -> tuple[int, ...]:
-        """The caps tuple matching ``_device_inputs`` (non-adaptive)."""
-        return self._default_caps()
+        """The caps tuple matching ``_device_inputs`` (non-adaptive,
+        legacy [tiers..., dense, overlay-dense] layout of a solo group)."""
+        g = self._solo()
+        assert g.widths == TIER_WIDTHS, "fixed caps need the full tier layout"
+        return tuple(TIER_QUERY_CAP) + (DENSE_QUERY_CAP, 0)
+
+    def _group_tensors(self):
+        """Kernel operand pytree: per group (tiers, dense block, dlen)."""
+        return tuple(
+            (tuple(g.tiers_dev), g.dense_dev, g.dl_dev) for g in self.groups
+        )
 
     # ------------------------------------------------------------------
     # search
@@ -952,10 +1115,10 @@ class DeviceTextEngine:
         mask_j = self.base_mask_device() if unfiltered else jnp.asarray(mask)
 
         k = min(query.top_k, self.n_pad)
-        top_s, top_ic, matched = _bm25_search(
-            tuple(self.tiers), self.dense_tf, self.odense_tf, self.dlen,
-            mask_j, all_rows, all_idfs, params, k, caps, self.odense_base,
-            bool(query.all_terms),
+        top_s, top_ic, matched = _bm25_groups(
+            self._group_tensors(), self._offsets_dev,
+            mask_j, all_rows, all_idfs, params, k, caps,
+            tuple(self._tier_group_counts()), bool(query.all_terms),
         )
         top_s = np.asarray(top_s)
         top_ic = np.asarray(top_ic)
@@ -1027,12 +1190,12 @@ class DeviceTextEngine:
             masks_in = self.base_mask_device()
         else:
             masks_in = jnp.asarray(np.stack([self.build_mask(q) for q in queries]))
-        top_s, top_ic, matched = _bm25_search_batch(
-            tuple(self.tiers), self.dense_tf, self.odense_tf, self.dlen,
+        top_s, top_ic, matched = _bm25_groups_batch(
+            self._group_tensors(), self._offsets_dev,
             masks_in, jnp.asarray(np.stack(rows)),
             jnp.asarray(np.stack(idfs)),
             jnp.asarray(np.stack(params).astype(np.float32)), k, caps,
-            self.odense_base,
+            tuple(self._tier_group_counts()),
             shared_mask=unfiltered, count_only=not need_matched,
             with_counts=any(q.all_terms for q in queries),
         )
@@ -1077,13 +1240,12 @@ class DeviceTextEngine:
         memoized — ematch/phrase verification hits the same few query terms
         for every scored hit, and re-bisecting + re-slicing the memmap per
         hit was a top host cost in the keyword-find profile."""
+        seg = self.segments[seg_idx]
         cache = self._host_postings_cache
-        key = (seg_idx, term)
+        key = (seg.path, term)
         entry = cache.get(key)
         if entry is None:
             import bisect
-
-            seg = self.segments[seg_idx]
             ti = bisect.bisect_left(seg.terms, term)
             if ti >= len(seg.terms) or seg.terms[ti] != term:
                 entry = (None, 0)
@@ -1450,3 +1612,150 @@ def _bm25_search(
     else:
         top_counts = jnp.full((k,), -1, jnp.int32)
     return top_s, jnp.concatenate([top_i, top_counts]), matched
+
+
+# --------------------------------------------------------------------------
+# Group-arena kernels (the N-group generalization of _bm25_search's
+# base+overlay layout: per-group LOCAL posting doc ids biased by runtime
+# offsets, per-group local dense blocks windowed into the global score
+# space — group arenas stay immutable across refreshes)
+# --------------------------------------------------------------------------
+
+
+def _bm25_groups_core(
+    groups,  # tuple over groups of (tiers tuple, dense [R, n_pad_g] | None, dl [n_pad_g])
+    offsets,  # [G] i32 dense doc-id offsets (traced: merges shift groups freely)
+    mask,  # [L] bool
+    all_rows,
+    all_idfs,
+    params,
+    k,
+    caps,  # per slot-group capacities: [g0 tiers..., g1 tiers..., g0 dense, g1 dense, ...]
+    tier_counts,  # static: posting-tier count per group
+    with_counts,
+):
+    avgdl = params[0]
+    required = params[1]
+    min_score = params[2]
+    L = mask.shape[0]
+    n_t = sum(tier_counts)
+    assert len(caps) == n_t + len(groups), (len(caps), n_t, len(groups))
+
+    splits = np.cumsum(caps[:-1]).tolist()
+    rows_parts = jnp.split(all_rows, splits)
+    idfs_parts = jnp.split(all_idfs, splits)
+
+    ds, ws, hs = [], [], []
+    ti = 0
+    for gi, (tiers, _dense, _dl) in enumerate(groups):
+        for docs_m, tfs_m, dls_m in tiers:
+            rows = rows_parts[ti]
+            idfs = idfs_parts[ti]
+            ti += 1
+            if rows.shape[0] == 0:
+                continue
+            d, w, h = _tier_contrib(docs_m, tfs_m, dls_m, rows, idfs, avgdl)
+            # local -> global dense ids; padding (-1) -> L = dropped
+            d = jnp.where(d >= 0, d + offsets[gi], L)
+            ds.append(d)
+            ws.append(w)
+            hs.append(h)
+    if ds:
+        d_all = jnp.concatenate(ds)
+        w_all = jnp.concatenate(ws)
+        scores = jnp.zeros(L, jnp.float32).at[d_all].add(w_all, mode="drop")
+        if with_counts:
+            h_all = jnp.concatenate(hs)
+            counts = jnp.zeros(L, jnp.float32).at[d_all].add(h_all, mode="drop")
+        else:
+            counts = None
+    else:
+        scores = jnp.zeros(L, jnp.float32)
+        counts = jnp.zeros(L, jnp.float32) if with_counts else None
+
+    # per-group dense (stopword-grade) terms: elementwise over the group's
+    # local columns, added into its [offset, offset + n_pad_g) window.
+    # Columns past the group's live docs carry tf 0 (zero contribution), so
+    # a window overlapping the next group's docs is harmless.
+    for gi, (_tiers, dense, dl_g) in enumerate(groups):
+        cap = caps[n_t + gi]
+        if dense is None or cap == 0:
+            continue
+        rows = rows_parts[n_t + gi]
+        idfs = idfs_parts[n_t + gi]
+        np_g = dense.shape[1]
+        gscore = jnp.zeros(np_g, jnp.float32)
+        gcount = jnp.zeros(np_g, jnp.float32)
+        for j in range(cap):
+            row = rows[j]
+            idf_w = idfs[j]
+            tf = dense[jnp.maximum(row, 0)].astype(jnp.float32)
+            norm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl_g / avgdl))
+            active = (row >= 0) & (tf > 0)
+            gscore = gscore + jnp.where(active, idf_w * norm, 0.0)
+            if with_counts:
+                gcount = gcount + jnp.where(active, 1.0, 0.0)
+        off = offsets[gi]
+        scores = jax.lax.dynamic_update_slice(
+            scores,
+            jax.lax.dynamic_slice(scores, (off,), (np_g,)) + gscore,
+            (off,),
+        )
+        if with_counts:
+            counts = jax.lax.dynamic_update_slice(
+                counts,
+                jax.lax.dynamic_slice(counts, (off,), (np_g,)) + gcount,
+                (off,),
+            )
+
+    if with_counts:
+        matched = (counts >= jnp.maximum(required, 1.0)) & mask
+    else:
+        matched = (scores > 0.0) & mask
+    final = jnp.where(matched, scores, NEG_INF)
+    top_s, top_i = masked_topk(final, k, min_score=min_score)
+    if with_counts:
+        top_counts = counts[jnp.maximum(top_i, 0)].astype(jnp.int32)
+    else:
+        top_counts = jnp.full((k,), -1, jnp.int32)
+    return top_s, jnp.concatenate([top_i, top_counts]), matched
+
+
+@partial(jax.jit, static_argnames=("k", "caps", "tier_counts", "with_counts"))
+def _bm25_groups(
+    groups, offsets, mask, all_rows, all_idfs, params, k, caps, tier_counts,
+    with_counts=True,
+):
+    return _bm25_groups_core(
+        groups, offsets, mask, all_rows, all_idfs, params, k, caps,
+        tier_counts, with_counts,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "caps", "tier_counts", "shared_mask", "count_only", "with_counts"
+    ),
+)
+def _bm25_groups_batch(
+    groups, offsets, masks, all_rows, all_idfs, params, k, caps, tier_counts,
+    shared_mask: bool = False, count_only: bool = False,
+    with_counts: bool = True,
+):
+    """Batched variant (one dispatch scores B queries); mirrors
+    _bm25_search_batch for the group layout."""
+
+    def core(mask, rows, idfs, p):
+        return _bm25_groups_core(
+            groups, offsets, mask, rows, idfs, p, k, caps, tier_counts,
+            with_counts,
+        )
+
+    mask_axis = None if shared_mask else 0
+    top_s, top_ic, matched = jax.vmap(core, in_axes=(mask_axis, 0, 0, 0))(
+        masks, all_rows, all_idfs, params
+    )
+    if count_only:
+        return top_s, top_ic, jnp.sum(matched, axis=-1)
+    return top_s, top_ic, matched

@@ -45,10 +45,10 @@ class MeshShardedTextEngine:
         self.mesh = mesh
         s = len(engines)
 
-        # mesh engines are freshly built (no incremental overlay), so every
-        # shard shares the base 4-tier + dense layout and fixed query caps
-        assert all(not e.overlay_term_info for e in engines), (
-            "mesh sharding expects full-built engines (no overlay)"
+        # mesh engines are freshly built (one solo arena group), so every
+        # shard shares the full tier + dense layout and fixed query caps
+        assert all(len(e.groups) == 1 for e in engines), (
+            "mesh sharding expects full-built engines (one solo group)"
         )
         self.caps = engines[0].fixed_caps()
 
