@@ -56,7 +56,7 @@ from ...query_language import (
     evaluate_bitset,
 )
 from ...types import Seq
-from ...utils.platform import configure_jax
+from ...utils.platform import configure_jax, device_fetch
 from .builder import TextSegmentData, alive_mask_text
 from .fuzzy import FuzzyIndex
 from .tokenizer import tokenize
@@ -1120,16 +1120,17 @@ class DeviceTextEngine:
             mask_j, all_rows, all_idfs, params, k, caps,
             tuple(self._tier_group_counts()), bool(query.all_terms),
         )
-        top_s = np.asarray(top_s)
-        top_ic = np.asarray(top_ic)
-        top_i, top_counts = top_ic[:k], top_ic[k:]
         if need_matched:
-            matched_np = np.asarray(matched)[: self.n_docs]
+            # all three output buffers fetch under ONE blocking wait (each
+            # serial np.asarray is its own ~25 ms relay round trip)
+            top_s, top_ic, matched_full = device_fetch(top_s, top_ic, matched)
+            matched_np = matched_full[: self.n_docs]
         else:
             # only the count crosses the wire (the bitmap is ~n_pad bytes per
             # search through a ~10MB/s link)
-            count = int(np.asarray(jnp.sum(matched)))
-            matched_np = _CountOnly(count, self.n_docs)
+            top_s, top_ic, count = device_fetch(top_s, top_ic, jnp.sum(matched))
+            matched_np = _CountOnly(int(count), self.n_docs)
+        top_i, top_counts = top_ic[:k], top_ic[k:]
 
         if query.only_faceted:
             # facets-only: the matched set reflects the query, hits are not
@@ -1199,13 +1200,14 @@ class DeviceTextEngine:
             shared_mask=unfiltered, count_only=not need_matched,
             with_counts=any(q.all_terms for q in queries),
         )
-        top_s, top_ic = np.asarray(top_s), np.asarray(top_ic)
+        # one blocking wait for all output buffers (serial np.asarray fetches
+        # pay one relay round trip EACH)
+        top_s, top_ic, matched = device_fetch(top_s, top_ic, matched)
         top_i, top_counts = top_ic[:, :k], top_ic[:, k:]
         if need_matched:
-            matched_rows = list(np.asarray(matched)[:, : self.n_docs])
+            matched_rows = list(matched[:, : self.n_docs])
         else:
-            counts = np.asarray(matched)
-            matched_rows = [_CountOnly(int(c), self.n_docs) for c in counts]
+            matched_rows = [_CountOnly(int(c), self.n_docs) for c in matched]
         out = []
         for b, query in enumerate(queries):
             hits = [

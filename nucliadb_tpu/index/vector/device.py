@@ -49,7 +49,7 @@ from ...ops import quant
 from ...ops.distance import prepare_query, scores_matmul
 from ...ops.topk import NEG_INF, masked_topk
 from ...types import Seq
-from ...utils.platform import configure_jax, device_scalar_f32
+from ...utils.platform import configure_jax, device_fetch, device_scalar_f32
 from .config import (
     EXACT_SCAN_THRESHOLD,
     Quantization,
@@ -576,7 +576,10 @@ class DeviceVectorIndex:
                     self.config.similarity.value, dedup=dedup,
                 )
         b = q.shape[0] if q.ndim == 2 else queries.shape[0]
-        return np.asarray(s)[:b], np.asarray(i)[:b]
+        # one blocking wait for both output buffers (two serial np.asarray
+        # fetches pay two relay round trips)
+        s, i = device_fetch(s, i)
+        return s[:b], i[:b]
 
     # ---- beyond-HBM search tiers ----------------------------------------
 
@@ -599,9 +602,8 @@ class DeviceVectorIndex:
             qj = prepare_query(jnp.asarray(qp), sim)
             c = min(quant.int8_rerank_budget(k), self.p_pad)
             cand = _int8_candidates_jit(self.codes, qj, c, jnp.asarray(mask_np))
-            return self._host_rerank_cut(
-                np.asarray(qj), np.asarray(cand), k, min_score, dedup
-            )
+            qj, cand = device_fetch(qj, cand)
+            return self._host_rerank_cut(qj, cand, k, min_score, dedup)
         # stream: per-chunk exact top-k on device, host merge
         qj = prepare_query(jnp.asarray(qp), sim)
         k2 = min((2 * k + 8) if dedup else k, self.p_pad)
@@ -618,7 +620,7 @@ class DeviceVectorIndex:
             s, i = _stream_chunk_topk(
                 jnp.asarray(chunk), qj, jnp.asarray(m), min(k2, rows)
             )
-            s, i = np.asarray(s), np.asarray(i)
+            s, i = device_fetch(s, i)
             parts_s.append(s)
             parts_i.append(np.where(i >= 0, i + start, -1))
         all_s = np.concatenate(parts_s, axis=-1)

@@ -45,6 +45,7 @@ import numpy as np
 
 from .distance import prepare_query, scores_matmul
 from .topk import NEG_INF, masked_topk
+from ..utils.platform import device_fetch
 
 try:  # native wave linker (native/hnsw_link.cpp); python fallback below
     import nucliadb_tpu_native as _native
@@ -300,13 +301,13 @@ def build_graph(
         )
         if prev is not None:
             prev_group, (pc, pk) = prev
-            pc, pk = np.asarray(pc), np.asarray(pk)
+            pc, pk = device_fetch(pc, pk)
             for wi, wn in enumerate(prev_group):
                 link_wave_host(wn, pc[wi, : len(wn)], pk[wi, : len(wn)])
         prev = (group, (cand_ids, kept))
     if prev is not None:
         prev_group, (pc, pk) = prev
-        pc, pk = np.asarray(pc), np.asarray(pk)
+        pc, pk = device_fetch(pc, pk)
         for wi, wn in enumerate(prev_group):
             link_wave_host(wn, pc[wi, : len(wn)], pk[wi, : len(wn)])
 

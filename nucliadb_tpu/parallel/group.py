@@ -40,7 +40,7 @@ from ..ops import quant
 from ..ops.distance import prepare_query, scores_matmul
 from ..ops.topk import NEG_INF, masked_topk
 from ..utils.buckets import bucket
-from ..utils.platform import device_scalar_f32
+from ..utils.platform import device_fetch, device_scalar_f32
 
 
 def mesh_serving_active() -> bool:
@@ -162,9 +162,10 @@ class MeshVectorGroup:
             jax.device_put(masks, self._mask_sharding), ms,
             jax.device_put(qp, self._q_sharding),
         )
+        s_, i_ = device_fetch(s_, i_)
         return (
-            np.asarray(s_)[: self.n_shards, :b],
-            np.asarray(i_)[: self.n_shards, :b],
+            s_[: self.n_shards, :b],
+            i_[: self.n_shards, :b],
         )
 
 

@@ -22,6 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils.platform import device_fetch
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -122,7 +124,8 @@ class MeshHybridIndex:
             tuple(self.text._stack), self.text.dense_tf, self.text.dlen,
             tmask_j, rows_j, idfs_j, params_j, self._offsets_dev, qj,
         )
-        return np.asarray(ts)[:b], np.asarray(ti)[:b]
+        ts, ti = device_fetch(ts, ti)
+        return ts[:b], ti[:b]
 
 
 @partial(jax.jit, static_argnames=("mesh", "k", "per_shard", "similarity", "caps"))

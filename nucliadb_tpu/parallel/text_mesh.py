@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.text_engine.engine import DeviceTextEngine, TextQuery, _bm25_search
 from ..ops.topk import sharded_topk_allgather
-from ..utils.platform import configure_jax
+from ..utils.platform import configure_jax, device_fetch
 
 
 def _pad2(a: np.ndarray, shape: tuple[int, int], fill) -> np.ndarray:
@@ -125,8 +125,9 @@ class MeshShardedTextEngine:
             tuple(self._stack), self.dense_tf, self.dlen, mask_j, rows_j,
             idfs_j, params_j, self._offsets_dev,
         )
-        out_s = np.asarray(top_s)[0]
-        out_i = np.asarray(top_i)[0]
+        top_s, top_i = device_fetch(top_s, top_i)
+        out_s = top_s[0]
+        out_i = top_i[0]
         keep = out_i >= 0
         return out_s[keep], out_i[keep]
 

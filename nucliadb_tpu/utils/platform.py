@@ -73,3 +73,25 @@ def device_scalar_f32(value: float) -> jax.Array:
         out = jnp.float32(value)
         _scalar_cache[value] = out
     return out
+
+
+def device_fetch(*arrays):
+    """Download several device arrays with ONE blocking wait.
+
+    ``np.asarray(x)`` per array blocks serially — through the TPU relay
+    every blocked fetch is its own ~25 ms round trip, so a kernel that
+    returns three buffers pays three round trips. Issuing
+    ``copy_to_host_async`` on EVERY buffer first lets the relay overlap
+    the transfers; the wall cost becomes ~one round trip for the whole
+    set. Non-device values (numpy arrays, scalars) pass through.
+    """
+    import numpy as _np
+
+    for a in arrays:
+        ch = getattr(a, "copy_to_host_async", None)
+        if ch is not None:
+            try:
+                ch()
+            except Exception:
+                pass  # fully-replicated/committed edge cases: fall through
+    return tuple(_np.asarray(a) for a in arrays)
