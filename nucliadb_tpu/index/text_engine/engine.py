@@ -164,6 +164,37 @@ class _CountOnly:
         return self._n
 
 
+class _PendingTextBatch:
+    """In-flight batched BM25 search: device buffers dispatched, results not
+    yet downloaded. ``start_fetch()`` begins the device→host copies without
+    blocking (so a caller holding several pendings can overlap ALL their
+    transfers before the first blocking wait); ``finalize()`` downloads and
+    builds the per-query results."""
+
+    __slots__ = ("engine", "queries", "k", "need_matched", "buffers")
+
+    def __init__(self, engine, queries, k, need_matched, *buffers):
+        self.engine = engine
+        self.queries = queries
+        self.k = k
+        self.need_matched = need_matched
+        self.buffers = buffers
+
+    def start_fetch(self) -> None:
+        for b in self.buffers:
+            ch = getattr(b, "copy_to_host_async", None)
+            if ch is not None:
+                try:
+                    ch()
+                except Exception:
+                    pass
+
+    def finalize(self) -> list:
+        return self.engine._finalize_batch(
+            self.queries, self.k, self.need_matched, *self.buffers
+        )
+
+
 class _Consolidated:
     """Host-side consolidation of a segment run (pure numpy)."""
 
@@ -1165,8 +1196,19 @@ class DeviceTextEngine:
         ``need_matched=False`` downloads only per-query match counts instead
         of [B, n_pad] bitmaps (the count-only discipline of ``search``).
         """
+        pending = self.dispatch_batch(queries, need_matched=need_matched)
+        return pending.finalize() if pending is not None else []
+
+    def dispatch_batch(
+        self, queries: list[TextQuery], *, need_matched: bool = True
+    ) -> "Optional[_PendingTextBatch]":
+        """The async half of ``search_batch``: plan + upload + dispatch the
+        kernel, return a pending handle whose device buffers are still in
+        flight. ``finalize()`` downloads and builds results. The split lets
+        the fused hybrid batcher dispatch the BM25 and vector kernels
+        back-to-back and overlap BOTH result downloads in one wait."""
         if not queries:
-            return []
+            return None
         if any(not (q.text.strip() or q.phrases) for q in queries):
             raise ValueError("search_batch requires scored (non-empty) queries")
         k = min(max(q.top_k for q in queries), self.n_pad)
@@ -1200,6 +1242,13 @@ class DeviceTextEngine:
             shared_mask=unfiltered, count_only=not need_matched,
             with_counts=any(q.all_terms for q in queries),
         )
+        return _PendingTextBatch(
+            self, list(queries), k, need_matched, top_s, top_ic, matched
+        )
+
+    def _finalize_batch(
+        self, queries, k, need_matched, top_s, top_ic, matched
+    ) -> list[tuple[list[TextHit], np.ndarray]]:
         # one blocking wait for all output buffers (serial np.asarray fetches
         # pay one relay round trip EACH)
         top_s, top_ic, matched = device_fetch(top_s, top_ic, matched)
