@@ -92,7 +92,9 @@ def main() -> None:
     # what the production searcher's continuous batching executes under
     # sustained load; the ~25 ms relay round trip amortizes over the chain.
     reps = int(os.environ.get("BENCH_REPS", 12))
-    oracle_queries = min(b, int(os.environ.get("BENCH_ORACLE_Q", 64)))
+    # 1024-query oracle: a recall measured on 64 queries bounds the true
+    # recall only loosely (VERDICT r3 weak #3); the exact scan is cheap
+    oracle_queries = min(b, int(os.environ.get("BENCH_ORACLE_Q", 1024)))
     p_pad = bucket(n + 1)
 
     # ---- on-device clustered corpus + queries -----------------------------
@@ -229,19 +231,29 @@ def main() -> None:
     lat_ms = (time.time() - t0) / 4 * 1000
 
     # ---- recall vs on-device exact oracle (HIGHEST precision matmul) ------
+    # chunked over queries: a single [1024, p_pad] f32 score matrix is
+    # ~4 GB HBM next to the 3.2 GB arena — 128-query tiles keep the oracle
+    # inside memory at any BENCH_ORACLE_Q
+    oracle_chunk = min(128, oracle_queries)
+    assert oracle_queries % oracle_chunk == 0
+
     @jax.jit
     def oracle(vv, mm, qq):  # arenas as ARGUMENTS, never closure constants
-        scores = jax.lax.dot_general(
-            qq, vv, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
         from nucliadb_tpu.ops.topk import masked_topk
 
-        return masked_topk(scores, k, mask=mm)
+        def one(qc):
+            scores = jax.lax.dot_general(
+                qc, vv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return masked_topk(scores, k, mask=mm)[1]
 
-    _, oracle_ids = oracle(vectors, mask_j, q_bufs[0][:oracle_queries])
-    oracle_ids = np.asarray(oracle_ids)
+        return jax.lax.map(
+            one, qq.reshape(-1, oracle_chunk, qq.shape[-1])
+        ).reshape(-1, k)
+
+    oracle_ids = np.asarray(oracle(vectors, mask_j, q_bufs[0][:oracle_queries]))
     got_ids = first_ids[:oracle_queries]
     recalls = [
         len(set(oracle_ids[bi].tolist()) & set(got_ids[bi].tolist())) / k

@@ -14,14 +14,24 @@ search/find.py); the globally-merged ICI all-gather cut lives in
 MeshShardedVectorIndex (parallel/mesh.py) for engine-level consumers.
 
 Parity contract: for each shard the group program runs the SAME kernel
-sequence as DeviceVectorIndex.search (int8 estimate -> approx candidates ->
-exact rerank -> masked cut, or the exact-scan path, with identical Fssc
-dedup and min_score semantics), so results match the sequential per-shard
-path. One documented deviation: quantized candidate selection is a
-GROUP-static choice (all member shards use int8 codes or none do); a mixed
-group where only some shards exceed EXACT_SCAN_THRESHOLD falls back to the
-exact scan for every shard — strictly better recall than the per-shard
-path, at full-scan cost for the big shards.
+sequence as DeviceVectorIndex.search — the shared ``_int8_candidates``
+selector (top-2-per-slot resident Pallas kernel on TPU backends, XLA
+approx_max_k on CPU) followed by the exact rerank + masked cut, or the
+exact-scan path, with identical Fssc dedup and min_score semantics — so
+results match the sequential per-shard path ON EVERY BACKEND (the selector
+choice is made once per backend by ``_int8_candidates`` itself, not
+re-decided here). The per-device member loop is UNROLLED (static
+``shards_per_dev``) rather than vmapped so each member's kernel launch is
+byte-identical to a sequential ``_search_int8`` call. Padding a member's
+arena to the group-wide ``per = max(p_pad)`` does not perturb the selector:
+every bucket-ladder p_pad is a multiple of RESIDENT_BLOCK_N and >= twice
+it, and the resident2 slot map is position-mod-slots, so appending masked
+padding rows changes neither eligibility nor any real row's slot. One
+documented deviation: quantized candidate selection is a GROUP-static
+choice (all member shards use int8 codes or none do); a mixed group where
+only some shards exceed EXACT_SCAN_THRESHOLD falls back to the exact scan
+for every shard — strictly better recall than the per-shard path, at
+full-scan cost for the big shards.
 """
 
 from __future__ import annotations
@@ -35,7 +45,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..index.vector.device import _rerank_and_cut
+from ..index.vector.device import _int8_candidates, _rerank_and_cut
 from ..ops import quant
 from ..ops.distance import prepare_query, scores_matmul
 from ..ops.topk import NEG_INF, masked_topk
@@ -182,12 +192,12 @@ def _group_search(
         qs = prepare_query(q, similarity)
 
         def per_shard(v, c, sc, mk):
-            # mirrors DeviceVectorIndex._search_int8 / _search_exact exactly
+            # mirrors DeviceVectorIndex._search_int8 / _search_exact exactly:
+            # candidate selection goes through the SHARED _int8_candidates
+            # (resident2 Pallas on TPU, amk on CPU — device.py:803)
             if use_codes:
                 ic = quant.Int8Codes(codes=c, scale=sc)
-                est = quant.int8_estimate_scores(ic, qs)
-                budget = min(quant.int8_rerank_budget(k), est.shape[-1])
-                _, cand = quant.approx_candidates(est, budget, mask=mk)
+                cand = _int8_candidates(ic, qs, quant.int8_rerank_budget(k), mk)
                 return _rerank_and_cut(v, qs, cand, ms, k, dedup=dedup)
             scores = scores_matmul(qs, v)
             if dedup:
@@ -196,7 +206,15 @@ def _group_search(
                 return _rerank_and_cut(v, qs, cand, ms, k, dedup=True)
             return masked_topk(scores, k, mask=mk, min_score=ms)
 
-        return jax.vmap(per_shard)(vecs, cds, scl, msk)  # [m, B, k] x2
+        # unrolled static loop (m = shards_per_dev, typically 1): each
+        # member's kernel launch matches a sequential search call exactly —
+        # a vmap over per_shard would instead batch the Pallas selector into
+        # one differently-shaped launch
+        outs = [per_shard(vecs[j], cds[j], scl[j], msk[j]) for j in range(vecs.shape[0])]
+        return (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+        )  # [m, B, k] x2
 
     return shard_map(
         local,

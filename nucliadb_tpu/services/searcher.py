@@ -251,9 +251,13 @@ class SyncedSearcher:
     ) -> "list[ShardSearchResponse]":
         """Search several shards; when >1 device is visible, co-resident
         shards' vector legs run as one sharded program. Falls back to the
-        sequential per-shard path whenever the group is not eligible
-        (multivector, mixed configs, ivf/hnsw/pallas flags, missing
-        vectorset) — results are identical either way."""
+        per-shard path whenever the group is not eligible (multivector,
+        mixed configs, ivf/hnsw/pallas flags, missing vectorset) — results
+        are identical either way ON EVERY BACKEND: the group program selects
+        int8 candidates through the same ``_int8_candidates`` helper as the
+        sequential path (resident2 Pallas on TPU, amk on CPU — see
+        parallel/group.py's parity contract and
+        test_group_selector_matches_sequential_per_backend)."""
         from ..parallel.group import mesh_serving_active
 
         if (

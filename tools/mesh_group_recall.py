@@ -1,0 +1,153 @@
+"""Real-chip run of the mesh group program (VERDICT r4 task 1b).
+
+Runs ``MeshVectorGroup``'s sharded program on a 1-device TPU mesh over a
+1M x 768 clustered corpus and reports recall@10 vs the on-device exact
+oracle. On TPU backends the group program must route candidate selection
+through the resident2 Pallas kernel (the same ``_int8_candidates`` helper
+as the sequential path) — so recall must match the sequential path's
+1.0000, not amk's 0.9703 ceiling (BASELINE.md recall-vs-QPS curve).
+
+The corpus is generated ON DEVICE (the host<->TPU relay moves ~10 MB/s; a
+3.2 GB arena upload is impossible), so the group's device arrays are staged
+directly instead of through ``MeshVectorGroup.__init__``'s host-side
+``device_put`` — the staging path is covered by the CPU-mesh differential
+tests; THIS run exercises the jitted group program (`_group_search`), which
+is the code the r3 verdict flagged.
+
+Usage: python tools/mesh_group_recall.py  (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from nucliadb_tpu.index.vector.device import bucket
+    from nucliadb_tpu.ops import quant
+    from nucliadb_tpu.parallel.group import MeshVectorGroup, _group_search
+    from nucliadb_tpu.utils.platform import configure_jax, device_scalar_f32
+
+    configure_jax()
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    d = int(os.environ.get("BENCH_D", 768))
+    k = int(os.environ.get("BENCH_K", 10))
+    b = int(os.environ.get("BENCH_B", 1024))
+    oracle_q = min(b, int(os.environ.get("BENCH_ORACLE_Q", 1024)))
+    per = bucket(n + 1)
+    n_centers = 1024
+
+    @jax.jit
+    def gen_corpus(key):
+        kc, kn = jax.random.split(key)
+        block_rows = per // n_centers
+        centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+        noise_keys = jax.random.split(kn, n_centers)
+
+        def one_center(args):
+            center, nkey = args
+            block = center[None, :] + 0.35 * jax.random.normal(
+                nkey, (block_rows, d), jnp.float32
+            )
+            return block / jnp.linalg.norm(block, axis=-1, keepdims=True)
+
+        vecs = jax.lax.map(one_center, (centers, noise_keys), batch_size=32)
+        return vecs.reshape(per, d), centers
+
+    vectors, centers = gen_corpus(jax.random.PRNGKey(42))
+    codes = quant.Int8Codes.encode(vectors)
+    centers_np = np.asarray(centers)  # 3 MB download
+    rng = np.random.default_rng(7)
+    assign = rng.integers(0, n_centers, size=b)
+    q = centers_np[assign] + 0.35 * rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    mask = np.zeros(per, bool)
+    mask[:n] = True
+
+    # stage the group exactly as MeshVectorGroup.__init__ lays it out, but
+    # from the on-device arrays (no 3.2 GB host staging through the relay)
+    dev = jax.devices()[0]
+    mesh = Mesh(np.array([dev]), ("shard",))
+    sharding = NamedSharding(mesh, P("shard"))
+    group = MeshVectorGroup.__new__(MeshVectorGroup)
+    group.searchers = []
+    group.mesh = mesh
+    group.n_shards = 1
+    group.shards_per_dev = 1
+    group.s_pad = 1
+    group.per = per
+    group.similarity = "dot"
+    group.vectors = jax.device_put(vectors[None], sharding)
+    group.use_codes = True
+    group.codes = jax.device_put(codes.codes[None], sharding)
+    group.scales = jax.device_put(codes.scale[None], sharding)
+    group._mask_sharding = sharding
+    group._q_sharding = NamedSharding(mesh, P(None, None))
+
+    t0 = time.time()
+    gs, gi = group.search(q, k, [mask])
+    compile_s = time.time() - t0
+    t0 = time.time()
+    gs, gi = group.search(q, k, [mask])
+    warm_s = time.time() - t0
+
+    # sequential-path reference on the same arena (the parity target)
+    from nucliadb_tpu.index.vector.device import _search_int8
+
+    ms = device_scalar_f32(-3.0e38)
+    seq_s, seq_i = _search_int8(
+        codes, vectors, jnp.asarray(q), jnp.asarray(mask), ms, k, "dot"
+    )
+    seq_i = np.asarray(seq_i)
+
+    @jax.jit
+    def oracle(vv, mm, qq):
+        from nucliadb_tpu.ops.topk import masked_topk
+
+        def one(qc):
+            scores = jax.lax.dot_general(
+                qc, vv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return masked_topk(scores, k, mask=mm)[1]
+
+        return jax.lax.map(one, qq.reshape(-1, 128, qq.shape[-1])).reshape(-1, k)
+
+    oracle_ids = np.asarray(
+        oracle(vectors, jnp.asarray(mask), jnp.asarray(q[:oracle_q]))
+    )
+
+    def recall(ids):
+        r = [
+            len(set(oracle_ids[i].tolist()) & set(ids[i].tolist())) / k
+            for i in range(oracle_q)
+        ]
+        return float(np.mean(r))
+
+    print(json.dumps({
+        "metric": f"mesh_group_recall_{n}x{d}_top{k}_1dev",
+        "recall_at_10_group": round(recall(gi[0][:oracle_q]), 4),
+        "recall_at_10_sequential": round(recall(seq_i[:oracle_q]), 4),
+        "group_eq_sequential_ids": bool(np.array_equal(gi[0], seq_i[:b])),
+        "oracle_queries": oracle_q,
+        "ms_per_batch_warm": round(warm_s * 1000, 1),
+        "compile_s": round(compile_s, 1),
+        "batch": b,
+        "device": str(dev),
+    }))
+
+
+if __name__ == "__main__":
+    main()
