@@ -210,15 +210,11 @@ class ParagraphSearcher:
             prev=prev.engine if prev is not None else None,
         )
 
-    def search(self, request: ParagraphSearchRequest) -> ParagraphSearchResponse:
-        rest, phrases, excluded = parse_query(request.query)
-        if request.field_filter.is_none:
-            return ParagraphSearchResponse(hits=[], total=0, ematches=[], query_terms=[])
-
-        # prefilter fields AND key_prefixes are separate constraints — both
-        # restrict BEFORE scoring (a post-cut startswith filter both broke
-        # path boundaries and silently emptied pages when matches ranked
-        # below top_k)
+    def _leg_masks(self, request: ParagraphSearchRequest):
+        """(extra_mask, para_filter) for one request — the prefilter fields
+        AND key_prefixes are separate constraints and both restrict BEFORE
+        scoring (a post-cut startswith filter both broke path boundaries and
+        silently emptied pages when matches ranked below top_k)."""
         extra_mask = None
         para_filter = request.filter
         if not request.field_filter.is_all:
@@ -242,6 +238,63 @@ class ParagraphSearcher:
         if request.advanced_query:
             m = advanced_query_mask(self.engine, request.advanced_query)
             extra_mask = m if extra_mask is None else (extra_mask & m)
+        return extra_mask, para_filter
+
+    def plan_kernel_query(self, request: ParagraphSearchRequest) -> "TextQuery | None":
+        """Host-side planning for the mesh text group (parallel/
+        text_group.py): the exact TextQuery ``search`` would dispatch, in
+        the SIMPLE regime the group program covers — scored text, no
+        phrases, no deep-pagination cursor. None = this request needs the
+        per-shard path (the caller falls back, results identical)."""
+        rest, phrases, excluded = parse_query(request.query)
+        if phrases or request.search_after is not None:
+            return None
+        if not rest.strip():
+            return None  # pure filter query: host-only, no kernel to group
+        if request.field_filter.is_none:
+            return None  # caller short-circuits to the empty response
+        extra_mask, para_filter = self._leg_masks(request)
+        return TextQuery(
+            text=rest,
+            phrases=[],
+            excluded=excluded,
+            top_k=request.top_k + request.offset,
+            fuzzy=request.fuzzy,
+            filter=para_filter,
+            extra_mask=extra_mask,
+            min_score=request.min_score,
+            all_terms=request.all_terms,
+        )
+
+    def finish_kernel(
+        self,
+        request: ParagraphSearchRequest,
+        query: "TextQuery",
+        top_s: np.ndarray,
+        top_ic: np.ndarray,
+        matched_count: int,
+    ) -> ParagraphSearchResponse:
+        """Build the response from the mesh text group's per-shard cut —
+        the same tail ``search`` runs after its kernel dispatch (ematch
+        verification, pagination), restricted to the simple regime
+        ``plan_kernel_query`` accepted."""
+        k = top_ic.shape[0] // 2  # the GROUP's k (its score space may be
+        # wider than this shard's n_pad — masked -1 padding makes that safe)
+        hits = self.engine.hits_from_cut(query, top_s, top_ic, k)
+        from ..text_engine.engine import _CountOnly
+
+        matched = _CountOnly(int(matched_count), self.engine.n_docs)
+        return self._finish(
+            request, hits, [True] * len(hits), matched, [], [],
+            [h.doc_id for h in hits],
+        )
+
+    def search(self, request: ParagraphSearchRequest) -> ParagraphSearchResponse:
+        rest, phrases, excluded = parse_query(request.query)
+        if request.field_filter.is_none:
+            return ParagraphSearchResponse(hits=[], total=0, ematches=[], query_terms=[])
+
+        extra_mask, para_filter = self._leg_masks(request)
 
         # over-fetch when phrases must be verified host-side
         fetch_k = request.top_k + request.offset
@@ -295,6 +348,16 @@ class ParagraphSearcher:
             if len(hits) < fetch_k or fetch_k >= self.engine.n_docs:
                 break  # every kernel-matched candidate already fetched
             fetch_k = min(fetch_k * 2, self.engine.n_docs)
+        return self._finish(
+            request, hits, phrase_ok, matched, phrases, phrase_terms, hit_docs
+        )
+
+    def _finish(
+        self, request, hits, phrase_ok, matched, phrases, phrase_terms, hit_docs
+    ) -> ParagraphSearchResponse:
+        """Everything after the kernel cut: ematch verification, exact
+        totals, deep-pagination cursor cut, page slice. Shared by ``search``
+        and the mesh group's ``finish_kernel``."""
         # ematch verification runs on the positive query terms only (in
         # their original order) — excluded (-term) tokens are not part of
         # the exact-match phrase

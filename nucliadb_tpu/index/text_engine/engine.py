@@ -1182,6 +1182,24 @@ class DeviceTextEngine:
             hits = [h for h in hits if self.verify_all_terms(h.doc_id, query)]
         return hits, matched_np
 
+    def hits_from_cut(
+        self, query: TextQuery, top_s: np.ndarray, top_ic: np.ndarray, k: int
+    ) -> list[TextHit]:
+        """Materialize TextHits from an externally-run kernel cut (the mesh
+        text group path, parallel/text_group.py): ``top_ic`` is the packed
+        [k ids | k counts] array a ``_bm25_search``-family kernel returns.
+        Applies the same host-side all_terms verification as ``search``."""
+        top_i, top_counts = top_ic[:k], top_ic[k:]
+        hits = [
+            TextHit(key=self.keys[d], score=float(s), doc_id=int(d),
+                    attrs=self.attrs[d], term_count=int(c))
+            for s, d, c in zip(top_s, top_i, top_counts)
+            if d >= 0
+        ]
+        if query.all_terms and query.fuzzy and query.text.strip():
+            hits = [h for h in hits if self.verify_all_terms(h.doc_id, query)]
+        return hits
+
     def search_batch(
         self, queries: list[TextQuery], *, need_matched: bool = True
     ) -> list[tuple[list[TextHit], np.ndarray]]:

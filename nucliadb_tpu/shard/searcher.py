@@ -294,12 +294,14 @@ class ShardSearcher:
         *,
         prefilter: "PrefilterResult | None" = None,
         vector_hits: "list[VectorHit] | None" = None,
+        paragraph_response: "ParagraphSearchResponse | None" = None,
     ) -> ShardSearchResponse:
-        """``prefilter``/``vector_hits`` are the mesh serving path's
-        precomputed pieces (services/searcher.py search_multi): the group
-        program already ran the vector leg for every co-resident shard, so
-        this call only executes the remaining legs against the SAME
-        prefilter it used for the vector masks."""
+        """``prefilter``/``vector_hits``/``paragraph_response`` are the mesh
+        serving path's precomputed pieces (services/searcher.py
+        search_multi): the group programs already ran the vector and keyword
+        legs for every co-resident shard, so this call only executes the
+        remaining legs against the SAME prefilter they used for their
+        masks."""
         response = ShardSearchResponse()
 
         if prefilter is None:
@@ -399,9 +401,14 @@ class ShardSearcher:
         if vector_hits is not None and want_vector:
             # the vector leg already ran (group program) — no device
             # dispatch left to overlap, so the paragraph leg runs inline
+            # (or, when the mesh text group ran it too, not at all)
             response.vector = vector_hits
             if want_paragraph:
-                response.paragraph = run_paragraph()
+                response.paragraph = (
+                    paragraph_response
+                    if paragraph_response is not None
+                    else run_paragraph()
+                )
         elif want_paragraph and want_vector:
             # hybrid: the two device programs dispatch from parallel threads
             # so their host<->device round trips overlap (parity: the
