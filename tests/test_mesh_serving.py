@@ -411,3 +411,113 @@ def test_group_quantized_regime(tmp_path, monkeypatch):
             for ids in (set(seq_results[si][1][b].tolist()), set(gi[si, b].tolist())):
                 ids.discard(-1)
                 assert len(ids & oracle_ids) >= int(0.95 * k), (si, b, ids, oracle_ids)
+
+
+def _multi_shard_kb(tmp_path, monkeypatch, n_res=17, d=8):
+    """A KB forced onto several shards with deterministic bodies/embeddings."""
+    monkeypatch.setattr(kbmod, "MAX_RESOURCES_PER_SHARD", 6)
+    rng = np.random.default_rng(7)
+    driver = Driver(str(tmp_path / "db.sqlite"))
+    node = EmbeddedNode(data_dir=str(tmp_path / "node"))
+    kbs = KnowledgeBoxManager(driver, node)
+    kbid = kbs.create(
+        KnowledgeBoxConfig(slug="msk", vectorsets={"m": VectorSetSpec(dimension=d)})
+    )
+    processor = Processor(driver, node, kbs)
+    search = SearchService(node, kbs, processor)
+    for i in range(n_res):
+        v = rng.standard_normal(d).astype(np.float32)
+        v /= np.linalg.norm(v)
+        body = f"{VOCAB[i % len(VOCAB)]} {VOCAB[(i + 1) % len(VOCAB)]} doc{i}"
+        processor.create_resource(
+            kbid,
+            CreateResourcePayload(
+                title=f"r{i}",
+                texts={"t": TextFieldPayload(body=body)},
+                embeddings={
+                    "m": {"t": [SentenceEmbedding(start=0, end=len(body), vector=v.tolist())]}
+                },
+            ),
+        )
+    node.wait_for_sync()
+    assert len(kbs.get_shards(kbid).shards) > 1
+    return node, kbs, search, kbid, rng
+
+
+def test_mesh_find_dispatch_count(tmp_path, monkeypatch):
+    """VERDICT r4 done-criterion (task 2): a hybrid /find over N co-resident
+    shards dispatches <= 2 sharded device programs total — ONE vector group
+    program + ONE text group program, NOT 2 per shard. Counted by
+    instrumenting the group entry points; the per-shard leg searchers must
+    not run at all on the mesh path. Parity target: the reference executes
+    every index leg inside the per-shard parallel fan-out
+    (nidx/src/searcher/shard_search.rs:211-273); here co-resident shards'
+    legs fuse into one program each."""
+    from nucliadb_tpu.index.paragraph import ParagraphSearcher
+    from nucliadb_tpu.parallel.text_group import MeshTextGroup
+
+    node, kbs, search, kbid, rng = _multi_shard_kb(tmp_path, monkeypatch)
+    monkeypatch.setenv("NDBTPU_MESH_SERVING", "1")
+    qv = rng.standard_normal(8).astype(np.float32)
+    qv /= np.linalg.norm(qv)
+    req = FindRequest(
+        query=f"{VOCAB[0]} {VOCAB[1]}",
+        vector=qv.tolist(),
+        features=[SearchFeature.KEYWORD, SearchFeature.SEMANTIC],
+        top_k=20,
+    )
+    warm = search.find(kbid, req)  # group construction/caches not under test
+    assert warm.best_matches
+
+    counts = {"vgroup": 0, "tgroup": 0, "vseq": 0, "pseq": 0}
+
+    def wrap(cls, key):
+        orig = cls.search
+
+        def counted(self, *a, **kw):
+            counts[key] += 1
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(cls, "search", counted)
+
+    wrap(MeshVectorGroup, "vgroup")
+    wrap(MeshTextGroup, "tgroup")
+    wrap(VectorSearcher, "vseq")
+    wrap(ParagraphSearcher, "pseq")
+
+    resp = search.find(kbid, req)
+    assert resp.best_matches == warm.best_matches
+    assert counts == {"vgroup": 1, "tgroup": 1, "vseq": 0, "pseq": 0}, counts
+
+
+def test_search_many_concurrent_overlap(tmp_path, monkeypatch):
+    """VERDICT r4 done-criterion (task 3): the mesh-ineligible multi-shard
+    fallback fans shards out CONCURRENTLY (parity:
+    nidx/src/searcher/shards_query.rs:29-72). A keyword-only request
+    (vector=None) always takes _search_many; with an injected 0.5 s
+    per-shard delay, a 3-shard /find must finish in well under the 1.5 s a
+    sequential loop would need."""
+    import time
+
+    from nucliadb_tpu.services.searcher import SyncedSearcher
+
+    node, kbs, search, kbid, rng = _multi_shard_kb(tmp_path, monkeypatch)
+    req = FindRequest(query=VOCAB[0], features=[SearchFeature.KEYWORD], top_k=20)
+    warm = search.find(kbid, req)  # compiles + LRU warm before timing
+    n_shards = len(kbs.get_shards(kbid).shards)
+    assert n_shards >= 3
+
+    delay = 0.5
+    orig = SyncedSearcher.search
+
+    def slow(self, shard_id, request):
+        time.sleep(delay)
+        return orig(self, shard_id, request)
+
+    monkeypatch.setattr(SyncedSearcher, "search", slow)
+    t0 = time.perf_counter()
+    resp = search.find(kbid, req)
+    wall = time.perf_counter() - t0
+    assert resp.best_matches == warm.best_matches
+    assert wall >= delay  # the delay was really injected per shard
+    assert wall < 2 * delay, (wall, n_shards)  # sequential would be >= 3x
