@@ -166,10 +166,8 @@ class _CountOnly:
 
 class _PendingTextBatch:
     """In-flight batched BM25 search: device buffers dispatched, results not
-    yet downloaded. ``start_fetch()`` begins the device→host copies without
-    blocking (so a caller holding several pendings can overlap ALL their
-    transfers before the first blocking wait); ``finalize()`` downloads and
-    builds the per-query results."""
+    yet downloaded. ``finalize()`` downloads (one overlapped device_fetch
+    wait for every buffer) and builds the per-query results."""
 
     __slots__ = ("engine", "queries", "k", "need_matched", "buffers")
 
@@ -179,15 +177,6 @@ class _PendingTextBatch:
         self.k = k
         self.need_matched = need_matched
         self.buffers = buffers
-
-    def start_fetch(self) -> None:
-        for b in self.buffers:
-            ch = getattr(b, "copy_to_host_async", None)
-            if ch is not None:
-                try:
-                    ch()
-                except Exception:
-                    pass
 
     def finalize(self) -> list:
         return self.engine._finalize_batch(

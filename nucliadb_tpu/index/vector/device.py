@@ -604,11 +604,22 @@ class DeviceVectorIndex:
             cand = _int8_candidates_jit(self.codes, qj, c, jnp.asarray(mask_np))
             qj, cand = device_fetch(qj, cand)
             return self._host_rerank_cut(qj, cand, k, min_score, dedup)
-        # stream: per-chunk exact top-k on device, host merge
+        # stream: per-chunk exact top-k on device, host merge. Pipelined one
+        # chunk ahead: chunk n+1's upload+kernel dispatch overlaps chunk n's
+        # device→host fetch, while at most TWO chunks are live on device
+        # (this tier exists because the arena exceeds HBM — dispatching all
+        # chunks up front would queue every chunk's upload at once)
         qj = prepare_query(jnp.asarray(qp), sim)
         k2 = min((2 * k + 8) if dedup else k, self.p_pad)
         parts_s, parts_i = [], []
         rows = self.chunk_rows
+        pending = None  # (chunk start, device scores, device ids)
+
+        def _collect(p):
+            s, i = device_fetch(p[1], p[2])
+            parts_s.append(s)
+            parts_i.append(np.where(i >= 0, i + p[0], -1))
+
         for start in range(0, self.p_pad, rows):
             chunk = self.vectors_host[start : start + rows]
             if chunk.shape[0] < rows:  # stable compiled shape for the tail
@@ -620,9 +631,11 @@ class DeviceVectorIndex:
             s, i = _stream_chunk_topk(
                 jnp.asarray(chunk), qj, jnp.asarray(m), min(k2, rows)
             )
-            s, i = device_fetch(s, i)
-            parts_s.append(s)
-            parts_i.append(np.where(i >= 0, i + start, -1))
+            if pending is not None:
+                _collect(pending)
+            pending = (start, s, i)
+        if pending is not None:
+            _collect(pending)
         all_s = np.concatenate(parts_s, axis=-1)
         all_i = np.concatenate(parts_i, axis=-1)
         order = np.argsort(-all_s, axis=-1, kind="stable")[:, :k2]

@@ -23,13 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.platform import device_fetch
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.text_engine.engine import DeviceTextEngine, TextQuery, _bm25_search
 from ..ops import quant
 from ..ops.distance import exact_rerank, prepare_query
+from ..utils.platform import device_fetch
 from ..ops.fusion import rrf_merge
 from ..ops.topk import sharded_topk_allgather
 from .text_mesh import MeshShardedTextEngine

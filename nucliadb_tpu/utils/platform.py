@@ -75,6 +75,9 @@ def device_scalar_f32(value: float) -> jax.Array:
     return out
 
 
+_async_copy_rejected = False
+
+
 def device_fetch(*arrays):
     """Download several device arrays with ONE blocking wait.
 
@@ -87,11 +90,23 @@ def device_fetch(*arrays):
     """
     import numpy as _np
 
+    global _async_copy_rejected
     for a in arrays:
         ch = getattr(a, "copy_to_host_async", None)
         if ch is not None:
             try:
                 ch()
-            except Exception:
-                pass  # fully-replicated/committed edge cases: fall through
+            except Exception as exc:
+                # fully-replicated/committed arrays can reject the async
+                # copy; every call then degrades to serial fetches, so make
+                # the first rejection observable instead of silently slow
+                if not _async_copy_rejected:
+                    _async_copy_rejected = True
+                    import logging
+
+                    logging.getLogger(__name__).debug(
+                        "copy_to_host_async rejected (%s: %s); "
+                        "falling back to serial device fetches",
+                        type(exc).__name__, exc,
+                    )
     return tuple(_np.asarray(a) for a in arrays)
