@@ -42,7 +42,7 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="nucliadb_tpu component runner")
     parser.add_argument("components", nargs="+",
                         choices=["ingest", "scheduler", "worker", "searcher",
-                                 "api", "train", "writer"])
+                                 "api", "train", "writer", "substrate"])
     parser.add_argument("--data-dir", default="./data")
     parser.add_argument("--grpc-address", default="127.0.0.1:10000")
     parser.add_argument("--train-address", default="127.0.0.1:10001")
@@ -59,6 +59,18 @@ def main() -> None:
         help="address to SERVE the substrate on from this process (it owns"
         " the backing files under --data-dir); other hosts point their"
         " --substrate here",
+    )
+    parser.add_argument(
+        "--substrate-standby", default="",
+        help="with --serve-substrate: address of a standby substrate"
+        " (started with --substrate-follower) to bootstrap and ship every"
+        " mutating op to synchronously — zero acked-write loss on primary"
+        " kill (the PG warm-standby posture, nidx/src/metadata.rs)",
+    )
+    parser.add_argument(
+        "--substrate-follower", action="store_true",
+        help="with --serve-substrate: start as an UNPROMOTED standby that"
+        " serves nothing until promoted (repl.promote over the wire)",
     )
     parser.add_argument(
         "--topology", default="",
@@ -85,23 +97,42 @@ def main() -> None:
         _supervise()
         return
 
-    from ..utils.platform import configure_jax
-
-    # fail-fast, single-threaded backend init before any component thread
-    # touches jax (see standalone/app.py)
-    configure_jax(init_backend=True)
-
     import os
 
+    substrate_only = set(args.components) == {"substrate"}
     substrate_server = None
     if args.serve_substrate:
         from ..substrate import SubstrateServer
 
         substrate_server = SubstrateServer(
-            os.path.join(args.data_dir, "substrate"), address=args.serve_substrate
+            os.path.join(args.data_dir, "substrate"),
+            address=args.serve_substrate,
+            follower=args.substrate_follower,
         )
         substrate_server.start()
-        print(f"substrate served on port {substrate_server.port}")
+        role = "standby" if args.substrate_follower else "primary"
+        print(f"substrate ({role}) served on port {substrate_server.port}")
+        if args.substrate_standby:
+            substrate_server.attach_follower(args.substrate_standby)
+            print(f"standby attached at {args.substrate_standby}")
+        if args.substrate_follower or substrate_only:
+            # a pure substrate role (primary or unpromoted standby) serves
+            # only the data plane — never init the TPU backend or boot
+            # components in this process
+            try:
+                while True:
+                    time.sleep(3600)
+            except KeyboardInterrupt:
+                substrate_server.stop()
+            return
+    elif substrate_only:
+        raise SystemExit("component 'substrate' requires --serve-substrate")
+
+    from ..utils.platform import configure_jax
+
+    # fail-fast, single-threaded backend init before any component thread
+    # touches jax (see standalone/app.py)
+    configure_jax(init_backend=True)
 
     def make_driver():
         if substrate_server is not None:

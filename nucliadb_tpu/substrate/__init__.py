@@ -56,6 +56,23 @@ _DATACLASSES = {
     c.__name__: c for c in (ShardMeta, IndexMeta, SegmentRow, MergeJob, BusMessage)
 }
 
+# Replication classifies methods by effect: anything NOT read-only is
+# shipped to an attached warm standby. The inversion is deliberate — a
+# newly added mutating method defaults to replicated (over-shipping a read
+# would merely be wasted bytes; under-shipping a write silently diverges
+# the standby).
+_READ_ONLY: dict[str, frozenset] = {
+    "meta": frozenset({
+        "last_seq", "get_shard", "list_shards", "get_indexes", "get_index",
+        "indexes_updated_since", "ready_segments", "deletions_for_index",
+        "purgeable_segments", "merge_job_segments", "pending_merge_jobs",
+        "ack_floor",
+    }),
+    "bus": frozenset({"scan", "in_progress", "last_seq", "ack_floor", "pending"}),
+    "kv": frozenset({"get", "batch_get", "keys", "count"}),
+    "blob": frozenset({"get", "exists", "list"}),
+}
+
 
 def _enc(v: Any) -> Any:
     if isinstance(v, Seq):
@@ -133,27 +150,53 @@ class _KvFacade:
 
 
 class SubstrateServer:
-    """Serves the metadata / bus / KV / blob backends over gRPC."""
+    """Serves the metadata / bus / KV / blob backends over gRPC.
+
+    Warm standby (the HA posture the reference gets from PostgreSQL
+    replication, nidx/src/metadata.rs:37-100): a second SubstrateServer
+    started with ``follower=True`` serves nothing until promoted. The
+    primary's ``attach_follower(addr)`` ships a full snapshot (bootstrap),
+    then every mutating RPC is shipped to the standby SYNCHRONOUSLY —
+    inside the same critical section as its local execution, BEFORE the
+    client's call returns — so an acked write is on both hosts by the time
+    the caller sees the ack (zero acked-write loss on primary kill). On
+    primary failure the operator calls ``promote()`` (locally or via the
+    wire) and points clients at the standby's address.
+
+    Degradation: if a ship fails, the standby is DETACHED (logged loudly)
+    and the primary keeps serving — availability over replication, the
+    equivalent of dropping a dead PG sync standby from
+    synchronous_standby_names. A detached standby must re-bootstrap.
+    Statement-shipped ops re-execute on the standby; wall-clock-dependent
+    state (merge-job lease expiries, bus redelivery deadlines) may differ
+    by the replication delay, which affects retry TIMING only, never acked
+    data.
+    """
 
     def __init__(
         self,
         data_dir: str,
         address: str = "127.0.0.1:0",
         workers: int = 16,
+        follower: bool = False,
     ):
         import os
 
+        self.data_dir = data_dir
+        self.follower = follower
+        self._repl_lock = threading.Lock()  # total order of mutating ops
+        self._repl_fn = None  # primary: stub to the attached standby
+        self._repl_chan = None
+        self._shipped = 0  # primary: entries shipped
+        self._applied = 0  # follower: entries applied
         os.makedirs(data_dir, exist_ok=True)
-        self.metadata = MetadataStore(os.path.join(data_dir, "metadata.db"))
-        self.bus = EmbeddedBus(os.path.join(data_dir, "bus.db"))
-        self.driver = Driver(os.path.join(data_dir, "maindb.db"))
-        self.storage = LocalStorage(os.path.join(data_dir, "blobs"))
-        self._targets = {
-            "meta": self.metadata,
-            "bus": self.bus,
-            "kv": _KvFacade(self.driver),
-            "blob": self.storage,
-        }
+        if follower:
+            # backends open at bootstrap_done (the shipped snapshot), or at
+            # promote() for a standby promoted without ever syncing
+            self.metadata = self.bus = self.driver = self.storage = None
+            self._targets: dict[str, Any] = {}
+        else:
+            self._open_backends()
         self.server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=workers),
             options=[
@@ -173,11 +216,176 @@ class SubstrateServer:
         )
         self.port = self.server.add_insecure_port(address)
 
+    def _open_backends(self) -> None:
+        import os
+
+        self.metadata = MetadataStore(os.path.join(self.data_dir, "metadata.db"))
+        self.bus = EmbeddedBus(os.path.join(self.data_dir, "bus.db"))
+        self.driver = Driver(os.path.join(self.data_dir, "maindb.db"))
+        self.storage = LocalStorage(os.path.join(self.data_dir, "blobs"))
+        self._targets = {
+            "meta": self.metadata,
+            "bus": self.bus,
+            "kv": _KvFacade(self.driver),
+            "blob": self.storage,
+        }
+
     def start(self) -> None:
         self.server.start()
 
     def stop(self, grace: float = 1.0) -> None:
         self.server.stop(grace)
+        if self._repl_chan is not None:
+            self._repl_chan.close()
+            self._repl_chan = self._repl_fn = None
+
+    # -- warm standby ----------------------------------------------------
+
+    def attach_follower(self, address: str, timeout: float = 60.0) -> None:
+        """Bootstrap a follower SubstrateServer at ``address`` with a full
+        snapshot, then ship every subsequent mutating op synchronously.
+        Mutations stall for the duration of the snapshot (it runs under the
+        replication lock so the bootstrap + op stream is a consistent
+        prefix)."""
+        import os
+        import shutil
+        import tempfile
+
+        chan = grpc.insecure_channel(
+            address,
+            options=[
+                ("grpc.max_send_message_length", _MAX_MSG),
+                ("grpc.max_receive_message_length", _MAX_MSG),
+            ],
+        )
+        fn = chan.unary_unary(
+            _SERVICE + "Call",
+            request_serializer=msgpack.packb,
+            response_deserializer=msgpack.unpackb,
+        )
+
+        def repl(method, *args):
+            out = fn({"t": "repl", "m": method, "a": list(args)}, timeout=timeout)
+            if "err" in out:
+                raise RuntimeError(f"standby {method} failed: {out['err']}")
+            return out.get("v")
+
+        with self._repl_lock:
+            tmp = tempfile.mkdtemp(prefix="substrate_bootstrap_")
+            try:
+                self.snapshot(tmp)
+                repl("bootstrap_begin")
+                for root, _dirs, files in os.walk(tmp):
+                    for name in files:
+                        full = os.path.join(root, name)
+                        rel = os.path.relpath(full, tmp)
+                        with open(full, "rb") as f:
+                            repl("bootstrap_file", rel, f.read())
+                repl("bootstrap_done", 0)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            self._shipped = 0
+            self._repl_fn, self._repl_chan = fn, chan
+
+    def promote(self) -> None:
+        """Make this follower the serving primary (the operator points
+        clients at this address). Safe on a never-bootstrapped standby: it
+        promotes to an empty substrate."""
+        if not self._targets:
+            self._open_backends()
+        self.follower = False
+
+    def _ship(self, t: str, m: str, request: dict) -> None:
+        """Ship one executed op to the standby; detach it on failure
+        (called under _repl_lock)."""
+        entry = {
+            "i": self._shipped + 1, "t": t, "m": m,
+            "a": request.get("a", []), "k": request.get("k", {}),
+        }
+        try:
+            out = self._repl_fn(
+                {"t": "repl", "m": "apply", "a": [entry]}, timeout=30.0
+            )
+            if "err" in out:
+                raise RuntimeError(out["err"])
+            self._shipped += 1
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).error(
+                "standby ship failed after %d entries — DETACHING standby "
+                "(it must re-bootstrap); acked writes are no longer "
+                "replicated", self._shipped, exc_info=True,
+            )
+            chan, self._repl_fn, self._repl_chan = self._repl_chan, None, None
+            if chan is not None:
+                chan.close()
+
+    def _repl_call(self, method: str, request: dict):
+        """Replication-plane handler (target ``repl``)."""
+        import os
+
+        args = request.get("a", [])
+        try:
+            if method == "apply":
+                entry = args[0]
+                if not self.follower:
+                    raise ValueError("not a follower (already promoted?)")
+                if not self._targets:
+                    raise ValueError("standby not bootstrapped")
+                if entry["i"] != self._applied + 1:
+                    raise ValueError(
+                        f"replication gap: expected {self._applied + 1}, "
+                        f"got {entry['i']} — re-bootstrap required"
+                    )
+                self._execute(entry["t"], entry["m"], entry["a"], entry["k"])
+                self._applied = entry["i"]
+                return {"v": None}
+            if method == "bootstrap_begin":
+                if not self.follower:
+                    raise ValueError("not a follower (already promoted?)")
+                # a re-bootstrap (after detach) must not leave stale sqlite
+                # WAL/SHM files shadowing the shipped snapshot: close the
+                # old connections and wipe the backing files
+                import shutil
+
+                for backend in (self.metadata, self.bus, self.driver):
+                    conn = getattr(backend, "_conn", None)
+                    if conn is not None:
+                        conn.close()
+                self._targets = {}
+                self.metadata = self.bus = self.driver = self.storage = None
+                for entry in os.listdir(self.data_dir):
+                    full = os.path.join(self.data_dir, entry)
+                    if os.path.isdir(full):
+                        shutil.rmtree(full, ignore_errors=True)
+                    else:
+                        os.unlink(full)
+                self._applied = 0
+                return {"v": None}
+            if method == "bootstrap_file":
+                rel, data = args[0], args[1]
+                dst = os.path.normpath(os.path.join(self.data_dir, rel))
+                root = os.path.normpath(self.data_dir)
+                if dst != root and not dst.startswith(root + os.sep):
+                    raise ValueError(f"bootstrap path escapes data dir: {rel}")
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                with open(dst, "wb") as f:
+                    f.write(data)
+                return {"v": None}
+            if method == "bootstrap_done":
+                self._open_backends()
+                self._applied = int(args[0])
+                return {"v": None}
+            if method == "promote":  # operator promotion over the wire
+                self.promote()
+                return {"v": None}
+            if method == "status":
+                return {"v": {"follower": self.follower, "applied": self._applied,
+                              "shipped": self._shipped}}
+            raise ValueError(f"bad repl method {method}")
+        except Exception as e:
+            return {"err": str(e), "err_type": type(e).__name__}
 
     def snapshot(self, dest_dir: str) -> dict:
         """Online snapshot of the whole substrate (the single-process
@@ -188,6 +396,8 @@ class SubstrateServer:
         import os
         import shutil
 
+        if not self._targets:
+            raise ValueError("standby has no state to snapshot (not bootstrapped)")
         os.makedirs(dest_dir, exist_ok=True)
         self.metadata.backup(os.path.join(dest_dir, "metadata.db"))
         self.bus.backup(os.path.join(dest_dir, "bus.db"))
@@ -205,22 +415,46 @@ class SubstrateServer:
             n_blobs += 1
         return {"blobs": n_blobs}
 
-    def _call(self, request, context):
-        target = self._targets.get(request["t"])
-        method = request["m"]
+    def _execute(self, target_name: str, method: str, args: list, kwargs: dict):
+        """Resolve and run one backend call (shared by the serving plane and
+        the standby's replication apply). Raises on bad target/method."""
+        target = self._targets.get(target_name)
         if target is None or method.startswith("_"):
-            return {"err": f"bad target/method {request['t']}.{method}",
-                    "err_type": "ValueError"}
+            raise ValueError(f"bad target/method {target_name}.{method}")
         fn = getattr(target, method, None)
         if fn is None or not callable(fn):
-            return {"err": f"no method {request['t']}.{method}",
-                    "err_type": "AttributeError"}
+            raise AttributeError(f"no method {target_name}.{method}")
+        out = fn(
+            *[_dec(a) for a in args],
+            **{k: _dec(v) for k, v in kwargs.items()},
+        )
+        if isinstance(out, Iterator):
+            out = list(out)
+        return out
+
+    def _call(self, request, context):
+        t = request["t"]
+        method = request["m"]
+        if t == "repl":
+            return self._repl_call(method, request)
+        if self.follower:
+            # split-brain guard: an unpromoted standby serves nothing
+            return {"err": "substrate standby not promoted",
+                    "err_type": "ValueError"}
+        args = request.get("a", [])
+        kwargs = request.get("k", {})
+        mutating = method not in _READ_ONLY.get(t, frozenset())
         try:
-            args = [_dec(a) for a in request.get("a", [])]
-            kwargs = {k: _dec(v) for k, v in request.get("k", {}).items()}
-            out = fn(*args, **kwargs)
-            if isinstance(out, Iterator):
-                out = list(out)
+            if mutating and self._repl_fn is not None:
+                # execute + ship under one lock: the standby applies ops in
+                # the primary's execution order, and the client's ack only
+                # happens after the standby holds the op
+                with self._repl_lock:
+                    out = self._execute(t, method, args, kwargs)
+                    if self._repl_fn is not None:
+                        self._ship(t, method, request)
+            else:
+                out = self._execute(t, method, args, kwargs)
             return {"v": _enc(out)}
         except Exception as e:  # propagate typed errors to the client
             return {"err": str(e), "err_type": type(e).__name__}

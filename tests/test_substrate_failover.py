@@ -1,0 +1,205 @@
+"""Substrate warm standby: bootstrap snapshot + synchronous op shipping +
+kill-primary promotion with ZERO acked-write loss.
+
+The reference's HA posture comes from PostgreSQL replication
+(nidx/src/metadata.rs:37-100 assumes an HA-able PG); the substrate's
+equivalent is a follower SubstrateServer the primary bootstraps with a full
+snapshot and then ships every mutating RPC to synchronously — inside the
+same critical section as local execution, BEFORE the client's ack. Killing
+the primary therefore never loses a write a client saw acked (VERDICT r4
+task 9)."""
+
+import threading
+
+import grpc
+import msgpack
+import pytest
+
+from nucliadb_tpu.substrate import (
+    RemoteBus,
+    RemoteDriver,
+    RemoteMetadataStore,
+    RemoteStorage,
+    SubstrateServer,
+)
+from nucliadb_tpu.types import Seq
+
+
+@pytest.fixture()
+def pair(tmp_path):
+    primary = SubstrateServer(str(tmp_path / "primary"))
+    primary.start()
+    standby = SubstrateServer(str(tmp_path / "standby"), follower=True)
+    standby.start()
+    yield primary, f"127.0.0.1:{primary.port}", standby, f"127.0.0.1:{standby.port}"
+    primary.stop(0)
+    standby.stop(0)
+
+
+def _repl(addr, method, *args):
+    """Operator-side replication-plane RPC (e.g. promote over the wire)."""
+    with grpc.insecure_channel(addr) as chan:
+        fn = chan.unary_unary(
+            "/ndbtpu.Substrate/Call",
+            request_serializer=msgpack.packb,
+            response_deserializer=msgpack.unpackb,
+        )
+        out = fn({"t": "repl", "m": method, "a": list(args)}, timeout=10.0)
+    if "err" in out:
+        raise RuntimeError(out["err"])
+    return out.get("v")
+
+
+def test_standby_serves_nothing_until_promoted(pair):
+    _, _, standby, standby_addr = pair
+    kv = RemoteDriver(standby_addr)
+    with pytest.raises(ValueError, match="not promoted"):
+        kv._call("get", "any")
+    kv.close()
+
+
+def test_failover_zero_acked_write_loss(pair):
+    primary, primary_addr, standby, standby_addr = pair
+    kv = RemoteDriver(primary_addr)
+    meta = RemoteMetadataStore(primary_addr)
+    bus = RemoteBus(primary_addr)
+    blob = RemoteStorage(primary_addr)
+
+    # state BEFORE attach — must arrive via the bootstrap snapshot
+    with kv as txn:
+        txn.set("pre/a", b"1")
+    meta.create_shard("s1", "kb1", {"x": 1})
+    bus.publish("st", "p.0", b"m-pre")
+    blob.put("segments/pre", b"pre-bytes")
+
+    primary.attach_follower(standby_addr)
+
+    # acked writes AFTER attach — must arrive via synchronous shipping
+    for i in range(30):
+        with kv as txn:
+            txn.set(f"post/{i}", str(i).encode())
+    idx = meta.create_index("s1", "text", "text", {"cfg": True})
+    seg = meta.create_segment(idx.id, Seq(5), 10, index_metadata={"kind": "text"})
+    meta.commit_operation(
+        ready_segments=[seg.id],
+        deletions=[(idx.id, Seq(6), ["r1/"])],
+        touched_indexes=[idx.id],
+    )
+    bus_seqs = [bus.publish("st", "p.0", f"m{i}".encode()) for i in range(5)]
+    m = bus.next("st", "c1")
+    bus.ack("st", "c1", m.seq)
+    blob.put("segments/post", b"post-bytes" * 100)
+    assert kv.compare_and_swap("lock/a", None, b"owner1")
+    status = _repl(standby_addr, "status")
+    assert status["follower"] and status["applied"] > 0
+
+    # KILL the primary: no grace, in-flight work cancelled
+    primary.server.stop(None).wait()
+    for c in (kv, meta, bus, blob):
+        c.close()
+
+    # promote over the wire and point clients at the standby
+    _repl(standby_addr, "promote")
+    kv2 = RemoteDriver(standby_addr)
+    meta2 = RemoteMetadataStore(standby_addr)
+    bus2 = RemoteBus(standby_addr)
+    blob2 = RemoteStorage(standby_addr)
+    with kv2 as txn:
+        assert txn.get("pre/a") == b"1"
+        for i in range(30):
+            assert txn.get(f"post/{i}") == str(i).encode()
+    assert meta2.get_shard("s1").kbid == "kb1"
+    ready = meta2.ready_segments(idx.id)
+    assert [s.id for s in ready] == [seg.id]
+    assert meta2.deletions_for_index(idx.id) == [("r1/", Seq(6))]
+    scans = bus2.scan("st", after_seq=0)
+    assert [x.payload for x in scans] == [b"m-pre"] + [f"m{i}".encode() for i in range(5)]
+    assert bus2.ack_floor("st", "c1") == m.seq  # consumer state replicated
+    assert blob2.get("segments/pre") == b"pre-bytes"
+    assert blob2.get("segments/post") == b"post-bytes" * 100
+    # CAS state replicated: the lock owner survives failover
+    assert not kv2.compare_and_swap("lock/a", None, b"owner2")
+    # the promoted standby is a normal primary: it takes new writes
+    with kv2 as txn:
+        txn.set("after-failover", b"yes")
+    with kv2 as txn:
+        assert txn.get("after-failover") == b"yes"
+    for c in (kv2, meta2, bus2, blob2):
+        c.close()
+
+
+def test_kill_primary_mid_write_stream(pair):
+    """A writer acks sequential increments while the primary dies under it:
+    every increment the CLIENT saw acked is on the promoted standby."""
+    primary, primary_addr, standby, standby_addr = pair
+    primary.attach_follower(standby_addr)
+    kv = RemoteDriver(primary_addr)
+    kv._RETRIES = 1  # fail fast once the primary is gone
+    kv._RETRY_SLEEP = 0.05
+    acked = []
+    go = threading.Event()
+
+    def writer():
+        go.set()
+        for i in range(10_000):
+            try:
+                with kv as txn:
+                    txn.set(f"ctr/{i}", str(i).encode())
+            except Exception:
+                return  # unacked: the kill landed mid-call
+            acked.append(i)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    go.wait()
+    while len(acked) < 25:  # let some writes through, then kill mid-stream
+        pass
+    primary.server.stop(None)
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert len(acked) >= 25
+    kv.close()
+
+    _repl(standby_addr, "promote")
+    kv2 = RemoteDriver(standby_addr)
+    with kv2 as txn:
+        for i in acked:  # ZERO acked-write loss
+            assert txn.get(f"ctr/{i}") == str(i).encode(), i
+    kv2.close()
+
+
+def test_replication_gap_detaches_standby(pair, caplog):
+    """A standby that misses an entry (simulated by bumping its applied
+    cursor expectation) rejects the next apply; the primary detaches it
+    loudly and keeps serving."""
+    primary, primary_addr, standby, standby_addr = pair
+    primary.attach_follower(standby_addr)
+    kv = RemoteDriver(primary_addr)
+    with kv as txn:
+        txn.set("a", b"1")
+    standby._applied += 5  # simulate divergence
+    with kv as txn:
+        txn.set("b", b"2")  # ship fails -> detach, write still acked
+    assert primary._repl_fn is None
+    with kv as txn:  # primary keeps serving unreplicated
+        txn.set("c", b"3")
+        assert txn.get("b") == b"2"
+    # a detached standby can re-bootstrap and catch up fully
+    primary.attach_follower(standby_addr)
+    with kv as txn:
+        txn.set("d", b"4")
+    primary.server.stop(None).wait()
+    kv.close()
+    _repl(standby_addr, "promote")
+    kv2 = RemoteDriver(standby_addr)
+    with kv2 as txn:
+        assert [txn.get(k) for k in "abcd"] == [b"1", b"2", b"3", b"4"]
+    kv2.close()
+
+
+def test_snapshot_guard_and_empty_promote(tmp_path):
+    s = SubstrateServer(str(tmp_path / "f"), follower=True)
+    with pytest.raises(ValueError, match="no state"):
+        s.snapshot(str(tmp_path / "snap"))
+    s.promote()  # never bootstrapped: promotes to an empty substrate
+    assert s._targets and not s.follower
