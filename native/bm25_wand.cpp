@@ -1,0 +1,267 @@
+// Single-core BM25 + WAND top-k scorer: the in-tree CPU baseline.
+//
+// The reference's text engine is tantivy (Rust), which this image cannot
+// build — bench_suite's config 3 previously compared the TPU engine to a
+// numpy strawman. This is the honest replacement: a real document-at-a-time
+// WAND evaluator (Broder et al. 2003, the algorithm family tantivy/Lucene
+// use for top-k union scoring) over the SAME CSR postings the native
+// builder (postings.cpp) produces with the SAME tokenizer, scoring
+// Lucene-compatible BM25 (k1=1.2, b=0.75 — engine.py:32-33). Single
+// core, cache-friendly cursor layout, GIL released during evaluation.
+//
+// Entry points (buffer-protocol arrays, like the rest of this module):
+//   bm25_max_tfnorm(offsets i64[nt+1], tfs u16[nnz], dl_norm f32[n_docs],
+//                   docs i32[nnz], k1)
+//       -> bytes f32[nt]: per-term max of (k1+1)*tf/(tf + k1*dl_norm[doc]),
+//          the tf-saturation upper bound WAND prunes with (computed once
+//          per index, like Lucene's per-term max impact).
+//   bm25_wand_search(offsets i64[nt+1], docs i32[nnz], tfs u16[nnz],
+//                    dl_norm f32[n_docs], maxtf f32[nt],
+//                    qterms i64[q], qweights f32[q], k, k1)
+//       -> (bytes f32[k] scores desc, bytes i64[k] doc ids, -1 padded).
+//          qweights carry weight*idf so fuzzy-expansion downweighting and
+//          the idf variant are the caller's policy, identical to the
+//          engine's planner (engine.py _plan_slots).
+//
+// dl_norm[d] = 1 - b + b * doclen[d] / avgdl is precomputed by the caller:
+// it folds three loads and two multiplies out of the inner loop.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+struct BufW {
+    Py_buffer view{};
+    bool ok = false;
+    BufW(PyObject* obj, const char* what) {
+        if (PyObject_GetBuffer(obj, &view, PyBUF_CONTIG_RO) == 0) {
+            ok = true;
+        } else {
+            PyErr_Format(PyExc_TypeError, "%s must support the buffer protocol",
+                         what);
+        }
+    }
+    ~BufW() {
+        if (ok) PyBuffer_Release(&view);
+    }
+    const void* data() const { return view.buf; }
+    Py_ssize_t nbytes() const { return view.len; }
+};
+
+constexpr int32_t kDocSentinel = std::numeric_limits<int32_t>::max();
+
+struct Cursor {
+    const int32_t* docs;
+    const uint16_t* tfs;
+    int64_t pos;
+    int64_t end;
+    int32_t doc;     // current doc id, kDocSentinel when exhausted
+    float weight;    // weight * idf
+    float ub;        // weight * idf * max_tfnorm (term's score ceiling)
+
+    inline void advance_to(int32_t target) {
+        // gallop + binary search: postings are doc-sorted
+        int64_t lo = pos, step = 1;
+        while (lo + step < end && docs[lo + step] < target) {
+            lo += step;
+            step <<= 1;
+        }
+        int64_t hi = std::min(lo + step, end);
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (docs[mid] < target) lo = mid + 1; else hi = mid;
+        }
+        pos = lo;
+        doc = pos < end ? docs[pos] : kDocSentinel;
+    }
+    inline void next() {
+        ++pos;
+        doc = pos < end ? docs[pos] : kDocSentinel;
+    }
+};
+
+// fixed-size min-heap of (score, doc): root = weakest kept result
+struct TopK {
+    std::vector<std::pair<float, int64_t>> h;
+    size_t k;
+    explicit TopK(size_t k_) : k(k_) { h.reserve(k_); }
+    inline float threshold() const {
+        return h.size() == k ? h.front().first
+                             : -std::numeric_limits<float>::infinity();
+    }
+    inline void push(float score, int64_t doc) {
+        if (h.size() < k) {
+            h.emplace_back(score, doc);
+            std::push_heap(h.begin(), h.end(), std::greater<>());
+        } else if (score > h.front().first) {
+            std::pop_heap(h.begin(), h.end(), std::greater<>());
+            h.back() = {score, doc};
+            std::push_heap(h.begin(), h.end(), std::greater<>());
+        }
+    }
+};
+
+PyObject* bm25_max_tfnorm(PyObject*, PyObject* args) {
+    PyObject *off_o, *tfs_o, *dl_o, *docs_o;
+    double k1;
+    if (!PyArg_ParseTuple(args, "OOOOd", &off_o, &tfs_o, &dl_o, &docs_o, &k1))
+        return nullptr;
+    BufW off(off_o, "offsets"), tfs(tfs_o, "tfs"), dl(dl_o, "dl_norm"),
+        docs(docs_o, "docs");
+    if (!off.ok || !tfs.ok || !dl.ok || !docs.ok) return nullptr;
+    const auto* offsets = static_cast<const int64_t*>(off.data());
+    const auto* tf = static_cast<const uint16_t*>(tfs.data());
+    const auto* dln = static_cast<const float*>(dl.data());
+    const auto* dc = static_cast<const int32_t*>(docs.data());
+    const Py_ssize_t nt = off.nbytes() / Py_ssize_t(sizeof(int64_t)) - 1;
+    std::vector<float> out(size_t(std::max<Py_ssize_t>(nt, 0)), 0.0f);
+    Py_BEGIN_ALLOW_THREADS
+    for (Py_ssize_t t = 0; t < nt; ++t) {
+        float best = 0.0f;
+        for (int64_t p = offsets[t]; p < offsets[t + 1]; ++p) {
+            const float f = float(tf[p]);
+            const float s = (float(k1) + 1.0f) * f / (f + float(k1) * dln[dc[p]]);
+            if (s > best) best = s;
+        }
+        out[size_t(t)] = best;
+    }
+    Py_END_ALLOW_THREADS
+    return PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out.data()),
+        Py_ssize_t(out.size() * sizeof(float)));
+}
+
+PyObject* bm25_wand_search(PyObject*, PyObject* args) {
+    PyObject *off_o, *docs_o, *tfs_o, *dl_o, *max_o, *qt_o, *qw_o;
+    Py_ssize_t k;
+    double k1;
+    if (!PyArg_ParseTuple(args, "OOOOOOOnd", &off_o, &docs_o, &tfs_o, &dl_o,
+                          &max_o, &qt_o, &qw_o, &k, &k1))
+        return nullptr;
+    BufW off(off_o, "offsets"), docs(docs_o, "docs"), tfs(tfs_o, "tfs"),
+        dl(dl_o, "dl_norm"), mx(max_o, "maxtf"), qt(qt_o, "qterms"),
+        qw(qw_o, "qweights");
+    if (!off.ok || !docs.ok || !tfs.ok || !dl.ok || !mx.ok || !qt.ok || !qw.ok)
+        return nullptr;
+    if (k <= 0) {
+        PyErr_SetString(PyExc_ValueError, "k must be positive");
+        return nullptr;
+    }
+    const auto* offsets = static_cast<const int64_t*>(off.data());
+    const auto* dc = static_cast<const int32_t*>(docs.data());
+    const auto* tf = static_cast<const uint16_t*>(tfs.data());
+    const auto* dln = static_cast<const float*>(dl.data());
+    const auto* maxtf = static_cast<const float*>(mx.data());
+    const auto* qterms = static_cast<const int64_t*>(qt.data());
+    const auto* qweights = static_cast<const float*>(qw.data());
+    const Py_ssize_t nt = off.nbytes() / Py_ssize_t(sizeof(int64_t)) - 1;
+    const Py_ssize_t nq = qt.nbytes() / Py_ssize_t(sizeof(int64_t));
+
+    std::vector<float> out_s(size_t(k), 0.0f);
+    std::vector<int64_t> out_i(size_t(k), -1);
+    bool bad_term = false;
+    Py_BEGIN_ALLOW_THREADS
+    std::vector<Cursor> cur;
+    cur.reserve(size_t(nq));
+    for (Py_ssize_t i = 0; i < nq && !bad_term; ++i) {
+        const int64_t t = qterms[i];
+        if (t < 0 || t >= nt) { bad_term = true; break; }
+        if (offsets[t] == offsets[t + 1]) continue;  // no postings
+        Cursor c;
+        c.docs = dc;
+        c.tfs = tf;
+        c.pos = offsets[t];
+        c.end = offsets[t + 1];
+        c.doc = dc[c.pos];
+        c.weight = qweights[i];
+        c.ub = qweights[i] * maxtf[t];
+        cur.push_back(c);
+    }
+    if (!bad_term) {
+        std::vector<Cursor*> order;
+        order.reserve(cur.size());
+        for (auto& c : cur) order.push_back(&c);
+        TopK top{size_t(k)};
+        const float kf = float(k1);
+        while (!order.empty()) {
+            // drop exhausted cursors, keep the rest sorted by current doc
+            order.erase(std::remove_if(order.begin(), order.end(),
+                                       [](Cursor* c) { return c->doc == kDocSentinel; }),
+                        order.end());
+            if (order.empty()) break;
+            std::sort(order.begin(), order.end(),
+                      [](Cursor* a, Cursor* b) { return a->doc < b->doc; });
+            // pivot: first prefix whose summed ceilings can beat the heap
+            const float theta = top.threshold();
+            float acc = 0.0f;
+            size_t pivot = order.size();
+            for (size_t i = 0; i < order.size(); ++i) {
+                acc += order[i]->ub;
+                if (acc > theta) { pivot = i; break; }
+            }
+            if (pivot == order.size()) break;  // nothing left can qualify
+            const int32_t pdoc = order[pivot]->doc;
+            if (order[0]->doc == pdoc) {
+                // fully score the pivot document
+                float score = 0.0f;
+                const float d = dln[pdoc];
+                for (auto* c : order) {
+                    if (c->doc != pdoc) break;  // sorted: later docs are greater
+                    const float f = float(c->tfs[c->pos]);
+                    score += c->weight * (kf + 1.0f) * f / (f + kf * d);
+                    c->next();
+                }
+                top.push(score, int64_t(pdoc));
+            } else {
+                // skip every cursor before the pivot up to the pivot doc
+                for (size_t i = 0; i < pivot && order[i]->doc < pdoc; ++i)
+                    order[i]->advance_to(pdoc);
+            }
+        }
+        std::sort(top.h.begin(), top.h.end(),
+                  [](const auto& a, const auto& b) {
+                      return a.first != b.first ? a.first > b.first
+                                                : a.second < b.second;
+                  });
+        for (size_t i = 0; i < top.h.size(); ++i) {
+            out_s[i] = top.h[i].first;
+            out_i[i] = top.h[i].second;
+        }
+    }
+    Py_END_ALLOW_THREADS
+    if (bad_term) {
+        PyErr_SetString(PyExc_ValueError, "query term id out of range");
+        return nullptr;
+    }
+    PyObject* scores = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out_s.data()),
+        Py_ssize_t(out_s.size() * sizeof(float)));
+    PyObject* ids = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out_i.data()),
+        Py_ssize_t(out_i.size() * sizeof(int64_t)));
+    if (!scores || !ids) {
+        Py_XDECREF(scores);
+        Py_XDECREF(ids);
+        return nullptr;
+    }
+    PyObject* tup = PyTuple_Pack(2, scores, ids);
+    Py_DECREF(scores);
+    Py_DECREF(ids);
+    return tup;
+}
+
+}  // namespace
+
+extern "C" PyObject* bm25_max_tfnorm_entry(PyObject* self, PyObject* args) {
+    return bm25_max_tfnorm(self, args);
+}
+extern "C" PyObject* bm25_wand_search_entry(PyObject* self, PyObject* args) {
+    return bm25_wand_search(self, args);
+}

@@ -21,6 +21,7 @@ def build() -> str:
         os.path.join(here, "postings.cpp"),
         os.path.join(here, "hnsw_link.cpp"),
         os.path.join(here, "phrase.cpp"),
+        os.path.join(here, "bm25_wand.cpp"),
     ]
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = os.path.join(repo, f"nucliadb_tpu_native{suffix}")
