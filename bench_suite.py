@@ -270,12 +270,30 @@ def bench_bm25(tmp_dir: str) -> None:
         batch_queries.append(
             TextQuery(text=f"{t1} {t2} {typo}", top_k=20, fuzzy=True)
         )
+
+    # Route A — the cost-model DEFAULT (engine.search host-tier routing):
+    # scored OR queries run on the host WAND tier below the doc threshold
+    # (index/text_engine/host_tier.py). This is what production serves.
+    tier = engine.host_tier()
+    host_bdt = None
+    if tier is not None:
+        engine.search_batch(batch_queries, need_matched=False)  # warm caches
+        t0 = time.time()
+        for _ in range(reps):
+            out = engine.search_batch(batch_queries, need_matched=False)
+        host_bdt = (time.time() - t0) / reps
+        assert len(out) == bq
+
+    # Route B — the batched device kernel (tier disabled): the path corpora
+    # above NDBTPU_TEXT_HOST_TIER_MAX_DOCS and AND-semantics queries take.
+    engine._host_tier_cached = None
     engine.search_batch(batch_queries, need_matched=False)  # compile/warm
     t0 = time.time()
     for _ in range(reps):
         out = engine.search_batch(batch_queries, need_matched=False)
     bdt = (time.time() - t0) / reps
     assert len(out) == bq
+    engine._host_tier_cached = tier
 
     # CPU baseline: the in-tree single-core C++ BM25+WAND scorer over the
     # SAME corpus, tokenizer, scoring variant, and fuzzy-expansion policy
@@ -296,16 +314,21 @@ def bench_bm25(tmp_dir: str) -> None:
         cpu_qps = 1.0 / cpu_dt
     except ImportError:
         pass  # native extension not built: emit without the CPU ratio
+    default_bdt = host_bdt if host_bdt is not None else bdt
     _emit(
         {
             "metric": f"config3_bm25_fuzzy_phrase_{n_docs}_top20",
-            "value": round(bq / bdt, 1),
+            "value": round(bq / default_bdt, 1),
             "unit": "qps",
             "vs_baseline": (
-                round((bq / bdt) / cpu_qps, 1) if cpu_qps else None
+                round((bq / default_bdt) / cpu_qps, 1) if cpu_qps else None
             ),
             "detail": {"batched_queries_per_dispatch": bq,
-                       "ms_per_batch": round(bdt * 1e3, 2),
+                       "route": "host_wand_tier" if host_bdt is not None
+                       else "device_kernel",
+                       "ms_per_batch": round(default_bdt * 1e3, 2),
+                       "device_kernel_qps": round(bq / bdt, 1),
+                       "device_kernel_ms_per_batch": round(bdt * 1e3, 2),
                        "single_call_ms": round(dt * 1e3, 2),
                        "single_call_qps": round(1.0 / dt, 1),
                        "cpu_wand_ms_per_query": (
@@ -653,6 +676,100 @@ def bench_scatter4() -> None:
     )
 
 
+def bench_ingest_merge(tmp_dir: str) -> None:
+    """Config 7: indexer-plane ingest + merge throughput (VERDICT r4 4c).
+
+    Isolates the index node from the HTTP product plane (config 4's
+    78 docs/s includes parse/extract/bus): resources/s and paragraphs/s
+    through ``IndexerService`` (per-index segment build + single-txn
+    metadata commit), then merge throughput in records/s through
+    ``SchedulerService`` planning + ``WorkerService`` execution until the
+    merge queue drains. Reference anchors: the nidx indexer + merge workers
+    (nidx/src/indexer.rs, nidx/src/worker.rs; merge policies
+    nidx/src/settings.rs:247-277)."""
+    from nucliadb_tpu.index.vector import VectorConfig
+    from nucliadb_tpu.models.internal import (
+        IndexParagraph,
+        ResourceDoc,
+        TextInformation,
+        VectorSentence,
+    )
+    from nucliadb_tpu.services import EmbeddedNode
+
+    dim = int(os.environ.get("BENCH_INGEST_DIM", 128))
+    n_res = int(os.environ.get("BENCH_INGEST_RESOURCES", 400))
+    paras_per_res = 5
+    words = _vocab()
+    rng = np.random.default_rng(17)
+
+    node = EmbeddedNode(data_dir=os.path.join(tmp_dir, "ingest_node"))
+    shard_id = node.create_shard("benchkb", {"m": VectorConfig(dimension=dim)})
+
+    def make_res(i: int) -> ResourceDoc:
+        rid = f"res{i:06d}"
+        rd = ResourceDoc(resource_id=rid, created=1000.0 + i, modified=1000.0 + i)
+        body = " ".join(words[j] for j in rng.integers(0, 2000, size=40 * paras_per_res))
+        rd.texts["t/t1"] = TextInformation(text=body)
+        paras = {}
+        for p in range(paras_per_res):
+            lo, hi = p * 40, (p + 1) * 40
+            para = IndexParagraph(start=lo, end=hi)
+            v = rng.standard_normal(dim).astype(np.float32)
+            v /= np.linalg.norm(v)
+            para.vectorsets_sentences["m"] = {
+                f"{rid}/t/t1/{p}/{lo}-{hi}": VectorSentence(vector=v)
+            }
+            paras[f"{rid}/t/t1/{lo}-{hi}"] = para
+        rd.paragraphs["t/t1"] = paras
+        return rd
+
+    resources = [make_res(i) for i in range(n_res)]  # built OUTSIDE the clock
+    t0 = time.time()
+    for rd in resources:
+        node.index(shard_id, rd)
+    node.wait_for_sync()
+    ingest_s = time.time() - t0
+    n_seg_before = sum(
+        len(node.metadata.ready_segments(idx.id))
+        for idx in node.metadata.get_indexes(shard_id)
+    )
+    records_before = n_res * paras_per_res
+
+    t0 = time.time()
+    rounds = 0
+    while True:
+        done = node.tick_background()
+        rounds += 1
+        if not done.get("merjobs", done.get("jobs", 0)) and rounds > 1:
+            if node.scheduler.tick() == 0:
+                while node.worker.run_one():
+                    pass
+                break
+    merge_s = time.time() - t0
+    n_seg_after = sum(
+        len(node.metadata.ready_segments(idx.id))
+        for idx in node.metadata.get_indexes(shard_id)
+    )
+    _emit(
+        {
+            "metric": f"config7_ingest_merge_{n_res}res",
+            "value": round(n_res / ingest_s, 1),
+            "unit": "resources_per_s",
+            "vs_baseline": None,
+            "detail": {
+                "paragraphs_per_s": round(records_before / ingest_s, 1),
+                "ingest_s": round(ingest_s, 2),
+                "merge_records_per_s": round(records_before / merge_s, 1),
+                "merge_s": round(merge_s, 2),
+                "segments_before_merge": n_seg_before,
+                "segments_after_merge": n_seg_after,
+                "dim": dim,
+                "paragraphs": records_before,
+            },
+        }
+    )
+
+
 def main() -> None:
     import tempfile
 
@@ -660,7 +777,8 @@ def main() -> None:
 
     configure_jax()
     which = set(sys.argv[1:]) or {
-        "vec100k", "vec1m_filtered", "bm25", "find", "find_concurrent", "scatter4"
+        "vec100k", "vec1m_filtered", "bm25", "find", "find_concurrent",
+        "scatter4", "ingest_merge",
     }
     tmp = tempfile.mkdtemp(prefix="bench_suite_")
     if "vec100k" in which:

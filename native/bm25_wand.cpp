@@ -33,6 +33,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <memory>
 #include <vector>
 
 namespace {
@@ -88,22 +89,34 @@ struct Cursor {
 };
 
 // fixed-size min-heap of (score, doc): root = weakest kept result
+// kernel-parity ordering: jax.lax.top_k is stable, so on equal scores the
+// LOWEST doc id wins. worse(a, b): a loses to b under that order.
+inline bool worse(const std::pair<float, int64_t>& a,
+                  const std::pair<float, int64_t>& b) {
+    return a.first != b.first ? a.first < b.first : a.second > b.second;
+}
+
 struct TopK {
-    std::vector<std::pair<float, int64_t>> h;
+    std::vector<std::pair<float, int64_t>> h;  // heap front = current worst
     size_t k;
     explicit TopK(size_t k_) : k(k_) { h.reserve(k_); }
+    static inline bool heap_cmp(const std::pair<float, int64_t>& a,
+                                const std::pair<float, int64_t>& b) {
+        return worse(b, a);  // max-heap on worseness → worst at front
+    }
     inline float threshold() const {
         return h.size() == k ? h.front().first
                              : -std::numeric_limits<float>::infinity();
     }
     inline void push(float score, int64_t doc) {
+        const std::pair<float, int64_t> e{score, doc};
         if (h.size() < k) {
-            h.emplace_back(score, doc);
-            std::push_heap(h.begin(), h.end(), std::greater<>());
-        } else if (score > h.front().first) {
-            std::pop_heap(h.begin(), h.end(), std::greater<>());
-            h.back() = {score, doc};
-            std::push_heap(h.begin(), h.end(), std::greater<>());
+            h.push_back(e);
+            std::push_heap(h.begin(), h.end(), heap_cmp);
+        } else if (worse(h.front(), e)) {
+            std::pop_heap(h.begin(), h.end(), heap_cmp);
+            h.back() = e;
+            std::push_heap(h.begin(), h.end(), heap_cmp);
         }
     }
 };
@@ -204,7 +217,9 @@ PyObject* bm25_wand_search(PyObject*, PyObject* args) {
             size_t pivot = order.size();
             for (size_t i = 0; i < order.size(); ++i) {
                 acc += order[i]->ub;
-                if (acc > theta) { pivot = i; break; }
+                // >= not >: a doc scoring exactly theta can still enter on
+                // the lower-doc-id tiebreak (kernel-stable-top_k parity)
+                if (acc >= theta) { pivot = i; break; }
             }
             if (pivot == order.size()) break;  // nothing left can qualify
             const int32_t pdoc = order[pivot]->doc;
@@ -257,6 +272,241 @@ PyObject* bm25_wand_search(PyObject*, PyObject* args) {
     return tup;
 }
 
+// ---------------------------------------------------------------------------
+// Multi-cursor variants: the engine's host tier feeds one cursor per
+// (query term x segment) straight from the per-segment memmapped CSR
+// (builder.py postings_docs/postings_tfs) — no consolidated copy exists.
+// Each cursor carries the segment's global doc offset; masks (deletions,
+// filters, security) kill documents at full-scoring time, which preserves
+// the WAND threshold invariant (skipping only removes candidates).
+// ---------------------------------------------------------------------------
+
+struct MCursor {
+    const int32_t* docs;
+    const uint16_t* tfs;  // null in match-only mode
+    int64_t pos;
+    int64_t end;
+    int32_t off;     // segment's global doc offset
+    int32_t doc;     // CURRENT GLOBAL doc id, kDocSentinel when exhausted
+    float weight;
+    float ub;
+
+    inline void load() {
+        doc = pos < end ? docs[pos] + off : kDocSentinel;
+    }
+    inline void advance_to(int32_t target_global) {
+        const int32_t target = target_global - off;
+        int64_t lo = pos, step = 1;
+        while (lo + step < end && docs[lo + step] < target) {
+            lo += step;
+            step <<= 1;
+        }
+        int64_t hi = std::min(lo + step, end);
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (docs[mid] < target) lo = mid + 1; else hi = mid;
+        }
+        pos = lo;
+        load();
+    }
+    inline void next() {
+        ++pos;
+        load();
+    }
+};
+
+// parse a list of contiguous buffers into (Buf holders, typed pointers)
+bool collect_bufs(PyObject* list, const char* what,
+                  std::vector<std::unique_ptr<BufW>>& hold,
+                  std::vector<const void*>& ptrs,
+                  std::vector<Py_ssize_t>& nbytes) {
+    if (!PyList_Check(list) && !PyTuple_Check(list)) {
+        PyErr_Format(PyExc_TypeError, "%s must be a list/tuple of buffers", what);
+        return false;
+    }
+    PyObject* seq = PySequence_Fast(list, what);
+    if (!seq) return false;
+    const Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        auto b = std::make_unique<BufW>(PySequence_Fast_GET_ITEM(seq, i), what);
+        if (!b->ok) {
+            Py_DECREF(seq);
+            return false;
+        }
+        ptrs.push_back(b->data());
+        nbytes.push_back(b->nbytes());
+        hold.push_back(std::move(b));
+    }
+    Py_DECREF(seq);
+    return true;
+}
+
+PyObject* bm25_wand_multi(PyObject*, PyObject* args) {
+    PyObject *docs_l, *tfs_l, *offs_o, *w_o, *mx_o, *dl_o, *mask_o;
+    Py_ssize_t k;
+    double k1;
+    if (!PyArg_ParseTuple(args, "OOOOOOOnd", &docs_l, &tfs_l, &offs_o, &w_o,
+                          &mx_o, &dl_o, &mask_o, &k, &k1))
+        return nullptr;
+    std::vector<std::unique_ptr<BufW>> hold;
+    std::vector<const void*> dptr, tptr;
+    std::vector<Py_ssize_t> dlen_b, tlen_b;
+    if (!collect_bufs(docs_l, "doc_bufs", hold, dptr, dlen_b)) return nullptr;
+    if (!collect_bufs(tfs_l, "tf_bufs", hold, tptr, tlen_b)) return nullptr;
+    BufW offs(offs_o, "offs"), wv(w_o, "weights"), mx(mx_o, "maxtf"),
+        dl(dl_o, "dl_norm");
+    if (!offs.ok || !wv.ok || !mx.ok || !dl.ok) return nullptr;
+    const bool has_mask = mask_o != Py_None;
+    BufW mask(has_mask ? mask_o : dl_o, "mask");  // dl_o reused as dummy
+    if (!mask.ok) return nullptr;
+    const auto* offp = static_cast<const int64_t*>(offs.data());
+    const auto* wp = static_cast<const float*>(wv.data());
+    const auto* mxp = static_cast<const float*>(mx.data());
+    const auto* dln = static_cast<const float*>(dl.data());
+    const auto* mk = has_mask ? static_cast<const uint8_t*>(mask.data()) : nullptr;
+    const size_t nc = dptr.size();
+    if (tptr.size() != nc || size_t(offs.nbytes() / 8) != nc) {
+        PyErr_SetString(PyExc_ValueError, "cursor array length mismatch");
+        return nullptr;
+    }
+    if (k <= 0) {
+        PyErr_SetString(PyExc_ValueError, "k must be positive");
+        return nullptr;
+    }
+    std::vector<float> out_s(size_t(k), 0.0f);
+    std::vector<int64_t> out_i(size_t(k), -1);
+    Py_BEGIN_ALLOW_THREADS
+    std::vector<MCursor> cur;
+    cur.reserve(nc);
+    for (size_t i = 0; i < nc; ++i) {
+        const int64_t n_post = dlen_b[i] / Py_ssize_t(sizeof(int32_t));
+        if (n_post == 0) continue;
+        MCursor c;
+        c.docs = static_cast<const int32_t*>(dptr[i]);
+        c.tfs = static_cast<const uint16_t*>(tptr[i]);
+        c.pos = 0;
+        c.end = n_post;
+        c.off = int32_t(offp[i]);
+        c.weight = wp[i];
+        c.ub = wp[i] * mxp[i];
+        c.load();
+        cur.push_back(c);
+    }
+    std::vector<MCursor*> order;
+    order.reserve(cur.size());
+    for (auto& c : cur) order.push_back(&c);
+    TopK top{size_t(k)};
+    const float kf = float(k1);
+    while (!order.empty()) {
+        order.erase(std::remove_if(order.begin(), order.end(),
+                                   [](MCursor* c) { return c->doc == kDocSentinel; }),
+                    order.end());
+        if (order.empty()) break;
+        std::sort(order.begin(), order.end(),
+                  [](MCursor* a, MCursor* b) { return a->doc < b->doc; });
+        const float theta = top.threshold();
+        float acc = 0.0f;
+        size_t pivot = order.size();
+        for (size_t i = 0; i < order.size(); ++i) {
+            acc += order[i]->ub;
+            // >= for tie competition, as in bm25_wand_search above
+            if (acc >= theta) { pivot = i; break; }
+        }
+        if (pivot == order.size()) break;
+        const int32_t pdoc = order[pivot]->doc;
+        if (order[0]->doc == pdoc) {
+            if (mk != nullptr && !mk[pdoc]) {
+                for (auto* c : order) {
+                    if (c->doc != pdoc) break;
+                    c->next();
+                }
+            } else {
+                float score = 0.0f;
+                const float d = dln[pdoc];
+                for (auto* c : order) {
+                    if (c->doc != pdoc) break;
+                    const float f = float(c->tfs[c->pos]);
+                    score += c->weight * (kf + 1.0f) * f / (f + kf * d);
+                    c->next();
+                }
+                top.push(score, int64_t(pdoc));
+            }
+        } else {
+            for (size_t i = 0; i < pivot && order[i]->doc < pdoc; ++i)
+                order[i]->advance_to(pdoc);
+        }
+    }
+    std::sort(top.h.begin(), top.h.end(),
+              [](const auto& a, const auto& b) {
+                  return a.first != b.first ? a.first > b.first
+                                            : a.second < b.second;
+              });
+    for (size_t i = 0; i < top.h.size(); ++i) {
+        out_s[i] = top.h[i].first;
+        out_i[i] = top.h[i].second;
+    }
+    Py_END_ALLOW_THREADS
+    PyObject* scores = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out_s.data()),
+        Py_ssize_t(out_s.size() * sizeof(float)));
+    PyObject* ids = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out_i.data()),
+        Py_ssize_t(out_i.size() * sizeof(int64_t)));
+    if (!scores || !ids) {
+        Py_XDECREF(scores);
+        Py_XDECREF(ids);
+        return nullptr;
+    }
+    PyObject* tup = PyTuple_Pack(2, scores, ids);
+    Py_DECREF(scores);
+    Py_DECREF(ids);
+    return tup;
+}
+
+PyObject* bm25_match_multi(PyObject*, PyObject* args) {
+    // union of the cursors' doc sets ∩ mask: the corpus-wide matched set an
+    // OR query reports (kernel parity: engine.py `matched = score>0 & mask`)
+    PyObject *docs_l, *offs_o, *mask_o;
+    Py_ssize_t n_docs;
+    int want_bitmap;
+    if (!PyArg_ParseTuple(args, "OOOnp", &docs_l, &offs_o, &mask_o, &n_docs,
+                          &want_bitmap))
+        return nullptr;
+    std::vector<std::unique_ptr<BufW>> hold;
+    std::vector<const void*> dptr;
+    std::vector<Py_ssize_t> dlen_b;
+    if (!collect_bufs(docs_l, "doc_bufs", hold, dptr, dlen_b)) return nullptr;
+    BufW offs(offs_o, "offs");
+    if (!offs.ok) return nullptr;
+    const bool has_mask = mask_o != Py_None;
+    BufW mask(has_mask ? mask_o : offs_o, "mask");
+    if (!mask.ok) return nullptr;
+    const auto* offp = static_cast<const int64_t*>(offs.data());
+    const auto* mk = has_mask ? static_cast<const uint8_t*>(mask.data()) : nullptr;
+    std::vector<uint8_t> bitmap(size_t(std::max<Py_ssize_t>(n_docs, 0)), 0);
+    int64_t count = 0;
+    Py_BEGIN_ALLOW_THREADS
+    for (size_t i = 0; i < dptr.size(); ++i) {
+        const auto* docs = static_cast<const int32_t*>(dptr[i]);
+        const int64_t n_post = dlen_b[i] / Py_ssize_t(sizeof(int32_t));
+        const int32_t off = int32_t(offp[i]);
+        for (int64_t p = 0; p < n_post; ++p) {
+            const int64_t d = int64_t(docs[p]) + off;
+            if (d >= 0 && d < n_docs) bitmap[size_t(d)] = 1;
+        }
+    }
+    if (mk != nullptr) {
+        for (Py_ssize_t d = 0; d < n_docs; ++d) bitmap[size_t(d)] &= mk[d];
+    }
+    for (Py_ssize_t d = 0; d < n_docs; ++d) count += bitmap[size_t(d)];
+    Py_END_ALLOW_THREADS
+    if (want_bitmap) {
+        return PyBytes_FromStringAndSize(
+            reinterpret_cast<const char*>(bitmap.data()), n_docs);
+    }
+    return PyLong_FromLongLong(count);
+}
+
 }  // namespace
 
 extern "C" PyObject* bm25_max_tfnorm_entry(PyObject* self, PyObject* args) {
@@ -264,4 +514,10 @@ extern "C" PyObject* bm25_max_tfnorm_entry(PyObject* self, PyObject* args) {
 }
 extern "C" PyObject* bm25_wand_search_entry(PyObject* self, PyObject* args) {
     return bm25_wand_search(self, args);
+}
+extern "C" PyObject* bm25_wand_multi_entry(PyObject* self, PyObject* args) {
+    return bm25_wand_multi(self, args);
+}
+extern "C" PyObject* bm25_match_multi_entry(PyObject* self, PyObject* args) {
+    return bm25_match_multi(self, args);
 }

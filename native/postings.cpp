@@ -269,6 +269,8 @@ extern "C" PyObject* hnsw_link_wave(PyObject*, PyObject*);  // hnsw_link.cpp
 extern "C" PyObject* phrase_match_batch_entry(PyObject*, PyObject*);  // phrase.cpp
 extern "C" PyObject* bm25_max_tfnorm_entry(PyObject*, PyObject*);  // bm25_wand.cpp
 extern "C" PyObject* bm25_wand_search_entry(PyObject*, PyObject*);  // bm25_wand.cpp
+extern "C" PyObject* bm25_wand_multi_entry(PyObject*, PyObject*);  // bm25_wand.cpp
+extern "C" PyObject* bm25_match_multi_entry(PyObject*, PyObject*);  // bm25_wand.cpp
 
 namespace {
 
@@ -285,6 +287,10 @@ PyMethodDef methods[] = {
      "Per-term max BM25 tf-saturation (WAND upper bounds)."},
     {"bm25_wand_search", bm25_wand_search_entry, METH_VARARGS,
      "Single-core BM25+WAND top-k over CSR postings (GIL-free)."},
+    {"bm25_wand_multi", bm25_wand_multi_entry, METH_VARARGS,
+     "BM25+WAND top-k over per-(term,segment) cursors with mask (GIL-free)."},
+    {"bm25_match_multi", bm25_match_multi_entry, METH_VARARGS,
+     "Union match count/bitmap over per-(term,segment) cursors (GIL-free)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -1100,6 +1100,16 @@ class DeviceTextEngine:
         that only need the match count pass ``need_matched=False`` and get a
         sum-only proxy (avoids downloading n_pad bytes per search).
         """
+        scored = bool(query.text.strip() or query.phrases)
+        if scored and not query.all_terms:
+            # cost-model routing (the text analogue of EXACT_SCAN_THRESHOLD):
+            # scored OR queries go to the host WAND tier when it wins — see
+            # host_tier.py for the measured regime map; results identical
+            tier = self.host_tier()
+            if tier is not None:
+                res = tier.search(query, need_matched=need_matched)
+                if res is not None:
+                    return res
         unfiltered = (
             query.filter is None and query.key_prefixes is None
             and query.extra_mask is None and not query.excluded
@@ -1108,7 +1118,6 @@ class DeviceTextEngine:
         # unfiltered scored query the kernel takes the cached device base
         # mask, and an eager build here wasted O(n_docs) host work per query
         mask = None if unfiltered else self.build_mask(query)
-        scored = bool(query.text.strip() or query.phrases)
 
         if not scored:
             # pure filter query: matched = mask; order by key
@@ -1189,6 +1198,17 @@ class DeviceTextEngine:
             hits = [h for h in hits if self.verify_all_terms(h.doc_id, query)]
         return hits
 
+    _HOST_TIER_UNSET = object()
+
+    def host_tier(self):
+        """The cost-model host WAND tier, or None (see host_tier.py)."""
+        cached = getattr(self, "_host_tier_cached", self._HOST_TIER_UNSET)
+        if cached is self._HOST_TIER_UNSET:
+            from .host_tier import host_tier_for
+
+            cached = self._host_tier_cached = host_tier_for(self)
+        return cached
+
     def search_batch(
         self, queries: list[TextQuery], *, need_matched: bool = True
     ) -> list[tuple[list[TextHit], np.ndarray]]:
@@ -1203,6 +1223,11 @@ class DeviceTextEngine:
         ``need_matched=False`` downloads only per-query match counts instead
         of [B, n_pad] bitmaps (the count-only discipline of ``search``).
         """
+        tier = self.host_tier()
+        if tier is not None and queries and not any(q.all_terms for q in queries):
+            out = [tier.search(q, need_matched=need_matched) for q in queries]
+            if all(r is not None for r in out):
+                return out
         pending = self.dispatch_batch(queries, need_matched=need_matched)
         return pending.finalize() if pending is not None else []
 

@@ -1,0 +1,214 @@
+"""Host WAND tier: cost-model-routed CPU scoring for keyword queries.
+
+WHY (measured, r4 roofline — STATUS.md): the batched BM25 device kernel is
+scatter-add-bound (XLA TPU scatters run ~10.7 ns/lane; a 512-query batch
+schedules ~30M lanes → ~430-690 ms/batch at 100k-1M docs), while a pruned
+document-at-a-time WAND evaluator on ONE host core answers the same query
+in 60-290 µs (evaluator alone: 16.6k QPS at 100k docs, 3.5k at 1M).
+Engine-integrated (plan_terms + WAND + the matched-count union pass),
+bench_suite config 3 on this host measures 3,083 QPS at batch 512 /
+3,650 QPS single-call at 100k docs vs the kernel's 1,098 batched and
+~9 relay-bound single-call — and hybrid /find p50 drops 41.3 → 34.3 ms
+(p95 59.4 → 36.9). Inverted-index top-k is latency-dominated pointer
+chasing with tiny outputs — the hot shape TPUs are worst at and CPUs are
+best at. The cost-model answer mirrors the vector side's
+EXACT_SCAN_THRESHOLD: route each regime to the silicon that wins it, keep
+results IDENTICAL.
+
+WHAT: scored OR queries (the overwhelming product shape) run through
+native/bm25_wand.cpp's multi-cursor evaluator straight off the
+per-segment memmapped CSR (builder.py postings_*.npy) — no consolidated
+copy, no device upload. Deletions/filters/security arrive as the same
+host mask ``DeviceTextEngine.build_mask`` produces for the kernel;
+scores use the same BM25 constants, idf, fuzzy weights and avgdl, so
+hits equal the kernel's within float rounding (differential-fuzzed in
+tests/test_host_tier.py). The corpus-wide matched count/bitmap the
+callers need for totals/facets comes from a union pass over the same
+cursors (kernel parity: ``matched = score>0 & mask``).
+
+WHAT STAYS ON DEVICE: all_terms (AND) queries (required-count semantics
+need the counts scatter), pure-filter queries, the mesh text group path
+(parallel/text_group.py spans shards as one sharded program), and corpora
+above NDBTPU_TEXT_HOST_TIER_MAX_DOCS (default 4M) where a single core's
+posting traversal stops winning. NDBTPU_TEXT_HOST_TIER=0 disables, =1
+forces (test use).
+
+One subtlety: the kernel's dense (stopword-grade) columns clip tf at 255
+(engine.py dense_m build); segments store uint16 — a document repeating
+one stopword >255 times scores microscopically HIGHER here (the host
+value is the exact one). Parity: tantivy serves all of this on host too
+(nidx_paragraph/src/lib.rs), so routing keyword scoring to the host tier
+is also the reference's own posture — the TPU keeps what it wins: vector
+scan/rerank, fused hybrid batches, mesh-sharded groups.
+"""
+
+from __future__ import annotations
+
+import bisect
+import os
+from typing import TYPE_CHECKING, Optional
+
+import numpy as np
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .engine import DeviceTextEngine, TextHit, TextQuery
+
+try:
+    import nucliadb_tpu_native as _native
+
+    _HAS_WAND = hasattr(_native, "bm25_wand_multi")
+except Exception:  # pragma: no cover
+    _native = None
+    _HAS_WAND = False
+
+DEFAULT_MAX_DOCS = 4_000_000
+
+
+def host_tier_for(engine: "DeviceTextEngine") -> "Optional[HostTextTier]":
+    """Build (or refuse) the host tier for one engine instance."""
+    flag = os.environ.get("NDBTPU_TEXT_HOST_TIER", "").strip()
+    if flag == "0" or not _HAS_WAND or engine.n_docs == 0:
+        return None
+    if flag != "1" and engine.n_docs > int(
+        os.environ.get("NDBTPU_TEXT_HOST_TIER_MAX_DOCS", DEFAULT_MAX_DOCS)
+    ):
+        return None
+    try:
+        return HostTextTier(engine)
+    except Exception:  # unexpected layout: the kernel path always works
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "host text tier unavailable; using the device kernel",
+            exc_info=True,
+        )
+        return None
+
+
+class HostTextTier:
+    def __init__(self, engine: "DeviceTextEngine"):
+        from .engine import B, K1
+
+        self.engine = engine
+        self._k1 = float(K1)
+        n = engine.n_docs
+        seg_lens = [len(seg.dlen) for seg in engine.segments]
+        if sum(seg_lens) != n:
+            raise ValueError("segment dlen sum != n_docs")
+        dl = np.empty(n, np.float32)
+        pos = 0
+        for seg, m in zip(engine.segments, seg_lens):
+            dl[pos : pos + m] = seg.dlen
+            pos += m
+        dl = np.maximum(dl, 1.0)
+        self.seg_offsets = np.concatenate(
+            [[0], np.cumsum(seg_lens)]
+        ).astype(np.int64)
+        self.dl_norm = np.ascontiguousarray(
+            1.0 - B + B * dl / max(engine.avgdl, 1e-9), np.float32
+        )
+        self._alive_u8 = np.ascontiguousarray(
+            engine.alive[:n].astype(np.uint8)
+        )
+        self._maxtf: dict[tuple[int, str], float] = {}
+
+    def _cursors(self, term: str):
+        """One (docs view, tfs view, global offset, max tfnorm) per segment
+        holding the term — views straight into the memmapped CSR."""
+        out = []
+        k1 = self._k1
+        for si, seg in enumerate(self.engine.segments):
+            terms = seg.terms
+            ti = bisect.bisect_left(terms, term)
+            if ti >= len(terms) or terms[ti] != term:
+                continue
+            lo = int(seg.postings_offsets[ti])
+            hi = int(seg.postings_offsets[ti + 1])
+            if lo == hi:
+                continue
+            off = int(self.seg_offsets[si])
+            docs = seg.postings_docs[lo:hi]
+            tfs = seg.postings_tfs[lo:hi]
+            key = (si, term)
+            mt = self._maxtf.get(key)
+            if mt is None:
+                tf = np.asarray(tfs, np.float32)
+                dn = self.dl_norm[np.asarray(docs, np.int64) + off]
+                mt = float(np.max(tf * (k1 + 1.0) / (tf + k1 * dn)))
+                self._maxtf[key] = mt
+            out.append((docs, tfs, off, mt))
+        return out
+
+    def search(self, query: "TextQuery", *, need_matched: bool = True):
+        """Mirror of DeviceTextEngine.search's scored branch; returns None
+        when this query must take the device kernel (all_terms)."""
+        from .engine import TextHit, _CountOnly
+
+        engine = self.engine
+        if query.all_terms:
+            return None
+        scored = bool(query.text.strip() or query.phrases)
+        if not scored:
+            return None  # pure-filter queries keep the engine's host path
+
+        terms, _required = engine._plan_terms(query)
+        n = engine.n_docs
+        if not terms:
+            return [], np.zeros(n, dtype=bool)
+
+        doc_bufs, tf_bufs, offs, weights, maxtf = [], [], [], [], []
+        for term, weight in terms:
+            df = engine.term_df(term)
+            if df == 0:
+                continue
+            w = weight * engine.idf(df)
+            for docs, tfs, off, mt in self._cursors(term):
+                doc_bufs.append(docs)
+                tf_bufs.append(tfs)
+                offs.append(off)
+                weights.append(w)
+                maxtf.append(mt)
+        if not doc_bufs:
+            return [], np.zeros(n, dtype=bool)
+
+        unfiltered = (
+            query.filter is None and query.key_prefixes is None
+            and query.extra_mask is None and not query.excluded
+        )
+        if unfiltered:
+            mask_u8 = self._alive_u8
+        else:
+            mask_u8 = np.ascontiguousarray(
+                engine.build_mask(query)[:n].astype(np.uint8)
+            )
+
+        offs_np = np.asarray(offs, np.int64)
+        w_np = np.asarray(weights, np.float32)
+        mt_np = np.asarray(maxtf, np.float32)
+        k = max(1, min(query.top_k, n))
+        min_score = query.min_score
+
+        s_b, i_b = _native.bm25_wand_multi(
+            doc_bufs, tf_bufs, offs_np, w_np, mt_np, self.dl_norm, mask_u8,
+            k, self._k1,
+        )
+        top_s = np.frombuffer(s_b, np.float32)
+        top_i = np.frombuffer(i_b, np.int64)
+
+        if need_matched:
+            bm = _native.bm25_match_multi(doc_bufs, offs_np, mask_u8, n, True)
+            matched = np.frombuffer(bm, np.uint8).astype(bool)
+        else:
+            count = _native.bm25_match_multi(doc_bufs, offs_np, mask_u8, n, False)
+            matched = _CountOnly(int(count), n)
+
+        if query.only_faceted:
+            return [], matched
+
+        hits = [
+            TextHit(key=engine.keys[d], score=float(s), doc_id=int(d),
+                    attrs=engine.attrs[d], term_count=-1)
+            for s, d in zip(top_s, top_i)
+            if d >= 0 and (min_score is None or s >= min_score)
+        ]
+        return hits, matched

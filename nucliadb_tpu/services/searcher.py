@@ -383,6 +383,20 @@ class SyncedSearcher:
         if not (request.paragraph and request.body.strip()):
             return none
         psearchers = [sh.paragraph for sh in searchers]
+        if all(
+            p is not None and p.engine.host_tier() is not None
+            for p in psearchers
+        ):
+            # cost-model routing: with the host WAND tier active (the
+            # measured winner for keyword scoring at <=4M docs/shard —
+            # host_tier.py), each shard's keyword leg runs on host inside
+            # the per-shard concurrent fan-out below, overlapping the
+            # vector group program on the TPU. This is the reference's own
+            # split (tantivy on CPU, shard_search.rs) AND keeps mesh vs
+            # sequential results bit-identical (same evaluator both ways).
+            # The sharded text-group program below serves tier-ineligible
+            # engines (beyond-threshold corpora, missing native ext).
+            return none
         group = self._mesh_text_group(shard_ids, psearchers)
         if group is None:
             return none

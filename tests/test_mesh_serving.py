@@ -444,18 +444,24 @@ def _multi_shard_kb(tmp_path, monkeypatch, n_res=17, d=8):
     return node, kbs, search, kbid, rng
 
 
-def test_mesh_find_dispatch_count(tmp_path, monkeypatch):
+@pytest.mark.parametrize("host_tier", ["0", "1"])
+def test_mesh_find_dispatch_count(tmp_path, monkeypatch, host_tier):
     """VERDICT r4 done-criterion (task 2): a hybrid /find over N co-resident
-    shards dispatches <= 2 sharded device programs total — ONE vector group
-    program + ONE text group program, NOT 2 per shard. Counted by
-    instrumenting the group entry points; the per-shard leg searchers must
-    not run at all on the mesh path. Parity target: the reference executes
-    every index leg inside the per-shard parallel fan-out
-    (nidx/src/searcher/shard_search.rs:211-273); here co-resident shards'
-    legs fuse into one program each."""
+    shards dispatches <= 2 sharded device programs total, NOT 2 per shard.
+    Two routing shapes exist (cost model, host_tier.py):
+
+    - host tier OFF (tier-ineligible engines): ONE vector group program +
+      ONE text group program, zero per-shard legs.
+    - host tier ON (the default at <=4M docs/shard): ONE vector group
+      program; keyword legs run per shard on HOST (WAND) inside the
+      concurrent fan-out — zero sharded text programs, zero device text
+      dispatches. This is the reference's own split: tantivy scores on CPU
+      inside the per-shard fan-out (nidx/src/searcher/shard_search.rs:
+      211-273) while the TPU serves the vector leg."""
     from nucliadb_tpu.index.paragraph import ParagraphSearcher
     from nucliadb_tpu.parallel.text_group import MeshTextGroup
 
+    monkeypatch.setenv("NDBTPU_TEXT_HOST_TIER", host_tier)
     node, kbs, search, kbid, rng = _multi_shard_kb(tmp_path, monkeypatch)
     monkeypatch.setenv("NDBTPU_MESH_SERVING", "1")
     qv = rng.standard_normal(8).astype(np.float32)
@@ -487,7 +493,14 @@ def test_mesh_find_dispatch_count(tmp_path, monkeypatch):
 
     resp = search.find(kbid, req)
     assert resp.best_matches == warm.best_matches
-    assert counts == {"vgroup": 1, "tgroup": 1, "vseq": 0, "pseq": 0}, counts
+    n_shards = len(kbs.get_shards(kbid).shards)
+    if host_tier == "0":
+        assert counts == {"vgroup": 1, "tgroup": 1, "vseq": 0, "pseq": 0}, counts
+    else:
+        # host tier: keyword legs on host per shard, no sharded text program
+        assert counts == {
+            "vgroup": 1, "tgroup": 0, "vseq": 0, "pseq": n_shards,
+        }, counts
 
 
 def test_search_many_concurrent_overlap(tmp_path, monkeypatch):

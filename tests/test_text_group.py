@@ -13,6 +13,15 @@ covered by test_mesh_serving.py's find fuzz (mesh on/off agree) plus the
 import numpy as np
 import pytest
 
+@pytest.fixture(autouse=True)
+def _kernel_only(monkeypatch):
+    """These tests pin group-program vs sequential KERNEL parity; the host
+    WAND tier (host_tier.py) would otherwise serve the sequential side and
+    fp near-ties could reorder cuts (host-vs-kernel equivalence is fuzzed
+    with tie tolerance in test_host_tier.py)."""
+    monkeypatch.setenv("NDBTPU_TEXT_HOST_TIER", "0")
+
+
 from nucliadb_tpu.index.paragraph import (
     ParagraphIndexer,
     ParagraphSearcher,
