@@ -483,22 +483,68 @@ PyObject* bm25_match_multi(PyObject*, PyObject* args) {
     if (!mask.ok) return nullptr;
     const auto* offp = static_cast<const int64_t*>(offs.data());
     const auto* mk = has_mask ? static_cast<const uint8_t*>(mask.data()) : nullptr;
+    int64_t total_post = 0;
+    for (const Py_ssize_t nb : dlen_b) total_post += nb / Py_ssize_t(sizeof(int32_t));
+    if (!want_bitmap && total_post * 96 < int64_t(n_docs)) {
+        // sparse count: sort-unique the visited ids — for RARE terms the
+        // P log P sort beats even touching an n_docs bitmap. Measured
+        // crossover on this host ~n_docs/96 (at 1M docs / 30k postings the
+        // bitmap path is 2.5x faster; the sort wins below ~10k postings).
+        int64_t count = 0;
+        Py_BEGIN_ALLOW_THREADS
+        std::vector<int32_t> ids;
+        ids.reserve(size_t(total_post));
+        for (size_t i = 0; i < dptr.size(); ++i) {
+            const auto* docs = static_cast<const int32_t*>(dptr[i]);
+            const int64_t n_post = dlen_b[i] / Py_ssize_t(sizeof(int32_t));
+            const int32_t off = int32_t(offp[i]);
+            for (int64_t p = 0; p < n_post; ++p) {
+                const int64_t d = int64_t(docs[p]) + off;
+                if (d >= 0 && d < n_docs) ids.push_back(int32_t(d));
+            }
+        }
+        std::sort(ids.begin(), ids.end());
+        ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
+        if (mk != nullptr) {
+            for (const int32_t d : ids) count += mk[d];
+        } else {
+            count = int64_t(ids.size());
+        }
+        Py_END_ALLOW_THREADS
+        return PyLong_FromLongLong(count);
+    }
     std::vector<uint8_t> bitmap(size_t(std::max<Py_ssize_t>(n_docs, 0)), 0);
     int64_t count = 0;
     Py_BEGIN_ALLOW_THREADS
-    for (size_t i = 0; i < dptr.size(); ++i) {
-        const auto* docs = static_cast<const int32_t*>(dptr[i]);
-        const int64_t n_post = dlen_b[i] / Py_ssize_t(sizeof(int32_t));
-        const int32_t off = int32_t(offp[i]);
-        for (int64_t p = 0; p < n_post; ++p) {
-            const int64_t d = int64_t(docs[p]) + off;
-            if (d >= 0 && d < n_docs) bitmap[size_t(d)] = 1;
+    if (!want_bitmap) {
+        // count-only: fuse masked counting into the traversal — P random
+        // touches + one memset, never a full-corpus second pass
+        for (size_t i = 0; i < dptr.size(); ++i) {
+            const auto* docs = static_cast<const int32_t*>(dptr[i]);
+            const int64_t n_post = dlen_b[i] / Py_ssize_t(sizeof(int32_t));
+            const int32_t off = int32_t(offp[i]);
+            for (int64_t p = 0; p < n_post; ++p) {
+                const int64_t d = int64_t(docs[p]) + off;
+                if (d >= 0 && d < n_docs && !bitmap[size_t(d)]) {
+                    bitmap[size_t(d)] = 1;
+                    count += mk != nullptr ? int64_t(mk[d]) : 1;
+                }
+            }
+        }
+    } else {
+        for (size_t i = 0; i < dptr.size(); ++i) {
+            const auto* docs = static_cast<const int32_t*>(dptr[i]);
+            const int64_t n_post = dlen_b[i] / Py_ssize_t(sizeof(int32_t));
+            const int32_t off = int32_t(offp[i]);
+            for (int64_t p = 0; p < n_post; ++p) {
+                const int64_t d = int64_t(docs[p]) + off;
+                if (d >= 0 && d < n_docs) bitmap[size_t(d)] = 1;
+            }
+        }
+        if (mk != nullptr) {
+            for (Py_ssize_t d = 0; d < n_docs; ++d) bitmap[size_t(d)] &= mk[d];
         }
     }
-    if (mk != nullptr) {
-        for (Py_ssize_t d = 0; d < n_docs; ++d) bitmap[size_t(d)] &= mk[d];
-    }
-    for (Py_ssize_t d = 0; d < n_docs; ++d) count += bitmap[size_t(d)];
     Py_END_ALLOW_THREADS
     if (want_bitmap) {
         return PyBytes_FromStringAndSize(

@@ -5,11 +5,12 @@ scatter-add-bound (XLA TPU scatters run ~10.7 ns/lane; a 512-query batch
 schedules ~30M lanes → ~430-690 ms/batch at 100k-1M docs), while a pruned
 document-at-a-time WAND evaluator on ONE host core answers the same query
 in 60-290 µs (evaluator alone: 16.6k QPS at 100k docs, 3.5k at 1M).
-Engine-integrated (plan_terms + WAND + the matched-count union pass),
-bench_suite config 3 on this host measures 3,083 QPS at batch 512 /
-3,650 QPS single-call at 100k docs vs the kernel's 1,098 batched and
-~9 relay-bound single-call — and hybrid /find p50 drops 41.3 → 34.3 ms
-(p95 59.4 → 36.9). Inverted-index top-k is latency-dominated pointer
+Engine-integrated (plan_terms + WAND + the matched-count union pass, with
+per-segment maxtf precomputed in C++ and a sparse/bitmap crossover in the
+count pass), bench_suite config 3 on this host measures 4,278 QPS at
+batch 512 / 4,039 single-call at 100k docs and 1,439/940 at 1M, vs the
+kernel's 1,076/723 batched and ~9 relay-bound single-call — and hybrid
+/find p50 drops 41.3 → 34.3 ms (p95 59.4 → 36.9). Inverted-index top-k is latency-dominated pointer
 chasing with tiny outputs — the hot shape TPUs are worst at and CPUs are
 best at. The cost-model answer mirrors the vector side's
 EXACT_SCAN_THRESHOLD: route each regime to the silicon that wins it, keep
@@ -110,13 +111,36 @@ class HostTextTier:
         self._alive_u8 = np.ascontiguousarray(
             engine.alive[:n].astype(np.uint8)
         )
-        self._maxtf: dict[tuple[int, str], float] = {}
+
+    def _seg_maxtf(self, si: int, seg) -> np.ndarray:
+        """Per-term max tf-saturation for one segment (WAND upper bounds),
+        computed ONCE in C++ over the whole CSR and cached on the SEGMENT
+        object — open segments are reused across engine refreshes, so a
+        steady-state sync never recomputes a landed segment's bounds."""
+        cached = getattr(seg, "_wand_maxtf", None)
+        avgdl = float(self.engine.avgdl)  # dl_norm (so the bounds) depend on
+        if cached is None or cached[0] != avgdl:  # the ENGINE-wide avgdl
+            off = int(self.seg_offsets[si])
+            dl_local = np.ascontiguousarray(
+                self.dl_norm[off : off + len(seg.dlen)]
+            )
+            arr = np.frombuffer(
+                _native.bm25_max_tfnorm(
+                    np.ascontiguousarray(seg.postings_offsets, np.int64),
+                    np.ascontiguousarray(seg.postings_tfs, np.uint16),
+                    dl_local,
+                    np.ascontiguousarray(seg.postings_docs, np.int32),
+                    self._k1,
+                ),
+                np.float32,
+            )
+            cached = seg._wand_maxtf = (avgdl, arr)
+        return cached[1]
 
     def _cursors(self, term: str):
         """One (docs view, tfs view, global offset, max tfnorm) per segment
         holding the term — views straight into the memmapped CSR."""
         out = []
-        k1 = self._k1
         for si, seg in enumerate(self.engine.segments):
             terms = seg.terms
             ti = bisect.bisect_left(terms, term)
@@ -129,13 +153,7 @@ class HostTextTier:
             off = int(self.seg_offsets[si])
             docs = seg.postings_docs[lo:hi]
             tfs = seg.postings_tfs[lo:hi]
-            key = (si, term)
-            mt = self._maxtf.get(key)
-            if mt is None:
-                tf = np.asarray(tfs, np.float32)
-                dn = self.dl_norm[np.asarray(docs, np.int64) + off]
-                mt = float(np.max(tf * (k1 + 1.0) / (tf + k1 * dn)))
-                self._maxtf[key] = mt
+            mt = float(self._seg_maxtf(si, seg)[ti])
             out.append((docs, tfs, off, mt))
         return out
 

@@ -149,6 +149,38 @@ def test_host_tier_batch_and_routing(tmp_path, monkeypatch):
     assert host_tier_for(engine) is not None
 
 
+def test_sparse_count_crossover(tmp_path, monkeypatch):
+    """bm25_match_multi's count-only mode takes a sort-based sparse path
+    when postings << n_docs (crossover n_docs/96) and the fused bitmap path
+    otherwise — both must equal the need_matched bitmap's sum, with and
+    without masks."""
+    monkeypatch.setenv("NDBTPU_TEXT_HOST_TIER", "1")
+    rng = np.random.default_rng(11)
+    # 6000 docs; 'zulu' planted in ~12 docs -> 12*96 < 6000 (sparse path);
+    # 'alpha' appears in ~1/16 of docs -> ~375*96 > 6000 (bitmap path)
+    entries = []
+    for i in range(6000):
+        text = " ".join(rng.choice(VOCAB, size=6))
+        if i % 500 == 0:
+            text += " zulu"
+        entries.append(DocEntry(key=f"r{i % 13}/t/t/0-10", text=text))
+    meta = build_segment(str(tmp_path / "seg"), entries, kind="paragraph")
+    engine = DeviceTextEngine(
+        [(open_text_segment(meta.path), Seq(1))], [("r3/", Seq(2))]
+    )
+    tier = host_tier_for(engine)
+    assert tier is not None
+    for text in ("zulu", "alpha", "zulu alpha"):
+        for q in (
+            TextQuery(text=text, top_k=10),
+            TextQuery(text=text, top_k=10, key_prefixes=["r1/", "r2/"]),
+        ):
+            _, bitmap = tier.search(q, need_matched=True)
+            _, count = tier.search(q, need_matched=False)
+            assert isinstance(bitmap, np.ndarray)
+            assert int(bitmap.sum()) == count.sum(), (text, q.key_prefixes)
+
+
 def test_host_tier_matched_semantics(tmp_path, monkeypatch):
     """matched = (any scheduled term hit) & mask — exactly the kernel's
     OR-query semantics, including deletions."""
