@@ -793,6 +793,8 @@ def main() -> None:
         bench_find_concurrent(tmp)
     if "scatter4" in which:
         bench_scatter4()
+    if "ingest_merge" in which:
+        bench_ingest_merge(tmp)
 
 
 if __name__ == "__main__":

@@ -5,12 +5,13 @@ Breaks a warm batch-512 `DeviceTextEngine.search_batch` into:
   host_pack   — slot assignment + adaptive caps + row/idf packing
   host_build  — result construction from fetched buffers (TextHit loop)
   device      — remainder: uploads + kernel + device→host fetch
-and compares the device share against the platform's measured random-access
-floor (~37 ns/element for gathers, engine.py:993): the kernel's work is
-B × Σ(scheduled posting rows × tier width) gathered score elements plus the
-dense-slot adds (B × dense_cap × n_pad per group). A device share near the
-floor means the kernel is memory-bound at speed-of-light and further QPS
-must come from the host phases or batching.
+and compares the device share against the HBM-bandwidth floor: the kernel's
+work is B × Σ(scheduled posting rows × tier width) gathered score elements
+plus the dense-slot adds (B × dense_cap × n_pad per group), all read once
+and accumulated into [B, n_pad] score rows. The measured gap above that
+floor is XLA's per-lane scatter/gather cost (~10.7-37 ns/element on this
+platform, engine.py:993) — the quantified reason the host WAND tier wins
+keyword top-k and the kernel keeps only the shapes the MXU/VPU wins.
 
 Usage: python tools/text_roofline.py [n_docs] [batch] [reps]
 Prints one JSON line (consumed into STATUS.md's roofline section).
@@ -63,6 +64,10 @@ def main() -> None:
     from nucliadb_tpu.utils.platform import configure_jax
 
     configure_jax()
+    # this tool rooflines the DEVICE kernel; pin the route (the engine's
+    # cost-model default is the host WAND tier at these corpus sizes —
+    # measured separately below for the comparison line)
+    os.environ["NDBTPU_TEXT_HOST_TIER"] = "0"
     words, entries = build_corpus(n_docs)
     tmp = tempfile.mkdtemp(prefix="text_roofline_")
     meta = build_segment(os.path.join(tmp, "seg"), entries, kind="paragraph")
@@ -114,8 +119,25 @@ def main() -> None:
 
     device_ms = total_ms - plan_ms - pack_ms - build_ms
 
-    # roofline floor for the device share: gathered posting elements + dense
-    # row adds, at the measured ~37 ns/element random-access floor
+    # comparison line: the cost-model default route (host WAND tier)
+    os.environ["NDBTPU_TEXT_HOST_TIER"] = "1"
+    engine._host_tier_cached = engine._HOST_TIER_UNSET
+    host_ms = None
+    if engine.host_tier() is not None:
+        engine.search_batch(queries, need_matched=False)  # warm maxtf cache
+        t0 = time.time()
+        for _ in range(reps):
+            engine.search_batch(queries, need_matched=False)
+        host_ms = (time.time() - t0) / reps * 1e3
+    os.environ["NDBTPU_TEXT_HOST_TIER"] = "0"
+    engine._host_tier_cached = None
+
+    # roofline floor for the device share: every scheduled element is read
+    # once and accumulated into the [B, n_pad] score rows — the bound is
+    # HBM BANDWIDTH (v5e ~819 GB/s), not FLOPs. (The ~37 ns/element figure
+    # engine.py:993 quotes is XLA's per-lane SCATTER cost on this platform —
+    # the measured reason the kernel sits far above this floor, and the
+    # cost-model motivation for the host WAND tier.)
     tier_counts = engine._tier_group_counts()
     n_t = sum(tier_counts)
     widths = [w for g in engine.groups for w in g.widths[: len(g.tiers_dev)]]
@@ -125,7 +147,9 @@ def main() -> None:
         for gi, g in enumerate(engine.groups)
         if g.dense_dev is not None
     )
-    floor_ms = (gather_elems + dense_elems) * 37e-9 * 1e3
+    score_rows = bq * sum(g.n_pad for g in engine.groups)
+    bytes_moved = (gather_elems + dense_elems) * 4 + 2 * score_rows * 4
+    floor_ms = bytes_moved / 819e9 * 1e3
 
     print(json.dumps({
         "metric": f"text_roofline_{n_docs}_b{bq}",
@@ -141,6 +165,12 @@ def main() -> None:
         "device_over_floor": round(device_ms / floor_ms, 2) if floor_ms else None,
         "host_share_pct": round(
             100 * (plan_ms + pack_ms + build_ms) / total_ms, 1
+        ),
+        "host_wand_tier_ms_per_batch": (
+            round(host_ms, 2) if host_ms is not None else None
+        ),
+        "host_wand_tier_qps": (
+            round(bq / (host_ms / 1e3), 1) if host_ms else None
         ),
     }))
 
