@@ -400,6 +400,17 @@ def bench_find(tmp_dir: str) -> None:
         assert r.status_code == 200
         lats.append(time.time() - t0)
     lats.sort()
+    # per-phase breakdown (median of 5 debug-mode requests): the product
+    # pipeline's own phase clocks (find.py metrics.phases) — where each
+    # warm /find millisecond goes, recorded in the bench artifact
+    phase_runs = []
+    for _ in range(5):
+        rd = c.post(f"/api/v1/kb/{kbid}/find", json=dict(q, debug=True))
+        phase_runs.append(rd.json().get("timings") or {})
+    phases = {
+        k: round(float(np.median([p.get(k, 0.0) for p in phase_runs])) * 1e3, 2)
+        for k in sorted({k for p in phase_runs for k in p})
+    }
     app.stop_background()
     _emit(
         {
@@ -409,7 +420,8 @@ def bench_find(tmp_dir: str) -> None:
             "vs_baseline": None,
             "detail": {"p95_ms": round(lats[int(len(lats) * 0.95)] * 1e3, 1),
                        "ingest_docs_per_s": round(ingest_dps, 1),
-                       "resources": n_res},
+                       "resources": n_res,
+                       "phase_ms_median": phases},
         }
     )
 

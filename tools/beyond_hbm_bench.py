@@ -16,8 +16,9 @@ nidx_vector/src/data_store.rs):
                4M×768 — still a correctness tier; the production answer
                at this scale is mesh placement across chips).
 
-Usage: python tools/beyond_hbm_bench.py [n] [d] [batch] [host_rerank|stream|both]
-Prints one JSON line per tier.
+Usage: python tools/beyond_hbm_bench.py [n] [d] [batch] [host_rerank|stream|both|build]
+Prints one JSON line per tier. ``build`` only writes/caches the segment
+(host-side numpy; run it under JAX_PLATFORMS=cpu while the chip is busy).
 """
 
 from __future__ import annotations
@@ -81,6 +82,10 @@ def main() -> None:
         del elems
         gc.collect()
     build_s = time.time() - t0
+    if which == "build":
+        print(json.dumps({"metric": f"beyond_hbm_build_{n}x{d}",
+                          "build_s": round(build_s, 1), "seg_dir": seg_dir}))
+        return
 
     with open(os.path.join(seg_dir, "meta.json")) as f:
         seg_meta = json.load(f)

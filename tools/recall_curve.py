@@ -32,7 +32,7 @@ N = int(os.environ.get("CURVE_N", 1_000_000))
 D = int(os.environ.get("CURVE_D", 768))
 B = int(os.environ.get("CURVE_B", 2048))
 K = int(os.environ.get("CURVE_K", 10))
-ORACLE_QUERIES = 64
+ORACLE_QUERIES = int(os.environ.get("CURVE_ORACLE_Q", 1024))
 BUDGETS = [10, 20, 40, 100, 400, 2000]
 # the resident2 candidate table is 2*RESIDENT2_SLOTS = 512 wide: budgets
 # beyond it clamp (the kernel is the DEFAULT selector for k <= 128)
@@ -94,18 +94,28 @@ def main() -> None:
     codes = quant.Int8Codes.encode(vectors)
     np.asarray(codes.scale[:2])
 
-    # exact oracle over the first ORACLE_QUERIES
+    # exact oracle over the first ORACLE_QUERIES (chunked: at 1M x 1024
+    # queries the full HIGHEST-precision score matrix is ~4 GB — chunk it
+    # so the oracle fits next to the arena + codes)
+    oracle_q = min(ORACLE_QUERIES, B)
+    oracle_chunk = min(128, oracle_q)
+    assert oracle_q % oracle_chunk == 0
+
     @jax.jit
     def oracle(vv, mm, qq):
-        scores = jax.lax.dot_general(
-            qq, vv, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return masked_topk(scores, K, mask=mm)
+        def one(qc):
+            scores = jax.lax.dot_general(
+                qc, vv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return masked_topk(scores, K, mask=mm)[1]
 
-    _, oracle_ids = oracle(vectors, mask_j, queries[:ORACLE_QUERIES])
-    oracle_ids = np.asarray(oracle_ids)
+        return jax.lax.map(
+            one, qq.reshape(-1, oracle_chunk, qq.shape[-1])
+        ).reshape(-1, K)
+
+    oracle_ids = np.asarray(oracle(vectors, mask_j, queries[:oracle_q]))
 
     rows = []
     fns = {"amk": search_budget, "res2": search_budget_res2}
@@ -125,11 +135,12 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             recalls = [
                 len(set(got[j][got[j] >= 0]) & set(oracle_ids[j][oracle_ids[j] >= 0])) / K
-                for j in range(ORACLE_QUERIES)
+                for j in range(oracle_q)
             ]
             row = {
                 "selector": sel,
                 "rerank_budget": c,
+                "oracle_queries": oracle_q,
                 "recall_at_10": round(float(np.mean(recalls)), 4),
                 "qps": round(B / best, 1),
                 "ms_per_batch": round(best * 1e3, 2),
