@@ -73,6 +73,20 @@ def main() -> None:
         " serves nothing until promoted (repl.promote over the wire)",
     )
     parser.add_argument(
+        "--substrate-ha-fence", action="store_true",
+        help="with --substrate-standby: consistency-first mode — a failed"
+        " ship FENCES this primary (mutations refused until a standby"
+        " re-attaches) instead of detaching the standby; required for safe"
+        " standby AUTO-promotion (no split-brain)",
+    )
+    parser.add_argument(
+        "--substrate-watch-primary", default="",
+        help="with --substrate-follower: probe the primary at this address"
+        " and AUTO-PROMOTE after 4 missed probes (run the primary with"
+        " --substrate-ha-fence); clients started with a comma-separated"
+        " --substrate primary,standby list retarget themselves",
+    )
+    parser.add_argument(
         "--topology", default="",
         help="JSON node-list file watched for changes; with --node-name this"
         " searcher only syncs shards it owns per rendezvous placement and"
@@ -108,6 +122,7 @@ def main() -> None:
             os.path.join(args.data_dir, "substrate"),
             address=args.serve_substrate,
             follower=args.substrate_follower,
+            ha_fence=args.substrate_ha_fence,
         )
         substrate_server.start()
         role = "standby" if args.substrate_follower else "primary"
@@ -115,6 +130,13 @@ def main() -> None:
         if args.substrate_standby:
             substrate_server.attach_follower(args.substrate_standby)
             print(f"standby attached at {args.substrate_standby}")
+        if args.substrate_watch_primary:
+            if not args.substrate_follower:
+                raise SystemExit("--substrate-watch-primary requires "
+                                 "--substrate-follower")
+            substrate_server.watch_primary(args.substrate_watch_primary)
+            print(f"watching primary at {args.substrate_watch_primary} "
+                  "(auto-promote on failure)")
         if args.substrate_follower or substrate_only:
             # a pure substrate role (primary or unpromoted standby) serves
             # only the data plane — never init the TPU backend or boot

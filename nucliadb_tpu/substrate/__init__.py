@@ -171,6 +171,30 @@ class SubstrateServer:
     state (merge-job lease expiries, bus redelivery deadlines) may differ
     by the replication delay, which affects retry TIMING only, never acked
     data.
+
+    AUTOMATIC failover (r4): the pieces that turn the warm standby into an
+    unattended failover pair —
+
+    - ``watch_primary(addr)`` on the standby probes the primary's
+      replication plane; after ``misses`` consecutive unreachable probes it
+      self-promotes (and logs loudly). Detection is deliberately on the
+      REPLICATION plane: a primary that can still ship ops is alive no
+      matter what its serving plane says.
+    - ``ha_fence=True`` on the primary inverts the degradation rule to
+      consistency-first: a failed ship FENCES the primary (every later
+      mutation is refused with "primary fenced" until a standby is
+      re-attached) instead of detaching the standby. The mutation whose
+      ship failed is itself refused — it executed locally but the local
+      state is doomed (a fenced primary must re-bootstrap as a follower to
+      rejoin), so the surviving pair never saw it and the client's retry
+      lands on the new primary. With the fence on, standby auto-promotion
+      cannot split-brain: at most one side accepts writes at any time —
+      exactly PG's synchronous_commit=remote_apply + fencing posture the
+      reference's metadata tier assumes (nidx/src/metadata.rs:37-100).
+    - ``Remote*`` clients accept a comma-separated endpoint list and
+      rotate on UNAVAILABLE / "standby not promoted" / "primary fenced",
+      so components started with ``--substrate primary:p,standby:p``
+      retarget themselves through a failover with no operator action.
     """
 
     def __init__(
@@ -179,11 +203,18 @@ class SubstrateServer:
         address: str = "127.0.0.1:0",
         workers: int = 16,
         follower: bool = False,
+        ha_fence: bool = False,
     ):
         import os
 
         self.data_dir = data_dir
         self.follower = follower
+        self.ha_fence = ha_fence
+        # an ha_fence primary boots FENCED: writes accepted between start()
+        # and attach_follower() would be acked-but-unreplicated, the exact
+        # loss the fence exists to rule out. attach_follower lifts it.
+        self._fenced = ha_fence and not follower
+        self._watch_stop: Optional[threading.Event] = None
         self._repl_lock = threading.Lock()  # total order of mutating ops
         self._repl_fn = None  # primary: stub to the attached standby
         self._repl_chan = None
@@ -234,6 +265,8 @@ class SubstrateServer:
         self.server.start()
 
     def stop(self, grace: float = 1.0) -> None:
+        if self._watch_stop is not None:
+            self._watch_stop.set()
         self.server.stop(grace)
         if self._repl_chan is not None:
             self._repl_chan.close()
@@ -286,14 +319,78 @@ class SubstrateServer:
                 shutil.rmtree(tmp, ignore_errors=True)
             self._shipped = 0
             self._repl_fn, self._repl_chan = fn, chan
+            self._fenced = False  # a (re)attached standby lifts the fence
+
+    def watch_primary(
+        self,
+        primary_address: str,
+        interval: float = 0.5,
+        misses: int = 4,
+    ) -> None:
+        """Standby-side failure detection: probe the primary's replication
+        plane every ``interval`` seconds; after ``misses`` consecutive
+        unreachable probes, self-promote. Promotion is armed only after the
+        primary has been seen ALIVE at least once — a standby that boots
+        before (or without) its primary must wait, not spuriously promote
+        an empty substrate over a healthy pair. Run the primary with
+        ``ha_fence=True`` — detection-by-timeout cannot distinguish a dead
+        primary from a partitioned one, and only the fence makes the
+        partitioned case safe (the cut-off primary refuses writes the
+        moment a ship fails, which is before any probe can miss)."""
+        if not self.follower:
+            raise ValueError("watch_primary is for unpromoted standbys")
+        stop = self._watch_stop = threading.Event()
+        self.watch_armed = False  # True once the primary was seen alive
+
+        def probe() -> None:
+            # a FRESH connection per probe: a long-lived channel that ever
+            # saw the primary down sits in gRPC's reconnect backoff (grows
+            # toward minutes) and would report a healthy primary as dead
+            with grpc.insecure_channel(primary_address) as chan:
+                fn = chan.unary_unary(
+                    _SERVICE + "Call",
+                    request_serializer=msgpack.packb,
+                    response_deserializer=msgpack.unpackb,
+                )
+                fn({"t": "repl", "m": "status", "a": []}, timeout=interval + 0.5)
+
+        def watch():
+            import logging
+
+            log = logging.getLogger(__name__)
+            missed = 0
+            while not stop.wait(interval):
+                if not self.follower:  # promoted externally
+                    break
+                try:
+                    probe()
+                    missed = 0
+                    self.watch_armed = True
+                except grpc.RpcError:
+                    if not self.watch_armed:
+                        continue  # not armed: primary never seen alive yet
+                    missed += 1
+                    if missed >= misses:
+                        log.error(
+                            "primary %s unreachable for %d probes — "
+                            "AUTO-PROMOTING this standby (applied=%d)",
+                            primary_address, missed, self._applied,
+                        )
+                        self.promote()
+                        break
+
+        threading.Thread(target=watch, daemon=True, name="substrate-watch").start()
 
     def promote(self) -> None:
         """Make this follower the serving primary (the operator points
         clients at this address). Safe on a never-bootstrapped standby: it
-        promotes to an empty substrate."""
+        promotes to an empty substrate. Promotion serves UNFENCED even
+        under ha_fence — the promotion (by operator or armed watcher) IS
+        the decision to run degraded until a new standby attaches."""
         if not self._targets:
             self._open_backends()
         self.follower = False
+        self._fenced = False
 
     def _ship(self, t: str, m: str, request: dict) -> None:
         """Ship one executed op to the standby; detach it on failure
@@ -312,14 +409,27 @@ class SubstrateServer:
         except Exception:
             import logging
 
+            chan, self._repl_fn, self._repl_chan = self._repl_chan, None, None
+            if chan is not None:
+                chan.close()
+            if self.ha_fence:
+                self._fenced = True
+                logging.getLogger(__name__).error(
+                    "standby ship failed after %d entries — FENCING this "
+                    "primary (ha_fence): the op is refused, every further "
+                    "mutation is refused until a standby re-attaches, and "
+                    "this node must re-bootstrap as a follower to rejoin",
+                    self._shipped, exc_info=True,
+                )
+                raise RuntimeError(
+                    "primary fenced: standby unreachable — retry against "
+                    "the promoted standby"
+                )
             logging.getLogger(__name__).error(
                 "standby ship failed after %d entries — DETACHING standby "
                 "(it must re-bootstrap); acked writes are no longer "
                 "replicated", self._shipped, exc_info=True,
             )
-            chan, self._repl_fn, self._repl_chan = self._repl_chan, None, None
-            if chan is not None:
-                chan.close()
 
     def _repl_call(self, method: str, request: dict):
         """Replication-plane handler (target ``repl``)."""
@@ -382,7 +492,12 @@ class SubstrateServer:
                 return {"v": None}
             if method == "status":
                 return {"v": {"follower": self.follower, "applied": self._applied,
-                              "shipped": self._shipped}}
+                              "shipped": self._shipped,
+                              # auto-failover is live only once the watcher
+                              # has seen the primary alive (armed); before
+                              # that, a primary death leaves the standby a
+                              # follower awaiting manual promote
+                              "watch_armed": getattr(self, "watch_armed", False)}}
             raise ValueError(f"bad repl method {method}")
         except Exception as e:
             return {"err": str(e), "err_type": type(e).__name__}
@@ -445,11 +560,18 @@ class SubstrateServer:
         kwargs = request.get("k", {})
         mutating = method not in _READ_ONLY.get(t, frozenset())
         try:
-            if mutating and self._repl_fn is not None:
+            if mutating:
                 # execute + ship under one lock: the standby applies ops in
                 # the primary's execution order, and the client's ack only
-                # happens after the standby holds the op
+                # happens after the standby holds the op. The fence check
+                # lives INSIDE the lock — a mutation racing the fencing op
+                # must not execute-and-ack unreplicated.
                 with self._repl_lock:
+                    if self._fenced:
+                        raise RuntimeError(
+                            "primary fenced: no attached standby — retry "
+                            "against the promoted standby, or attach one"
+                        )
                     out = self._execute(t, method, args, kwargs)
                     if self._repl_fn is not None:
                         self._ship(t, method, request)
@@ -469,11 +591,25 @@ _ERR_TYPES = {
 
 
 class _Remote:
-    """Base client: forwards method calls as Call RPCs."""
+    """Base client: forwards method calls as Call RPCs.
+
+    ``address`` may be a comma-separated endpoint list (failover pair:
+    ``primary:port,standby:port``). The client talks to ONE endpoint at a
+    time and rotates to the next on UNAVAILABLE or on the failover-shaped
+    refusals ("standby not promoted", "primary fenced") — so a component
+    configured with both addresses follows a promotion with no operator
+    action (the retargeting half of the reference's PG-HA posture)."""
 
     _target = ""
 
     def __init__(self, address: str, timeout: float = 30.0):
+        self._addrs = [a.strip() for a in address.split(",") if a.strip()]
+        self._addr_i = 0
+        self._addr_lock = threading.Lock()
+        self._timeout = timeout
+        self._open_channel(self._addrs[0])
+
+    def _open_channel(self, address: str) -> None:
         self._channel = grpc.insecure_channel(
             address,
             options=[
@@ -481,22 +617,34 @@ class _Remote:
                 ("grpc.max_receive_message_length", _MAX_MSG),
             ],
         )
-        self._timeout = timeout
         self._fn = self._channel.unary_unary(
             _SERVICE + "Call",
             request_serializer=msgpack.packb,
             response_deserializer=msgpack.unpackb,
         )
 
+    def _rotate(self) -> None:
+        with self._addr_lock:
+            old = self._channel
+            self._addr_i = (self._addr_i + 1) % len(self._addrs)
+            self._open_channel(self._addrs[self._addr_i])
+            old.close()
+
     # UNAVAILABLE = the channel could not deliver the request (server down /
     # restarting); the call was NOT processed, so retrying is safe. The
     # window covers a substrate restart (the reference's components likewise
     # ride out a PG/NATS bounce by reconnecting). DEADLINE/INTERNAL are NOT
-    # retried: those calls may have been applied server-side.
+    # retried: those calls may have been applied server-side. A refusal
+    # from an unpromoted standby or a fenced primary is likewise
+    # unprocessed-by-construction, so with >1 endpoint it retries on the
+    # next one (the promotion window).
     _RETRIES = 40
     _RETRY_SLEEP = 0.25
+    _FAILOVER_MSGS = ("standby not promoted", "primary fenced")
 
     def _call(self, method: str, *args, **kwargs):
+        import time as _time
+
         request = {
             "t": self._target,
             "m": method,
@@ -507,7 +655,6 @@ class _Remote:
         while True:
             try:
                 out = self._fn(request, timeout=self._timeout)
-                break
             except grpc.RpcError as e:
                 if (
                     e.code() is not grpc.StatusCode.UNAVAILABLE
@@ -515,9 +662,21 @@ class _Remote:
                 ):
                     raise
                 attempt += 1
-                import time as _time
-
+                if len(self._addrs) > 1:
+                    self._rotate()
                 _time.sleep(self._RETRY_SLEEP)
+                continue
+            if (
+                "err" in out
+                and len(self._addrs) > 1
+                and attempt < self._RETRIES
+                and any(m in out["err"] for m in self._FAILOVER_MSGS)
+            ):
+                attempt += 1
+                self._rotate()
+                _time.sleep(self._RETRY_SLEEP)
+                continue
+            break
         if "err" in out:
             exc = _ERR_TYPES.get(out.get("err_type", ""), RuntimeError)
             raise exc(out["err"])

@@ -203,3 +203,185 @@ def test_snapshot_guard_and_empty_promote(tmp_path):
         s.snapshot(str(tmp_path / "snap"))
     s.promote()  # never bootstrapped: promotes to an empty substrate
     assert s._targets and not s.follower
+
+
+# ---------------------------------------------------------------------------
+# Automatic failover (r4): watch_primary self-promotion, ha_fence split-brain
+# guard, client endpoint rotation. Together these replace the "operator
+# promotes + repoints" step with an unattended failover pair — the posture
+# managed PG gives the reference (nidx/src/metadata.rs:37-100).
+# ---------------------------------------------------------------------------
+
+
+def _wait_until(pred, timeout=10.0, step=0.02):
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if pred():
+            return True
+        time.sleep(step)
+    return pred()
+
+
+def test_standby_auto_promotes_when_primary_dies(pair):
+    primary, primary_addr, standby, standby_addr = pair
+    primary.attach_follower(standby_addr)
+    kv = RemoteDriver(primary_addr)
+    with kv as txn:
+        txn.set("k", b"v")
+    kv.close()
+    standby.watch_primary(primary_addr, interval=0.1, misses=3)
+    assert _wait_until(lambda: standby.watch_armed), "watcher never armed"
+    assert standby.follower  # probes succeed while the primary lives
+    primary.server.stop(None).wait()
+    assert _wait_until(lambda: not standby.follower), "standby never promoted"
+    kv2 = RemoteDriver(standby_addr)
+    with kv2 as txn:
+        assert txn.get("k") == b"v"
+        txn.set("k2", b"v2")  # serves writes as a normal primary
+    kv2.close()
+
+
+def test_watch_primary_requires_follower(tmp_path):
+    s = SubstrateServer(str(tmp_path / "p"))
+    s.start()
+    try:
+        with pytest.raises(ValueError, match="unpromoted standbys"):
+            s.watch_primary("127.0.0.1:1")
+    finally:
+        s.stop(0)
+
+
+def test_ha_fence_blocks_writes_after_standby_loss(tmp_path):
+    """Consistency-first mode: when the synchronous ship fails, the primary
+    FENCES itself — the failing mutation and every later mutation are
+    refused, reads keep serving, and re-attaching a standby lifts the
+    fence. With the fence on, a promoted standby can never coexist with a
+    writable old primary (no split-brain)."""
+    primary = SubstrateServer(str(tmp_path / "primary"), ha_fence=True)
+    primary.start()
+    standby = SubstrateServer(str(tmp_path / "standby"), follower=True)
+    standby.start()
+    primary_addr = f"127.0.0.1:{primary.port}"
+    primary.attach_follower(f"127.0.0.1:{standby.port}")
+
+    kv = RemoteDriver(primary_addr)
+    with kv as txn:
+        txn.set("a", b"1")
+    standby.server.stop(None).wait()  # standby dies
+    with pytest.raises(RuntimeError, match="primary fenced"):
+        with kv as txn:
+            txn.set("b", b"2")  # ship fails -> fence; THIS op is refused
+    assert primary._fenced
+    with pytest.raises(RuntimeError, match="primary fenced"):
+        with kv as txn:
+            txn.set("c", b"3")  # every later mutation refused too
+    with kv as txn:  # reads still serve (read-only plane is not fenced)
+        assert txn.get("a") == b"1"
+
+    # re-attaching a (new) standby lifts the fence; bootstrap carries the
+    # pre-fence state, NOT the refused writes
+    standby2 = SubstrateServer(str(tmp_path / "standby2"), follower=True)
+    standby2.start()
+    primary.attach_follower(f"127.0.0.1:{standby2.port}")
+    assert not primary._fenced
+    with kv as txn:
+        txn.set("d", b"4")
+    kv.close()
+    _repl(f"127.0.0.1:{standby2.port}", "status")
+    primary.stop(0)
+    standby2.promote()
+    kv2 = RemoteDriver(f"127.0.0.1:{standby2.port}")
+    with kv2 as txn:
+        assert txn.get("a") == b"1"
+        assert txn.get("d") == b"4"
+    kv2.close()
+    standby2.stop(0)
+
+
+def test_client_endpoint_rotation_follows_failover(pair):
+    """A Remote client configured with BOTH endpoints rides through a
+    primary death + standby auto-promotion with no operator action and no
+    acked-write loss: UNAVAILABLE and 'standby not promoted' both rotate
+    to the next endpoint until the promotion lands."""
+    primary, primary_addr, standby, standby_addr = pair
+    primary.attach_follower(standby_addr)
+    standby.watch_primary(primary_addr, interval=0.1, misses=2)
+    assert _wait_until(lambda: standby.watch_armed), "watcher never armed"
+
+    kv = RemoteDriver(f"{primary_addr},{standby_addr}")
+    kv._RETRY_SLEEP = 0.05
+    for i in range(10):
+        with kv as txn:
+            txn.set(f"k/{i}", str(i).encode())
+    primary.server.stop(None).wait()
+    # the SAME client object keeps working: rotation finds the standby,
+    # retries through its promotion window, then sticks
+    with kv as txn:
+        for i in range(10):
+            assert txn.get(f"k/{i}") == str(i).encode()
+        txn.set("post-failover", b"yes")
+    assert not standby.follower
+    with kv as txn:
+        assert txn.get("post-failover") == b"yes"
+    kv.close()
+
+
+def test_ha_fence_boots_fenced_until_standby_attaches(tmp_path):
+    """An ha_fence primary refuses mutations from start() until the standby
+    attaches — writes slipped in between would be acked-but-unreplicated,
+    the exact loss the fence exists to rule out (caught live: a client
+    racing the boot sequence acked 20 writes the standby never saw)."""
+    primary = SubstrateServer(str(tmp_path / "primary"), ha_fence=True)
+    primary.start()
+    kv = RemoteDriver(f"127.0.0.1:{primary.port}")
+    with pytest.raises(RuntimeError, match="primary fenced"):
+        with kv as txn:
+            txn.set("early", b"lost")
+    standby = SubstrateServer(str(tmp_path / "standby"), follower=True)
+    standby.start()
+    primary.attach_follower(f"127.0.0.1:{standby.port}")
+    with kv as txn:  # attach lifts the boot fence
+        txn.set("a", b"1")
+    assert standby._applied == 1
+    kv.close()
+    primary.stop(0)
+    standby.stop(0)
+
+
+def test_watcher_not_armed_until_primary_seen_alive(tmp_path):
+    """A standby watching a primary that has never been reachable must NOT
+    self-promote (caught live: a standby booted before its primary promoted
+    an empty substrate over the healthy pair). Once the primary has been
+    seen alive, the same watcher does promote on its death; promote() lifts
+    any fence so the survivor serves."""
+    standby = SubstrateServer(str(tmp_path / "standby"), follower=True,
+                              ha_fence=True)
+    standby.start()
+    standby.watch_primary("127.0.0.1:19199", interval=0.05, misses=2)
+    import time
+
+    time.sleep(0.5)  # >> misses*interval with no primary ever alive
+    assert standby.follower, "watcher promoted without ever seeing the primary"
+
+    primary = SubstrateServer(str(tmp_path / "primary"),
+                              address="127.0.0.1:19199")
+    primary.start()
+    primary.attach_follower(f"127.0.0.1:{standby.port}")
+    kv = RemoteDriver("127.0.0.1:19199")
+    with kv as txn:
+        txn.set("k", b"v")
+    kv.close()
+    assert _wait_until(lambda: standby.watch_armed), "watcher never armed"
+    assert standby.follower  # probes succeeding: still follower
+    primary.server.stop(None).wait()
+    primary.stop(0)
+    assert _wait_until(lambda: not standby.follower), \
+        "armed watcher never promoted after primary death"
+    kv2 = RemoteDriver(f"127.0.0.1:{standby.port}")
+    with kv2 as txn:  # promoted + unfenced: serves writes
+        assert txn.get("k") == b"v"
+        txn.set("k2", b"v2")
+    kv2.close()
+    standby.stop(0)
