@@ -111,6 +111,12 @@ class HostTextTier:
         self._alive_u8 = np.ascontiguousarray(
             engine.alive[:n].astype(np.uint8)
         )
+        # term -> cursor list. Segment CSRs are immutable for this tier's
+        # lifetime (a refresh builds a new engine, hence a new tier), so a
+        # term's cursors never change. Profiled: the per-term Python walk
+        # over every segment (bisect + memmap slicing) dominated /find at
+        # ~19 ms/query on a many-segment corpus; cached terms skip it all.
+        self._cursor_cache: dict[str, list] = {}
 
     def _seg_maxtf(self, si: int, seg) -> np.ndarray:
         """Per-term max tf-saturation for one segment (WAND upper bounds),
@@ -140,7 +146,12 @@ class HostTextTier:
     def _cursors(self, term: str):
         """One (docs view, tfs view, global offset, max tfnorm) per segment
         holding the term — views straight into the memmapped CSR."""
-        out = []
+        out = self._cursor_cache.get(term)
+        if out is not None:
+            return out
+        if len(self._cursor_cache) >= 262_144:  # bounded by live vocabulary
+            self._cursor_cache.clear()
+        out = self._cursor_cache[term] = []
         for si, seg in enumerate(self.engine.segments):
             terms = seg.terms
             ti = bisect.bisect_left(terms, term)
