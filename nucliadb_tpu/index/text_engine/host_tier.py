@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import bisect
 import os
+import threading
 from typing import TYPE_CHECKING, Optional
 
 import numpy as np
@@ -116,7 +117,12 @@ class HostTextTier:
         # term's cursors never change. Profiled: the per-term Python walk
         # over every segment (bisect + memmap slicing) dominated /find at
         # ~19 ms/query on a many-segment corpus; cached terms skip it all.
-        self._cursor_cache: dict[str, list] = {}
+        # LRU: a vocab-heavy workload evicts one stale term per insert
+        # instead of paying a wholesale rebuild spike at the cap.
+        from collections import OrderedDict
+
+        self._cursor_cache: "OrderedDict[str, list]" = OrderedDict()
+        self._cursor_lock = threading.Lock()
 
     def _seg_maxtf(self, si: int, seg) -> np.ndarray:
         """Per-term max tf-saturation for one segment (WAND upper bounds),
@@ -143,15 +149,20 @@ class HostTextTier:
             cached = seg._wand_maxtf = (avgdl, arr)
         return cached[1]
 
+    _CURSOR_CACHE_CAP = 262_144  # bounded by live vocabulary
+
     def _cursors(self, term: str):
         """One (docs view, tfs view, global offset, max tfnorm) per segment
-        holding the term — views straight into the memmapped CSR."""
-        out = self._cursor_cache.get(term)
-        if out is not None:
-            return out
-        if len(self._cursor_cache) >= 262_144:  # bounded by live vocabulary
-            self._cursor_cache.clear()
-        out = self._cursor_cache[term] = []
+        holding the term — views straight into the memmapped CSR. The cache
+        is shared across threads (the native evaluator releases the GIL),
+        so entries publish only AFTER they are fully built, and eviction is
+        per-entry LRU under a lock — never a wholesale clear."""
+        with self._cursor_lock:
+            out = self._cursor_cache.get(term)
+            if out is not None:
+                self._cursor_cache.move_to_end(term)
+                return out
+        out = []
         for si, seg in enumerate(self.engine.segments):
             terms = seg.terms
             ti = bisect.bisect_left(terms, term)
@@ -166,6 +177,10 @@ class HostTextTier:
             tfs = seg.postings_tfs[lo:hi]
             mt = float(self._seg_maxtf(si, seg)[ti])
             out.append((docs, tfs, off, mt))
+        with self._cursor_lock:
+            while len(self._cursor_cache) >= self._CURSOR_CACHE_CAP:
+                self._cursor_cache.popitem(last=False)
+            self._cursor_cache[term] = out
         return out
 
     def search(self, query: "TextQuery", *, need_matched: bool = True):

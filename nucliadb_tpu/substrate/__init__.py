@@ -220,6 +220,20 @@ class SubstrateServer:
         self._repl_chan = None
         self._shipped = 0  # primary: entries shipped
         self._applied = 0  # follower: entries applied
+        # fast-path bookkeeping: mutations serialize under _repl_lock ONLY
+        # while replication is active (standby attached / attaching, or
+        # ha_fence). Otherwise they run concurrently across the gRPC
+        # workers, tracked by an in-flight counter attach_follower drains
+        # before snapshotting (an untracked mutation racing the snapshot
+        # could be acked yet miss both the snapshot and the op stream).
+        self._mut_cv = threading.Condition()
+        self._mut_inflight = 0
+        self._repl_pending = False  # attach_follower in progress
+        # set when the pair DIVERGED with local state ahead of the acked
+        # prefix (standby applied an op this node failed, or vice versa) —
+        # this node must re-bootstrap as a follower; attaching a standby
+        # FROM it would resurrect un-acked state into the new pair.
+        self._dirty = False
         os.makedirs(data_dir, exist_ok=True)
         if follower:
             # backends open at bootstrap_done (the shipped snapshot), or at
@@ -303,23 +317,39 @@ class SubstrateServer:
                 raise RuntimeError(f"standby {method} failed: {out['err']}")
             return out.get("v")
 
-        with self._repl_lock:
-            tmp = tempfile.mkdtemp(prefix="substrate_bootstrap_")
-            try:
-                self.snapshot(tmp)
-                repl("bootstrap_begin")
-                for root, _dirs, files in os.walk(tmp):
-                    for name in files:
-                        full = os.path.join(root, name)
-                        rel = os.path.relpath(full, tmp)
-                        with open(full, "rb") as f:
-                            repl("bootstrap_file", rel, f.read())
-                repl("bootstrap_done", 0)
-            finally:
-                shutil.rmtree(tmp, ignore_errors=True)
-            self._shipped = 0
-            self._repl_fn, self._repl_chan = fn, chan
-            self._fenced = False  # a (re)attached standby lifts the fence
+        if self._dirty:
+            raise RuntimeError(
+                "this node diverged from its pair (dirty): it must "
+                "re-bootstrap as a follower, not seed a new standby"
+            )
+        # stop new fast-path (unreplicated) mutations and drain in-flight
+        # ones: a mutation racing the snapshot could be acked yet miss both
+        # the snapshot and the op stream
+        with self._mut_cv:
+            self._repl_pending = True
+            while self._mut_inflight:
+                self._mut_cv.wait()
+        try:
+            with self._repl_lock:
+                tmp = tempfile.mkdtemp(prefix="substrate_bootstrap_")
+                try:
+                    self.snapshot(tmp)
+                    repl("bootstrap_begin")
+                    for root, _dirs, files in os.walk(tmp):
+                        for name in files:
+                            full = os.path.join(root, name)
+                            rel = os.path.relpath(full, tmp)
+                            with open(full, "rb") as f:
+                                repl("bootstrap_file", rel, f.read())
+                    repl("bootstrap_done", 0)
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                self._shipped = 0
+                self._repl_fn, self._repl_chan = fn, chan
+                self._fenced = False  # a (re)attached standby lifts the fence
+        finally:
+            with self._mut_cv:
+                self._repl_pending = False
 
     def watch_primary(
         self,
@@ -392,9 +422,16 @@ class SubstrateServer:
         self.follower = False
         self._fenced = False
 
-    def _ship(self, t: str, m: str, request: dict) -> None:
-        """Ship one executed op to the standby; detach it on failure
-        (called under _repl_lock)."""
+    def _ship(self, t: str, m: str, request: dict):
+        """Ship one op to the standby BEFORE local execution (called under
+        _repl_lock). Returns None when the standby applied it cleanly, or
+        the op-level error string when the standby consumed the entry but
+        the op itself raised there (deterministic failures re-raise
+        identically at the local execution that follows). Transport or
+        protocol failures (unreachable standby, replication gap) detach the
+        standby — or FENCE this primary under ha_fence — and, because the
+        op has not executed locally yet, the refused write leaves no trace
+        to resurrect through a later attach_follower snapshot."""
         entry = {
             "i": self._shipped + 1, "t": t, "m": m,
             "a": request.get("a", []), "k": request.get("k", {}),
@@ -406,6 +443,7 @@ class SubstrateServer:
             if "err" in out:
                 raise RuntimeError(out["err"])
             self._shipped += 1
+            return out.get("op_err")
         except Exception:
             import logging
 
@@ -448,9 +486,22 @@ class SubstrateServer:
                         f"replication gap: expected {self._applied + 1}, "
                         f"got {entry['i']} — re-bootstrap required"
                     )
-                self._execute(entry["t"], entry["m"], entry["a"], entry["k"])
+                # ship-first protocol: the primary ships BEFORE executing
+                # locally, so an op that deterministically fails (bad args,
+                # missing key) arrives here too. The entry is still
+                # CONSUMED (the stream stays gap-free) and the failure is
+                # reported as op_err — the primary's own execution raises
+                # the same error to its client; if it does NOT, the primary
+                # declares divergence.
+                op_err = None
+                try:
+                    self._execute(
+                        entry["t"], entry["m"], entry["a"], entry["k"]
+                    )
+                except Exception as e:
+                    op_err = f"{type(e).__name__}: {e}"
                 self._applied = entry["i"]
-                return {"v": None}
+                return {"v": None, "op_err": op_err}
             if method == "bootstrap_begin":
                 if not self.follower:
                     raise ValueError("not a follower (already promoted?)")
@@ -561,25 +612,93 @@ class SubstrateServer:
         mutating = method not in _READ_ONLY.get(t, frozenset())
         try:
             if mutating:
-                # execute + ship under one lock: the standby applies ops in
-                # the primary's execution order, and the client's ack only
-                # happens after the standby holds the op. The fence check
-                # lives INSIDE the lock — a mutation racing the fencing op
-                # must not execute-and-ack unreplicated.
-                with self._repl_lock:
-                    if self._fenced:
-                        raise RuntimeError(
-                            "primary fenced: no attached standby — retry "
-                            "against the promoted standby, or attach one"
-                        )
-                    out = self._execute(t, method, args, kwargs)
-                    if self._repl_fn is not None:
-                        self._ship(t, method, request)
+                out = self._mutate(t, method, args, kwargs, request)
             else:
                 out = self._execute(t, method, args, kwargs)
             return {"v": _enc(out)}
         except Exception as e:  # propagate typed errors to the client
             return {"err": str(e), "err_type": type(e).__name__}
+
+    def _mutate(self, t: str, method: str, args: list, kwargs: dict,
+                request: dict):
+        """One mutating op. With replication active (standby attached /
+        attaching, or ha_fence) the op serializes under _repl_lock and is
+        shipped to the standby BEFORE it executes locally — so a failed
+        ship refuses the op with the primary's state still exactly the
+        acked prefix (an executed-then-refused write would silently
+        resurrect through the next attach_follower snapshot). Without
+        replication, mutations run concurrently across the gRPC workers
+        (tracked so attach_follower can drain them)."""
+        with self._mut_cv:
+            replicated = (
+                self.ha_fence
+                or self._repl_fn is not None
+                or self._repl_pending
+            )
+            if not replicated:
+                self._mut_inflight += 1
+        if not replicated:
+            try:
+                return self._execute(t, method, args, kwargs)
+            finally:
+                with self._mut_cv:
+                    self._mut_inflight -= 1
+                    self._mut_cv.notify_all()
+        # replicated path: ship first, under the total-order lock. The
+        # fence check lives INSIDE the lock — a mutation racing the
+        # fencing op must not execute-and-ack unreplicated.
+        with self._repl_lock:
+            if self._fenced:
+                raise RuntimeError(
+                    "primary fenced: no attached standby — retry "
+                    "against the promoted standby, or attach one"
+                )
+            if self._repl_fn is not None:
+                op_err = self._ship(t, method, request)
+                if op_err is not None:
+                    # the standby consumed the entry but the op itself
+                    # raised there. Deterministic ops raise identically
+                    # here — both sides rejected it, the pair is still
+                    # consistent, and the client sees the op's error.
+                    out = self._execute(t, method, args, kwargs)
+                    # local success + standby failure = DIVERGENCE.
+                    self._divergence(t, method)
+                    return out
+                return self._execute(t, method, args, kwargs)
+            return self._execute(t, method, args, kwargs)
+
+    def _divergence(self, t: str, method: str) -> None:
+        """The standby rejected an op this node applied: the pair's states
+        differ. Availability mode detaches the standby — the primary stays
+        the source of truth and the detached standby re-bootstraps FROM it,
+        so local state is authoritative, not dirty. Under ha_fence the
+        surviving STANDBY is authoritative: fence, mark this node dirty
+        (a later attach_follower from it would resurrect the divergent
+        write into the new pair) and refuse the op. Called under
+        _repl_lock."""
+        import logging
+
+        chan, self._repl_fn, self._repl_chan = self._repl_chan, None, None
+        if chan is not None:
+            chan.close()
+        log = logging.getLogger(__name__)
+        if self.ha_fence:
+            self._fenced = True
+            self._dirty = True
+            log.error(
+                "replication DIVERGENCE on %s.%s (op succeeded locally, "
+                "failed on the standby) — FENCING; this node is dirty and "
+                "must re-bootstrap as a follower to rejoin", t, method,
+            )
+            raise RuntimeError(
+                "primary fenced: replication diverged — retry against the "
+                "promoted standby"
+            )
+        log.error(
+            "replication DIVERGENCE on %s.%s (op succeeded locally, failed "
+            "on the standby) — standby DETACHED (it must re-bootstrap); "
+            "this primary remains the source of truth", t, method,
+        )
 
 
 _ERR_TYPES = {
@@ -607,6 +726,11 @@ class _Remote:
         self._addr_i = 0
         self._addr_lock = threading.Lock()
         self._timeout = timeout
+        # rotated-away channels are NOT closed until the client closes:
+        # another thread may have an RPC in flight on the old channel, and
+        # an eager close() fails it with CANCELLED (which the retry loop
+        # rightly does not retry — the call may have been delivered)
+        self._old_channels: list = []
         self._open_channel(self._addrs[0])
 
     def _open_channel(self, address: str) -> None:
@@ -623,12 +747,16 @@ class _Remote:
             response_deserializer=msgpack.unpackb,
         )
 
-    def _rotate(self) -> None:
+    def _rotate(self, seen_fn) -> None:
+        """Advance to the next endpoint — but only if ``seen_fn`` is still
+        the current stub: concurrent threads failing on the same channel
+        must rotate ONCE, not leapfrog past the healthy endpoint."""
         with self._addr_lock:
-            old = self._channel
+            if self._fn is not seen_fn:
+                return  # another thread already rotated
+            self._old_channels.append(self._channel)
             self._addr_i = (self._addr_i + 1) % len(self._addrs)
             self._open_channel(self._addrs[self._addr_i])
-            old.close()
 
     # UNAVAILABLE = the channel could not deliver the request (server down /
     # restarting); the call was NOT processed, so retrying is safe. The
@@ -653,8 +781,10 @@ class _Remote:
         }
         attempt = 0
         while True:
+            with self._addr_lock:  # snapshot the stub: _rotate swaps it
+                fn = self._fn
             try:
-                out = self._fn(request, timeout=self._timeout)
+                out = fn(request, timeout=self._timeout)
             except grpc.RpcError as e:
                 if (
                     e.code() is not grpc.StatusCode.UNAVAILABLE
@@ -663,7 +793,7 @@ class _Remote:
                     raise
                 attempt += 1
                 if len(self._addrs) > 1:
-                    self._rotate()
+                    self._rotate(fn)
                 _time.sleep(self._RETRY_SLEEP)
                 continue
             if (
@@ -673,7 +803,7 @@ class _Remote:
                 and any(m in out["err"] for m in self._FAILOVER_MSGS)
             ):
                 attempt += 1
-                self._rotate()
+                self._rotate(fn)
                 _time.sleep(self._RETRY_SLEEP)
                 continue
             break
@@ -683,6 +813,10 @@ class _Remote:
         return _dec(out.get("v"))
 
     def close(self) -> None:
+        with self._addr_lock:
+            old, self._old_channels = self._old_channels, []
+        for chan in old:
+            chan.close()
         self._channel.close()
 
 

@@ -280,6 +280,14 @@ def test_ha_fence_blocks_writes_after_standby_loss(tmp_path):
     with kv as txn:  # reads still serve (read-only plane is not fenced)
         assert txn.get("a") == b"1"
 
+    # the refused write must leave NO local trace: the ship-first protocol
+    # refuses BEFORE executing, so the primary's state is exactly the acked
+    # prefix (an executed-then-refused write would resurrect through the
+    # next attach_follower snapshot)
+    with kv as txn:
+        assert txn.get("b") is None
+        assert txn.get("c") is None
+
     # re-attaching a (new) standby lifts the fence; bootstrap carries the
     # pre-fence state, NOT the refused writes
     standby2 = SubstrateServer(str(tmp_path / "standby2"), follower=True)
@@ -296,8 +304,81 @@ def test_ha_fence_blocks_writes_after_standby_loss(tmp_path):
     with kv2 as txn:
         assert txn.get("a") == b"1"
         assert txn.get("d") == b"4"
+        # the refused writes never resurrected into the new pair either
+        assert txn.get("b") is None
+        assert txn.get("c") is None
     kv2.close()
     standby2.stop(0)
+
+
+def test_op_level_error_is_consistent_across_pair(pair):
+    """Ship-first means deterministically-failing ops reach the standby:
+    it consumes the entry (no gap), reports op_err, and the primary's own
+    execution raises the same error to the client — neither side changes
+    state and replication stays attached."""
+    primary, primary_addr, standby, standby_addr = pair
+    primary.attach_follower(standby_addr)
+    kv = RemoteDriver(primary_addr)
+    with pytest.raises(ValueError, match="bad kv op"):
+        kv._call("apply", [("bogus", "k")])  # deterministic op error, both sides
+    assert primary._repl_fn is not None, "op-level error must not detach"
+    with kv as txn:  # the stream is gap-free: later ops still replicate
+        txn.set("after-op-err", b"1")
+    assert standby._applied >= 2  # failing entry + the set both consumed
+    kv.close()
+    _repl(standby_addr, "promote")
+    kv2 = RemoteDriver(standby_addr)
+    with kv2 as txn:
+        assert txn.get("after-op-err") == b"1"
+    kv2.close()
+
+
+def test_dirty_node_refuses_to_seed_standby(pair):
+    """A node whose pair DIVERGED (standby rejected an op it applied) is
+    dirty: attach_follower from it must refuse — snapshotting its state
+    would resurrect the divergent write into the new pair."""
+    primary, primary_addr, standby, standby_addr = pair
+    primary.attach_follower(standby_addr)
+    primary._dirty = True  # as _divergence() would set
+    standby2_addr = standby_addr  # any address: refusal happens first
+    with pytest.raises(RuntimeError, match="dirty"):
+        primary.attach_follower(standby2_addr)
+
+
+def test_attach_during_concurrent_unreplicated_writes(pair):
+    """Fast-path mutations (no standby attached) run without the
+    replication lock; attach_follower must drain them before snapshotting
+    so every acked write lands in snapshot+stream exactly once."""
+    primary, primary_addr, standby, standby_addr = pair
+    kv = RemoteDriver(primary_addr)
+    acked = []
+    stop = threading.Event()
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            with kv as txn:
+                txn.set(f"w/{i}", str(i).encode())
+            acked.append(i)
+            i += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    while len(acked) < 10:
+        pass
+    primary.attach_follower(standby_addr)  # drains + snapshots mid-stream
+    while len(acked) < 30:
+        pass
+    stop.set()
+    t.join(timeout=30)
+    kv.close()
+    primary.server.stop(None).wait()
+    _repl(standby_addr, "promote")
+    kv2 = RemoteDriver(standby_addr)
+    with kv2 as txn:
+        for i in acked:
+            assert txn.get(f"w/{i}") == str(i).encode(), i
+    kv2.close()
 
 
 def test_client_endpoint_rotation_follows_failover(pair):

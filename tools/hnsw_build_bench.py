@@ -100,10 +100,18 @@ def main() -> None:
     dev_gen_s = time.time() - t0
 
     # the corpus is deterministic (threefry) — cache the built graph so
-    # search operating points can be re-measured without the O(n^2) build
+    # search operating points can be re-measured without the O(n^2) build.
+    # The key includes the build hyperparameters and the builder version:
+    # after tuning hnsw_ops a stale cached graph must not silently report
+    # the OLD builder's recall/build time.
+    build_sig = "m{}efc{}w{}v{}".format(
+        getattr(hnsw_ops, "M", "x"), getattr(hnsw_ops, "EF_CONSTRUCTION", "x"),
+        getattr(hnsw_ops, "WAVES_PER_DISPATCH", "x"),
+        getattr(hnsw_ops, "BUILD_VERSION", 1),
+    )
     cache = os.environ.get(
         "HNSW_BENCH_CACHE",
-        f"/tmp/hnsw_graph_{n}x{d}_c{n_centers}_s{spread}.npz",
+        f"/tmp/hnsw_graph_{n}x{d}_c{n_centers}_s{spread}_{build_sig}.npz",
     )
     if os.path.exists(cache):
         z = np.load(cache)
