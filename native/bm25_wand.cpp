@@ -463,6 +463,222 @@ PyObject* bm25_wand_multi(PyObject*, PyObject* args) {
     return tup;
 }
 
+PyObject* bm25_wand_req_multi(PyObject*, PyObject* args) {
+    // Required-count (AND-semantics) document-at-a-time evaluator: a doc
+    // qualifies when at least ``required`` cursors land on it (the device
+    // kernel's `counts >= required` gate, engine.py _bm25_groups_core);
+    // its score is the full BM25 sum over ALL cursors at the doc, and its
+    // matched-cursor count rides along (the kernel's top_counts). Pivoting
+    // extends WAND: the pivot is the first sorted-cursor prefix satisfying
+    // BOTH the count requirement (prefix size >= required) and the score
+    // ceiling (sum of upper bounds >= heap threshold) — any doc below the
+    // pivot doc fails one of the two, by pivot minimality.
+    PyObject *docs_l, *tfs_l, *offs_o, *w_o, *mx_o, *dl_o, *mask_o;
+    Py_ssize_t k, required;
+    double k1;
+    if (!PyArg_ParseTuple(args, "OOOOOOOndn", &docs_l, &tfs_l, &offs_o, &w_o,
+                          &mx_o, &dl_o, &mask_o, &k, &k1, &required))
+        return nullptr;
+    std::vector<std::unique_ptr<BufW>> hold;
+    std::vector<const void*> dptr, tptr;
+    std::vector<Py_ssize_t> dlen_b, tlen_b;
+    if (!collect_bufs(docs_l, "doc_bufs", hold, dptr, dlen_b)) return nullptr;
+    if (!collect_bufs(tfs_l, "tf_bufs", hold, tptr, tlen_b)) return nullptr;
+    BufW offs(offs_o, "offs"), wv(w_o, "weights"), mx(mx_o, "maxtf"),
+        dl(dl_o, "dl_norm");
+    if (!offs.ok || !wv.ok || !mx.ok || !dl.ok) return nullptr;
+    const bool has_mask = mask_o != Py_None;
+    BufW mask(has_mask ? mask_o : dl_o, "mask");
+    if (!mask.ok) return nullptr;
+    const auto* offp = static_cast<const int64_t*>(offs.data());
+    const auto* wp = static_cast<const float*>(wv.data());
+    const auto* mxp = static_cast<const float*>(mx.data());
+    const auto* dln = static_cast<const float*>(dl.data());
+    const auto* mk = has_mask ? static_cast<const uint8_t*>(mask.data()) : nullptr;
+    const size_t nc = dptr.size();
+    if (tptr.size() != nc || size_t(offs.nbytes() / 8) != nc) {
+        PyErr_SetString(PyExc_ValueError, "cursor array length mismatch");
+        return nullptr;
+    }
+    if (k <= 0 || required < 1) {
+        PyErr_SetString(PyExc_ValueError, "k and required must be positive");
+        return nullptr;
+    }
+    std::vector<float> out_s(size_t(k), 0.0f);
+    std::vector<int64_t> out_i(size_t(k), -1);
+    std::vector<int32_t> out_c(size_t(k), -1);
+    Py_BEGIN_ALLOW_THREADS
+    std::vector<MCursor> cur;
+    cur.reserve(nc);
+    for (size_t i = 0; i < nc; ++i) {
+        const int64_t n_post = dlen_b[i] / Py_ssize_t(sizeof(int32_t));
+        if (n_post == 0) continue;
+        MCursor c;
+        c.docs = static_cast<const int32_t*>(dptr[i]);
+        c.tfs = static_cast<const uint16_t*>(tptr[i]);
+        c.pos = 0;
+        c.end = n_post;
+        c.off = int32_t(offp[i]);
+        c.weight = wp[i];
+        c.ub = wp[i] * mxp[i];
+        c.load();
+        cur.push_back(c);
+    }
+    std::vector<MCursor*> order;
+    order.reserve(cur.size());
+    for (auto& c : cur) order.push_back(&c);
+    // (score, doc) heap as in the OR path; counts resolved at output time
+    // from a doc->count side map filled when the doc is fully scored
+    TopK top{size_t(k)};
+    std::vector<std::pair<int64_t, int32_t>> counted;  // (doc, count) log
+    const float kf = float(k1);
+    while (order.size() >= size_t(required)) {
+        order.erase(std::remove_if(order.begin(), order.end(),
+                                   [](MCursor* c) { return c->doc == kDocSentinel; }),
+                    order.end());
+        if (order.size() < size_t(required)) break;
+        std::sort(order.begin(), order.end(),
+                  [](MCursor* a, MCursor* b) { return a->doc < b->doc; });
+        const float theta = top.threshold();
+        float acc = 0.0f;
+        size_t pivot = order.size();
+        for (size_t i = 0; i < order.size(); ++i) {
+            acc += order[i]->ub;
+            if (i + 1 >= size_t(required) && acc >= theta) { pivot = i; break; }
+        }
+        if (pivot == order.size()) break;
+        const int32_t pdoc = order[pivot]->doc;
+        if (order[0]->doc == pdoc) {
+            // the cursors at pdoc are exactly the order[] prefix
+            int32_t count = 0;
+            for (auto* c : order) {
+                if (c->doc != pdoc) break;
+                ++count;
+            }
+            if (count >= int32_t(required) && (mk == nullptr || mk[pdoc])) {
+                float score = 0.0f;
+                const float d = dln[pdoc];
+                for (auto* c : order) {
+                    if (c->doc != pdoc) break;
+                    const float f = float(c->tfs[c->pos]);
+                    score += c->weight * (kf + 1.0f) * f / (f + kf * d);
+                    c->next();
+                }
+                const float theta_now = top.threshold();
+                top.push(score, int64_t(pdoc));
+                // only log docs that could be in the final top-k
+                if (score > theta_now ||
+                    (score == theta_now)) {
+                    counted.emplace_back(int64_t(pdoc), count);
+                }
+            } else {
+                for (auto* c : order) {
+                    if (c->doc != pdoc) break;
+                    c->next();
+                }
+            }
+        } else {
+            for (size_t i = 0; i < pivot && order[i]->doc < pdoc; ++i)
+                order[i]->advance_to(pdoc);
+        }
+    }
+    std::sort(top.h.begin(), top.h.end(),
+              [](const auto& a, const auto& b) {
+                  return a.first != b.first ? a.first > b.first
+                                            : a.second < b.second;
+              });
+    std::sort(counted.begin(), counted.end());
+    for (size_t i = 0; i < top.h.size(); ++i) {
+        out_s[i] = top.h[i].first;
+        out_i[i] = top.h[i].second;
+        auto it = std::lower_bound(
+            counted.begin(), counted.end(),
+            std::make_pair(top.h[i].second, int32_t(0)));
+        if (it != counted.end() && it->first == top.h[i].second)
+            out_c[i] = it->second;
+    }
+    Py_END_ALLOW_THREADS
+    PyObject* scores = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out_s.data()),
+        Py_ssize_t(out_s.size() * sizeof(float)));
+    PyObject* ids = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out_i.data()),
+        Py_ssize_t(out_i.size() * sizeof(int64_t)));
+    PyObject* cnts = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out_c.data()),
+        Py_ssize_t(out_c.size() * sizeof(int32_t)));
+    if (!scores || !ids || !cnts) {
+        Py_XDECREF(scores);
+        Py_XDECREF(ids);
+        Py_XDECREF(cnts);
+        return nullptr;
+    }
+    PyObject* tup = PyTuple_Pack(3, scores, ids, cnts);
+    Py_DECREF(scores);
+    Py_DECREF(ids);
+    Py_DECREF(cnts);
+    return tup;
+}
+
+PyObject* bm25_count_multi(PyObject*, PyObject* args) {
+    // per-doc matched-cursor counts thresholded at ``required`` ∩ mask:
+    // the corpus-wide matched set an AND query reports (kernel parity:
+    // engine.py `matched = (counts >= required) & mask`). want_bitmap=0
+    // returns just the count of qualifying docs.
+    PyObject *docs_l, *offs_o, *mask_o;
+    Py_ssize_t n_docs, required;
+    int want_bitmap;
+    if (!PyArg_ParseTuple(args, "OOOnnp", &docs_l, &offs_o, &mask_o, &n_docs,
+                          &required, &want_bitmap))
+        return nullptr;
+    std::vector<std::unique_ptr<BufW>> hold;
+    std::vector<const void*> dptr;
+    std::vector<Py_ssize_t> dlen_b;
+    if (!collect_bufs(docs_l, "doc_bufs", hold, dptr, dlen_b)) return nullptr;
+    BufW offs(offs_o, "offs");
+    if (!offs.ok) return nullptr;
+    const bool has_mask = mask_o != Py_None;
+    BufW mask(has_mask ? mask_o : offs_o, "mask");
+    if (!mask.ok) return nullptr;
+    const auto* offp = static_cast<const int64_t*>(offs.data());
+    const auto* mk = has_mask ? static_cast<const uint8_t*>(mask.data()) : nullptr;
+    if (required < 1) {
+        PyErr_SetString(PyExc_ValueError, "required must be positive");
+        return nullptr;
+    }
+    std::vector<uint16_t> counts(size_t(std::max<Py_ssize_t>(n_docs, 0)), 0);
+    std::vector<uint8_t> bitmap;
+    int64_t total = 0;
+    Py_BEGIN_ALLOW_THREADS
+    for (size_t i = 0; i < dptr.size(); ++i) {
+        const auto* docs = static_cast<const int32_t*>(dptr[i]);
+        const int64_t n_post = dlen_b[i] / Py_ssize_t(sizeof(int32_t));
+        const int32_t off = int32_t(offp[i]);
+        for (int64_t p = 0; p < n_post; ++p) {
+            const int64_t d = int64_t(docs[p]) + off;
+            if (d >= 0 && d < n_docs && counts[size_t(d)] < 65535)
+                ++counts[size_t(d)];
+        }
+    }
+    if (want_bitmap) {
+        bitmap.resize(size_t(std::max<Py_ssize_t>(n_docs, 0)), 0);
+        for (Py_ssize_t d = 0; d < n_docs; ++d) {
+            bitmap[size_t(d)] =
+                counts[size_t(d)] >= required && (mk == nullptr || mk[d]);
+        }
+    } else {
+        for (Py_ssize_t d = 0; d < n_docs; ++d) {
+            total += counts[size_t(d)] >= required && (mk == nullptr || mk[d]);
+        }
+    }
+    Py_END_ALLOW_THREADS
+    if (want_bitmap) {
+        return PyBytes_FromStringAndSize(
+            reinterpret_cast<const char*>(bitmap.data()), n_docs);
+    }
+    return PyLong_FromLongLong(total);
+}
+
 PyObject* bm25_match_multi(PyObject*, PyObject* args) {
     // union of the cursors' doc sets ∩ mask: the corpus-wide matched set an
     // OR query reports (kernel parity: engine.py `matched = score>0 & mask`)
@@ -566,4 +782,10 @@ extern "C" PyObject* bm25_wand_multi_entry(PyObject* self, PyObject* args) {
 }
 extern "C" PyObject* bm25_match_multi_entry(PyObject* self, PyObject* args) {
     return bm25_match_multi(self, args);
+}
+extern "C" PyObject* bm25_wand_req_multi_entry(PyObject* self, PyObject* args) {
+    return bm25_wand_req_multi(self, args);
+}
+extern "C" PyObject* bm25_count_multi_entry(PyObject* self, PyObject* args) {
+    return bm25_count_multi(self, args);
 }

@@ -271,6 +271,8 @@ extern "C" PyObject* bm25_max_tfnorm_entry(PyObject*, PyObject*);  // bm25_wand.
 extern "C" PyObject* bm25_wand_search_entry(PyObject*, PyObject*);  // bm25_wand.cpp
 extern "C" PyObject* bm25_wand_multi_entry(PyObject*, PyObject*);  // bm25_wand.cpp
 extern "C" PyObject* bm25_match_multi_entry(PyObject*, PyObject*);  // bm25_wand.cpp
+extern "C" PyObject* bm25_wand_req_multi_entry(PyObject*, PyObject*);  // bm25_wand.cpp
+extern "C" PyObject* bm25_count_multi_entry(PyObject*, PyObject*);  // bm25_wand.cpp
 
 namespace {
 
@@ -291,6 +293,10 @@ PyMethodDef methods[] = {
      "BM25+WAND top-k over per-(term,segment) cursors with mask (GIL-free)."},
     {"bm25_match_multi", bm25_match_multi_entry, METH_VARARGS,
      "Union match count/bitmap over per-(term,segment) cursors (GIL-free)."},
+    {"bm25_wand_req_multi", bm25_wand_req_multi_entry, METH_VARARGS,
+     "Required-count (AND) BM25+WAND top-k over cursors (GIL-free)."},
+    {"bm25_count_multi", bm25_count_multi_entry, METH_VARARGS,
+     "Per-doc matched-cursor count >= required bitmap/count (GIL-free)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -1101,15 +1101,23 @@ class DeviceTextEngine:
         sum-only proxy (avoids downloading n_pad bytes per search).
         """
         scored = bool(query.text.strip() or query.phrases)
-        if scored and not query.all_terms:
+        if scored:
             # cost-model routing (the text analogue of EXACT_SCAN_THRESHOLD):
-            # scored OR queries go to the host WAND tier when it wins — see
+            # scored queries — OR via WAND, AND via the required-count
+            # evaluator — go to the host WAND tier when it wins; see
             # host_tier.py for the measured regime map; results identical
             tier = self.host_tier()
             if tier is not None:
                 res = tier.search(query, need_matched=need_matched)
                 if res is not None:
-                    return res
+                    hits, matched_np = res
+                    if query.all_terms and query.fuzzy and query.text.strip():
+                        # same exact-AND tail as the kernel path below
+                        hits = [
+                            h for h in hits
+                            if self.verify_all_terms(h.doc_id, query)
+                        ]
+                    return hits, matched_np
         unfiltered = (
             query.filter is None and query.key_prefixes is None
             and query.extra_mask is None and not query.excluded
@@ -1224,10 +1232,18 @@ class DeviceTextEngine:
         of [B, n_pad] bitmaps (the count-only discipline of ``search``).
         """
         tier = self.host_tier()
-        if tier is not None and queries and not any(q.all_terms for q in queries):
+        if tier is not None and queries:
             out = [tier.search(q, need_matched=need_matched) for q in queries]
             if all(r is not None for r in out):
-                return out
+                result = []
+                for q, (hits, matched) in zip(queries, out):
+                    if q.all_terms and q.fuzzy and q.text.strip():
+                        hits = [
+                            h for h in hits
+                            if self.verify_all_terms(h.doc_id, q)
+                        ]
+                    result.append((hits, matched))
+                return result
         pending = self.dispatch_batch(queries, need_matched=need_matched)
         return pending.finalize() if pending is not None else []
 

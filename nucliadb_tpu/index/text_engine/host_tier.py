@@ -27,8 +27,15 @@ tests/test_host_tier.py). The corpus-wide matched count/bitmap the
 callers need for totals/facets comes from a union pass over the same
 cursors (kernel parity: ``matched = score>0 & mask``).
 
-WHAT STAYS ON DEVICE: all_terms (AND) queries (required-count semantics
-need the counts scatter), pure-filter queries, the mesh text group path
+AND (all_terms) queries run here too (r5): bm25_wand_req_multi extends the
+WAND pivot with the required-count condition — a doc qualifies only when
+at least ``required`` cursors land on it, exactly the kernel's
+`counts >= required` gate — and the matched set comes from a per-doc
+count pass (bm25_count_multi). The engine applies the same host
+verify_all_terms tail to the tier's top-k as to the kernel's.
+
+WHAT STAYS ON DEVICE: pure-filter queries (the engine's host filter path
+serves those without any kernel), the mesh text group path
 (parallel/text_group.py spans shards as one sharded program), and corpora
 above NDBTPU_TEXT_HOST_TIER_MAX_DOCS (default 4M) where a single core's
 posting traversal stops winning. NDBTPU_TEXT_HOST_TIER=0 disables, =1
@@ -185,26 +192,36 @@ class HostTextTier:
 
     def search(self, query: "TextQuery", *, need_matched: bool = True):
         """Mirror of DeviceTextEngine.search's scored branch; returns None
-        when this query must take the device kernel (all_terms)."""
-        from .engine import TextHit, _CountOnly
+        when this query must take the device kernel. AND (all_terms)
+        queries run the required-count evaluator (bm25_wand_req_multi) —
+        the kernel's `counts >= required` gate as cursor conjunction; the
+        caller applies the same verify_all_terms tail as the kernel path."""
+        from .engine import IMPOSSIBLE_REQUIRED, TextHit, _CountOnly
 
         engine = self.engine
-        if query.all_terms:
-            return None
         scored = bool(query.text.strip() or query.phrases)
         if not scored:
             return None  # pure-filter queries keep the engine's host path
 
-        terms, _required = engine._plan_terms(query)
+        terms, required = engine._plan_terms(query)
         n = engine.n_docs
         if not terms:
             return [], np.zeros(n, dtype=bool)
+        if query.all_terms and required >= IMPOSSIBLE_REQUIRED:
+            # a token with no exact/fuzzy variant: unsatisfiable AND — the
+            # kernel returns zero hits and an all-false matched set
+            empty = (
+                np.zeros(n, dtype=bool) if need_matched else _CountOnly(0, n)
+            )
+            return [], empty
 
         doc_bufs, tf_bufs, offs, weights, maxtf = [], [], [], [], []
+        scheduled: set = set()
         for term, weight in terms:
             df = engine.term_df(term)
             if df == 0:
                 continue
+            scheduled.add(term)
             w = weight * engine.idf(df)
             for docs, tfs, off, mt in self._cursors(term):
                 doc_bufs.append(docs)
@@ -232,27 +249,49 @@ class HostTextTier:
         k = max(1, min(query.top_k, n))
         min_score = query.min_score
 
-        s_b, i_b = _native.bm25_wand_multi(
-            doc_bufs, tf_bufs, offs_np, w_np, mt_np, self.dl_norm, mask_u8,
-            k, self._k1,
-        )
+        if query.all_terms:
+            # the same clamp as _params_for: fixed caps can't drop terms
+            # here (every cursor schedules), but the requirement must not
+            # exceed the achievable count
+            required_eff = max(min(required, len(scheduled)), 1)
+            s_b, i_b, c_b = _native.bm25_wand_req_multi(
+                doc_bufs, tf_bufs, offs_np, w_np, mt_np, self.dl_norm,
+                mask_u8, k, self._k1, required_eff,
+            )
+            top_c = np.frombuffer(c_b, np.int32)
+            if need_matched:
+                bm = _native.bm25_count_multi(
+                    doc_bufs, offs_np, mask_u8, n, required_eff, True
+                )
+                matched = np.frombuffer(bm, np.uint8).astype(bool)
+            else:
+                count = _native.bm25_count_multi(
+                    doc_bufs, offs_np, mask_u8, n, required_eff, False
+                )
+                matched = _CountOnly(int(count), n)
+        else:
+            s_b, i_b = _native.bm25_wand_multi(
+                doc_bufs, tf_bufs, offs_np, w_np, mt_np, self.dl_norm,
+                mask_u8, k, self._k1,
+            )
+            top_c = None
+            if need_matched:
+                bm = _native.bm25_match_multi(doc_bufs, offs_np, mask_u8, n, True)
+                matched = np.frombuffer(bm, np.uint8).astype(bool)
+            else:
+                count = _native.bm25_match_multi(doc_bufs, offs_np, mask_u8, n, False)
+                matched = _CountOnly(int(count), n)
         top_s = np.frombuffer(s_b, np.float32)
         top_i = np.frombuffer(i_b, np.int64)
-
-        if need_matched:
-            bm = _native.bm25_match_multi(doc_bufs, offs_np, mask_u8, n, True)
-            matched = np.frombuffer(bm, np.uint8).astype(bool)
-        else:
-            count = _native.bm25_match_multi(doc_bufs, offs_np, mask_u8, n, False)
-            matched = _CountOnly(int(count), n)
 
         if query.only_faceted:
             return [], matched
 
         hits = [
             TextHit(key=engine.keys[d], score=float(s), doc_id=int(d),
-                    attrs=engine.attrs[d], term_count=-1)
-            for s, d in zip(top_s, top_i)
+                    attrs=engine.attrs[d],
+                    term_count=int(top_c[j]) if top_c is not None else -1)
+            for j, (s, d) in enumerate(zip(top_s, top_i))
             if d >= 0 and (min_score is None or s >= min_score)
         ]
         return hits, matched

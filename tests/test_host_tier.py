@@ -104,6 +104,7 @@ def test_host_tier_matches_kernel_fuzz(tmp_path, monkeypatch, seed):
             text=" ".join(words),
             top_k=int(rng.integers(1, 40)),
             fuzzy=bool(rng.random() < 0.6),
+            all_terms=bool(rng.random() < 0.35),
             filter=LabelAtom("/l/ls/even") if rng.random() < 0.4 else None,
             key_prefixes=["r1/", "r7/"] if rng.random() < 0.3 else None,
             excluded=[str(rng.choice(VOCAB))] if rng.random() < 0.3 else [],
@@ -137,8 +138,22 @@ def test_host_tier_batch_and_routing(tmp_path, monkeypatch):
     for d, h, q in zip(dev, host, queries):
         _assert_equal(d, h, q.text)
 
-    # all_terms (AND) queries stay on the device kernel
-    assert tier.search(TextQuery(text="alpha bravo", all_terms=True)) is None
+    # all_terms (AND) queries run on the host tier too (r5): required-count
+    # evaluator, identical results to the kernel incl. per-hit counts
+    and_q = TextQuery(text="alpha bravo", all_terms=True, top_k=15)
+    res = tier.search(and_q)
+    assert res is not None
+    engine._host_tier_cached = None
+    dev_hits, dev_matched = engine.search(and_q)
+    engine._host_tier_cached = tier
+    host_hits, host_matched = engine.search(and_q)
+    assert _hits_key(dev_hits) == _hits_key(host_hits)
+    assert [h.term_count for h in dev_hits] == [h.term_count for h in host_hits]
+    np.testing.assert_array_equal(dev_matched, host_matched)
+    # unsatisfiable AND (token with no variant) returns empty on both
+    impossible = TextQuery(text="alpha zzzzqqq", all_terms=True, fuzzy=False)
+    ih, im = tier.search(impossible)
+    assert ih == [] and not im.any()
     # pure-filter queries stay on the engine's host filter path
     assert tier.search(TextQuery(text="", only_faceted=True)) is None
     # disabled via env
