@@ -171,6 +171,9 @@ class ParagraphSearchRequest:
     # matches EITHER side (FilterOperator::Or making both Should clauses,
     # nidx_paragraph/src/search_query.rs:87-103)
     filter_operator: str = "and"
+    # False skips computing the corpus-wide matched total (the /find
+    # product path never reads it; /search and the proto plane do)
+    need_total: bool = True
 
 
 @dataclass
@@ -323,13 +326,21 @@ class ParagraphSearcher:
 
             if phrases:
                 # the exact corpus-wide total needs the matched bitmap,
-                # which the coalescer's count-only path cannot return
-                return self.engine.search(q, need_matched=True)
+                # which the coalescer's count-only path cannot return —
+                # unless the caller doesn't want a total at all
+                return self.engine.search(
+                    q, need_matched=request.need_total,
+                    need_total=request.need_total,
+                )
             if coalescer.eligible(q):
                 # concurrent unfiltered keyword queries share one device
                 # dispatch (each dispatch costs a full relay round trip)
-                return coalescer.search_one(self.engine, q)
-            return self.engine.search(q, need_matched=False)
+                return coalescer.search_one(
+                    self.engine, q, need_total=request.need_total
+                )
+            return self.engine.search(
+                q, need_matched=False, need_total=request.need_total
+            )
 
         # grow the fetch window until the requested page is filled with
         # phrase-verified hits (or the candidate set is exhausted) — a fixed

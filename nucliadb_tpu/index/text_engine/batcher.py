@@ -25,10 +25,11 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 class _Entry:
-    __slots__ = ("query", "result", "error", "done")
+    __slots__ = ("query", "need_total", "result", "error", "done")
 
-    def __init__(self, query):
+    def __init__(self, query, need_total=True):
         self.query = query
+        self.need_total = need_total
         self.result = None
         self.error: Optional[BaseException] = None
         self.done = threading.Event()
@@ -61,12 +62,19 @@ class TextQueryCoalescer:
             and not query.excluded
         )
 
-    def search_one(self, engine: "DeviceTextEngine", query: "TextQuery"):
+    def search_one(
+        self, engine: "DeviceTextEngine", query: "TextQuery",
+        need_total: bool = True,
+    ):
         """One query -> (hits, matched-count proxy); may ride a batch.
-        Matched comes back count-only (``need_matched=False`` semantics)."""
+        Matched comes back count-only (``need_matched=False`` semantics);
+        ``need_total=False`` callers never read it (the proxy may carry -1
+        when every query in the ridden batch opted out)."""
         if not self.eligible(query):
-            return engine.search(query, need_matched=False)
-        entry = _Entry(query)
+            return engine.search(
+                query, need_matched=False, need_total=need_total
+            )
+        entry = _Entry(query, need_total)
         key = id(engine)
         with self._lock:
             self._pending.setdefault(key, []).append(entry)
@@ -106,9 +114,12 @@ class TextQueryCoalescer:
                 self.dispatches += 1
                 self.batched_queries += len(batch)
                 queries = [e.query for e in batch]
+                need_total = any(e.need_total for e in batch)
                 padded = 1 << (len(queries) - 1).bit_length()
                 queries += [queries[0]] * (padded - len(queries))
-                out = engine.search_batch(queries, need_matched=False)
+                out = engine.search_batch(
+                    queries, need_matched=False, need_total=need_total
+                )
                 for e, res in zip(batch, out):
                     e.result = res
             except BaseException as exc:

@@ -138,8 +138,10 @@ class TextQuery:
     extra_mask: Optional[np.ndarray] = None  # [n_docs] bool, e.g. security
 
 
-@dataclass
+@dataclass(slots=True)
 class TextHit:
+    # slots: the host WAND tier materializes top-k hit objects per query at
+    # ~10k QPS — slotted init measurably beats the dict-backed dataclass
     key: str
     score: float
     doc_id: int
@@ -1092,13 +1094,17 @@ class DeviceTextEngine:
     # ------------------------------------------------------------------
 
     def search(
-        self, query: TextQuery, *, need_matched: bool = True
+        self, query: TextQuery, *, need_matched: bool = True,
+        need_total: bool = True,
     ) -> tuple[list[TextHit], np.ndarray]:
         """Run a query; returns (hits, matched bitmap over global docs).
 
         The bitmap feeds host-side facet counting and date ordering; callers
         that only need the match count pass ``need_matched=False`` and get a
         sum-only proxy (avoids downloading n_pad bytes per search).
+        ``need_total=False`` additionally skips computing the count at all
+        (the /find path never reads the paragraph total) — the proxy then
+        carries -1.
         """
         scored = bool(query.text.strip() or query.phrases)
         if scored:
@@ -1108,7 +1114,9 @@ class DeviceTextEngine:
             # host_tier.py for the measured regime map; results identical
             tier = self.host_tier()
             if tier is not None:
-                res = tier.search(query, need_matched=need_matched)
+                res = tier.search(
+                    query, need_matched=need_matched, need_total=need_total
+                )
                 if res is not None:
                     hits, matched_np = res
                     if query.all_terms and query.fuzzy and query.text.strip():
@@ -1162,11 +1170,14 @@ class DeviceTextEngine:
             # serial np.asarray is its own ~25 ms relay round trip)
             top_s, top_ic, matched_full = device_fetch(top_s, top_ic, matched)
             matched_np = matched_full[: self.n_docs]
-        else:
+        elif need_total:
             # only the count crosses the wire (the bitmap is ~n_pad bytes per
             # search through a ~10MB/s link)
             top_s, top_ic, count = device_fetch(top_s, top_ic, jnp.sum(matched))
             matched_np = _CountOnly(int(count), self.n_docs)
+        else:
+            top_s, top_ic = device_fetch(top_s, top_ic)
+            matched_np = _CountOnly(-1, self.n_docs)
         top_i, top_counts = top_ic[:k], top_ic[k:]
 
         if query.only_faceted:
@@ -1218,7 +1229,8 @@ class DeviceTextEngine:
         return cached
 
     def search_batch(
-        self, queries: list[TextQuery], *, need_matched: bool = True
+        self, queries: list[TextQuery], *, need_matched: bool = True,
+        need_total: bool = True,
     ) -> list[tuple[list[TextHit], np.ndarray]]:
         """Score a batch of keyword queries in ONE device dispatch.
 
@@ -1233,7 +1245,10 @@ class DeviceTextEngine:
         """
         tier = self.host_tier()
         if tier is not None and queries:
-            out = [tier.search(q, need_matched=need_matched) for q in queries]
+            out = [
+                tier.search(q, need_matched=need_matched, need_total=need_total)
+                for q in queries
+            ]
             if all(r is not None for r in out):
                 result = []
                 for q, (hits, matched) in zip(queries, out):

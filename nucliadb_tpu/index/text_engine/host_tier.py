@@ -59,6 +59,8 @@ from typing import TYPE_CHECKING, Optional
 
 import numpy as np
 
+from .tokenizer import tokenize
+
 if TYPE_CHECKING:  # pragma: no cover
     from .engine import DeviceTextEngine, TextHit, TextQuery
 
@@ -96,8 +98,13 @@ def host_tier_for(engine: "DeviceTextEngine") -> "Optional[HostTextTier]":
 
 class HostTextTier:
     def __init__(self, engine: "DeviceTextEngine"):
-        from .engine import B, K1
+        from .engine import B, IMPOSSIBLE_REQUIRED, K1, TextHit, _CountOnly
 
+        # bound once: the per-query `from .engine import ...` cost ~1-2 µs
+        # at the tier's ~10k QPS operating point
+        self._TextHit = TextHit
+        self._CountOnly = _CountOnly
+        self._IMPOSSIBLE = IMPOSSIBLE_REQUIRED
         self.engine = engine
         self._k1 = float(K1)
         n = engine.n_docs
@@ -158,19 +165,26 @@ class HostTextTier:
 
     _CURSOR_CACHE_CAP = 262_144  # bounded by live vocabulary
 
-    def _cursors(self, term: str):
-        """One (docs view, tfs view, global offset, max tfnorm) per segment
-        holding the term — views straight into the memmapped CSR. The cache
-        is shared across threads (the native evaluator releases the GIL),
-        so entries publish only AFTER they are fully built, and eviction is
-        per-entry LRU under a lock — never a wholesale clear."""
+    def _bundle(self, term: str):
+        """Everything the evaluator needs for one term, in one cached
+        lookup: (doc buffer list, tf buffer list, offsets list, max-tfnorm
+        list, idf) — the buffers are views straight into the memmapped CSR
+        and the idf is engine-wide, so the whole bundle is immutable for
+        the tier's lifetime. The cache is shared across threads (the
+        native evaluator releases the GIL), so entries publish only AFTER
+        they are fully built, and eviction is per-entry LRU under a lock —
+        never a wholesale clear."""
         with self._cursor_lock:
             out = self._cursor_cache.get(term)
             if out is not None:
                 self._cursor_cache.move_to_end(term)
                 return out
-        out = []
-        for si, seg in enumerate(self.engine.segments):
+        engine = self.engine
+        doc_bufs: list = []
+        tf_bufs: list = []
+        offs: list = []
+        mts: list = []
+        for si, seg in enumerate(engine.segments):
             terms = seg.terms
             ti = bisect.bisect_left(terms, term)
             if ti >= len(terms) or terms[ti] != term:
@@ -179,25 +193,39 @@ class HostTextTier:
             hi = int(seg.postings_offsets[ti + 1])
             if lo == hi:
                 continue
-            off = int(self.seg_offsets[si])
-            docs = seg.postings_docs[lo:hi]
-            tfs = seg.postings_tfs[lo:hi]
-            mt = float(self._seg_maxtf(si, seg)[ti])
-            out.append((docs, tfs, off, mt))
+            doc_bufs.append(seg.postings_docs[lo:hi])
+            tf_bufs.append(seg.postings_tfs[lo:hi])
+            offs.append(int(self.seg_offsets[si]))
+            mts.append(float(self._seg_maxtf(si, seg)[ti]))
+        df = engine.term_df(term)
+        idf = engine.idf(df) if df else 0.0
+        out = (doc_bufs, tf_bufs, offs, mts, idf)
         with self._cursor_lock:
             while len(self._cursor_cache) >= self._CURSOR_CACHE_CAP:
                 self._cursor_cache.popitem(last=False)
             self._cursor_cache[term] = out
         return out
 
-    def search(self, query: "TextQuery", *, need_matched: bool = True):
+    def _cursors(self, term: str):
+        """(docs view, tfs view, global offset, max tfnorm) per segment
+        holding the term — the tuple view of ``_bundle`` (kept for tooling
+        and tests)."""
+        doc_bufs, tf_bufs, offs, mts, _idf = self._bundle(term)
+        return list(zip(doc_bufs, tf_bufs, offs, mts))
+
+    def search(
+        self, query: "TextQuery", *, need_matched: bool = True,
+        need_total: bool = True,
+    ):
         """Mirror of DeviceTextEngine.search's scored branch; returns None
         when this query must take the device kernel. AND (all_terms)
         queries run the required-count evaluator (bm25_wand_req_multi) —
         the kernel's `counts >= required` gate as cursor conjunction; the
-        caller applies the same verify_all_terms tail as the kernel path."""
-        from .engine import IMPOSSIBLE_REQUIRED, TextHit, _CountOnly
-
+        caller applies the same verify_all_terms tail as the kernel path.
+        ``need_total=False`` (with need_matched=False) skips the
+        corpus-wide matched pass entirely — the /find product path never
+        reads the paragraph leg's total, and the union/count pass is the
+        single largest non-evaluator cost at 1M docs (~100 µs/query)."""
         engine = self.engine
         scored = bool(query.text.strip() or query.phrases)
         if not scored:
@@ -207,28 +235,28 @@ class HostTextTier:
         n = engine.n_docs
         if not terms:
             return [], np.zeros(n, dtype=bool)
-        if query.all_terms and required >= IMPOSSIBLE_REQUIRED:
+        if query.all_terms and required >= self._IMPOSSIBLE:
             # a token with no exact/fuzzy variant: unsatisfiable AND — the
             # kernel returns zero hits and an all-false matched set
             empty = (
-                np.zeros(n, dtype=bool) if need_matched else _CountOnly(0, n)
+                np.zeros(n, dtype=bool) if need_matched
+                else self._CountOnly(0, n)
             )
             return [], empty
 
         doc_bufs, tf_bufs, offs, weights, maxtf = [], [], [], [], []
-        scheduled: set = set()
+        n_scheduled = 0
         for term, weight in terms:
-            df = engine.term_df(term)
-            if df == 0:
+            t_docs, t_tfs, t_offs, t_mts, idf = self._bundle(term)
+            if idf == 0.0:
                 continue
-            scheduled.add(term)
-            w = weight * engine.idf(df)
-            for docs, tfs, off, mt in self._cursors(term):
-                doc_bufs.append(docs)
-                tf_bufs.append(tfs)
-                offs.append(off)
-                weights.append(w)
-                maxtf.append(mt)
+            n_scheduled += 1
+            w = weight * idf
+            doc_bufs += t_docs
+            tf_bufs += t_tfs
+            offs += t_offs
+            maxtf += t_mts
+            weights += [w] * len(t_offs)
         if not doc_bufs:
             return [], np.zeros(n, dtype=bool)
 
@@ -253,7 +281,7 @@ class HostTextTier:
             # the same clamp as _params_for: fixed caps can't drop terms
             # here (every cursor schedules), but the requirement must not
             # exceed the achievable count
-            required_eff = max(min(required, len(scheduled)), 1)
+            required_eff = max(min(required, n_scheduled), 1)
             s_b, i_b, c_b = _native.bm25_wand_req_multi(
                 doc_bufs, tf_bufs, offs_np, w_np, mt_np, self.dl_norm,
                 mask_u8, k, self._k1, required_eff,
@@ -264,34 +292,62 @@ class HostTextTier:
                     doc_bufs, offs_np, mask_u8, n, required_eff, True
                 )
                 matched = np.frombuffer(bm, np.uint8).astype(bool)
-            else:
+            elif need_total:
                 count = _native.bm25_count_multi(
                     doc_bufs, offs_np, mask_u8, n, required_eff, False
                 )
-                matched = _CountOnly(int(count), n)
+                matched = self._CountOnly(int(count), n)
+            else:
+                matched = self._CountOnly(-1, n)  # total not computed
         else:
-            s_b, i_b = _native.bm25_wand_multi(
+            # required=1 degenerates to plain WAND (the count condition is
+            # always met at the first cursor) and rides counts along — a
+            # hit's matched-term count lets the caller's exact-match pruner
+            # skip position verification (engine.py TextHit.term_count)
+            s_b, i_b, c_b = _native.bm25_wand_req_multi(
                 doc_bufs, tf_bufs, offs_np, w_np, mt_np, self.dl_norm,
-                mask_u8, k, self._k1,
+                mask_u8, k, self._k1, 1,
             )
-            top_c = None
+            # counts are a SAFE ematch pruner only if every query token is
+            # scheduled (a stopword-dropped token could make a true exact
+            # match count below the caller's distinct-token bar) or absent
+            # from the corpus entirely (then no doc can exact-match anyway)
+            scheduled_terms = {t for t, _ in terms}
+            all_toks = tokenize(query.text)
+            for p in query.phrases:
+                all_toks.extend(tokenize(p))
+            counts_safe = all(
+                t in scheduled_terms or not engine.has_term(t)
+                for t in all_toks
+            )
+            top_c = np.frombuffer(c_b, np.int32) if counts_safe else None
             if need_matched:
                 bm = _native.bm25_match_multi(doc_bufs, offs_np, mask_u8, n, True)
                 matched = np.frombuffer(bm, np.uint8).astype(bool)
-            else:
+            elif need_total:
                 count = _native.bm25_match_multi(doc_bufs, offs_np, mask_u8, n, False)
-                matched = _CountOnly(int(count), n)
+                matched = self._CountOnly(int(count), n)
+            else:
+                matched = self._CountOnly(-1, n)  # total not computed
         top_s = np.frombuffer(s_b, np.float32)
         top_i = np.frombuffer(i_b, np.int64)
 
         if query.only_faceted:
             return [], matched
 
-        hits = [
-            TextHit(key=engine.keys[d], score=float(s), doc_id=int(d),
-                    attrs=engine.attrs[d],
-                    term_count=int(top_c[j]) if top_c is not None else -1)
-            for j, (s, d) in enumerate(zip(top_s, top_i))
-            if d >= 0 and (min_score is None or s >= min_score)
-        ]
+        TextHit = self._TextHit
+        keys = engine.keys
+        attrs = engine.attrs
+        if top_c is None:
+            hits = [
+                TextHit(keys[d], float(s), int(d), attrs[d], -1)
+                for s, d in zip(top_s, top_i)
+                if d >= 0 and (min_score is None or s >= min_score)
+            ]
+        else:
+            hits = [
+                TextHit(keys[d], float(s), int(d), attrs[d], int(c))
+                for s, d, c in zip(top_s, top_i, top_c)
+                if d >= 0 and (min_score is None or s >= min_score)
+            ]
         return hits, matched

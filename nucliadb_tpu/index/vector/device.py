@@ -61,6 +61,17 @@ from .segment import LoadedSegment, alive_mask, key_prefix_ranges
 
 from ...utils.buckets import bucket  # shared {2^k, 1.5*2^k} ladder
 
+import os as _os_mod
+
+# host numpy exact tier eligibility: p_pad * dim at or below this runs the
+# exact scan on host BLAS instead of dispatching a device program (default
+# 2M elements ≈ 16k×128 / 2.7k×768 — a scan of tens of µs vs ~1-2 ms of
+# CPU-backend dispatch overhead or a ~25 ms tunneled-TPU relay RTT).
+# 0 disables the tier.
+HOST_SCAN_ELEMS = int(
+    _os_mod.environ.get("NDBTPU_VECTOR_HOST_SCAN_ELEMS", 2_097_152) or 0
+)
+
 
 @dataclass
 class VectorHit:
@@ -203,6 +214,7 @@ class DeviceVectorIndex:
 
         self.paging: "str | None" = None
         self.vectors_host: "np.ndarray | None" = None
+        self._host_arena: "np.ndarray | None" = None
         budget = int(_os.environ.get("NDBTPU_VECTOR_ARENA_BUDGET", "0") or 0)
         if not self.multi and budget > 0:
             itemsize = 2 if store_dtype == jnp.bfloat16 else 4
@@ -262,6 +274,25 @@ class DeviceVectorIndex:
                 arena[: self.n_para] = flat
             self.vectors = jax.device_put(jnp.asarray(arena, dtype=store_dtype))
         self._base_mask_dev: jax.Array | None = None
+
+        # host numpy exact tier (the cost-model sibling of the text engine's
+        # host WAND tier): a corpus this small is bounded by the per-call
+        # device dispatch cost, not FLOPs — on the CPU backend that is
+        # ~1-2 ms of jit/device_put/fetch per call, and through a tunneled
+        # TPU it is the ~25 ms relay round trip — while the same exact scan
+        # runs in tens of microseconds of BLAS on host. Results mirror
+        # _search_exact (stable tie order, Fssc dedup window, min_score)
+        # within f32 rounding. Disabled for bf16 arenas (the kernel's bf16
+        # input rounding changes scores materially) and by
+        # NDBTPU_VECTOR_HOST_SCAN_ELEMS=0.
+        if (
+            not self.multi
+            and store_dtype == jnp.float32
+            and self.p_pad * dim <= HOST_SCAN_ELEMS
+        ):
+            host_arena = np.zeros((self.p_pad, dim), np.float32)
+            host_arena[: self.n_para] = flat
+            self._host_arena = host_arena
 
         self.codes: quant.Int8Codes | quant.BinaryCodes | None = None
         if not self.multi and self.n_para > EXACT_SCAN_THRESHOLD:
@@ -450,6 +481,31 @@ class DeviceVectorIndex:
         Returns ([B, k] scores, [B, k] paragraph ids, -1 = empty).
         """
         dedup = not with_duplicates
+        q_np = np.asarray(queries, dtype=np.float32)
+        if (
+            q_np.ndim == 2
+            and self._host_arena is not None
+            and self.codes is None
+            and self.ivf is None
+            and self.graph is None
+            and self.paging is None
+        ):
+            # host numpy exact tier: identical results to _search_exact
+            # without a device dispatch (see __init__)
+            if para_mask is None:
+                mask_np = self.base_mask()
+            else:
+                if para_mask.shape[0] == self.n_para:
+                    full = np.zeros(self.p_pad, dtype=bool)
+                    full[: self.n_para] = para_mask
+                    para_mask = full
+                mask_np = self.base_mask() & para_mask
+            s, i = self._search_host_exact(
+                q_np, top_k, mask_np,
+                float(NEG_INF) if min_score is None else float(min_score),
+                dedup,
+            )
+            return s, i
         if para_mask is None:
             mask_j = self.base_mask_device()
             matching = int(self.alive.sum())
@@ -516,9 +572,13 @@ class DeviceVectorIndex:
             elif self.graph is not None and self._use_graph(matching, top_k):
                 from ...ops import hnsw as hnsw_ops
 
+                # size-scaled default regime: big corpora need the wider
+                # beam to hold the reference's >= 0.95 recall@10 bar
+                ef, trips = hnsw_ops.default_search_params(self.graph.n_nodes)
                 s, i = hnsw_ops.hnsw_search(
                     self.vectors, self.graph.adj, self.graph.entry_ids, qj,
-                    mask_j, ms, k1, similarity=self.config.similarity.value,
+                    mask_j, ms, k1, ef=ef, trips=trips,
+                    similarity=self.config.similarity.value,
                     seg_of=self.graph.seg_of, n_segments=self.graph.n_segments,
                 )
                 if dedup:
@@ -643,6 +703,46 @@ class DeviceVectorIndex:
         return self._host_rerank_cut(
             np.asarray(qj), cand, k, min_score, dedup
         )
+
+    def _search_host_exact(
+        self, q: np.ndarray, k: int, mask_np: np.ndarray,
+        min_score_f: float, dedup: bool,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host numpy mirror of _search_exact: full f32 scan + stable top-k
+        (+ the same 2k+8 Fssc dedup window). Used below the host-scan
+        threshold, where per-call device dispatch cost dominates."""
+        arena = self._host_arena
+        if self.config.similarity.value == "cosine":
+            n = np.linalg.norm(q, axis=-1, keepdims=True)
+            q = q / np.maximum(n, np.float32(1e-12))
+        neg = np.float32(NEG_INF)
+        scores = (q @ arena.T).astype(np.float32, copy=False)  # [B, p_pad]
+        scores = np.where(mask_np[None, :], scores, neg)
+        if min_score_f > float(NEG_INF):
+            scores = np.where(scores >= np.float32(min_score_f), scores, neg)
+        if dedup:
+            k2 = min(2 * k + 8, scores.shape[-1])
+            order = np.argsort(-scores, axis=-1, kind="stable")[:, :k2]
+            cand_s = np.take_along_axis(scores, order, axis=-1)
+            cand = np.where(cand_s > neg / 2, order, -1)
+            rows = arena[np.maximum(cand, 0)]
+            valid = cand >= 0
+            valid = valid & ~_host_duplicate_mask(rows, valid)
+            scored = np.where(valid, cand_s, neg)
+            order2 = np.argsort(-scored, axis=-1, kind="stable")[:, :k]
+            top_s = np.take_along_axis(scored, order2, axis=-1)
+            top_i = np.take_along_axis(cand, order2, axis=-1)
+            top_i = np.where(top_s > neg / 2, top_i, -1)
+        else:
+            order = np.argsort(-scores, axis=-1, kind="stable")[:, :k]
+            top_s = np.take_along_axis(scores, order, axis=-1)
+            top_i = np.where(top_s > neg / 2, order, -1)
+        if k > top_s.shape[1]:
+            pad_s = np.full((top_s.shape[0], k - top_s.shape[1]), NEG_INF, np.float32)
+            pad_i = np.full((top_i.shape[0], k - top_i.shape[1]), -1, np.int64)
+            top_s = np.concatenate([top_s, pad_s], axis=-1)
+            top_i = np.concatenate([top_i, pad_i], axis=-1)
+        return top_s.astype(np.float32), top_i.astype(np.int64)
 
     def _host_rerank_cut(
         self, q: np.ndarray, cand: np.ndarray, k: int,

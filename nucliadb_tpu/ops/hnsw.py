@@ -67,6 +67,25 @@ SEARCH_TRIPS = 6  # minimum beam iterations (see module docstring)
 # results, nidx_vector/src/hnsw/search.rs:188-240); this caps the loop
 SEARCH_TRIPS_MAX = 24
 
+# corpora past this size get the wider default regime (ef=100 / 12 trips):
+# a 6-trip ef=50 beam covers <= ~beam*M frontier nodes, which stops being
+# enough hops at ~1M — measured recall@10 at 1M x 768 clustered-cosine is
+# 0.8883 under ef=50/6 vs 0.9531 under ef=100/12 (tools/hnsw_build_bench),
+# and the reference's own bar is >= 0.95 (segment.rs:906-909). 100k stays
+# on the fast regime (0.9984 there).
+EF_WIDE_THRESHOLD = 200_000
+EF_SEARCH_WIDE = 100
+SEARCH_TRIPS_WIDE = 12
+
+
+def default_search_params(n_nodes: int) -> tuple[int, int]:
+    """(ef, min trips) for the DEFAULT search regime at ``n_nodes`` — the
+    operating point that meets the reference's >= 0.95 recall@10 bar at
+    every benched scale (VERDICT r4 task 5)."""
+    if n_nodes > EF_WIDE_THRESHOLD:
+        return EF_SEARCH_WIDE, SEARCH_TRIPS_WIDE
+    return EF_SEARCH, SEARCH_TRIPS
+
 
 @dataclass
 class DeviceHnsw:

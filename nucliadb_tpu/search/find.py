@@ -466,6 +466,11 @@ class SearchService:
             range_modification=_range(
                 request.range_modification_start, request.range_modification_end
             ),
+            # /find derives its total from the fused list; the paragraph
+            # leg's corpus-wide matched count is never read — skipping it
+            # drops the union/count pass (the largest non-evaluator cost of
+            # the host WAND tier at 1M docs)
+            need_paragraph_total=False,
         )
 
         keyword_blocks: list[TextBlock] = []

@@ -103,6 +103,10 @@ class ShardSearchRequest:
     # exclusion on text legs rides the /q/h label filter)
     include_hidden: bool = False
 
+    # False skips the paragraph leg's corpus-wide matched total — /find
+    # derives its response total from the fused list and never reads it
+    need_paragraph_total: bool = True
+
     # vector dedup (nodereader SearchRequest.with_duplicates; proto default
     # false = identical-vector results collapse)
     with_duplicates: bool = False
@@ -288,6 +292,26 @@ class ShardSearcher:
             hi = e if hi is None else max(hi, e)
         return None if lo is None else (lo, hi)
 
+    def _legs_host_resident(self, request: ShardSearchRequest) -> bool:
+        """True when neither hybrid leg will dispatch a device program —
+        the text engine serves from its host WAND tier and the vector index
+        from its host numpy exact tier — so the per-request thread handoff
+        that exists to overlap device round trips is pure overhead."""
+        if self.paragraph is None or self.paragraph.engine.host_tier() is None:
+            return False
+        vs_name = request.vectorset or next(iter(self.vectors), "")
+        searcher = self.vectors.get(vs_name)
+        if searcher is None:
+            return True  # no vector leg to dispatch at all
+        idx = searcher.index
+        return (
+            idx._host_arena is not None
+            and idx.codes is None
+            and idx.ivf is None
+            and idx.graph is None
+            and idx.paging is None
+        )
+
     def search(
         self,
         request: ShardSearchRequest,
@@ -366,6 +390,7 @@ class ShardSearcher:
                     advanced_query=request.advanced_query,
                     search_after=request.search_after,
                     filter_operator=request.leg_filter_operator,
+                    need_total=request.need_paragraph_total,
                 )
             )
 
@@ -410,14 +435,22 @@ class ShardSearcher:
                     else run_paragraph()
                 )
         elif want_paragraph and want_vector:
-            # hybrid: the two device programs dispatch from parallel threads
-            # so their host<->device round trips overlap (parity: the
-            # reference's scoped-thread per-index fan-out,
-            # shard_search.rs:185-273 — and on the tunneled TPU the overlap
-            # is most of the latency win)
-            para_fut = _INDEX_POOL.submit(run_paragraph)
-            response.vector = run_vector()
-            response.paragraph = para_fut.result()
+            if self._legs_host_resident(request):
+                # both legs serve from host tiers (text WAND tier + vector
+                # numpy exact tier): there is no device round trip to
+                # overlap, and the thread handoff is pure overhead on the
+                # query path — run inline
+                response.paragraph = run_paragraph()
+                response.vector = run_vector()
+            else:
+                # hybrid: the two device programs dispatch from parallel
+                # threads so their host<->device round trips overlap
+                # (parity: the reference's scoped-thread per-index fan-out,
+                # shard_search.rs:185-273 — and on the tunneled TPU the
+                # overlap is most of the latency win)
+                para_fut = _INDEX_POOL.submit(run_paragraph)
+                response.vector = run_vector()
+                response.paragraph = para_fut.result()
         elif want_paragraph:
             response.paragraph = run_paragraph()
         elif want_vector:

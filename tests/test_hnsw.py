@@ -166,3 +166,57 @@ def test_last_node_reachable_without_padding(rng):
         jnp.asarray(mask), -3e38, 5,
     )
     assert int(np.asarray(i)[0, 0]) == n - 1
+
+
+def test_default_search_params_scale_with_corpus():
+    """The DEFAULT search regime must meet the reference's >= 0.95
+    recall@10 bar at every benched scale (segment.rs:906-909): small
+    corpora keep the fast ef=50/6 point (0.9984 at 100k), corpora past the
+    crossover get ef=100/12 (0.9531 at 1M vs 0.8883 under ef=50/6 —
+    tools/hnsw_build_bench, BASELINE.md)."""
+    from nucliadb_tpu.ops import hnsw as hnsw_ops
+
+    assert hnsw_ops.default_search_params(50_000) == (
+        hnsw_ops.EF_SEARCH, hnsw_ops.SEARCH_TRIPS)
+    assert hnsw_ops.default_search_params(200_000) == (
+        hnsw_ops.EF_SEARCH, hnsw_ops.SEARCH_TRIPS)
+    assert hnsw_ops.default_search_params(1_000_000) == (
+        hnsw_ops.EF_SEARCH_WIDE, hnsw_ops.SEARCH_TRIPS_WIDE)
+
+
+def test_searcher_graph_path_uses_scaled_default(rng, tmp_path, monkeypatch):
+    """The index-path graph search passes the size-scaled regime through to
+    hnsw_search (device.py), not the module constants."""
+    import numpy as np
+
+    from nucliadb_tpu.index.vector import (
+        Elem,
+        VectorConfig,
+        VectorSearcher,
+        VectorSearchRequest,
+    )
+    from nucliadb_tpu.index.vector.segment import create_segment
+    from nucliadb_tpu.ops import hnsw as hnsw_ops
+    from nucliadb_tpu.types import Seq, SimpleOpenIndex
+
+    seen = {}
+    real = hnsw_ops.hnsw_search
+
+    def spy(*args, **kwargs):
+        seen["ef"] = kwargs.get("ef")
+        seen["trips"] = kwargs.get("trips")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(hnsw_ops, "hnsw_search", spy)
+    monkeypatch.setattr(hnsw_ops, "EF_WIDE_THRESHOLD", 100)  # tiny crossover
+    n, d = 256, 16
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    cfg = VectorConfig(dimension=d, flags=["hnsw"])
+    elems = [Elem(key=f"r/{i:05d}", vectors=v[i : i + 1]) for i in range(n)]
+    meta = create_segment(str(tmp_path / "seg"), elems, cfg)
+    searcher = VectorSearcher(cfg, SimpleOpenIndex(segment_list=[(meta, Seq(1))]))
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    searcher.search(VectorSearchRequest(vectors=q, top_k=5))
+    assert seen.get("ef") == hnsw_ops.EF_SEARCH_WIDE
+    assert seen.get("trips") == hnsw_ops.SEARCH_TRIPS_WIDE

@@ -140,8 +140,13 @@ def main() -> None:
 
     node_mask = jnp.ones(n, dtype=bool)
     adj_j, entry_j = jnp.asarray(adj), jnp.asarray(entry_ids)
+    default_pt = hnsw_ops.default_search_params(n)
     points = []
-    for ef, trips in [(hnsw_ops.EF_SEARCH, hnsw_ops.SEARCH_TRIPS), (100, 12)]:
+    regimes = [(hnsw_ops.EF_SEARCH, hnsw_ops.SEARCH_TRIPS),
+               (hnsw_ops.EF_SEARCH_WIDE, hnsw_ops.SEARCH_TRIPS_WIDE)]
+    if default_pt not in regimes:
+        regimes.append(default_pt)
+    for ef, trips in regimes:
         t0 = time.time()
         hs, hi = hnsw_ops.hnsw_search(
             vectors_dev, adj_j, entry_j, qj,
@@ -161,6 +166,7 @@ def main() -> None:
         ]))
         points.append({
             "ef": ef, "trips": trips,
+            "default": (ef, trips) == default_pt,
             "recall_at_10_vs_exact": round(recall, 4),
             "search_s_batch_warm": round(search_s, 2),
             "search_s_batch_first": round(warm_s, 2),
