@@ -314,6 +314,85 @@ def bench_bm25(tmp_dir: str) -> None:
         cpu_qps = 1.0 / cpu_dt
     except ImportError:
         pass  # native extension not built: emit without the CPU ratio
+    # ---- AND (all_terms) + phrase shapes (VERDICT r4 task 2) -------------
+    # AND queries: pairs of co-occurring terms (sampled from real docs so
+    # conjunctions actually match) + the same typo'd fuzzy term mix.
+    rng_a = np.random.default_rng(31)
+    and_queries = []
+    for i in range(bq):
+        di = int(rng_a.integers(0, n_docs))
+        toks = [words[j] for j in zipf[di][:2]]
+        and_queries.append(
+            TextQuery(text=f"{toks[0]} {toks[1]}", top_k=20, fuzzy=bool(i % 2),
+                      all_terms=True)
+        )
+    engine.search_batch(and_queries, need_matched=False)  # warm
+    t0 = time.time()
+    for _ in range(reps):
+        out = engine.search_batch(and_queries, need_matched=False)
+    and_dt = (time.time() - t0) / reps
+    and_route = (
+        "host_wand_tier" if engine.host_tier() is not None else "device_kernel"
+    )
+    # the device kernel's AND number for the same batch (the pre-r5 route)
+    engine._host_tier_cached = None
+    engine.search_batch(and_queries, need_matched=False)  # compile/warm
+    t0 = time.time()
+    for _ in range(reps):
+        engine.search_batch(and_queries, need_matched=False)
+    and_kernel_dt = (time.time() - t0) / reps
+    engine._host_tier_cached = tier
+    _emit(
+        {
+            "metric": f"config3_and_allterms_{n_docs}_top20",
+            "value": round(bq / and_dt, 1),
+            "unit": "qps",
+            "vs_baseline": round(and_kernel_dt / and_dt, 2),
+            "detail": {"route": and_route,
+                       "ms_per_batch": round(and_dt * 1e3, 2),
+                       "device_kernel_qps": round(bq / and_kernel_dt, 1),
+                       "batched_queries_per_dispatch": bq,
+                       "n_docs": n_docs},
+        }
+    )
+
+    # phrase queries through the PARAGRAPH layer (position verification +
+    # exact totals live there): quoted bigram sampled from real docs.
+    from nucliadb_tpu.index.paragraph import (
+        ParagraphSearcher,
+        ParagraphSearchRequest,
+    )
+    from nucliadb_tpu.types import SimpleOpenIndex
+
+    para = ParagraphSearcher(SimpleOpenIndex(segment_list=[(meta, Seq(1))]))
+    para.engine = engine  # reuse the warm engine + host tier
+    rng_p = np.random.default_rng(41)
+    phrase_reqs = []
+    for i in range(min(bq, 128)):
+        di = int(rng_p.integers(0, n_docs))
+        t1p, t2p = words[zipf[di][0]], words[zipf[di][1]]
+        phrase_reqs.append(
+            ParagraphSearchRequest(query=f'"{t1p} {t2p}"', top_k=20)
+        )
+    for r in phrase_reqs[:4]:
+        para.search(r)
+    t0 = time.time()
+    for r in phrase_reqs:
+        para.search(r)
+    phrase_dt = (time.time() - t0) / len(phrase_reqs)
+    _emit(
+        {
+            "metric": f"config3_phrase_{n_docs}_top20",
+            "value": round(1.0 / phrase_dt, 1),
+            "unit": "qps",
+            "vs_baseline": None,
+            "detail": {"ms_per_query": round(phrase_dt * 1e3, 3),
+                       "route": and_route,
+                       "exact_totals": True,
+                       "n_docs": n_docs},
+        }
+    )
+
     default_bdt = host_bdt if host_bdt is not None else bdt
     _emit(
         {

@@ -361,6 +361,16 @@ class RelationSearcher:
         self._facet_strs = _str_array(facet_strs)
         self._facet_edge = np.array(facet_edge, np.int64) if facet_edge else np.zeros(0, np.int64)
         self._node_words: list[list[str]] | None = None  # lazy (fuzzy_words)
+        # term-dictionary accelerators (lazy — the tantivy/FST role,
+        # nidx_relation/src/lib.rs:124-263 serving selective terms from
+        # dictionaries instead of scanning): norm value -> node-triple ids,
+        # sorted norm values for prefix ranges, and low-cardinality
+        # type/subtype masks. Each replaces an O(U) string scan per query
+        # with an O(log U) or O(1) lookup + sparse mask fill.
+        self._value_post: dict[str, np.ndarray] | None = None
+        self._norm_sorted: np.ndarray | None = None
+        self._norm_order: np.ndarray | None = None
+        self._filter_masks: dict[tuple[str, str], np.ndarray] = {}
         # value -> (type, subtype): source occurrences take priority over
         # target ones (matches the original first-source-then-target scan)
         self._value_ts: dict[str, tuple[str, str]] = {}
@@ -527,16 +537,54 @@ class RelationSearcher:
     # semantic matches contribute the vector score (ConstScoreQuery,
     # graph_query_parser.rs:497-505).
 
+    def _value_postings(self) -> dict[str, np.ndarray]:
+        """norm value -> node-triple ids (built once per searcher)."""
+        vp = self._value_post
+        if vp is None:
+            lists: dict[str, list[int]] = {}
+            for i, nv in enumerate(self._n_norm_list):
+                lists.setdefault(nv, []).append(i)
+            vp = self._value_post = {
+                k: np.asarray(v, np.int64) for k, v in lists.items()
+            }
+        return vp
+
+    def _norm_range_ids(self, lo_q: str, hi_q: str) -> np.ndarray:
+        """Node-triple ids whose norm value falls in [lo_q, hi_q)."""
+        if self._norm_sorted is None:
+            self._norm_order = np.argsort(self._n_norm, kind="stable")
+            self._norm_sorted = self._n_norm[self._norm_order]
+        lo = int(np.searchsorted(self._norm_sorted, lo_q, side="left"))
+        hi = int(np.searchsorted(self._norm_sorted, hi_q, side="left"))
+        return self._norm_order[lo:hi]
+
+    def _filter_mask(self, kind: str, value: str) -> np.ndarray:
+        """Cached [U] bool mask for a type/subtype equality filter —
+        filter vocabularies are tiny, so each distinct value scans once."""
+        key = (kind, value)
+        mask = self._filter_masks.get(key)
+        if mask is None:
+            col = self._n_types if kind == "type" else self._n_subtypes
+            mask = self._filter_masks[key] = col == value
+        return mask
+
+    @staticmethod
+    def _ids_mask(ids: np.ndarray, u: int) -> np.ndarray:
+        ok = np.zeros(u, bool)
+        if len(ids):
+            ok[ids] = True
+        return ok
+
     def _node_pattern_scores(self, pattern: NodePattern) -> np.ndarray:
         """Score every unique node triple against a pattern → [U] float32,
         NaN = no match."""
         U = len(self._node_rows)
         score = np.zeros(U, np.float32)
         if pattern.ntype is not None:
-            ok = self._n_types == pattern.ntype
+            ok = self._filter_mask("type", pattern.ntype)
             score = np.where(ok, score + 1.0, np.nan)
         if pattern.subtype is not None and pattern.subtype != "":
-            ok = self._n_subtypes == pattern.subtype
+            ok = self._filter_mask("subtype", pattern.subtype)
             score = np.where(ok, score + 1.0, np.nan)
         if pattern.match == "semantic":
             # semantic leaves carry resolved matches, not a value (a raw
@@ -580,6 +628,28 @@ class RelationSearcher:
             return score + add
         if match == "fuzzy":
             d = pattern.distance
+            from ..text_engine.fuzzy import MIN_FUZZY_LEN
+
+            if (
+                not pattern.prefix
+                and d <= 1
+                and len(norm_q) >= MIN_FUZZY_LEN
+                and U
+            ):
+                # dictionary fast path: symmetric-delete expansion over the
+                # unique-value vocabulary (the FST role) instead of an
+                # O(U) OSA loop — same osa_leq verification inside expand
+                vp = self._value_postings()
+                ids = [
+                    vp[v]
+                    for v in self.fuzzy_index.expand(norm_q, d)
+                    if v in vp
+                ]
+                hit = self._ids_mask(
+                    np.concatenate(ids) if ids else np.zeros(0, np.int64), U
+                )
+                add = np.where(hit, np.float32(1.0), np.nan)
+                return score + add
             add = np.full(U, np.nan, np.float32)
             for i in np.flatnonzero(~np.isnan(score)):
                 norm_v = self._n_norm_list[i]
@@ -594,11 +664,19 @@ class RelationSearcher:
                 elif osa_leq(norm_q, norm_v, d):
                     add[i] = 1.0
             return score + add
-        # exact
+        # exact — served from the value dictionary / sorted range instead of
+        # an O(U) string-column scan
         if pattern.prefix:
-            ok = np.char.startswith(self._n_norm, norm_q) if U else np.zeros(0, bool)
+            if U:
+                ids = self._norm_range_ids(norm_q, norm_q + "\U0010ffff")
+                ok = self._ids_mask(ids, U)
+            else:
+                ok = np.zeros(0, bool)
         else:
-            ok = self._n_norm == norm_q
+            ids = self._value_postings().get(norm_q)
+            ok = self._ids_mask(
+                ids if ids is not None else np.zeros(0, np.int64), U
+            )
         return np.where(ok, score + 1.0, np.nan)
 
     def _rel_pattern_scores(self, pattern: RelationPattern) -> np.ndarray:

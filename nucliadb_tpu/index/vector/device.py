@@ -1037,12 +1037,20 @@ def _search_binary(codes, vectors, queries, para_mask, min_score, k, similarity,
 
 @partial(jax.jit, static_argnames=("k", "m_max", "similarity", "dedup"))
 def _search_maxsim(vectors, m_count, queries, qmask, para_mask, min_score, k, m_max, similarity, dedup=False):
+    return _maxsim_core(
+        vectors, m_count, queries, qmask, para_mask, min_score, k, m_max,
+        similarity, dedup,
+    )
+
+
+def _maxsim_core(vectors, m_count, queries, qmask, para_mask, min_score, k, m_max, similarity, dedup=False):
     """Multivector MaxSim: sum over query sub-vectors of the per-paragraph max.
 
     Parity with nidx_vector/src/multivector.rs:33-46 (maxsim_similarity),
     computed as one batched contraction + reshape/max over the uniform
-    per-paragraph slots (no scatter).
-    """
+    per-paragraph slots (no scatter). Unjitted core shared with the mesh
+    group program (parallel/group.py), which traces it per member shard so
+    a grouped multivector leg runs the byte-identical kernel sequence."""
     b, m, d = queries.shape
     p_pad = vectors.shape[0] // m_max
     q = prepare_query(queries.reshape(b * m, d), similarity).reshape(b, m, d)

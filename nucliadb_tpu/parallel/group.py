@@ -76,18 +76,20 @@ class MeshVectorGroup:
 
     @staticmethod
     def eligible(searchers: Sequence) -> bool:
-        from ..index.vector.config import VectorCardinality
-
         if not searchers:
             return False
         cfgs = [s.config for s in searchers]
-        if any(c.cardinality == VectorCardinality.MULTI for c in cfgs):
-            return False
         # ivf/hnsw/pallas strategies hold per-arena derived state the group
         # program does not replicate
         if any(set(c.flags) & {"ivf", "hnsw", "pallas"} for c in cfgs):
             return False
-        if len({(c.dimension, c.similarity, frozenset(c.flags)) for c in cfgs}) != 1:
+        # cardinality must be uniform: multivector (MaxSim) groups run the
+        # shared _maxsim_core per shard (r5 — VERDICT r4 task 7); a mixed
+        # single/multi set has no common kernel sequence
+        if len({
+            (c.dimension, c.similarity, frozenset(c.flags), c.cardinality)
+            for c in cfgs
+        }) != 1:
             return False
         if any(isinstance(s.index.codes, quant.BinaryCodes) for s in searchers):
             return False
@@ -98,6 +100,8 @@ class MeshVectorGroup:
         return True
 
     def __init__(self, searchers: Sequence, mesh: Mesh | None = None):
+        from ..index.vector.config import VectorCardinality
+
         assert self.eligible(searchers)
         self.searchers = list(searchers)
         devices = jax.devices()
@@ -110,33 +114,61 @@ class MeshVectorGroup:
         self.per = max(se.index.p_pad for se in searchers)
         cfg = searchers[0].config
         self.similarity = cfg.similarity.value
+        self.multi = cfg.cardinality == VectorCardinality.MULTI
         d = cfg.dimension
 
-        store_dtype = np.asarray(searchers[0].index.vectors[:1]).dtype
-        arena = np.zeros((self.s_pad, self.per, d), dtype=store_dtype)
-        for i, se in enumerate(searchers):
-            v = np.asarray(se.index.vectors)
-            arena[i, : v.shape[0]] = v
         sharding = NamedSharding(self.mesh, P("shard"))
-        self.vectors = jax.device_put(arena, sharding)
-
-        self.use_codes = all(
-            isinstance(se.index.codes, quant.Int8Codes) for se in searchers
-        )
-        if self.use_codes:
-            codes = np.zeros((self.s_pad, self.per, d), np.int8)
-            scales = np.zeros((self.s_pad, self.per), np.float32)
+        store_dtype = np.asarray(searchers[0].index.vectors[:1]).dtype
+        if self.multi:
+            # uniform slot layout across members: each member's
+            # [p_pad_i, m_max_i, D] slot block re-pads to the group-wide
+            # (per, m_max) grid — zero slots are masked by m_count exactly
+            # as in the sequential _maxsim_core
+            self.m_max = max(se.index.m_max for se in searchers)
+            arena = np.zeros(
+                (self.s_pad, self.per * self.m_max, d), dtype=store_dtype
+            )
+            m_counts = np.zeros((self.s_pad, self.per), np.int32)
             for i, se in enumerate(searchers):
-                c = np.asarray(se.index.codes.codes)
-                codes[i, : c.shape[0]] = c
-                scales[i, : c.shape[0]] = np.asarray(se.index.codes.scale)
-        else:
+                idx = se.index
+                v = np.asarray(idx.vectors).reshape(idx.p_pad, idx.m_max, d)
+                a = np.zeros((self.per, self.m_max, d), dtype=store_dtype)
+                a[: v.shape[0], : v.shape[1]] = v
+                arena[i] = a.reshape(self.per * self.m_max, d)
+                m_counts[i, : idx.p_pad] = np.asarray(idx.m_count)
+            self.vectors = jax.device_put(arena, sharding)
+            self.m_counts = jax.device_put(m_counts, sharding)
+            self.use_codes = False
             codes = np.zeros((self.s_pad, 1, 1), np.int8)
             scales = np.zeros((self.s_pad, 1), np.float32)
+        else:
+            self.m_max = 1
+            arena = np.zeros((self.s_pad, self.per, d), dtype=store_dtype)
+            for i, se in enumerate(searchers):
+                v = np.asarray(se.index.vectors)
+                arena[i, : v.shape[0]] = v
+            self.vectors = jax.device_put(arena, sharding)
+            self.m_counts = jax.device_put(
+                np.zeros((self.s_pad, 1), np.int32), sharding
+            )
+            self.use_codes = all(
+                isinstance(se.index.codes, quant.Int8Codes) for se in searchers
+            )
+            if self.use_codes:
+                codes = np.zeros((self.s_pad, self.per, d), np.int8)
+                scales = np.zeros((self.s_pad, self.per), np.float32)
+                for i, se in enumerate(searchers):
+                    c = np.asarray(se.index.codes.codes)
+                    codes[i, : c.shape[0]] = c
+                    scales[i, : c.shape[0]] = np.asarray(se.index.codes.scale)
+            else:
+                codes = np.zeros((self.s_pad, 1, 1), np.int8)
+                scales = np.zeros((self.s_pad, 1), np.float32)
         self.codes = jax.device_put(codes, sharding)
         self.scales = jax.device_put(scales, sharding)
         self._mask_sharding = sharding
         self._q_sharding = NamedSharding(self.mesh, P(None, None))
+        self._qm_sharding = NamedSharding(self.mesh, P(None, None, None))
 
     def search(
         self,
@@ -155,23 +187,42 @@ class MeshVectorGroup:
         exactly what S sequential DeviceVectorIndex.search calls return.
         """
         q = np.asarray(queries, np.float32)
-        b = q.shape[0]
-        b_pad = bucket(b, minimum=8)
-        qp = np.zeros((b_pad, q.shape[1]), np.float32)
-        qp[:b] = q
         masks = np.zeros((self.s_pad, self.per), bool)
         for i, mk in enumerate(shard_masks):
             masks[i, : mk.shape[0]] = mk
         ms = device_scalar_f32(
             float(NEG_INF) if min_score is None else float(min_score)
         )
-        s_, i_ = _group_search(
-            self.mesh, top_k, self.similarity, self.use_codes,
-            not with_duplicates,
-            self.vectors, self.codes, self.scales,
-            jax.device_put(masks, self._mask_sharding), ms,
-            jax.device_put(qp, self._q_sharding),
-        )
+        if self.multi:
+            # [B, D] single query vectors run as MaxSim with M=1, exactly
+            # like DeviceVectorIndex.search's re-entry
+            q3 = q if q.ndim == 3 else q[:, None, :]
+            b, m = q3.shape[0], q3.shape[1]
+            b_pad = bucket(b, minimum=1)
+            qp = np.zeros((b_pad, m, q3.shape[2]), np.float32)
+            qp[:b] = q3
+            qmask = np.zeros((b_pad, m), bool)
+            qmask[:b] = np.abs(q3).sum(-1) > 0
+            s_, i_ = _group_search_multi(
+                self.mesh, top_k, self.similarity, self.m_max,
+                not with_duplicates,
+                self.vectors, self.m_counts,
+                jax.device_put(masks, self._mask_sharding), ms,
+                jax.device_put(qp, self._qm_sharding),
+                jax.device_put(qmask, self._q_sharding),
+            )
+        else:
+            b = q.shape[0]
+            b_pad = bucket(b, minimum=8)
+            qp = np.zeros((b_pad, q.shape[1]), np.float32)
+            qp[:b] = q
+            s_, i_ = _group_search(
+                self.mesh, top_k, self.similarity, self.use_codes,
+                not with_duplicates,
+                self.vectors, self.codes, self.scales,
+                jax.device_put(masks, self._mask_sharding), ms,
+                jax.device_put(qp, self._q_sharding),
+            )
         s_, i_ = device_fetch(s_, i_)
         return (
             s_[: self.n_shards, :b],
@@ -226,3 +277,43 @@ def _group_search(
         out_specs=(P("shard"), P("shard")),
         check_vma=False,
     )(vectors, codes, scales, masks, min_score, queries)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "similarity", "m_max", "dedup"),
+)
+def _group_search_multi(
+    mesh, k, similarity, m_max, dedup,
+    vectors, m_counts, masks, min_score, queries, qmask,
+):
+    """Multivector (MaxSim) group program: each member shard traces the
+    SAME _maxsim_core as a sequential DeviceVectorIndex.search dispatch
+    (device.py), so grouped results match the per-shard pool exactly
+    (parity: nidx_vector/src/searcher.rs:345-394 + multivector.rs:18-46)."""
+    from ..index.vector.device import _maxsim_core
+
+    def local(vecs, mcs, msk, ms, q, qm):
+        def per_shard(v, mc, mk):
+            return _maxsim_core(
+                v, mc, q, qm, mk, ms, k, m_max, similarity, dedup=dedup
+            )
+
+        outs = [
+            per_shard(vecs[j], mcs[j], msk[j]) for j in range(vecs.shape[0])
+        ]
+        return (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("shard"), P("shard"), P("shard"), P(),
+            P(None, None, None), P(None, None),
+        ),
+        out_specs=(P("shard"), P("shard")),
+        check_vma=False,
+    )(vectors, m_counts, masks, min_score, queries, qmask)

@@ -311,7 +311,10 @@ class SyncedSearcher:
             else PrefilterResult.all()
             for sh in searchers
         ]
-        q = np.asarray(request.vector, np.float32).reshape(1, -1)
+        q = np.asarray(request.vector, np.float32)
+        # [D] -> [1, D]; a multivector query [M, D] -> [1, M, D] (the group
+        # runs MaxSim per shard — parallel/group.py _group_search_multi)
+        q = q.reshape(1, -1) if q.ndim == 1 else q[None]
         masks = []
         for sh, vs, pf in zip(searchers, vsearchers, prefilters):
             combined = vs.index.base_mask()

@@ -534,3 +534,91 @@ def test_search_many_concurrent_overlap(tmp_path, monkeypatch):
     assert resp.best_matches == warm.best_matches
     assert wall >= delay  # the delay was really injected per shard
     assert wall < 2 * delay, (wall, n_shards)  # sequential would be >= 3x
+
+
+def _build_multi_shard(tmp_path, rng, name, n, d, m_hi, with_deletions):
+    """One multivector (MaxSim) shard: 1-2 segments, 1..m_hi sub-vectors
+    per paragraph, optional deletions."""
+    from nucliadb_tpu.index.vector.config import VectorCardinality
+
+    cfg = VectorConfig(
+        dimension=d, similarity="dot", cardinality=VectorCardinality.MULTI
+    )
+    n_segments = int(rng.integers(1, 3))
+    per = -(-n // n_segments)
+    segs, gid = [], 0
+    for s in range(n_segments):
+        elems = []
+        for _ in range(min(per, n - gid)):
+            m = int(rng.integers(1, m_hi + 1))
+            v = rng.standard_normal((m, d)).astype(np.float32)
+            elems.append(Elem(key=f"{name}-r{gid % 7}/f1/{gid}/0-10", vectors=v))
+            gid += 1
+        meta = create_segment(str(tmp_path / f"{name}-m{s}"), elems, cfg)
+        segs.append((meta, Seq(s + 1)))
+    deletions = [(f"{name}-r3/", Seq(n_segments + 1))] if with_deletions else []
+    return VectorSearcher(cfg, SimpleOpenIndex(segment_list=segs, deletion_list=deletions))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_multivector_group_matches_sequential(tmp_path, rng, seed):
+    """Multivector (MaxSim) groups — r5, VERDICT r4 task 7: per-shard cuts
+    from the grouped program equal S sequential searches across uneven
+    shards, DIFFERENT per-shard m_max (the group re-pads slot blocks),
+    deletions, masks, min_score, dedup, and both [B,D] and [B,M,D] query
+    shapes."""
+    rng = np.random.default_rng(100 + seed)
+    d = 16
+    searchers = [
+        _build_multi_shard(
+            tmp_path, rng, f"mv{i}", int(rng.integers(6, 60)), d,
+            m_hi=int(rng.integers(1, 5)), with_deletions=(i % 2 == 0),
+        )
+        for i in range(4)
+    ]
+    assert MeshVectorGroup.eligible(searchers)
+    group = MeshVectorGroup(searchers)
+    assert group.multi
+
+    for trial in range(6):
+        k = int(rng.integers(1, 12))
+        b = int(rng.integers(1, 4))
+        if trial % 2:
+            q = rng.standard_normal((b, int(rng.integers(1, 4)), d)).astype(np.float32)
+        else:
+            q = rng.standard_normal((b, d)).astype(np.float32)
+        min_score = float(rng.standard_normal()) if rng.random() < 0.3 else None
+        dedup = bool(rng.random() < 0.5)
+        masks, expected = [], []
+        for vs in searchers:
+            mask = None
+            if rng.random() < 0.4:
+                mask = rng.random(vs.index.n_para) < 0.6
+            combined = vs.index.base_mask()
+            if mask is not None:
+                full = np.zeros(vs.index.p_pad, bool)
+                full[: mask.shape[0]] = mask
+                combined &= full
+            masks.append(combined)
+            s, i = vs.index.search(
+                q, k, para_mask=mask, min_score=min_score,
+                with_duplicates=not dedup,
+            )
+            expected.append((s, i))
+        gs, gi = group.search(
+            q, k, masks, min_score=min_score, with_duplicates=not dedup
+        )
+        for si, (es, ei) in enumerate(expected):
+            np.testing.assert_array_equal(
+                gi[si], ei, err_msg=f"trial {trial} shard {si} ids"
+            )
+            np.testing.assert_allclose(
+                gs[si], es, rtol=1e-5, atol=1e-5,
+                err_msg=f"trial {trial} shard {si} scores",
+            )
+
+
+def test_mixed_cardinality_group_ineligible(tmp_path, rng):
+    single = _build_shard(tmp_path, rng, "sg", 20, 16, False)
+    multi = _build_multi_shard(tmp_path, rng, "mx", 20, 16, 3, False)
+    assert not MeshVectorGroup.eligible([single, multi])

@@ -392,3 +392,56 @@ def test_projections_keep_negative_semantic_scores(searcher):
     got = {(r, l) for r, l, s in rels}
     assert expected <= got
     assert all(s == pytest.approx(-1.7) for _, _, s in rels)
+
+
+def test_dictionary_paths_used_and_equivalent(searcher, monkeypatch):
+    """The term-dictionary accelerators (value postings, sorted prefix
+    ranges, cached filter masks — VERDICT r4 task 4) must serve exact /
+    prefix / fuzzy(d=1) node patterns, and fall back to the OSA loop only
+    for the shapes the dictionary cannot answer (fuzzy+prefix, d>1, short
+    tokens). Differential coverage lives in the fuzz above; this pins the
+    ROUTE so a regression to O(U) scans cannot land silently."""
+    calls = {"postings": 0, "range": 0}
+    orig_post = RelationSearcher._value_postings
+    orig_range = RelationSearcher._norm_range_ids
+
+    def spy_post(self):
+        calls["postings"] += 1
+        return orig_post(self)
+
+    def spy_range(self, lo, hi):
+        calls["range"] += 1
+        return orig_range(self, lo, hi)
+
+    monkeypatch.setattr(RelationSearcher, "_value_postings", spy_post)
+    monkeypatch.setattr(RelationSearcher, "_norm_range_ids", spy_range)
+
+    searcher.graph_search(
+        GraphSearchRequest(source=NodePattern(value="apple"), top_k=10)
+    )
+    assert calls["postings"] == 1
+    searcher.graph_search(
+        GraphSearchRequest(source=NodePattern(value="appl", prefix=True), top_k=10)
+    )
+    assert calls["range"] == 1
+    searcher.graph_search(
+        GraphSearchRequest(
+            source=NodePattern(value="aple", match="fuzzy"), top_k=10
+        )
+    )
+    assert calls["postings"] >= 2  # fuzzy d=1 expands through the dictionary
+
+    # shapes the dictionary cannot serve keep the OSA loop: fuzzy+prefix
+    before = dict(calls)
+    searcher.graph_search(
+        GraphSearchRequest(
+            source=NodePattern(value="appl", match="fuzzy", prefix=True),
+            top_k=10,
+        )
+    )
+    assert calls["range"] == before["range"]
+
+    # filter masks are cached per distinct value
+    m1 = searcher._filter_mask("type", "ENTITY")
+    m2 = searcher._filter_mask("type", "ENTITY")
+    assert m1 is m2

@@ -125,12 +125,49 @@ def main() -> None:
     results["suggest_nodes"] = {
         "ms_per_query": round((time.time() - t0) / reps * 1e3, 2)}
 
+    # ---- multi-tenant QPS: concurrent clients over a query mix ----------
+    # (VERDICT r4 task 4: the graph row needs a QPS-under-concurrency
+    # column). Mix = the product shapes above, round-robin, N threads.
+    import threading
+
+    mix = [make for make in shapes.values()]
+    n_threads = int(os.environ.get("GRAPH_BENCH_THREADS", 8))
+    duration = float(os.environ.get("GRAPH_BENCH_SECONDS", 6.0))
+    done = [0] * n_threads
+    stop_at = time.time() + duration
+    errors = []
+
+    def client(ti: int) -> None:
+        i = ti
+        try:
+            while time.time() < stop_at:
+                searcher.graph_search(mix[i % len(mix)](i))
+                i += 1
+                done[ti] += 1
+        except Exception as e:  # pragma: no cover
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=client, args=(t,)) for t in range(n_threads)]
+    t0 = time.time()
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    wall = time.time() - t0
+    concurrent = {
+        "qps": round(sum(done) / wall, 1),
+        "clients": n_threads,
+        "seconds": round(wall, 1),
+        "queries": sum(done),
+        "errors": len(errors),
+        "host_cores": os.cpu_count(),
+    }
+
     print(json.dumps({
         "metric": f"graph_{n_edges}_edges",
         "n_edges": n_edges,
         "generate_s": round(gen_s, 1),
         "open_and_columns_s": round(open_s, 1),
         "queries": results,
+        "concurrent": concurrent,
         "p50_all_shapes_ms": round(float(np.median(
             [v["ms_per_query"] for v in results.values()])), 2),
     }))
