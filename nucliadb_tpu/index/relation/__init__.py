@@ -371,6 +371,11 @@ class RelationSearcher:
         self._norm_sorted: np.ndarray | None = None
         self._norm_order: np.ndarray | None = None
         self._filter_masks: dict[tuple[str, str], np.ndarray] = {}
+        # node id -> incident edge ids (CSR over the src / dst columns):
+        # the sparse fast path for selective path queries evaluates only
+        # the candidate edges instead of dense [E] passes
+        self._src_csr: tuple[np.ndarray, np.ndarray] | None = None
+        self._dst_csr: tuple[np.ndarray, np.ndarray] | None = None
         # value -> (type, subtype): source occurrences take priority over
         # target ones (matches the original first-source-then-target scan)
         self._value_ts: dict[str, tuple[str, str]] = {}
@@ -1170,15 +1175,116 @@ class RelationSearcher:
             facets=list(e.get("facets") or []),
         )
 
+    def _node_csr(self, side: str) -> tuple[np.ndarray, np.ndarray]:
+        """(offsets [U+1], edge ids grouped by node) for one edge column."""
+        cached = self._src_csr if side == "src" else self._dst_csr
+        if cached is None:
+            col = self._src_id if side == "src" else self._dst_id
+            u = len(self._node_rows)
+            order = np.argsort(col, kind="stable").astype(np.int64)
+            counts = np.bincount(col, minlength=u)
+            offsets = np.zeros(u + 1, np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            cached = (offsets, order)
+            if side == "src":
+                self._src_csr = cached
+            else:
+                self._dst_csr = cached
+        return cached
+
+    def _incident_edges(self, node_ids: np.ndarray, side: str) -> np.ndarray:
+        offsets, order = self._node_csr(side)
+        parts = [
+            order[offsets[n]: offsets[n + 1]] for n in node_ids.tolist()
+        ]
+        return (
+            np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        )
+
+    def _pattern_candidate_node_ids(self, pattern: NodePattern):
+        """Matched node-triple ids when the pattern resolves through the
+        term dictionaries (exact / prefix / fuzzy d=1); None = the pattern
+        needs the generic evaluator."""
+        if pattern.value is None or pattern.match == "semantic":
+            return None
+        match = pattern.match
+        if pattern.fuzzy and match == "exact":
+            match = "fuzzy"
+        norm_q = strip_diacritics(pattern.value.lower())
+        if match == "exact" and not pattern.prefix:
+            ids = self._value_postings().get(norm_q)
+            ids = ids if ids is not None else np.zeros(0, np.int64)
+        elif match == "exact" and pattern.prefix:
+            ids = self._norm_range_ids(norm_q, norm_q + "\U0010ffff")
+        elif match == "fuzzy" and not pattern.prefix and pattern.distance <= 1:
+            from ..text_engine.fuzzy import MIN_FUZZY_LEN
+
+            if len(norm_q) < MIN_FUZZY_LEN:
+                return None
+            vp = self._value_postings()
+            parts = [
+                vp[v] for v in self.fuzzy_index.expand(norm_q, 1) if v in vp
+            ]
+            ids = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        else:
+            return None
+        if pattern.ntype is not None and len(ids):
+            ids = ids[self._n_types[ids] == pattern.ntype]
+        if pattern.subtype is not None and pattern.subtype != "" and len(ids):
+            ids = ids[self._n_subtypes[ids] == pattern.subtype]
+        return ids
+
+    # candidate sets above this stop paying off vs one dense [E] pass
+    _SPARSE_NODE_MAX = 4096
+
     def graph_search(self, request: GraphSearchRequest) -> list[GraphPath]:
         """Single-hop path matching (parity: RelationSearcher::graph_search):
-        first top_k matching edges in segment order, unscored."""
+        first top_k matching edges in segment order, unscored.
+
+        Sparse fast path: when the source (or target) pattern resolves to
+        few node ids through the term dictionaries, only the incident edges
+        (node->edge CSR) are evaluated — a selective path query costs the
+        candidate set, not dense [E] column passes (the tantivy posting-
+        intersection role, nidx_relation/src/reader.rs)."""
         if not self.edges:
             return []
-        scores = self._path_scores(
-            request.source, request.relation, request.target, request.undirected
-        )
-        idx = np.flatnonzero(~np.isnan(scores))[: request.top_k]
+        cand = None
+        for pat, sides in (
+            (request.source, ("src", "dst") if request.undirected else ("src",)),
+            (request.target, ("src", "dst") if request.undirected else ("dst",)),
+        ):
+            ids = self._pattern_candidate_node_ids(pat)
+            if ids is None or len(ids) > self._SPARSE_NODE_MAX:
+                continue
+            edges = np.concatenate(
+                [self._incident_edges(ids, s) for s in sides]
+            ) if len(ids) else np.zeros(0, np.int64)
+            if cand is None or len(edges) < len(cand):
+                cand = edges
+        if cand is not None and len(cand) <= len(self.edges) // 4:
+            cand = np.unique(cand)  # sorted ascending = segment order
+            if len(cand) == 0:
+                return []
+            rel_s = self._rel_pattern_scores(request.relation)[
+                self._rel_id[cand]
+            ]
+            s_src = self._node_pattern_scores(request.source)
+            s_dst = self._node_pattern_scores(request.target)
+            fwd = rel_s + s_src[self._src_id[cand]] + s_dst[self._dst_id[cand]]
+            if request.undirected:
+                bwd = (
+                    rel_s
+                    + s_src[self._dst_id[cand]]
+                    + s_dst[self._src_id[cand]]
+                )
+                fwd = np.fmax(fwd, bwd)
+            idx = cand[~np.isnan(fwd)][: request.top_k]
+        else:
+            scores = self._path_scores(
+                request.source, request.relation, request.target,
+                request.undirected,
+            )
+            idx = np.flatnonzero(~np.isnan(scores))[: request.top_k]
         out = []
         for i in idx:
             e = self.edges[int(i)]
@@ -1279,13 +1385,23 @@ class RelationSearcher:
         return [(rel, label, score) for (rel, label), score in ranked]
 
     def neighbours(self, entry_values: Sequence[str], top_k: int = 50) -> list[GraphPath]:
-        """All paths touching any entry node (the /find relations feature)."""
+        """All paths touching any entry node (the /find relations feature).
+        Served from the value dictionary + node->edge CSR — no [E] pass."""
         if not self.edges:
             return []
-        entry = {strip_diacritics(v.lower()) for v in entry_values}
-        node_in = np.array([n in entry for n in self._n_norm_list], bool)
-        mask = node_in[self._src_id] | node_in[self._dst_id]
-        idx = np.flatnonzero(mask)[:top_k]
+        vp = self._value_postings()
+        nid_parts = [
+            vp[n]
+            for n in {strip_diacritics(v.lower()) for v in entry_values}
+            if n in vp
+        ]
+        if not nid_parts:
+            return []
+        nids = np.unique(np.concatenate(nid_parts))
+        inc = np.concatenate(
+            [self._incident_edges(nids, s) for s in ("src", "dst")]
+        )
+        idx = np.unique(inc)[:top_k]  # ascending = segment order
         out = []
         for i in idx:
             e = self.edges[int(i)]

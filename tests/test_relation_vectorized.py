@@ -419,17 +419,18 @@ def test_dictionary_paths_used_and_equivalent(searcher, monkeypatch):
     searcher.graph_search(
         GraphSearchRequest(source=NodePattern(value="apple"), top_k=10)
     )
-    assert calls["postings"] == 1
+    assert calls["postings"] >= 1
     searcher.graph_search(
         GraphSearchRequest(source=NodePattern(value="appl", prefix=True), top_k=10)
     )
-    assert calls["range"] == 1
+    assert calls["range"] >= 1
+    before_fuzzy = calls["postings"]
     searcher.graph_search(
         GraphSearchRequest(
             source=NodePattern(value="aple", match="fuzzy"), top_k=10
         )
     )
-    assert calls["postings"] >= 2  # fuzzy d=1 expands through the dictionary
+    assert calls["postings"] > before_fuzzy  # fuzzy d=1 expands via dictionary
 
     # shapes the dictionary cannot serve keep the OSA loop: fuzzy+prefix
     before = dict(calls)
