@@ -860,6 +860,83 @@ def bench_ingest_merge(tmp_dir: str) -> None:
         }
     )
 
+    # ---- HA-on column (VERDICT r4 task 8): the same workload through a
+    # network substrate, without and WITH an attached warm standby (every
+    # mutating RPC — including put_blob segment uploads — ships
+    # synchronously before the ack; zero acked-write loss posture).
+    if os.environ.get("BENCH_INGEST_HA", "1") != "1":
+        return
+    from nucliadb_tpu.substrate import (
+        RemoteMetadataStore,
+        RemoteStorage,
+        SubstrateServer,
+    )
+
+    def run_pass(tag: str, with_standby: bool) -> dict:
+        pdir = os.path.join(tmp_dir, f"sub_{tag}")
+        primary = SubstrateServer(os.path.join(pdir, "primary"))
+        primary.start()
+        standby = None
+        if with_standby:
+            standby = SubstrateServer(
+                os.path.join(pdir, "standby"), follower=True
+            )
+            standby.start()
+            primary.attach_follower(f"127.0.0.1:{standby.port}")
+        addr = f"127.0.0.1:{primary.port}"
+        node2 = EmbeddedNode(
+            data_dir=os.path.join(pdir, "node"),
+            metadata=RemoteMetadataStore(addr),
+            storage=RemoteStorage(addr),
+        )
+        sid = node2.create_shard("benchkb", {"m": VectorConfig(dimension=dim)})
+        t0 = time.time()
+        for rd in resources:
+            node2.index(sid, rd)
+        node2.wait_for_sync()
+        dt = time.time() - t0
+        t0 = time.time()
+        r = 0
+        while True:
+            done = node2.tick_background()
+            r += 1
+            if not done.get("merjobs", done.get("jobs", 0)) and r > 1:
+                if node2.scheduler.tick() == 0:
+                    while node2.worker.run_one():
+                        pass
+                    break
+        mdt = time.time() - t0
+        applied = standby._applied if standby is not None else None
+        primary.stop(0)
+        if standby is not None:
+            standby.stop(0)
+        return {
+            "ingest_res_per_s": round(n_res / dt, 1),
+            "ingest_s": round(dt, 2),
+            "merge_records_per_s": round(records_before / mdt, 1),
+            "standby_applied_ops": applied,
+        }
+
+    no_ha = run_pass("noha", with_standby=False)
+    ha = run_pass("ha", with_standby=True)
+    _emit(
+        {
+            "metric": f"config7_ha_ingest_{n_res}res",
+            "value": ha["ingest_res_per_s"],
+            "unit": "resources_per_s",
+            "vs_baseline": round(
+                ha["ingest_res_per_s"] / no_ha["ingest_res_per_s"], 3
+            ),
+            "detail": {
+                "substrate_no_standby": no_ha,
+                "substrate_with_standby": ha,
+                "local_backends_res_per_s": round(n_res / ingest_s, 1),
+                "note": "vs_baseline = HA-on / HA-off over the SAME network "
+                        "substrate; synchronous ship incl. put_blob",
+            },
+        }
+    )
+
 
 def main() -> None:
     import tempfile
