@@ -510,15 +510,18 @@ PyObject* bm25_wand_req_multi(PyObject*, PyObject* args) {
     Py_BEGIN_ALLOW_THREADS
     int64_t total_post = 0;
     for (const Py_ssize_t nb : dlen_b) total_post += nb / Py_ssize_t(sizeof(int32_t));
-    if (total_post <= 8192) {
+    if (total_post <= 1024) {
         // Accumulation fast path: WAND's per-round cursor sort only pays
-        // off when postings vastly exceed the result budget. A
-        // fuzzy-expanded query over a small corpus (many cursors, tiny
-        // posting lists, nearly every doc matching) spends more sorting
+        // off when pruning can actually skip documents. A fuzzy-expanded
+        // query over a tiny corpus (many cursors, tiny posting lists,
+        // flat scores, nearly every doc matching) spends more sorting
         // cursors per round than scoring everything — measured 545 µs/query
-        // at 50 cursors x 200 docs vs ~6 µs here. Gather every
-        // (doc, contrib) pair, sort once, aggregate runs, same TopK
-        // comparator — identical results up to float summation order.
+        // at 50 cursors x 200 docs vs ~6 µs here. The threshold is tight
+        // (1024 postings): at ~2.3k postings over a 100k corpus the
+        // idf-diverse scores let WAND prune to 32 µs while accumulation
+        // pays P log P ≈ 112 µs. Gather every (doc, contrib) pair, sort
+        // once, aggregate runs, same TopK comparator — identical results
+        // up to float summation order.
         struct Entry { int32_t doc; int32_t cur; float contrib; };
         std::vector<Entry> entries;
         entries.reserve(size_t(total_post));

@@ -469,6 +469,22 @@ class _DocSegView:
         ls, lo = g.doc_seg_local[gid - int(self._offsets[gi])]
         return (g.seg_idx0 + ls, lo + int(self._offsets[gi]))
 
+    def lookup_many(self, gids) -> "list[tuple[int, int]]":
+        """Batched __getitem__: ONE searchsorted for the whole id list —
+        the per-doc bisect was ~4 µs each and dominated batched phrase /
+        exact-match verification over thousands of candidates."""
+        gd = np.asarray(gids, np.int64)
+        gis = (np.searchsorted(self._offsets, gd, side="right") - 1).tolist()
+        offs = self._offsets.tolist()
+        groups = self._groups
+        out = []
+        for gdoc, gi in zip(gd.tolist(), gis):
+            g = groups[gi]
+            goff = offs[gi]
+            ls, lo = g.doc_seg_local[gdoc - goff]
+            out.append((g.seg_idx0 + ls, lo + goff))
+        return out
+
 
 class DeviceTextEngine:
     """Consolidated segments of one text index + BM25 device kernels.
@@ -1438,12 +1454,13 @@ class DeviceTextEngine:
 
         out = [False] * len(global_docs)
         # group by segment: postings arrays and position CSRs are per-segment
+        pairs = self.doc_seg.lookup_many(global_docs)
         by_seg: dict[int, list[int]] = {}
-        for i, gd in enumerate(global_docs):
-            by_seg.setdefault(self.doc_seg[gd][0], []).append(i)
+        for i, (seg_idx, _off) in enumerate(pairs):
+            by_seg.setdefault(seg_idx, []).append(i)
         for seg_idx, idxs in by_seg.items():
             seg = self.segments[seg_idx]
-            offset = self.doc_seg[global_docs[idxs[0]]][1]
+            offset = pairs[idxs[0]][1]
             term_docs = []
             term_lo = []
             missing = False

@@ -72,7 +72,16 @@ except Exception:  # pragma: no cover
     _native = None
     _HAS_WAND = False
 
-DEFAULT_MAX_DOCS = 4_000_000
+# Empirical (tools/text_scale_bench.py, r5): at the reference's log-merge
+# top bucket — 10M docs/segment (nidx/src/settings.rs:247-255) — the host
+# tier measures 140.8 QPS batched OR with exact totals / 261.9 on the
+# /find route (no totals) / 48.9 AND on ONE core, while the device
+# kernel's scatter-lane cost scales linearly with postings from its
+# measured 723 QPS at 1M (≈70-100 QPS extrapolated at 10M) and pays a
+# ~1.4 GB arena upload per refresh. The host tier therefore stays the
+# default through the top bucket; the cap sits above it as a guard for
+# pathological segments, not a crossover.
+DEFAULT_MAX_DOCS = 16_000_000
 
 
 def host_tier_for(engine: "DeviceTextEngine") -> "Optional[HostTextTier]":
