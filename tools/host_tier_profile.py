@@ -94,9 +94,9 @@ def main() -> None:
             mt_np = np.asarray(maxtf, np.float32)
             t2_ = time.perf_counter()
             t_cursors += t2_ - t1_
-            s_b, i_b = _native.bm25_wand_multi(
+            s_b, i_b, _c_b = _native.bm25_wand_req_multi(
                 doc_bufs, tf_bufs, offs_np, w_np, mt_np, tier.dl_norm,
-                tier._alive_u8, 20, tier._k1,
+                tier._alive_u8, 20, tier._k1, 1,
             )
             t3_ = time.perf_counter()
             t_wand += t3_ - t2_
