@@ -601,13 +601,20 @@ PyObject* bm25_wand_req_multi(PyObject*, PyObject* args) {
     TopK top{size_t(k)};
     std::vector<std::pair<int64_t, int32_t>> counted;  // (doc, count) log
     const float kf = float(k1);
+    const auto by_doc = [](MCursor* a, MCursor* b) { return a->doc < b->doc; };
+    // `order` stays SORTED BY CURRENT DOC across rounds: each round only
+    // the advanced prefix [0, moved) changes, so the repair is
+    // sort(prefix) + inplace_merge — O(j log j + C) instead of the
+    // O(C log C) full re-sort per round, which dominated conjunctions
+    // over many fuzzy-variant cursors (theta stays -inf when matches are
+    // rarer than k, so every union doc used to pay the full sort).
+    // Exhausted cursors carry kDocSentinel = INT32_MAX and sink to the
+    // tail naturally; they are trimmed, which preserves sortedness.
+    std::sort(order.begin(), order.end(), by_doc);
     while (order.size() >= size_t(required)) {
-        order.erase(std::remove_if(order.begin(), order.end(),
-                                   [](MCursor* c) { return c->doc == kDocSentinel; }),
-                    order.end());
+        while (!order.empty() && order.back()->doc == kDocSentinel)
+            order.pop_back();
         if (order.size() < size_t(required)) break;
-        std::sort(order.begin(), order.end(),
-                  [](MCursor* a, MCursor* b) { return a->doc < b->doc; });
         const float theta = top.threshold();
         float acc = 0.0f;
         size_t pivot = order.size();
@@ -617,6 +624,7 @@ PyObject* bm25_wand_req_multi(PyObject*, PyObject* args) {
         }
         if (pivot == order.size()) break;
         const int32_t pdoc = order[pivot]->doc;
+        size_t moved = 0;
         if (order[0]->doc == pdoc) {
             // the cursors at pdoc are exactly the order[] prefix
             int32_t count = 0;
@@ -632,23 +640,31 @@ PyObject* bm25_wand_req_multi(PyObject*, PyObject* args) {
                     const float f = float(c->tfs[c->pos]);
                     score += c->weight * (kf + 1.0f) * f / (f + kf * d);
                     c->next();
+                    ++moved;
                 }
                 const float theta_now = top.threshold();
                 top.push(score, int64_t(pdoc));
                 // only log docs that could be in the final top-k
-                if (score > theta_now ||
-                    (score == theta_now)) {
+                if (score >= theta_now) {
                     counted.emplace_back(int64_t(pdoc), count);
                 }
             } else {
                 for (auto* c : order) {
                     if (c->doc != pdoc) break;
                     c->next();
+                    ++moved;
                 }
             }
         } else {
-            for (size_t i = 0; i < pivot && order[i]->doc < pdoc; ++i)
+            for (size_t i = 0; i < pivot && order[i]->doc < pdoc; ++i) {
                 order[i]->advance_to(pdoc);
+                ++moved;
+            }
+        }
+        if (moved) {
+            std::sort(order.begin(), order.begin() + long(moved), by_doc);
+            std::inplace_merge(order.begin(), order.begin() + long(moved),
+                               order.end(), by_doc);
         }
     }
     std::sort(top.h.begin(), top.h.end(),

@@ -88,6 +88,8 @@ def main() -> None:
     group.s_pad = 1
     group.per = per
     group.similarity = "dot"
+    group.multi = False
+    group.m_max = 1
     group.vectors = jax.device_put(vectors[None], sharding)
     group.use_codes = True
     group.codes = jax.device_put(codes.codes[None], sharding)
