@@ -210,3 +210,40 @@ def test_host_tier_matched_semantics(tmp_path, monkeypatch):
     # deleted docs never match
     dead = np.nonzero(~engine.alive[: engine.n_docs])[0]
     assert len(dead) > 0 and not host[1][dead].any()
+
+
+def test_need_total_skips_count_pass(tmp_path, monkeypatch):
+    """need_total=False (the /find route) must skip the corpus-wide
+    matched/count pass entirely and return the -1 'not computed' proxy."""
+    monkeypatch.setenv("NDBTPU_TEXT_HOST_TIER", "1")
+    rng = np.random.default_rng(5)
+    engine = _build_engine(tmp_path, rng, n_docs=200)
+    tier = host_tier_for(engine)
+    calls = {"match": 0, "count": 0}
+    real_match = ht._native.bm25_match_multi
+    real_count = ht._native.bm25_count_multi
+
+    def spy_match(*a):
+        calls["match"] += 1
+        return real_match(*a)
+
+    def spy_count(*a):
+        calls["count"] += 1
+        return real_count(*a)
+
+    monkeypatch.setattr(ht._native, "bm25_match_multi", spy_match)
+    monkeypatch.setattr(ht._native, "bm25_count_multi", spy_count)
+    q = TextQuery(text="alpha bravo", top_k=5)
+    hits, matched = tier.search(q, need_matched=False, need_total=False)
+    assert calls == {"match": 0, "count": 0}
+    assert matched.sum() == -1 and len(matched) == engine.n_docs
+    hits2, matched2 = tier.search(q, need_matched=False, need_total=True)
+    assert calls["match"] == 1
+    assert matched2.sum() >= len(hits2) > 0
+    assert [h.doc_id for h in hits] == [h.doc_id for h in hits2]
+    # AND flavor: count pass likewise gated
+    qa = TextQuery(text="alpha bravo", top_k=5, all_terms=True)
+    tier.search(qa, need_matched=False, need_total=False)
+    assert calls["count"] == 0
+    tier.search(qa, need_matched=False, need_total=True)
+    assert calls["count"] == 1

@@ -382,3 +382,49 @@ def test_phrase_total_and_deep_pagination(tmp_path):
     assert not {h.paragraph_id for h in deep.hits} & {
         h.paragraph_id for h in resp.hits
     }
+
+
+def test_rare_phrase_deep_pagination(tmp_path):
+    """Phrases are a pre-scoring MUST mask (r5): a phrase rarer than the
+    page size must still fill deep pages exactly and report the exact
+    corpus-wide total — the shape that used to grow the fetch window to
+    n_docs."""
+    from nucliadb_tpu.index.text_engine.builder import DocEntry
+    from nucliadb_tpu.index.text_engine import build_segment
+    from nucliadb_tpu.index.paragraph import (
+        ParagraphSearcher,
+        ParagraphSearchRequest,
+    )
+    from nucliadb_tpu.types import Seq, SimpleOpenIndex
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    filler = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    entries = []
+    planted = []
+    for i in range(3000):
+        toks = list(rng.choice(filler, size=8))
+        if i % 250 == 0:  # 12 docs carry the phrase
+            toks[2:4] = ["golf", "hotel"]
+            planted.append(i)
+        # decoys containing both words NON-consecutively
+        if i % 97 == 0:
+            toks[0], toks[-1] = "golf", "hotel"
+        entries.append(DocEntry(key=f"r{i}/t/t/0-10", text=" ".join(toks)))
+    meta = build_segment(str(tmp_path / "seg"), entries, kind="paragraph")
+    para = ParagraphSearcher(SimpleOpenIndex(segment_list=[(meta, Seq(1))]))
+
+    page1 = para.search(
+        ParagraphSearchRequest(query='"golf hotel" alpha', top_k=5)
+    )
+    assert page1.total == len(planted)
+    page2 = para.search(
+        ParagraphSearchRequest(query='"golf hotel" alpha', top_k=5, offset=5)
+    )
+    page3 = para.search(
+        ParagraphSearchRequest(query='"golf hotel" alpha', top_k=5, offset=10)
+    )
+    ids = [h.paragraph_id for h in page1.hits + page2.hits + page3.hits]
+    assert len(ids) == len(planted) and len(set(ids)) == len(planted)
+    got_docs = {int(p.split("/")[0][1:]) for p in ids}
+    assert got_docs == set(planted)
