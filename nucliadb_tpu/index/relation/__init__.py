@@ -713,6 +713,27 @@ class RelationSearcher:
         both = ~np.isnan(a) & ~np.isnan(b)
         return np.where(both, a + b, np.fmax(a, b))
 
+    def _path_candidates(
+        self, src_pat: NodePattern, dst_pat: NodePattern, undirected: bool
+    ) -> "np.ndarray | None":
+        """Sorted unique candidate edge ids for a path pattern when either
+        side resolves through the term dictionaries to few nodes; None =
+        no selective side (evaluate dense)."""
+        cand = None
+        for pat, sides in (
+            (src_pat, ("src", "dst") if undirected else ("src",)),
+            (dst_pat, ("src", "dst") if undirected else ("dst",)),
+        ):
+            ids = self._pattern_candidate_node_ids(pat)
+            if ids is None or len(ids) > self._SPARSE_NODE_MAX:
+                continue
+            edges = np.concatenate(
+                [self._incident_edges(ids, s) for s in sides]
+            ) if len(ids) else np.zeros(0, np.int64)
+            if cand is None or len(edges) < len(cand):
+                cand = edges
+        return np.unique(cand) if cand is not None else None
+
     def _path_scores(
         self,
         src_pat: NodePattern,
@@ -720,7 +741,29 @@ class RelationSearcher:
         dst_pat: NodePattern,
         undirected: bool,
     ) -> np.ndarray:
-        """Edge-level scores for a single-hop path pattern → [E]."""
+        """Edge-level scores for a single-hop path pattern → [E].
+
+        Sparse when a side is dictionary-selective: scores compute only on
+        the CSR-incident candidate edges and scatter into a NaN-filled
+        array — one [E] fill instead of ~6 dense [E] passes."""
+        cand = self._path_candidates(src_pat, dst_pat, undirected)
+        if cand is not None and len(cand) <= len(self.edges) // 4:
+            out = np.full(len(self.edges), np.nan, np.float32)
+            if len(cand) == 0:
+                return out
+            rel_s = self._rel_pattern_scores(rel_pat)[self._rel_id[cand]]
+            s_src = self._node_pattern_scores(src_pat)
+            s_dst = self._node_pattern_scores(dst_pat)
+            fwd = rel_s + s_src[self._src_id[cand]] + s_dst[self._dst_id[cand]]
+            if undirected:
+                bwd = (
+                    rel_s
+                    + s_src[self._dst_id[cand]]
+                    + s_dst[self._src_id[cand]]
+                )
+                fwd = np.fmax(fwd, bwd)
+            out[cand] = fwd
+            return out
         rel_s = self._rel_pattern_scores(rel_pat)[self._rel_id]
         s_src = self._node_pattern_scores(src_pat)
         s_dst = self._node_pattern_scores(dst_pat)
@@ -1248,21 +1291,11 @@ class RelationSearcher:
         intersection role, nidx_relation/src/reader.rs)."""
         if not self.edges:
             return []
-        cand = None
-        for pat, sides in (
-            (request.source, ("src", "dst") if request.undirected else ("src",)),
-            (request.target, ("src", "dst") if request.undirected else ("dst",)),
-        ):
-            ids = self._pattern_candidate_node_ids(pat)
-            if ids is None or len(ids) > self._SPARSE_NODE_MAX:
-                continue
-            edges = np.concatenate(
-                [self._incident_edges(ids, s) for s in sides]
-            ) if len(ids) else np.zeros(0, np.int64)
-            if cand is None or len(edges) < len(cand):
-                cand = edges
+        cand = self._path_candidates(
+            request.source, request.target, request.undirected
+        )
         if cand is not None and len(cand) <= len(self.edges) // 4:
-            cand = np.unique(cand)  # sorted ascending = segment order
+            # np.unique output is ascending = segment order
             if len(cand) == 0:
                 return []
             rel_s = self._rel_pattern_scores(request.relation)[

@@ -114,6 +114,26 @@ def main() -> None:
         ms = (time.time() - t0) / reps * 1e3
         results[name] = {"ms_per_query": round(ms, 2), "avg_paths": total_paths // reps}
 
+    # boolean tree through graph_search_expr (the /graph API + proto plane
+    # route, TopDocs::order_by_score ranking): path leaf AND generated-by
+    def expr_q(i):
+        return {"and": [
+            {"prop": "path",
+             "source": {"value": selective[i % reps]},
+             "destination": {}, "relation": {}},
+            {"prop": "generated", "by": "user"},
+        ]}
+
+    searcher.graph_search_expr(expr_q(0), top_k=50)
+    t0 = time.time()
+    total_paths = 0
+    for i in range(reps):
+        total_paths += len(searcher.graph_search_expr(expr_q(i), top_k=50))
+    results["expr_path_and_generated"] = {
+        "ms_per_query": round((time.time() - t0) / reps * 1e3, 2),
+        "avg_paths": total_paths // reps,
+    }
+
     t0 = time.time()
     for i in range(reps):
         searcher.neighbours([selective[i % reps]], top_k=50)
