@@ -784,25 +784,34 @@ class RelationSearcher:
     def _generated_scores(self, q: dict) -> np.ndarray:
         """``generated`` leaf (requests.py Generated → /g facets,
         query_parser/parsers/graph.py:319-331): user → /g/u facet;
-        processor → NOT any /g facet; data-augmentation → /g/da[/task]."""
-        E = len(self.edges)
-        strs = self._facet_strs
+        processor → NOT any /g facet; data-augmentation → /g/da[/task].
+        The facet-string scan + edge mask is cached per (by, task) — the
+        facet columns are immutable for this searcher's lifetime."""
         by = q.get("by")
+        key = ("gen", by, q.get("da_task") or "")
+        cached = self._filter_masks.get(key)
+        if cached is not None:
+            return cached
+        strs = self._facet_strs
         if by == "user":
             mask = self._facet_edge_mask(np.flatnonzero(strs == "/g/u"))
-            return np.where(mask, np.float32(0.0), np.nan).astype(np.float32)
-        if by == "processor":
+            out = np.where(mask, np.float32(0.0), np.nan).astype(np.float32)
+        elif by == "processor":
             hit = (strs == "/g") | np.char.startswith(strs, "/g/") if strs.size else np.zeros(0, bool)
             mask = self._facet_edge_mask(np.flatnonzero(hit))
-            return np.where(mask, np.nan, np.float32(0.0)).astype(np.float32)
-        if by == "data-augmentation":
+            out = np.where(mask, np.nan, np.float32(0.0)).astype(np.float32)
+        elif by == "data-augmentation":
             prefix = "/g/da"
             if q.get("da_task"):
                 prefix = f"/g/da/{q['da_task']}"
             hit = np.char.startswith(strs, prefix) if strs.size else np.zeros(0, bool)
             mask = self._facet_edge_mask(np.flatnonzero(hit))
-            return np.where(mask, np.float32(0.0), np.nan).astype(np.float32)
-        raise ValueError(f"unsupported generated.by: {by!r}")
+            out = np.where(mask, np.float32(0.0), np.nan).astype(np.float32)
+        else:
+            raise ValueError(f"unsupported generated.by: {by!r}")
+        out.setflags(write=False)  # shared across queries
+        self._filter_masks[key] = out
+        return out
 
     def _leaf_node_pattern(self, d: dict) -> NodePattern:
         return NodePattern(
