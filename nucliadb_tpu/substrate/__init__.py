@@ -664,40 +664,63 @@ class SubstrateServer:
                     # local success + standby failure = DIVERGENCE.
                     self._divergence(t, method)
                     return out
-                return self._execute(t, method, args, kwargs)
+                try:
+                    return self._execute(t, method, args, kwargs)
+                except Exception:
+                    # the standby APPLIED this op but local execution
+                    # failed (non-deterministic local error): the reverse
+                    # divergence. Availability mode detaches the standby
+                    # (it re-bootstraps from this primary, erasing the
+                    # extra op); ha_fence fences — the standby, which is
+                    # ahead of the acked prefix by an UNACKED op, remains
+                    # the authoritative survivor.
+                    try:
+                        self._divergence(t, method, local_ahead=False)
+                    except RuntimeError:
+                        pass  # the client must see the ORIGINAL op error
+                    raise
             return self._execute(t, method, args, kwargs)
 
-    def _divergence(self, t: str, method: str) -> None:
-        """The standby rejected an op this node applied: the pair's states
-        differ. Availability mode detaches the standby — the primary stays
-        the source of truth and the detached standby re-bootstraps FROM it,
-        so local state is authoritative, not dirty. Under ha_fence the
-        surviving STANDBY is authoritative: fence, mark this node dirty
-        (a later attach_follower from it would resurrect the divergent
-        write into the new pair) and refuse the op. Called under
-        _repl_lock."""
+    def _divergence(self, t: str, method: str, *, local_ahead: bool = True) -> None:
+        """The pair's states differ after an op applied on exactly one
+        side. Availability mode detaches the standby — the primary stays
+        the source of truth and the detached standby re-bootstraps FROM
+        it. Under ha_fence the surviving STANDBY is authoritative: fence
+        and refuse; additionally, when LOCAL state is the side holding the
+        extra (refused, un-acked) write (``local_ahead``), mark this node
+        dirty — a later attach_follower from it would resurrect that write
+        into the new pair. When the STANDBY holds the extra op instead,
+        local state still equals the acked prefix and stays clean. Called
+        under _repl_lock."""
         import logging
 
         chan, self._repl_fn, self._repl_chan = self._repl_chan, None, None
         if chan is not None:
             chan.close()
         log = logging.getLogger(__name__)
+        side = (
+            "op succeeded locally, failed on the standby"
+            if local_ahead
+            else "op applied on the standby, failed locally"
+        )
         if self.ha_fence:
             self._fenced = True
-            self._dirty = True
+            if local_ahead:
+                self._dirty = True
             log.error(
-                "replication DIVERGENCE on %s.%s (op succeeded locally, "
-                "failed on the standby) — FENCING; this node is dirty and "
-                "must re-bootstrap as a follower to rejoin", t, method,
+                "replication DIVERGENCE on %s.%s (%s) — FENCING%s",
+                t, method, side,
+                "; this node is dirty and must re-bootstrap as a follower "
+                "to rejoin" if local_ahead else "",
             )
             raise RuntimeError(
                 "primary fenced: replication diverged — retry against the "
                 "promoted standby"
             )
         log.error(
-            "replication DIVERGENCE on %s.%s (op succeeded locally, failed "
-            "on the standby) — standby DETACHED (it must re-bootstrap); "
-            "this primary remains the source of truth", t, method,
+            "replication DIVERGENCE on %s.%s (%s) — standby DETACHED (it "
+            "must re-bootstrap); this primary remains the source of truth",
+            t, method, side,
         )
 
 
