@@ -110,24 +110,58 @@ class LocalStorage:
         return sorted(out)
 
 
+def _ustar_header(name: str, size: int, mtime: int) -> "bytes | None":
+    """One 512-byte USTAR member header, or None when a field overflows
+    the format (name > 100 bytes, size >= 8 GiB) — caller falls back to
+    the tarfile writer."""
+    nb = name.encode()
+    if len(nb) > 100 or size >= 8 ** 11:
+        return None
+    h = bytearray(512)
+    h[0 : len(nb)] = nb
+    h[100:108] = b"0000644\x00"  # mode
+    h[108:116] = b"0000000\x00"  # uid
+    h[116:124] = b"0000000\x00"  # gid
+    h[124:136] = b"%011o\x00" % size
+    h[136:148] = b"%011o\x00" % max(mtime, 0)
+    h[148:156] = b"        "  # chksum computed over spaces
+    h[156] = 0x30  # '0' = regular file
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    h[148:156] = b"%06o\x00 " % sum(h)
+    return bytes(h)
+
+
 def pack_segment(segment_dir: str) -> bytes:
     """Tar a segment directory into one blob (parity: segment_store.rs pack).
 
-    USTAR format: the default PAX writer spends most of the ingest hot
-    path's packing time generating pax headers (measured ~45% of
-    create_resource); segment file names/sizes always fit USTAR, and the
-    reader auto-detects either format. GNU format covers the >8 GiB
-    fallback."""
-    buf = io.BytesIO()
-    try:
-        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
-            for name in sorted(os.listdir(segment_dir)):
-                tar.add(os.path.join(segment_dir, name), arcname=name)
-    except ValueError:  # a field overflowed USTAR limits
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w", format=tarfile.GNU_FORMAT) as tar:
-            for name in sorted(os.listdir(segment_dir)):
-                tar.add(os.path.join(segment_dir, name), arcname=name)
+    Raw USTAR writer: Python tarfile spends ~150 µs of interpreter work
+    PER MEMBER (measured ~45% of create_resource on the ingest hot path
+    even in USTAR mode); segment archives are a handful of flat files, so
+    the headers are built directly. The output is plain USTAR —
+    unpack_segment's tarfile reader is unchanged. tarfile/GNU covers the
+    overflow fallback (names > 100 bytes, members >= 8 GiB)."""
+    parts: list[bytes] = []
+    for name in sorted(os.listdir(segment_dir)):
+        path = os.path.join(segment_dir, name)
+        st = os.stat(path)
+        hdr = _ustar_header(name, st.st_size, int(st.st_mtime))
+        if hdr is None:
+            break
+        with open(path, "rb") as f:
+            data = f.read()
+        parts.append(hdr)
+        parts.append(data)
+        pad = (-len(data)) % 512
+        if pad:
+            parts.append(b"\x00" * pad)
+    else:
+        parts.append(b"\x00" * 1024)  # end-of-archive
+        return b"".join(parts)
+    buf = io.BytesIO()  # overflow fallback: GNU handles long names/sizes
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.GNU_FORMAT) as tar:
+        for name in sorted(os.listdir(segment_dir)):
+            tar.add(os.path.join(segment_dir, name), arcname=name)
     return buf.getvalue()
 
 
