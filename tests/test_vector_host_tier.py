@@ -126,3 +126,36 @@ def test_searcher_level_results_identical(rng, tmp_path):
     assert [(h.key, round(h.score, 4)) for h in host_hits] == [
         (h.key, round(h.score, 4)) for h in dev_hits
     ]
+
+
+def test_route_pinned_by_corpus_size(rng, tmp_path, monkeypatch):
+    """Below HOST_SCAN_ELEMS searches must NOT dispatch a device program;
+    above it they must NOT take the host path — pins the cost-model route
+    so a regression (e.g. an eligibility check lost in refactoring) cannot
+    silently re-introduce per-call dispatch overhead on small corpora."""
+    import nucliadb_tpu.index.vector.device as dev_mod
+
+    calls = {"host": 0, "device": 0}
+    orig_host = dev_mod.DeviceVectorIndex._search_host_exact
+    orig_exact = dev_mod._search_exact
+
+    def spy_host(self, *a, **kw):
+        calls["host"] += 1
+        return orig_host(self, *a, **kw)
+
+    def spy_exact(*a, **kw):
+        calls["device"] += 1
+        return orig_exact(*a, **kw)
+
+    monkeypatch.setattr(dev_mod.DeviceVectorIndex, "_search_host_exact", spy_host)
+    monkeypatch.setattr(dev_mod, "_search_exact", spy_exact)
+
+    small, cfg = _build(tmp_path, rng, n=120, d=16)
+    small.search(rng.standard_normal((2, 16)).astype(np.float32), 5)
+    assert calls == {"host": 1, "device": 0}
+
+    monkeypatch.setattr(dev_mod, "HOST_SCAN_ELEMS", 64)  # force "too big"
+    big, _ = _build(tmp_path, rng, n=121, d=16)
+    assert big._host_arena is None
+    big.search(rng.standard_normal((2, 16)).astype(np.float32), 5)
+    assert calls["device"] == 1 and calls["host"] == 1
