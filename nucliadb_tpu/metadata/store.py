@@ -162,6 +162,26 @@ class MetadataStore:
             ).fetchone()
         return Seq(row[0])
 
+    def open_index_request(self) -> Seq:
+        """next_seq + record_index_request fused into one transaction — the
+        indexer opens every operation with this pair, and in component/HA
+        mode each metadata RPC is a network round trip shipped
+        synchronously to the standby."""
+        with self._lock, self._conn:
+            self._conn.execute(
+                "INSERT INTO counters(name, value) VALUES('seq', 0) "
+                "ON CONFLICT(name) DO UPDATE SET value = value + 1"
+            )
+            row = self._conn.execute(
+                "SELECT value FROM counters WHERE name='seq'"
+            ).fetchone()
+            self._conn.execute(
+                "INSERT OR IGNORE INTO index_requests(seq, acked, created_at)"
+                " VALUES(?,0,?)",
+                (row[0], time.time()),
+            )
+        return Seq(row[0])
+
     def last_seq(self) -> Seq:
         with self._lock:
             row = self._conn.execute(
@@ -331,6 +351,39 @@ class MetadataStore:
             sid, index_id, seq, records, size_bytes, tags or [],
             index_metadata or {}, False, None, None,
         )
+
+    def create_segments(self, items: list[dict]) -> list[SegmentRow]:
+        """Batched create_segment: ONE transaction (and, in component/HA
+        mode, one RPC + one synchronous standby ship) for all of an
+        operation's segments. Each item: {index_id, seq, records,
+        size_bytes?, tags?, index_metadata?}."""
+        rows: list[SegmentRow] = []
+        with self._lock, self._conn:
+            for it in items:
+                tags = list(it.get("tags") or [])
+                meta = dict(it.get("index_metadata") or {})
+                cur = self._conn.execute(
+                    "INSERT INTO segments(index_id, seq, records, size_bytes,"
+                    " tags, index_metadata, ready, delete_at)"
+                    " VALUES(?,?,?,?,?,?,0,?)",
+                    (
+                        int(it["index_id"]),
+                        int(it["seq"]),
+                        int(it["records"]),
+                        int(it.get("size_bytes", 0)),
+                        json.dumps(tags),
+                        json.dumps(meta),
+                        time.time() + SEGMENT_GRACE_S,
+                    ),
+                )
+                rows.append(
+                    SegmentRow(
+                        cur.lastrowid, int(it["index_id"]), Seq(int(it["seq"])),
+                        int(it["records"]), int(it.get("size_bytes", 0)),
+                        tags, meta, False, None, None,
+                    )
+                )
+        return rows
 
     def commit_operation(
         self,

@@ -17,7 +17,6 @@ from ..metadata import MetadataStore
 from ..models.internal import ResourceDoc
 from ..shard import ShardConfig, ShardIndexer
 from ..storage import Storage
-from ..storage.storage import upload_segment
 from ..types import Seq
 
 
@@ -30,12 +29,14 @@ class IndexerService:
 
         self.utilization = UtilizationTracker("indexer")
 
-    def _shard_config(self, shard_id: str) -> ShardConfig:
+    def _shard_config(self, shard_id: str, index_rows=None) -> ShardConfig:
         shard = self.metadata.get_shard(shard_id)
         if shard is None:
             raise KeyError(f"unknown shard {shard_id}")
         vectorsets = {}
-        for index in self.metadata.get_indexes(shard_id):
+        if index_rows is None:
+            index_rows = self.metadata.get_indexes(shard_id)
+        for index in index_rows:
             if index.kind == "vector":
                 vectorsets[index.name] = VectorConfig.from_dict(index.configuration)
         return ShardConfig(shard_id=shard_id, kbid=shard.kbid, vectorsets=vectorsets)
@@ -51,24 +52,32 @@ class IndexerService:
         """Index one resource into a shard at the given (or next) seq."""
         from ..telemetry.tracing import span
 
-        seq = seq if seq is not None else self.metadata.next_seq()
-        self.metadata.record_index_request(seq)
+        if seq is None:
+            # next_seq + record fused: one txn/RPC (HA ships each mutating
+            # RPC synchronously, so RPC count IS the replication cost)
+            seq = self.metadata.open_index_request()
+        else:
+            self.metadata.record_index_request(seq)
         with self.utilization.work(), span(
             "indexer.index_resource", shard_id=shard_id, seq=int(seq)
         ):
             return self._index_resource(shard_id, resource, seq, hidden)
 
     def _index_resource(self, shard_id, resource, seq, hidden) -> Seq:
+        from ..storage.storage import pack_segment
+
         op_dir = os.path.join(self.work_dir, f"op_{int(seq)}")
         try:
-            config = self._shard_config(shard_id)
-            indexes = {i.full_name: i for i in self.metadata.get_indexes(shard_id)}
+            index_rows = self.metadata.get_indexes(shard_id)
+            config = self._shard_config(shard_id, index_rows)
+            indexes = {i.full_name: i for i in index_rows}
             shard_indexer = ShardIndexer(config)
             ops = shard_indexer.index_resource(resource, op_dir, hidden=hidden)
 
-            ready: list[int] = []
             deletions: list[tuple[int, Seq, list[str]]] = []
             touched: list[int] = []
+            specs: list[dict] = []
+            blobs: list[bytes] = []
             for op in ops:
                 index = indexes.get(op.index_name)
                 if index is None:
@@ -77,15 +86,22 @@ class IndexerService:
                 deletions.append((index.id, seq, op.deletions))
                 if op.segment is None:
                     continue
-                row = self.metadata.create_segment(
-                    index.id,
-                    seq,
-                    op.segment.records,
-                    tags=sorted(op.segment.tags),
-                    index_metadata=op.segment.index_metadata,
-                )
-                size = upload_segment(self.storage, row.storage_key, op.segment.path)
-                self.metadata.set_segment_size(row.id, size)
+                # pack FIRST so the batched create carries final sizes —
+                # one metadata txn/RPC for all of the operation's segments
+                data = pack_segment(op.segment.path)
+                blobs.append(data)
+                specs.append({
+                    "index_id": index.id,
+                    "seq": seq,
+                    "records": op.segment.records,
+                    "size_bytes": len(data),
+                    "tags": sorted(op.segment.tags),
+                    "index_metadata": op.segment.index_metadata,
+                })
+            rows = self.metadata.create_segments(specs) if specs else []
+            ready: list[int] = []
+            for row, data in zip(rows, blobs):
+                self.storage.put(row.storage_key, data)
                 ready.append(row.id)
 
             self.metadata.commit_operation(
@@ -103,8 +119,7 @@ class IndexerService:
     def delete_resource(self, shard_id: str, resource_id: str) -> Seq:
         """Record deletions for a whole resource across every index
         (parity: indexer.rs Deletion operation path)."""
-        seq = self.metadata.next_seq()
-        self.metadata.record_index_request(seq)
+        seq = self.metadata.open_index_request()
         try:
             prefix = resource_id + "/"
             deletions = []

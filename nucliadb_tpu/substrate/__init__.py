@@ -856,11 +856,11 @@ class RemoteMetadataStore(_Remote):
 
 
 for _m in (
-    "next_seq", "last_seq", "create_shard", "get_shard", "list_shards",
-    "update_shard_config",
+    "next_seq", "last_seq", "open_index_request", "create_shard", "get_shard",
+    "list_shards", "update_shard_config",
     "delete_shard", "create_index", "get_indexes", "get_index", "delete_index",
     "retire_index_segments", "touch_index", "indexes_updated_since",
-    "create_segment", "commit_operation", "set_segment_size",
+    "create_segment", "create_segments", "commit_operation", "set_segment_size",
     "ready_segments", "deletions_for_index", "purgeable_segments",
     "drop_segment", "purge_deletions_below", "enqueue_merge",
     "take_merge_job", "heartbeat_merge_job", "merge_job_segments",

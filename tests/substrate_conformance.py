@@ -266,6 +266,40 @@ def check_blob_roundtrip(blob) -> None:
     assert not blob.exists("cf/seg/a.bin")
 
 
+def check_meta_batched_indexing_ops(meta) -> None:
+    """r5 composites: open_index_request fuses next_seq + record (one
+    txn/RPC — under HA every metadata RPC ships synchronously, so RPC
+    count IS the replication cost) and create_segments inserts all of an
+    operation's segments in one transaction with final sizes."""
+    seq = meta.open_index_request()
+    assert int(meta.open_index_request()) == int(seq) + 1
+    # the opened request is UNACKED: the ack floor must sit below it
+    floor = meta.ack_floor()
+    assert floor is None or int(floor) < int(seq)
+    meta.ack_index_request(seq)
+    meta.ack_index_request(Seq(int(seq) + 1))
+
+    meta.create_shard("cf_s9", "cf_kb9")
+    i1 = meta.create_index("cf_s9", "text", "text", {})
+    i2 = meta.create_index("cf_s9", "vector", "m", {})
+    rows = meta.create_segments([
+        {"index_id": i1.id, "seq": Seq(500), "records": 3,
+         "size_bytes": 111, "tags": ["hidden"], "index_metadata": {"a": 1}},
+        {"index_id": i2.id, "seq": Seq(500), "records": 5, "size_bytes": 222},
+    ])
+    assert len(rows) == 2 and rows[0].id != rows[1].id
+    assert meta.ready_segments(i1.id) == []  # invisible until commit
+    meta.commit_operation(
+        ready_segments=[r.id for r in rows], deletions=[], touched_indexes=[]
+    )
+    r1 = meta.ready_segments(i1.id)
+    r2 = meta.ready_segments(i2.id)
+    assert [s.records for s in r1] == [3] and r1[0].size_bytes == 111
+    assert r1[0].tags == ["hidden"] and r1[0].index_metadata == {"a": 1}
+    assert [s.size_bytes for s in r2] == [222]
+    assert meta.create_segments([]) == []
+
+
 ALL_CHECKS = [
     check_meta_seq_monotonic,
     check_meta_shard_lifecycle,
@@ -274,6 +308,7 @@ ALL_CHECKS = [
     check_meta_segment_grace,
     check_meta_merge_job_lease,
     check_meta_ack_floor,
+    check_meta_batched_indexing_ops,
     check_bus_fifo_and_ack,
     check_bus_redelivery,
     check_bus_scan_cursor,
