@@ -141,10 +141,14 @@ def pack_segment(segment_dir: str) -> bytes:
     the headers are built directly. The output is plain USTAR —
     unpack_segment's tarfile reader is unchanged. tarfile/GNU covers the
     overflow fallback (names > 100 bytes, members >= 8 GiB)."""
+    import stat as _stat
+
     parts: list[bytes] = []
     for name in sorted(os.listdir(segment_dir)):
         path = os.path.join(segment_dir, name)
         st = os.stat(path)
+        if not _stat.S_ISREG(st.st_mode):
+            break  # subdirectory/special file: tarfile fallback handles it
         hdr = _ustar_header(name, st.st_size, int(st.st_mtime))
         if hdr is None:
             break
