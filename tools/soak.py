@@ -1,127 +1,150 @@
-"""Mixed-workload soak against a real standalone server.
+"""Mixed-workload soak: concurrent ingest + hybrid /find + suggest +
+graph queries against the standalone HTTP server for N seconds; asserts
+zero non-2xx responses and reports throughput + RSS drift (leak guard).
 
-Continuous ingest + concurrent hybrid finds + asks + background merges,
-with a rollover and a backup fired mid-run; asserts zero errors and
-listing/counter/search consistency at the end.
+Usage: python tools/soak.py [seconds] [clients]
+"""
 
-Run from the repo root (do NOT overwrite PYTHONPATH — the TPU plugin lives
-on the ambient path):
+from __future__ import annotations
 
-    python tools/soak.py            # ~15 minutes on the deployment chip
+import asyncio
+import json
+import os
+import resource
+import sys
+import tempfile
+import threading
+import time
 
-Findings this harness has caught: per-query inline arena rebuilds under
-ingest (2.3 s/find -> ~100 ms after the serving-mode sync policy), the
-tiny-bucket compile cascade on fresh caches (MIN_BUCKET=4096), orphaned
-merge jobs after rollover, and cached shard-counter drift."""
-import asyncio, threading, tempfile, time, logging, json, sys
-logging.getLogger("nucliadb_tpu.search.slow").setLevel(logging.ERROR)
-import numpy as np, httpx
-from nucliadb_tpu.standalone.app import StandaloneApp
+import numpy as np
 
-app = StandaloneApp(data_dir=tempfile.mkdtemp(prefix="soak_"), port=0)
-app.start_background(interval=5.0)
-loop = asyncio.new_event_loop(); started = threading.Event()
-def run():
-    asyncio.set_event_loop(loop); loop.run_until_complete(app.server.start()); started.set(); loop.run_forever()
-threading.Thread(target=run, daemon=True).start(); started.wait(15)
-base = f"http://127.0.0.1:{app.server.port}"
-DIM = 128
-def embed(text):
-    r = np.random.default_rng(abs(hash(text)) % (2**31))
-    v = r.standard_normal(DIM).astype(np.float32)
-    return (v/np.linalg.norm(v)).tolist()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-c = httpx.Client(base_url=base, timeout=480)
-kbid = c.post("/api/v1/kbs", json={"slug":"soak","vectorsets":{"m":{"dimension":DIM}}}).json()["uuid"]
 
-DURATION = int(__import__("os").environ.get("SOAK_DURATION_S", 900))
-t_end = time.time() + DURATION
-stats = {"ingested": 0, "finds": 0, "asks": 0, "errors": 0, "find_ms": []}
-lock = threading.Lock()
-stop = threading.Event()
+def main() -> None:
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 180.0
+    n_clients = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    dim = 128
 
-def ingester():
-    i = 0
-    cl = httpx.Client(base_url=base, timeout=480)
-    while not stop.is_set():
-        body = f"soak document {i} topic {i%11} token{i%37} steady stream of content"
-        r = cl.post(f"/api/v1/kb/{kbid}/resources", json={
-            "title": f"soak{i}", "texts": {"t": {"body": body}},
-            "embeddings": {"m": {"t": [{"start":0,"end":len(body),"vector":embed(body)}]}}})
-        with lock:
-            if r.status_code == 201: stats["ingested"] += 1
-            else: stats["errors"] += 1
-        i += 1
-        time.sleep(0.15)
+    import httpx
 
-def finder():
-    cl = httpx.Client(base_url=base, timeout=480)
-    qn = 0
-    while not stop.is_set():
-        qn += 1
-        q = f"soak document topic token{qn%37}"
-        t0 = time.time()
-        r = cl.post(f"/api/v1/kb/{kbid}/find", json={"query": q, "vector": embed(q), "top_k": 5})
-        ms = (time.time()-t0)*1e3
-        with lock:
-            if r.status_code == 200:
-                stats["finds"] += 1; stats["find_ms"].append(ms)
-            else: stats["errors"] += 1
-        time.sleep(0.2)
+    from nucliadb_tpu.standalone.app import StandaloneApp
 
-def asker():
-    cl = httpx.Client(base_url=base, timeout=480)
-    while not stop.is_set():
-        r = cl.post(f"/api/v1/kb/{kbid}/ask", json={"query": "soak topic"},
-                    headers={"x-synchronous": "true"})
-        with lock:
-            if r.status_code == 200: stats["asks"] += 1
-            else: stats["errors"] += 1
-        time.sleep(2.0)
+    app = StandaloneApp(data_dir=tempfile.mkdtemp(), host="127.0.0.1", port=0)
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
 
-threads = [threading.Thread(target=f) for f in (ingester, finder, finder, asker)]
-[t.start() for t in threads]
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(app.server.start())
+        started.set()
+        loop.run_forever()
 
-did_rollover = did_backup = False
-while time.time() < t_end:
-    time.sleep(30)
-    with lock:
-        n = stats["ingested"]
-    if n > 300 and not did_rollover:
-        r = c.post(f"/api/v1/admin/rollover/{kbid}")
-        print(f"# rollover at n={n}: {r.status_code}", file=sys.stderr, flush=True)
-        did_rollover = True
-    if n > 600 and not did_backup:
-        r = c.post(f"/api/v1/kb/{kbid}/backup")
-        print(f"# backup at n={n}: {r.status_code}", file=sys.stderr, flush=True)
-        did_backup = True
-    with lock:
-        ms = sorted(stats["find_ms"][-100:])
-        p50 = ms[len(ms)//2] if ms else 0
-    print(f"# t={DURATION-(t_end-time.time()):.0f}s ingested={stats['ingested']} finds={stats['finds']} asks={stats['asks']} errors={stats['errors']} find_p50={p50:.0f}ms", file=sys.stderr, flush=True)
+    threading.Thread(target=run, daemon=True).start()
+    started.wait(30)
+    app.start_background()
+    base = f"http://127.0.0.1:{app.server.port}"
 
-stop.set()
-[t.join(30) for t in threads]
+    boot = httpx.Client(base_url=base, timeout=120)
+    kbid = boot.post(
+        "/api/v1/kbs", json={"slug": "soak", "vectorsets": {"m": {"dimension": dim}}}
+    ).json()["uuid"]
+    words = [f"w{i:04d}" for i in range(3000)]
 
-# final invariants: all ingested docs searchable, counters consistent
-time.sleep(1)
-c2 = httpx.Client(base_url=base, timeout=480)
-listing = c2.get(f"/api/v1/kb/{kbid}/resources", params={"size": 10000}).json()
-counters = c2.get(f"/api/v1/kb/{kbid}/counters").json()
-q = c2.post(f"/api/v1/kb/{kbid}/find", json={"query": "steady stream", "top_k": 5}).json()
-ms = sorted(stats["find_ms"])
-print(json.dumps({
-    "ingested": stats["ingested"], "finds": stats["finds"], "asks": stats["asks"],
-    "errors": stats["errors"],
-    "listed": len(listing.get("resources", [])),
-    "counter_resources": counters.get("resources"),
-    "find_p50_ms": round(ms[len(ms)//2], 1) if ms else None,
-    "find_p95_ms": round(ms[int(len(ms)*0.95)], 1) if ms else None,
-    "final_find_ok": bool(q.get("best_matches")),
-    "rollover": did_rollover, "backup": did_backup,
-}))
-assert stats["errors"] == 0, f"soak saw {stats['errors']} errors"
-assert len(listing.get("resources", [])) == stats["ingested"]
-assert counters.get("resources") == stats["ingested"]
-assert q.get("best_matches")
-print("SOAK PASS")
+    def embed(seed: int):
+        r = np.random.default_rng(seed)
+        v = r.standard_normal(dim).astype(np.float32)
+        return (v / np.linalg.norm(v)).tolist()
+
+    def body_for(rng, i):
+        body = " ".join(words[j] for j in rng.integers(0, 1000, size=40))
+        return {
+            "title": f"doc {i}", "texts": {"t": {"body": body}},
+            "usergenerated_relations": [
+                {"from_": {"value": f"entity {i % 50}", "type": "entity"},
+                 "to": {"value": f"entity {(i * 7) % 50}", "type": "entity"},
+                 "relation": "knows", "label": ""},
+            ],
+            "embeddings": {"m": {"t": [
+                {"start": 0, "end": len(body), "vector": embed(i)}
+            ]}},
+        }
+
+    rng0 = np.random.default_rng(1)
+    for i in range(50):  # seed corpus + warm compiles
+        r = boot.post(f"/api/v1/kb/{kbid}/resources", json=body_for(rng0, i))
+        assert r.status_code == 201, r.text
+    for i in range(4):
+        boot.post(f"/api/v1/kb/{kbid}/find", json={
+            "query": f"{words[i]} {words[i + 1]}", "vector": embed(i),
+            "top_k": 10, "features": ["keyword", "semantic", "relations"]})
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    stop_at = time.time() + seconds
+    counts = {"ingest": 0, "find": 0, "suggest": 0, "graph": 0}
+    errors: list[str] = []
+    lock = threading.Lock()
+
+    def client(ci: int) -> None:
+        rng = np.random.default_rng(100 + ci)
+        c = httpx.Client(base_url=base, timeout=120)
+        i = 1000 * ci
+        try:
+            while time.time() < stop_at:
+                roll = rng.random()
+                if ci == 0 or roll < 0.15:  # client 0 is a dedicated writer
+                    r = c.post(f"/api/v1/kb/{kbid}/resources",
+                               json=body_for(rng, i))
+                    i += 1
+                    kind, want = "ingest", 201
+                elif roll < 0.7:
+                    t1 = words[int(rng.integers(0, 1000))]
+                    t2 = words[int(rng.integers(0, 1000))]
+                    r = c.post(f"/api/v1/kb/{kbid}/find", json={
+                        "query": f"{t1} {t2}", "vector": embed(int(rng.integers(1 << 30))),
+                        "top_k": 10, "features": ["keyword", "semantic"]})
+                    kind, want = "find", 200
+                elif roll < 0.85:
+                    r = c.get(f"/api/v1/kb/{kbid}/suggest",
+                              params={"query": words[int(rng.integers(0, 1000))][:5]})
+                    kind, want = "suggest", 200
+                else:
+                    r = c.post(f"/api/v1/kb/{kbid}/graph", json={
+                        "query": {"prop": "path",
+                                  "source": {"value": f"entity {int(rng.integers(0, 50))}"},
+                                  "destination": {}, "relation": {}},
+                        "top_k": 20})
+                    kind, want = "graph", 200
+                with lock:
+                    if r.status_code != want:
+                        errors.append(f"{kind}:{r.status_code}:{r.text[:120]}")
+                    counts[kind] += 1
+        except Exception as e:  # pragma: no cover
+            with lock:
+                errors.append(f"{type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    t0 = time.time()
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    wall = time.time() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    total = sum(counts.values())
+    print(json.dumps({
+        "metric": "soak_mixed_http",
+        "seconds": round(wall, 1),
+        "clients": n_clients,
+        "requests": total,
+        "rps": round(total / wall, 1),
+        "mix": counts,
+        "errors": len(errors),
+        "error_samples": errors[:5],
+        "rss_mb_start": rss0 // 1024,
+        "rss_mb_end": rss1 // 1024,
+        "backend": __import__("jax").default_backend(),
+    }))
+    assert not errors, errors[:5]
+
+
+if __name__ == "__main__":
+    main()
