@@ -430,6 +430,14 @@ class MetadataStore:
                 (int(size_bytes), segment_id),
             )
 
+    def count_ready_segments(self) -> int:
+        """Total READY segments across every index (the back-pressure
+        merge-debt signal: each open segment costs searcher memmaps)."""
+        with self._lock:
+            return self._conn.execute(
+                "SELECT COUNT(*) FROM segments WHERE ready=1"
+            ).fetchone()[0]
+
     def ready_segments(self, index_id: int) -> list[SegmentRow]:
         with self._lock:
             rows = self._conn.execute(

@@ -64,7 +64,8 @@ _DATACLASSES = {
 _READ_ONLY: dict[str, frozenset] = {
     "meta": frozenset({
         "last_seq", "get_shard", "list_shards", "get_indexes", "get_index",
-        "indexes_updated_since", "ready_segments", "deletions_for_index",
+        "indexes_updated_since", "ready_segments", "count_ready_segments",
+        "deletions_for_index",
         "purgeable_segments", "merge_job_segments", "pending_merge_jobs",
         "ack_floor",
     }),
@@ -861,7 +862,7 @@ for _m in (
     "delete_shard", "create_index", "get_indexes", "get_index", "delete_index",
     "retire_index_segments", "touch_index", "indexes_updated_since",
     "create_segment", "create_segments", "commit_operation", "set_segment_size",
-    "ready_segments", "deletions_for_index", "purgeable_segments",
+    "ready_segments", "count_ready_segments", "deletions_for_index", "purgeable_segments",
     "drop_segment", "purge_deletions_below", "enqueue_merge",
     "take_merge_job", "heartbeat_merge_job", "merge_job_segments",
     "finish_merge_job", "pending_merge_jobs", "record_index_request",

@@ -168,6 +168,34 @@ def test_back_pressure(tmp_path):
     assert e.value.try_after > 0
 
 
+def test_back_pressure_merge_debt(tmp_path):
+    """Sustained ingest that outpaces merging must 429 before the
+    searcher's per-segment memmaps exhaust the process fd budget (caught
+    live by the 15-minute soak: EMFILE at ~20k fds) — the unmerged-
+    segment throttle trips on total READY segments."""
+    meta = MetadataStore(str(tmp_path / "m2.db"))
+    bp = BackPressureMaterializer(
+        meta, settings=BackPressureSettings(max_ready_segments=3)
+    )
+    meta.create_shard("s", "kb")
+    idx = meta.create_index("s", "text", "text", {})
+    rows = meta.create_segments([
+        {"index_id": idx.id, "seq": i + 1, "records": 1} for i in range(5)
+    ])
+    bp.check_indexing()  # created but not ready: below the bar
+    meta.commit_operation(
+        ready_segments=[r.id for r in rows], deletions=[], touched_indexes=[]
+    )
+    bp._seg_count_cache = None
+    with pytest.raises(TryAfterError, match="unmerged segments"):
+        bp.check_indexing()
+    # merging (dropping segments) releases the throttle
+    for r in rows[:3]:
+        meta.drop_segment(r.id)
+    bp._seg_count_cache = None
+    bp.check_indexing()
+
+
 # ---- export/import/backup/rollover -------------------------------------------
 
 

@@ -81,7 +81,7 @@ def main() -> None:
 
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     stop_at = time.time() + seconds
-    counts = {"ingest": 0, "find": 0, "suggest": 0, "graph": 0}
+    counts = {"ingest": 0, "find": 0, "suggest": 0, "graph": 0, "throttled": 0}
     errors: list[str] = []
     lock = threading.Lock()
 
@@ -115,6 +115,15 @@ def main() -> None:
                                   "destination": {}, "relation": {}},
                         "top_k": 20})
                     kind, want = "graph", 200
+                if r.status_code == 429:
+                    # back-pressure (merge debt / indexing behind): honor
+                    # the retry hint like a production writer would
+                    with lock:
+                        counts["throttled"] += 1
+                    time.sleep(min(2.0, float(r.json().get("try_after", 1.0))
+                                   if r.headers.get("content-type", "").startswith("application/json")
+                                   else 1.0))
+                    continue
                 with lock:
                     if r.status_code != want:
                         errors.append(f"{kind}:{r.status_code}:{r.text[:120]}")
