@@ -1441,6 +1441,23 @@ class RelationSearcher:
         """Distinct-relation projection (parity: reader.rs
         relations_graph_search + TopUniqueN): unique (type, label) pairs
         from edges matching the path query, best score kept."""
+        if edge_ok is None and isinstance(query, dict) and query.get("prop") == "relation":
+            # single relation-leaf without edge constraints: every table
+            # relation originates from an edge, so the projection is a rank
+            # over the relation pattern scores — no [E] pass
+            rp = RelationPattern(
+                label=query.get("label"),
+                relation=query.get("type"),
+                match=query.get("match", "exact"),
+                semantic_matches=query.get("semantic_matches"),
+            )
+            rs = self._rel_pattern_scores(rp)
+            best = {
+                self._rel_rows[int(r)]: float(rs[r])
+                for r in np.flatnonzero(~np.isnan(rs))
+            }
+            ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+            return [(rel, label, score) for (rel, label), score in ranked]
         sc = self._eval_expr(query)
         valid = self._edge_ok_indices(np.flatnonzero(~np.isnan(sc)), edge_ok)
         if valid.size == 0:
