@@ -232,8 +232,17 @@ def _write_segment(
 # last file build_segment writes), so re-opens on every searcher refresh —
 # msgpack-unpacking O(corpus) keys/attrs each sync — are pure waste. Keyed
 # by (path, meta.json stat) so a rewritten directory is never served stale.
-_OPEN_CACHE: "dict[tuple, TextSegmentData]" = {}
+# LRU + periodic dead-path sweep: under sustained ingest, merged-away
+# segments get purged from disk but their cache entries pinned mmaps and
+# unpacked key/attr lists (a 30-min soak grew RSS to 1.4 GB largely from
+# ~1024 retained dead segments); entries whose directory is gone are swept
+# every _SWEEP_EVERY inserts.
+from collections import OrderedDict as _OrderedDict
+
+_OPEN_CACHE: "_OrderedDict[tuple, TextSegmentData]" = _OrderedDict()
 _OPEN_CACHE_MAX = 1024
+_SWEEP_EVERY = 32
+_open_cache_inserts = 0
 
 import threading as _threading
 
@@ -241,17 +250,25 @@ _OPEN_CACHE_LOCK = _threading.Lock()
 
 
 def open_text_segment(path: str) -> TextSegmentData:
+    global _open_cache_inserts
     meta_path = os.path.join(path, "meta.json")
     st = os.stat(meta_path)
     key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     with _OPEN_CACHE_LOCK:
         hit = _OPEN_CACHE.get(key)
-    if hit is not None:
-        return hit
+        if hit is not None:
+            _OPEN_CACHE.move_to_end(key)
+            return hit
     seg = _open_text_segment_uncached(path)
     with _OPEN_CACHE_LOCK:
+        _open_cache_inserts += 1
+        sweep = _open_cache_inserts % _SWEEP_EVERY == 0
+        if sweep:
+            dead = [k for k in _OPEN_CACHE if not os.path.exists(k[0])]
+            for k in dead:
+                del _OPEN_CACHE[k]
         while len(_OPEN_CACHE) >= _OPEN_CACHE_MAX:
-            _OPEN_CACHE.pop(next(iter(_OPEN_CACHE)))
+            _OPEN_CACHE.popitem(last=False)
         _OPEN_CACHE[key] = seg
     return seg
 

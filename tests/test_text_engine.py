@@ -331,3 +331,41 @@ def test_fuzzy_depth2_index_complete(tmp_path):
     assert fi2.expand("abc", 2) == ["abc", "abcde", "xbc"]
     fi1 = FuzzyIndex(["abcde", "abc", "xbc"], max_distance=1)
     assert fi1.expand("abc", 2) == fi1.expand("abc", 1)
+
+
+def test_open_segment_cache_sweeps_dead_paths(tmp_path):
+    """Merged-away segments get their local dirs pruned by the searcher
+    sync; the open-segment cache must release those entries (mmaps +
+    unpacked keys) instead of pinning them to the cap — caught by a
+    30-minute soak growing RSS on retained dead segments."""
+    import shutil
+
+    import nucliadb_tpu.index.text_engine.builder as b
+    from nucliadb_tpu.index.text_engine.builder import (
+        DocEntry,
+        build_segment,
+        open_text_segment,
+    )
+
+    with b._OPEN_CACHE_LOCK:
+        b._OPEN_CACHE.clear()
+    dead_dirs = []
+    for i in range(3):
+        d = str(tmp_path / f"dead{i}")
+        build_segment(d, [DocEntry(key=f"r{i}/t/t/0-1", text="alpha beta")],
+                      kind="paragraph")
+        open_text_segment(d)
+        dead_dirs.append(d)
+    for d in dead_dirs:
+        shutil.rmtree(d)  # the searcher sync's desired-vs-local prune
+    # enough inserts to cross a sweep boundary
+    for i in range(b._SWEEP_EVERY + 2):
+        d = str(tmp_path / f"live{i}")
+        build_segment(d, [DocEntry(key=f"x{i}/t/t/0-1", text="gamma")],
+                      kind="paragraph")
+        open_text_segment(d)
+    with b._OPEN_CACHE_LOCK:
+        cached_paths = {k[0] for k in b._OPEN_CACHE}
+    for d in dead_dirs:
+        assert not any(p.startswith(str(tmp_path / "dead")) for p in cached_paths), (
+            d, cached_paths)
