@@ -82,6 +82,7 @@ def main() -> None:
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     stop_at = time.time() + seconds
     counts = {"ingest": 0, "find": 0, "suggest": 0, "graph": 0, "throttled": 0}
+    lats: dict[str, list[float]] = {k: [] for k in counts}
     errors: list[str] = []
     lock = threading.Lock()
 
@@ -92,6 +93,7 @@ def main() -> None:
         try:
             while time.time() < stop_at:
                 roll = rng.random()
+                t_req = time.perf_counter()
                 if ci == 0 or roll < 0.15:  # client 0 is a dedicated writer
                     r = c.post(f"/api/v1/kb/{kbid}/resources",
                                json=body_for(rng, i))
@@ -128,6 +130,7 @@ def main() -> None:
                     if r.status_code != want:
                         errors.append(f"{kind}:{r.status_code}:{r.text[:120]}")
                     counts[kind] += 1
+                    lats[kind].append(time.perf_counter() - t_req)
         except Exception as e:  # pragma: no cover
             with lock:
                 errors.append(f"{type(e).__name__}: {e}")
@@ -139,6 +142,15 @@ def main() -> None:
     wall = time.time() - t0
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     total = sum(counts.values())
+    def pct(kind: str) -> dict:
+        xs = sorted(lats[kind])
+        if not xs:
+            return {}
+        return {
+            "p50_ms": round(xs[len(xs) // 2] * 1e3, 1),
+            "p95_ms": round(xs[int(len(xs) * 0.95)] * 1e3, 1),
+        }
+
     print(json.dumps({
         "metric": "soak_mixed_http",
         "seconds": round(wall, 1),
@@ -146,6 +158,7 @@ def main() -> None:
         "requests": total,
         "rps": round(total / wall, 1),
         "mix": counts,
+        "latency": {k: pct(k) for k in ("ingest", "find", "suggest", "graph")},
         "errors": len(errors),
         "error_samples": errors[:5],
         "rss_mb_start": rss0 // 1024,
