@@ -83,6 +83,17 @@ except Exception:  # pragma: no cover
 # pathological segments, not a crossover.
 DEFAULT_MAX_DOCS = 16_000_000
 
+# AND (required-count) routing by postings volume: a conjunction of
+# high-df terms fully scores every candidate reaching the count bar, so
+# the host cost scales with the scheduled postings while the device
+# kernel's counts-scatter cost is corpus-shaped. Measured crossover: at
+# ~30k scheduled postings (100k docs, co-occurring top-zipf pairs) host
+# ≈ kernel (1.6 vs 1.9 ms/q); at ~500k postings (1M docs) the kernel wins
+# 7.2 vs 18 ms/q. Above this cap AND queries fall back to the kernel.
+AND_HOST_MAX_POSTINGS = int(
+    os.environ.get("NDBTPU_TEXT_AND_HOST_MAX_POSTINGS", 65536) or 0
+)
+
 
 def host_tier_for(engine: "DeviceTextEngine") -> "Optional[HostTextTier]":
     """Build (or refuse) the host tier for one engine instance."""
@@ -287,6 +298,11 @@ class HostTextTier:
         min_score = query.min_score
 
         if query.all_terms:
+            if (
+                AND_HOST_MAX_POSTINGS
+                and sum(len(d) for d in doc_bufs) > AND_HOST_MAX_POSTINGS
+            ):
+                return None  # heavy conjunction: the device kernel wins
             # the same clamp as _params_for: fixed caps can't drop terms
             # here (every cursor schedules), but the requirement must not
             # exceed the achievable count
