@@ -267,6 +267,7 @@ PyObject* tokenize_py(PyObject* self, PyObject* args) {
 
 extern "C" PyObject* hnsw_link_wave(PyObject*, PyObject*);  // hnsw_link.cpp
 extern "C" PyObject* phrase_match_batch_entry(PyObject*, PyObject*);  // phrase.cpp
+extern "C" PyObject* phrase_scan_entry(PyObject*, PyObject*);  // phrase.cpp
 extern "C" PyObject* bm25_max_tfnorm_entry(PyObject*, PyObject*);  // bm25_wand.cpp
 extern "C" PyObject* bm25_wand_search_entry(PyObject*, PyObject*);  // bm25_wand.cpp
 extern "C" PyObject* bm25_wand_multi_entry(PyObject*, PyObject*);  // bm25_wand.cpp
@@ -285,6 +286,8 @@ PyMethodDef methods[] = {
      "Insert one wave of HNSW forward+reverse links (prune at Mmax)."},
     {"phrase_match_batch", phrase_match_batch_entry, METH_VARARGS,
      "Verify consecutive-phrase membership for a batch of docs (GIL-free)."},
+    {"phrase_scan", phrase_scan_entry, METH_VARARGS,
+     "Full phrase scan over one segment's CSR: matching local docs (GIL-free)."},
     {"bm25_max_tfnorm", bm25_max_tfnorm_entry, METH_VARARGS,
      "Per-term max BM25 tf-saturation (WAND upper bounds)."},
     {"bm25_wand_search", bm25_wand_search_entry, METH_VARARGS,

@@ -303,20 +303,59 @@ class ParagraphSearcher:
         no post-hoc verification sweep (the old grow-the-window loop paid
         up to an n_docs-wide fetch + per-hit verification for rare
         phrases: measured 376 ms/query at 100k docs; this path is ~1 ms)."""
-        n = self.engine.n_docs
+        engine = self.engine
+        n = engine.n_docs
         mask = np.ones(n, dtype=bool)
+        try:
+            import nucliadb_tpu_native as _native
+
+            scan = getattr(_native, "phrase_scan", None)
+        except ImportError:
+            scan = None
+        if scan is not None:
+            # full scan in C++ per segment: the rarest term's postings
+            # drive, positions verify inline — no python-side conjunction
+            # (top-zipf bigrams at 1M docs paid ~270 ms in intersect1d +
+            # per-candidate crossings)
+            seg_lens = [len(s.dlen) for s in engine.segments]
+            offsets = np.concatenate([[0], np.cumsum(seg_lens)]).astype(np.int64)
+            for pt in phrase_terms:
+                if not pt:
+                    continue
+                pm = np.zeros(n, dtype=bool)
+                for si, seg in enumerate(engine.segments):
+                    term_docs, term_lo, missing = [], [], False
+                    for t in pt:
+                        docs, lo = engine._term_postings_host(si, t)
+                        if docs is None:
+                            missing = True
+                            break
+                        term_docs.append(np.ascontiguousarray(docs, np.int32))
+                        term_lo.append(int(lo))
+                    if missing:
+                        continue
+                    ids_b = scan(
+                        term_docs, term_lo,
+                        np.ascontiguousarray(seg.positions_offsets, np.int64),
+                        np.ascontiguousarray(seg.positions, np.int32),
+                    )
+                    ids = np.frombuffer(ids_b, np.int32)
+                    if ids.size:
+                        pm[ids.astype(np.int64) + offsets[si]] = True
+                mask &= pm
+            return mask
         for pt in phrase_terms:
             if not pt:
                 continue
             cand: "np.ndarray | None" = None
             for t in pt:
-                ids = self.engine.term_doc_ids(t)
+                ids = engine.term_doc_ids(t)
                 cand = ids if cand is None else np.intersect1d(cand, ids)
                 if cand.size == 0:
                     break
             pm = np.zeros(n, dtype=bool)
             if cand is not None and cand.size:
-                flags = self.engine.phrase_match_many(cand.tolist(), pt)
+                flags = engine.phrase_match_many(cand.tolist(), pt)
                 pm[cand[np.asarray(flags, bool)]] = True
             mask &= pm
         return mask
