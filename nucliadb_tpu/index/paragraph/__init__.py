@@ -50,6 +50,58 @@ def parse_query(query: str) -> tuple[str, list[str], list[str]]:
     return rest, phrases, excluded
 
 
+def phrase_docs_mask(engine, pt: "list[str]") -> np.ndarray:
+    """[n_docs] bool: docs containing the phrase terms CONSECUTIVELY.
+
+    Native path (`phrase_scan`, phrase.cpp): one GIL-free pass per
+    segment — the rarest term's postings drive a galloping conjunction
+    with inline position verification. Python fallback: posting
+    intersection + batch verification."""
+    n = engine.n_docs
+    pm = np.zeros(n, dtype=bool)
+    if not pt:
+        return pm
+    try:
+        import nucliadb_tpu_native as _native
+
+        scan = getattr(_native, "phrase_scan", None)
+    except ImportError:
+        scan = None
+    if scan is not None:
+        seg_lens = [len(s.dlen) for s in engine.segments]
+        offsets = np.concatenate([[0], np.cumsum(seg_lens)]).astype(np.int64)
+        for si, seg in enumerate(engine.segments):
+            term_docs, term_lo, missing = [], [], False
+            for t in pt:
+                docs, lo = engine._term_postings_host(si, t)
+                if docs is None:
+                    missing = True
+                    break
+                term_docs.append(np.ascontiguousarray(docs, np.int32))
+                term_lo.append(int(lo))
+            if missing:
+                continue
+            ids_b = scan(
+                term_docs, term_lo,
+                np.ascontiguousarray(seg.positions_offsets, np.int64),
+                np.ascontiguousarray(seg.positions, np.int32),
+            )
+            ids = np.frombuffer(ids_b, np.int32)
+            if ids.size:
+                pm[ids.astype(np.int64) + offsets[si]] = True
+        return pm
+    cand: "np.ndarray | None" = None
+    for t in pt:
+        ids = engine.term_doc_ids(t)
+        cand = ids if cand is None else np.intersect1d(cand, ids)
+        if cand.size == 0:
+            break
+    if cand is not None and cand.size:
+        flags = engine.phrase_match_many(cand.tolist(), pt)
+        pm[cand[np.asarray(flags, bool)]] = True
+    return pm
+
+
 def advanced_query_mask(engine, advanced: str) -> np.ndarray:
     """Boolean doc mask for an advanced (tantivy-grammar) query used as a
     Must() filter (parity: nidx_paragraph search_query.rs:202-210 — the
@@ -64,18 +116,7 @@ def advanced_query_mask(engine, advanced: str) -> np.ndarray:
     for t in terms:
         mask[engine.term_doc_ids(t)] = True
     for p in phrases:  # each phrase is a Should peer of the loose terms
-        pt = tokenize(p)
-        if not pt:
-            continue
-        cand: "np.ndarray | None" = None
-        for t in pt:
-            ids = engine.term_doc_ids(t)
-            cand = ids if cand is None else np.intersect1d(cand, ids)
-            if cand.size == 0:
-                break
-        if cand is not None and cand.size:
-            flags = engine.phrase_match_many([int(d) for d in cand], pt)
-            mask[[int(d) for d, ok in zip(cand, flags) if ok]] = True
+        mask |= phrase_docs_mask(engine, tokenize(p))
     for t in excluded:
         mask[engine.term_doc_ids(t)] = False
     return mask
@@ -303,61 +344,11 @@ class ParagraphSearcher:
         no post-hoc verification sweep (the old grow-the-window loop paid
         up to an n_docs-wide fetch + per-hit verification for rare
         phrases: measured 376 ms/query at 100k docs; this path is ~1 ms)."""
-        engine = self.engine
-        n = engine.n_docs
-        mask = np.ones(n, dtype=bool)
-        try:
-            import nucliadb_tpu_native as _native
-
-            scan = getattr(_native, "phrase_scan", None)
-        except ImportError:
-            scan = None
-        if scan is not None:
-            # full scan in C++ per segment: the rarest term's postings
-            # drive, positions verify inline — no python-side conjunction
-            # (top-zipf bigrams at 1M docs paid ~270 ms in intersect1d +
-            # per-candidate crossings)
-            seg_lens = [len(s.dlen) for s in engine.segments]
-            offsets = np.concatenate([[0], np.cumsum(seg_lens)]).astype(np.int64)
-            for pt in phrase_terms:
-                if not pt:
-                    continue
-                pm = np.zeros(n, dtype=bool)
-                for si, seg in enumerate(engine.segments):
-                    term_docs, term_lo, missing = [], [], False
-                    for t in pt:
-                        docs, lo = engine._term_postings_host(si, t)
-                        if docs is None:
-                            missing = True
-                            break
-                        term_docs.append(np.ascontiguousarray(docs, np.int32))
-                        term_lo.append(int(lo))
-                    if missing:
-                        continue
-                    ids_b = scan(
-                        term_docs, term_lo,
-                        np.ascontiguousarray(seg.positions_offsets, np.int64),
-                        np.ascontiguousarray(seg.positions, np.int32),
-                    )
-                    ids = np.frombuffer(ids_b, np.int32)
-                    if ids.size:
-                        pm[ids.astype(np.int64) + offsets[si]] = True
-                mask &= pm
-            return mask
+        mask = np.ones(self.engine.n_docs, dtype=bool)
         for pt in phrase_terms:
             if not pt:
                 continue
-            cand: "np.ndarray | None" = None
-            for t in pt:
-                ids = engine.term_doc_ids(t)
-                cand = ids if cand is None else np.intersect1d(cand, ids)
-                if cand.size == 0:
-                    break
-            pm = np.zeros(n, dtype=bool)
-            if cand is not None and cand.size:
-                flags = engine.phrase_match_many(cand.tolist(), pt)
-                pm[cand[np.asarray(flags, bool)]] = True
-            mask &= pm
+            mask &= phrase_docs_mask(self.engine, pt)
         return mask
 
     def search(self, request: ParagraphSearchRequest) -> ParagraphSearchResponse:
